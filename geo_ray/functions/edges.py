@@ -1,0 +1,84 @@
+"""Edge crossing predicates (scalar, robust).
+
+Semantics of reference s2/edge_crossings.go:75-159 and the EdgeCrosser
+state machine (s2/edge_crosser.go) reduced to pure functions: the
+vectorized hot path lives in stages/join.py (triage sign matrices); the
+scalar ladder here resolves the ambiguous rows exactly.
+"""
+
+from __future__ import annotations
+
+from .predicates import robust_sign, ordered_ccw
+
+# OriginPoint: the fixed reference point for crossing-parity containment
+# tests, s2/point.go:53-63 (chosen to be far from cell-vertex lattices).
+ORIGIN = (-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195)
+
+
+def ortho(p):
+    """Unit vector orthogonal to p with Ortho(-p) == -Ortho(p).
+
+    s2/point.go:103-117: cross with the basis vector following the
+    largest component.
+    """
+    x, y, z = p
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax > ay:
+        largest = 0 if ax > az else 2
+    else:
+        largest = 1 if ay > az else 2
+    # largest X -> z-axis, Y -> x-axis, Z -> y-axis (s2/point.go:108-115)
+    ov = [0.0, 0.0, 0.0]
+    ov[(largest + 2) % 3] = 1.0
+    cx = y * ov[2] - z * ov[1]
+    cy = z * ov[0] - x * ov[2]
+    cz = x * ov[1] - y * ov[0]
+    n = (cx * cx + cy * cy + cz * cz) ** 0.5
+    return (cx / n, cy / n, cz / n)
+
+
+def crossing_sign(a, b, c, d) -> int:
+    """+1 interior crossing, 0 shared vertex, -1 no crossing.
+
+    Semantics of s2/edge_crossings.go:88-112 / s2/edge_crosser.go
+    (sign-ladder formulation; robust_sign is never 0 for distinct
+    points).
+    """
+    if a == c or a == d or b == c or b == d:
+        return 0
+    if a == b or c == d:
+        return -1
+    acb = -robust_sign(a, b, c)
+    bda = robust_sign(a, b, d)
+    if acb == -bda:
+        return -1
+    cbd = -robust_sign(c, d, b)
+    if cbd != acb:
+        return -1
+    dac = robust_sign(c, d, a)
+    return 1 if dac == acb else -1
+
+
+def vertex_crossing(a, b, c, d) -> bool:
+    """Shared-vertex crossing parity rule, s2/edge_crossings.go:115-145."""
+    if a == b or c == d:
+        return False
+    if a == d:
+        return ordered_ccw(ortho(a), c, b, a)
+    if b == c:
+        return ordered_ccw(ortho(b), d, a, b)
+    if a == c:
+        return ordered_ccw(ortho(a), d, b, a)
+    if b == d:
+        return ordered_ccw(ortho(b), c, a, b)
+    return False
+
+
+def edge_or_vertex_crossing(a, b, c, d) -> bool:
+    """s2/edge_crossings.go:148-159."""
+    crossing = crossing_sign(a, b, c, d)
+    if crossing < 0:
+        return False
+    if crossing > 0:
+        return True
+    return vertex_crossing(a, b, c, d)

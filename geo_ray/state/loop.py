@@ -1,0 +1,443 @@
+"""Simple spherical polygon (single loop) region.
+
+Semantics of reference s2/loop.go: a closed CCW chain of unit vectors
+whose interior is on the left of each edge; special one-vertex "empty"
+and "full" loops (s2/loop.go:107-121).  Containment is crossing parity
+from a fixed origin (s2/loop.go:590-629); cell relations are computed
+geometrically for the covering generator.
+
+The vectorized batch containment test (the refine stage of the spatial
+join) lives in ``contains_points_batch``: four triage sign matrices via
+matmuls, with scalar robust fallback for ambiguous rows — semantics
+identical to the scalar brute-force test (s2/loop.go:590-598).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..functions import cellid as cid
+from ..functions.edges import ORIGIN, edge_or_vertex_crossing, ortho
+from ..functions.latlng import latlng_deg_to_xyz, xyz_to_latlng
+from ..functions.predicates import (MAX_DETERMINANT_ERROR, ordered_ccw,
+                                    robust_sign)
+from .cap import Cap
+from .cell import Cell
+
+Vec = Tuple[float, float, float]
+
+
+class Loop:
+    def __init__(self, vertices: Sequence[Vec]):
+        self.vertices: List[Vec] = [tuple(float(c) for c in v) for v in vertices]
+        self._varr = np.array(self.vertices, dtype=np.float64).reshape(-1, 3)
+        self.origin_inside = False
+        self._init_origin()
+        self._bound = None  # lazy lat/lng rect tuple
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_latlngs_deg(cls, latlngs: Sequence[Tuple[float, float]]) -> "Loop":
+        lats = np.array([p[0] for p in latlngs], dtype=np.float64)
+        lngs = np.array([p[1] for p in latlngs], dtype=np.float64)
+        x, y, z = latlng_deg_to_xyz(lats, lngs)
+        return cls(list(zip(x.tolist(), y.tolist(), z.tolist())))
+
+    @classmethod
+    def from_text(cls, text: str) -> "Loop":
+        """Reference test DSL "lat:lng, lat:lng, ..." degrees
+        (s2/textformat_test.go:22-137)."""
+        pts = []
+        for part in text.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            lat, lng = part.split(":")
+            pts.append((float(lat), float(lng)))
+        return cls.from_latlngs_deg(pts)
+
+    @classmethod
+    def empty(cls) -> "Loop":
+        """Single-vertex loop containing nothing, s2/loop.go:107-113."""
+        return cls([(0.0, 0.0, 1.0)])
+
+    @classmethod
+    def full(cls) -> "Loop":
+        """Single-vertex loop containing everything, s2/loop.go:115-121."""
+        return cls([(0.0, 0.0, -1.0)])
+
+    # -- structure ----------------------------------------------------------
+    def is_empty_or_full(self) -> bool:
+        return len(self.vertices) == 1
+
+    def is_empty(self) -> bool:
+        return self.is_empty_or_full() and not self.origin_inside
+
+    def is_full(self) -> bool:
+        return self.is_empty_or_full() and self.origin_inside
+
+    def num_edges(self) -> int:
+        return 0 if self.is_empty_or_full() else len(self.vertices)
+
+    def edges(self):
+        n = len(self.vertices)
+        if self.is_empty_or_full():
+            return []
+        return [(self.vertices[i], self.vertices[(i + 1) % n])
+                for i in range(n)]
+
+    def invert(self) -> "Loop":
+        """Reversed loop = complement region, s2/loop.go:168-178."""
+        if self.is_empty_or_full():
+            inv = Loop.full() if self.is_empty() else Loop.empty()
+            return inv
+        return Loop(list(reversed(self.vertices)))
+
+    def _init_origin(self) -> None:
+        """s2/loop.go initOriginAndBound (:132-166)."""
+        if len(self.vertices) < 3:
+            if not self.is_empty_or_full():
+                self.origin_inside = False
+                return
+            self.origin_inside = self.vertices[0][2] < 0
+            return
+        v0, v1, v2 = self.vertices[0], self.vertices[1], self.vertices[2]
+        self.origin_inside = False
+        v1_inside = ordered_ccw(ortho(v1), v0, v2, v1)
+        if v1_inside != self.contains_point(v1):
+            self.origin_inside = True
+
+    # -- point containment --------------------------------------------------
+    def contains_point(self, p: Vec) -> bool:
+        """Crossing parity from ORIGIN, s2/loop.go:590-598."""
+        if self.is_empty_or_full():
+            return self.origin_inside
+        inside = self.origin_inside
+        p = tuple(float(c) for c in p)
+        n = len(self.vertices)
+        for i in range(n):
+            c = self.vertices[i]
+            d = self.vertices[(i + 1) % n]
+            if edge_or_vertex_crossing(ORIGIN, p, c, d):
+                inside = not inside
+        return inside
+
+    def contains_points_batch(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized parity test for an (n,3) float64 array.
+
+        Computes the four sign matrices of the crossing ladder
+        (s2/edge_crosser.go:37-228) with one matmul each; rows with any
+        |det| under the triage bound or any exact vertex hit fall back
+        to the scalar robust path.
+        """
+        if self.is_empty_or_full():
+            return np.full(len(pts), self.origin_inside, dtype=bool)
+        pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+        cvs = self._varr                       # (e,3) edge starts
+        dvs = np.roll(self._varr, -1, axis=0)  # (e,3) edge ends
+        o = np.array(ORIGIN, dtype=np.float64)
+        # sign(o,p,x) = (o x p) . x ; per point cross, then matmul
+        oxp = np.cross(o[None, :], pts)                     # (n,3)
+        det_c = oxp @ cvs.T                                 # (n,e) = sign(o,p,c)
+        det_d = oxp @ dvs.T                                 # (n,e) = sign(o,p,d)
+        cxd = np.cross(cvs, dvs)                            # (e,3)
+        det_b = pts @ cxd.T                                 # (n,e) = sign(c,d,p)
+        det_a = cxd @ o                                     # (e,)  = sign(c,d,o)
+        eps = MAX_DETERMINANT_ERROR
+        ambiguous = ((np.abs(det_c) <= eps) | (np.abs(det_d) <= eps) |
+                     (np.abs(det_b) <= eps) | (np.abs(det_a) <= eps)[None, :])
+        amb_rows = ambiguous.any(axis=1)
+        # clear-path parity:
+        # acb = -sign(o,p,c); bda = sign(o,p,d); cbd = -sign(c,d,p);
+        # dac = sign(c,d,o); crossing iff bda==acb and cbd==acb and dac==acb
+        acb = -np.sign(det_c)
+        crossing = ((np.sign(det_d) == acb) & (-np.sign(det_b) == acb) &
+                    (np.sign(det_a)[None, :] == acb))
+        parity = crossing.sum(axis=1) & 1
+        inside = np.asarray(parity == 1)
+        if self.origin_inside:
+            inside = ~inside
+        if amb_rows.any():
+            for idx in np.nonzero(amb_rows)[0]:
+                inside[idx] = self.contains_point(tuple(pts[idx]))
+        return inside
+
+    # -- cell relations (covering generator callbacks) ----------------------
+    def _any_edge_crosses_cell(self, cell: Cell) -> bool:
+        verts = cell.vertices()
+        cell_edges = [(verts[k], verts[(k + 1) & 3]) for k in range(4)]
+        for c, d in self.edges():
+            for a, b in cell_edges:
+                if edge_or_vertex_crossing(a, b, c, d) or \
+                        edge_or_vertex_crossing(b, a, c, d):
+                    return True
+        return False
+
+    def intersects_cell(self, cell: Cell) -> bool:
+        """Conservative-exact: any cell vertex inside the loop, any loop
+        vertex inside the cell, or any edge pair crossing.  Semantics of
+        Loop.IntersectsCell (s2/loop.go:632-716) without the index."""
+        if self.is_empty():
+            return False
+        if self.is_full():
+            return True
+        for v in cell.vertices():
+            if self.contains_point(v):
+                return True
+        for v in self.vertices:
+            if cell.contains_point(v):
+                return True
+        return self._any_edge_crosses_cell(cell)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        """All 4 cell vertices inside, no loop vertex in the cell, no
+        boundary crossing.  Semantics of Loop.ContainsCell
+        (s2/loop.go:632-716)."""
+        if self.is_empty():
+            return False
+        if self.is_full():
+            return True
+        for v in cell.vertices():
+            if not self.contains_point(v):
+                return False
+        for v in self.vertices:
+            if cell.contains_point(v):
+                return False
+        return not self._any_edge_crosses_cell(cell)
+
+    # -- bounds -------------------------------------------------------------
+    def rect_bound(self):
+        """Conservative lat/lng bound (lat_lo, lat_hi, lng_lo, lng_hi)
+        in radians, lng interval possibly wrapping (lo > hi).
+
+        Semantics of RectBounder (s2/rect_bounder.go:36-230) with a
+        simplified-but-conservative latitude-extremum expansion, plus
+        the pole adjustment of s2/loop.go:191-215.
+        """
+        if self._bound is not None:
+            return self._bound
+        if self.is_empty():
+            self._bound = (1.0, -1.0, 1.0, -1.0)  # empty
+            return self._bound
+        if self.is_full():
+            self._bound = (-math.pi / 2, math.pi / 2, -math.pi, math.pi)
+            return self._bound
+        lat, lng = xyz_to_latlng(self._varr[:, 0], self._varr[:, 1],
+                                 self._varr[:, 2])
+        lat_lo, lat_hi = float(lat.min()), float(lat.max())
+        # Latitude extrema along edges: for edge with normal n, the
+        # extreme |z| on its great circle is sqrt(nx^2+ny^2)/|n|; apply
+        # when the extremum point lies within the edge arc.
+        n = len(self.vertices)
+        slop = 1e-11
+        for i in range(n):
+            a = self._varr[i]
+            b = self._varr[(i + 1) % n]
+            nrm = np.cross(a, b)
+            n2 = float(nrm @ nrm)
+            if n2 == 0.0:
+                continue
+            zmax2 = (nrm[0] ** 2 + nrm[1] ** 2) / n2
+            # candidate extremum points: +/- normalize((-nx*nz,-ny*nz,nx^2+ny^2))
+            m = np.array([-nrm[0] * nrm[2], -nrm[1] * nrm[2],
+                          nrm[0] ** 2 + nrm[1] ** 2])
+            mn = float(np.linalg.norm(m))
+            if mn == 0.0:
+                continue
+            m /= mn
+            for cand in (m, -m):
+                # on-arc test: cand between a and b along the circle
+                if float(np.cross(a, cand) @ nrm) >= 0 and \
+                        float(np.cross(cand, b) @ nrm) >= 0:
+                    zl = math.asin(max(-1.0, min(1.0, float(cand[2]))))
+                    lat_lo = min(lat_lo, zl)
+                    lat_hi = max(lat_hi, zl)
+        lat_lo = max(-math.pi / 2, lat_lo - slop)
+        lat_hi = min(math.pi / 2, lat_hi + slop)
+        # Longitude interval: union of per-edge shortest-arc intervals.
+        lng_lo, lng_hi = _lng_interval_union(lng)
+        # Pole handling (s2/loop.go:191-215): containment forces full
+        # latitude reach and full longitude span.
+        if self.contains_point((0.0, 0.0, 1.0)):
+            lat_hi = math.pi / 2
+            lng_lo, lng_hi = -math.pi, math.pi
+        if self.contains_point((0.0, 0.0, -1.0)):
+            lat_lo = -math.pi / 2
+            lng_lo, lng_hi = -math.pi, math.pi
+        self._bound = (lat_lo, lat_hi, lng_lo, lng_hi)
+        return self._bound
+
+    def cap_bound(self) -> Cap:
+        """Bounding cap via the rect bound (semantics of
+        s2/loop.go:181-189 -> Rect.CapBound, s2/rect.go:438-467)."""
+        if self.is_empty():
+            return Cap.empty()
+        if self.is_full():
+            return Cap.full()
+        lat_lo, lat_hi, lng_lo, lng_hi = self.rect_bound()
+        # Pole cap
+        if lat_hi + lat_lo < 0:
+            pole = (0.0, 0.0, -1.0)
+            pole_angle = math.pi / 2 + lat_hi
+        else:
+            pole = (0.0, 0.0, 1.0)
+            pole_angle = math.pi / 2 - lat_lo
+        pole_cap = Cap.from_center_angle(pole, pole_angle + 1e-12)
+        # Mid cap (only valid when the lng interval is not full/wrapping)
+        if lng_lo <= lng_hi and (lng_hi - lng_lo) < 2 * math.pi - 1e-12:
+            mid_lat = (lat_lo + lat_hi) / 2
+            mid_lng = (lng_lo + lng_hi) / 2
+            cx, cy, cz = (float(v) for v in latlng_deg_to_xyz(
+                np.degrees(mid_lat), np.degrees(mid_lng)))
+            r2 = 0.0
+            for la, ln in ((lat_lo, lng_lo), (lat_lo, lng_hi),
+                           (lat_hi, lng_lo), (lat_hi, lng_hi)):
+                vx, vy, vz = (float(v) for v in latlng_deg_to_xyz(
+                    np.degrees(la), np.degrees(ln)))
+                d2 = (vx - cx) ** 2 + (vy - cy) ** 2 + (vz - cz) ** 2
+                r2 = max(r2, d2)
+            mid_cap = Cap((cx, cy, cz), min(4.0, r2 * (1 + 1e-9) + 1e-15))
+            if mid_cap.radius_chord2 < pole_cap.radius_chord2:
+                return mid_cap
+        return pole_cap
+
+    def cell_union_bound(self) -> List[int]:
+        return self.cap_bound().cell_union_bound()
+
+    # -- measures -----------------------------------------------------------
+    def turning_angle_and_area(self):
+        """Signed area via Green's theorem / l'Huilier accumulation.
+
+        Semantics of s2/loop.go:1007-1066: area = 2*pi - turning angle
+        for CCW loops; normalized into [0, 4*pi].
+        """
+        if self.is_empty():
+            return 0.0
+        if self.is_full():
+            return 4 * math.pi
+        total = 0.0
+        n = len(self.vertices)
+        for i in range(n):
+            a = self._varr[(i - 1) % n]
+            b = self._varr[i]
+            c = self._varr[(i + 1) % n]
+            total += _turn_angle(a, b, c)
+        area = 2 * math.pi - total
+        if area < 0:
+            area += 4 * math.pi
+        if area > 4 * math.pi:
+            area -= 4 * math.pi
+        return max(0.0, min(4 * math.pi, area))
+
+    def area(self) -> float:
+        return self.turning_angle_and_area()
+
+    def centroid(self):
+        """True centroid * area (not normalized), via the triangle
+        centroid accumulation of s2/centroids.go:61-101."""
+        if self.is_empty_or_full():
+            return (0.0, 0.0, 0.0)
+        origin = self._varr[0]
+        total = np.zeros(3)
+        for i in range(1, len(self.vertices) - 1):
+            total += _triangle_true_centroid(origin, self._varr[i],
+                                             self._varr[i + 1])
+        return tuple(float(c) for c in total)
+
+    def validate(self):
+        """Structural validity, s2/loop.go:219-270: >=3 vertices (unless
+        empty/full), unit length, no duplicate or antipodal adjacent
+        vertices.  Raises ValueError."""
+        if self.is_empty_or_full():
+            return
+        if len(self.vertices) < 3:
+            raise ValueError("non-empty, non-full loops must have >= 3 vertices")
+        n = len(self.vertices)
+        for i, v in enumerate(self.vertices):
+            norm = v[0] ** 2 + v[1] ** 2 + v[2] ** 2
+            if abs(norm - 1.0) > 1e-10:
+                raise ValueError(f"vertex {i} is not unit length")
+            nxt = self.vertices[(i + 1) % n]
+            if v == nxt:
+                raise ValueError(f"duplicate adjacent vertices at {i}")
+            if v == (-nxt[0], -nxt[1], -nxt[2]):
+                raise ValueError(f"antipodal adjacent vertices at {i}")
+
+
+def _turn_angle(a, b, c):
+    """TurnAngle(a,b,c), s2/point_measures.go:124-141: positive for CCW
+    turns, computed stably via the angle between the edge normals."""
+    n1 = np.cross(a, b)
+    n2 = np.cross(b, c)
+    angle = math.atan2(float(np.linalg.norm(np.cross(n1, n2))),
+                       float(n1 @ n2))
+    s = robust_sign(tuple(a), tuple(b), tuple(c))
+    return angle * (1.0 if s > 0 else -1.0)
+
+
+def _triangle_true_centroid(a, b, c):
+    """TrueCentroid of a spherical triangle (times its signed area),
+    s2/centroids.go:61-101: with angle_x the angle at the edge opposite
+    vertex x and r_x = angle_x/sin(angle_x), the centroid integral is
+    0.5 * (det-weighted combination of the component vectors)."""
+    def _angle(u, v):
+        return math.atan2(float(np.linalg.norm(np.cross(u, v))), float(u @ v))
+
+    angle_a = _angle(b, c)
+    angle_b = _angle(c, a)
+    angle_c = _angle(a, b)
+    ra = 1.0 if angle_a == 0 else angle_a / math.sin(angle_a)
+    rb = 1.0 if angle_b == 0 else angle_b / math.sin(angle_b)
+    rc = 1.0 if angle_c == 0 else angle_c / math.sin(angle_c)
+    x = np.array([a[0], b[0], c[0]])
+    y = np.array([a[1], b[1], c[1]])
+    z = np.array([a[2], b[2], c[2]])
+    r = np.array([ra, rb, rc])
+    return 0.5 * np.array([float(np.cross(y, z) @ r),
+                           float(np.cross(z, x) @ r),
+                           float(np.cross(x, y) @ r)])
+
+
+def _lng_interval_union(lngs: np.ndarray):
+    """Union of the shortest-arc longitude intervals of consecutive
+    vertices (radians).  Returns (lo, hi); lo > hi encodes wrap; the
+    full interval is (-pi, pi).  Semantics of s1.Interval AddPoint
+    (s1/interval.go) as used by RectBounder."""
+    lo = hi = float(lngs[0])
+    full = (-math.pi, math.pi)
+
+    def _contains(lo, hi, p):
+        if lo <= hi:
+            return lo <= p <= hi
+        return p >= lo or p <= hi
+
+    def _add(lo, hi, p):
+        if _contains(lo, hi, p):
+            return lo, hi
+        # distance from hi forward to p, and from p forward to lo
+        fwd = (p - hi) % (2 * math.pi)
+        bwd = (lo - p) % (2 * math.pi)
+        if fwd <= bwd:
+            return lo, p
+        return p, hi
+
+    n = len(lngs)
+    for i in range(1, n + 1):
+        p = float(lngs[i % n])
+        new = _add(lo, hi, p)
+        lo, hi = new
+        span = (hi - lo) if lo <= hi else (2 * math.pi - (lo - hi))
+        if span >= 2 * math.pi - 1e-9:
+            return full
+    # pad slightly (conservative)
+    pad = 1e-11
+    lo2 = lo - pad
+    hi2 = hi + pad
+    if lo2 < -math.pi:
+        lo2 += 2 * math.pi
+    if hi2 > math.pi:
+        hi2 -= 2 * math.pi
+    return lo2, hi2

@@ -1,0 +1,117 @@
+"""Polygon: a set of loops where a point is contained iff it is inside
+an odd number of loops (s2/polygon.go:591-613,706-728).  Holes are
+loops nested at odd depth; the xor rule makes explicit depth tracking
+unnecessary for containment.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .cap import Cap
+from .cell import Cell
+from .loop import Loop
+
+
+class Polygon:
+    def __init__(self, loops: Sequence[Loop]):
+        self.loops: List[Loop] = list(loops)
+
+    @classmethod
+    def from_loop(cls, loop: Loop) -> "Polygon":
+        return cls([loop])
+
+    def is_empty(self) -> bool:
+        return not self.loops or all(l.is_empty() for l in self.loops)
+
+    def num_edges(self) -> int:
+        return sum(l.num_edges() for l in self.loops)
+
+    def contains_point(self, p) -> bool:
+        """xor of loop containments, s2/polygon.go:591-613."""
+        inside = False
+        for l in self.loops:
+            inside ^= l.contains_point(p)
+        return inside
+
+    def contains_points_batch(self, pts: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(pts), dtype=bool)
+        for l in self.loops:
+            out ^= l.contains_points_batch(pts)
+        return out
+
+    def intersects_cell(self, cell: Cell) -> bool:
+        """Conservative semantics of s2/polygon.go:615-705: the polygon
+        intersects the cell if any point of the cell is contained, which
+        is true iff a cell vertex is contained, a loop boundary meets the
+        cell, or the cell is entirely inside the region."""
+        for v in cell.vertices():
+            if self.contains_point(v):
+                return True
+        for l in self.loops:
+            if l.is_empty_or_full():
+                continue
+            for v in l.vertices:
+                if cell.contains_point(v):
+                    return True
+            if l._any_edge_crosses_cell(cell):
+                return True
+        return any(l.is_full() for l in self.loops) and len(self.loops) == 1
+
+    def contains_cell(self, cell: Cell) -> bool:
+        for v in cell.vertices():
+            if not self.contains_point(v):
+                return False
+        for l in self.loops:
+            if l.is_empty_or_full():
+                continue
+            for v in l.vertices:
+                if cell.contains_point(v):
+                    return False
+            if l._any_edge_crosses_cell(cell):
+                return False
+        return True
+
+    def cap_bound(self) -> Cap:
+        """Union bound over loops (s2/polygon.go RectBound/CapBound)."""
+        if not self.loops:
+            return Cap.empty()
+        if len(self.loops) == 1:
+            return self.loops[0].cap_bound()
+        # shell (first loop) dominates for valid nested polygons; for
+        # multi-shell polygons fall back to a cap containing all loops.
+        caps = [l.cap_bound() for l in self.loops if not l.is_empty()]
+        if not caps:
+            return Cap.empty()
+        best = caps[0]
+        for c in caps[1:]:
+            if not best.contains_point(c.center) or \
+                    c.radius_chord2 > best.radius_chord2:
+                # grow: recompute a cap around the first center that
+                # contains every other cap (conservative)
+                import math
+                from ..functions.latlng import chord2, chord2_to_angle
+                r = best.radius_rad()
+                for cc in caps[1:]:
+                    d = float(chord2_to_angle(chord2(*best.center, *cc.center)))
+                    r = max(r, d + cc.radius_rad())
+                return Cap.from_center_angle(best.center, min(math.pi, r))
+        return best
+
+    def cell_union_bound(self):
+        return self.cap_bound().cell_union_bound()
+
+    def area(self) -> float:
+        """Loop-sign-weighted area, s2/polygon.go:1005-1017: holes
+        (clockwise loops, area > 2*pi as CCW) subtract."""
+        import math
+        total = 0.0
+        for l in self.loops:
+            a = l.area()
+            if a > 2 * math.pi:
+                total -= (4 * math.pi - a)
+            else:
+                total += a
+        return max(0.0, total)
