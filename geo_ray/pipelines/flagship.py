@@ -1,0 +1,143 @@
+"""Flagship pipeline: synthesize/read images -> geotag -> cell assign ->
+decode stats -> covering spatial join (city polygons) -> raster tiles.
+
+This is the end-to-end shape the benchmarks measure:
+
+    images (binary rows)
+      | map_batches: derive lat/lng from phash; assign cell_id   [MB]
+      | map_batches(ImageStats, concurrency=N): decode, mean RGB [ACT]
+      +--> map_batches(PolygonJoiner): covering semi-join        [ACT]
+      |       -> (image_id, cell_id, polygon_id) matches
+      +--> map_batches(tile_pixel_partials): per-batch combiner  [MB]
+              -> groupby(tile_id).map_groups(render)             [SHUF]
+              -> (tile_id, level, n_images, tile_png)
+
+The only all-to-all exchange is the tiny pixel-partial shuffle; images
+never shuffle.  All stages stream with backpressure.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..sources.images import CITIES, CITY_RADIUS_DEG, images_dataset
+from ..stages.assign import geotag_and_cell
+from ..stages.join import JoinState, PolygonJoiner
+from ..stages.tiles import render_tiles, tile_pixel_partials
+from ..state.loop import Loop
+from ..state.polygon import Polygon
+
+DEFAULT_TILE_LEVEL = 7
+
+
+def city_polygons(radius_deg: float = CITY_RADIUS_DEG * 1.2,
+                  nvert: int = 8) -> List[Tuple[str, Polygon]]:
+    """One CCW octagon loop around each synthetic city hot spot."""
+    out = []
+    for idx, (clat, clng) in enumerate(CITIES):
+        pts = []
+        for k in range(nvert):
+            ang = 2 * math.pi * k / nvert
+            lat = clat + radius_deg * math.sin(ang)
+            lng = clng + radius_deg * math.cos(ang) / max(
+                0.2, math.cos(math.radians(clat)))
+            pts.append((lat, lng))
+        out.append((f"city{idx}", Polygon.from_loop(Loop.from_latlngs_deg(pts))))
+    return out
+
+
+def build_points(num_images: int):
+    """images -> geotagged, cell-keyed, decoded point rows (lazy).
+
+    All three transforms are stateless task stages, so the streaming
+    executor fuses them with the range source and scales them to the
+    free CPUs (an actor pool sized to the CPU count here deadlocks the
+    producer — see stages/tiles.py docstring)."""
+    from ..stages.tiles import image_stats
+
+    ds = images_dataset(num_images)
+    ds = ds.map_batches(geotag_and_cell, batch_format="pyarrow",
+                        batch_size=2048)
+    ds = ds.map_batches(image_stats, batch_format="pyarrow", batch_size=2048)
+    return ds
+
+
+def run_flagship(num_images: int = 10_000, *,
+                 tile_level: int = DEFAULT_TILE_LEVEL,
+                 polygons: Optional[List[Tuple[str, Polygon]]] = None,
+                 out_root: Optional[str] = None,
+                 join_concurrency: Optional[int] = None) -> Dict:
+    """Run the full pipeline; returns datasets + throughput metrics."""
+    import ray
+    from .checkpoint import stage_checkpoint
+
+    polygons = polygons if polygons is not None else city_polygons()
+    t0 = time.perf_counter()
+    state = JoinState(polygons)
+    state_ref = ray.put(state)
+    t_state = time.perf_counter() - t0
+
+    sig = f"n={num_images};tl={tile_level};np={len(polygons)}"
+
+    def _build_points():
+        return build_points(num_images)
+
+    points, points_info = stage_checkpoint(out_root, "points", sig,
+                                           _build_points)
+    if out_root is None:
+        # The narrow point table (bytes dropped) is consumed by both the
+        # join and the tiling stage: pin it once instead of re-running
+        # synthesis + decode per consumer.
+        points = points.materialize()
+
+    t1 = time.perf_counter()
+
+    from ..stages.join import polygon_join
+
+    def _build_join():
+        return points.map_batches(
+            lambda b: polygon_join(b, state_ref),
+            batch_format="pyarrow", batch_size=8192)
+
+    joined, join_info = stage_checkpoint(out_root, "join", sig, _build_join)
+    if out_root is None:
+        joined = joined.materialize()
+    n_matches = joined.count()
+    t_join = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+
+    def _build_tiles():
+        partials = points.map_batches(
+            lambda b: tile_pixel_partials(b, tile_level),
+            batch_format="pyarrow", batch_size=16384)
+        return render_tiles(partials)
+
+    tiles, tiles_info = stage_checkpoint(out_root, "tiles", sig, _build_tiles)
+    if out_root is None:
+        tiles = tiles.materialize()
+    n_tiles = tiles.count()
+    t_tiles = time.perf_counter() - t2
+
+    total = time.perf_counter() - t0
+    return {
+        "points": points,
+        "joined": joined,
+        "tiles": tiles,
+        "metrics": {
+            "num_images": num_images,
+            "n_matches": n_matches,
+            "n_tiles": n_tiles,
+            "state_build_sec": round(t_state, 3),
+            "join_sec": round(t_join, 3),
+            "tiles_sec": round(t_tiles, 3),
+            "total_sec": round(total, 3),
+            "rows_per_sec": round(num_images / max(total, 1e-9), 1),
+            "tiles_per_sec": round(n_tiles / max(t_tiles, 1e-9), 1),
+            "stage_info": [points_info, join_info, tiles_info],
+        },
+    }

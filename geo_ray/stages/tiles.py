@@ -1,0 +1,202 @@
+"""Raster tiling: range-partition points by Hilbert order, rasterize
+one image per S2 cell at the tile level.
+
+Scale design (SURVEY.md §7.1 step 6, §7.2): the naive shape —
+``groupby(tile_id)`` over full image rows — would shuffle every pixel
+byte and melt on hot tiles (cities).  Instead we pre-aggregate INSIDE
+map_batches: each batch contributes (tile_id, pixel, sum_rgb, count)
+partials (at most px*px rows per tile per batch, independent of how
+many images hit the tile), and only those partials shuffle into the
+per-tile render.  Hot tiles therefore cost O(px^2) per input batch —
+skew-proof without explicit salting; the combiner plays the role the
+salt would.
+
+Pixel geometry is integer-exact: a tile at level L covers a
+2^(30-L)-wide square of leaf (i,j) coordinates on its face
+(s2/cellid.go:656-671); pixels subdivide that square in ST space
+(equivalently PlateCarree-in-cell, s2/projections.go:74-145 applied to
+the cell's own (u,v) rectangle).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import cellid as cid
+from ..sources import codecs
+
+TILE_PX = 16  # pixels per tile side (power of two)
+
+
+def image_stats(batch: pa.Table) -> pa.Table:
+    """Decode stage: binary image column -> per-image mean RGB
+    (+ decode health), dropping the wide ``bytes`` column so nothing
+    downstream ships pixels.  Stateless (elastic tasks): the codecs are
+    module-level, so there is no per-actor setup to amortize, and
+    task-based stages cannot starve their upstream producer (an actor
+    pool sized to the whole CPU count deadlocks the streaming executor
+    against its own ReadRange — observed, not hypothetical)."""
+    blobs = batch.column("bytes").to_pylist()
+    fmts = np.array(batch.column("fmt").to_pylist())
+    w = batch.column("w").to_numpy()
+    h = batch.column("h").to_numpy()
+    n = len(batch)
+    means = np.empty((n, 3), dtype=np.float64)
+    ok = np.ones(n, dtype=bool)
+    # Group same-shape/format rows and decode each group in one batched
+    # numpy pass (amortizes the DCT einsum / reshape overhead).
+    shape_key = (w.astype(np.int64) << 16) | (h.astype(np.int64) << 2) | \
+        np.where(fmts == "png", 0, 1)
+    for key in np.unique(shape_key):
+        sel = np.nonzero(shape_key == key)[0]
+        group = [blobs[i] for i in sel]
+        try:
+            if key & 1:
+                imgs = codecs.lossy_decode_many(group)
+            else:
+                imgs = codecs.png_decode_many(group)
+            means[sel] = imgs.reshape(len(sel), -1, 3).mean(axis=1)
+        except Exception:
+            for i in sel:
+                try:
+                    img = codecs.decode(blobs[i], str(fmts[i]))
+                    means[i] = img.reshape(-1, 3).mean(axis=0)
+                except Exception:
+                    ok[i] = False
+                    means[i] = 0.0
+    out = batch.drop_columns(["bytes"])
+    out = out.append_column("mean_r", pa.array(means[:, 0]))
+    out = out.append_column("mean_g", pa.array(means[:, 1]))
+    out = out.append_column("mean_b", pa.array(means[:, 2]))
+    return out.append_column("decode_ok", pa.array(ok))
+
+
+class ImageStats:
+    """Actor-pool form of :func:`image_stats` for callers that need a
+    bounded pool (e.g. when a real codec library with expensive init is
+    plugged in).  Size ``concurrency`` strictly below the cluster CPU
+    count or the producer starves."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return image_stats(batch)
+
+
+def tile_pixel_partials(batch: pa.Table, level: int,
+                        px: int = TILE_PX) -> pa.Table:
+    """Per-batch combiner: (tile_id, pixel, partial sums).  The only
+    columns that shuffle."""
+    ids = batch.column("cell_id").to_numpy()
+    f, i, j, _ = cid.face_ij_orientation_v(ids)
+    size = np.int64(1) << np.int64(30 - level)
+    px_x = ((i & -size) ^ i) * px // size          # 0..px-1, integer exact
+    px_y = ((j & -size) ^ j) * px // size
+    pixel = (px_y * px + px_x).astype(np.int64)
+    tile = cid.parent_v(ids, level)
+    mr = batch.column("mean_r").to_numpy()
+    mg = batch.column("mean_g").to_numpy()
+    mb = batch.column("mean_b").to_numpy()
+    # Composite (tile, pixel) key in uint64: tiles at a fixed level have
+    # their lsb at bit 2*(30-level), so the shifted id is unique and
+    # small; requires level <= 24 (px <= 2^6).
+    assert level <= 24
+    shift = np.uint64(2 * (30 - level))
+    key = (tile >> shift) * np.uint64(px * px) + pixel.astype(np.uint64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv)
+    sr = np.bincount(inv, weights=mr)
+    sg = np.bincount(inv, weights=mg)
+    sb = np.bincount(inv, weights=mb)
+    out_tile = (uniq // np.uint64(px * px)) << shift
+    out_pixel = (uniq % np.uint64(px * px)).astype(np.int32)
+    return pa.table({
+        "tile_id": pa.array(out_tile, pa.uint64()),
+        "pixel": pa.array(out_pixel, pa.int32()),
+        "sum_r": pa.array(sr, pa.float64()),
+        "sum_g": pa.array(sg, pa.float64()),
+        "sum_b": pa.array(sb, pa.float64()),
+        "count": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def _render_one(tile_id: int, pix: np.ndarray, sums: np.ndarray,
+                cnts_in: np.ndarray, px: int):
+    sums_acc = np.zeros((px * px, 3))
+    cnts = np.zeros(px * px)
+    np.add.at(sums_acc, pix, sums)
+    np.add.at(cnts, pix, cnts_in)
+    filled = cnts > 0
+    canvas = np.full((px * px, 3), 32.0)  # background
+    canvas[filled] = sums_acc[filled] / cnts[filled][:, None]
+    img = np.clip(np.round(canvas.reshape(px, px, 3)), 0, 255).astype(np.uint8)
+    return {
+        "tile_id": np.uint64(tile_id),
+        "level": cid.level(tile_id),
+        "token": cid.token(tile_id),
+        "n_images": int(cnts.sum()),
+        "n_pixels": int(filled.sum()),
+        "tile_png": codecs.png_encode(img),
+    }
+
+
+def render_bucket_group(group: pd.DataFrame, px: int = TILE_PX) -> pd.DataFrame:
+    """map_groups finalizer over a BUCKET of tiles: renders every tile
+    whose partials landed in this bucket.  Buckets are parent cells a
+    few levels above the tile level, so each map_groups call amortizes
+    its per-group overhead over dozens of tiles (pure-numpy per-tile
+    work is microseconds; the per-call overhead was the bottleneck)."""
+    tiles = group["tile_id"].to_numpy().astype(np.uint64)
+    pix = group["pixel"].to_numpy()
+    sums = group[["sum_r", "sum_g", "sum_b"]].to_numpy()
+    cnts = group["count"].to_numpy()
+    order = np.argsort(tiles, kind="stable")
+    tiles, pix, sums, cnts = tiles[order], pix[order], sums[order], cnts[order]
+    uniq, starts = np.unique(tiles, return_index=True)
+    bounds = np.append(starts, len(tiles))
+    rows = []
+    for t in range(len(uniq)):
+        lo, hi = bounds[t], bounds[t + 1]
+        rows.append(_render_one(int(uniq[t]), pix[lo:hi], sums[lo:hi],
+                                cnts[lo:hi], px))
+    return pd.DataFrame(rows)
+
+
+BUCKET_LEVELS_UP = 4  # 4^4 = up to 256 tiles per render bucket
+
+
+def render_tiles(partials_ds, px: int = TILE_PX):
+    """bucketed groupby -> one rendered raster row per tile."""
+    def _bucket(batch: pa.Table) -> pa.Table:
+        tile = batch.column("tile_id").to_numpy()
+        level = int(cid.level_v(tile[:1])[0]) if len(tile) else 0
+        bucket = cid.parent_v(tile, max(0, level - BUCKET_LEVELS_UP))
+        return batch.append_column("bucket", pa.array(bucket, pa.uint64()))
+
+    bucketed = partials_ds.map_batches(_bucket, batch_format="pyarrow")
+    out = bucketed.groupby("bucket").map_groups(
+        lambda g: render_bucket_group(g.drop(columns=["bucket"]), px),
+        batch_format="pandas")
+    return out
+
+
+def tile_pixel_centers_latlng(tile_id: int, px: int = TILE_PX):
+    """Unproject the px*px pixel centers back to lat/lng — the
+    raster->vector direction of the round-trip QA.  Returns
+    (lat_deg, lng_deg, leaf_cell_ids) arrays."""
+    f, i, j, _ = cid.face_ij_orientation(tile_id)
+    level = cid.level(tile_id)
+    size = 1 << (30 - level)
+    i_lo, j_lo = i & -size, j & -size
+    step = size // px
+    ii = i_lo + (np.arange(px, dtype=np.int64) * step + step // 2)
+    jj = j_lo + (np.arange(px, dtype=np.int64) * step + step // 2)
+    gi, gj = np.meshgrid(ii, jj, indexing="xy")
+    leaf = cid.cell_id_from_face_ij_v(np.full(gi.size, f), gi.ravel(), gj.ravel())
+    lat, lng = cid.cell_id_to_latlng_v(leaf)
+    return lat, lng, leaf
