@@ -1,0 +1,588 @@
+"""Driver-contract queries: Ray Data pipelines over the testdata
+tables, each (where SQL-expressible) paired with an ANSI-SQL oracle
+that DuckDB runs on the same parquet files.
+
+Design rules for oracle parity (the driver hashes sorted values):
+  * outputs carry only integers / strings / exactly-derived floats —
+    no trig-derived floats, which differ in the last ulp between
+    numpy and DuckDB;
+  * lat/lng are derived from integer keys by exact float arithmetic
+    (int mod, division by powers of ten) so both engines produce
+    bit-identical doubles;
+  * predicates with float boundaries (cap radius, polygon edges) are
+    margin-checked in tests at the driver's scale so a last-ulp
+    difference cannot flip a row.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import cellid as cid
+from ..functions.latlng import latlng_deg_to_xyz
+from ..state.loop import Loop
+from ..state.polygon import Polygon
+
+# --------------------------------------------------------------------------
+# canonical derivation: customer key -> lat/lng (exact in both engines)
+# --------------------------------------------------------------------------
+
+LAT_SQL = "(((c_custkey * 7919) % 17000) / 100.0 - 85.0)"
+LNG_SQL = "(((c_custkey * 104729) % 36000) / 100.0 - 180.0)"
+
+
+def derive_latlng_np(keys: np.ndarray):
+    k = keys.astype(np.int64)
+    lat = ((k * 7919) % 17000) / 100.0 - 85.0
+    lng = ((k * 104729) % 36000) / 100.0 - 180.0
+    return lat, lng
+
+
+def _customer_points(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        ids = cid.cell_id_from_point_v(x, y, z)
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "lat": pa.array(lat, pa.float64()),
+            "lng": pa.array(lng, pa.float64()),
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "z": pa.array(z, pa.float64()),
+            "cell_id": pa.array(ids, pa.uint64()),
+        })
+
+    return ds.map_batches(_derive, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# fixed query-side geometry
+# --------------------------------------------------------------------------
+
+CAP_CENTER = (40.0, -74.0)     # deg
+CAP_RADIUS_DEG = 20.0
+
+RECT = (-30.0, 25.0, 40.0, 140.0)  # lat_lo, lat_hi, lng_lo, lng_hi
+
+# convex CCW spherical quad (lat, lng) degrees
+QUAD = [(5.0, 30.0), (5.0, 80.0), (45.0, 85.0), (42.0, 25.0)]
+
+
+def _cap_chord2() -> float:
+    r = math.radians(CAP_RADIUS_DEG)
+    s = 2.0 * math.sin(r / 2.0)
+    return s * s
+
+
+def _cap_center_xyz():
+    x, y, z = latlng_deg_to_xyz(np.float64(CAP_CENTER[0]),
+                                np.float64(CAP_CENTER[1]))
+    return float(x), float(y), float(z)
+
+
+def _quad_edge_normals() -> List[Tuple[float, float, float]]:
+    """Outward-CCW edge normals A x B for the convex quad; containment
+    == all dots positive (the Sign predicate, s2/predicates.go:142)."""
+    verts = []
+    for lat, lng in QUAD:
+        x, y, z = latlng_deg_to_xyz(np.float64(lat), np.float64(lng))
+        verts.append((float(x), float(y), float(z)))
+    normals = []
+    n = len(verts)
+    for i in range(n):
+        a, b = verts[i], verts[(i + 1) % n]
+        normals.append((a[1] * b[2] - a[2] * b[1],
+                        a[2] * b[0] - a[0] * b[2],
+                        a[0] * b[1] - a[1] * b[0]))
+    return normals
+
+
+_XYZ_SQL = (
+    f"cos(radians(lat))*cos(radians(lng)) AS x, "
+    f"cos(radians(lat))*sin(radians(lng)) AS y, "
+    f"sin(radians(lat)) AS z"
+)
+
+_PTS_CTE = (
+    f"WITH pts AS (SELECT c_custkey, {LAT_SQL} AS lat, {LNG_SQL} AS lng "
+    f"FROM customer), "
+    f"xyz AS (SELECT c_custkey, lat, lng, {_XYZ_SQL} FROM pts)"
+)
+
+
+# --------------------------------------------------------------------------
+# the queries
+# --------------------------------------------------------------------------
+
+def q_geotag(sf_dir: str):
+    """Exact geotag derivation (MB kernel) — parity with SQL doubles."""
+    return _customer_points(sf_dir).select_columns(["c_custkey", "lat", "lng"])
+
+
+def sql_geotag() -> str:
+    return (f"SELECT c_custkey, {LAT_SQL} AS lat, {LNG_SQL} AS lng "
+            f"FROM customer ORDER BY c_custkey")
+
+
+def q_cap_contains(sf_dir: str):
+    """Cap (disc) filter via ChordAngle compare (s2/cap.go:179)."""
+    from ..state.cap import Cap
+    cap = Cap(_cap_center_xyz(), _cap_chord2())
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = cap.contains_points_v(batch.column("x").to_numpy(),
+                                     batch.column("y").to_numpy(),
+                                     batch.column("z").to_numpy())
+        return batch.filter(pa.array(mask))
+
+    return (_customer_points(sf_dir).map_batches(_filter,
+                                                 batch_format="pyarrow")
+            .select_columns(["c_custkey"]))
+
+
+def sql_cap_contains() -> str:
+    cx, cy, cz = _cap_center_xyz()
+    return (f"{_PTS_CTE} SELECT c_custkey FROM xyz "
+            f"WHERE (x-({cx!r}))*(x-({cx!r})) + (y-({cy!r}))*(y-({cy!r})) "
+            f"+ (z-({cz!r}))*(z-({cz!r})) <= {_cap_chord2()!r} "
+            f"ORDER BY c_custkey")
+
+
+def q_rect_contains(sf_dir: str):
+    """Lat/lng rectangle filter (s2/rect.go:284-292)."""
+    from ..state.rect import Rect
+    rect = Rect(*RECT)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = rect.contains_latlng_v(batch.column("lat").to_numpy(),
+                                      batch.column("lng").to_numpy())
+        return batch.filter(pa.array(mask))
+
+    return (_customer_points(sf_dir).map_batches(_filter,
+                                                 batch_format="pyarrow")
+            .select_columns(["c_custkey"]))
+
+
+def sql_rect_contains() -> str:
+    lat_lo, lat_hi, lng_lo, lng_hi = RECT
+    return (f"{_PTS_CTE} SELECT c_custkey FROM pts "
+            f"WHERE lat >= {lat_lo!r} AND lat <= {lat_hi!r} "
+            f"AND lng >= {lng_lo!r} AND lng <= {lng_hi!r} "
+            f"ORDER BY c_custkey")
+
+
+def q_polygon_contains(sf_dir: str):
+    """Point-in-polygon via the full engine path: covering semi-join +
+    exact crossing-parity refinement (ContainsPointQuery semantics,
+    s2/contains_point_query.go:53-136)."""
+    from ..stages.join import JoinState, polygon_join
+    import ray
+
+    loop = Loop.from_latlngs_deg(QUAD)
+    state = JoinState([("quad", Polygon.from_loop(loop))])
+    ref = ray.put(state)
+    pts = _customer_points(sf_dir)
+    joined = pts.map_batches(
+        lambda b: polygon_join(b, ref, id_col="c_custkey",
+                               keep_cols=["c_custkey"]),
+        batch_format="pyarrow")
+    return joined.select_columns(["c_custkey"])
+
+
+def sql_polygon_contains() -> str:
+    conds = []
+    for nx, ny, nz in _quad_edge_normals():
+        conds.append(f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0")
+    return (f"{_PTS_CTE} SELECT c_custkey FROM xyz WHERE "
+            + " AND ".join(conds) + " ORDER BY c_custkey")
+
+
+def q_knn_geo(sf_dir: str, k: int = 5, n_probes: int = 8):
+    """kNN: per-batch partial top-k + per-probe merge; tie order of
+    EdgeQueryResult.Less (s2/edge_query.go:149-157)."""
+    from ..stages.knn import knn
+
+    probe_keys = np.arange(n_probes, dtype=np.int64)
+    plat, plng = derive_latlng_np(probe_keys)
+    px, py, pz = latlng_deg_to_xyz(plat, plng)
+    Q = np.stack([px, py, pz], axis=1)
+    pts = _customer_points(sf_dir)
+    out = knn(pts, ([int(v) for v in probe_keys], Q), k, id_col="c_custkey")
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def sql_knn_geo(k: int = 5, n_probes: int = 8) -> str:
+    return (
+        f"{_PTS_CTE}, probes AS (SELECT * FROM xyz WHERE c_custkey < {n_probes}), "
+        f"dists AS (SELECT p.c_custkey AS probe_id, t.c_custkey AS neighbor_id, "
+        f"(p.x-t.x)*(p.x-t.x)+(p.y-t.y)*(p.y-t.y)+(p.z-t.z)*(p.z-t.z) AS chord2 "
+        f"FROM probes p CROSS JOIN xyz t), "
+        f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+        f"(PARTITION BY probe_id ORDER BY chord2, neighbor_id) AS rank FROM dists) "
+        f"SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY probe_id, rank")
+
+
+def q_grid_density(sf_dir: str):
+    """10-degree lat/lng grid aggregate (pre-aggregated inside
+    map_batches, then a tiny groupby — the combiner pattern)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pts = _customer_points(sf_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        gx = np.floor(batch.column("lat").to_numpy() / 10.0).astype(np.int64)
+        gy = np.floor(batch.column("lng").to_numpy() / 10.0).astype(np.int64)
+        key = (gx + 10) * 100 + (gy + 19)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "glat": pa.array(uniq // 100 - 10, pa.int64()),
+            "glng": pa.array(uniq % 100 - 19, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = pts.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby(["glat", "glng"]).aggregate(Sum("n", alias_name="n"))
+
+
+def sql_grid_density() -> str:
+    return (f"{_PTS_CTE} SELECT CAST(FLOOR(lat/10.0) AS BIGINT) AS glat, "
+            f"CAST(FLOOR(lng/10.0) AS BIGINT) AS glng, "
+            f"CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM pts GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_cell_assign(sf_dir: str):
+    """cell_id keying + tokens (rows-only check: SQL cannot express the
+    Hilbert encode; correctness is covered by the kernel test suite)."""
+    pts = _customer_points(sf_dir)
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        ids = batch.column("cell_id").to_numpy()
+        toks = [cid.token(int(v)) for v in ids]
+        p12 = cid.parent_v(ids, 12)
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "cell_id": pa.array(ids.view(np.int64), pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "parent12_token": pa.array([cid.token(int(v)) for v in p12],
+                                       pa.string()),
+        })
+
+    return pts.map_batches(_tok, batch_format="pyarrow")
+
+
+def q_s2_density(sf_dir: str):
+    """Per-cell density at level 4 (rows-only)."""
+    from ray.data.aggregate import Sum
+
+    pts = _customer_points(sf_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        p4 = cid.parent_v(batch.column("cell_id").to_numpy(), 4)
+        uniq, cnt = np.unique(p4, return_counts=True)
+        return pa.table({
+            "token": pa.array([cid.token(int(v)) for v in uniq], pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (pts.map_batches(_partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+
+def q_covering(sf_dir: str):
+    """RegionCoverer over the corpus quad at several configs
+    (rows-only; validated by the ported checkCovering oracles)."""
+    import ray.data as rd
+    from ..state.coverer import RegionCoverer
+
+    loop = Loop.from_latlngs_deg(QUAD)
+    rows = []
+    for max_cells in (8, 32, 128):
+        rc = RegionCoverer(max_cells=max_cells, max_level=16)
+        for ci in rc.covering(loop):
+            rows.append({"max_cells": max_cells, "token": cid.token(ci),
+                         "level": cid.level(ci)})
+        for ci in rc.interior_covering(loop):
+            rows.append({"max_cells": -max_cells, "token": cid.token(ci),
+                         "level": cid.level(ci)})
+    return rd.from_items(rows)
+
+
+# -- documents / embeddings -------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    import ray.data as rd
+    from ..stages.text import token_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(token_count, batch_format="pyarrow")
+
+
+def sql_token_count() -> str:
+    return ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) "
+            "AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id")
+
+
+def q_doc_quality(sf_dir: str):
+    import ray.data as rd
+    from ..stages.text import quality_score
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow")
+
+
+def sql_doc_quality() -> str:
+    return ("SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) "
+            "AS n_spaces, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+            " AS n_alpha FROM documents ORDER BY doc_id")
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+    from ..stages.dedup import exact_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    out = exact_dedup(ds, ["source", "n_chars"], "doc_id")
+    return out.select_columns(["source", "n_chars", "doc_id"])
+
+
+def sql_dedup_exact() -> str:
+    return ("SELECT source, n_chars, MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY source, n_chars ORDER BY source, n_chars")
+
+
+def q_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ..stages.embed import embedding_knn
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # query side: first n_queries vectors, read driver-side (small)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = np.isin(tbl.column("vec_id").to_numpy(), np.arange(n_queries))
+    qt = tbl.filter(pa.array(mask))
+    qids = qt.column("vec_id").to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qt.column("embedding").to_pylist()])
+    out = embedding_knn(ds, ([int(v) for v in qids], Q), k)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def sql_embed_knn(k: int = 5, n_queries: int = 8) -> str:
+    return (
+        f"WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings "
+        f"WHERE vec_id < {n_queries}), "
+        f"t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"sims AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, "
+        f"list_cosine_similarity(q.e, t.e) AS cosine FROM q CROSS JOIN t), "
+        f"ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        f"(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        f"FROM sims) SELECT query_id, neighbor_id, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY query_id, rank")
+
+
+def q_minhash_dedup(sf_dir: str):
+    import ray.data as rd
+    from ..stages.dedup import minhash_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = minhash_dedup(ds, threshold=0.5)
+    return out.select_columns(["doc_a", "doc_b"])
+
+
+def q_simhash(sf_dir: str):
+    import ray.data as rd
+    from ..stages.text import simhash
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(simhash, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    import ray.data as rd
+    from ..stages.text import lang_id
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lang_id, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from ..stages.text import fingerprint
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
+# -- events (stream-shaped) -------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window counts per event type (the events table
+    treated as an ordered log; windows via integer epoch-hour keys)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()  # datetime64[us]
+        hour = (ts.astype("datetime64[s]").astype(np.int64) // 3600) * 3600
+        et = np.array(batch.column("event_type").to_pylist())
+        import pandas as pd
+        df = pd.DataFrame({"event_type": et, "hour_epoch": hour})
+        g = df.groupby(["event_type", "hour_epoch"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["event_type", "hour_epoch"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_events_hourly() -> str:
+    return ("SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
+            "AS hour_epoch, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped aggregate with integer-exact measures."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum, Count
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pa.Table.to_pandas(batch)
+        df["qty"] = df["l_quantity"].astype(np.int64)
+        g = (df.groupby(["l_returnflag", "l_linestatus"])
+             .agg(sum_qty=("qty", "sum"), n=("qty", "size")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("n", alias_name="n")))
+
+
+def sql_lineitem_agg() -> str:
+    return ("SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+            "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+# -- image pipeline (rows-only; input synthesized per FIXTURES.md) ----------
+
+def _sf_num_images(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 2_000
+    if "0.01" in sf_dir:
+        return 10_000
+    return 100_000
+
+
+def q_spatial_join_images(sf_dir: str):
+    from .flagship import city_polygons, build_points
+    from ..stages.join import JoinState, polygon_join
+    import ray
+
+    state = JoinState(city_polygons())
+    ref = ray.put(state)
+    pts = build_points(_sf_num_images(sf_dir))
+    return pts.map_batches(lambda b: polygon_join(b, ref),
+                           batch_format="pyarrow") \
+              .select_columns(["image_id", "polygon_id"])
+
+
+def q_tiling_images(sf_dir: str):
+    from .flagship import build_points, DEFAULT_TILE_LEVEL
+    from ..stages.tiles import tile_pixel_partials, render_tiles
+
+    pts = build_points(_sf_num_images(sf_dir))
+    partials = pts.map_batches(
+        lambda b: tile_pixel_partials(b, DEFAULT_TILE_LEVEL),
+        batch_format="pyarrow")
+    tiles = render_tiles(partials)
+    return tiles.select_columns(["token", "level", "n_images", "n_pixels"])
+
+
+def q_knn_images(sf_dir: str, k: int = 10):
+    from .flagship import build_points
+    from ..stages.knn import knn
+    from ..sources.images import CITIES
+
+    lat = CITIES[:, 0]
+    lng = CITIES[:, 1]
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    Q = np.stack([x, y, z], axis=1)
+    probe_ids = [f"city{i}" for i in range(len(CITIES))]
+    pts = build_points(_sf_num_images(sf_dir))
+    out = knn(pts, (probe_ids, Q), k, id_col="image_id")
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries() -> Dict:
+    return {
+        "geotag": q_geotag,
+        "cap_contains": q_cap_contains,
+        "rect_contains": q_rect_contains,
+        "polygon_contains": q_polygon_contains,
+        "knn_geo": q_knn_geo,
+        "grid_density": q_grid_density,
+        "cell_assign": q_cell_assign,
+        "s2_density": q_s2_density,
+        "covering": q_covering,
+        "token_count": q_token_count,
+        "doc_quality": q_doc_quality,
+        "dedup_exact": q_dedup_exact,
+        "embed_knn": q_embed_knn,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "events_hourly": q_events_hourly,
+        "lineitem_agg": q_lineitem_agg,
+        "spatial_join_images": q_spatial_join_images,
+        "tiling_images": q_tiling_images,
+        "knn_images": q_knn_images,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "geotag": sql_geotag(),
+        "cap_contains": sql_cap_contains(),
+        "rect_contains": sql_rect_contains(),
+        "polygon_contains": sql_polygon_contains(),
+        "knn_geo": sql_knn_geo(),
+        "grid_density": sql_grid_density(),
+        "token_count": sql_token_count(),
+        "doc_quality": sql_doc_quality(),
+        "dedup_exact": sql_dedup_exact(),
+        "embed_knn": sql_embed_knn(),
+        "events_hourly": sql_events_hourly(),
+        "lineitem_agg": sql_lineitem_agg(),
+    }

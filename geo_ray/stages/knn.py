@@ -40,6 +40,11 @@ class KnnPartial:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(self.id_col).type
+        if len(batch) == 0:
+            return pa.table({"probe_id": pa.array([], id_type),
+                             "neighbor_id": pa.array([], id_type),
+                             "chord2": pa.array([], pa.float64())})
         X = np.stack([batch.column("x").to_numpy(),
                       batch.column("y").to_numpy(),
                       batch.column("z").to_numpy()], axis=1)
@@ -59,8 +64,8 @@ class KnnPartial:
                 out_id.append(ids[r])
                 out_d.append(float(chord2[r, p]))
         return pa.table({
-            "probe_id": pa.array(out_probe, pa.string()),
-            "neighbor_id": pa.array(out_id, pa.string()),
+            "probe_id": pa.array(out_probe),
+            "neighbor_id": pa.array(out_id),
             "chord2": pa.array(out_d, pa.float64()),
         })
 

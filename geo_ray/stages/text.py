@@ -1,0 +1,109 @@
+"""Text-analysis stages for the documents table: token counting,
+quality scoring, language ID, fingerprinting, simhash.
+
+Engine-side additions for large-scale training-data pipelines (not in
+the geometry reference); each is a vectorized / tight-loop map_batches
+body over the ``documents`` schema (doc_id, text, lang, source,
+n_chars).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+_ALPHA = re.compile(r"[A-Za-z]")
+
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "para"},
+}
+
+
+def tokens_of(text: str):
+    return _WS.split(text.strip())
+
+
+def token_count(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens): whitespace tokenization, matching
+    ``len(string_split_regex(trim(text), '\\s+'))`` exactly."""
+    texts = batch.column("text").to_pylist()
+    n = [len(tokens_of(t)) for t in texts]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_tokens": pa.array(n, pa.int64())})
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Integer quality features: text length, space count, alpha count
+    (SQL-expressible so the oracle can cross-check them)."""
+    texts = batch.column("text").to_pylist()
+    lengths = [len(t) for t in texts]
+    spaces = [t.count(" ") for t in texts]
+    alphas = [len(_ALPHA.findall(t)) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_len": pa.array(lengths, pa.int64()),
+        "n_spaces": pa.array(spaces, pa.int64()),
+        "n_alpha": pa.array(alphas, pa.int64()),
+    })
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Stopword-vote language ID (n-gram-free heuristic): the language
+    with the most stopword hits wins; ties and no-hits -> 'und'."""
+    texts = batch.column("text").to_pylist()
+    langs = sorted(STOPWORDS)
+    out = []
+    for t in texts:
+        words = set(w.lower() for w in tokens_of(t))
+        scores = [(len(words & STOPWORDS[l]), l) for l in langs]
+        best = max(scores, key=lambda s: (s[0], s[1]))
+        second = sorted((s[0] for s in scores), reverse=True)[1] if len(scores) > 1 else 0
+        out.append(best[1] if best[0] > 0 and best[0] > second else "und")
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "lang_pred": pa.array(out, pa.string())})
+
+
+def _word_hash64(word: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """Rolling polynomial hash over the first 32 tokens (document
+    fingerprint; stable across runs — no PYTHONHASHSEED)."""
+    texts = batch.column("text").to_pylist()
+    out = []
+    M = (1 << 61) - 1
+    for t in texts:
+        h = 0
+        for w in tokens_of(t)[:32]:
+            h = (h * 1000003 + _word_hash64(w)) % M
+        out.append(h)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "fingerprint": pa.array(out, pa.int64())})
+
+
+def simhash(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over word hashes: sum +-1 per bit weighted by
+    term frequency; near-duplicate docs land within small Hamming
+    distance."""
+    texts = batch.column("text").to_pylist()
+    out = []
+    for t in texts:
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for w in tokens_of(t):
+            h = np.uint64(_word_hash64(w))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
+        val = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        out.append(np.uint64(val).astype(np.int64))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "simhash": pa.array(np.array(out, dtype=np.int64), pa.int64())})

@@ -1,0 +1,114 @@
+"""Replicates the driver's correctness gate locally: run each Ray
+query and its DuckDB oracle on the same parquet, compare row counts,
+schemas (column names) and order-insensitive values.
+
+Also margin-checks every float-boundary predicate so a last-ulp
+difference between numpy and DuckDB trig cannot flip a row at the
+driver's scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df
+
+
+def _to_df(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    return pd.DataFrame(result)
+
+
+ORACLE_CHECKED = [
+    "geotag", "cap_contains", "rect_contains", "polygon_contains",
+    "knn_geo", "grid_density", "token_count", "doc_quality",
+    "dedup_exact", "embed_knn", "events_hourly", "lineitem_agg",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    ray_df = _normalize(_to_df(q(SF_DIR)))
+    duck_df = _normalize(_duck(sql))
+    assert list(ray_df.columns) == list(duck_df.columns), \
+        (name, list(ray_df.columns), list(duck_df.columns))
+    assert len(ray_df) == len(duck_df), (name, len(ray_df), len(duck_df))
+    pd.testing.assert_frame_equal(ray_df, duck_df, check_dtype=False,
+                                  check_exact=True, obj=name)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    rows_only = [n for n in qs if n not in oracles
+                 and not n.endswith("_images")]
+    for name in rows_only:
+        df = _to_df(qs[name](SF_DIR))
+        assert len(df) >= 0, name
+        assert len(df.columns) > 0, name
+
+
+def test_predicate_margins():
+    """No point may sit within eps of a float decision boundary at the
+    scales the driver checks (sf0.01 here; sf0.1 covered by bench)."""
+    from geo_ray.pipelines.queries import (CAP_RADIUS_DEG, _cap_center_xyz,
+                                           _cap_chord2, _quad_edge_normals,
+                                           derive_latlng_np)
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        import pyarrow.parquet as pq
+        keys = pq.read_table(f"{sf}/customer.parquet",
+                             columns=["c_custkey"]).column(0).to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        cx, cy, cz = _cap_center_xyz()
+        chord2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        assert np.abs(chord2 - _cap_chord2()).min() > 1e-9
+        for nx, ny, nz in _quad_edge_normals():
+            dots = nx * x + ny * y + nz * z
+            assert np.abs(dots).min() > 1e-9
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    res = entrymod.entry()
+    df = _to_df(res)
+    assert set(df.columns) == {"image_id", "polygon_id"}
+    assert len(df) > 0
