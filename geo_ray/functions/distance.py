@@ -1,0 +1,135 @@
+"""Point-edge and edge-edge distance kernels (vectorized).
+
+Semantics of reference s2/edge_distances.go:30-418: distances are
+ChordAngles (squared chord lengths) for cheap comparison; projection
+onto an edge; geodesic interpolation.  These are the scoring kernels
+for kNN refinement and distance joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _dot(a, b):
+    return np.einsum("...i,...i->...", a, b)
+
+
+def _norm(a):
+    return np.sqrt(_dot(a, a))
+
+
+def _cross(a, b):
+    return np.cross(a, b)
+
+
+def _normalize(a):
+    n = _norm(a)
+    return a / np.where(n == 0, 1.0, n)[..., None]
+
+
+def chord2_point_point(p, q):
+    d = p - q
+    return _dot(d, d)
+
+
+def project_to_edge(x, a, b):
+    """Closest point on geodesic edge AB to X, s2/edge_distances.go:190-230
+    (Project): the interior projection if it lies on the edge, else the
+    closer endpoint."""
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    a_cross_b = _cross(a, b)
+    # component of x perpendicular to the plane of AB, removed:
+    p = x - (a_cross_b * (_dot(x, a_cross_b) / _dot(a_cross_b, a_cross_b))[..., None])
+    p = _normalize(p)
+    # interior iff p is between a and b along the great circle
+    on_ab = (_dot(_cross(a, p), a_cross_b) > 0) & (_dot(_cross(p, b), a_cross_b) > 0)
+    da = chord2_point_point(x, a)
+    db = chord2_point_point(x, b)
+    endpoint = np.where(da[..., None] <= db[..., None], a, b)
+    return np.where(on_ab[..., None], p, endpoint)
+
+
+def chord2_point_edge(x, a, b):
+    """Min squared-chord distance from X to edge AB (semantics of
+    updateMinDistance, s2/edge_distances.go:224-270)."""
+    closest = project_to_edge(x, a, b)
+    return chord2_point_point(np.asarray(x, dtype=np.float64), closest)
+
+
+def max_chord2_point_edge(x, a, b):
+    """Max distance from X to edge AB = max over endpoints unless the
+    antipode of x projects onto the edge (s2/edge_distances.go:284-330)."""
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d = np.maximum(chord2_point_point(x, a), chord2_point_point(x, b))
+    # antipodal interior case
+    neg = chord2_point_edge(-x, a, b)
+    anti = 4.0 - neg
+    interior = neg < np.minimum(chord2_point_point(-x, a),
+                                chord2_point_point(-x, b))
+    return np.where(interior, np.maximum(d, anti), d)
+
+
+def interpolate(a, b, t):
+    """Point at fraction t along geodesic AB, s2/edge_distances.go:129-152."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    angle = np.arctan2(_norm(_cross(a, b)), _dot(a, b))
+    return interpolate_at_distance(a, b, t * angle)
+
+
+def interpolate_at_distance(a, b, rad):
+    """Point at angular distance ``rad`` along AB from A,
+    s2/edge_distances.go:154-170."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    rad = np.asarray(rad, dtype=np.float64)
+    # unit tangent at a toward b
+    tangent = _normalize(b - a * _dot(a, b)[..., None])
+    return a * np.cos(rad)[..., None] + tangent * np.sin(rad)[..., None]
+
+
+def chord2_edge_edge(a, b, c, d):
+    """Min distance between edges AB and CD: zero if they cross, else
+    min over endpoint-edge distances (updateEdgePairMinDistance,
+    s2/edge_distances.go:334-370)."""
+    from .edges import crossing_sign
+    if crossing_sign(tuple(a), tuple(b), tuple(c), tuple(d)) > 0:
+        return 0.0
+    return float(min(chord2_point_edge(np.asarray(c), np.asarray(a), np.asarray(b)),
+                     chord2_point_edge(np.asarray(d), np.asarray(a), np.asarray(b)),
+                     chord2_point_edge(np.asarray(a), np.asarray(c), np.asarray(d)),
+                     chord2_point_edge(np.asarray(b), np.asarray(c), np.asarray(d))))
+
+
+def edge_pair_closest_points(a, b, c, d):
+    """Closest point pair between AB and CD (EdgePairClosestPoints,
+    s2/edge_distances.go:372-418)."""
+    from .edges import crossing_sign
+    import numpy as _np
+    if crossing_sign(tuple(a), tuple(b), tuple(c), tuple(d)) > 0:
+        from .edges import ORIGIN  # placeholder import to keep symmetry
+        # crossing point: use the robust intersection direction
+        x = _np.cross(_np.cross(_np.asarray(a), _np.asarray(b)),
+                      _np.cross(_np.asarray(c), _np.asarray(d)))
+        n = _np.linalg.norm(x)
+        if n > 0:
+            x = x / n
+            # orient toward the edge midpoints
+            mid = _np.asarray(a) + _np.asarray(b) + _np.asarray(c) + _np.asarray(d)
+            if _np.dot(x, mid) < 0:
+                x = -x
+            return x, x
+    cands = []
+    for (p, e1, e2, swap) in ((c, a, b, False), (d, a, b, False),
+                              (a, c, d, True), (b, c, d, True)):
+        q = project_to_edge(_np.asarray(p), _np.asarray(e1), _np.asarray(e2))
+        d2 = float(chord2_point_point(_np.asarray(p, dtype=float), q))
+        cands.append((d2, (q, _np.asarray(p)) if swap else (_np.asarray(p), q)))
+    cands.sort(key=lambda t: t[0])
+    return cands[0][1]

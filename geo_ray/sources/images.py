@@ -138,16 +138,17 @@ def images_dataset(num_rows: int, *, parallelism: int = -1):
     import ray.data as rd
 
     if parallelism <= 0:
-        # ~2048 rows per block so downstream map tasks outnumber CPUs
-        # (Ray bundles whole blocks into map tasks; too-few blocks
-        # capped the stage at 4 concurrent tasks in profiling).
-        parallelism = max(16, num_rows // 2048)
+        # ~4096 rows per block: enough tasks to balance (blocks >> CPUs)
+        # without per-task scheduling overhead dominating (too-few
+        # blocks capped the stage at 4 concurrent tasks in profiling;
+        # 16k-row blocks cost a long straggler tail).
+        parallelism = max(16, num_rows // 4096)
     ds = rd.range(num_rows, override_num_blocks=parallelism)
 
     def _gen(batch: pa.Table) -> pa.Table:
         return generate_batch(batch.column("id").to_numpy())
 
-    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
 
 
 def images_table(num_rows: int) -> pa.Table:
