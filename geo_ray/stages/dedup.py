@@ -41,13 +41,31 @@ def shingles_of(text: str, k: int = 3) -> List[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
-    return np.array([zlib.crc32(s.encode("utf-8")) for s in shingles_of(text)],
-                    dtype=np.uint64)
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Rolling k-word shingle hashes: combine the word hashes of each
+    window with distinct odd multipliers, then splitmix.  Equivalent
+    discrimination to hashing the joined strings, fully vectorized."""
+    from .text import word_hashes64
+    toks = tokens_of(text)
+    wh = word_hashes64(toks)
+    if len(toks) < k:
+        if not toks:
+            return np.array([], dtype=np.uint64)
+        acc = np.zeros(1, dtype=np.uint64)
+        for i, m in enumerate((np.uint64(0x9E3779B97F4A7C15),
+                               np.uint64(0xC2B2AE3D27D4EB4F),
+                               np.uint64(0x165667B19E3779F9))):
+            if i < len(wh):
+                acc ^= wh[i] * m
+        return _splitmix(acc)
+    m = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+         np.uint64(0x165667B19E3779F9))
+    acc = wh[:-2] * m[0] ^ wh[1:-1] * m[1] ^ wh[2:] * m[2]
+    return _splitmix(acc)
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    """NUM_HASHES minhash values via seeded splitmix64 of crc32
+    """NUM_HASHES minhash values via seeded splitmix64 of rolling
     shingle hashes (deterministic across runs)."""
     base = _shingle_hashes(text)
     if len(base) == 0:
@@ -81,12 +99,25 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
 
 
 def candidate_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Bucket -> unordered candidate pairs (a < b)."""
-    docs = sorted(set(int(d) for d in group["doc_id"]))
-    rows = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1:]]
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b"]) if rows else \
-        pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                      "doc_b": pd.Series([], dtype="int64")})
+    """One hash-BUCKET of band rows -> unordered candidate pairs (a<b).
+
+    The group key is a coarse bucket of (band_id, band_hash) (see
+    ``minhash_dedup``): per-call overhead of map_groups amortizes over
+    many LSH buckets, and the inner exact grouping is vectorized
+    pandas.  Only rows sharing the exact (band_id, band_hash) pair up.
+    """
+    out_a: List[int] = []
+    out_b: List[int] = []
+    for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
+        if len(sub) < 2:
+            continue
+        docs = sorted(set(int(d) for d in sub["doc_id"]))
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                out_a.append(a)
+                out_b.append(b)
+    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                         "doc_b": pd.Series(out_b, dtype="int64")})
 
 
 def jaccard(text_a: str, text_b: str) -> float:
@@ -103,11 +134,19 @@ def minhash_dedup(docs_ds, threshold: float = 0.6):
     import ray
 
     bands = docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        candidate_pairs_group, batch_format="pandas")
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy()
+        bucket = (bh % 512).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    pairs = (bands.map_batches(_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda g: candidate_pairs_group(
+                 g.drop(columns=["bucket"])), batch_format="pandas"))
     # Dedup pairs produced by multiple bands, then verify.
-    texts = {int(r["doc_id"]): r["text"]
-             for r in docs_ds.select_columns(["doc_id", "text"]).iter_rows()}
+    tdf = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    texts = dict(zip(tdf["doc_id"].astype(int), tdf["text"]))
     texts_ref = ray.put(texts)
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -123,8 +162,16 @@ def minhash_dedup(docs_ds, threshold: float = 0.6):
             "jaccard": pa.array(jac[keep], pa.float64()),
         })
 
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        bucket = (a % 256).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(bucket, pa.int32()))
+
+    uniq = (pairs.map_batches(_pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket")
+            .map_groups(lambda g: g.drop(columns=["pbucket"])
+                        .drop_duplicates(["doc_a", "doc_b"]),
+                        batch_format="pandas"))
     return uniq.map_batches(_verify, batch_format="pyarrow")
 
 

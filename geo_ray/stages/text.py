@@ -75,6 +75,34 @@ def _word_hash64(word: str) -> int:
         hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64_np(z: np.ndarray) -> np.ndarray:
+    z = np.asarray(z, dtype=np.uint64) + _GOLDEN
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+_WORD_HASH_CACHE: dict = {}
+
+
+def word_hashes64(tokens) -> np.ndarray:
+    """Deterministic 64-bit word hashes (memoized crc32 + splitmix)."""
+    import zlib
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _WORD_HASH_CACHE
+    for i, w in enumerate(tokens):
+        h = cache.get(w)
+        if h is None:
+            h = zlib.crc32(w.encode("utf-8"))
+            if len(cache) < 2_000_000:
+                cache[w] = h
+        out[i] = h
+    return splitmix64_np(out)
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Rolling polynomial hash over the first 32 tokens (document
     fingerprint; stable across runs — no PYTHONHASHSEED)."""
@@ -95,15 +123,17 @@ def simhash(batch: pa.Table) -> pa.Table:
     term frequency; near-duplicate docs land within small Hamming
     distance."""
     texts = batch.column("text").to_pylist()
-    out = []
-    for t in texts:
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in tokens_of(t):
-            h = np.uint64(_word_hash64(w))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += 2 * bits - 1
-        val = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-        out.append(np.uint64(val).astype(np.int64))
+    out = np.empty(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = np.uint64(1) << shifts
+    for i, t in enumerate(texts):
+        wh = word_hashes64(tokens_of(t))
+        if len(wh) == 0:
+            out[i] = 0
+            continue
+        # (n_words, 64) bit matrix -> per-bit vote
+        bits = ((wh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        out[i] = ((votes > 0).astype(np.uint64) @ powers).astype(np.int64)
     return pa.table({"doc_id": batch.column("doc_id"),
-                     "simhash": pa.array(np.array(out, dtype=np.int64), pa.int64())})
+                     "simhash": pa.array(out, pa.int64())})

@@ -20,7 +20,8 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..functions import cellid as cid
-from ..functions.edges import ORIGIN, edge_or_vertex_crossing, ortho
+from ..functions.edges import (ORIGIN, crossing_sign, edge_or_vertex_crossing,
+                               ortho)
 from ..functions.latlng import latlng_deg_to_xyz, xyz_to_latlng
 from ..functions.predicates import (MAX_DETERMINANT_ERROR, ordered_ccw,
                                     robust_sign)
@@ -207,6 +208,115 @@ class Loop:
             if cell.contains_point(v):
                 return False
         return not self._any_edge_crosses_cell(cell)
+
+    # -- loop-loop relations (s2/loop.go:274-369) ---------------------------
+    def _edge_relation(self, other: "Loop"):
+        """Scan all edge pairs: returns (has_crossing, wedge_pairs)
+        where wedge_pairs are shared-vertex index pairs (i, j)."""
+        crossings = False
+        shared = []
+        n, m = len(self.vertices), len(other.vertices)
+        for i in range(n):
+            a, b = self.vertices[i], self.vertices[(i + 1) % n]
+            for j in range(m):
+                c, d = other.vertices[j], other.vertices[(j + 1) % m]
+                if crossing_sign(a, b, c, d) > 0:
+                    return True, shared
+            if self.vertices[i] in other.vertices:
+                shared.append((i, other.vertices.index(self.vertices[i])))
+        return crossings, shared
+
+    def contains_loop(self, other: "Loop") -> bool:
+        """Whether this loop's region contains the other's.
+
+        Semantics of Loop.Contains (s2/loop.go:274-324): no boundary
+        crossings, compatible wedges at shared vertices, and one
+        representative containment test.
+        """
+        if self.is_full() or other.is_empty():
+            return True
+        if self.is_empty() or other.is_full():
+            return False
+        from ..functions.edges import wedge_contains
+        has_crossing, shared = self._edge_relation(other)
+        if has_crossing:
+            return False
+        n, m = len(self.vertices), len(other.vertices)
+        for i, j in shared:
+            a0 = self.vertices[(i - 1) % n]
+            a2 = self.vertices[(i + 1) % n]
+            b0 = other.vertices[(j - 1) % m]
+            b2 = other.vertices[(j + 1) % m]
+            if not wedge_contains(a0, self.vertices[i], a2, b0, b2):
+                return False
+        # representative point of other not on our boundary
+        shared_js = {j for _, j in shared}
+        rep_inside = None
+        for j in range(m):
+            if j not in shared_js:
+                rep_inside = self.contains_point(other.vertices[j])
+                break
+        if rep_inside is None:
+            # all vertices shared: decide by an edge midpoint
+            mid = np.asarray(other.vertices[0]) + np.asarray(
+                other.vertices[1 % m])
+            norm = np.linalg.norm(mid)
+            rep_inside = True if norm == 0 else \
+                self.contains_point(tuple(mid / norm))
+        if not rep_inside:
+            return False
+        # other's boundary is inside this region; rule out the
+        # "mutually containing boundaries" case (A's complement sits
+        # inside B, e.g. a clockwise loop vs a hemisphere): probe a
+        # point just inside A's complement (right of an A edge) — it
+        # must not belong to B (final condition of the 3-condition
+        # proof, s2/loop.go:276-293).
+        a0 = np.asarray(self.vertices[0])
+        a1 = np.asarray(self.vertices[1 % len(self.vertices)])
+        nrm = np.cross(a0, a1)
+        nn = np.linalg.norm(nrm)
+        if nn > 0:
+            mid = a0 + a1
+            mid = mid / np.linalg.norm(mid)
+            probe = mid - 1e-9 * (nrm / nn)
+            probe = probe / np.linalg.norm(probe)
+            if not self.contains_point(tuple(probe)) and \
+                    other.contains_point(tuple(probe)):
+                return False
+        return True
+
+    def intersects_loop(self, other: "Loop") -> bool:
+        """Whether the two regions' interiors intersect
+        (Loop.Intersects, s2/loop.go:326-369)."""
+        if self.is_empty() or other.is_empty():
+            return False
+        if self.is_full() or other.is_full():
+            return True
+        from ..functions.edges import wedge_intersects
+        has_crossing, shared = self._edge_relation(other)
+        if has_crossing:
+            return True
+        n, m = len(self.vertices), len(other.vertices)
+        for i, j in shared:
+            a0 = self.vertices[(i - 1) % n]
+            a2 = self.vertices[(i + 1) % n]
+            b0 = other.vertices[(j - 1) % m]
+            b2 = other.vertices[(j + 1) % m]
+            if wedge_intersects(a0, self.vertices[i], a2, b0, b2):
+                return True
+        shared_is = {i for i, _ in shared}
+        shared_js = {j for _, j in shared}
+        for j in range(m):
+            if j not in shared_js:
+                if self.contains_point(other.vertices[j]):
+                    return True
+                break
+        for i in range(n):
+            if i not in shared_is:
+                if other.contains_point(self.vertices[i]):
+                    return True
+                break
+        return False
 
     # -- bounds -------------------------------------------------------------
     def rect_bound(self):
