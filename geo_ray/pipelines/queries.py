@@ -322,6 +322,66 @@ def q_covering(sf_dir: str):
 
 # -- documents / embeddings -------------------------------------------------
 
+def q_radius_join(sf_dir: str):
+    """Points within 3 degrees of a polygon: expanded-covering
+    candidate filter + exact chord-distance refine (rows-only; the
+    oracle-checked cap/rect/polygon filters cover the SQL-expressible
+    distance predicates)."""
+    import ray
+
+    from ..stages.distance_join import DistanceJoinState, within_distance
+
+    loop = Loop.from_latlngs_deg(QUAD)
+    state = DistanceJoinState(loop, math.radians(3.0))
+    ref = ray.put(state)
+    pts = _customer_points(sf_dir)
+    out = pts.map_batches(lambda b: within_distance(b, ref),
+                          batch_format="pyarrow")
+    return out.select_columns(["c_custkey"])
+
+
+def q_knn_geo_ring(sf_dir: str, k: int = 5, n_probes: int = 8):
+    """Cell-ring kNN scale path (candidates via AllNeighbors ring +
+    exactness guard + brute fallback).  Must equal knn_geo; rows-only
+    here, equality asserted in tests."""
+    from ..stages.knn import knn_cell_ring
+
+    probe_keys = np.arange(n_probes, dtype=np.int64)
+    plat, plng = derive_latlng_np(probe_keys)
+    px, py, pz = latlng_deg_to_xyz(plat, plng)
+    Q = np.stack([px, py, pz], axis=1)
+    pts = _customer_points(sf_dir)
+    out = knn_cell_ring(pts, ([int(v) for v in probe_keys], Q), k,
+                        level=4, id_col="c_custkey")
+    return out[["probe_id", "neighbor_id", "rank"]]
+
+
+def q_convex_hull(sf_dir: str):
+    """Distributed convex hull: per-partition hulls inside map_batches,
+    merged on the driver (classic parallel hull; rows-only)."""
+    from ..state.convexhull import hull_of_partials, hull_partial
+
+    pts = _customer_points(sf_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        p = hull_partial(list(zip(batch.column("x").to_numpy(),
+                                  batch.column("y").to_numpy(),
+                                  batch.column("z").to_numpy())))
+        arr = np.array(p, dtype=np.float64).reshape(-1, 3)
+        return pa.table({"x": pa.array(arr[:, 0]),
+                         "y": pa.array(arr[:, 1]),
+                         "z": pa.array(arr[:, 2])})
+
+    partials = pts.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    hull = hull_of_partials([list(zip(partials["x"], partials["y"],
+                                      partials["z"]))])
+    import pandas as pd
+    from ..functions.latlng import xyz_to_latlng_deg
+    arr = np.array(hull.vertices).reshape(-1, 3)
+    lat, lng = xyz_to_latlng_deg(arr[:, 0], arr[:, 1], arr[:, 2])
+    return pd.DataFrame({"lat": np.round(lat, 9), "lng": np.round(lng, 9)})
+
+
 def q_token_count(sf_dir: str):
     import ray.data as rd
     from ..stages.text import token_count
@@ -395,6 +455,30 @@ def sql_embed_knn(k: int = 5, n_queries: int = 8) -> str:
         f"(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
         f"FROM sims) SELECT query_id, neighbor_id, rank FROM ranked "
         f"WHERE rank <= {k} ORDER BY query_id, rank")
+
+
+def q_embed_knn_ivf(sf_dir: str, k: int = 5, n_queries: int = 8,
+                    n_centroids: int = 16, nprobe: int = 4):
+    """IVF-pruned approximate cosine top-k (scale path; rows-only —
+    recall vs the exact baseline asserted in tests)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ..stages.embed import embedding_knn_ivf, train_ivf_centroids
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl.column("embedding").to_pylist()])
+    C = train_ivf_centroids(X[: min(len(X), 4000)], n_centroids)
+    mask = np.isin(tbl.column("vec_id").to_numpy(), np.arange(n_queries))
+    qt = tbl.filter(pa.array(mask))
+    qids = [int(v) for v in qt.column("vec_id").to_numpy()]
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qt.column("embedding").to_pylist()])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = embedding_knn_ivf(ds, (qids, Q), k, C, nprobe=nprobe)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -555,10 +639,14 @@ def queries() -> Dict:
         "cell_assign": q_cell_assign,
         "s2_density": q_s2_density,
         "covering": q_covering,
+        "radius_join": q_radius_join,
+        "knn_geo_ring": q_knn_geo_ring,
+        "convex_hull": q_convex_hull,
         "token_count": q_token_count,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "embed_knn": q_embed_knn,
+        "embed_knn_ivf": q_embed_knn_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "langid": q_langid,

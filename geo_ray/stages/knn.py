@@ -81,6 +81,104 @@ def finalize_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
     return g
 
 
+class CellRingKnnPartial:
+    """Scale-path kNN: candidate generation by cell-ring membership.
+
+    Semantics equal to the reference best-first EdgeQuery with
+    MaxResults(k) (s2/edge_query.go:414-489) realized distributively:
+    each probe's candidate region is its level-L cell plus the 8
+    surrounding cells (AllNeighbors ring, s2/cellid.go:274-321); points
+    outside every probe's ring are never scored.  Correctness guard: a
+    probe's result is provably exact iff its k-th distance is at most
+    one cell min-width (any point outside the 3x3 block is at least
+    MIN_WIDTH(L) away); probes failing the guard are re-run brute-force
+    by the caller.  Choose L so the expected 3x3-block population well
+    exceeds k.
+    """
+
+    def __init__(self, probes, k: int, level: int, id_col: str = "image_id"):
+        import ray
+        from ..functions import cellid as cid
+        from ..state.cellindex import CellIndex
+
+        if isinstance(probes, ray.ObjectRef):
+            probes = ray.get(probes)
+        self.probe_ids, self.Q = probes
+        self.Q = np.asarray(self.Q, dtype=np.float64)
+        self.k = k
+        self.level = level
+        self.id_col = id_col
+        leafs = cid.cell_id_from_point_v(self.Q[:, 0], self.Q[:, 1],
+                                         self.Q[:, 2])
+        centers = cid.parent_v(leafs, level)
+        rings = cid.all_neighbors_same_level_v(centers)
+        entries = []
+        for p in range(len(self.probe_ids)):
+            entries.append((int(centers[p]), p))
+            for nb in rings[p]:
+                entries.append((int(nb), p))
+        self.index = CellIndex(sorted(set(entries)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        leaf = batch.column("cell_id").to_numpy()
+        rows, probes = self.index.lookup_batch(leaf)
+        id_type = batch.schema.field(self.id_col).type
+        if len(rows) == 0:
+            probe_type = pa.string() if isinstance(self.probe_ids[0], str) \
+                else pa.int64()
+            return pa.table({"probe_id": pa.array([], probe_type),
+                             "neighbor_id": pa.array([], id_type),
+                             "chord2": pa.array([], pa.float64())})
+        x = batch.column("x").to_numpy()[rows]
+        y = batch.column("y").to_numpy()[rows]
+        z = batch.column("z").to_numpy()[rows]
+        q = self.Q[probes]
+        chord2 = np.clip((x - q[:, 0]) ** 2 + (y - q[:, 1]) ** 2 +
+                         (z - q[:, 2]) ** 2, 0.0, 4.0)
+        ids = batch.column(self.id_col).take(pa.array(rows))
+        pid = np.array(self.probe_ids, dtype=object)[probes]
+        return pa.table({"probe_id": pa.array(pid.tolist()),
+                         "neighbor_id": ids,
+                         "chord2": pa.array(chord2, pa.float64())})
+
+
+def knn_cell_ring(points_ds, probes: Tuple[Sequence, np.ndarray], k: int,
+                  level: int, *, id_col: str = "image_id"):
+    """Ring-candidate kNN with brute-force fallback for probes whose
+    exactness guard fails.  Returns the same schema as :func:`knn`."""
+    import pandas as pd
+    import ray
+    from ..functions.latlng import angle_to_chord2
+    from ..functions.metric import MIN_WIDTH
+
+    probes_ref = ray.put(probes)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return CellRingKnnPartial(probes_ref, k, level, id_col)(batch)
+
+    partials = points_ds.map_batches(_partial, batch_format="pyarrow",
+                                     batch_size=16384)
+    merged = partials.groupby("probe_id").map_groups(
+        lambda g: finalize_topk(g, k), batch_format="pandas").to_pandas()
+    guard = float(angle_to_chord2(MIN_WIDTH.value(level)))
+    ok_probes = []
+    bad_probes = []
+    probe_ids, Q = probes
+    for idx, p in enumerate(probe_ids):
+        sub = merged[merged["probe_id"] == p]
+        kth = sub["chord2"].max() if len(sub) >= k else np.inf
+        (ok_probes if len(sub) >= k and kth <= guard else bad_probes).append(idx)
+    frames = [merged[merged["probe_id"].isin([probe_ids[i] for i in ok_probes])]]
+    if bad_probes:
+        fb = knn(points_ds,
+                 ([probe_ids[i] for i in bad_probes],
+                  np.asarray(Q, dtype=np.float64)[bad_probes]),
+                 k, id_col=id_col).to_pandas()
+        frames.append(fb)
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["probe_id", "rank"]).reset_index(drop=True)
+
+
 def knn(points_ds, probes: Tuple[Sequence[str], np.ndarray], k: int,
         *, id_col: str = "image_id", concurrency=None):
     """points_ds must carry x/y/z and id_col columns."""

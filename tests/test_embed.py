@@ -1,0 +1,75 @@
+"""Embedding similarity search: exact brute top-k vs in-memory oracle;
+IVF scale path recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+RNG = np.random.default_rng(77)
+
+N, D = 3000, 32
+# clustered vectors so IVF has structure
+CENTERS = RNG.normal(size=(12, D))
+ASSIGN = RNG.integers(0, 12, N)
+X = CENTERS[ASSIGN] + 0.15 * RNG.normal(size=(N, D))
+TBL = pa.table({
+    "vec_id": pa.array(np.arange(N)),
+    "embedding": pa.array([row.astype(np.float32).tolist() for row in X],
+                          pa.list_(pa.float32())),
+})
+QIDS = list(range(5))
+Q = np.asarray(X[:5], dtype=np.float64)
+K = 10
+
+
+def _oracle_topk():
+    Xf = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in TBL.column("embedding").to_pylist()])
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    out = {}
+    for qi, q in zip(QIDS, Q):
+        qn = q / np.linalg.norm(q)
+        sims = Xn @ qn
+        order = np.lexsort((np.arange(N), -sims))[:K]
+        out[qi] = list(order)
+    return out
+
+
+def test_embedding_knn_matches_oracle(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.embed import embedding_knn
+
+    got = embedding_knn(rd.from_arrow(TBL), (QIDS, Q), K).to_pandas()
+    oracle = _oracle_topk()
+    for qi in QIDS:
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert list(sub["neighbor_id"]) == oracle[qi], qi
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.embed import (embedding_knn_ivf,
+                                      train_ivf_centroids)
+
+    C = train_ivf_centroids(X, 12, iters=8)
+    assert C.shape == (12, D)
+    got = embedding_knn_ivf(rd.from_arrow(TBL), (QIDS, Q), K, C,
+                            nprobe=3).to_pandas()
+    oracle = _oracle_topk()
+    recalls = []
+    for qi in QIDS:
+        sub = set(got[got["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(sub & set(oracle[qi])) / K)
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_assign_is_deterministic():
+    from geo_ray.stages.embed import ivf_assign, train_ivf_centroids
+
+    C = train_ivf_centroids(X, 8, iters=4)
+    a1 = ivf_assign(TBL, C).column("ivf_bucket").to_numpy()
+    a2 = ivf_assign(TBL, C).column("ivf_bucket").to_numpy()
+    assert (a1 == a2).all()
+    assert len(np.unique(a1)) > 1

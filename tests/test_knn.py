@@ -1,0 +1,105 @@
+"""kNN: brute-force partial+merge vs an in-memory oracle, and the
+cell-ring scale path vs the brute path (mirrors the
+brute-force-verified randomized protocol of s2/edge_query_test.go:
+322-380)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geo_ray.functions import cellid as cid
+from geo_ray.functions.latlng import latlng_deg_to_xyz
+
+RNG = np.random.default_rng(21)
+
+
+def _points_table(n):
+    lat = RNG.uniform(-60, 60, n)
+    lng = RNG.uniform(-180, 180, n)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    ids = cid.cell_id_from_point_v(x, y, z)
+    return pa.table({
+        "pid": pa.array([f"p{i:06d}" for i in range(n)], pa.string()),
+        "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        "cell_id": pa.array(ids, pa.uint64()),
+    })
+
+
+def _oracle(tbl, probes_q, k):
+    X = np.stack([tbl.column("x").to_numpy(), tbl.column("y").to_numpy(),
+                  tbl.column("z").to_numpy()], axis=1)
+    ids = np.array(tbl.column("pid").to_pylist())
+    out = {}
+    for pid, q in probes_q:
+        d = ((X - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:k]
+        out[pid] = [(ids[i], d[i]) for i in order]
+    return out
+
+
+N = 4000
+TBL = _points_table(N)
+PROBE_LL = [(10.0, 20.0), (45.0, -120.0), (-30.0, 60.0), (0.0, 0.0)]
+K = 7
+
+
+def _probes():
+    lat = np.array([p[0] for p in PROBE_LL])
+    lng = np.array([p[1] for p in PROBE_LL])
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    Q = np.stack([x, y, z], axis=1)
+    return [f"probe{i}" for i in range(len(PROBE_LL))], Q
+
+
+def test_knn_matches_oracle(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.knn import knn
+
+    pids, Q = _probes()
+    ds = rd.from_arrow(TBL)
+    got = knn(ds, (pids, Q), K, id_col="pid").to_pandas()
+    oracle = _oracle(TBL, list(zip(pids, Q)), K)
+    for p in pids:
+        sub = got[got["probe_id"] == p].sort_values("rank")
+        want = oracle[p]
+        assert list(sub["neighbor_id"]) == [w[0] for w in want], p
+        assert np.allclose(sub["chord2"].to_numpy(),
+                           [w[1] for w in want]), p
+
+
+@pytest.mark.parametrize("level", [3, 5])
+def test_knn_cell_ring_matches_brute(ray_session, level):
+    """The ring path must agree with brute force exactly — either via
+    the ring guard or via its fallback."""
+    import ray.data as rd
+    from geo_ray.stages.knn import knn, knn_cell_ring
+
+    pids, Q = _probes()
+    ds = rd.from_arrow(TBL)
+    brute = knn(ds, (pids, Q), K, id_col="pid").to_pandas()
+    ring = knn_cell_ring(ds, (pids, Q), K, level, id_col="pid")
+    for p in pids:
+        b = brute[brute["probe_id"] == p].sort_values("rank")
+        r = ring[ring["probe_id"] == p].sort_values("rank")
+        assert list(b["neighbor_id"]) == list(r["neighbor_id"]), (p, level)
+
+
+def test_knn_tie_order_is_deterministic(ray_session):
+    """Duplicate coordinates break ties by neighbor id
+    (EdgeQueryResult.Less, s2/edge_query.go:149-157)."""
+    import ray.data as rd
+    from geo_ray.stages.knn import knn
+
+    x, y, z = latlng_deg_to_xyz(np.array([10.0] * 5), np.array([20.0] * 5))
+    dup = pa.table({
+        "pid": pa.array([f"d{i}" for i in range(5)]),
+        "x": pa.array(np.repeat(x, 1)), "y": pa.array(y), "z": pa.array(z),
+        "cell_id": pa.array(cid.cell_id_from_point_v(x, y, z), pa.uint64()),
+    })
+    pids, Q = _probes()
+    got = knn(rd.from_arrow(dup), ([pids[0]], Q[:1]), 3, id_col="pid") \
+        .to_pandas().sort_values("rank")
+    assert list(got["neighbor_id"]) == ["d0", "d1", "d2"]

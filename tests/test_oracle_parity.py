@@ -105,6 +105,27 @@ def test_predicate_margins():
             assert np.abs(dots).min() > 1e-9
 
 
+def test_ring_knn_equals_brute_knn(ray_session):
+    """The scale-path kNN must produce exactly the oracle-checked
+    brute result."""
+    from geo_ray.pipelines.queries import q_knn_geo, q_knn_geo_ring
+
+    brute = _normalize(_to_df(q_knn_geo(SF_DIR)))
+    ring = _normalize(_to_df(q_knn_geo_ring(SF_DIR)))
+    pd.testing.assert_frame_equal(brute, ring, check_dtype=False)
+
+
+def test_radius_join_superset_of_containment(ray_session):
+    """radius>=0 join result must contain the polygon-containment
+    result."""
+    from geo_ray.pipelines.queries import q_polygon_contains, q_radius_join
+
+    inside = set(_to_df(q_polygon_contains(SF_DIR))["c_custkey"])
+    near = set(_to_df(q_radius_join(SF_DIR))["c_custkey"])
+    assert inside <= near
+    assert len(near) > len(inside)
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as entrymod
 
