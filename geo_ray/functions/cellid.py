@@ -503,6 +503,86 @@ def all_neighbors(ci: int, lvl: int):
     return results
 
 
+def advance(ci: int, steps: int) -> int:
+    """Advance along the Hilbert curve at this cell's level, clamping
+    at the ends.  s2/cellid.go:753-774."""
+    if steps == 0:
+        return ci
+    step_shift = 2 * (MAX_LEVEL - level(ci)) + 1
+    wrap_offset = 6 << POS_BITS
+    if steps < 0:
+        min_steps = -(ci >> step_shift)
+        if steps < min_steps:
+            steps = min_steps
+    else:
+        max_steps = (wrap_offset + lsb(ci) - ci) >> step_shift
+        if steps > max_steps:
+            steps = max_steps
+    return (ci + (steps << step_shift)) & MASK64
+
+
+def advance_wrap(ci: int, steps: int) -> int:
+    """Advance with wraparound across face 5 -> face 0.
+
+    s2/cellid.go:787-813.
+    """
+    if steps == 0:
+        return ci
+    step_shift = 2 * (MAX_LEVEL - level(ci)) + 1
+    wrap_offset = 6 << POS_BITS
+    step_wrap = wrap_offset >> step_shift
+
+    def _trunc_mod(a: int, b: int) -> int:
+        # Go's % truncates toward zero; Python's floors.
+        return a - b * int(a / b)
+
+    if steps < 0:
+        min_steps = -(ci >> step_shift)
+        if steps < min_steps:
+            steps = _trunc_mod(steps, step_wrap)
+            if steps < min_steps:
+                steps += step_wrap
+    else:
+        max_steps = (wrap_offset - ci) >> step_shift
+        if steps > max_steps:
+            steps = _trunc_mod(steps, step_wrap)
+            if steps > max_steps:
+                steps -= step_wrap
+    return (ci + (steps << step_shift)) & MASK64
+
+
+def expanded_by_distance_uv(u_lo: float, u_hi: float, v_lo: float,
+                            v_hi: float, distance_rad: float):
+    """Expand a face-UV rect by an on-sphere distance.
+
+    Semantics of s2/cellid.go:811-857 (expandedByDistanceUV /
+    expandEndpoint): each UV boundary coordinate moves outward by an
+    amount that depends on the max |v| of the opposite axis.
+    """
+    import math
+
+    max_u = max(abs(u_lo), abs(u_hi))
+    max_v = max(abs(v_lo), abs(v_hi))
+    sin_dist = math.sin(distance_rad)
+    return (_expand_endpoint(u_lo, max_v, -sin_dist),
+            _expand_endpoint(u_hi, max_v, sin_dist),
+            _expand_endpoint(v_lo, max_u, -sin_dist),
+            _expand_endpoint(v_hi, max_u, sin_dist))
+
+
+def _expand_endpoint(u: float, max_v: float, sin_dist: float) -> float:
+    """s2/cellid.go:840-857: push the boundary u outward by the angle
+    sin_dist measured on the sphere."""
+    import math
+
+    # sin(angle between the boundary plane u=const and the point)
+    sin_u_shift = sin_dist * math.sqrt((1 + u * u + max_v * max_v) /
+                                       (1 + u * u))
+    cos_u_shift = math.sqrt(1 - sin_u_shift * sin_u_shift)
+    # the derivation of tan(u + u_shift)
+    return (cos_u_shift * u + sin_u_shift) / (cos_u_shift - sin_u_shift * u)
+
+
 def max_tile(ci: int, limit: int) -> int:
     """Largest cell with RangeMin==ci.RangeMin not beyond ``limit``.
 

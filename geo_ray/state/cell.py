@@ -90,3 +90,111 @@ class Cell:
 
     def children(self):
         return [Cell(c) for c in cid.children(self.id)]
+
+    # -- bounds (s2/cell.go:362-460) ---------------------------------------
+    _POLE_MIN_LAT = 0.6154797086703873 - 1e-15  # asin(sqrt(1/3)) - maxError
+
+    def rect_bound(self):
+        """Conservative-exact lat/lng bound (radians):
+        (lat_lo, lat_hi, lng_lo, lng_hi), lng possibly wrapping.
+
+        For level > 0 the extremes are attained at the vertices
+        (s2/cell.go:366-370); face cells use the reference's closed
+        forms (s2/cell.go:415-443).
+        """
+        import math
+        if self.level == 0:
+            q = math.pi / 4
+            pole = self._POLE_MIN_LAT
+            return [
+                (-q, q, -q, q),
+                (-q, q, q, 3 * q),
+                (pole, math.pi / 2, -math.pi, math.pi),
+                (-q, q, 3 * q, -3 * q),
+                (-q, q, -3 * q, -q),
+                (-math.pi / 2, -pole, -math.pi, math.pi),
+            ][self.face]
+        verts = np.array(self.vertices())
+        lat = np.arcsin(np.clip(verts[:, 2], -1, 1))
+        lng = np.arctan2(verts[:, 1], verts[:, 0])
+        eps = 2e-15
+        lat_lo = float(lat.min()) - eps
+        lat_hi = float(lat.max()) + eps
+        # longitude: cells at level>0 never contain a pole in their
+        # interior unless they touch it; wrap-aware union of vertices
+        from .loop import _lng_interval_union
+        lng_lo, lng_hi = _lng_interval_union(lng)
+        if lat_hi >= math.pi / 2 - 1e-12 or lat_lo <= -math.pi / 2 + 1e-12:
+            lng_lo, lng_hi = -math.pi, math.pi  # polar closure
+        return (max(-math.pi / 2, lat_lo), min(math.pi / 2, lat_hi),
+                lng_lo, lng_hi)
+
+    def cap_bound(self):
+        """Bounding cap from the uv-center axis expanded to the 4
+        vertices (s2/cell.go:445-460)."""
+        from .cap import Cap
+        u = 0.5 * (self.u_lo + self.u_hi)
+        v = 0.5 * (self.v_lo + self.v_hi)
+        x, y, z = stuv.face_uv_to_xyz(self.face, u, v)
+        n = float(np.sqrt(x * x + y * y + z * z))
+        center = (float(x) / n, float(y) / n, float(z) / n)
+        r2 = 0.0
+        for vert in self.vertices():
+            d2 = ((vert[0] - center[0]) ** 2 + (vert[1] - center[1]) ** 2 +
+                  (vert[2] - center[2]) ** 2)
+            r2 = max(r2, d2)
+        return Cap(center, min(4.0, r2 * (1 + 1e-12) + 1e-30))
+
+    # -- distances (s2/cell.go:581-700) ------------------------------------
+    def distance_chord2(self, p) -> float:
+        """Min squared-chord distance from the cell to a point: 0 if
+        the point projects inside, else min over the 4 edges."""
+        from ..functions.distance import chord2_point_edge
+        if self.contains_point(p):
+            return 0.0
+        verts = self.vertices()
+        x = np.asarray(p, dtype=np.float64)
+        best = 4.0
+        for k in range(4):
+            a = np.asarray(verts[k])
+            b = np.asarray(verts[(k + 1) & 3])
+            best = min(best, float(chord2_point_edge(x, a, b)))
+        return best
+
+    def max_distance_chord2(self, p) -> float:
+        """Max squared-chord distance (s2/cell.go:662-700): attained at
+        a vertex unless the antipode projects into the cell (then 4)."""
+        neg = (-p[0], -p[1], -p[2])
+        if self.contains_point(neg):
+            return 4.0
+        from ..functions.distance import max_chord2_point_edge
+        verts = self.vertices()
+        x = np.asarray(p, dtype=np.float64)
+        best = 0.0
+        for k in range(4):
+            a = np.asarray(verts[k])
+            b = np.asarray(verts[(k + 1) & 3])
+            best = max(best, float(max_chord2_point_edge(x, a, b)))
+        return best
+
+    def distance_to_cell_chord2(self, other: "Cell") -> float:
+        """Min distance between two cells (s2/cell.go:702-760): 0 if
+        they overlap, else min over edge pairs."""
+        if self.id == other.id or cid.intersects(self.id, other.id):
+            return 0.0
+        from ..functions.distance import chord2_edge_edge
+        va = self.vertices()
+        vb = other.vertices()
+        # vertex-in-cell overlap (different faces)
+        for v in vb:
+            if self.contains_point(v):
+                return 0.0
+        for v in va:
+            if other.contains_point(v):
+                return 0.0
+        best = 4.0
+        for i in range(4):
+            for j in range(4):
+                best = min(best, chord2_edge_edge(
+                    va[i], va[(i + 1) & 3], vb[j], vb[(j + 1) & 3]))
+        return best

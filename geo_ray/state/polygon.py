@@ -104,14 +104,70 @@ class Polygon:
         return self.cap_bound().cell_union_bound()
 
     def area(self) -> float:
-        """Loop-sign-weighted area, s2/polygon.go:1005-1017: holes
-        (clockwise loops, area > 2*pi as CCW) subtract."""
+        """Region area, s2/polygon.go:1005-1017.  A single loop uses its
+        own orientation semantics (a clockwise loop covers >2*pi);
+        multi-loop polygons follow the xor convention here: every loop
+        is CCW and loops at odd nesting depth are holes, so their areas
+        subtract."""
         import math
+        if len(self.loops) <= 1:
+            return self.loops[0].area() if self.loops else 0.0
         total = 0.0
-        for l in self.loops:
+        for l, d in zip(self.loops, self._loop_depths()):
             a = l.area()
-            if a > 2 * math.pi:
-                total -= (4 * math.pi - a)
-            else:
-                total += a
-        return max(0.0, total)
+            if a > 2 * math.pi:  # clockwise loop given explicitly
+                a -= 4 * math.pi
+            total += a if d % 2 == 0 else -a
+        return max(0.0, min(4 * math.pi, total))
+
+    def _loop_depths(self):
+        """Nesting depth of each loop = number of other loops containing
+        it (s2/polygon.go loop nesting semantics; holes at odd depth)."""
+        depths = []
+        for i, li in enumerate(self.loops):
+            d = 0
+            for j, lj in enumerate(self.loops):
+                if i != j and lj.contains_loop(li):
+                    d += 1
+            depths.append(d)
+        return depths
+
+    def centroid(self):
+        """Area-weighted true centroid (times total area), sign by loop
+        depth (s2/polygon.go:1019-1033)."""
+        import numpy as np
+        total = np.zeros(3)
+        for l, d in zip(self.loops, self._loop_depths()):
+            c = np.asarray(l.centroid())
+            total += c if d % 2 == 0 else -c
+        return tuple(float(v) for v in total)
+
+    def contains_polygon(self, other: "Polygon") -> bool:
+        """Region containment (s2/polygon.go:826-900).  Implemented for
+        single-loop polygons via the loop relations; multi-loop inputs
+        use the conservative reduction shell ⊇ shell and no hole of
+        self intersecting other's shell."""
+        if len(self.loops) == 1 and len(other.loops) == 1:
+            return self.loops[0].contains_loop(other.loops[0])
+        if not self.loops or not other.loops:
+            return not other.loops
+        depths = self._loop_depths()
+        shell = self.loops[depths.index(0)]
+        other_shell = other.loops[other._loop_depths().index(0)]
+        if not shell.contains_loop(other_shell):
+            return False
+        for l, d in zip(self.loops, depths):
+            if d % 2 == 1 and l.intersects_loop(other_shell):
+                return False
+        return True
+
+    def intersects_polygon(self, other: "Polygon") -> bool:
+        """Region intersection (s2/polygon.go:902-1003), same reduction
+        notes as contains_polygon."""
+        if len(self.loops) == 1 and len(other.loops) == 1:
+            return self.loops[0].intersects_loop(other.loops[0])
+        if not self.loops or not other.loops:
+            return False
+        shell = self.loops[self._loop_depths().index(0)]
+        other_shell = other.loops[other._loop_depths().index(0)]
+        return shell.intersects_loop(other_shell)
