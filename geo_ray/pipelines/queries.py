@@ -545,6 +545,55 @@ def sql_events_hourly() -> str:
             "GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_events_sliding(sf_dir: str, size_sec: int = 7200, step_sec: int = 3600):
+    """Sliding 2h/1h window counts per event type."""
+    import ray.data as rd
+    from ..stages.windows import sliding_window_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return sliding_window_counts(ds, size_sec, step_sec)
+
+
+def sql_events_sliding(size_sec: int = 7200, step_sec: int = 3600) -> str:
+    k = size_sec // step_sec
+    parts = []
+    for i in range(k):
+        parts.append(
+            f"SELECT event_type, (CAST(epoch(date_trunc('hour', ts)) AS "
+            f"BIGINT) - {i * step_sec}) AS window_start FROM events")
+    union = " UNION ALL ".join(parts)
+    return (f"SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM ({union}) GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_events_sessions(sf_dir: str, gap_sec: int = 1800):
+    """Per-user session windows (30 min inactivity gap): n events,
+    first/last epoch seconds."""
+    import ray.data as rd
+    from ..stages.windows import session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    return session_windows(ds, gap_sec)
+
+
+def sql_events_sessions(gap_sec: int = 1800) -> str:
+    return (
+        f"WITH o AS (SELECT user_id, event_id, "
+        f"CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch, "
+        f"CASE WHEN lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL THEN 1 "
+        f"WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) "
+        f"OVER w > {gap_sec} THEN 1 ELSE 0 END AS new_s FROM events "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"s AS (SELECT user_id, ts_epoch, SUM(new_s) OVER "
+        f"(PARTITION BY user_id ORDER BY ts_epoch, event_id) AS session_no "
+        f"FROM o) "
+        f"SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"MIN(ts_epoch) AS first_ts, MAX(ts_epoch) AS last_ts FROM s "
+        f"GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -652,6 +701,8 @@ def queries() -> Dict:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "tiling_images": q_tiling_images,
@@ -672,5 +723,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "embed_knn": sql_embed_knn(),
         "events_hourly": sql_events_hourly(),
+        "events_sliding": sql_events_sliding(),
+        "events_sessions": sql_events_sessions(),
         "lineitem_agg": sql_lineitem_agg(),
     }
