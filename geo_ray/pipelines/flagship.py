@@ -50,7 +50,7 @@ def city_polygons(radius_deg: float = CITY_RADIUS_DEG * 1.2,
     return out
 
 
-_STATE_CACHE = "/tmp/geo_ray_cache/city_join_state_v1.pkl"
+_STATE_CACHE = "/tmp/geo_ray_cache/city_join_state_v2.pkl"
 
 
 def _default_join_state() -> JoinState:

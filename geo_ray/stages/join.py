@@ -34,6 +34,102 @@ from ..state.loop import Loop
 from ..state.polygon import Polygon
 
 
+INDEX_EDGE_THRESHOLD = 48  # build a cell-local edge index above this
+# (mirrors the spirit of the reference's brute-force cutoffs,
+#  s2/loop.go:615 / s2/edge_query.go:473-488)
+
+
+class _PolyEdgeIndex:
+    """ShapeIndex-lite: per boundary-covering-cell clipped edge lists +
+    a contains-center bit (semantics of clippedShape/ShapeIndexCell,
+    s2/shapeindex.go:73-155, built eagerly, conservative selection: an
+    edge is kept for a cell iff it comes within the cell's bounding-cap
+    radius of the cap center — a superset of the edges any
+    center-to-point segment inside the cell can cross, since caps are
+    geodesically convex).  Refinement then counts crossings from the
+    CELL CENTER over O(edges-per-cell) edges instead of from the global
+    origin over all edges."""
+
+    def __init__(self, poly: Polygon, boundary_cells: List[int]):
+        from ..functions import cellid as cid
+        from ..functions.distance import chord2_point_edge
+        from ..functions.latlng import angle_to_chord2, chord2_to_angle
+        from ..state.cell import Cell
+
+        starts, ends = [], []
+        for l in poly.loops:
+            for a, b in l.edges():
+                starts.append(a)
+                ends.append(b)
+        self.cvs = np.asarray(starts, dtype=np.float64).reshape(-1, 3)
+        self.dvs = np.asarray(ends, dtype=np.float64).reshape(-1, 3)
+        cells = sorted(boundary_cells)
+        self.rmin = np.array([cid.range_min(c) for c in cells],
+                             dtype=np.uint64)
+        centers = []
+        inside = []
+        offsets = [0]
+        edge_ids: List[int] = []
+        for ci in cells:
+            cell = Cell(ci)
+            cap = cell.cap_bound()
+            center = np.asarray(cap.center)
+            radius = float(chord2_to_angle(cap.radius_chord2))
+            limit = float(angle_to_chord2(min(np.pi, radius + 1e-9)))
+            d = chord2_point_edge(center[None, :].repeat(len(self.cvs), 0),
+                                  self.cvs, self.dvs)
+            sel = np.nonzero(d <= limit)[0]
+            edge_ids.extend(int(e) for e in sel)
+            offsets.append(len(edge_ids))
+            centers.append(center)
+            inside.append(poly.contains_point(tuple(center)))
+        self.centers = np.asarray(centers, dtype=np.float64).reshape(-1, 3)
+        self.center_inside = np.asarray(inside, dtype=bool)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.edge_ids = np.asarray(edge_ids, dtype=np.int64)
+        self.poly = poly
+
+    def refine(self, leaf_ids: np.ndarray, pts: np.ndarray) -> np.ndarray:
+        """Exact containment for candidate points known to lie in this
+        polygon's boundary cells."""
+        from ..functions.predicates import MAX_DETERMINANT_ERROR
+
+        cell_idx = np.searchsorted(self.rmin, leaf_ids, side="right") - 1
+        out = np.zeros(len(pts), dtype=bool)
+        for cidx in np.unique(cell_idx):
+            sel = np.nonzero(cell_idx == cidx)[0]
+            lo, hi = self.offsets[cidx], self.offsets[cidx + 1]
+            eids = self.edge_ids[lo:hi]
+            base = bool(self.center_inside[cidx])
+            if len(eids) == 0:
+                out[sel] = base
+                continue
+            origin = self.centers[cidx]
+            cvs = self.cvs[eids]
+            dvs = self.dvs[eids]
+            p = pts[sel]
+            oxp = np.cross(origin[None, :], p)
+            det_c = oxp @ cvs.T
+            det_d = oxp @ dvs.T
+            cxd = np.cross(cvs, dvs)
+            det_b = p @ cxd.T
+            det_a = cxd @ origin
+            eps = MAX_DETERMINANT_ERROR
+            ambiguous = ((np.abs(det_c) <= eps) | (np.abs(det_d) <= eps) |
+                         (np.abs(det_b) <= eps) |
+                         (np.abs(det_a) <= eps)[None, :]).any(axis=1)
+            acb = -np.sign(det_c)
+            crossing = ((np.sign(det_d) == acb) & (-np.sign(det_b) == acb) &
+                        (np.sign(det_a)[None, :] == acb))
+            parity = (crossing.sum(axis=1) & 1) == 1
+            res = parity != base
+            if ambiguous.any():
+                for j in np.nonzero(ambiguous)[0]:
+                    res[j] = self.poly.contains_point(tuple(p[j]))
+            out[sel] = res
+        return out
+
+
 class JoinState:
     """Broadcastable build side: coverings + polygon vertex arrays."""
 
@@ -47,6 +143,7 @@ class JoinState:
         rc = RegionCoverer(max_cells=max_cells, max_level=max_level)
         self.coverings: List[List[int]] = []
         self.interiors: List[List[int]] = []
+        self.edge_indexes: List[Optional[_PolyEdgeIndex]] = []
         from ..state import cellunion as cu
         for k, poly in enumerate(self.polygons):
             cover = rc.cell_union(poly)
@@ -59,6 +156,10 @@ class JoinState:
                 entries.append((ci, 2 * k))
             for ci in boundary:
                 entries.append((ci, 2 * k + 1))
+            if poly.num_edges() >= INDEX_EDGE_THRESHOLD and boundary:
+                self.edge_indexes.append(_PolyEdgeIndex(poly, boundary))
+            else:
+                self.edge_indexes.append(None)
         self.index = CellIndex(entries)
 
 
@@ -120,13 +221,18 @@ class PolygonJoiner:
                 brows = brows[order]
                 bpoly = bpoly[order]
                 bounds = np.searchsorted(bpoly, np.arange(len(st.polygons) + 1))
+                leaf_np = batch.column("cell_id").to_numpy()
                 for k in range(len(st.polygons)):
                     lo, hi = bounds[k], bounds[k + 1]
                     if lo == hi:
                         continue
                     rr = brows[lo:hi]
                     pts = np.stack([x[rr], y[rr], z[rr]], axis=1)
-                    inside = st.polygons[k].contains_points_batch(pts)
+                    eidx = st.edge_indexes[k]
+                    if eidx is not None:
+                        inside = eidx.refine(leaf_np[rr], pts)
+                    else:
+                        inside = st.polygons[k].contains_points_batch(pts)
                     out_rows.append(rr[inside])
                     out_polys.append(np.full(int(inside.sum()), k,
                                              dtype=np.int64))

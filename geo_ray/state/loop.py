@@ -61,6 +61,26 @@ class Loop:
         return cls.from_latlngs_deg(pts)
 
     @classmethod
+    def regular_loop(cls, center_xyz, radius_rad: float,
+                     num_vertices: int) -> "Loop":
+        """CCW circle approximation: num_vertices points at angular
+        radius ``radius_rad`` around center (s2/loop.go:742-780 via the
+        frame construction of RegularPointsForFrame)."""
+        from ..functions.frames import get_frame, from_frame
+
+        m = get_frame(center_xyz)
+        r = math.sin(radius_rad)
+        h = math.cos(radius_rad)
+        verts = []
+        for k in range(num_vertices):
+            theta = 2 * math.pi * k / num_vertices
+            p = np.array([r * math.cos(theta), r * math.sin(theta), h])
+            w = from_frame(m, p)
+            w = w / np.linalg.norm(w)
+            verts.append(tuple(float(c) for c in w))
+        return cls(verts)
+
+    @classmethod
     def empty(cls) -> "Loop":
         """Single-vertex loop containing nothing, s2/loop.go:107-113."""
         return cls([(0.0, 0.0, 1.0)])
@@ -168,12 +188,40 @@ class Loop:
 
     # -- cell relations (covering generator callbacks) ----------------------
     def _any_edge_crosses_cell(self, cell: Cell) -> bool:
+        """Any loop edge crossing any cell edge.  Vectorized triage over
+        all (cell-edge, loop-edge) pairs; scalar robust ladder only for
+        pairs whose four determinants aren't all clear."""
+        if self.is_empty_or_full():
+            return False
         verts = cell.vertices()
-        cell_edges = [(verts[k], verts[(k + 1) & 3]) for k in range(4)]
-        for c, d in self.edges():
-            for a, b in cell_edges:
-                if edge_or_vertex_crossing(a, b, c, d) or \
-                        edge_or_vertex_crossing(b, a, c, d):
+        cvs = self._varr
+        dvs = np.roll(self._varr, -1, axis=0)
+        cxd = np.cross(cvs, dvs)  # (E,3)
+        eps = MAX_DETERMINANT_ERROR
+        for k in range(4):
+            a = np.asarray(verts[k])
+            b = np.asarray(verts[(k + 1) & 3])
+            axb = np.cross(a, b)
+            det_c = cxd @ a          # sign(c,d,a) per loop edge
+            det_d = cxd @ b          # sign(c,d,b)
+            det_a = axb @ cvs.T      # sign(a,b,c)
+            det_b = axb @ dvs.T      # sign(a,b,d)
+            ambiguous = ((np.abs(det_c) <= eps) | (np.abs(det_d) <= eps) |
+                         (np.abs(det_a) <= eps) | (np.abs(det_b) <= eps))
+            # proper crossing: acb == bda and cbd == acb and dac == acb
+            acb = -np.sign(det_a)
+            crossing = ((np.sign(det_b) == acb) &
+                        (-np.sign(det_d) == acb) &
+                        (np.sign(det_c) == acb))
+            if (crossing & ~ambiguous).any():
+                return True
+            for e in np.nonzero(ambiguous)[0]:
+                c = tuple(cvs[e])
+                d = tuple(dvs[e])
+                ta = tuple(a)
+                tb = tuple(b)
+                if edge_or_vertex_crossing(ta, tb, c, d) or \
+                        edge_or_vertex_crossing(tb, ta, c, d):
                     return True
         return False
 
@@ -185,9 +233,8 @@ class Loop:
             return False
         if self.is_full():
             return True
-        for v in cell.vertices():
-            if self.contains_point(v):
-                return True
+        if self.contains_points_batch(np.asarray(cell.vertices())).any():
+            return True
         for v in self.vertices:
             if cell.contains_point(v):
                 return True
@@ -201,9 +248,8 @@ class Loop:
             return False
         if self.is_full():
             return True
-        for v in cell.vertices():
-            if not self.contains_point(v):
-                return False
+        if not self.contains_points_batch(np.asarray(cell.vertices())).all():
+            return False
         for v in self.vertices:
             if cell.contains_point(v):
                 return False
