@@ -107,6 +107,33 @@ def chord2_edge_edge(a, b, c, d):
                      chord2_point_edge(np.asarray(b), np.asarray(c), np.asarray(d))))
 
 
+def directed_hausdorff_chord2(a_pts: np.ndarray, b_pts: np.ndarray) -> float:
+    """Directed Hausdorff distance (squared chord) from point set A to
+    point set B: max over A of min distance to B.  Semantics of the
+    rect DirectedHausdorffDistance family (s2/rect.go:497-653) for
+    sampled/vertex geometries; fully vectorized (|A| x |B| matmul in
+    chunks)."""
+    A = np.asarray(a_pts, dtype=np.float64).reshape(-1, 3)
+    B = np.asarray(b_pts, dtype=np.float64).reshape(-1, 3)
+    if len(A) == 0:
+        return 0.0
+    if len(B) == 0:
+        return 4.0
+    worst = 0.0
+    for lo in range(0, len(A), 4096):
+        chunk = A[lo:lo + 4096]
+        # chord2 = 2 - 2 * dot for unit vectors
+        d = np.clip(2.0 - 2.0 * (chunk @ B.T), 0.0, 4.0)
+        worst = max(worst, float(d.min(axis=1).max()))
+    return worst
+
+
+def hausdorff_chord2(a_pts: np.ndarray, b_pts: np.ndarray) -> float:
+    """Symmetric Hausdorff distance (squared chord)."""
+    return max(directed_hausdorff_chord2(a_pts, b_pts),
+               directed_hausdorff_chord2(b_pts, a_pts))
+
+
 def edge_pair_closest_points(a, b, c, d):
     """Closest point pair between AB and CD (EdgePairClosestPoints,
     s2/edge_distances.go:372-418)."""
