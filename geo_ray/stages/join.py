@@ -68,6 +68,7 @@ class _PolyEdgeIndex:
                              dtype=np.uint64)
         centers = []
         inside = []
+        radii = []
         offsets = [0]
         edge_ids: List[int] = []
         for ci in cells:
@@ -75,6 +76,7 @@ class _PolyEdgeIndex:
             cap = cell.cap_bound()
             center = np.asarray(cap.center)
             radius = float(chord2_to_angle(cap.radius_chord2))
+            radii.append(cap.radius_chord2)
             limit = float(angle_to_chord2(min(np.pi, radius + 1e-9)))
             d = chord2_point_edge(center[None, :].repeat(len(self.cvs), 0),
                                   self.cvs, self.dvs)
@@ -84,6 +86,7 @@ class _PolyEdgeIndex:
             centers.append(center)
             inside.append(poly.contains_point(tuple(center)))
         self.centers = np.asarray(centers, dtype=np.float64).reshape(-1, 3)
+        self.cap_radius_chord2 = np.asarray(radii, dtype=np.float64)
         self.center_inside = np.asarray(inside, dtype=bool)
         self.offsets = np.asarray(offsets, dtype=np.int64)
         self.edge_ids = np.asarray(edge_ids, dtype=np.int64)
@@ -177,6 +180,40 @@ def polygon_join(batch: pa.Table, state, id_col: str = "image_id",
     joiner.id_col = id_col
     joiner.keep_cols = keep_cols or [id_col, "cell_id"]
     return joiner(batch)
+
+
+def join_state_from_covering_rows(polygons: Sequence[Tuple[str, Polygon]],
+                                  covering_rows) -> "JoinState":
+    """Assemble a JoinState from a distributed covering table (the
+    output of stages/cover.py): (polygon_id, cell_id, is_interior)
+    rows.  The polygon geometry still rides along for refinement; only
+    the covering computation was fanned out."""
+    name_to_idx = {name: k for k, (name, _) in enumerate(polygons)}
+    state = JoinState.__new__(JoinState)
+    state.names = [name for name, _ in polygons]
+    state.polygons = [p for _, p in polygons]
+    state.coverings = [[] for _ in polygons]
+    state.interiors = [[] for _ in polygons]
+    boundaries: List[List[int]] = [[] for _ in polygons]
+    entries: List[Tuple[int, int]] = []
+    for row in covering_rows:
+        k = name_to_idx[row["polygon_id"]]
+        ci = int(row["cell_id"])
+        if row["is_interior"]:
+            state.interiors[k].append(ci)
+            entries.append((ci, 2 * k))
+        else:
+            boundaries[k].append(ci)
+            entries.append((ci, 2 * k + 1))
+        state.coverings[k].append(ci)
+    state.edge_indexes = []
+    for k, (_, poly) in enumerate(polygons):
+        if poly.num_edges() >= INDEX_EDGE_THRESHOLD and boundaries[k]:
+            state.edge_indexes.append(_PolyEdgeIndex(poly, boundaries[k]))
+        else:
+            state.edge_indexes.append(None)
+    state.index = CellIndex(entries)
+    return state
 
 
 class PolygonJoiner:
