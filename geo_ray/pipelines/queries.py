@@ -589,7 +589,8 @@ def sql_events_sessions(gap_sec: int = 1800) -> str:
         f"s AS (SELECT user_id, ts_epoch, SUM(new_s) OVER "
         f"(PARTITION BY user_id ORDER BY ts_epoch, event_id) AS session_no "
         f"FROM o) "
-        f"SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"SELECT user_id, CAST(session_no AS BIGINT) AS session_no, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
         f"MIN(ts_epoch) AS first_ts, MAX(ts_epoch) AS last_ts FROM s "
         f"GROUP BY 1, 2 ORDER BY 1, 2")
 
