@@ -1,0 +1,63 @@
+"""Worst-case geometry stress: Koch fractal loops through the coverer
+and the indexed covering join (the reference uses fractal loops as its
+worst-case index shapes, s2/s2_test.go:459 / edge_query_test.go)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from geo_ray.functions import cellid as cid
+from geo_ray.functions.latlng import latlng_deg_to_xyz
+from geo_ray.stages.join import JoinState, PolygonJoiner
+from geo_ray.state.cell import Cell
+from geo_ray.state.coverer import RegionCoverer
+from geo_ray.state.polygon import Polygon
+
+from tests.fractal import koch_loop
+from tests.test_covering import check_covering
+
+RNG = np.random.default_rng(123)
+
+CENTER = tuple(float(v) for v in latlng_deg_to_xyz(35.0, -40.0))
+
+
+def test_fractal_loop_valid():
+    loop = koch_loop(CENTER, math.radians(3.0), 2)
+    assert loop.num_edges() == 3 * 4 ** 2
+    loop.validate()
+    assert loop.contains_point(CENTER)
+    assert not loop.contains_point((-CENTER[0], -CENTER[1], -CENTER[2]))
+
+
+def test_fractal_covering():
+    loop = koch_loop(CENTER, math.radians(3.0), 2)
+    rc = RegionCoverer(max_cells=32, max_level=12)
+    covering = rc.covering(loop)
+    check_covering(rc, loop, covering, False)
+    interior = rc.interior_covering(loop)
+    for ci in interior:
+        assert loop.contains_cell(Cell(ci))
+
+
+def test_fractal_join_matches_brute():
+    loop = koch_loop(CENTER, math.radians(4.0), 3)  # 192 edges
+    poly = Polygon.from_loop(loop)
+    state = JoinState([("koch", poly)])
+    assert state.edge_indexes[0] is not None
+    lat = 35.0 + RNG.uniform(-6, 6, 8000)
+    lng = -40.0 + RNG.uniform(-6, 6, 8000)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    tbl = pa.table({
+        "image_id": pa.array([f"f{i}" for i in range(8000)]),
+        "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        "cell_id": pa.array(cid.cell_id_from_point_v(x, y, z), pa.uint64()),
+    })
+    got = set(PolygonJoiner(state)(tbl).column("image_id").to_pylist())
+    pts = np.stack([x, y, z], axis=1)
+    want = set(np.array(tbl.column("image_id").to_pylist())[
+        loop.contains_points_batch(pts)].tolist())
+    assert got == want
+    assert 0 < len(want) < 8000
