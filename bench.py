@@ -95,10 +95,11 @@ def run_suite(headline_only: bool = False) -> dict:
 
     if not headline_only:
         from geo_ray.pipelines import queries as qmod
-        suite = ["cap_contains", "polygon_contains", "knn_geo",
-                 "grid_density", "s2_density", "token_count", "dedup_exact",
-                 "embed_knn", "minhash_dedup", "simhash", "events_hourly",
-                 "lineitem_agg"]
+        suite = ["cap_contains", "polygon_contains", "radius_join",
+                 "knn_geo", "knn_geo_ring", "grid_density", "s2_density",
+                 "token_count", "dedup_exact", "embed_knn", "embed_knn_ivf",
+                 "minhash_dedup", "simhash", "events_hourly",
+                 "events_sliding", "events_sessions", "lineitem_agg"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()
