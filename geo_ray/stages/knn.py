@@ -70,6 +70,54 @@ class KnnPartial:
         })
 
 
+def furthest(points_ds, probes: Tuple[Sequence, np.ndarray], k: int,
+             *, id_col: str = "image_id"):
+    """Furthest-point query: same partial/merge machinery as :func:`knn`
+    with maxDistance ordering (s2/edge_query.go:276-288 /
+    s2/max_distance_targets.go)."""
+    import ray
+    probes_ref = ray.put(probes)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        kp = KnnPartial(probes_ref, k, id_col)
+        # reuse the scorer but keep the k LARGEST per probe
+        id_type = batch.schema.field(id_col).type
+        if len(batch) == 0:
+            return kp(batch)
+        X = np.stack([batch.column("x").to_numpy(),
+                      batch.column("y").to_numpy(),
+                      batch.column("z").to_numpy()], axis=1)
+        ids = batch.column(id_col).to_pylist()
+        chord2 = np.clip(2.0 - 2.0 * (X @ kp.Q.T), 0.0, 4.0)
+        n, P = chord2.shape
+        kk = min(k, n)
+        part = np.argpartition(-chord2, kk - 1, axis=0)[:kk] if kk < n else \
+            np.tile(np.arange(n)[:, None], (1, P))
+        out_probe, out_id, out_d = [], [], []
+        for p in range(P):
+            for r in part[:, p]:
+                out_probe.append(kp.probe_ids[p])
+                out_id.append(ids[r])
+                out_d.append(float(chord2[r, p]))
+        return pa.table({"probe_id": pa.array(out_probe),
+                         "neighbor_id": pa.array(out_id),
+                         "chord2": pa.array(out_d, pa.float64())})
+
+    partials = points_ds.map_batches(_partial, batch_format="pyarrow",
+                                     batch_size=16384)
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["chord2", "neighbor_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("probe_id").map_groups(_final,
+                                                   batch_format="pandas")
+
+
 def finalize_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
     """Per-probe merge: exact (distance, id) order, rank 1..k.
 

@@ -146,6 +146,42 @@ class Loop:
                 inside = not inside
         return inside
 
+    def boundary_contains_point(self, p: Vec) -> bool:
+        """Whether p lies exactly on the loop boundary (a vertex, or on
+        an edge's great circle between its endpoints)."""
+        from ..functions.predicates import exact_sign
+        p = tuple(float(c) for c in p)
+        if self.is_empty_or_full():
+            return False
+        n = len(self.vertices)
+        for i in range(n):
+            c = self.vertices[i]
+            if p == c:
+                return True
+            d = self.vertices[(i + 1) % n]
+            # exact (unperturbed) coplanarity test
+            if exact_sign(c, d, p, perturb=False) == 0:
+                # between c and d along the circle: dot tests
+                cd = np.asarray(d) - np.asarray(c)
+                t = float(np.asarray(p) @ cd)
+                if float(np.asarray(c) @ cd) <= t <= float(np.asarray(d) @ cd):
+                    return True
+        return False
+
+    def contains_point_with_model(self, p: Vec, model: str = "semi_open") -> bool:
+        """Vertex-model containment (s2/contains_point_query.go:25-40):
+        'open' excludes the boundary, 'closed' includes it, 'semi_open'
+        assigns each boundary point to exactly one of the adjacent
+        regions (the crossing-parity rule used everywhere else)."""
+        if model == "semi_open":
+            return self.contains_point(p)
+        on_boundary = self.boundary_contains_point(p)
+        if model == "open":
+            return (not on_boundary) and self.contains_point(p)
+        if model == "closed":
+            return on_boundary or self.contains_point(p)
+        raise ValueError(f"unknown vertex model {model!r}")
+
     def contains_points_batch(self, pts: np.ndarray) -> np.ndarray:
         """Vectorized parity test for an (n,3) float64 array.
 

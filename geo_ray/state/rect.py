@@ -52,6 +52,87 @@ class Rect:
         return self.contains_latlng(math.degrees(float(lat)),
                                     math.degrees(float(lng)))
 
+    # -- exact cell relations (s2/rect.go:303-431) --------------------------
+    def _lat_rad(self):
+        return math.radians(self.lat_lo), math.radians(self.lat_hi)
+
+    def _lng_rad(self):
+        return math.radians(self.lng_lo), math.radians(self.lng_hi)
+
+    def center_latlng(self) -> tuple:
+        lat = (self.lat_lo + self.lat_hi) / 2
+        if self.lng_lo <= self.lng_hi:
+            lng = (self.lng_lo + self.lng_hi) / 2
+        else:
+            span = self.lng_hi + 360.0 - self.lng_lo
+            lng = self.lng_lo + span / 2
+            if lng > 180.0:
+                lng -= 360.0
+        return lat, lng
+
+    def contains_rect_rad(self, lat_lo, lat_hi, lng_lo, lng_hi) -> bool:
+        """Wrap-aware rect-contains-rect (radians other)."""
+        slat_lo, slat_hi = self._lat_rad()
+        if not (slat_lo <= lat_lo and lat_hi <= slat_hi):
+            return False
+        return _lng_interval_contains(self._lng_rad(), (lng_lo, lng_hi))
+
+    def intersects_rect_rad(self, lat_lo, lat_hi, lng_lo, lng_hi) -> bool:
+        slat_lo, slat_hi = self._lat_rad()
+        if lat_hi < slat_lo or lat_lo > slat_hi:
+            return False
+        return _lng_interval_intersects(self._lng_rad(), (lng_lo, lng_hi))
+
+    def contains_cell_exact(self, cell: Cell) -> bool:
+        """r.Contains(cell.RectBound()) — exact because a lat/lng rect
+        contains a cell iff it contains the cell's bounding rect
+        (s2/rect.go:294-300)."""
+        return self.contains_rect_rad(*cell.rect_bound())
+
+    def intersects_cell_exact(self, cell: Cell) -> bool:
+        """Exact boundary-intersection algorithm of s2/rect.go:303-367."""
+        # containment fast paths
+        lat_c, lng_c = self.center_latlng()
+        cx, cy, cz = (float(v) for v in latlng_deg_to_xyz(
+            np.float64(lat_c), np.float64(lng_c)))
+        if cell.contains_point((cx, cy, cz)):
+            return True
+        if self.contains_point(cell.center()):
+            return True
+        if not self.intersects_rect_rad(*cell.rect_bound()):
+            return False
+        verts = cell.vertices()
+        latlngs = []
+        for v in verts:
+            lat = math.asin(max(-1.0, min(1.0, v[2])))
+            lng = math.atan2(v[1], v[0])
+            latlngs.append((lat, lng))
+            if self.contains_latlng(math.degrees(lat), math.degrees(lng)):
+                return True
+        for la in (self.lat_lo, self.lat_hi):
+            for ln in (self.lng_lo, self.lng_hi):
+                x, y, z = (float(v) for v in latlng_deg_to_xyz(
+                    np.float64(la), np.float64(ln)))
+                if cell.contains_point((x, y, z)):
+                    return True
+        lat_lo_r, lat_hi_r = self._lat_rad()
+        lng_r = self._lng_rad()
+        for i in range(4):
+            a, b = verts[i], verts[(i + 1) & 3]
+            edge_lng = _lng_interval_from_pair(latlngs[i][1],
+                                               latlngs[(i + 1) & 3][1])
+            if not _lng_interval_intersects(lng_r, edge_lng):
+                continue
+            for ln in lng_r:
+                if _lng_interval_contains_point(edge_lng, ln):
+                    if _intersects_lng_edge(a, b, lat_lo_r, lat_hi_r, ln):
+                        return True
+            if _intersects_lat_edge(a, b, lat_lo_r, lng_r):
+                return True
+            if _intersects_lat_edge(a, b, lat_hi_r, lng_r):
+                return True
+        return False
+
     def _sample_boundary(self, per_edge: int = 8):
         """Dense boundary sample in degrees (for conservative cell
         predicates; rect edges along parallels are not geodesics)."""
@@ -72,35 +153,13 @@ class Rect:
         return pts
 
     def intersects_cell(self, cell: Cell) -> bool:
-        """Conservative: true if any cell vertex is inside the rect, any
-        boundary sample point is inside the cell, or the cell center is
-        inside the rect.  Slightly over-inclusive (never misses an
-        intersection at the sample density used for covering levels)."""
-        for v in cell.vertices():
-            if self.contains_point(v):
-                return True
-        if self.contains_point(cell.center()):
-            return True
-        for lat, lng in self._sample_boundary():
-            x, y, z = latlng_deg_to_xyz(np.float64(lat), np.float64(lng))
-            if cell.contains_point((float(x), float(y), float(z))):
-                return True
-        return False
+        """Exact (s2/rect.go:303-367) — see intersects_cell_exact."""
+        return self.intersects_cell_exact(cell)
 
     def contains_cell(self, cell: Cell) -> bool:
-        """Conservative: all cell vertices and edge midpoints inside."""
-        verts = cell.vertices()
-        for v in verts:
-            if not self.contains_point(v):
-                return False
-        # check edge midpoints (cell edges can bulge in latitude)
-        for k in range(4):
-            a = np.array(verts[k]); b = np.array(verts[(k + 1) & 3])
-            m = a + b
-            m = m / np.linalg.norm(m)
-            if not self.contains_point(tuple(m)):
-                return False
-        return True
+        """Exact: a lat/lng rect contains a cell iff it contains the
+        cell's bounding rect (s2/rect.go:294-300)."""
+        return self.contains_cell_exact(cell)
 
     def cap_bound(self) -> Cap:
         """s2/rect.go:438-467."""
@@ -135,3 +194,104 @@ class Rect:
 
     def cell_union_bound(self) -> List[int]:
         return self.cap_bound().cell_union_bound()
+
+
+# -- wrap-aware longitude interval helpers (s1.Interval semantics) ---------
+
+def _lng_norm(x: float) -> float:
+    while x > math.pi:
+        x -= 2 * math.pi
+    while x < -math.pi:
+        x += 2 * math.pi
+    return x
+
+
+def _lng_interval_from_pair(a: float, b: float):
+    """Shortest interval containing both points (s1.IntervalFromEndpoints
+    + AddPoint semantics)."""
+    a, b = _lng_norm(a), _lng_norm(b)
+    if abs(b - a) <= math.pi:
+        return (min(a, b), max(a, b))
+    return (max(a, b), min(a, b))  # wraps
+
+
+def _lng_interval_contains_point(iv, p: float) -> bool:
+    lo, hi = iv
+    p = _lng_norm(p)
+    if lo <= hi:
+        return lo <= p <= hi
+    return p >= lo or p <= hi
+
+
+def _lng_interval_contains(a, b) -> bool:
+    """Interval a contains interval b (both possibly wrapping)."""
+    alo, ahi = a
+    blo, bhi = b
+    if alo <= ahi and blo > bhi:
+        return alo == -math.pi and ahi == math.pi
+    return (_lng_interval_contains_point(a, blo) and
+            _lng_interval_contains_point(a, bhi) and
+            (_span(a) >= _span(b)))
+
+
+def _span(iv) -> float:
+    lo, hi = iv
+    return (hi - lo) if lo <= hi else (2 * math.pi - (lo - hi))
+
+
+def _lng_interval_intersects(a, b) -> bool:
+    return (_lng_interval_contains_point(a, b[0]) or
+            _lng_interval_contains_point(a, b[1]) or
+            _lng_interval_contains_point(b, a[0]) or
+            _lng_interval_contains_point(b, a[1]))
+
+
+def _intersects_lng_edge(a, b, lat_lo: float, lat_hi: float,
+                         lng: float) -> bool:
+    """Edge AB vs the constant-longitude segment (a geodesic),
+    s2/rect.go:369-377."""
+    from ..functions.edges import crossing_sign
+
+    c = tuple(float(v) for v in latlng_deg_to_xyz(
+        np.float64(math.degrees(lat_lo)), np.float64(math.degrees(lng))))
+    d = tuple(float(v) for v in latlng_deg_to_xyz(
+        np.float64(math.degrees(lat_hi)), np.float64(math.degrees(lng))))
+    return crossing_sign(tuple(a), tuple(b), c, d) > 0
+
+
+def _intersects_lat_edge(a, b, lat: float, lng_iv) -> bool:
+    """Edge AB vs a constant-latitude curve segment (NOT a geodesic),
+    s2/rect.go:379-431."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    z = np.cross(a, b)
+    nz = np.linalg.norm(z)
+    if nz == 0:
+        return False
+    z = z / nz
+    if z[2] < 0:
+        z = -z
+    # orthonormal frame: x = direction of max latitude on circle AB
+    y = np.cross(z, [0.0, 0.0, 1.0])
+    ny = np.linalg.norm(y)
+    if ny == 0:
+        return False  # AB lies on a meridian circle through the poles? (z=+-z axis)
+    y = y / ny
+    x = np.cross(y, z)
+    sin_lat = math.sin(lat)
+    if abs(sin_lat) >= x[2]:
+        return False  # the circle never reaches this latitude
+    cos_theta = sin_lat / x[2]
+    sin_theta = math.sqrt(1 - cos_theta * cos_theta)
+    theta = math.atan2(sin_theta, cos_theta)
+    # range of theta spanned by edge AB
+    ab_theta = _lng_interval_from_pair(
+        math.atan2(float(a @ y), float(a @ x)),
+        math.atan2(float(b @ y), float(b @ x)))
+    for t in (theta, -theta):
+        if _lng_interval_contains_point(ab_theta, t):
+            isect = x * math.cos(t) + y * math.sin(t)
+            if _lng_interval_contains_point(lng_iv,
+                                            math.atan2(isect[1], isect[0])):
+                return True
+    return False
