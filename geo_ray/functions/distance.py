@@ -107,6 +107,30 @@ def chord2_edge_edge(a, b, c, d):
                      chord2_point_edge(np.asarray(b), np.asarray(c), np.asarray(d))))
 
 
+def edge_intersection(a, b, c, d) -> np.ndarray:
+    """Intersection point of crossing edges AB and CD (stable variant
+    of s2/edge_crossings.go:172-250): the direction (A x B) x (C x D)
+    normalized and oriented toward the edge midpoints.  Caller must
+    ensure the edges actually cross (crossing_sign > 0); the result is
+    within ~intersectionError of the true point for non-degenerate
+    crossings."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    d = np.asarray(d, dtype=np.float64)
+    x = np.cross(np.cross(a, b), np.cross(c, d))
+    n = np.linalg.norm(x)
+    if n == 0:
+        # nearly-parallel great circles: fall back to the closest
+        # endpoint midpoint
+        m = a + b + c + d
+        return m / np.linalg.norm(m)
+    x = x / n
+    if float(x @ (a + b + c + d)) < 0:
+        x = -x
+    return x
+
+
 def directed_hausdorff_chord2(a_pts: np.ndarray, b_pts: np.ndarray) -> float:
     """Directed Hausdorff distance (squared chord) from point set A to
     point set B: max over A of min distance to B.  Semantics of the

@@ -185,6 +185,30 @@ def ordered_ccw(a, b, c, o) -> bool:
     return total >= 2
 
 
+def compare_distances(x, a, b) -> int:
+    """Exact comparison of d(x,a) vs d(x,b): -1/0/+1.
+
+    Semantics of CompareDistances (s2/predicates.go:478-560): the float
+    coordinates are exact rationals, so the squared chord lengths are
+    compared exactly (one Fraction evaluation replaces the reference's
+    triage/exact ladder; correctness identical, speed adequate for the
+    tie-breaking tail it serves)."""
+    fx, fa, fb = _fr(x), _fr(a), _fr(b)
+    da = sum((fx[i] - fa[i]) ** 2 for i in range(3))
+    db = sum((fx[i] - fb[i]) ** 2 for i in range(3))
+    return (da > db) - (da < db)
+
+
+def compare_distance(x, y, r2) -> int:
+    """Exact comparison of d(x,y)^2 (chord) vs the rational r2:
+    -1/0/+1 (CompareDistance, s2/predicates.go:680-731)."""
+    from fractions import Fraction
+    fx, fy = _fr(x), _fr(y)
+    d2 = sum((fx[i] - fy[i]) ** 2 for i in range(3))
+    rr = Fraction(float(r2))
+    return (d2 > rr) - (d2 < rr)
+
+
 def triage_sign_batch(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     """Vectorized triage over rows of (n,3) arrays.
 

@@ -23,6 +23,33 @@ class Polygon:
     def from_loop(cls, loop: Loop) -> "Polygon":
         return cls([loop])
 
+    @classmethod
+    def from_unoriented_loops(cls, loops) -> "Polygon":
+        """Polygon assembly (PolygonFromLoops semantics,
+        s2/polygon.go:92-186): loops may have either orientation; each
+        is normalized so its enclosed area is <= 2*pi (holes are then
+        determined purely by nesting depth, which the xor containment
+        rule resolves)."""
+        import math
+        normalized = []
+        for l in loops:
+            if l.is_empty_or_full():
+                normalized.append(l)
+            elif l.area() > 2 * math.pi:
+                normalized.append(l.invert())
+            else:
+                normalized.append(l)
+        poly = cls(normalized)
+        # validate nesting forms a laminar family
+        depths = poly._loop_depths()
+        for i, li in enumerate(poly.loops):
+            for j, lj in enumerate(poly.loops):
+                if i < j and li.intersects_loop(lj) and \
+                        not (li.contains_loop(lj) or lj.contains_loop(li)):
+                    raise ValueError(
+                        f"loops {i} and {j} cross: not a valid polygon")
+        return poly
+
     def is_empty(self) -> bool:
         return not self.loops or all(l.is_empty() for l in self.loops)
 
