@@ -76,13 +76,18 @@ def vertex_crossing(a, b, c, d) -> bool:
 
 def wedge_contains(a0, ab1, a2, b0, b2) -> bool:
     """Wedge A=(a0,ab1,a2) contains wedge B=(b0,ab1,b2): the CCW edge
-    order around ab1 must be a2 b2 b0 a0 (s2/wedge_relations.go)."""
+    order around ab1 must be a2 b2 b0 a0 (s2/wedge_relations.go).
+    Identical wedges contain each other."""
+    if a0 == b0 and a2 == b2:
+        return True
     return (ordered_ccw(a2, b2, b0, ab1) and ordered_ccw(b0, a0, a2, ab1))
 
 
 def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
     """Wedges share interior points iff the CCW order is NOT
     a2 b0 b2 a0 ... (s2/wedge_relations.go)."""
+    if a0 == b0 and a2 == b2:
+        return True
     return not (ordered_ccw(a0, b2, b0, ab1) and ordered_ccw(b0, a2, a0, ab1))
 
 

@@ -339,12 +339,22 @@ class Loop:
                 rep_inside = self.contains_point(other.vertices[j])
                 break
         if rep_inside is None:
-            # all vertices shared: decide by an edge midpoint
-            mid = np.asarray(other.vertices[0]) + np.asarray(
-                other.vertices[1 % m])
-            norm = np.linalg.norm(mid)
-            rep_inside = True if norm == 0 else \
-                self.contains_point(tuple(mid / norm))
+            # All vertices shared (wedges already verified compatible):
+            # probe a point just INSIDE other's first edge — for
+            # identical loops this lands in both interiors; an edge
+            # midpoint itself would sit on the common boundary.
+            b0 = np.asarray(other.vertices[0])
+            b1 = np.asarray(other.vertices[1 % m])
+            nrm_o = np.cross(b0, b1)
+            nn_o = np.linalg.norm(nrm_o)
+            mid = b0 + b1
+            mn = np.linalg.norm(mid)
+            if nn_o == 0 or mn == 0:
+                rep_inside = True
+            else:
+                probe_in = mid / mn + 1e-9 * (nrm_o / nn_o)
+                probe_in = probe_in / np.linalg.norm(probe_in)
+                rep_inside = self.contains_point(tuple(probe_in))
         if not rep_inside:
             return False
         # other's boundary is inside this region; rule out the

@@ -42,7 +42,23 @@ CASES = [
     ("loopA", "empty", True, False),
     ("smallNECW", "northHemi", False, True),
     ("smallNECW", "arctic80", True, True),
+    # reference matrix rows (s2/loop_test.go:832-... TestLoopRelations):
+    ("northHemi", "northHemi", True, True),        # self, shared edges
+    ("northHemi3", "northHemi3", True, True),
+    ("northHemi", "southHemi", False, False),      # disjoint, covers
+    ("northHemi3", "arctic80", True, True),
+    ("northHemi3", "antarctic80", False, False),
+    ("loopA", "loopA", True, True),
 ]
+
+
+def test_covers_relation():
+    """covers == (A union B) is the whole sphere: complement(A) inside B
+    (the reference matrix's `covers` flag)."""
+    n, s = make_loop("northHemi"), make_loop("southHemi")
+    assert s.contains_loop(n.invert())      # north+south cover the sphere
+    a80 = make_loop("arctic80")
+    assert not a80.contains_loop(n.invert())
 
 
 @pytest.mark.parametrize("a,b,want_contains,want_intersects", CASES)
