@@ -411,6 +411,27 @@ def to_string(ci: int) -> str:
     return out
 
 
+def from_string(s: str) -> int:
+    """Parse the debug string "face/012..." -> cell id (0 if invalid).
+
+    s2/cellid.go:355-373.
+    """
+    if len(s) < 2 or len(s) > 32 or s[1] != "/":
+        return 0
+    if s[0] not in "012345":
+        return 0
+    face = int(s[0])
+    ci = parent(cell_id_from_face_ij(face, 0, 0), 0)
+    for ch in s[2:]:
+        if ch not in "0123":
+            return 0
+        if is_leaf(ci):
+            return 0
+        kids = children(ci)
+        ci = kids[int(ch)]
+    return ci
+
+
 def child_position(ci: int, lvl: int) -> int:
     """2-bit child position at a level, s2/cellid.go:176-180."""
     return (ci >> (2 * (MAX_LEVEL - lvl) + 1)) & 3

@@ -174,6 +174,45 @@ class RegionCoverer:
                 self._add_candidate(cand, pq, result, region, interior)
         return result
 
+    def is_canonical(self, covering: List[int]) -> bool:
+        """Whether ``covering`` could have been produced by this
+        coverer's Covering method: valid sorted disjoint ids within the
+        level constraints, no mergeable adjacent pair when over
+        max_cells, and no collapsible sibling runs.
+
+        s2/regioncoverer.go:404-420,501-555.
+        """
+        true_max = self.max_level
+        if self.level_mod != 1:
+            true_max -= (self.max_level - self.min_level) % self.level_mod
+        too_many = len(covering) > self.max_cells
+        same_parent_count = 1
+        prev = None
+        for ci in covering:
+            if not cid.is_valid(ci):
+                return False
+            lvl = cid.level(ci)
+            if lvl < self.min_level or lvl > true_max:
+                return False
+            if (lvl - self.min_level) % self.level_mod != 0:
+                return False
+            if prev is not None:
+                if cid.range_max(prev) >= cid.range_min(ci):
+                    return False
+                anc = cid.common_ancestor_level(ci, prev)
+                if too_many and anc is not None and anc >= self.min_level:
+                    return False
+                p_level = lvl - self.level_mod
+                if (p_level < self.min_level or lvl != cid.level(prev) or
+                        cid.parent(ci, p_level) != cid.parent(prev, p_level)):
+                    same_parent_count = 1
+                else:
+                    same_parent_count += 1
+                    if same_parent_count == (1 << (2 * self.level_mod)):
+                        return False
+            prev = ci
+        return True
+
     def _normalize_covering(self, covering: List[int]) -> List[int]:
         """s2/regioncoverer.go:430-499."""
         if self.max_level < MAX_LEVEL or self.level_mod > 1:
