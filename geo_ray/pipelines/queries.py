@@ -411,6 +411,41 @@ def sql_doc_quality() -> str:
             " AS n_alpha FROM documents ORDER BY doc_id")
 
 
+def q_top_terms(sf_dir: str, k: int = 25):
+    """Corpus-wide term frequencies, top-k by (count desc, term): the
+    explode -> partial-count -> global-aggregate shape (a word-count
+    over the documents table; whitespace tokens lowercased)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.text import tokens_of
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        counts: "Counter[str]" = __import__("collections").Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(w.lower() for w in tokens_of(t) if w)
+        return pa.table({
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array([int(v) for v in counts.values()], pa.int64()),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas().sort_values(["n", "term"],
+                                     ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+def sql_top_terms(k: int = 25) -> str:
+    return (
+        f"SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        f"SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term "
+        f"FROM documents) WHERE term <> '' "
+        f"GROUP BY term ORDER BY n DESC, term LIMIT {k}")
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import exact_dedup
@@ -693,6 +728,7 @@ def queries() -> Dict:
         "knn_geo_ring": q_knn_geo_ring,
         "convex_hull": q_convex_hull,
         "token_count": q_token_count,
+        "top_terms": q_top_terms,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "embed_knn": q_embed_knn,
@@ -720,6 +756,7 @@ def oracle_sql() -> Dict[str, str]:
         "knn_geo": sql_knn_geo(),
         "grid_density": sql_grid_density(),
         "token_count": sql_token_count(),
+        "top_terms": sql_top_terms(),
         "doc_quality": sql_doc_quality(),
         "dedup_exact": sql_dedup_exact(),
         "embed_knn": sql_embed_knn(),

@@ -50,7 +50,7 @@ def _to_df(result) -> pd.DataFrame:
 
 ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
-    "knn_geo", "grid_density", "token_count", "doc_quality",
+    "knn_geo", "grid_density", "token_count", "top_terms", "doc_quality",
     "dedup_exact", "embed_knn", "events_hourly", "events_sliding",
     "events_sessions", "lineitem_agg",
 ]
