@@ -83,14 +83,21 @@ class Rect:
             return False
         return _lng_interval_intersects(self._lng_rad(), (lng_lo, lng_hi))
 
+    def is_empty(self) -> bool:
+        return self.lat_lo > self.lat_hi
+
     def contains_cell_exact(self, cell: Cell) -> bool:
         """r.Contains(cell.RectBound()) — exact because a lat/lng rect
         contains a cell iff it contains the cell's bounding rect
         (s2/rect.go:294-300)."""
+        if self.is_empty():
+            return False
         return self.contains_rect_rad(*cell.rect_bound())
 
     def intersects_cell_exact(self, cell: Cell) -> bool:
         """Exact boundary-intersection algorithm of s2/rect.go:303-367."""
+        if self.is_empty():
+            return False
         # containment fast paths
         lat_c, lng_c = self.center_latlng()
         cx, cy, cz = (float(v) for v in latlng_deg_to_xyz(
