@@ -412,12 +412,12 @@ class Loop:
 
     # -- bounds -------------------------------------------------------------
     def rect_bound(self):
-        """Conservative lat/lng bound (lat_lo, lat_hi, lng_lo, lng_hi)
-        in radians, lng interval possibly wrapping (lo > hi).
+        """Conservative-exact lat/lng bound (lat_lo, lat_hi, lng_lo,
+        lng_hi) radians, lng interval possibly wrapping (lo > hi).
 
-        Semantics of RectBounder (s2/rect_bounder.go:36-230) with a
-        simplified-but-conservative latitude-extremum expansion, plus
-        the pole adjustment of s2/loop.go:191-215.
+        Exact RectBounder port (s2/rect_bounder.go:36-230, see
+        state/rect_bounder.py) plus the pole adjustment of
+        s2/loop.go:191-215.
         """
         if self._bound is not None:
             return self._bound
@@ -427,48 +427,16 @@ class Loop:
         if self.is_full():
             self._bound = (-math.pi / 2, math.pi / 2, -math.pi, math.pi)
             return self._bound
-        lat, lng = xyz_to_latlng(self._varr[:, 0], self._varr[:, 1],
-                                 self._varr[:, 2])
-        lat_lo, lat_hi = float(lat.min()), float(lat.max())
-        # Latitude extrema along edges: for edge with normal n, the
-        # extreme |z| on its great circle is sqrt(nx^2+ny^2)/|n|; apply
-        # when the extremum point lies within the edge arc.
-        n = len(self.vertices)
-        slop = 1e-11
-        for i in range(n):
-            a = self._varr[i]
-            b = self._varr[(i + 1) % n]
-            nrm = np.cross(a, b)
-            n2 = float(nrm @ nrm)
-            if n2 == 0.0:
-                continue
-            zmax2 = (nrm[0] ** 2 + nrm[1] ** 2) / n2
-            # candidate extremum points: +/- normalize((-nx*nz,-ny*nz,nx^2+ny^2))
-            m = np.array([-nrm[0] * nrm[2], -nrm[1] * nrm[2],
-                          nrm[0] ** 2 + nrm[1] ** 2])
-            mn = float(np.linalg.norm(m))
-            if mn == 0.0:
-                continue
-            m /= mn
-            for cand in (m, -m):
-                # on-arc test: cand between a and b along the circle
-                if float(np.cross(a, cand) @ nrm) >= 0 and \
-                        float(np.cross(cand, b) @ nrm) >= 0:
-                    zl = math.asin(max(-1.0, min(1.0, float(cand[2]))))
-                    lat_lo = min(lat_lo, zl)
-                    lat_hi = max(lat_hi, zl)
-        lat_lo = max(-math.pi / 2, lat_lo - slop)
-        lat_hi = min(math.pi / 2, lat_hi + slop)
-        # Longitude interval: union of per-edge shortest-arc intervals.
-        lng_lo, lng_hi = _lng_interval_union(lng)
-        # Pole handling (s2/loop.go:191-215): containment forces full
-        # latitude reach and full longitude span.
+        from .rect_bounder import rect_bound_of_chain
+        lat_lo, lat_hi, lng_lo, lng_hi = rect_bound_of_chain(
+            [tuple(v) for v in self.vertices])
+        # Pole handling (s2/loop.go:191-215).
         if self.contains_point((0.0, 0.0, 1.0)):
             lat_hi = math.pi / 2
             lng_lo, lng_hi = -math.pi, math.pi
-        if self.contains_point((0.0, 0.0, -1.0)):
+        if (lng_lo, lng_hi) == (-math.pi, math.pi) and \
+                self.contains_point((0.0, 0.0, -1.0)):
             lat_lo = -math.pi / 2
-            lng_lo, lng_hi = -math.pi, math.pi
         self._bound = (lat_lo, lat_hi, lng_lo, lng_hi)
         return self._bound
 
