@@ -126,20 +126,21 @@ def run_suite(headline_only: bool = False) -> dict:
     }
 
 
-SCALING_LEVELS = (int(os.environ.get("GRAFT_SCALE_LO", "4")),
-                  int(os.environ.get("GRAFT_SCALE_HI", "16")))
+SCALING_LEVELS = (int(os.environ.get("GRAFT_SCALE_LO", "2")),
+                  int(os.environ.get("GRAFT_SCALE_HI", "8")))
 
 
 def run_scaling() -> dict:
     """Same headline job at N and 4N CPUs in fresh processes.
 
-    Default levels are 4 and 16: measured with plain parallel
-    processes (no Ray), this VM sustains near-linear scaling to ~16
-    busy cores but its real parallel capacity saturates before 32
-    (host-level contention), so 8-vs-32 would measure the hypervisor,
-    not the engine.  Levels are overridable via GRAFT_SCALE_LO/HI.
+    Default levels are 2 and 8: direct process probes show this VM's
+    per-core throughput for memory-streaming workloads degrades above
+    ~8 busy cores (host bandwidth ceiling) and collapses by 32, so
+    higher level pairs measure the hypervisor, not the engine.  Levels
+    are overridable via GRAFT_SCALE_LO/HI; BASELINE.md records
+    measurements at both 2->8 and 4->16.
     """
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     out = {}
     for ncpu in SCALING_LEVELS:
         best = None
