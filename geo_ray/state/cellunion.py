@@ -49,11 +49,11 @@ def denormalize(ids: Iterable[int], min_level: int, level_mod: int) -> List[int]
         lvl = cid.level(ci)
         new_level = max(lvl, min_level)
         if level_mod > 1:
-            rem = (new_level - min_level) % level_mod
-            if rem:
-                new_level += level_mod - rem
+            # s2/cellunion.go:315-321 (30 = MaxLevel is divisible by
+            # every level_mod in 1..3, so the anchored formulas agree)
+            new_level += (30 - (new_level - min_level)) % level_mod
             if new_level > 30:
-                new_level = lvl
+                new_level = 30
         if new_level == lvl:
             out.append(ci)
         else:

@@ -67,9 +67,11 @@ class RegionCoverer:
 
     # -- internals ----------------------------------------------------------
     def _adjust_level(self, level: int) -> int:
-        """Round up to satisfy level_mod, s2/regioncoverer.go:134-141."""
+        """Round DOWN to the min_level-anchored level_mod grid
+        (s2/regioncoverer.go:231-238; levels below min_level pass
+        through, they get expanded later)."""
         if self.level_mod > 1 and level > self.min_level:
-            level += (self.max_level - (level - self.min_level)) % self.level_mod
+            level -= (level - self.min_level) % self.level_mod
         return level
 
     def _new_candidate(self, cell: Cell, region, interior: bool) -> Optional[_Candidate]:
@@ -142,18 +144,20 @@ class RegionCoverer:
         """Seed from a small fast covering, s2/regioncoverer.go:264-278."""
         temp = RegionCoverer(min_level=0, max_level=self.max_level,
                              level_mod=1, max_cells=min(4, self.max_cells))
-        for ci in temp.fast_covering(region):
-            lvl = cid.level(ci)
-            # adjustCellLevels, s2/regioncoverer.go:144-160
-            adj = self._adjust_level(lvl)
-            if adj > lvl:
-                for child in cu.denormalize([ci], adj, 1):
-                    self._add_candidate(
-                        self._new_candidate(Cell(child), region, interior),
-                        pq, result, region, interior)
-            else:
-                self._add_candidate(self._new_candidate(Cell(ci), region, interior),
-                                    pq, result, region, interior)
+        seeds = temp.fast_covering(region)
+        # adjustCellLevels (s2/regioncoverer.go:240-260): replace each
+        # seed by its ancestor at the adjusted (rounded-down) level,
+        # then drop redundant cells.
+        if self.level_mod > 1:
+            adjusted = []
+            for ci in seeds:
+                lvl = cid.level(ci)
+                adj = self._adjust_level(lvl)
+                adjusted.append(cid.parent(ci, adj) if adj < lvl else ci)
+            seeds = cu.normalize(adjusted)
+        for ci in seeds:
+            self._add_candidate(self._new_candidate(Cell(ci), region, interior),
+                                pq, result, region, interior)
 
     def _covering_internal(self, region, interior: bool) -> List[int]:
         """Best-first subdivision, s2/regioncoverer.go:294-334."""

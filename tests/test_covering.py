@@ -76,14 +76,22 @@ def check_covering_tight(region, covering, check_tight: bool, ci: int):
             check_covering_tight(region, covering, check_tight, child)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(24))
 def test_random_caps(seed):
-    """s2/regioncoverer_test.go:116-149 (scaled down)."""
-    min_area = 4 * math.pi / (6 * 4 ** 8)
-    cap = random_cap(min_area, 4 * math.pi * 0.1)
-    max_level = int(RNG.integers(4, 9))
-    rc = RegionCoverer(min_level=0, max_level=max_level, level_mod=1,
-                       max_cells=int(RNG.integers(1, 9)))
+    """s2/regioncoverer_test.go:116-149 (scaled down: 24 random caps
+    with random level/level_mod/max_cells configs instead of 1000;
+    same cap-area constraint relative to min_level)."""
+    from geo_ray.functions import metric
+
+    min_level = int(RNG.integers(0, 6))
+    max_level = int(min_level + RNG.integers(2, 9))
+    max_cells = int(RNG.integers(1, 13))
+    rc = RegionCoverer(min_level=min_level, max_level=max_level,
+                       level_mod=int(RNG.integers(1, 4)),
+                       max_cells=max_cells)
+    max_area = min(4 * math.pi,
+                   (3 * max_cells + 1) * metric.AVG_AREA.value(min_level))
+    cap = random_cap(0.1 * metric.AVG_AREA.value(30), max_area)
     covering = rc.covering(cap)
     check_covering(rc, cap, covering, False)
     interior = rc.interior_covering(cap)
