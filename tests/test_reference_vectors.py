@@ -104,3 +104,29 @@ def test_token_roundtrip_vectors():
     for cell_id, _, _ in LATLNG_VECTORS:
         tok = cid.token(cell_id)
         assert cid.from_token(tok) == cell_id
+
+
+def test_full_curve_continuity_level2():
+    """Walk the ENTIRE level-2 Hilbert curve (96 cells): every step is
+    edge- or vertex-adjacent to the previous cell, AdvanceWrap(+1)
+    equals Next with wraparound, and the curve visits each cell once
+    (TestCellIDContinuity, s2/cellid_test.go:807-860 semantics)."""
+    level = 2
+    start = cid.child_begin_at_level(
+        cid.parent(cid.cell_id_from_face_ij(0, 0, 0), 0), level)
+    seen = []
+    ci = start
+    n_cells = 6 * 4 ** level
+    for _ in range(n_cells):
+        seen.append(ci)
+        nxt = cid.advance_wrap(ci, 1)
+        assert cid.level(nxt) == level
+        if cid.is_valid(cid.next_cell(ci)):
+            assert nxt == cid.next_cell(ci)
+        nbrs = set(cid.all_neighbors(ci, level))
+        assert nxt in nbrs, (hex(ci), hex(nxt))
+        assert cid.advance_wrap(nxt, -1) == ci
+        ci = nxt
+    # full wrap: back at the start having visited every cell once
+    assert ci == start
+    assert len(set(seen)) == n_cells
