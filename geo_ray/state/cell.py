@@ -145,6 +145,30 @@ class Cell:
             r2 = max(r2, d2)
         return Cap(center, min(4.0, r2 * (1 + 1e-12) + 1e-30))
 
+    # -- areas (s2/cell.go:494-540) ----------------------------------------
+    def average_area(self) -> float:
+        """AvgArea metric value for the level (s2/cell.go:496-500)."""
+        from ..functions import metric
+        return metric.AVG_AREA.value(self.level)
+
+    def approx_area(self) -> float:
+        """Quadrilateral approximation, accurate to ~3% for level >= 2
+        (s2/cell.go:502-523): flat-quad area scaled for sphere bulge."""
+        import math
+        if self.level < 2:
+            return self.average_area()
+        v = np.asarray(self.vertices())
+        flat_area = 0.5 * float(
+            np.linalg.norm(np.cross(v[2] - v[0], v[3] - v[1])))
+        return flat_area * 2 / (1 + math.sqrt(1 - min(1 / math.pi * flat_area,
+                                                      1.0)))
+
+    def exact_area(self) -> float:
+        """Sum of the two triangle areas (s2/cell.go:525-532)."""
+        from ..functions.measures import point_area
+        v0, v1, v2, v3 = self.vertices()
+        return float(point_area(v0, v1, v2)) + float(point_area(v0, v2, v3))
+
     # -- distances (s2/cell.go:581-700) ------------------------------------
     def distance_chord2(self, p) -> float:
         """Min squared-chord distance from the cell to a point: 0 if

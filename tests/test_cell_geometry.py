@@ -157,3 +157,25 @@ def test_polygon_centroid_and_relations():
     assert not donut.contains_polygon(small)
     far = Polygon([Loop.from_text("40:40, 40:50, 50:50, 50:40")])
     assert not solid.intersects_polygon(far)
+
+
+def test_cell_areas():
+    """s2/cell_test.go:340-370: children's exact areas sum to the
+    parent's; approx area within a few percent; level-1 exact area is
+    1/24 of the sphere; total face areas cover the sphere."""
+    # level-1 cell: exactly 1/24 of the sphere by symmetry
+    lvl1 = Cell(cid.child_begin(cid.parent(cid.cell_id_from_face_ij(0, 0, 0), 0)))
+    assert abs(lvl1.exact_area() - 4 * math.pi / 24) < 1e-9
+    for cell in rand_cells(10, 5) + rand_cells(5, 12):
+        kids = cell.children()
+        exact_sum = sum(k.exact_area() for k in kids)
+        approx_sum = sum(k.approx_area() for k in kids)
+        assert abs(exact_sum - cell.exact_area()) < 1e-12 * max(
+            1.0, cell.exact_area() / 1e-9)
+        assert abs(cell.exact_area() - exact_sum) / cell.exact_area() < 1e-6
+        assert abs(approx_sum - cell.exact_area()) / cell.exact_area() < 0.04
+        assert abs(cell.average_area() - kids[0].average_area() * 4) < 1e-18
+    # six faces cover the sphere exactly
+    faces = [Cell(cid.parent(cid.cell_id_from_face_ij(f, 0, 0), 0)).exact_area()
+             for f in range(6)]
+    assert abs(sum(faces) - 4 * math.pi) < 1e-9
