@@ -554,8 +554,10 @@ def advance_wrap(ci: int, steps: int) -> int:
     step_wrap = wrap_offset >> step_shift
 
     def _trunc_mod(a: int, b: int) -> int:
-        # Go's % truncates toward zero; Python's floors.
-        return a - b * int(a / b)
+        # Go's % truncates toward zero; Python's floors.  Integer ops
+        # only: float division is inexact above 2**53.
+        q = abs(a) // b
+        return a - b * (-q if a < 0 else q)
 
     if steps < 0:
         min_steps = -(ci >> step_shift)

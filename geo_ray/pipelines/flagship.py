@@ -50,7 +50,25 @@ def city_polygons(radius_deg: float = CITY_RADIUS_DEG * 1.2,
     return out
 
 
-_STATE_CACHE = "/tmp/geo_ray_cache/city_join_state_v2.pkl"
+_STATE_CACHE_VERSION = b"city_join_state_v3"
+
+
+def _state_cache_path(polygons: List[Tuple[str, Polygon]]) -> str:
+    """Cache file under the user's own cache dir, keyed by a content
+    hash of the polygon inputs plus a code-version tag, so covering
+    or geometry changes can never serve stale state and no other
+    local user can pre-plant the path."""
+    import hashlib
+    import os
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(_STATE_CACHE_VERSION)
+    for name, poly in polygons:
+        h.update(name.encode("utf-8"))
+        for loop in poly.loops:
+            h.update(np.asarray(loop.vertices, dtype=np.float64).tobytes())
+    root = os.path.join(os.path.expanduser("~"), ".cache", "geo_ray")
+    return os.path.join(root, f"join_state_{h.hexdigest()}.pkl")
 
 
 def _default_join_state() -> JoinState:
@@ -60,17 +78,19 @@ def _default_join_state() -> JoinState:
     import os
     import pickle
 
+    polygons = city_polygons()
+    path = _state_cache_path(polygons)
     try:
-        with open(_STATE_CACHE, "rb") as f:
+        with open(path, "rb") as f:
             return pickle.load(f)
     except Exception:
         pass
-    state = JoinState(city_polygons())
-    os.makedirs(os.path.dirname(_STATE_CACHE), exist_ok=True)
-    tmp = _STATE_CACHE + ".tmp"
+    state = JoinState(polygons)
+    os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         pickle.dump(state, f)
-    os.replace(tmp, _STATE_CACHE)
+    os.replace(tmp, path)
     return state
 
 

@@ -462,21 +462,27 @@ def sql_dedup_exact() -> str:
 
 def q_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
     import ray.data as rd
-    import pyarrow.parquet as pq
     from ..stages.embed import embedding_knn
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    # query side: first n_queries vectors, read driver-side (small)
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    mask = np.isin(tbl.column("vec_id").to_numpy(), np.arange(n_queries))
-    qt = tbl.filter(pa.array(mask))
-    qids = qt.column("vec_id").to_numpy()
-    Q = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in qt.column("embedding").to_pylist()])
-    out = embedding_knn(ds, ([int(v) for v in qids], Q), k)
+    qids, Q = _embed_queries(sf_dir, n_queries)
+    out = embedding_knn(ds, (qids, Q), k)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _embed_queries(sf_dir: str, n_queries: int):
+    """Query-side vectors (vec_id < n_queries): a row-group-pruned
+    predicate read — only matching row groups reach the driver."""
+    import pyarrow.parquet as pq
+    from ..stages.embed import _matrix
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    qt = qt.sort_by("vec_id")
+    qids = [int(v) for v in qt.column("vec_id").to_numpy()]
+    return qids, _matrix(qt, "embedding")
 
 
 def sql_embed_knn(k: int = 5, n_queries: int = 8) -> str:
@@ -495,23 +501,16 @@ def sql_embed_knn(k: int = 5, n_queries: int = 8) -> str:
 def q_embed_knn_ivf(sf_dir: str, k: int = 5, n_queries: int = 8,
                     n_centroids: int = 16, nprobe: int = 4):
     """IVF-pruned approximate cosine top-k (scale path; rows-only —
-    recall vs the exact baseline asserted in tests)."""
+    recall vs the exact baseline asserted in tests).  Centroids train
+    on a streamed bounded sample; no full-table driver read."""
     import ray.data as rd
-    import pyarrow.parquet as pq
-    from ..stages.embed import embedding_knn_ivf, train_ivf_centroids
+    from ..stages.embed import (embedding_knn_ivf, sample_embedding_matrix,
+                                train_ivf_centroids)
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    X = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in tbl.column("embedding").to_pylist()])
-    C = train_ivf_centroids(X[: min(len(X), 4000)], n_centroids)
-    mask = np.isin(tbl.column("vec_id").to_numpy(), np.arange(n_queries))
-    qt = tbl.filter(pa.array(mask))
-    qids = [int(v) for v in qt.column("vec_id").to_numpy()]
-    Q = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in qt.column("embedding").to_pylist()])
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    C = train_ivf_centroids(sample_embedding_matrix(ds, 4000), n_centroids)
+    qids, Q = _embed_queries(sf_dir, n_queries)
     out = embedding_knn_ivf(ds, (qids, Q), k, C, nprobe=nprobe)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 

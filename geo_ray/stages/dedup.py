@@ -127,12 +127,54 @@ def jaccard(text_a: str, text_b: str) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.6):
-    """Full near-dup pipeline: bands -> bucket groupby -> unique pairs
-    -> Jaccard verify against the broadcast text table.  Returns a
-    Dataset of (doc_a, doc_b, jaccard >= threshold)."""
-    import ray
+def doc_sketches(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """(bucket, kind=0, doc_id, other=-1, sketch) rows: the unique
+    shingle-hash set per document, hash-partitioned on doc_id.  The
+    join-side table of the verification shuffle."""
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    sk = [np.unique(_shingle_hashes(t)) for t in texts]
+    lens = np.fromiter((len(s) for s in sk), dtype=np.int64, count=len(sk))
+    offsets = np.zeros(len(sk) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    values = np.concatenate(sk) if sk else np.array([], dtype=np.uint64)
+    sketch_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.uint64()))
+    return pa.table({
+        "bucket": pa.array((ids % n_buckets).astype(np.int32), pa.int32()),
+        "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "other": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+        "sketch": sketch_arr,
+    })
 
+
+def _hash_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard of the two unique shingle-hash sets (identical to
+    string-set Jaccard up to negligible 64-bit collisions)."""
+    sa = np.asarray(sa, dtype=np.uint64)
+    sb = np.asarray(sb, dtype=np.uint64)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets: int = 256):
+    """Full near-dup pipeline, driver-materialization-free:
+
+        docs --map--> (band_id, band_hash, doc_id)     [only ids shuffle]
+             --groupby(bucket)--> candidate pairs (a < b)
+        docs --map--> (doc_id, shingle-hash sketch)    [sketch table x2]
+        pairs + sketches co-partitioned on doc_a % B:  [shuffle join]
+             dedup pairs, attach sketch_a
+        ...  + sketches co-partitioned on doc_b % B:   [shuffle join]
+             attach sketch_b, exact Jaccard, filter >= threshold
+
+    Every stage shuffles only ids, band hashes, or the sketches of
+    candidate-pair members — never the corpus text, and nothing ever
+    lands on the driver.  Returns a Dataset (doc_a, doc_b, jaccard).
+    """
     bands = docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
 
     def _bucket(batch: pa.Table) -> pa.Table:
@@ -144,35 +186,78 @@ def minhash_dedup(docs_ds, threshold: float = 0.6):
              .groupby("bucket")
              .map_groups(lambda g: candidate_pairs_group(
                  g.drop(columns=["bucket"])), batch_format="pandas"))
-    # Dedup pairs produced by multiple bands, then verify.
-    tdf = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
-    texts = dict(zip(tdf["doc_id"].astype(int), tdf["text"]))
-    texts_ref = ray.put(texts)
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        a = batch.column("doc_a").to_numpy()
-        b = batch.column("doc_b").to_numpy()
-        jac = np.array([jaccard(lookup[int(x)], lookup[int(y)])
-                        for x, y in zip(a, b)])
-        keep = jac >= threshold
+    def _sketches(batch: pa.Table) -> pa.Table:
+        return doc_sketches(batch, n_buckets)
+
+    def _pair_rows_a(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(a) + 1, np.int32), pa.int32()),
+            pa.array([], pa.uint64()))
         return pa.table({
-            "doc_a": pa.array(a[keep], pa.int64()),
-            "doc_b": pa.array(b[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep], pa.float64()),
+            "bucket": pa.array((a % n_buckets).astype(np.int32), pa.int32()),
+            "kind": pa.array(np.ones(len(a), np.int8), pa.int8()),
+            "doc_id": pa.array(a, pa.int64()),
+            "other": pa.array(b, pa.int64()),
+            "sketch": empty,
         })
 
-    def _pair_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy()
-        bucket = (a % 256).astype(np.int32)
-        return batch.append_column("pbucket", pa.array(bucket, pa.int32()))
+    def _attach_a(group: pd.DataFrame) -> pa.Table:
+        """Join sketch_a onto pairs keyed by doc_a; dedup (a, b) here —
+        all copies of a pair share doc_a, hence this partition.
+        Emits explicit Arrow so empty groups keep the list<uint64>
+        schema."""
+        sk = group[group["kind"] == 0]
+        lookup = dict(zip(sk["doc_id"].to_numpy(), sk["sketch"]))
+        pr = (group[group["kind"] == 1]
+              .drop_duplicates(["doc_id", "other"]))
+        b = pr["other"].to_numpy().astype(np.int64)
+        sketches = [np.asarray(lookup[int(a)], dtype=np.uint64)
+                    for a in pr["doc_id"]]
+        lens = np.fromiter((len(s) for s in sketches), dtype=np.int64,
+                           count=len(sketches))
+        offsets = np.zeros(len(sketches) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        values = (np.concatenate(sketches) if sketches
+                  else np.array([], dtype=np.uint64))
+        sketch_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.uint64()))
+        return pa.table({
+            "bucket": pa.array((b % n_buckets).astype(np.int32), pa.int32()),
+            "kind": pa.array(np.ones(len(b), np.int8), pa.int8()),
+            "doc_id": pa.array(b, pa.int64()),
+            "other": pa.array(pr["doc_id"].to_numpy().astype(np.int64),
+                              pa.int64()),
+            "sketch": sketch_arr,
+        })
 
-    uniq = (pairs.map_batches(_pair_bucket, batch_format="pyarrow")
-            .groupby("pbucket")
-            .map_groups(lambda g: g.drop(columns=["pbucket"])
-                        .drop_duplicates(["doc_a", "doc_b"]),
-                        batch_format="pandas"))
-    return uniq.map_batches(_verify, batch_format="pyarrow")
+    def _verify_b(group: pd.DataFrame) -> pd.DataFrame:
+        sk = group[group["kind"] == 0]
+        lookup = dict(zip(sk["doc_id"].to_numpy(), sk["sketch"]))
+        pr = group[group["kind"] == 1]
+        out_a, out_b, out_j = [], [], []
+        for doc_b, doc_a, sa in zip(pr["doc_id"].to_numpy(),
+                                    pr["other"].to_numpy(), pr["sketch"]):
+            jac = _hash_jaccard(sa, lookup[int(doc_b)])
+            if jac >= threshold:
+                out_a.append(int(doc_a))
+                out_b.append(int(doc_b))
+                out_j.append(jac)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    sketches_a = docs_ds.map_batches(_sketches, batch_format="pyarrow")
+    pair_rows = pairs.map_batches(_pair_rows_a, batch_format="pyarrow")
+    with_a = (sketches_a.union(pair_rows)
+              .groupby("bucket")
+              .map_groups(_attach_a, batch_format="pandas"))
+    sketches_b = docs_ds.map_batches(_sketches, batch_format="pyarrow")
+    return (sketches_b.union(with_a)
+            .groupby("bucket")
+            .map_groups(_verify_b, batch_format="pandas"))
 
 
 def exact_dedup(ds, key_cols: List[str], id_col: str):

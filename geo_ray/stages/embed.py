@@ -4,8 +4,9 @@ Baseline: brute-force cosine top-k — each batch computes one matmul
 against the broadcast query matrix and emits per-batch partial top-k
 rows; a tiny groupby merges them (same shape as the geo kNN).  The
 scale path (IVF: cluster centroids as an inverted index, probe the
-nearest buckets only) keys the same partials by centroid id; planned
-as a follow-up stage.
+nearest buckets only) scores each batch bucket-by-bucket so every
+row is touched by exactly one matmul against the queries probing its
+bucket; shuffle volume stays O(P * k * batches) either way.
 """
 
 from __future__ import annotations
@@ -16,38 +17,53 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .knn import tie_complete_smallest
+
 
 def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(n, dim) float64 view of a list<float> column — zero-copy
+    through the flattened Arrow values buffer (no per-row Python)."""
     arr = batch.column(col)
-    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten()
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+    else:
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        dim = int(widths[0])
+        if not (widths == dim).all():
+            raise ValueError(f"ragged embedding column {col!r}")
+    vals = flat.to_numpy(zero_copy_only=False)
+    return vals.reshape(n, dim).astype(np.float64, copy=False)
+
+
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
 
 
 def cosine_topk_partial(batch: pa.Table, queries_ref, k: int,
                         id_col: str = "vec_id",
                         embed_col: str = "embedding") -> pa.Table:
-    """Per-batch top-k cosine matches for every broadcast query row."""
+    """Per-batch top-k cosine matches for every broadcast query row
+    (tie-complete at the k-th similarity, so the merge's
+    (cosine desc, neighbor_id) order is exact on duplicates)."""
     import ray
     qids, Q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
         else queries_ref
-    X = _matrix(batch, embed_col)
-    ids = batch.column(id_col).to_numpy()
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    Xn = _unit_rows(_matrix(batch, embed_col))
+    Qn = _unit_rows(np.asarray(Q, dtype=np.float64))
     sims = Xn @ Qn.T  # (n, P)
-    n, P = sims.shape
-    kk = min(k, n)
-    out_q, out_id, out_s = [], [], []
-    part = np.argpartition(-sims, kk - 1, axis=0)[:kk] if kk < n else \
-        np.tile(np.arange(n)[:, None], (1, P))
-    for p in range(P):
-        for r in part[:, p]:
-            out_q.append(int(qids[p]))
-            out_id.append(int(ids[r]))
-            out_s.append(float(sims[r, p]))
+    rows, qcols = tie_complete_smallest(sims, k, largest=True)
+    qarr = pa.array(list(qids))
     return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "neighbor_id": pa.array(out_id, pa.int64()),
-        "cosine": pa.array(out_s, pa.float64()),
+        "query_id": qarr.take(pa.array(qcols, pa.int64())),
+        "neighbor_id": batch.column(id_col).take(pa.array(rows, pa.int64())),
+        "cosine": pa.array(sims[rows, qcols], pa.float64()),
     })
 
 
@@ -61,12 +77,13 @@ def finalize_cosine_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def train_ivf_centroids(sample: np.ndarray, n_centroids: int,
                         iters: int = 10, seed: int = 42) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample (the IVF
-    coarse quantizer).  At 100 TB the sample comes from
-    ``ds.random_sample``; training cost is independent of table size."""
+    """Deterministic mini k-means on a bounded sample (the IVF coarse
+    quantizer).  Callers must pass a STREAMED sample (``ds.limit`` /
+    ``ds.random_sample``), never a full-table driver read; training
+    cost is then independent of table size."""
     rng = np.random.default_rng(seed)
     X = np.asarray(sample, dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    Xn = _unit_rows(X)
     idx = rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)
     C = Xn[np.sort(idx)].copy()
     for _ in range(iters):
@@ -81,14 +98,21 @@ def train_ivf_centroids(sample: np.ndarray, n_centroids: int,
     return C
 
 
+def sample_embedding_matrix(ds, n_rows: int,
+                            embed_col: str = "embedding") -> np.ndarray:
+    """Bounded training sample via a streamed limit (only ``n_rows``
+    rows ever reach the driver, regardless of table size)."""
+    tbl = ds.limit(n_rows).take_batch(n_rows, batch_format="pyarrow")
+    return _matrix(tbl, embed_col)
+
+
 def ivf_assign(batch: pa.Table, centroids_ref,
                embed_col: str = "embedding") -> pa.Table:
     """Add the nearest-centroid bucket column (the IVF partition key)."""
     import ray
     C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) \
         else centroids_ref
-    X = _matrix(batch, embed_col)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    Xn = _unit_rows(_matrix(batch, embed_col))
     bucket = np.argmax(Xn @ np.asarray(C).T, axis=1).astype(np.int32)
     return batch.append_column("ivf_bucket", pa.array(bucket, pa.int32()))
 
@@ -96,8 +120,9 @@ def ivf_assign(batch: pa.Table, centroids_ref,
 def embedding_knn_ivf(ds, queries: Tuple[Sequence[int], np.ndarray], k: int,
                       centroids: np.ndarray, nprobe: int = 4,
                       id_col: str = "vec_id", embed_col: str = "embedding"):
-    """IVF-pruned cosine top-k: score each batch row only against the
-    queries whose nprobe nearest centroids include the row's bucket.
+    """IVF-pruned cosine top-k: rows are bucket-sorted per batch and
+    each bucket does ONE matmul against the queries probing it (the
+    inverted bucket->queries index is built once on the driver).
     Approximate (recall < 1 possible at bucket boundaries) — the scale
     path next to the exact brute baseline; recall is measured in
     tests."""
@@ -105,37 +130,51 @@ def embedding_knn_ivf(ds, queries: Tuple[Sequence[int], np.ndarray], k: int,
 
     C = np.asarray(centroids, dtype=np.float64)
     qids, Q = queries
-    Qn = np.asarray(Q, dtype=np.float64)
-    Qn = Qn / np.maximum(np.linalg.norm(Qn, axis=1, keepdims=True), 1e-30)
-    # query -> set of probed buckets
+    Qn = _unit_rows(np.asarray(Q, dtype=np.float64))
+    # query -> nprobe nearest centroids, inverted to bucket -> queries
     probe_order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    bucket_queries = {}
+    for qi in range(len(qids)):
+        for b in probe_order[qi]:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    bucket_queries = {b: np.asarray(v, dtype=np.int64)
+                      for b, v in bucket_queries.items()}
     cref = ray.put(C)
-    qref = ray.put((list(qids), Qn, probe_order))
+    qref = ray.put((pa.array(list(qids)), Qn, bucket_queries))
 
     def _partial(batch: pa.Table) -> pa.Table:
-        qids_l, Qn_l, probes_l = ray.get(qref)
+        qarr, Qn_l, b2q = ray.get(qref)
         b = ivf_assign(batch, cref, embed_col)
         buckets = b.column("ivf_bucket").to_numpy()
-        X = _matrix(batch, embed_col)
-        ids = batch.column(id_col).to_numpy()
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-        out_q, out_id, out_s = [], [], []
-        for qi in range(len(qids_l)):
-            mask = np.isin(buckets, probes_l[qi])
-            if not mask.any():
+        Xn = _unit_rows(_matrix(batch, embed_col))
+        order = np.argsort(buckets, kind="stable")
+        sorted_b = buckets[order]
+        starts = np.searchsorted(sorted_b, np.unique(sorted_b), side="left")
+        bounds = np.append(starts, len(sorted_b))
+        out_rows, out_q, out_s = [], [], []
+        for i, bb in enumerate(np.unique(sorted_b)):
+            qlist = b2q.get(int(bb))
+            if qlist is None:
                 continue
-            sims = Xn[mask] @ Qn_l[qi]
-            sel_ids = ids[mask]
-            kk = min(k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) \
-                else np.arange(len(sims))
-            for r in top:
-                out_q.append(int(qids_l[qi]))
-                out_id.append(int(sel_ids[r]))
-                out_s.append(float(sims[r]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_id, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
+            rows_bb = order[bounds[i]:bounds[i + 1]]
+            sims = Xn[rows_bb] @ Qn_l[qlist].T  # (nb, nq)
+            r, c = tie_complete_smallest(sims, k, largest=True)
+            out_rows.append(rows_bb[r])
+            out_q.append(qlist[c])
+            out_s.append(sims[r, c])
+        if not out_rows:
+            return pa.table({"query_id": pa.array([], qarr.type),
+                             "neighbor_id": pa.array(
+                                 [], batch.schema.field(id_col).type),
+                             "cosine": pa.array([], pa.float64())})
+        rows = np.concatenate(out_rows)
+        qcols = np.concatenate(out_q)
+        simv = np.concatenate(out_s)
+        return pa.table({
+            "query_id": qarr.take(pa.array(qcols, pa.int64())),
+            "neighbor_id": batch.column(id_col)
+                                .take(pa.array(rows, pa.int64())),
+            "cosine": pa.array(simv, pa.float64())})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow",
                               batch_size=8192)

@@ -38,36 +38,48 @@ class KnnPartial:
         self.Q = np.asarray(self.Q, dtype=np.float64)
         self.k = k
         self.id_col = id_col
+        self._probe_arr = pa.array(list(self.probe_ids))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         id_type = batch.schema.field(self.id_col).type
         if len(batch) == 0:
-            return pa.table({"probe_id": pa.array([], id_type),
+            return pa.table({"probe_id": pa.array([], self._probe_arr.type),
                              "neighbor_id": pa.array([], id_type),
                              "chord2": pa.array([], pa.float64())})
         X = np.stack([batch.column("x").to_numpy(),
                       batch.column("y").to_numpy(),
                       batch.column("z").to_numpy()], axis=1)
-        ids = batch.column(self.id_col).to_pylist()
         chord2 = np.clip(2.0 - 2.0 * (X @ self.Q.T), 0.0, 4.0)  # (n, P)
-        n, P = chord2.shape
-        k = min(self.k, n)
-        out_probe: List[str] = []
-        out_id: List[str] = []
-        out_d: List[float] = []
-        part = np.argpartition(chord2, k - 1, axis=0)[:k] if k < n else \
-            np.tile(np.arange(n)[:, None], (1, P))
-        for p in range(P):
-            rows = part[:, p]
-            for r in rows:
-                out_probe.append(self.probe_ids[p])
-                out_id.append(ids[r])
-                out_d.append(float(chord2[r, p]))
+        rows, probes = tie_complete_smallest(chord2, self.k)
         return pa.table({
-            "probe_id": pa.array(out_probe),
-            "neighbor_id": pa.array(out_id),
-            "chord2": pa.array(out_d, pa.float64()),
+            "probe_id": self._probe_arr.take(pa.array(probes, pa.int64())),
+            "neighbor_id": batch.column(self.id_col)
+                                .take(pa.array(rows, pa.int64())),
+            "chord2": pa.array(chord2[rows, probes], pa.float64()),
         })
+
+
+def tie_complete_smallest(scores: np.ndarray, k: int,
+                          largest: bool = False) -> Tuple[np.ndarray,
+                                                          np.ndarray]:
+    """(row, col) indices of every entry within the per-column k-th
+    smallest (largest) score, INCLUDING all ties at the k-th value.
+
+    Keeping the full tie set (rather than argpartition's arbitrary k)
+    means the downstream per-probe merge — which sorts by (distance,
+    neighbor_id) — always sees the id-lexicographic winner of a
+    distance tie, matching EdgeQueryResult.Less exactly."""
+    n = scores.shape[0]
+    kk = min(k, n)
+    if kk >= n:
+        mask = np.ones(scores.shape, dtype=bool)
+    elif largest:
+        kth = np.partition(scores, n - kk, axis=0)[n - kk]
+        mask = scores >= kth[None, :]
+    else:
+        kth = np.partition(scores, kk - 1, axis=0)[kk - 1]
+        mask = scores <= kth[None, :]
+    return np.nonzero(mask)
 
 
 def furthest(points_ds, probes: Tuple[Sequence, np.ndarray], k: int,
@@ -81,27 +93,18 @@ def furthest(points_ds, probes: Tuple[Sequence, np.ndarray], k: int,
     def _partial(batch: pa.Table) -> pa.Table:
         kp = KnnPartial(probes_ref, k, id_col)
         # reuse the scorer but keep the k LARGEST per probe
-        id_type = batch.schema.field(id_col).type
         if len(batch) == 0:
             return kp(batch)
         X = np.stack([batch.column("x").to_numpy(),
                       batch.column("y").to_numpy(),
                       batch.column("z").to_numpy()], axis=1)
-        ids = batch.column(id_col).to_pylist()
         chord2 = np.clip(2.0 - 2.0 * (X @ kp.Q.T), 0.0, 4.0)
-        n, P = chord2.shape
-        kk = min(k, n)
-        part = np.argpartition(-chord2, kk - 1, axis=0)[:kk] if kk < n else \
-            np.tile(np.arange(n)[:, None], (1, P))
-        out_probe, out_id, out_d = [], [], []
-        for p in range(P):
-            for r in part[:, p]:
-                out_probe.append(kp.probe_ids[p])
-                out_id.append(ids[r])
-                out_d.append(float(chord2[r, p]))
-        return pa.table({"probe_id": pa.array(out_probe),
-                         "neighbor_id": pa.array(out_id),
-                         "chord2": pa.array(out_d, pa.float64())})
+        rows, probes = tie_complete_smallest(chord2, k, largest=True)
+        return pa.table({
+            "probe_id": kp._probe_arr.take(pa.array(probes, pa.int64())),
+            "neighbor_id": batch.column(id_col)
+                                .take(pa.array(rows, pa.int64())),
+            "chord2": pa.array(chord2[rows, probes], pa.float64())})
 
     partials = points_ds.map_batches(_partial, batch_format="pyarrow",
                                      batch_size=16384)
@@ -209,14 +212,14 @@ def knn_cell_ring(points_ds, probes: Tuple[Sequence, np.ndarray], k: int,
     merged = partials.groupby("probe_id").map_groups(
         lambda g: finalize_topk(g, k), batch_format="pandas").to_pandas()
     guard = float(angle_to_chord2(MIN_WIDTH.value(level)))
-    ok_probes = []
-    bad_probes = []
     probe_ids, Q = probes
-    for idx, p in enumerate(probe_ids):
-        sub = merged[merged["probe_id"] == p]
-        kth = sub["chord2"].max() if len(sub) >= k else np.inf
-        (ok_probes if len(sub) >= k and kth <= guard else bad_probes).append(idx)
-    frames = [merged[merged["probe_id"].isin([probe_ids[i] for i in ok_probes])]]
+    stats = merged.groupby("probe_id")["chord2"].agg(n="size", kth="max")
+    probe_index = pd.Index(probe_ids)
+    n_found = stats["n"].reindex(probe_index).fillna(0).to_numpy()
+    kth = stats["kth"].reindex(probe_index).fillna(np.inf).to_numpy()
+    ok = (n_found >= k) & (kth <= guard)
+    bad_probes = list(np.nonzero(~ok)[0])
+    frames = [merged[merged["probe_id"].isin(set(probe_index[ok]))]]
     if bad_probes:
         fb = knn(points_ds,
                  ([probe_ids[i] for i in bad_probes],
