@@ -91,6 +91,17 @@ def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
     return not (ordered_ccw(a0, b2, b0, ab1) and ordered_ccw(b0, a2, a0, ab1))
 
 
+def wedge_contains_semiwedge(a0, ab1, a2, b2, reverse: bool) -> bool:
+    """Whether wedge (a0, ab1, a2) contains the "semiwedge": any
+    non-empty open set of rays immediately CCW from edge (ab1, b2);
+    with ``reverse`` substitute CW (simulates reversing the other
+    loop).  s2/loop.go:1802-1813."""
+    if b2 == a0 or b2 == a2:
+        # shared or reversed edge
+        return (b2 == a0) == reverse
+    return ordered_ccw(a0, a2, b2, ab1)
+
+
 def edge_or_vertex_crossing(a, b, c, d) -> bool:
     """s2/edge_crossings.go:148-159."""
     crossing = crossing_sign(a, b, c, d)

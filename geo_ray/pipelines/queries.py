@@ -283,6 +283,90 @@ def q_cell_assign(sf_dir: str):
     return pts.map_batches(_tok, batch_format="pyarrow")
 
 
+def _cell_sql_cte() -> str:
+    """SQL CTE chain computing the S2 leaf cell id (as UBIGINT
+    ``id_u``) for every customer point — a full cross-engine port of
+    xyz -> face/uv -> st -> ij -> Hilbert encode (s2/stuv.go:205-256,
+    s2/cellid.go:576-598).  Exactness argument: xyz doubles are
+    bit-identical between numpy and DuckDB (asserted in tests), IEEE
+    division/sqrt are correctly rounded so u,v,s,t match bit-for-bit,
+    floor/clamp are exact, and the 8 Hilbert steps are integer table
+    lookups against the same 1024-entry LOOKUP_POS table embedded as
+    a VALUES list."""
+    from ..functions.hilbert import LOOKUP_POS
+
+    lut_vals = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(LOOKUP_POS))
+    face_expr = (
+        "CASE WHEN abs(x) > abs(y) THEN "
+        "(CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END) ELSE "
+        "(CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END")
+    steps = []
+    prev = "s_init"
+    for k in range(7, -1, -1):
+        cur = f"s{k}"
+        steps.append(
+            f"{cur} AS (SELECT t.c_custkey, t.i, t.j, "
+            f"t.n | ((l.val::UBIGINT >> 2) << {k * 8}) AS n, "
+            f"l.val::UBIGINT & 3 AS bits "
+            f"FROM {prev} t JOIN lut l ON l.idx = "
+            f"t.bits + (((t.i >> {k * 4}) & 15) * 64) "
+            f"+ (((t.j >> {k * 4}) & 15) * 4))")
+        prev = cur
+    return (
+        f"lut(idx, val) AS (VALUES {lut_vals}), "
+        f"f0 AS (SELECT c_custkey, x, y, z, {face_expr} AS fa FROM xyz), "
+        f"fc AS (SELECT *, CASE fa WHEN 0 THEN x WHEN 1 THEN y ELSE z END "
+        f"AS comp FROM f0), "
+        f"ff AS (SELECT c_custkey, x, y, z, "
+        f"CASE WHEN comp < 0 THEN fa + 3 ELSE fa END AS f FROM fc), "
+        f"uv AS (SELECT c_custkey, f, "
+        f"CASE f WHEN 0 THEN y/x WHEN 1 THEN (-x)/y WHEN 2 THEN (-x)/z "
+        f"WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE (-y)/z END AS u, "
+        f"CASE f WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN (-y)/z "
+        f"WHEN 3 THEN y/x WHEN 4 THEN (-x)/y ELSE (-x)/z END AS v "
+        f"FROM ff), "
+        f"st AS (SELECT c_custkey, f, "
+        f"CASE WHEN u >= 0.0 THEN 0.5*sqrt(1.0 + 3.0*u) "
+        f"ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s, "
+        f"CASE WHEN v >= 0.0 THEN 0.5*sqrt(1.0 + 3.0*v) "
+        f"ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t FROM uv), "
+        f"ij AS (SELECT c_custkey, f, "
+        f"CAST(least(greatest(floor(s*1073741824.0), 0.0), 1073741823.0) "
+        f"AS UBIGINT) AS i, "
+        f"CAST(least(greatest(floor(t*1073741824.0), 0.0), 1073741823.0) "
+        f"AS UBIGINT) AS j FROM st), "
+        f"s_init AS (SELECT c_custkey, i, j, (f::UBIGINT << 60) AS n, "
+        f"(f::UBIGINT & 1) AS bits FROM ij), "
+        + ", ".join(steps) +
+        f", cells AS (SELECT c_custkey, n*2 + 1 AS id_u FROM s0)")
+
+
+def _sql_parent_token(level: int, col: str = "id_u") -> str:
+    lsb = 1 << (2 * (30 - level))
+    return (f"rtrim(lower(lpad(to_hex(({col} & ~({lsb - 1}::UBIGINT)) "
+            f"| {lsb}::UBIGINT), 16, '0')), '0')")
+
+
+def sql_cell_assign() -> str:
+    return (
+        f"{_PTS_CTE}, {_cell_sql_cte()} "
+        f"SELECT c_custkey, "
+        f"CAST(CASE WHEN id_u >= 9223372036854775808::HUGEINT "
+        f"THEN id_u::HUGEINT - 18446744073709551616::HUGEINT "
+        f"ELSE id_u::HUGEINT END AS BIGINT) AS cell_id, "
+        f"rtrim(lower(lpad(to_hex(id_u), 16, '0')), '0') AS token, "
+        f"{_sql_parent_token(12)} AS parent12_token "
+        f"FROM cells ORDER BY c_custkey")
+
+
+def sql_s2_density() -> str:
+    return (
+        f"{_PTS_CTE}, {_cell_sql_cte()} "
+        f"SELECT {_sql_parent_token(4)} AS token, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM cells GROUP BY 1 ORDER BY 1")
+
+
 def q_s2_density(sf_dir: str):
     """Per-cell density at level 4 (rows-only)."""
     from ray.data.aggregate import Sum
@@ -338,6 +422,42 @@ def q_radius_join(sf_dir: str):
     out = pts.map_batches(lambda b: within_distance(b, ref),
                           batch_format="pyarrow")
     return out.select_columns(["c_custkey"])
+
+
+def sql_radius_join(radius_deg: float = 3.0) -> str:
+    """Exact SQL mirror of the within-distance predicate: point is
+    inside the quad OR its min chord² distance to any quad edge is at
+    most chord²(radius).  Per-edge closest-point logic matches
+    project_to_edge (s2/edge_distances.go:190-230): if the point's
+    great-circle projection lies between the edge endpoints the
+    distance comes from the edge-plane angle, else from the nearer
+    endpoint.  Float-boundary margins are asserted in tests."""
+    loop = Loop.from_latlngs_deg(QUAD)
+    verts = [np.asarray(v, dtype=np.float64) for v in loop.vertices]
+    rc2 = 2.0 - 2.0 * math.cos(math.radians(radius_deg))
+    edge_exprs = []
+    for i in range(len(verts)):
+        a, b = verts[i], verts[(i + 1) % len(verts)]
+        acb = np.cross(a, b)
+        n_hat = acb / np.linalg.norm(acb)
+        u = np.cross(acb, a)   # t1 = x . u  (>0: past A going toward B)
+        v = np.cross(b, acb)   # t2 = x . v  (>0: before B)
+        dot = (lambda c: f"(({c[0]!r})*x + ({c[1]!r})*y + ({c[2]!r})*z)")
+        sin_d = dot(n_hat)
+        da = (f"((x-({a[0]!r}))*(x-({a[0]!r})) + (y-({a[1]!r}))*(y-({a[1]!r}))"
+              f" + (z-({a[2]!r}))*(z-({a[2]!r})))")
+        db = (f"((x-({b[0]!r}))*(x-({b[0]!r})) + (y-({b[1]!r}))*(y-({b[1]!r}))"
+              f" + (z-({b[2]!r}))*(z-({b[2]!r})))")
+        edge_exprs.append(
+            f"CASE WHEN {dot(u)} > 0 AND {dot(v)} > 0 "
+            f"THEN 2.0 - 2.0*sqrt(greatest(0.0, 1.0 - {sin_d}*{sin_d})) "
+            f"ELSE least({da}, {db}) END")
+    best = "least(" + ", ".join(edge_exprs) + ")"
+    inside = " AND ".join(
+        f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
+        for nx, ny, nz in _quad_edge_normals())
+    return (f"{_PTS_CTE} SELECT c_custkey FROM xyz "
+            f"WHERE ({inside}) OR {best} <= {rc2!r} ORDER BY c_custkey")
 
 
 def q_knn_geo_ring(sf_dir: str, k: int = 5, n_probes: int = 8):
@@ -530,6 +650,63 @@ def q_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(simhash, batch_format="pyarrow")
+
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def sql_simhash() -> str:
+    """64-bit SimHash: per-bit majority vote of md5_number_lower word
+    hashes over ALL tokens (repeats counted), reinterpreted int64."""
+    return (
+        f"WITH words AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w "
+        f"FROM documents), "
+        f"wh AS (SELECT doc_id, md5_number_lower(w)::UBIGINT AS h FROM words), "
+        f"bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS vote FROM wh "
+        f"CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b), "
+        f"sh AS (SELECT doc_id, SUM(CASE WHEN vote > 0 "
+        f"THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END) AS s "
+        f"FROM bits GROUP BY doc_id) "
+        f"SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT "
+        f"THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) "
+        f"AS simhash FROM sh ORDER BY doc_id")
+
+
+def sql_langid() -> str:
+    """Stopword-vote language ID: distinct lowercase tokens intersected
+    with each language's stopword list; strict winner or 'und'."""
+    from ..stages.text import STOPWORDS
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        lit = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_cols.append(
+            f"len(list_intersect(toks, [{lit}])) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    n_at_best = " + ".join(f"CAST(s_{l} = best AS INT)" for l in langs)
+    # unique winner: CASE order is irrelevant when n_at_best = 1
+    winner = " ".join(f"WHEN s_{l} = best THEN '{l}'"
+                      for l in reversed(langs))
+    return (
+        f"WITH t AS (SELECT doc_id, list_transform({_TOKS_SQL}, "
+        f"w -> lower(w)) AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {', '.join(score_cols)} FROM t), "
+        f"b AS (SELECT *, {best} AS best FROM s) "
+        f"SELECT doc_id, CASE WHEN best = 0 OR ({n_at_best}) > 1 "
+        f"THEN 'und' {winner} ELSE 'und' END AS lang_pred "
+        f"FROM b ORDER BY doc_id")
+
+
+def sql_fingerprint() -> str:
+    """Rolling polynomial hash mod 2^61-1 over the first 32 tokens,
+    word hash = md5_number_lower (same bytes as the Python side)."""
+    return (
+        f"SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT, "
+        f"list_transform(list_slice({_TOKS_SQL}, 1, 32), "
+        f"w -> md5_number_lower(w)::HUGEINT)), "
+        f"(acc, x) -> (acc * 1000003 + x) % 2305843009213693951) AS BIGINT) "
+        f"AS fingerprint FROM documents ORDER BY doc_id")
 
 
 def q_langid(sf_dir: str):
@@ -754,6 +931,14 @@ def oracle_sql() -> Dict[str, str]:
         "polygon_contains": sql_polygon_contains(),
         "knn_geo": sql_knn_geo(),
         "grid_density": sql_grid_density(),
+        "cell_assign": sql_cell_assign(),
+        "s2_density": sql_s2_density(),
+        "radius_join": sql_radius_join(),
+        # the ring kNN contract is exact equality with brute kNN
+        "knn_geo_ring": sql_knn_geo(),
+        "langid": sql_langid(),
+        "fingerprint": sql_fingerprint(),
+        "simhash": sql_simhash(),
         "token_count": sql_token_count(),
         "top_terms": sql_top_terms(),
         "doc_quality": sql_doc_quality(),

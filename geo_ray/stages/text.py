@@ -71,8 +71,11 @@ def lang_id(batch: pa.Table) -> pa.Table:
 
 
 def _word_hash64(word: str) -> int:
+    """64-bit word hash = last 8 md5 bytes little-endian — the exact
+    value of DuckDB's ``md5_number_lower``, so fingerprint/simhash have
+    cross-engine SQL oracles."""
     return int.from_bytes(
-        hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big")
+        hashlib.md5(word.encode("utf-8")).digest()[8:], "little")
 
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -89,18 +92,18 @@ _WORD_HASH_CACHE: dict = {}
 
 
 def word_hashes64(tokens) -> np.ndarray:
-    """Deterministic 64-bit word hashes (memoized crc32 + splitmix)."""
-    import zlib
+    """Deterministic 64-bit word hashes (memoized md5-lower-8, the
+    DuckDB ``md5_number_lower`` value — SQL-reproducible)."""
     out = np.empty(len(tokens), dtype=np.uint64)
     cache = _WORD_HASH_CACHE
     for i, w in enumerate(tokens):
         h = cache.get(w)
         if h is None:
-            h = zlib.crc32(w.encode("utf-8"))
+            h = _word_hash64(w)
             if len(cache) < 2_000_000:
                 cache[w] = h
         out[i] = h
-    return splitmix64_np(out)
+    return out
 
 
 def fingerprint(batch: pa.Table) -> pa.Table:

@@ -117,6 +117,20 @@ class Loop:
             return inv
         return Loop(list(reversed(self.vertices)))
 
+    def boundary_equal(self, other: "Loop") -> bool:
+        """Same vertices in the same cyclic order (rotations allowed).
+        Port of Loop.BoundaryEqual (s2/loop.go:383-414)."""
+        if len(self.vertices) != len(other.vertices):
+            return False
+        if self.is_empty_or_full():
+            return self.is_empty() == other.is_empty()
+        n = len(self.vertices)
+        for offset in range(n):
+            if self.vertices[offset] == other.vertices[0]:
+                return all(self.vertices[(offset + i) % n] ==
+                           other.vertices[i] for i in range(n))
+        return False
+
     def _init_origin(self) -> None:
         """s2/loop.go initOriginAndBound (:132-166)."""
         if len(self.vertices) < 3:
@@ -291,124 +305,128 @@ class Loop:
                 return False
         return not self._any_edge_crosses_cell(cell)
 
-    # -- loop-loop relations (s2/loop.go:274-369) ---------------------------
-    def _edge_relation(self, other: "Loop"):
-        """Scan all edge pairs: returns (has_crossing, wedge_pairs)
-        where wedge_pairs are shared-vertex index pairs (i, j)."""
-        crossings = False
-        shared = []
+    # -- loop-loop relations (s2/loop.go:274-369,917-1005) ------------------
+    def _has_crossing_relation(self, other: "Loop", relation) -> bool:
+        """Brute-force port of hasCrossingRelation (s2/loop.go:1683-
+        1715, minus the ShapeIndex walk): any proper edge crossing, or
+        any shared vertex whose wedge processor reports a crossing.
+        Mutates ``relation`` (found_shared_vertex etc.)."""
         n, m = len(self.vertices), len(other.vertices)
         for i in range(n):
-            a, b = self.vertices[i], self.vertices[(i + 1) % n]
+            ai, ai1 = self.vertices[i], self.vertices[(i + 1) % n]
             for j in range(m):
-                c, d = other.vertices[j], other.vertices[(j + 1) % m]
-                if crossing_sign(a, b, c, d) > 0:
-                    return True, shared
-            if self.vertices[i] in other.vertices:
-                shared.append((i, other.vertices.index(self.vertices[i])))
-        return crossings, shared
+                bj, bj1 = other.vertices[j], other.vertices[(j + 1) % m]
+                if crossing_sign(ai, ai1, bj, bj1) > 0:
+                    return True
+            for j in range(m):
+                if ai == other.vertices[j]:
+                    if relation.wedges_cross(
+                            self.vertices[(i - 1) % n], ai, ai1,
+                            other.vertices[(j - 1) % m],
+                            other.vertices[(j + 1) % m]):
+                        return True
+        return False
 
     def contains_loop(self, other: "Loop") -> bool:
         """Whether this loop's region contains the other's.
 
-        Semantics of Loop.Contains (s2/loop.go:274-324): no boundary
-        crossings, compatible wedges at shared vertices, and one
-        representative containment test.
+        Exact port of Loop.Contains (s2/loop.go:274-324): (1) no edge
+        crossings, (2) at every shared vertex the wedges imply A
+        contains B, (3) otherwise A contains a vertex of B and B does
+        not contain a vertex of A (detects the union-is-sphere case).
         """
-        if self.is_full() or other.is_empty():
+        if self.is_empty_or_full() or other.is_empty_or_full():
+            return self.is_full() or other.is_empty()
+        relation = _ContainsRelation()
+        if self._has_crossing_relation(other, relation):
+            return False
+        if relation.found_shared_vertex:
             return True
-        if self.is_empty() or other.is_full():
+        if not self.contains_point(other.vertices[0]):
             return False
-        from ..functions.edges import wedge_contains
-        has_crossing, shared = self._edge_relation(other)
-        if has_crossing:
+        if other.contains_point(self.vertices[0]):
             return False
-        n, m = len(self.vertices), len(other.vertices)
-        for i, j in shared:
-            a0 = self.vertices[(i - 1) % n]
-            a2 = self.vertices[(i + 1) % n]
-            b0 = other.vertices[(j - 1) % m]
-            b2 = other.vertices[(j + 1) % m]
-            if not wedge_contains(a0, self.vertices[i], a2, b0, b2):
-                return False
-        # representative point of other not on our boundary
-        shared_js = {j for _, j in shared}
-        rep_inside = None
-        for j in range(m):
-            if j not in shared_js:
-                rep_inside = self.contains_point(other.vertices[j])
-                break
-        if rep_inside is None:
-            # All vertices shared (wedges already verified compatible):
-            # probe a point just INSIDE other's first edge — for
-            # identical loops this lands in both interiors; an edge
-            # midpoint itself would sit on the common boundary.
-            b0 = np.asarray(other.vertices[0])
-            b1 = np.asarray(other.vertices[1 % m])
-            nrm_o = np.cross(b0, b1)
-            nn_o = np.linalg.norm(nrm_o)
-            mid = b0 + b1
-            mn = np.linalg.norm(mid)
-            if nn_o == 0 or mn == 0:
-                rep_inside = True
-            else:
-                probe_in = mid / mn + 1e-9 * (nrm_o / nn_o)
-                probe_in = probe_in / np.linalg.norm(probe_in)
-                rep_inside = self.contains_point(tuple(probe_in))
-        if not rep_inside:
-            return False
-        # other's boundary is inside this region; rule out the
-        # "mutually containing boundaries" case (A's complement sits
-        # inside B, e.g. a clockwise loop vs a hemisphere): probe a
-        # point just inside A's complement (right of an A edge) — it
-        # must not belong to B (final condition of the 3-condition
-        # proof, s2/loop.go:276-293).
-        a0 = np.asarray(self.vertices[0])
-        a1 = np.asarray(self.vertices[1 % len(self.vertices)])
-        nrm = np.cross(a0, a1)
-        nn = np.linalg.norm(nrm)
-        if nn > 0:
-            mid = a0 + a1
-            mid = mid / np.linalg.norm(mid)
-            probe = mid - 1e-9 * (nrm / nn)
-            probe = probe / np.linalg.norm(probe)
-            if not self.contains_point(tuple(probe)) and \
-                    other.contains_point(tuple(probe)):
-                return False
         return True
 
     def intersects_loop(self, other: "Loop") -> bool:
         """Whether the two regions' interiors intersect
-        (Loop.Intersects, s2/loop.go:326-369)."""
+        (exact port of Loop.Intersects, s2/loop.go:326-369)."""
         if self.is_empty() or other.is_empty():
             return False
         if self.is_full() or other.is_full():
             return True
-        from ..functions.edges import wedge_intersects
-        has_crossing, shared = self._edge_relation(other)
-        if has_crossing:
+        relation = _IntersectsRelation()
+        if self._has_crossing_relation(other, relation):
             return True
-        n, m = len(self.vertices), len(other.vertices)
-        for i, j in shared:
-            a0 = self.vertices[(i - 1) % n]
-            a2 = self.vertices[(i + 1) % n]
-            b0 = other.vertices[(j - 1) % m]
-            b2 = other.vertices[(j + 1) % m]
-            if wedge_intersects(a0, self.vertices[i], a2, b0, b2):
-                return True
-        shared_is = {i for i, _ in shared}
-        shared_js = {j for _, j in shared}
-        for j in range(m):
-            if j not in shared_js:
-                if self.contains_point(other.vertices[j]):
-                    return True
-                break
-        for i in range(n):
-            if i not in shared_is:
-                if other.contains_point(self.vertices[i]):
-                    return True
-                break
+        if relation.found_shared_vertex:
+            return False
+        if self.contains_point(other.vertices[0]):
+            return True
+        if other.contains_point(self.vertices[0]):
+            return True
         return False
+
+    def compare_boundary(self, other: "Loop",
+                         other_is_hole: bool = False) -> int:
+        """+1 if this loop contains the other's boundary, -1 if it
+        excludes it, 0 if the boundaries cross.  Shared edge XY is
+        contained iff Reversed(XY) == other_is_hole.  Port of
+        Loop.compareBoundary (s2/loop.go:917-962)."""
+        if self.is_full():
+            return 1
+        if other.is_full():
+            return -1
+        relation = _CompareBoundaryRelation(other_is_hole)
+        if self._has_crossing_relation(other, relation):
+            return 0
+        if relation.found_shared_vertex:
+            return 1 if relation.contains_edge else -1
+        return 1 if self.contains_point(other.vertices[0]) else -1
+
+    def _find_vertex(self, p) -> int:
+        """Index of vertex ``p`` in 1..n, or 0 if absent
+        (s2/loop.go:915-948, exhaustive branch)."""
+        p = tuple(float(c) for c in p)
+        n = len(self.vertices)
+        for i in range(1, n + 1):
+            if self.vertices[i % n] == p:
+                return i
+        return 0
+
+    def _vertex(self, i: int):
+        return self.vertices[i % len(self.vertices)]
+
+    def contains_nested(self, other: "Loop") -> bool:
+        """Containment assuming no edge crossings or shared edges
+        (shared vertices allowed) — Loop.ContainsNested
+        (s2/loop.go:951-983)."""
+        from ..functions.edges import wedge_contains
+        if self.is_empty_or_full() or len(other.vertices) < 2:
+            return self.is_full() or other.is_empty()
+        m = self._find_vertex(other._vertex(1))
+        if m == 0:
+            return self.contains_point(other._vertex(1))
+        return wedge_contains(self._vertex(m - 1), self._vertex(m),
+                              self._vertex(m + 1), other._vertex(0),
+                              other._vertex(2))
+
+    def contains_non_crossing_boundary(self, other: "Loop",
+                                       reverse_other: bool) -> bool:
+        """Whether this loop contains the other's boundary, given the
+        boundaries do not cross (cheaper than compare_boundary).
+        Port of Loop.containsNonCrossingBoundary (s2/loop.go:1815-
+        1844)."""
+        from ..functions.edges import wedge_contains_semiwedge
+        if self.is_full():
+            return True
+        if other.is_full():
+            return False
+        m = self._find_vertex(other._vertex(0))
+        if m == 0:
+            return self.contains_point(other._vertex(0))
+        return wedge_contains_semiwedge(
+            self._vertex(m - 1), self._vertex(m), self._vertex(m + 1),
+            other._vertex(1), reverse_other)
 
     # -- bounds -------------------------------------------------------------
     def rect_bound(self):
@@ -535,6 +553,53 @@ class Loop:
                 raise ValueError(f"duplicate adjacent vertices at {i}")
             if v == (-nxt[0], -nxt[1], -nxt[2]):
                 raise ValueError(f"antipodal adjacent vertices at {i}")
+
+
+class _ContainsRelation:
+    """loopRelation for Contains (s2/loop.go:1734-1746): a shared
+    vertex whose wedge fails WedgeContains is equivalent to an edge
+    crossing."""
+
+    def __init__(self):
+        self.found_shared_vertex = False
+
+    def wedges_cross(self, a0, ab1, a2, b0, b2) -> bool:
+        from ..functions.edges import wedge_contains
+        self.found_shared_vertex = True
+        return not wedge_contains(a0, ab1, a2, b0, b2)
+
+
+class _IntersectsRelation:
+    """loopRelation for Intersects (s2/loop.go:1748-1760)."""
+
+    def __init__(self):
+        self.found_shared_vertex = False
+
+    def wedges_cross(self, a0, ab1, a2, b0, b2) -> bool:
+        from ..functions.edges import wedge_intersects
+        self.found_shared_vertex = True
+        return wedge_intersects(a0, ab1, a2, b0, b2)
+
+
+class _CompareBoundaryRelation:
+    """loopRelation for compareBoundary (s2/loop.go:1762-1799): tracks
+    whether any edge of the other loop is contained/excluded; both at
+    once means the boundaries cross."""
+
+    def __init__(self, reverse: bool):
+        self.reverse = reverse
+        self.found_shared_vertex = False
+        self.contains_edge = False
+        self.excludes_edge = False
+
+    def wedges_cross(self, a0, ab1, a2, b0, b2) -> bool:
+        from ..functions.edges import wedge_contains_semiwedge
+        self.found_shared_vertex = True
+        if wedge_contains_semiwedge(a0, ab1, a2, b2, self.reverse):
+            self.contains_edge = True
+        else:
+            self.excludes_edge = True
+        return self.contains_edge and self.excludes_edge
 
 
 def _turn_angle(a, b, c):

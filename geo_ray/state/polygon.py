@@ -169,32 +169,96 @@ class Polygon:
             total += c if d % 2 == 0 else -c
         return tuple(float(v) for v in total)
 
-    def contains_polygon(self, other: "Polygon") -> bool:
-        """Region containment (s2/polygon.go:826-900).  Implemented for
-        single-loop polygons via the loop relations; multi-loop inputs
-        use the conservative reduction shell ⊇ shell and no hole of
-        self intersecting other's shell."""
-        if len(self.loops) == 1 and len(other.loops) == 1:
-            return self.loops[0].contains_loop(other.loops[0])
-        if not self.loops or not other.loops:
-            return not other.loops
+    def is_full(self) -> bool:
+        return len(self.loops) == 1 and self.loops[0].is_full()
+
+    def _ordered_loops_holes(self):
+        """Loops sorted shells-first (stable), paired with is_hole =
+        depth odd — the reference's storage invariant (loop 0 is a
+        depth-0 shell) reconstructed from the xor representation."""
         depths = self._loop_depths()
-        shell = self.loops[depths.index(0)]
-        other_shell = other.loops[other._loop_depths().index(0)]
-        if not shell.contains_loop(other_shell):
-            return False
-        for l, d in zip(self.loops, depths):
-            if d % 2 == 1 and l.intersects_loop(other_shell):
+        order = sorted(range(len(self.loops)), key=lambda i: depths[i])
+        return [(self.loops[i], depths[i] % 2 == 1) for i in order]
+
+    def _has_holes(self) -> bool:
+        return any(d % 2 == 1 for d in self._loop_depths())
+
+    def compare_boundary_loop(self, o: Loop, o_is_hole: bool = False) -> int:
+        """+1 contains / -1 excludes / 0 crosses the boundary of loop
+        ``o``: the sign flips once per containing loop
+        (s2/polygon.go:920-929)."""
+        result = -1
+        for l in self.loops:
+            if result == 0:
+                break
+            result *= -l.compare_boundary(o, o_is_hole)
+        return result
+
+    def _contains_boundary(self, other: "Polygon") -> bool:
+        return all(self.compare_boundary_loop(l, hole) > 0
+                   for l, hole in other._ordered_loops_holes())
+
+    def _excludes_boundary(self, other: "Polygon") -> bool:
+        return all(self.compare_boundary_loop(l, hole) < 0
+                   for l, hole in other._ordered_loops_holes())
+
+    def contains_non_crossing_boundary(self, o: Loop,
+                                       reverse: bool) -> bool:
+        """s2/polygon.go:927-937: xor over loops."""
+        inside = False
+        for l in self.loops:
+            inside ^= l.contains_non_crossing_boundary(o, reverse)
+        return inside
+
+    def _excludes_non_crossing_shells(self, other: "Polygon") -> bool:
+        """s2/polygon.go:939-951."""
+        for l, hole in other._ordered_loops_holes():
+            if hole:
+                continue
+            if self.contains_non_crossing_boundary(l, False):
                 return False
         return True
 
+    def _excludes_non_crossing_complement_shells(
+            self, other: "Polygon") -> bool:
+        """s2/polygon.go:953-980: the complement's shells are other's
+        first (depth-0) loop inverted plus other's holes."""
+        if other.is_empty():
+            return not self.is_full()
+        if other.is_full():
+            return True
+        for j, (l, hole) in enumerate(other._ordered_loops_holes()):
+            if j > 0 and not hole:
+                continue
+            if self.contains_non_crossing_boundary(l, j == 0):
+                return False
+        return True
+
+    def _any_loop_contains(self, o: Loop) -> bool:
+        return any(l.contains_loop(o) for l in self.loops)
+
+    def _any_loop_intersects(self, o: Loop) -> bool:
+        return any(l.intersects_loop(o) for l in self.loops)
+
+    def contains_polygon(self, other: "Polygon") -> bool:
+        """Region containment — full port of Polygon.Contains
+        (s2/polygon.go:846-889): loop relations when hole-free, else
+        A contains the boundary of B and B excludes the shell
+        boundaries of A's complement."""
+        if len(self.loops) == 1 and len(other.loops) == 1:
+            return self.loops[0].contains_loop(other.loops[0])
+        if not self._has_holes() and not other._has_holes():
+            return all(self._any_loop_contains(l) for l in other.loops) \
+                if other.loops else True
+        return self._contains_boundary(other) and \
+            other._excludes_non_crossing_complement_shells(self)
+
     def intersects_polygon(self, other: "Polygon") -> bool:
-        """Region intersection (s2/polygon.go:902-1003), same reduction
-        notes as contains_polygon."""
+        """Region intersection — full port of Polygon.Intersects
+        (s2/polygon.go:891-918)."""
         if len(self.loops) == 1 and len(other.loops) == 1:
             return self.loops[0].intersects_loop(other.loops[0])
-        if not self.loops or not other.loops:
-            return False
-        shell = self.loops[self._loop_depths().index(0)]
-        other_shell = other.loops[other._loop_depths().index(0)]
-        return shell.intersects_loop(other_shell)
+        if not self._has_holes() and not other._has_holes():
+            return any(self._any_loop_intersects(l) for l in other.loops)
+        return not self._excludes_boundary(other) or \
+            not other._excludes_non_crossing_shells(self)

@@ -50,7 +50,10 @@ def _to_df(result) -> pd.DataFrame:
 
 ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
-    "knn_geo", "grid_density", "token_count", "top_terms", "doc_quality",
+    "knn_geo", "knn_geo_ring", "grid_density", "radius_join",
+    "cell_assign", "s2_density",
+    "langid", "fingerprint", "simhash",
+    "token_count", "top_terms", "doc_quality",
     "dedup_exact", "embed_knn", "events_hourly", "events_sliding",
     "events_sessions", "lineitem_agg",
 ]
@@ -104,6 +107,41 @@ def test_predicate_margins():
         for nx, ny, nz in _quad_edge_normals():
             dots = nx * x + ny * y + nz * z
             assert np.abs(dots).min() > 1e-9
+        # radius_join boundary: min |edge chord2 - radius chord2|
+        from geo_ray.functions.distance import chord2_point_edge
+        from geo_ray.functions.latlng import angle_to_chord2
+        from geo_ray.pipelines.queries import QUAD
+        from geo_ray.state.loop import Loop
+
+        loop = Loop.from_latlngs_deg(QUAD)
+        verts = [np.asarray(v) for v in loop.vertices]
+        pts = np.stack([x, y, z], axis=1)
+        best = np.full(len(pts), 4.0)
+        for i in range(len(verts)):
+            best = np.minimum(best, chord2_point_edge(
+                pts, verts[i], verts[(i + 1) % len(verts)]))
+        rc2 = float(angle_to_chord2(math.radians(3.0)))
+        assert np.abs(best - rc2).min() > 1e-8
+
+
+def test_sql_xyz_bit_identical():
+    """The cell_assign/s2_density SQL oracles' exactness rests on the
+    xyz doubles being bit-identical between numpy and DuckDB (IEEE
+    division/sqrt and integer table lookups are exact from there)."""
+    from geo_ray.pipelines.queries import _PTS_CTE, derive_latlng_np
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                    f"read_parquet('{sf}/customer.parquet')")
+        df = con.execute(f"{_PTS_CTE} SELECT c_custkey, x, y, z FROM xyz "
+                         f"ORDER BY c_custkey").fetchdf()
+        lat, lng = derive_latlng_np(df["c_custkey"].to_numpy())
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        assert (x == df["x"].to_numpy()).all()
+        assert (y == df["y"].to_numpy()).all()
+        assert (z == df["z"].to_numpy()).all()
 
 
 def test_ring_knn_equals_brute_knn(ray_session):
