@@ -39,23 +39,31 @@ INDEX_EDGE_THRESHOLD = 48  # build a cell-local edge index above this
 #  s2/loop.go:615 / s2/edge_query.go:473-488)
 
 
+MAX_EDGES_PER_CELL = 10  # s2/shapeindex.go:636
+
+
 class _PolyEdgeIndex:
-    """ShapeIndex-lite: per boundary-covering-cell clipped edge lists +
-    a contains-center bit (semantics of clippedShape/ShapeIndexCell,
-    s2/shapeindex.go:73-155, built eagerly, conservative selection: an
-    edge is kept for a cell iff it comes within the cell's bounding-cap
-    radius of the cap center — a superset of the edges any
-    center-to-point segment inside the cell can cross, since caps are
-    geodesically convex).  Refinement then counts crossings from the
-    CELL CENTER over O(edges-per-cell) edges instead of from the global
-    origin over all edges."""
+    """ShapeIndex-lite with true clipped-edge subdivision: boundary
+    covering cells are recursively split while they hold more than
+    MAX_EDGES_PER_CELL edges that have not reached their max level
+    (updateEdges/makeIndexCell semantics, s2/shapeindex.go:923-1260;
+    maxLevelForEdge, s2/shapeindex.go:1529-1538).  Each leaf stores the
+    edges whose UV clip against the leaf's padded rect is non-empty —
+    exactly the edges a center-to-point segment inside the (convex)
+    cell can cross.  Refinement counts crossings from the LEAF CENTER
+    over <= ~MAX_EDGES_PER_CELL edges instead of from the global origin
+    over all edges, so per-point refine cost stays O(1) as the
+    geometry densifies."""
 
     def __init__(self, poly: Polygon, boundary_cells: List[int]):
         from ..functions import cellid as cid
-        from ..functions.distance import chord2_point_edge
-        from ..functions.latlng import angle_to_chord2, chord2_to_angle
+        from ..functions.edge_clipping import (FACE_CLIP_ERROR_UV_COORD,
+                                               INTERSECTS_RECT_ERROR_UV_DIST,
+                                               clip_to_padded_face)
+        from ..functions.metric import AVG_EDGE
         from ..state.cell import Cell
 
+        pad = 2.0 * (FACE_CLIP_ERROR_UV_COORD + INTERSECTS_RECT_ERROR_UV_DIST)
         starts, ends = [], []
         for l in poly.loops:
             for a, b in l.edges():
@@ -63,31 +71,140 @@ class _PolyEdgeIndex:
                 ends.append(b)
         self.cvs = np.asarray(starts, dtype=np.float64).reshape(-1, 3)
         self.dvs = np.asarray(ends, dtype=np.float64).reshape(-1, 3)
-        cells = sorted(boundary_cells)
-        self.rmin = np.array([cid.range_min(c) for c in cells],
+        n_edges = len(self.cvs)
+        # maxLevelForEdge: first level where avg edge <= edge length
+        chord = np.linalg.norm(self.cvs - self.dvs, axis=1)
+        max_lvl = np.array([AVG_EDGE.min_level(float(c)) for c in chord],
+                           dtype=np.int64)
+
+        face_segs: Dict[int, Tuple] = {}
+
+        def _face_segments(face: int):
+            """(edge ids, au, av, bu, bv) arrays of the edges whose
+            face clip is non-empty."""
+            segs = face_segs.get(face)
+            if segs is None:
+                ids, au, av, bu, bv = [], [], [], [], []
+                for e in range(n_edges):
+                    a_uv, b_uv, ok = clip_to_padded_face(
+                        tuple(self.cvs[e]), tuple(self.dvs[e]), face, pad)
+                    if ok:
+                        ids.append(e)
+                        au.append(a_uv[0]); av.append(a_uv[1])
+                        bu.append(b_uv[0]); bv.append(b_uv[1])
+                segs = (np.asarray(ids, dtype=np.int64),
+                        np.asarray(au), np.asarray(av),
+                        np.asarray(bu), np.asarray(bv))
+                face_segs[face] = segs
+            return segs
+
+        leaves: List[Tuple[int, np.ndarray, bool]] = []
+        cxd_all = np.cross(self.cvs, self.dvs)
+
+        def _parity_flip(a: np.ndarray, b: np.ndarray,
+                         eids: np.ndarray) -> bool:
+            """Whether segment AB crosses the given edges an odd number
+            of times (vectorized triage + robust scalar fallback) — the
+            interior-tracker step (s2/shapeindex.go:1184-1205): a
+            child's center containment = parent's XOR this flip, valid
+            because the segment stays inside the convex parent cell so
+            only the parent's clipped edges can cross it."""
+            from ..functions.edges import edge_or_vertex_crossing
+            from ..functions.predicates import MAX_DETERMINANT_ERROR
+            if len(eids) == 0:
+                return False
+            cvs = self.cvs[eids]
+            dvs = self.dvs[eids]
+            cxd = cxd_all[eids]
+            axb = np.cross(a, b)
+            det_c = cxd @ a
+            det_d = cxd @ b
+            det_a2 = axb @ cvs.T
+            det_b2 = axb @ dvs.T
+            eps = MAX_DETERMINANT_ERROR
+            amb = ((np.abs(det_c) <= eps) | (np.abs(det_d) <= eps) |
+                   (np.abs(det_a2) <= eps) | (np.abs(det_b2) <= eps))
+            acb = -np.sign(det_a2)
+            clear = ((np.sign(det_b2) == acb) & (-np.sign(det_d) == acb) &
+                     (np.sign(det_c) == acb) & ~amb)
+            cnt = int(clear.sum())
+            ta, tb = tuple(a), tuple(b)
+            for e in np.nonzero(amb)[0]:
+                if edge_or_vertex_crossing(ta, tb, tuple(cvs[e]),
+                                           tuple(dvs[e])):
+                    cnt += 1
+            return (cnt & 1) == 1
+
+        def _seg_rect_mask(segs, subset: np.ndarray, rect) -> np.ndarray:
+            """Exact vectorized segment-vs-rect intersection (SAT over
+            x, y and the segment normal — same decision clip_edge
+            makes, without per-edge Python)."""
+            _, au, av, bu, bv = segs
+            au = au[subset]; av = av[subset]
+            bu = bu[subset]; bv = bv[subset]
+            u_lo, u_hi, v_lo, v_hi = rect
+            bb = ((np.minimum(au, bu) <= u_hi) & (np.maximum(au, bu) >= u_lo)
+                  & (np.minimum(av, bv) <= v_hi)
+                  & (np.maximum(av, bv) >= v_lo))
+            du = bu - au
+            dv = bv - av
+            s1 = du * (v_lo - av) - dv * (u_lo - au)
+            s2 = du * (v_lo - av) - dv * (u_hi - au)
+            s3 = du * (v_hi - av) - dv * (u_lo - au)
+            s4 = du * (v_hi - av) - dv * (u_hi - au)
+            all_pos = (s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)
+            all_neg = (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+            return bb & ~(all_pos | all_neg)
+
+        def _subdivide(ci: int, subset: np.ndarray, segs,
+                       inside: bool) -> None:
+            cell = Cell(ci)
+            rect = (cell.u_lo - pad, cell.u_hi + pad,
+                    cell.v_lo - pad, cell.v_hi + pad)
+            present = subset[_seg_rect_mask(segs, subset, rect)]
+            eids = segs[0][present]
+            count = int((cell.level < max_lvl[eids]).sum())
+            if count <= MAX_EDGES_PER_CELL or cell.level >= 30:
+                leaves.append((ci, eids, inside))
+                return
+            center = np.array(cid.cell_id_to_point(ci), dtype=np.float64)
+            for child in cid.children(ci):
+                ccenter = np.array(cid.cell_id_to_point(child),
+                                   dtype=np.float64)
+                cinside = inside ^ _parity_flip(center, ccenter, eids)
+                _subdivide(child, present, segs, cinside)
+
+        roots = sorted(boundary_cells)
+        if roots:
+            root_ids = np.array(roots, dtype=np.uint64)
+            rx, ry, rz = cid.cell_id_to_point_v(root_ids)
+            root_centers = np.stack([rx, ry, rz], axis=1)
+            root_inside = poly.contains_points_batch(root_centers)
+        for k, ci in enumerate(roots):
+            face = int(ci >> 61)
+            segs = _face_segments(face)
+            all_ids = np.arange(len(segs[0]), dtype=np.int64)
+            _subdivide(ci, all_ids, segs, bool(root_inside[k]))
+
+        self.rmin = np.array([cid.range_min(ci) for ci, _, _ in leaves],
                              dtype=np.uint64)
-        centers = []
-        inside = []
-        radii = []
         offsets = [0]
         edge_ids: List[int] = []
-        for ci in cells:
-            cell = Cell(ci)
-            cap = cell.cap_bound()
-            center = np.asarray(cap.center)
-            radius = float(chord2_to_angle(cap.radius_chord2))
-            radii.append(cap.radius_chord2)
-            limit = float(angle_to_chord2(min(np.pi, radius + 1e-9)))
-            d = chord2_point_edge(center[None, :].repeat(len(self.cvs), 0),
-                                  self.cvs, self.dvs)
-            sel = np.nonzero(d <= limit)[0]
-            edge_ids.extend(int(e) for e in sel)
+        for _, eids, _ in leaves:
+            edge_ids.extend(eids)
             offsets.append(len(edge_ids))
-            centers.append(center)
-            inside.append(poly.contains_point(tuple(center)))
-        self.centers = np.asarray(centers, dtype=np.float64).reshape(-1, 3)
-        self.cap_radius_chord2 = np.asarray(radii, dtype=np.float64)
-        self.center_inside = np.asarray(inside, dtype=bool)
+        leaf_ids = np.array([ci for ci, _, _ in leaves], dtype=np.uint64)
+        cx, cy, cz = cid.cell_id_to_point_v(leaf_ids)
+        self.centers = np.stack([cx, cy, cz], axis=1)
+        # conservative bounding-cap radius per leaf: half the max cell
+        # diagonal at the leaf's level (used by crossings_indexed)
+        from ..functions.latlng import angle_to_chord2
+        from ..functions.metric import MAX_DIAG
+        self.cap_radius_chord2 = np.array(
+            [float(angle_to_chord2(MAX_DIAG.value(cid.level(int(ci))) / 2.0))
+             for ci in leaf_ids], dtype=np.float64)
+        self.center_inside = np.array([ins for _, _, ins in leaves],
+                                      dtype=bool)
         self.offsets = np.asarray(offsets, dtype=np.int64)
         self.edge_ids = np.asarray(edge_ids, dtype=np.int64)
         self.poly = poly

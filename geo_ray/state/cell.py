@@ -84,6 +84,21 @@ class Cell:
         return (self.u_lo - eps <= u <= self.u_hi + eps and
                 self.v_lo - eps <= v <= self.v_hi + eps)
 
+    def contains_any_point(self, varr: np.ndarray) -> bool:
+        """Vectorized: does ANY row of the (n,3) array lie in this
+        cell?  Same uv-rect semantics as :meth:`contains_point`."""
+        varr = np.asarray(varr, dtype=np.float64).reshape(-1, 3)
+        f = self.face
+        major = varr[:, f % 3]
+        ok = major > 0 if f < 3 else major < 0
+        if not ok.any():
+            return False
+        u, v = stuv.valid_face_xyz_to_uv(
+            np.int64(f), varr[ok, 0], varr[ok, 1], varr[ok, 2])
+        eps = 2 * DBL_EPSILON
+        return bool(((u >= self.u_lo - eps) & (u <= self.u_hi + eps) &
+                     (v >= self.v_lo - eps) & (v <= self.v_hi + eps)).any())
+
     def center(self):
         x, y, z = cid.cell_id_to_point(self.id)
         return (x, y, z)

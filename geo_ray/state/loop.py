@@ -38,6 +38,7 @@ class Loop:
         self.origin_inside = False
         self._init_origin()
         self._bound = None  # lazy lat/lng rect tuple
+        self._edge_cache = None  # lazy (cvs, dvs, cxd) arrays
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -207,14 +208,19 @@ class Loop:
         if self.is_empty_or_full():
             return np.full(len(pts), self.origin_inside, dtype=bool)
         pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
-        cvs = self._varr                       # (e,3) edge starts
-        dvs = np.roll(self._varr, -1, axis=0)  # (e,3) edge ends
+        cvs, dvs, cxd = self._edge_arrays()
+        n, e = len(pts), len(cvs)
+        # chunk so the (n_chunk, e) sign matrices stay memory-bounded
+        if n * e > 8_000_000 and n > 1:
+            chunk = max(1, 8_000_000 // e)
+            return np.concatenate([
+                self.contains_points_batch(pts[i:i + chunk])
+                for i in range(0, n, chunk)])
         o = np.array(ORIGIN, dtype=np.float64)
         # sign(o,p,x) = (o x p) . x ; per point cross, then matmul
         oxp = np.cross(o[None, :], pts)                     # (n,3)
         det_c = oxp @ cvs.T                                 # (n,e) = sign(o,p,c)
         det_d = oxp @ dvs.T                                 # (n,e) = sign(o,p,d)
-        cxd = np.cross(cvs, dvs)                            # (e,3)
         det_b = pts @ cxd.T                                 # (n,e) = sign(c,d,p)
         det_a = cxd @ o                                     # (e,)  = sign(c,d,o)
         eps = MAX_DETERMINANT_ERROR
@@ -236,6 +242,15 @@ class Loop:
                 inside[idx] = self.contains_point(tuple(pts[idx]))
         return inside
 
+    def _edge_arrays(self):
+        """Cached (cvs, dvs, cxd) edge arrays — recomputing the crosses
+        per probe dominates coverer time on dense loops."""
+        if self._edge_cache is None:
+            cvs = self._varr
+            dvs = np.roll(self._varr, -1, axis=0)
+            self._edge_cache = (cvs, dvs, np.cross(cvs, dvs))
+        return self._edge_cache
+
     # -- cell relations (covering generator callbacks) ----------------------
     def _any_edge_crosses_cell(self, cell: Cell) -> bool:
         """Any loop edge crossing any cell edge.  Vectorized triage over
@@ -244,9 +259,7 @@ class Loop:
         if self.is_empty_or_full():
             return False
         verts = cell.vertices()
-        cvs = self._varr
-        dvs = np.roll(self._varr, -1, axis=0)
-        cxd = np.cross(cvs, dvs)  # (E,3)
+        cvs, dvs, cxd = self._edge_arrays()
         eps = MAX_DETERMINANT_ERROR
         for k in range(4):
             a = np.asarray(verts[k])
@@ -285,9 +298,8 @@ class Loop:
             return True
         if self.contains_points_batch(np.asarray(cell.vertices())).any():
             return True
-        for v in self.vertices:
-            if cell.contains_point(v):
-                return True
+        if cell.contains_any_point(self._varr):
+            return True
         return self._any_edge_crosses_cell(cell)
 
     def contains_cell(self, cell: Cell) -> bool:
@@ -300,9 +312,8 @@ class Loop:
             return True
         if not self.contains_points_batch(np.asarray(cell.vertices())).all():
             return False
-        for v in self.vertices:
-            if cell.contains_point(v):
-                return False
+        if cell.contains_any_point(self._varr):
+            return False
         return not self._any_edge_crosses_cell(cell)
 
     # -- loop-loop relations (s2/loop.go:274-369,917-1005) ------------------

@@ -80,9 +80,8 @@ class Polygon:
         for l in self.loops:
             if l.is_empty_or_full():
                 continue
-            for v in l.vertices:
-                if cell.contains_point(v):
-                    return True
+            if cell.contains_any_point(l._varr):
+                return True
             if l._any_edge_crosses_cell(cell):
                 return True
         return any(l.is_full() for l in self.loops) and len(self.loops) == 1
@@ -94,9 +93,8 @@ class Polygon:
         for l in self.loops:
             if l.is_empty_or_full():
                 continue
-            for v in l.vertices:
-                if cell.contains_point(v):
-                    return False
+            if cell.contains_any_point(l._varr):
+                return False
             if l._any_edge_crosses_cell(cell):
                 return False
         return True
