@@ -107,6 +107,137 @@ def chord2_edge_edge(a, b, c, d):
                      chord2_point_edge(np.asarray(b), np.asarray(c), np.asarray(d))))
 
 
+_EPS64 = 2.220446049250313e-16
+_UNIT_ROUNDOFF = _EPS64 / 2          # s2/predicates.go:42
+_T_ERR = _EPS64 / 2                  # roundingEpsilon(float64)
+INTERSECTION_ERROR = 8 * _UNIT_ROUNDOFF  # s2/edge_crossings.go:32
+
+
+def _cmp_vec(a, b) -> int:
+    """r3.Vector.Cmp: lexicographic (x, y, z)."""
+    for i in range(3):
+        if a[i] < b[i]:
+            return -1
+        if a[i] > b[i]:
+            return 1
+    return 0
+
+
+def _compare_edges(a0, a1, b0, b1) -> bool:
+    """s2/edge_crossings.go:271-279."""
+    if _cmp_vec(a0, a1) != -1:
+        a0, a1 = a1, a0
+    if _cmp_vec(b0, b1) != -1:
+        b0, b1 = b1, b0
+    return _cmp_vec(a0, b0) == -1 or \
+        (tuple(a0) == tuple(b0) and _cmp_vec(b0, b1) == -1)
+
+
+def _projection(x, a_norm, a_norm_len, a0, a1):
+    """Signed distance of x from the plane through (a0,a1) scaled by
+    |a_norm|, with a rigorous error bound.  s2/edge_crossings.go:228-267."""
+    import math
+    x0 = x - a0
+    x1 = x - a1
+    x0d2 = float(x0 @ x0)
+    x1d2 = float(x1 @ x1)
+    if x0d2 < x1d2 or (x0d2 == x1d2 and _cmp_vec(x0, x1) == -1):
+        dist = math.sqrt(x0d2)
+        proj = float(x0 @ a_norm)
+    else:
+        dist = math.sqrt(x1d2)
+        proj = float(x1 @ a_norm)
+    bound = (((3.5 + 2 * math.sqrt(3)) * a_norm_len +
+              32 * math.sqrt(3) * _UNIT_ROUNDOFF) * dist +
+             1.5 * abs(proj)) * _T_ERR
+    return proj, bound
+
+
+def _intersection_stable_sorted(a0, a1, b0, b1):
+    """s2/edge_crossings.go:300-360; first edge must be the longer."""
+    import math
+    a_norm = np.cross(a0 - a1, a0 + a1)
+    a_norm_len = float(np.linalg.norm(a_norm))
+    b_len = float(np.linalg.norm(b1 - b0))
+    b0_dist, b0_err = _projection(b0, a_norm, a_norm_len, a0, a1)
+    b1_dist, b1_err = _projection(b1, a_norm, a_norm_len, a0, a1)
+    dist_sum = abs(b0_dist - b1_dist)
+    err_sum = b0_err + b1_err
+    if dist_sum <= err_sum:
+        return None
+    x = b1 * b0_dist - b0 * b1_dist
+    err = (b_len * abs(b0_dist * b1_err - b1_dist * b0_err) /
+           (dist_sum - err_sum) + 2 * dist_sum * _T_ERR)
+    x_len = float(np.linalg.norm(x))
+    if err > (INTERSECTION_ERROR - _T_ERR) * x_len:
+        return None
+    return x / x_len
+
+
+def _intersection_stable(a0, a1, b0, b1):
+    """s2/edge_crossings.go:283-297: longer edge provides the normal."""
+    a_len2 = float((a1 - a0) @ (a1 - a0))
+    b_len2 = float((b1 - b0) @ (b1 - b0))
+    if a_len2 < b_len2 or (a_len2 == b_len2 and
+                           _compare_edges(a0, a1, b0, b1)):
+        return _intersection_stable_sorted(b0, b1, a0, a1)
+    return _intersection_stable_sorted(a0, a1, b0, b1)
+
+
+def _intersection_exact(a0, a1, b0, b1) -> np.ndarray:
+    """Exact-rational cross-of-crosses, rounded to double at the end
+    (s2/edge_crossings.go:362-400); collinear edges fall back to the
+    lexicographically-smallest interior shared endpoint."""
+    from fractions import Fraction
+
+    def _fr(v):
+        return (Fraction(float(v[0])), Fraction(float(v[1])),
+                Fraction(float(v[2])))
+
+    def _cross(u, v):
+        return (u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0])
+
+    a_norm = _cross(_fr(a0), _fr(a1))
+    b_norm = _cross(_fr(b0), _fr(b1))
+    xf = _cross(a_norm, b_norm)
+    if xf == (0, 0, 0):
+        # exactly collinear: of the four endpoints exactly two lie in
+        # the other edge's interior; return the lexicographically
+        # smaller (SoS still calls this a crossing).
+        from .predicates import ordered_ccw
+        an = np.array([float(c) for c in a_norm])
+        bn = np.array([float(c) for c in b_norm])
+        x = np.array([10.0, 10.0, 10.0])
+        for p, (e0, e1, nrm) in ((a0, (b0, b1, bn)), (a1, (b0, b1, bn)),
+                                 (b0, (a0, a1, an)), (b1, (a0, a1, an))):
+            if ordered_ccw(tuple(e0), tuple(p), tuple(e1), tuple(nrm)) \
+                    and _cmp_vec(p, x) == -1:
+                x = np.asarray(p, dtype=np.float64)
+        return x
+    x = np.array([float(c) for c in xf])
+    n = np.linalg.norm(x)
+    return x / n if n > 0 else x
+
+
+def edge_intersection_robust(a, b, c, d) -> np.ndarray:
+    """Intersection point of crossing edges AB and CD within
+    INTERSECTION_ERROR of the true point: the stable projection /
+    interpolation path with an exact-arithmetic fallback when its
+    error bound fails (Intersection, s2/edge_crossings.go:172-205)."""
+    a0 = np.asarray(a, dtype=np.float64)
+    a1 = np.asarray(b, dtype=np.float64)
+    b0 = np.asarray(c, dtype=np.float64)
+    b1 = np.asarray(d, dtype=np.float64)
+    pt = _intersection_stable(a0, a1, b0, b1)
+    if pt is None:
+        pt = _intersection_exact(a0, a1, b0, b1)
+    if float(pt @ ((a0 + a1) + (b0 + b1))) < 0:
+        pt = -pt
+    return pt
+
+
 def edge_intersection(a, b, c, d) -> np.ndarray:
     """Intersection point of crossing edges AB and CD (stable variant
     of s2/edge_crossings.go:172-250): the direction (A x B) x (C x D)

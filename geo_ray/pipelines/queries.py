@@ -476,6 +476,73 @@ def q_knn_geo_ring(sf_dir: str, k: int = 5, n_probes: int = 8):
     return out[["probe_id", "neighbor_id", "rank"]]
 
 
+POLYLINE_PTS = [(60.0, -120.0), (50.0, -60.0), (70.0, -20.0)]
+
+
+def _shape_targets():
+    from ..state.polyline import Polyline
+    from ..stages.knn import ShapeTarget
+
+    loop = Loop.from_latlngs_deg(QUAD)
+    line = Polyline.from_latlngs_deg(POLYLINE_PTS)
+    return [ShapeTarget("quad", Polygon.from_loop(loop)),
+            ShapeTarget("line", line)]
+
+
+def q_knn_shape(sf_dir: str, k: int = 5):
+    """k nearest points to each geometry target (polygon incl.
+    interior, polyline): the ShapeIndexTarget distance semantics
+    (s2/min_distance_targets.go:254-359) through the partial/merge
+    kNN machinery."""
+    from ..stages.knn import knn_to_shapes
+
+    pts = _customer_points(sf_dir)
+    out = knn_to_shapes(pts, _shape_targets(), k, id_col="c_custkey")
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def _sql_shape_chord2(target) -> str:
+    """Bit-identical SQL mirror of ShapeTarget.chord2."""
+    def dot(c):
+        return f"(({c[0]!r})*x + ({c[1]!r})*y + ({c[2]!r})*z)"
+
+    parts = []
+    for e in range(len(target.A)):
+        u, v, nh = target.u[e], target.v[e], target.n_hat[e]
+        A, B = target.A[e], target.B[e]
+        da = (f"((x-({A[0]!r}))*(x-({A[0]!r})) + (y-({A[1]!r}))*"
+              f"(y-({A[1]!r})) + (z-({A[2]!r}))*(z-({A[2]!r})))")
+        db = (f"((x-({B[0]!r}))*(x-({B[0]!r})) + (y-({B[1]!r}))*"
+              f"(y-({B[1]!r})) + (z-({B[2]!r}))*(z-({B[2]!r})))")
+        sin_d = dot(nh)
+        parts.append(
+            f"CASE WHEN {dot(u)} > 0 AND {dot(v)} > 0 "
+            f"THEN 2.0 - 2.0*sqrt(greatest(0.0, 1.0 - {sin_d}*{sin_d})) "
+            f"ELSE least({da}, {db}) END")
+    expr = parts[0] if len(parts) == 1 else \
+        "least(" + ", ".join(parts) + ")"
+    if target.polygon is not None:
+        inside = " AND ".join(
+            f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
+            for nx, ny, nz in _quad_edge_normals())
+        expr = f"CASE WHEN ({inside}) THEN 0.0 ELSE {expr} END"
+    return expr
+
+
+def sql_knn_shape(k: int = 5) -> str:
+    blocks = []
+    for t in _shape_targets():
+        blocks.append(
+            f"SELECT '{t.shape_id}' AS probe_id, c_custkey AS neighbor_id, "
+            f"{_sql_shape_chord2(t)} AS chord2 FROM xyz")
+    union = " UNION ALL ".join(blocks)
+    return (f"{_PTS_CTE}, d AS ({union}), "
+            f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+            f"(PARTITION BY probe_id ORDER BY chord2, neighbor_id) AS rank "
+            f"FROM d) SELECT probe_id, neighbor_id, rank FROM ranked "
+            f"WHERE rank <= {k} ORDER BY probe_id, rank")
+
+
 def q_convex_hull(sf_dir: str):
     """Distributed convex hull: per-partition hulls inside map_batches,
     merged on the driver (classic parallel hull; rows-only)."""
@@ -902,6 +969,7 @@ def queries() -> Dict:
         "covering": q_covering,
         "radius_join": q_radius_join,
         "knn_geo_ring": q_knn_geo_ring,
+        "knn_shape": q_knn_shape,
         "convex_hull": q_convex_hull,
         "token_count": q_token_count,
         "top_terms": q_top_terms,
@@ -936,6 +1004,7 @@ def oracle_sql() -> Dict[str, str]:
         "radius_join": sql_radius_join(),
         # the ring kNN contract is exact equality with brute kNN
         "knn_geo_ring": sql_knn_geo(),
+        "knn_shape": sql_knn_shape(),
         "langid": sql_langid(),
         "fingerprint": sql_fingerprint(),
         "simhash": sql_simhash(),

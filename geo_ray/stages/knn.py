@@ -230,6 +230,107 @@ def knn_cell_ring(points_ds, probes: Tuple[Sequence, np.ndarray], k: int,
     return out.sort_values(["probe_id", "rank"]).reset_index(drop=True)
 
 
+class ShapeTarget:
+    """Broadcastable kNN target made of edges (polyline / loop /
+    polygon boundary) plus an optional interior (distance 0 inside) —
+    the ShapeIndexTarget semantics of s2/min_distance_targets.go:254-359
+    realized as a vectorized per-batch scorer.
+
+    Scoring uses the closed-form per-edge chord2: if the point's
+    projection lies in the edge's lune, 2-2*sqrt(1-sin(d)^2) from the
+    edge-plane angle, else the nearer endpoint chord2 — algebraically
+    identical to updateMinDistance (s2/edge_distances.go:224-270) and
+    written in the exact operation order of the SQL oracle so both
+    engines produce bit-identical doubles from bit-identical xyz."""
+
+    def __init__(self, shape_id, geometry):
+        from ..state.loop import Loop
+        from ..state.polygon import Polygon
+        from ..state.polyline import Polyline
+
+        self.shape_id = shape_id
+        if isinstance(geometry, Polyline):
+            edges = list(zip(geometry.vertices, geometry.vertices[1:]))
+            self.polygon = None
+        elif isinstance(geometry, (Loop, Polygon)):
+            poly = geometry if isinstance(geometry, Polygon) \
+                else Polygon.from_loop(geometry)
+            edges = []
+            for l in poly.loops:
+                edges.extend(l.edges())
+            self.polygon = poly
+        else:
+            raise TypeError(type(geometry))
+        A = np.asarray([e[0] for e in edges], dtype=np.float64)
+        B = np.asarray([e[1] for e in edges], dtype=np.float64)
+        acb = np.cross(A, B)
+        self.n_hat = acb / np.linalg.norm(acb, axis=1, keepdims=True)
+        self.u = np.cross(acb, A)   # x.u > 0: past A toward B
+        self.v = np.cross(B, acb)   # x.v > 0: before B
+        self.A = A
+        self.B = B
+
+    @staticmethod
+    def _dot(pts: np.ndarray, c) -> np.ndarray:
+        # explicit left-associated component sum — bit-identical to the
+        # SQL oracle's `c0*x + c1*y + c2*z` (BLAS matvec may reorder)
+        return pts[:, 0] * c[0] + pts[:, 1] * c[1] + pts[:, 2] * c[2]
+
+    def chord2(self, pts: np.ndarray) -> np.ndarray:
+        """(n,) min squared-chord distance from each point."""
+        best = np.full(len(pts), 4.0)
+        for e in range(len(self.A)):
+            t1 = self._dot(pts, self.u[e])
+            t2 = self._dot(pts, self.v[e])
+            s = self._dot(pts, self.n_hat[e])
+            in_lune = (t1 > 0) & (t2 > 0)
+            plane = 2.0 - 2.0 * np.sqrt(np.maximum(0.0, 1.0 - s * s))
+            da = ((pts[:, 0] - self.A[e, 0]) ** 2 +
+                  (pts[:, 1] - self.A[e, 1]) ** 2 +
+                  (pts[:, 2] - self.A[e, 2]) ** 2)
+            db = ((pts[:, 0] - self.B[e, 0]) ** 2 +
+                  (pts[:, 1] - self.B[e, 1]) ** 2 +
+                  (pts[:, 2] - self.B[e, 2]) ** 2)
+            d = np.where(in_lune, plane, np.minimum(da, db))
+            best = np.minimum(best, d)
+        if self.polygon is not None:
+            best[self.polygon.contains_points_batch(pts)] = 0.0
+        return best
+
+
+def knn_to_shapes(points_ds, targets, k: int, *,
+                  id_col: str = "image_id"):
+    """k nearest dataset points to each broadcast geometry target:
+    per-batch tie-complete partial top-k over the per-target chord2
+    scorer, then the same tiny per-target merge as :func:`knn`."""
+    import ray
+    tref = ray.put(list(targets))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tgts = ray.get(tref)
+        probe_arr = pa.array([t.shape_id for t in tgts])
+        id_type = batch.schema.field(id_col).type
+        if len(batch) == 0:
+            return pa.table({"probe_id": pa.array([], probe_arr.type),
+                             "neighbor_id": pa.array([], id_type),
+                             "chord2": pa.array([], pa.float64())})
+        pts = np.stack([batch.column("x").to_numpy(),
+                        batch.column("y").to_numpy(),
+                        batch.column("z").to_numpy()], axis=1)
+        scores = np.stack([t.chord2(pts) for t in tgts], axis=1)  # (n, T)
+        rows, probes = tie_complete_smallest(scores, k)
+        return pa.table({
+            "probe_id": probe_arr.take(pa.array(probes, pa.int64())),
+            "neighbor_id": batch.column(id_col)
+                                .take(pa.array(rows, pa.int64())),
+            "chord2": pa.array(scores[rows, probes], pa.float64())})
+
+    partials = points_ds.map_batches(_partial, batch_format="pyarrow",
+                                     batch_size=16384)
+    return partials.groupby("probe_id").map_groups(
+        lambda g: finalize_topk(g, k), batch_format="pandas")
+
+
 def knn(points_ds, probes: Tuple[Sequence[str], np.ndarray], k: int,
         *, id_col: str = "image_id", concurrency=None):
     """points_ds must carry x/y/z and id_col columns."""

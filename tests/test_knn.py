@@ -103,3 +103,58 @@ def test_knn_tie_order_is_deterministic(ray_session):
     got = knn(rd.from_arrow(dup), ([pids[0]], Q[:1]), 3, id_col="pid") \
         .to_pandas().sort_values("rank")
     assert list(got["neighbor_id"]) == ["d0", "d1", "d2"]
+
+
+def test_shape_target_chord2_matches_reference_formula():
+    """ShapeTarget's closed-form per-edge chord2 must agree with the
+    reference projection formula (updateMinDistance)."""
+    from geo_ray.functions.distance import chord2_point_edge
+    from geo_ray.state.polyline import Polyline
+    from geo_ray.stages.knn import ShapeTarget
+
+    line = Polyline.from_latlngs_deg([(10.0, 20.0), (15.0, 40.0),
+                                      (-5.0, 55.0)])
+    t = ShapeTarget("l", line)
+    tbl = _points_table(2000)
+    pts = np.stack([tbl.column("x").to_numpy(), tbl.column("y").to_numpy(),
+                    tbl.column("z").to_numpy()], axis=1)
+    got = t.chord2(pts)
+    want = np.full(len(pts), 4.0)
+    for a, b in zip(line.vertices, line.vertices[1:]):
+        want = np.minimum(want, chord2_point_edge(
+            pts, np.asarray(a), np.asarray(b)))
+    assert np.abs(got - want).max() < 1e-12
+
+
+def test_knn_to_shapes_matches_brute_oracle(ray_session):
+    """knn_to_shapes vs a brute per-point min-edge-distance oracle
+    (style of s2/edge_query_test.go:283-324), polygon interior = 0."""
+    import ray.data as rd
+    from geo_ray.state.loop import Loop
+    from geo_ray.state.polygon import Polygon
+    from geo_ray.state.polyline import Polyline
+    from geo_ray.stages.knn import ShapeTarget, knn_to_shapes
+
+    loop = Loop.from_latlngs_deg([(0.0, 0.0), (0.0, 30.0), (25.0, 35.0),
+                                  (20.0, -5.0)])
+    poly = Polygon.from_loop(loop)
+    line = Polyline.from_latlngs_deg([(50.0, -100.0), (40.0, -60.0)])
+    targets = [ShapeTarget("poly", poly), ShapeTarget("line", line)]
+    tbl = _points_table(5000)
+    k = 7
+    got = knn_to_shapes(rd.from_arrow(tbl), targets, k,
+                        id_col="pid").to_pandas()
+    pts = np.stack([tbl.column("x").to_numpy(), tbl.column("y").to_numpy(),
+                    tbl.column("z").to_numpy()], axis=1)
+    ids = np.array(tbl.column("pid").to_pylist())
+    for t in targets:
+        d = t.chord2(pts)
+        if t.shape_id == "poly":
+            d = d.copy()
+            d[poly.contains_points_batch(pts)] = 0.0
+        order = np.lexsort((ids, d))[:k]
+        want = list(ids[order])
+        sub = got[got["probe_id"] == t.shape_id].sort_values("rank")
+        assert list(sub["neighbor_id"]) == want, t.shape_id
+    assert set(got["probe_id"]) == {"poly", "line"}
+    assert (got.groupby("probe_id").size() == k).all()

@@ -50,7 +50,7 @@ def _to_df(result) -> pd.DataFrame:
 
 ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
-    "knn_geo", "knn_geo_ring", "grid_density", "radius_join",
+    "knn_geo", "knn_geo_ring", "knn_shape", "grid_density", "radius_join",
     "cell_assign", "s2_density",
     "langid", "fingerprint", "simhash",
     "token_count", "top_terms", "doc_quality",
