@@ -126,19 +126,19 @@ def run_suite(headline_only: bool = False) -> dict:
     }
 
 
-SCALING_LEVELS = (int(os.environ.get("GRAFT_SCALE_LO", "2")),
-                  int(os.environ.get("GRAFT_SCALE_HI", "8")))
+SCALING_LEVELS = (int(os.environ.get("GRAFT_SCALE_LO", "4")),
+                  int(os.environ.get("GRAFT_SCALE_HI", "16")))
 
 
 def run_scaling() -> dict:
     """Same headline job at N and 4N CPUs in fresh processes.
 
-    Default levels are 2 and 8: direct process probes show this VM's
-    per-core throughput for memory-streaming workloads degrades above
-    ~8 busy cores (host bandwidth ceiling) and collapses by 32, so
-    higher level pairs measure the hypervisor, not the engine.  Levels
-    are overridable via GRAFT_SCALE_LO/HI; BASELINE.md records
-    measurements at both 2->8 and 4->16.
+    Default levels are 4 and 16 (efficiency 0.836 measured after the
+    round-2 memory-traffic reductions — see BASELINE.md).  The 8->32
+    pair is still host-limited: a pure-ALU no-Ray control (32 procs of
+    register-only integer work) only reaches 0.72 of linear on this VM,
+    so that pair measures the hypervisor's vCPU delivery, not the
+    engine.  Levels are overridable via GRAFT_SCALE_LO/HI.
     """
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     out = {}

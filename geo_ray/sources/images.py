@@ -79,18 +79,40 @@ def _pixels_for_row(i: int, phash: int, w: int, h: int) -> np.ndarray:
     return _pixels_for_rows(np.array([phash], dtype=np.int64), w, h)[0]
 
 
+_GRID_CACHE: dict = {}
+
+
+def _grid(w: int, h: int):
+    key = (w, h)
+    g = _GRID_CACHE.get(key)
+    if g is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        xn = (xx / max(1, w - 1)).astype(np.float32) * np.float32(96.0)
+        yn = (yy / max(1, h - 1)).astype(np.float32) * np.float32(96.0)
+        g = _GRID_CACHE[key] = (xn, yn)
+    return g
+
+
 def _pixels_for_rows(phashes: np.ndarray, w: int, h: int) -> np.ndarray:
-    """Vectorized content synthesis for same-shaped rows -> (n,h,w,3)."""
+    """Vectorized content synthesis for same-shaped rows -> (n,h,w,3).
+
+    The gradient is rounded once as a shared int16 plane and the three
+    channel offsets are added in integer math: ~3x less memory traffic
+    than broadcasting a float32 (n,h,w,3) intermediate (this stage runs
+    on every synthesized row, so its bandwidth footprint sets the
+    many-core scaling ceiling)."""
     u = np.asarray(phashes).view(np.uint64)
     base = np.stack([(u >> _U(16)) & _U(0xFF), (u >> _U(24)) & _U(0xFF),
-                     (u >> _U(40)) & _U(0xFF)], axis=1).astype(np.float32)
-    gx = ((u >> _U(48)) & _U(0xFF)).astype(np.float32) / 255.0 - 0.5
-    gy = ((u >> _U(56)) & _U(0xFF)).astype(np.float32) / 255.0 - 0.5
-    yy, xx = np.mgrid[0:h, 0:w]
-    grad = (gx[:, None, None] * (xx / max(1, w - 1)).astype(np.float32)[None] +
-            gy[:, None, None] * (yy / max(1, h - 1)).astype(np.float32)[None]) * 96.0
-    img = base[:, None, None, :] + grad[..., None]
-    np.rint(img, out=img)
+                     (u >> _U(40)) & _U(0xFF)], axis=1).astype(np.int16)
+    gx = ((u >> _U(48)) & _U(0xFF)).astype(np.float32) / np.float32(255.0) \
+        - np.float32(0.5)
+    gy = ((u >> _U(56)) & _U(0xFF)).astype(np.float32) / np.float32(255.0) \
+        - np.float32(0.5)
+    xn, yn = _grid(w, h)
+    grad = gx[:, None, None] * xn[None]
+    grad += gy[:, None, None] * yn[None]
+    gradi = np.rint(grad).astype(np.int16)          # shared (n,h,w) plane
+    img = gradi[..., None] + base[:, None, None, :]  # (n,h,w,3) int16
     np.clip(img, 0, 255, out=img)
     return img.astype(np.uint8)
 
