@@ -43,17 +43,26 @@ class NthDerivativeCoder:
 
     def __init__(self, n: int = _DERIV_ORDER):
         self.n = n
+        self.m = 0  # derivative order warms up by one per call
         self.memory = [0] * n
 
     def encode(self, k: int) -> int:
-        for i in range(self.n):
+        # s2/nthderivative.go:71-82: the i-th call encodes at most the
+        # i-th derivative, so early values never difference against the
+        # zero-initialized memory.
+        for i in range(self.m):
             delta = _wrap32(k - self.memory[i])
             self.memory[i] = k
             k = delta
+        if self.m < self.n:
+            self.memory[self.m] = k
+            self.m += 1
         return k
 
     def decode(self, k: int) -> int:
-        for i in range(self.n - 1, -1, -1):
+        if self.m < self.n:
+            self.m += 1
+        for i in range(self.m - 1, -1, -1):
             self.memory[i] = _wrap32(self.memory[i] + k)
             k = self.memory[i]
         return k
@@ -201,9 +210,16 @@ def decode_points_compressed(data: bytes, level: int,
                              num_points: int) -> List[Tuple[float, float, float]]:
     """Inverse of :func:`encode_points_compressed`.
     s2/pointcompression.go:218-260."""
+    return decode_points_compressed_at(data, 0, level, num_points)[0]
+
+
+def decode_points_compressed_at(data: bytes, pos: int, level: int,
+                                num_points: int):
+    """Like :func:`decode_points_compressed` but starts at ``pos`` in a
+    larger stream and returns ``(points, end_pos)`` so region decoders
+    (loop/polyline/polygon compressed formats) can continue reading."""
     if num_points > MAX_ENCODED_VERTICES:
         raise ValueError("too many vertices")
-    pos = 0
     faces: List[int] = []
     while len(faces) < num_points:
         coded, pos = _read_uvarint(data, pos)
@@ -241,4 +257,4 @@ def decode_points_compressed(data: bytes, level: int,
         x, y, z = struct.unpack_from("<ddd", data, pos)
         pos += 24
         out[idx] = (x, y, z)
-    return out
+    return out, pos
