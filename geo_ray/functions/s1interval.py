@@ -128,3 +128,55 @@ def intersects(i, o) -> bool:
     if is_inverted(o):
         return o[0] <= i[1] or o[1] >= i[0]
     return o[0] <= i[1] and o[1] >= i[0]
+
+
+def from_endpoints(lo: float, hi: float) -> Tuple[float, float]:
+    """Directed interval with the given endpoints; -pi normalized to pi
+    unless forming full/empty (s1/interval.go IntervalFromEndpoints)."""
+    if lo == -PI and hi != PI:
+        lo = PI
+    if hi == -PI and lo != PI:
+        hi = PI
+    return (lo, hi)
+
+
+def center(i) -> float:
+    """Midpoint, wrap-aware (s1/interval.go Center)."""
+    c = 0.5 * (i[0] + i[1])
+    if not is_inverted(i):
+        return c
+    if c <= 0:
+        return c + PI
+    return c - PI
+
+
+def complement(i) -> Tuple[float, float]:
+    if i[0] == i[1]:
+        return full()
+    return (i[1], i[0])
+
+
+def complement_center(i) -> float:
+    """s1/interval.go ComplementCenter."""
+    if i[0] != i[1]:
+        return center(complement(i))
+    return i[1]
+
+
+def directed_hausdorff(i, y) -> float:
+    """max over p in i of min distance to y, along S1
+    (s1/interval.go:416-448)."""
+    if contains_interval(y, i):
+        return 0.0  # includes empty i
+    if is_empty(y):
+        return PI
+    y_cc = complement_center(y)
+    if contains(i, y_cc):
+        return _positive_distance(y[1], y_cc)
+    hi_hi = 0.0
+    if contains(from_endpoints(y[1], y_cc), i[1]):
+        hi_hi = _positive_distance(y[1], i[1])
+    lo_lo = 0.0
+    if contains(from_endpoints(y_cc, y[0]), i[0]):
+        lo_lo = _positive_distance(i[0], y[0])
+    return max(hi_hi, lo_lo)

@@ -202,6 +202,41 @@ class Rect:
     def cell_union_bound(self) -> List[int]:
         return self.cap_bound().cell_union_bound()
 
+    # -- Hausdorff distances, closed form (s2/rect.go:469-653) --------------
+
+    def distance_to_latlng(self, lat_deg: float, lng_deg: float) -> float:
+        """Min distance (radians) from a point to the rect, boundary or
+        interior (s2/rect.go:469-484)."""
+        from ..functions import s1interval as s1
+        lat, lng = math.radians(lat_deg), math.radians(lng_deg)
+        lat_iv, lng_iv = self._lat_rad(), self._lng_rad()
+        if s1.contains(lng_iv, lng):
+            return max(0.0, lat - lat_iv[1], lat_iv[0] - lat)
+        i = s1.from_endpoints(lng_iv[1], s1.complement_center(lng_iv))
+        rect_lng = lng_iv[1] if s1.contains(i, lng) else lng_iv[0]
+        lo = _pt_rad(lat_iv[0], rect_lng)
+        hi = _pt_rad(lat_iv[1], rect_lng)
+        return _dist_seg(_pt_rad(lat, lng), lo, hi)
+
+    def directed_hausdorff_distance(self, other: "Rect") -> float:
+        """h(A, B) = max_{p in A} min_{q in B} d(p, q), radians
+        (s2/rect.go:486-499 closed form; replaces the sampled
+        approximation of functions/distance.directed_hausdorff_chord2
+        for exact rect-to-rect queries)."""
+        from ..functions import s1interval as s1
+        if self.is_empty():
+            return 0.0
+        if other.is_empty():
+            return math.pi
+        lng = s1.directed_hausdorff(self._lng_rad(), other._lng_rad())
+        return _directed_hausdorff_lat(lng, self._lat_rad(),
+                                       other._lat_rad())
+
+    def hausdorff_distance(self, other: "Rect") -> float:
+        """H(A, B) = max{h(A, B), h(B, A)} (s2/rect.go:501-509)."""
+        return max(self.directed_hausdorff_distance(other),
+                   other.directed_hausdorff_distance(self))
+
 
 # -- wrap-aware longitude interval helpers (s1.Interval semantics) ---------
 
@@ -302,3 +337,100 @@ def _intersects_lat_edge(a, b, lat: float, lng_iv) -> bool:
                                             math.atan2(isect[1], isect[0])):
                 return True
     return False
+
+
+# -- Hausdorff helpers (s2/rect.go:520-653) ---------------------------------
+
+def _pt_rad(lat: float, lng: float) -> np.ndarray:
+    """PointFromLatLng on radian inputs."""
+    cos_lat = math.cos(lat)
+    return np.array([cos_lat * math.cos(lng), cos_lat * math.sin(lng),
+                     math.sin(lat)])
+
+
+def _angle_vv(p: np.ndarray, q: np.ndarray) -> float:
+    """r3.Vector.Angle: atan2(|pxq|, p.q) -- scale invariant."""
+    return math.atan2(float(np.linalg.norm(np.cross(p, q))),
+                      float(np.dot(p, q)))
+
+
+def _dist_seg(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    """DistanceFromSegment in radians via the chord2 kernel."""
+    from ..functions.distance import chord2_point_edge
+    c2 = chord2_point_edge(x, a, b)
+    return 2.0 * math.asin(min(1.0, 0.5 * math.sqrt(max(0.0, c2))))
+
+
+def _directed_hausdorff_lat(lng_diff: float, a, b) -> float:
+    """Directed Hausdorff distance between two longitudinal edges with
+    latitude ranges ``a``/``b`` and longitude separation ``lng_diff``
+    (s2/rect.go:520-601; see that comment block for the Voronoi-region
+    case analysis)."""
+    assert 0.0 <= lng_diff <= math.pi
+    if lng_diff == 0.0:
+        # r1.Interval.DirectedHausdorffDistance (r1/interval.go:166-178)
+        if a[0] > a[1]:
+            return 0.0
+        if b[0] > b[1]:
+            return math.inf
+        return max(0.0, a[1] - b[1], b[0] - a[0])
+
+    b_lng = lng_diff
+    b_lo = _pt_rad(b[0], b_lng)
+    b_hi = _pt_rad(b[1], b_lng)
+    a_lo = _pt_rad(a[0], 0.0)
+    a_hi = _pt_rad(a[1], 0.0)
+    max_d = max(_dist_seg(a_lo, b_lo, b_hi), _dist_seg(a_hi, b_lo, b_hi))
+
+    if lng_diff <= math.pi / 2:
+        # Case A2: both edges cross the equator.
+        if a[0] <= 0.0 <= a[1] and b[0] <= 0.0 <= b[1]:
+            max_d = max(max_d, lng_diff)
+        return max_d
+
+    # Case B2: intersection of edge a with the bisector great circle E3.
+    p = _bisector_intersection(b, b_lng)
+    p_lat = math.asin(max(-1.0, min(1.0, p[2] / float(np.linalg.norm(p)))))
+    if a[0] <= p_lat <= a[1]:
+        max_d = max(max_d, _angle_vv(p, b_lo))
+
+    # Case B3: interior maxima below/above the bisector intersection.
+    if p_lat > a[0]:
+        d = _interior_max_distance((a[0], min(p_lat, a[1])), b_lo)
+        if d is not None:
+            max_d = max(max_d, d)
+    if p_lat < a[1]:
+        d = _interior_max_distance((max(p_lat, a[0]), a[1]), b_hi)
+        if d is not None:
+            max_d = max(max_d, d)
+    return max_d
+
+
+def _interior_max_distance(a_lat, b: np.ndarray):
+    """Max distance from b to the lat range a_lat on longitude 0 if the
+    max occurs in the interior (s2/rect.go:604-620); None otherwise."""
+    if a_lat[0] > a_lat[1] or b[0] >= 0.0:
+        return None
+    ip = np.array([-b[0], 0.0, -b[2]])
+    n = float(np.linalg.norm(ip))
+    if n == 0.0:
+        return None
+    ip /= n
+    ip_lat = math.asin(max(-1.0, min(1.0, ip[2])))
+    if not (a_lat[0] < ip_lat < a_lat[1]):
+        return None
+    return _angle_vv(b, ip)
+
+
+def _bisector_intersection(lat_iv, lng: float) -> np.ndarray:
+    """Intersection of longitude 0 with the bisector of the edge on
+    longitude ``lng`` spanning ``lat_iv`` (s2/rect.go:622-640)."""
+    lng = abs(lng)
+    lat_center = 0.5 * (lat_iv[0] + lat_iv[1])
+    if lat_center < 0:
+        ortho_bisector = _pt_rad(-lat_center - math.pi / 2, lng - math.pi)
+    else:
+        ortho_bisector = _pt_rad(lat_center - math.pi / 2, lng)
+    ortho_lng = np.array([0.0, -1.0, 0.0])
+    # Point.PointCross: (a+b) x (b-a) = 2 a x b, nonzero for antipodal
+    return np.cross(ortho_lng + ortho_bisector, ortho_bisector - ortho_lng)
