@@ -18,8 +18,12 @@ ORIGIN = (-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195)
 def ortho(p):
     """Unit vector orthogonal to p with Ortho(-p) == -Ortho(p).
 
-    s2/point.go:103-117: cross with the basis vector following the
-    largest component.
+    Bit-faithful to s2/point.go:250-261: cross with the perturbed
+    near-basis vector (0.012, 0.0053, 0.00457) whose component after
+    the largest component of p is set to 1 — the perturbation keeps
+    the result stable when p sits near a coordinate axis, and this
+    exact vector is what referenceDir / ContainsVertexQuery and
+    Loop.initOriginAndBound decisions depend on.
     """
     x, y, z = p
     ax, ay, az = abs(x), abs(y), abs(z)
@@ -27,8 +31,7 @@ def ortho(p):
         largest = 0 if ax > az else 2
     else:
         largest = 1 if ay > az else 2
-    # largest X -> z-axis, Y -> x-axis, Z -> y-axis (s2/point.go:108-115)
-    ov = [0.0, 0.0, 0.0]
+    ov = [0.012, 0.0053, 0.00457]
     ov[(largest + 2) % 3] = 1.0
     cx = y * ov[2] - z * ov[1]
     cy = z * ov[0] - x * ov[2]
