@@ -913,16 +913,111 @@ def _sf_num_images(sf_dir: str) -> int:
 
 
 def q_spatial_join_images(sf_dir: str):
-    from .flagship import city_polygons, build_points
-    from ..stages.join import JoinState, polygon_join
+    from .flagship import _default_join_state, build_points
+    from ..stages.join import polygon_join
     import ray
 
-    state = JoinState(city_polygons())
+    # same polygons as the flagship: reuse its disk-cached JoinState
+    # (the covering build is a ~6 s driver-side computation)
+    state = _default_join_state()
     ref = ray.put(state)
     pts = build_points(_sf_num_images(sf_dir))
     return pts.map_batches(lambda b: polygon_join(b, ref),
                            batch_format="pyarrow") \
               .select_columns(["image_id", "polygon_id"])
+
+
+_GOLDEN = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+_TWO64 = 1 << 64
+
+
+def _mul64_sql(a: str, c: int) -> str:
+    """(a * c) mod 2^64 for UBIGINT a and constant c, via HUGEINT
+    split multiplication (DuckDB UBIGINT arithmetic traps overflow)."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (f"CAST(((CAST({a} AS HUGEINT) * {lo}) + "
+            f"(((CAST({a} AS HUGEINT) * {hi}) % 4294967296) * 4294967296))"
+            f" % {_TWO64} AS UBIGINT)")
+
+
+def _city_octagon_normals():
+    """Outward-CCW edge normals (A x B float64) for each synthetic city
+    octagon, embedded in the oracle as literals so containment is the
+    same all-dots-positive half-space test the refine stage resolves
+    exactly (same pattern as sql_polygon_contains)."""
+    from .flagship import city_polygons
+    out = []
+    for name, poly in city_polygons():
+        verts = poly.loops[0].vertices
+        n = len(verts)
+        normals = []
+        for i in range(n):
+            a, b = verts[i], verts[(i + 1) % n]
+            normals.append((a[1] * b[2] - a[2] * b[1],
+                            a[2] * b[0] - a[0] * b[2],
+                            a[0] * b[1] - a[1] * b[0]))
+        out.append((name, normals))
+    return out
+
+
+def sql_spatial_join_images(num_images: int = 10_000) -> str:
+    """Cross-engine oracle for the flagship spatial join: synthesize the
+    image geotags in SQL (splitmix64 phash -> lat/lng with the 20% city
+    hot remap, sources/images.py:40-74, exact 64-bit arithmetic via
+    HUGEINT) and test each point against the city octagons' edge
+    half-spaces."""
+    from ..sources.images import CITIES
+    gold = _GOLDEN
+    z0 = f"CAST((CAST(xor(i, {gold}) AS HUGEINT) + {gold}) % {_TWO64} " \
+         f"AS UBIGINT)"
+    z1 = _mul64_sql("xor(z0, z0 >> 30)", _SM_C1)
+    z2 = _mul64_sql("xor(z1, z1 >> 27)", _SM_C2)
+    city_lat = "CASE city " + " ".join(
+        f"WHEN {i} THEN {lat!r}" for i, (lat, _) in enumerate(CITIES)) + \
+        " END"
+    city_lng = "CASE city " + " ".join(
+        f"WHEN {i} THEN {lng!r}" for i, (_, lng) in enumerate(CITIES)) + \
+        " END"
+    # The city octagons are pairwise disjoint, so a point matches at
+    # most one; a single-pass CASE avoids DuckDB re-inlining the whole
+    # HUGEINT synthesis chain once per polygon (a UNION ALL of 8 arms
+    # ran the planner out of memory).
+    whens = []
+    for name, normals in _city_octagon_normals():
+        cond = " AND ".join(
+            f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
+            for nx, ny, nz in normals)
+        whens.append(f"WHEN {cond} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + " END"
+    return (
+        f"WITH seq AS (SELECT CAST(range AS UBIGINT) AS i "
+        f"FROM range({num_images})), "
+        f"s1 AS (SELECT i, {z0} AS z0 FROM seq), "
+        f"s2 AS (SELECT i, {z1} AS z1 FROM s1), "
+        f"s3 AS (SELECT i, {z2} AS z2 FROM s2), "
+        f"su AS (SELECT i, xor(z2, z2 >> 31) AS u FROM s3), "
+        f"raw AS (SELECT i, u, "
+        f"(CAST(u >> 32 AS DOUBLE) / 4294967296.0) * 180.0 - 90.0 AS ulat, "
+        f"(CAST(u & 4294967295 AS DOUBLE) / 4294967296.0) * 360.0 - 180.0 "
+        f"AS ulng, "
+        f"(u % 5) = 0 AS hot, "
+        f"CAST((u >> 3) % 8 AS INT) AS city, "
+        f"((CAST((u >> 13) & 65535 AS DOUBLE) / 65536.0 * 2.0 - 1.0) * 0.5) "
+        f"AS dlat, "
+        f"((CAST((u >> 29) & 65535 AS DOUBLE) / 65536.0 * 2.0 - 1.0) * 0.5) "
+        f"AS dlng FROM su), "
+        f"ll AS (SELECT i, "
+        f"GREATEST(-89.999, LEAST(89.999, CASE WHEN hot THEN "
+        f"({city_lat}) + dlat ELSE ulat END)) AS lat, "
+        f"CASE WHEN hot THEN ({city_lng}) + dlng ELSE ulng END AS lng "
+        f"FROM raw), "
+        f"ixyz AS (SELECT printf('img%012d', CAST(i AS BIGINT)) AS image_id, "
+        f"{_XYZ_SQL} FROM ll), "
+        f"tagged AS (SELECT image_id, {case} AS polygon_id FROM ixyz) "
+        f"SELECT image_id, polygon_id FROM tagged "
+        f"WHERE polygon_id IS NOT NULL ORDER BY image_id, polygon_id")
 
 
 def q_tiling_images(sf_dir: str):
@@ -1017,4 +1112,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_sliding": sql_events_sliding(),
         "events_sessions": sql_events_sessions(),
         "lineitem_agg": sql_lineitem_agg(),
+        # synthesizes the image geotags with exact 64-bit arithmetic in
+        # SQL; valid at the driver's sf0.01 scale (10k images)
+        "spatial_join_images": sql_spatial_join_images(),
     }

@@ -55,7 +55,7 @@ ORACLE_CHECKED = [
     "langid", "fingerprint", "simhash",
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "embed_knn", "events_hourly", "events_sliding",
-    "events_sessions", "lineitem_agg",
+    "events_sessions", "lineitem_agg", "spatial_join_images",
 ]
 
 
@@ -172,3 +172,37 @@ def test_entry_smoke(ray_session):
     df = _to_df(res)
     assert set(df.columns) == {"image_id", "polygon_id"}
     assert len(df) > 0
+
+
+def test_image_join_margins():
+    """spatial_join_images oracle: no synthesized geotag may sit within
+    eps of a city-octagon edge plane at the driver's scales."""
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.pipelines.queries import _city_octagon_normals
+    from geo_ray.sources.images import latlng_from_phash, phash_for_index
+
+    for n in (10_000, 100_000):
+        ph = phash_for_index(np.arange(n, dtype=np.int64))
+        lat, lng = latlng_from_phash(ph)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        for name, normals in _city_octagon_normals():
+            dots = np.stack([nx * x + ny * y + nz * z
+                             for nx, ny, nz in normals])
+            # an edge's sign is decision-relevant only where every
+            # OTHER edge already passes (flipping it would then flip
+            # membership); far-outside points can sit near one plane
+            # without affecting the AND-of-8 outcome
+            passing = dots > 0
+            for e in range(len(normals)):
+                others = np.ones(dots.shape[1], dtype=bool)
+                for o in range(len(normals)):
+                    if o != e:
+                        others &= passing[o]
+                if others.any():
+                    # cross-engine error bound: numpy vs DuckDB trig
+                    # differ by <= 1 ulp per xyz component (~1e-16),
+                    # so the dot (|normal| ~ 2e-2) differs by ~1e-17;
+                    # 1e-12 leaves 5 orders of magnitude of headroom
+                    # (measured worst margins: 2.4e-8 at 10k rows,
+                    # 7.9e-10 at 100k rows)
+                    assert np.abs(dots[e][others]).min() > 1e-12, (name, n, e)
