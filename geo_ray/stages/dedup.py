@@ -98,6 +98,47 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
     })
 
 
+_BAND_SEEDS = _splitmix(np.arange(NUM_HASHES, dtype=np.uint64)
+                        + np.uint64(7777)) | np.uint64(1)
+
+
+def bands_from_sketches(batch: pa.Table, lsh_buckets: int = 512) -> pa.Table:
+    """Sketch table rows -> (band_id, band_hash, doc_id, bucket) band
+    rows, no text pass: the minhash signature is the min over
+    splitmix(shingle ^ seed), identical over the unique sketch set and
+    the raw shingle stream; the band hash is a vectorized odd-multiplier
+    mix of each band's signature chunk (any mix works — candidates are
+    exact-Jaccard-verified downstream)."""
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    arr = batch.column("sketch").combine_chunks()
+    offsets = np.asarray(arr.offsets)
+    values = np.asarray(arr.values).view(np.uint64) if len(arr.values) \
+        else np.array([], dtype=np.uint64)
+    seeds = _splitmix(np.arange(NUM_HASHES, dtype=np.uint64))
+    n_bands = NUM_HASHES // BAND_SIZE
+    sig = np.zeros((len(ids), NUM_HASHES), dtype=np.uint64)
+    for i in range(len(ids)):
+        base = values[offsets[i]:offsets[i + 1]]
+        if len(base):
+            sig[i] = _splitmix(base[None, :] ^ seeds[:, None]).min(axis=1)
+    chunks = sig.reshape(len(ids), n_bands, BAND_SIZE)
+    mixed = np.zeros((len(ids), n_bands), dtype=np.uint64)
+    for j in range(BAND_SIZE):
+        # distinct odd multiplier per (band, in-band position)
+        mixed ^= chunks[:, :, j] * _BAND_SEEDS[j::BAND_SIZE][:n_bands]
+    mixed = _splitmix(mixed ^ np.arange(n_bands, dtype=np.uint64)[None, :])
+    band_hash = (mixed >> np.uint64(1)).astype(np.int64)
+    band_id = np.broadcast_to(np.arange(n_bands, dtype=np.int32),
+                              (len(ids), n_bands))
+    return pa.table({
+        "band_id": pa.array(band_id.ravel(), pa.int32()),
+        "band_hash": pa.array(band_hash.ravel(), pa.int64()),
+        "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+        "bucket": pa.array((band_hash.ravel() % lsh_buckets)
+                           .astype(np.int32), pa.int32()),
+    })
+
+
 def candidate_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
     """One hash-BUCKET of band rows -> unordered candidate pairs (a<b).
 
@@ -163,9 +204,9 @@ def _hash_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
 def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets: int = 256):
     """Full near-dup pipeline, driver-materialization-free:
 
-        docs --map--> (band_id, band_hash, doc_id)     [only ids shuffle]
+        docs --map--> (doc_id, shingle-hash sketch)    [ONE text pass]
+        sketches --map--> (band_id, band_hash, doc_id) [no text]
              --groupby(bucket)--> candidate pairs (a < b)
-        docs --map--> (doc_id, shingle-hash sketch)    [sketch table x2]
         pairs + sketches co-partitioned on doc_a % B:  [shuffle join]
              dedup pairs, attach sketch_a
         ...  + sketches co-partitioned on doc_b % B:   [shuffle join]
@@ -173,22 +214,31 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets: int = 256):
 
     Every stage shuffles only ids, band hashes, or the sketches of
     candidate-pair members — never the corpus text, and nothing ever
-    lands on the driver.  Returns a Dataset (doc_a, doc_b, jaccard).
+    lands on the driver.  The sketch table is computed once and pinned
+    (object store, spillable) for its three consumers; at petabyte
+    scale substitute a parquet checkpoint (pipelines/checkpoint.py) so
+    the input text is still scanned exactly once.  Returns a Dataset
+    (doc_a, doc_b, jaccard).
     """
-    bands = docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
+    def _sketches(batch: pa.Table) -> pa.Table:
+        return doc_sketches(batch, n_buckets)
 
-    def _bucket(batch: pa.Table) -> pa.Table:
-        bh = batch.column("band_hash").to_numpy()
-        bucket = (bh % 512).astype(np.int32)
-        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+    sketches = docs_ds.map_batches(_sketches,
+                                   batch_format="pyarrow").materialize()
+    # Right-size the shuffle width to the data: Ray splits small inputs
+    # into dozens of near-empty blocks, and each of the three sort
+    # barriers below pays per-block scheduling overhead.  ~64k sketch
+    # rows per block keeps toy scales at a handful of partitions while
+    # growing linearly with the corpus.
+    n_blocks = max(4, int(np.ceil(sketches.count() / 65536)))
+    if n_blocks < sketches.num_blocks():
+        sketches = sketches.repartition(n_blocks).materialize()
 
-    pairs = (bands.map_batches(_bucket, batch_format="pyarrow")
+    pairs = (sketches.map_batches(
+                 lambda b: bands_from_sketches(b), batch_format="pyarrow")
              .groupby("bucket")
              .map_groups(lambda g: candidate_pairs_group(
                  g.drop(columns=["bucket"])), batch_format="pandas"))
-
-    def _sketches(batch: pa.Table) -> pa.Table:
-        return doc_sketches(batch, n_buckets)
 
     def _pair_rows_a(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -249,13 +299,11 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets: int = 256):
                              "doc_b": pd.Series(out_b, dtype="int64"),
                              "jaccard": pd.Series(out_j, dtype="float64")})
 
-    sketches_a = docs_ds.map_batches(_sketches, batch_format="pyarrow")
     pair_rows = pairs.map_batches(_pair_rows_a, batch_format="pyarrow")
-    with_a = (sketches_a.union(pair_rows)
+    with_a = (sketches.union(pair_rows)
               .groupby("bucket")
               .map_groups(_attach_a, batch_format="pandas"))
-    sketches_b = docs_ds.map_batches(_sketches, batch_format="pyarrow")
-    return (sketches_b.union(with_a)
+    return (sketches.union(with_a)
             .groupby("bucket")
             .map_groups(_verify_b, batch_format="pandas"))
 
