@@ -42,10 +42,25 @@ def derive_latlng_np(keys: np.ndarray):
     return lat, lng
 
 
-def _customer_points(sf_dir: str):
+def _read(sf_dir: str, table: str, columns):
+    """Pruned parquet read with block count right-sized to the row
+    count (~8k rows/block, floor 8): Ray's default target parallelism
+    splits small tables into dozens of near-empty blocks, and every
+    downstream sort/groupby barrier pays per-block scheduling overhead.
+    The ratio keeps block count growing linearly with the data, so the
+    same code fans out properly at cluster scale."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    path = f"{sf_dir}/{table}.parquet"
+    rows = pq.ParquetFile(path).metadata.num_rows
+    n_blocks = min(200, max(8, rows // 8192))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=n_blocks)
+
+
+def _customer_points(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_custkey"])
 
     def _derive(batch: pa.Table) -> pa.Table:
         keys = batch.column("c_custkey").to_numpy()
@@ -572,8 +587,7 @@ def q_convex_hull(sf_dir: str):
 def q_token_count(sf_dir: str):
     import ray.data as rd
     from ..stages.text import token_count
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(token_count, batch_format="pyarrow")
 
 
@@ -585,8 +599,7 @@ def sql_token_count() -> str:
 def q_doc_quality(sf_dir: str):
     import ray.data as rd
     from ..stages.text import quality_score
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(quality_score, batch_format="pyarrow")
 
 
@@ -606,7 +619,7 @@ def q_top_terms(sf_dir: str, k: int = 25):
     from ray.data.aggregate import Sum
     from ..stages.text import tokens_of
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read(sf_dir, "documents", ["text"])
 
     def _partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -636,8 +649,7 @@ def sql_top_terms(k: int = 25) -> str:
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import exact_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "source", "n_chars"])
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     out = exact_dedup(ds, ["source", "n_chars"], "doc_id")
     return out.select_columns(["source", "n_chars", "doc_id"])
 
@@ -651,8 +663,7 @@ def q_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
     import ray.data as rd
     from ..stages.embed import embedding_knn
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, Q = _embed_queries(sf_dir, n_queries)
     out = embedding_knn(ds, (qids, Q), k)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -694,8 +705,7 @@ def q_embed_knn_ivf(sf_dir: str, k: int = 5, n_queries: int = 8,
     from ..stages.embed import (embedding_knn_ivf, sample_embedding_matrix,
                                 train_ivf_centroids)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     C = train_ivf_centroids(sample_embedding_matrix(ds, 4000), n_centroids)
     qids, Q = _embed_queries(sf_dir, n_queries)
     out = embedding_knn_ivf(ds, (qids, Q), k, C, nprobe=nprobe)
@@ -705,8 +715,7 @@ def q_embed_knn_ivf(sf_dir: str, k: int = 5, n_queries: int = 8,
 def q_minhash_dedup(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import minhash_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_dedup(ds, threshold=0.5)
     return out.select_columns(["doc_a", "doc_b"])
 
@@ -714,8 +723,7 @@ def q_minhash_dedup(sf_dir: str):
 def q_simhash(sf_dir: str):
     import ray.data as rd
     from ..stages.text import simhash
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(simhash, batch_format="pyarrow")
 
 
@@ -779,16 +787,14 @@ def sql_fingerprint() -> str:
 def q_langid(sf_dir: str):
     import ray.data as rd
     from ..stages.text import lang_id
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(lang_id, batch_format="pyarrow")
 
 
 def q_fingerprint(sf_dir: str):
     import ray.data as rd
     from ..stages.text import fingerprint
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pyarrow")
 
 
@@ -800,8 +806,7 @@ def q_events_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "ts"])
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def _partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy()  # datetime64[us]
@@ -828,8 +833,7 @@ def q_events_sliding(sf_dir: str, size_sec: int = 7200, step_sec: int = 3600):
     import ray.data as rd
     from ..stages.windows import sliding_window_counts
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "ts"])
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
     return sliding_window_counts(ds, size_sec, step_sec)
 
 
@@ -851,8 +855,7 @@ def q_events_sessions(sf_dir: str, gap_sec: int = 1800):
     import ray.data as rd
     from ..stages.windows import session_windows
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "event_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
     return session_windows(ds, gap_sec)
 
 
@@ -878,8 +881,7 @@ def q_lineitem_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum, Count
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
 
     def _partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
