@@ -696,6 +696,29 @@ def sql_embed_knn(k: int = 5, n_queries: int = 8) -> str:
         f"WHERE rank <= {k} ORDER BY query_id, rank")
 
 
+NEARDUP_THRESHOLD = 0.4
+
+
+def q_embed_neardup(sf_dir: str):
+    """All-pairs embedding cosine near-duplicates >= 0.4 (the brute
+    baseline of the near-dup family; each batch matmuls against the
+    cluster-gathered broadcast matrix, pairs emitted once from the
+    smaller-id side).  IVF-bucketed scale path:
+    stages/embed.embed_neardup_ivf, recall-tested in pytest."""
+    from ..stages.embed import embed_neardup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embed_neardup(ds, NEARDUP_THRESHOLD)
+
+
+def sql_embed_neardup() -> str:
+    return (
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
+        f"JOIN embeddings b ON a.vec_id < b.vec_id WHERE "
+        f"list_cosine_similarity(a.embedding::DOUBLE[], "
+        f"b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD!r} "
+        f"ORDER BY vec_a, vec_b")
+
+
 def q_embed_knn_ivf(sf_dir: str, k: int = 5, n_queries: int = 8,
                     n_centroids: int = 16, nprobe: int = 4):
     """IVF-pruned approximate cosine top-k (scale path; rows-only —
@@ -1073,6 +1096,7 @@ def queries() -> Dict:
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "embed_knn": q_embed_knn,
+        "embed_neardup": q_embed_neardup,
         "embed_knn_ivf": q_embed_knn_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -1110,6 +1134,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_quality": sql_doc_quality(),
         "dedup_exact": sql_dedup_exact(),
         "embed_knn": sql_embed_knn(),
+        "embed_neardup": sql_embed_neardup(),
         "events_hourly": sql_events_hourly(),
         "events_sliding": sql_events_sliding(),
         "events_sessions": sql_events_sessions(),

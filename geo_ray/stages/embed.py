@@ -193,3 +193,110 @@ def embedding_knn(ds, queries: Tuple[Sequence[int], np.ndarray], k: int,
         batch_format="pyarrow", batch_size=8192)
     return partials.groupby("query_id").map_groups(
         lambda g: finalize_cosine_topk(g, k), batch_format="pandas")
+
+
+# -- embedding cosine near-duplicates ---------------------------------------
+
+def gather_embeddings_ref(ds, id_col: str = "vec_id",
+                          embed_col: str = "embedding"):
+    """(ids, unit-row matrix) as ONE Ray object assembled by a cluster
+    task from the dataset's blocks: the driver holds only the
+    ObjectRef, never the data (broadcast-small-side pattern — valid in
+    the regime where the embedding table fits the object store, which
+    is exactly the regime of the brute baseline below)."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _build(*tables):
+        t = pa.concat_tables(tables)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        return ids, _unit_rows(_matrix(t, embed_col))
+
+    return _build.remote(*refs)
+
+
+def embed_neardup(ds, threshold: float = 0.4, id_col: str = "vec_id",
+                  embed_col: str = "embedding"):
+    """All-pairs cosine near-duplicates (vec_a < vec_b, cosine >=
+    threshold): the brute baseline of the near-dup family.  Each batch
+    runs one matmul against the broadcast unit matrix and emits every
+    qualifying unordered pair exactly once (from its smaller-id side);
+    the O(n^2) work is the definition of the exact problem — the
+    bucketed variant below is the scale path."""
+    import ray
+
+    ref = gather_embeddings_ref(ds, id_col, embed_col)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids_all, Mn = ray.get(ref)
+        my_ids = batch.column(id_col).to_numpy().astype(np.int64)
+        B = _unit_rows(_matrix(batch, embed_col))
+        sims = B @ Mn.T
+        mask = (sims >= threshold) & (my_ids[:, None] < ids_all[None, :])
+        r, c = np.nonzero(mask)
+        return pa.table({
+            "vec_a": pa.array(my_ids[r], pa.int64()),
+            "vec_b": pa.array(ids_all[c], pa.int64()),
+        })
+
+    return ds.map_batches(_pairs, batch_format="pyarrow")
+
+
+def embed_neardup_ivf(ds, threshold: float = 0.9, n_centroids: int = 16,
+                      n_probe: int = 2, train_rows: int = 4096,
+                      id_col: str = "vec_id",
+                      embed_col: str = "embedding"):
+    """Scale path: multi-probe IVF bucketing — each vector lands in its
+    ``n_probe`` nearest coarse-centroid buckets, pairs form by exact
+    cosine only WITHIN a bucket, and a final tiny groupby dedups pairs
+    that shared more than one bucket.  Only (bucket, id, embedding)
+    rows shuffle; recall is the probability that a qualifying pair
+    shares at least one of each side's n_probe buckets (high for true
+    near-dups; see tests/test_embed.py planted-corpus check)."""
+    import ray
+
+    C = train_ivf_centroids(sample_embedding_matrix(ds, train_rows),
+                            n_centroids)
+    c_ref = ray.put(C)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        Xn = _unit_rows(_matrix(batch, embed_col))
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sims = Xn @ np.asarray(cm).T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        n, dim = Xn.shape
+        rep = np.repeat(np.arange(n), n_probe)
+        flat = Xn[rep].ravel()
+        offsets = np.arange(n * n_probe + 1, dtype=np.int32) * dim
+        emb_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.float64()))
+        return pa.table({
+            "bucket": pa.array(top.ravel().astype(np.int32), pa.int32()),
+            "vec_id": pa.array(ids[rep], pa.int64()),
+            "unit": emb_arr,
+        })
+
+    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in group["unit"].to_numpy()[order]])
+        sims = M @ M.T
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(mask)
+        return pd.DataFrame({"vec_a": pd.Series(ids[r], dtype="int64"),
+                             "vec_b": pd.Series(ids[c], dtype="int64")})
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    pairs = (ds.map_batches(_assign, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda g: _bucket_pairs(g.drop(columns=["bucket"])),
+                         batch_format="pandas"))
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        _dedup, batch_format="pandas")

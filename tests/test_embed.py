@@ -73,3 +73,37 @@ def test_ivf_assign_is_deterministic():
     a2 = ivf_assign(TBL, C).column("ivf_bucket").to_numpy()
     assert (a1 == a2).all()
     assert len(np.unique(a1)) > 1
+
+
+def test_embed_neardup_ivf_planted_recall(ray_session):
+    """IVF-bucketed near-dup (the scale path) must recover planted
+    near-duplicates: perturbed copies of base vectors (cosine ~0.95+)
+    at threshold 0.9, recall >= 0.9 vs the brute baseline and perfect
+    precision (pairs are exact-cosine-verified inside buckets)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geo_ray.stages.embed import embed_neardup, embed_neardup_ivf
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    base = np.asarray(t.column("embedding").combine_chunks().values) \
+        .reshape(len(t), -1).astype(np.float64)
+    rng = np.random.default_rng(3)
+    planted = base[:100] + 0.1 * rng.standard_normal((100, base.shape[1])) \
+        * np.linalg.norm(base[:100], axis=1, keepdims=True) / 8.0
+    allv = np.concatenate([base, planted]).astype(np.float32)
+    ids = np.concatenate([t.column("vec_id").to_numpy().astype(np.int64),
+                          np.arange(100) + 1_000_000])
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(allv), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    want = embed_neardup(ds, threshold=0.9).to_pandas()
+    got = embed_neardup_ivf(ds, threshold=0.9).to_pandas()
+    want_set = set(zip(want["vec_a"], want["vec_b"]))
+    got_set = set(zip(got["vec_a"], got["vec_b"]))
+    assert len(want_set) >= 90  # the planted copies qualify
+    assert got_set <= want_set  # perfect precision
+    assert len(got_set & want_set) / len(want_set) >= 0.9  # recall

@@ -54,8 +54,9 @@ ORACLE_CHECKED = [
     "cell_assign", "s2_density",
     "langid", "fingerprint", "simhash",
     "token_count", "top_terms", "doc_quality",
-    "dedup_exact", "embed_knn", "events_hourly", "events_sliding",
-    "events_sessions", "lineitem_agg", "spatial_join_images",
+    "dedup_exact", "embed_knn", "embed_neardup", "events_hourly",
+    "events_sliding", "events_sessions", "lineitem_agg",
+    "spatial_join_images",
 ]
 
 
@@ -206,3 +207,21 @@ def test_image_join_margins():
                     # (measured worst margins: 2.4e-8 at 10k rows,
                     # 7.9e-10 at 100k rows)
                     assert np.abs(dots[e][others]).min() > 1e-12, (name, n, e)
+
+
+def test_embed_neardup_margin():
+    """No embedding pair may sit within eps of the cosine threshold:
+    DuckDB's DOUBLE[] cosine agrees with the numpy matmul to ~4e-16,
+    so 1e-8 leaves 7+ orders of headroom (measured min margins:
+    1.3e-4 at sf0.01, 9.9e-6 at sf0.1)."""
+    import pyarrow.parquet as pq
+    from geo_ray.pipelines.queries import NEARDUP_THRESHOLD
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        t = pq.read_table(sf + "/embeddings.parquet")
+        M = np.asarray(t.column("embedding").combine_chunks().values) \
+            .reshape(len(t), -1).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        C = Mn @ Mn.T
+        flat = C[np.triu_indices(len(C), 1)]
+        assert np.abs(flat - NEARDUP_THRESHOLD).min() > 1e-8, sf
