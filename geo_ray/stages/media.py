@@ -1,0 +1,257 @@
+"""Multimodal binary-column stages: resize, video frame sampling,
+audio feature extraction.
+
+Design (SURVEY.md §2.10 scale rules): every stage is an actor-pool
+`map_batches` callable — expensive setup (codec tables, resample
+grids, window functions) happens once per actor in ``__init__``, the
+per-batch work is vectorized numpy, and wide payloads (pixels, PCM)
+are decoded and REDUCED inside the stage so only narrow columns
+shuffle.  Containers for image/audio bytes are this repo's own
+deterministic formats (sources/codecs.py LJ92 + PNG for frames; the
+AUD1 PCM container below) because the sandbox has no PIL/ffmpeg —
+real-codec hooks are import-try'd at the decode seams, so dropping in
+PIL/soundfile changes no schema or stage signature.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources import codecs
+
+_VID_MAGIC = b"VID1"
+_AUD_MAGIC = b"AUD1"
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+def _resize_plan(src: int, dst: int):
+    """Bilinear sample positions for one axis (align_corners=False,
+    the common convention): returns (lo_index, hi_index, hi_weight)."""
+    scale = src / dst
+    centers = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    centers = np.clip(centers, 0.0, src - 1.0)
+    lo = np.floor(centers).astype(np.int64)
+    hi = np.minimum(lo + 1, src - 1)
+    w = (centers - lo).astype(np.float32)
+    return lo, hi, w
+
+
+def resize_bilinear(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(n, h, w, 3) uint8 -> (n, out_h, out_w, 3) uint8, vectorized
+    separable bilinear (one gather + lerp per axis)."""
+    n, h, w, c = imgs.shape
+    ylo, yhi, wy = _resize_plan(h, out_h)
+    xlo, xhi, wx = _resize_plan(w, out_w)
+    rows = imgs.astype(np.float32)
+    rows = rows[:, ylo] * (1.0 - wy)[None, :, None, None] + \
+        rows[:, yhi] * wy[None, :, None, None]
+    out = rows[:, :, xlo] * (1.0 - wx)[None, None, :, None] + \
+        rows[:, :, xhi] * wx[None, None, :, None]
+    np.rint(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)
+
+
+class ImageResize:
+    """Actor-pool stage: decode -> bilinear resize to a fixed target ->
+    re-encode.  Use as
+    ``ds.map_batches(ImageResize(64, 64), concurrency=N, ...)``;
+    per-(shape, format) resample plans are cached per actor."""
+
+    def __init__(self, out_w: int, out_h: int, out_fmt: str = "png"):
+        self.out_w = int(out_w)
+        self.out_h = int(out_h)
+        self.out_fmt = out_fmt
+        self._plans: Dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        fmts = np.array(batch.column("fmt").to_pylist())
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        out_blobs: list = [None] * len(blobs)
+        shape_key = (w.astype(np.int64) << 16) | (h.astype(np.int64) << 2) \
+            | np.where(fmts == "png", 0, 1)
+        for key in np.unique(shape_key):
+            sel = np.nonzero(shape_key == key)[0]
+            group = [blobs[i] for i in sel]
+            imgs = (codecs.lossy_decode_many(group) if key & 1
+                    else codecs.png_decode_many(group))
+            resized = resize_bilinear(imgs, self.out_h, self.out_w)
+            enc = (codecs.png_encode_many(resized) if self.out_fmt == "png"
+                   else codecs.lossy_encode_many(resized))
+            for pos, blob in zip(sel, enc):
+                out_blobs[pos] = blob
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column("bytes", pa.array(out_blobs, pa.binary()))
+        out = out.set_column(out.schema.get_field_index("w"), "w",
+                             pa.array(np.full(len(blobs), self.out_w,
+                                              np.int32), pa.int32()))
+        return out.set_column(out.schema.get_field_index("h"), "h",
+                              pa.array(np.full(len(blobs), self.out_h,
+                                               np.int32), pa.int32()))
+
+
+# ---------------------------------------------------------------------------
+# video: frame container + frame sampling
+# ---------------------------------------------------------------------------
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w, 3) uint8 -> VID1 container: per-frame LJ92
+    blobs with a length index (frames are seekable without decoding)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    blobs = codecs.lossy_encode_many(frames)
+    head = _VID_MAGIC + struct.pack("<IHH", len(blobs), frames.shape[2],
+                                    frames.shape[1])
+    index = struct.pack(f"<{len(blobs)}I", *(len(b) for b in blobs))
+    return head + index + b"".join(blobs)
+
+
+def decode_video_frames(data: bytes,
+                        frame_ids: Optional[np.ndarray] = None) -> np.ndarray:
+    """VID1 bytes -> (k, h, w, 3) uint8 for the requested frame ids
+    (all frames when None); only the requested blobs are decompressed."""
+    data = bytes(data)
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("not a VID1 container")
+    n, w, h = struct.unpack_from("<IHH", data, 4)
+    lens = np.frombuffer(data, dtype=np.uint32, count=n, offset=12)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    base = 12 + 4 * n
+    ids = np.arange(n) if frame_ids is None else np.asarray(frame_ids)
+    blobs = [data[base + starts[i]:base + starts[i + 1]] for i in ids]
+    return codecs.lossy_decode_many(blobs)
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``stride``-th frame of a VID1
+    ``video`` column, reduce each sampled frame to mean RGB, and drop
+    the wide payload — output is (video_id, frame_id, mean_r/g/b).
+    Only the sampled frames are ever decompressed (the container is
+    length-indexed), so cost scales with frames KEPT, not stored."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = int(stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        datas = batch.column("video").to_pylist()
+        out_vid, out_frame = [], []
+        means = []
+        for vid, data in zip(vids, datas):
+            head = bytes(data[:8])
+            n = struct.unpack_from("<I", head, 4)[0]
+            ids = np.arange(0, n, self.stride)
+            frames = decode_video_frames(data, ids)
+            npx = frames.shape[1] * frames.shape[2]
+            f32 = frames.reshape(len(ids), npx, 3).astype(np.float32)
+            sums = np.matmul(np.ones((1, npx), np.float32), f32)[:, 0, :]
+            means.append(sums.astype(np.float64) / npx)
+            out_vid.extend([vid] * len(ids))
+            out_frame.extend(int(i) for i in ids)
+        m = (np.concatenate(means) if means
+             else np.empty((0, 3), np.float64))
+        return pa.table({
+            "video_id": pa.array(out_vid, pa.string()),
+            "frame_id": pa.array(out_frame, pa.int64()),
+            "mean_r": pa.array(m[:, 0], pa.float64()),
+            "mean_g": pa.array(m[:, 1], pa.float64()),
+            "mean_b": pa.array(m[:, 2], pa.float64()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# audio: PCM container + features
+# ---------------------------------------------------------------------------
+
+def encode_audio(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM -> AUD1 container (zlib level 1)."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    return _AUD_MAGIC + struct.pack("<II", sample_rate, len(pcm)) + \
+        zlib.compress(pcm, 1)
+
+
+def decode_audio(data: bytes):
+    """AUD1 bytes -> (sample_rate, int16 PCM).  Real compressed formats
+    (mp3/ogg/flac) require an external decoder: soundfile is import-
+    try'd; absent that, a clear NotImplementedError — the stage
+    signature and schema don't change when a real decoder appears."""
+    data = bytes(data)
+    if data[:4] == _AUD_MAGIC:
+        rate, n = struct.unpack_from("<II", data, 4)
+        pcm = np.frombuffer(zlib.decompress(memoryview(data)[12:]),
+                            dtype=np.int16)
+        return rate, pcm[:n]
+    try:  # pragma: no cover - not present in this container
+        import io
+
+        import soundfile  # type: ignore
+        wav, rate = soundfile.read(io.BytesIO(data), dtype="int16")
+        return rate, np.asarray(wav, dtype=np.int16).reshape(-1)
+    except ImportError:
+        raise NotImplementedError(
+            "real audio decoding requires the soundfile package, which is "
+            "not available in this container; synthetic tables use the "
+            "AUD1 PCM container")
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode an ``audio`` column and reduce to
+    frame-level features — RMS, zero-crossing rate and FFT spectral
+    centroid over fixed windows.  The Hann window is built once per
+    actor; PCM never leaves the stage."""
+
+    def __init__(self, frame_len: int = 512):
+        self.frame_len = int(frame_len)
+        self._window = np.hanning(self.frame_len).astype(np.float64)
+        self._bins: Dict[int, np.ndarray] = {}
+
+    def _freqs(self, rate: int) -> np.ndarray:
+        f = self._bins.get(rate)
+        if f is None:
+            f = np.fft.rfftfreq(self.frame_len, d=1.0 / rate)
+            self._bins[rate] = f
+        return f
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("audio_id").to_pylist()
+        datas = batch.column("audio").to_pylist()
+        rows = {"audio_id": [], "frame_id": [], "rms": [], "zcr": [],
+                "centroid_hz": []}
+        L = self.frame_len
+        for aid, data in zip(ids, datas):
+            rate, pcm = decode_audio(data)
+            n_frames = len(pcm) // L
+            if n_frames == 0:
+                continue
+            fr = pcm[:n_frames * L].reshape(n_frames, L).astype(np.float64)
+            fr /= 32768.0
+            rms = np.sqrt(np.mean(fr * fr, axis=1))
+            zcr = np.mean(np.abs(np.diff(np.signbit(fr), axis=1)), axis=1)
+            spec = np.abs(np.fft.rfft(fr * self._window[None, :], axis=1))
+            power = spec.sum(axis=1)
+            freqs = self._freqs(rate)
+            centroid = np.where(power > 0, (spec @ freqs) /
+                                np.maximum(power, 1e-30), 0.0)
+            rows["audio_id"].extend([aid] * n_frames)
+            rows["frame_id"].extend(range(n_frames))
+            rows["rms"].extend(rms)
+            rows["zcr"].extend(zcr)
+            rows["centroid_hz"].extend(centroid)
+        return pa.table({
+            "audio_id": pa.array(rows["audio_id"], pa.string()),
+            "frame_id": pa.array(rows["frame_id"], pa.int64()),
+            "rms": pa.array(rows["rms"], pa.float64()),
+            "zcr": pa.array(rows["zcr"], pa.float64()),
+            "centroid_hz": pa.array(rows["centroid_hz"], pa.float64()),
+        })
