@@ -298,9 +298,10 @@ def q_cell_assign(sf_dir: str):
     return pts.map_batches(_tok, batch_format="pyarrow")
 
 
-def _cell_sql_cte() -> str:
+def _cell_sql_cte(key: str = "c_custkey", src: str = "xyz") -> str:
     """SQL CTE chain computing the S2 leaf cell id (as UBIGINT
-    ``id_u``) for every customer point — a full cross-engine port of
+    ``id_u``, with the face (i, j) coordinates kept alongside) for
+    every row of ``src`` (``key``, x, y, z) — a full cross-engine port of
     xyz -> face/uv -> st -> ij -> Hilbert encode (s2/stuv.go:205-256,
     s2/cellid.go:576-598).  Exactness argument: xyz doubles are
     bit-identical between numpy and DuckDB (asserted in tests), IEEE
@@ -320,7 +321,7 @@ def _cell_sql_cte() -> str:
     for k in range(7, -1, -1):
         cur = f"s{k}"
         steps.append(
-            f"{cur} AS (SELECT t.c_custkey, t.i, t.j, "
+            f"{cur} AS (SELECT t.{key}, t.i, t.j, "
             f"t.n | ((l.val::UBIGINT >> 2) << {k * 8}) AS n, "
             f"l.val::UBIGINT & 3 AS bits "
             f"FROM {prev} t JOIN lut l ON l.idx = "
@@ -329,31 +330,31 @@ def _cell_sql_cte() -> str:
         prev = cur
     return (
         f"lut(idx, val) AS (VALUES {lut_vals}), "
-        f"f0 AS (SELECT c_custkey, x, y, z, {face_expr} AS fa FROM xyz), "
+        f"f0 AS (SELECT {key}, x, y, z, {face_expr} AS fa FROM {src}), "
         f"fc AS (SELECT *, CASE fa WHEN 0 THEN x WHEN 1 THEN y ELSE z END "
         f"AS comp FROM f0), "
-        f"ff AS (SELECT c_custkey, x, y, z, "
+        f"ff AS (SELECT {key}, x, y, z, "
         f"CASE WHEN comp < 0 THEN fa + 3 ELSE fa END AS f FROM fc), "
-        f"uv AS (SELECT c_custkey, f, "
+        f"uv AS (SELECT {key}, f, "
         f"CASE f WHEN 0 THEN y/x WHEN 1 THEN (-x)/y WHEN 2 THEN (-x)/z "
         f"WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE (-y)/z END AS u, "
         f"CASE f WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN (-y)/z "
         f"WHEN 3 THEN y/x WHEN 4 THEN (-x)/y ELSE (-x)/z END AS v "
         f"FROM ff), "
-        f"st AS (SELECT c_custkey, f, "
+        f"st AS (SELECT {key}, f, "
         f"CASE WHEN u >= 0.0 THEN 0.5*sqrt(1.0 + 3.0*u) "
         f"ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s, "
         f"CASE WHEN v >= 0.0 THEN 0.5*sqrt(1.0 + 3.0*v) "
         f"ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t FROM uv), "
-        f"ij AS (SELECT c_custkey, f, "
+        f"ij AS (SELECT {key}, f, "
         f"CAST(least(greatest(floor(s*1073741824.0), 0.0), 1073741823.0) "
         f"AS UBIGINT) AS i, "
         f"CAST(least(greatest(floor(t*1073741824.0), 0.0), 1073741823.0) "
         f"AS UBIGINT) AS j FROM st), "
-        f"s_init AS (SELECT c_custkey, i, j, (f::UBIGINT << 60) AS n, "
+        f"s_init AS (SELECT {key}, i, j, (f::UBIGINT << 60) AS n, "
         f"(f::UBIGINT & 1) AS bits FROM ij), "
         + ", ".join(steps) +
-        f", cells AS (SELECT c_custkey, n*2 + 1 AS id_u FROM s0)")
+        f", cells AS (SELECT {key}, i, j, n*2 + 1 AS id_u FROM s0)")
 
 
 def _sql_parent_token(level: int, col: str = "id_u") -> str:
@@ -987,12 +988,11 @@ def _city_octagon_normals():
     return out
 
 
-def sql_spatial_join_images(num_images: int = 10_000) -> str:
-    """Cross-engine oracle for the flagship spatial join: synthesize the
-    image geotags in SQL (splitmix64 phash -> lat/lng with the 20% city
-    hot remap, sources/images.py:40-74, exact 64-bit arithmetic via
-    HUGEINT) and test each point against the city octagons' edge
-    half-spaces."""
+def _images_xyz_cte(num_images: int) -> str:
+    """Shared CTE chain synthesizing the image geotags in SQL —
+    splitmix64 phash -> lat/lng with the 20% city hot remap
+    (sources/images.py:40-74, exact 64-bit arithmetic via HUGEINT) —
+    ending in ``ixyz(image_id, x, y, z)``."""
     from ..sources.images import CITIES
     gold = _GOLDEN
     z0 = f"CAST((CAST(xor(i, {gold}) AS HUGEINT) + {gold}) % {_TWO64} " \
@@ -1005,6 +1005,36 @@ def sql_spatial_join_images(num_images: int = 10_000) -> str:
     city_lng = "CASE city " + " ".join(
         f"WHEN {i} THEN {lng!r}" for i, (_, lng) in enumerate(CITIES)) + \
         " END"
+    return (
+        f"seq AS (SELECT CAST(range AS UBIGINT) AS i "
+        f"FROM range({num_images})), "
+        f"sm1 AS (SELECT i, {z0} AS z0 FROM seq), "
+        f"sm2 AS (SELECT i, {z1} AS z1 FROM sm1), "
+        f"sm3 AS (SELECT i, {z2} AS z2 FROM sm2), "
+        f"su AS MATERIALIZED (SELECT i, xor(z2, z2 >> 31) AS u FROM sm3), "
+        f"raw AS (SELECT i, u, "
+        f"(CAST(u >> 32 AS DOUBLE) / 4294967296.0) * 180.0 - 90.0 AS ulat, "
+        f"(CAST(u & 4294967295 AS DOUBLE) / 4294967296.0) * 360.0 - 180.0 "
+        f"AS ulng, "
+        f"(u % 5) = 0 AS hot, "
+        f"CAST((u >> 3) % 8 AS INT) AS city, "
+        f"((CAST((u >> 13) & 65535 AS DOUBLE) / 65536.0 * 2.0 - 1.0) * 0.5) "
+        f"AS dlat, "
+        f"((CAST((u >> 29) & 65535 AS DOUBLE) / 65536.0 * 2.0 - 1.0) * 0.5) "
+        f"AS dlng FROM su), "
+        f"ll AS MATERIALIZED (SELECT i, "
+        f"GREATEST(-89.999, LEAST(89.999, CASE WHEN hot THEN "
+        f"({city_lat}) + dlat ELSE ulat END)) AS lat, "
+        f"CASE WHEN hot THEN ({city_lng}) + dlng ELSE ulng END AS lng "
+        f"FROM raw), "
+        f"ixyz AS MATERIALIZED (SELECT printf('img%012d', CAST(i AS BIGINT)) AS image_id, "
+        f"{_XYZ_SQL} FROM ll)")
+
+
+def sql_spatial_join_images(num_images: int = 10_000) -> str:
+    """Cross-engine oracle for the flagship spatial join: the
+    synthesized geotags tested against the city octagons\' edge
+    half-spaces."""
     # The city octagons are pairwise disjoint, so a point matches at
     # most one; a single-pass CASE avoids DuckDB re-inlining the whole
     # HUGEINT synthesis chain once per polygon (a UNION ALL of 8 arms
@@ -1017,32 +1047,56 @@ def sql_spatial_join_images(num_images: int = 10_000) -> str:
         whens.append(f"WHEN {cond} THEN '{name}'")
     case = "CASE " + " ".join(whens) + " END"
     return (
-        f"WITH seq AS (SELECT CAST(range AS UBIGINT) AS i "
-        f"FROM range({num_images})), "
-        f"s1 AS (SELECT i, {z0} AS z0 FROM seq), "
-        f"s2 AS (SELECT i, {z1} AS z1 FROM s1), "
-        f"s3 AS (SELECT i, {z2} AS z2 FROM s2), "
-        f"su AS (SELECT i, xor(z2, z2 >> 31) AS u FROM s3), "
-        f"raw AS (SELECT i, u, "
-        f"(CAST(u >> 32 AS DOUBLE) / 4294967296.0) * 180.0 - 90.0 AS ulat, "
-        f"(CAST(u & 4294967295 AS DOUBLE) / 4294967296.0) * 360.0 - 180.0 "
-        f"AS ulng, "
-        f"(u % 5) = 0 AS hot, "
-        f"CAST((u >> 3) % 8 AS INT) AS city, "
-        f"((CAST((u >> 13) & 65535 AS DOUBLE) / 65536.0 * 2.0 - 1.0) * 0.5) "
-        f"AS dlat, "
-        f"((CAST((u >> 29) & 65535 AS DOUBLE) / 65536.0 * 2.0 - 1.0) * 0.5) "
-        f"AS dlng FROM su), "
-        f"ll AS (SELECT i, "
-        f"GREATEST(-89.999, LEAST(89.999, CASE WHEN hot THEN "
-        f"({city_lat}) + dlat ELSE ulat END)) AS lat, "
-        f"CASE WHEN hot THEN ({city_lng}) + dlng ELSE ulng END AS lng "
-        f"FROM raw), "
-        f"ixyz AS (SELECT printf('img%012d', CAST(i AS BIGINT)) AS image_id, "
-        f"{_XYZ_SQL} FROM ll), "
+        f"WITH {_images_xyz_cte(num_images)}, "
         f"tagged AS (SELECT image_id, {case} AS polygon_id FROM ixyz) "
         f"SELECT image_id, polygon_id FROM tagged "
         f"WHERE polygon_id IS NOT NULL ORDER BY image_id, polygon_id")
+
+
+def sql_tiling_images(num_images: int = 10_000, level: int = 7,
+                      px: int = 16) -> str:
+    """Oracle for the raster-tiling pipeline's aggregate outputs: the
+    synthesized geotags run through the full SQL Hilbert encode
+    (shared _cell_sql_cte), the tile is the level-``level`` parent and
+    the pixel index comes from the same integer-exact (i, j) bit math
+    as stages/tiles.tile_pixel_partials."""
+    size = 1 << (30 - level)
+    mask = size - 1
+    return (
+        f"WITH {_images_xyz_cte(num_images)}, "
+        f"{_cell_sql_cte(key='image_id', src='ixyz')}, "
+        f"pxl AS (SELECT {_sql_parent_token(level)} AS token, "
+        f"(((j & {mask}::UBIGINT) * {px}) // {size}) * {px} "
+        f"+ (((i & {mask}::UBIGINT) * {px}) // {size}) AS pixel "
+        f"FROM cells) "
+        f"SELECT token, CAST({level} AS BIGINT) AS level, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_images, "
+        f"CAST(COUNT(DISTINCT pixel) AS BIGINT) AS n_pixels "
+        f"FROM pxl GROUP BY token ORDER BY token")
+
+
+def sql_knn_images(num_images: int = 10_000, k: int = 10) -> str:
+    """Oracle for the image kNN: brute squared-chord ranking of the
+    synthesized geotags against the 8 city probes (numpy probe xyz
+    embedded as literals so both engines rank identical doubles; rank
+    ties break on neighbor_id as in EdgeQueryResult.Less)."""
+    from ..sources.images import CITIES
+    lat = CITIES[:, 0]
+    lng = CITIES[:, 1]
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    vals = ", ".join(
+        f"('city{i}', {float(x[i])!r}, {float(y[i])!r}, {float(z[i])!r})"
+        for i in range(len(CITIES)))
+    return (
+        f"WITH {_images_xyz_cte(num_images)}, "
+        f"probes(probe_id, px, py, pz) AS (VALUES {vals}), "
+        f"dists AS (SELECT p.probe_id, t.image_id AS neighbor_id, "
+        f"(p.px-t.x)*(p.px-t.x) + (p.py-t.y)*(p.py-t.y) "
+        f"+ (p.pz-t.z)*(p.pz-t.z) AS chord2 FROM probes p CROSS JOIN ixyz t), "
+        f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+        f"(PARTITION BY probe_id ORDER BY chord2, neighbor_id) AS rank "
+        f"FROM dists) SELECT probe_id, neighbor_id, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY probe_id, rank")
 
 
 def q_tiling_images(sf_dir: str):
@@ -1142,4 +1196,6 @@ def oracle_sql() -> Dict[str, str]:
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
         "spatial_join_images": sql_spatial_join_images(),
+        "tiling_images": sql_tiling_images(),
+        "knn_images": sql_knn_images(),
     }

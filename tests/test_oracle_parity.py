@@ -56,7 +56,7 @@ ORACLE_CHECKED = [
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "embed_knn", "embed_neardup", "events_hourly",
     "events_sliding", "events_sessions", "lineitem_agg",
-    "spatial_join_images",
+    "spatial_join_images", "tiling_images", "knn_images",
 ]
 
 
@@ -225,3 +225,26 @@ def test_embed_neardup_margin():
         C = Mn @ Mn.T
         flat = C[np.triu_indices(len(C), 1)]
         assert np.abs(flat - NEARDUP_THRESHOLD).min() > 1e-8, sf
+
+
+def test_knn_images_rank_margins():
+    """knn_images oracle: rank boundaries are decided by chord2 gaps;
+    numpy (2 - 2*dot) and DuckDB (sum of squared diffs) agree to
+    ~1e-15, so the gap between the k-th and (k+1)-th distance per
+    probe must dwarf that."""
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.sources.images import CITIES, latlng_from_phash, \
+        phash_for_index
+
+    k = 10
+    for n in (10_000, 100_000):
+        ph = phash_for_index(np.arange(n, dtype=np.int64))
+        lat, lng = latlng_from_phash(ph)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        P = np.stack([x, y, z], axis=1)
+        qx, qy, qz = latlng_deg_to_xyz(CITIES[:, 0], CITIES[:, 1])
+        Q = np.stack([qx, qy, qz], axis=1)
+        d = np.clip(2.0 - 2.0 * (Q @ P.T), 0.0, 4.0)
+        part = np.sort(d, axis=1)[:, :k + 1]
+        gaps = part[:, k] - part[:, k - 1]
+        assert gaps.min() > 1e-9, n
