@@ -560,29 +560,67 @@ def sql_knn_shape(k: int = 5) -> str:
 
 
 def q_convex_hull(sf_dir: str):
-    """Distributed convex hull: per-partition hulls inside map_batches,
-    merged on the driver (classic parallel hull; rows-only)."""
+    """Distributed convex hull of the cap-region point set (the
+    hemisphere-contained regime where the spherical hull is proper;
+    a set spanning more than a hemisphere hulls to the full loop,
+    s2/convex_hull_query.go:139-150).  Per-partition hulls inside
+    map_batches, tiny partials merged on the driver; output is the
+    custkeys of the hull vertices."""
     from ..state.convexhull import hull_of_partials, hull_partial
+    from ..state.cap import Cap
+    cap = Cap(_cap_center_xyz(), _cap_chord2())
 
     pts = _customer_points(sf_dir)
 
     def _partial(batch: pa.Table) -> pa.Table:
-        p = hull_partial(list(zip(batch.column("x").to_numpy(),
-                                  batch.column("y").to_numpy(),
-                                  batch.column("z").to_numpy())))
-        arr = np.array(p, dtype=np.float64).reshape(-1, 3)
-        return pa.table({"x": pa.array(arr[:, 0]),
-                         "y": pa.array(arr[:, 1]),
-                         "z": pa.array(arr[:, 2])})
+        mask = cap.contains_points_v(batch.column("x").to_numpy(),
+                                     batch.column("y").to_numpy(),
+                                     batch.column("z").to_numpy())
+        batch = batch.filter(pa.array(mask))
+        pts3 = list(zip(batch.column("x").to_numpy(),
+                        batch.column("y").to_numpy(),
+                        batch.column("z").to_numpy()))
+        hp = set(hull_partial(pts3))
+        keep = pa.array([tuple(float(c) for c in p) in hp for p in pts3])
+        return batch.filter(keep).select(["c_custkey", "x", "y", "z"])
 
     partials = pts.map_batches(_partial, batch_format="pyarrow").to_pandas()
     hull = hull_of_partials([list(zip(partials["x"], partials["y"],
                                       partials["z"]))])
+    hull_set = set(hull.vertices)
     import pandas as pd
-    from ..functions.latlng import xyz_to_latlng_deg
-    arr = np.array(hull.vertices).reshape(-1, 3)
-    lat, lng = xyz_to_latlng_deg(arr[:, 0], arr[:, 1], arr[:, 2])
-    return pd.DataFrame({"lat": np.round(lat, 9), "lng": np.round(lng, 9)})
+    keys = sorted(int(k) for k, x, y, z in partials.itertuples(index=False)
+                  if (x, y, z) in hull_set)
+    return pd.DataFrame({"c_custkey": pd.Series(keys, dtype="int64")})
+
+
+def sql_convex_hull() -> str:
+    """Extreme-point oracle: p is a hull vertex of the (hemisphere-
+    contained) cap subset iff the azimuths of all other points, seen in
+    p's tangent frame, leave a circular gap wider than pi — i.e. some
+    great circle through p has every other point strictly on one side.
+    Margins vs the float pi-comparison are asserted in tests."""
+    cx, cy, cz = _cap_center_xyz()
+    cap_cond = (f"(x-({cx!r}))*(x-({cx!r})) + (y-({cy!r}))*(y-({cy!r})) "
+                f"+ (z-({cz!r}))*(z-({cz!r})) <= {_cap_chord2()!r}")
+    return (
+        f"{_PTS_CTE}, "
+        f"capped AS MATERIALIZED (SELECT c_custkey, x, y, z FROM xyz "
+        f"WHERE {cap_cond}), "
+        # east = (-y, x, 0)/hypot(x, y); north = p x east
+        f"fr AS (SELECT c_custkey, x, y, z, "
+        f"(-y)/sqrt(x*x + y*y) AS ex, x/sqrt(x*x + y*y) AS ey FROM capped), "
+        f"pairs AS (SELECT p.c_custkey AS pk, "
+        f"atan2(r.x*p.ex + r.y*p.ey, "
+        f"r.x*(-(p.z)*p.ey) + r.y*(p.z*p.ex) + r.z*(p.x*p.ey - p.y*p.ex)) "
+        f"AS th FROM fr p JOIN capped r ON r.c_custkey <> p.c_custkey), "
+        f"g AS (SELECT pk, th - lag(th) OVER "
+        f"(PARTITION BY pk ORDER BY th) AS gap FROM pairs), "
+        f"m1 AS (SELECT pk, max(gap) AS g1 FROM g GROUP BY pk), "
+        f"m2 AS (SELECT pk, min(th) + 2*pi() - max(th) AS g2 FROM pairs "
+        f"GROUP BY pk) "
+        f"SELECT pk AS c_custkey FROM m1 JOIN m2 USING (pk) "
+        f"WHERE GREATEST(COALESCE(g1, 0.0), g2) > pi() ORDER BY c_custkey")
 
 
 def q_token_count(sf_dir: str):
@@ -1198,4 +1236,5 @@ def oracle_sql() -> Dict[str, str]:
         "spatial_join_images": sql_spatial_join_images(),
         "tiling_images": sql_tiling_images(),
         "knn_images": sql_knn_images(),
+        "convex_hull": sql_convex_hull(),
     }

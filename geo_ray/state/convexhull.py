@@ -33,7 +33,17 @@ def _cap_axis(points: np.ndarray) -> np.ndarray:
 
 
 def convex_hull(points: Sequence[Vec]) -> Loop:
-    """Hull of a point set as a CCW Loop (s2/convex_hull_query.go:102-160)."""
+    """Hull of a point set as a CCW Loop (s2/convex_hull_query.go:139-218).
+
+    Andrew's monotone chain in the reference's spherical form: points
+    are sorted in CCW angular order around an origin O = Ortho(cap
+    axis), chosen so every point lies strictly on one side of the
+    geodesic through O — which makes the scan order angle-monotone
+    (sorting by orthographic coordinates instead, as a planar chain
+    would, breaks the chain invariant for wide caps and emits
+    non-extreme vertices).  Point sets not contained in an open
+    hemisphere around their centroid have no convex bounding cap, so
+    the hull is the full sphere (s2/convex_hull_query.go:139-150)."""
     pts = np.asarray(sorted(set(tuple(float(c) for c in p) for p in points)),
                      dtype=np.float64).reshape(-1, 3)
     if len(pts) == 0:
@@ -42,19 +52,19 @@ def convex_hull(points: Sequence[Vec]) -> Loop:
         return Loop([tuple(pts[0])])
     if len(pts) == 2:
         return Loop([tuple(pts[0]), tuple(pts[1])])
-    # Orient via a frame around the centroid direction so the monotone
-    # chain's x/y ordering is well defined for hemispherical sets.
     z = _cap_axis(pts)
-    x = np.cross(z, [0.012, 0.0053, 0.00457])
-    xn = np.linalg.norm(x)
-    if xn == 0:
-        x = np.cross(z, [1.0, 0.0, 0.0])
-        xn = np.linalg.norm(x)
-    x /= xn
-    y = np.cross(z, x)
-    u = pts @ x
-    v = pts @ y
-    order = np.lexsort((v, u))
+    if (pts @ z).min() <= 1e-15:
+        return Loop.full()
+    from ..functions.edges import ortho
+    origin = np.asarray(ortho(tuple(z)))
+    # CCW azimuth around O: with e1 = z and e2 = O x z, every point has
+    # p.e1 > 0 (hemisphere check above), so atan2(p.e2, p.e1) lies in
+    # (-pi/2, pi/2) and float order equals the RobustSign comparator
+    # order away from exact angular ties (the exact chain pops below
+    # decide every hull membership).
+    e2 = np.cross(origin, z)
+    az = np.arctan2(pts @ e2, pts @ z)
+    order = np.argsort(az, kind="stable")
     sorted_pts = [tuple(pts[i]) for i in order]
 
     def _chain(seq):
@@ -66,10 +76,8 @@ def convex_hull(points: Sequence[Vec]) -> Loop:
         return out
 
     lower = _chain(sorted_pts)
-    upper = _chain(reversed(sorted_pts))
+    upper = _chain(list(reversed(sorted_pts)))
     hull = lower[:-1] + upper[:-1]
-    if len(hull) < 3:
-        return Loop(hull)
     return Loop(hull)
 
 

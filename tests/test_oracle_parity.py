@@ -56,7 +56,7 @@ ORACLE_CHECKED = [
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "embed_knn", "embed_neardup", "events_hourly",
     "events_sliding", "events_sessions", "lineitem_agg",
-    "spatial_join_images", "tiling_images", "knn_images",
+    "spatial_join_images", "tiling_images", "knn_images", "convex_hull",
 ]
 
 
@@ -248,3 +248,35 @@ def test_knn_images_rank_margins():
         part = np.sort(d, axis=1)[:, :k + 1]
         gaps = part[:, k] - part[:, k - 1]
         assert gaps.min() > 1e-9, n
+
+
+def test_convex_hull_gap_margins():
+    """convex_hull oracle: hull membership is decided by whether the
+    widest tangent-frame azimuth gap exceeds pi; no point's widest gap
+    may sit within eps of pi (cross-engine atan2 differs by ~1e-16)."""
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.pipelines.queries import (_cap_center_xyz, _cap_chord2,
+                                           derive_latlng_np)
+    import pyarrow.parquet as pq
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        keys = pq.read_table(f"{sf}/customer.parquet",
+                             columns=["c_custkey"]).column(0).to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        cx, cy, cz = _cap_center_xyz()
+        inside = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2 <= \
+            _cap_chord2()
+        P = np.stack([x, y, z], axis=1)[inside]
+        worst = np.inf
+        for i in range(len(P)):
+            p = P[i]
+            east = np.array([-p[1], p[0], 0.0])
+            east /= np.linalg.norm(east)
+            north = np.cross(p, east)
+            others = np.delete(P, i, axis=0)
+            th = np.sort(np.arctan2(others @ east, others @ north))
+            mg = max(np.diff(th).max() if len(th) > 1 else 2 * np.pi,
+                     th[0] + 2 * np.pi - th[-1])
+            worst = min(worst, abs(mg - np.pi))
+        assert worst > 1e-8, (sf, worst)
