@@ -101,3 +101,88 @@ def test_encoding_round_trip():
         bad = bytearray(blob)
         bad[0] = 9  # wrong version
         decode_cell_union(bytes(bad))
+
+
+# -- Snapper objects (s2/builder_snapper_test.go:20-130) --------------------
+
+def test_identity_snapper():
+    from geo_ray.functions.snap import IdentitySnapper
+    s = IdentitySnapper(1.0)
+    assert s.min_vertex_separation() == 1.0
+    assert s.min_edge_vertex_separation() == 0.5
+    x, y, z = latlng_deg_to_xyz(np.array([12.0]), np.array([34.0]))
+    gx, gy, gz = s.snap_point(x, y, z)
+    assert (gx == x).all() and (gy == y).all() and (gz == z).all()
+
+
+def test_cellid_snapper_level_to_from_snap_radius():
+    # s2/builder_snapper_test.go:46-65
+    from geo_ray.functions.snap import CellIDSnapper
+    for level in range(31):
+        radius = CellIDSnapper.min_snap_radius_for_level(level)
+        assert CellIDSnapper.level_for_max_snap_radius(radius) == level
+        assert CellIDSnapper.level_for_max_snap_radius(0.999 * radius) == \
+            min(level + 1, 30)
+    assert CellIDSnapper.level_for_max_snap_radius(5.0) == 0
+    assert CellIDSnapper.level_for_max_snap_radius(1e-30) == 30
+
+
+def test_cellid_snapper_snap_point_idempotent():
+    # s2/builder_snapper_test.go:66-78: cell centers are fixed points
+    from geo_ray.functions import cellid as cid
+    from geo_ray.functions.snap import CellIDSnapper
+    rng = np.random.default_rng(17)
+    for level in (0, 3, 11, 24, 30):
+        s = CellIDSnapper(level)
+        p = rng.normal(size=3)
+        p /= np.linalg.norm(p)
+        leaf = cid.cell_id_from_point_v(*[np.array([c]) for c in p])
+        center = cid.cell_id_to_point_v(cid.parent_v(leaf, level))
+        sx, sy, sz = s.snap_point(*center)
+        assert (sx == center[0]).all() and (sy == center[1]).all() \
+            and (sz == center[2]).all()
+
+
+def test_intlatlng_snapper_exponent_to_from_snap_radius():
+    # s2/builder_snapper_test.go:80-99
+    from geo_ray.functions.snap import IntLatLngSnapper
+    for exp in range(11):
+        radius = IntLatLngSnapper.min_snap_radius_for_exponent(exp)
+        assert IntLatLngSnapper.exponent_for_max_snap_radius(radius) == exp
+        assert IntLatLngSnapper.exponent_for_max_snap_radius(
+            0.999 * radius) == min(exp + 1, 10)
+    assert IntLatLngSnapper.exponent_for_max_snap_radius(5.0) == 0
+    assert IntLatLngSnapper.exponent_for_max_snap_radius(1e-30) == 10
+
+
+def test_intlatlng_snapper_lattice_fixed_points():
+    """E5/E6/E7 lattice points are fixed points of the snapper (the
+    conformance check the reference's commented-out test describes,
+    s2/builder_snapper_test.go:100-130)."""
+    from geo_ray.functions.latlng import xyz_to_latlng_deg
+    from geo_ray.functions.snap import IntLatLngSnapper
+    rng = np.random.default_rng(23)
+    for exp in (5, 6, 7):
+        s = IntLatLngSnapper(exp)
+        scale = 10.0 ** exp
+        lat_e = np.round(rng.uniform(-89, 89, 16) * scale) / scale
+        lng_e = np.round(rng.uniform(-179, 179, 16) * scale) / scale
+        x, y, z = latlng_deg_to_xyz(lat_e, lng_e)
+        sx, sy, sz = s.snap_point(x, y, z)
+        glat, glng = xyz_to_latlng_deg(sx, sy, sz)
+        assert np.allclose(glat, lat_e, atol=1e-12)
+        assert np.allclose(glng, lng_e, atol=1e-12)
+
+
+def test_snapper_separation_bounds_sane():
+    from geo_ray.functions.snap import CellIDSnapper, IntLatLngSnapper
+    for level in (4, 12, 20):
+        s = CellIDSnapper(level)
+        assert 0 < s.min_edge_vertex_separation() <= s.snap_radius
+        assert 0.5 * s.snap_radius <= s.min_vertex_separation() \
+            <= s.snap_radius + 1e-18
+    for exp in (5, 7):
+        s = IntLatLngSnapper(exp)
+        assert 0 < s.min_edge_vertex_separation() <= s.snap_radius
+        assert 0.47 * s.snap_radius <= s.min_vertex_separation() \
+            <= s.snap_radius
