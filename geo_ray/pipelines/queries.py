@@ -913,12 +913,16 @@ def sql_events_sliding(size_sec: int = 7200, step_sec: int = 3600) -> str:
 
 def q_events_sessions(sf_dir: str, gap_sec: int = 1800):
     """Per-user session windows (30 min inactivity gap): n events,
-    first/last epoch seconds."""
+    first/last epoch seconds.  Uses the two-phase bucketed
+    sessionization so an adversarial mega-user never lands in a single
+    group (phase-1 groups are bounded by events-per-bucket, phase 2
+    merges tiny per-fragment rows); output is identical to the simple
+    per-user groupby."""
     import ray.data as rd
-    from ..stages.windows import session_windows
+    from ..stages.windows import session_windows_bucketed
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-    return session_windows(ds, gap_sec)
+    return session_windows_bucketed(ds, gap_sec)
 
 
 def sql_events_sessions(gap_sec: int = 1800) -> str:

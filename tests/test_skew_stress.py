@@ -6,6 +6,7 @@ combiner plays the role explicit salting would (SURVEY §4 skew row)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -53,3 +54,56 @@ def test_hot_tile_render_completes(ray_session):
     tiles = render_tiles(partials).to_pandas()
     assert 1 <= len(tiles) <= 4
     assert tiles["n_images"].sum() == 80_000
+
+
+def test_bucketed_sessions_equal_simple(ray_session):
+    """The skew-proof two-phase sessionization must equal the simple
+    per-user groupby on real data."""
+    import ray.data as rd
+
+    from geo_ray.stages.windows import (session_windows,
+                                        session_windows_bucketed)
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    cols = ["user_id", "session_no", "n", "first_ts", "last_ts"]
+    simple = session_windows(ds, 1800).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    bucketed = session_windows_bucketed(ds, 1800).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(simple, bucketed, check_dtype=False)
+
+
+def test_bucketed_sessions_mega_user(ray_session):
+    """Adversarial single-key skew: one user with sessions that span
+    multiple buckets, sit entirely inside one bucket, and straddle
+    boundaries with long empty stretches between."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.windows import (session_windows,
+                                        session_windows_bucketed)
+
+    ts = []
+    # session A: 10h of continuous activity every 900 s (crosses
+    # several 2h buckets without a gap)
+    ts.extend(range(0, 36000, 900))
+    # gap of 2 days, then session B fully inside one bucket
+    b0 = 36000 + 2 * 86400
+    ts.extend(range(b0, b0 + 1200, 300))
+    # gap just over the threshold, then session C straddling a boundary
+    c0 = b0 + 1200 + 1801
+    ts.extend(range(c0, c0 + 7200, 1700))
+    tbl = pa.table({
+        "user_id": pa.array([7] * len(ts), pa.int64()),
+        "event_id": pa.array(range(len(ts)), pa.int64()),
+        "ts": pa.array(np.array(ts, dtype="datetime64[s]")),
+    })
+    ds = rd.from_arrow(tbl)
+    cols = ["user_id", "session_no", "n", "first_ts", "last_ts"]
+    simple = session_windows(ds, 1800).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    bucketed = session_windows_bucketed(ds, 1800, bucket_sec=7200) \
+        .to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(simple, bucketed, check_dtype=False)
+    assert len(simple) == 3
