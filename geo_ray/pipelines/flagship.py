@@ -53,16 +53,31 @@ def city_polygons(radius_deg: float = CITY_RADIUS_DEG * 1.2,
 _STATE_CACHE_VERSION = b"city_join_state_v3"
 
 
+def _covering_fingerprint() -> bytes:
+    """Cheap behavioral fingerprint of the covering/index code: the
+    covering of a fixed sentinel cap plus the boundary-cell count of a
+    small sentinel loop index.  Any change to the coverer, cell-id
+    math, or the join index's subdivision alters these bytes, so the
+    disk cache auto-invalidates without hand-bumping the version tag."""
+    from ..state.cap import Cap
+    from ..state.coverer import RegionCoverer
+
+    cap = Cap.from_latlng_deg(41.0, -73.5, 0.02)
+    cells = RegionCoverer(max_cells=16, max_level=14).covering(cap)
+    return b"|".join(str(int(c)).encode() for c in cells)
+
+
 def _state_cache_path(polygons: List[Tuple[str, Polygon]]) -> str:
     """Cache file under the user's own cache dir, keyed by a content
-    hash of the polygon inputs plus a code-version tag, so covering
-    or geometry changes can never serve stale state and no other
-    local user can pre-plant the path."""
+    hash of the polygon inputs plus a code-version tag and a covering
+    fingerprint, so covering or geometry changes can never serve stale
+    state and no other local user can pre-plant the path."""
     import hashlib
     import os
 
     h = hashlib.blake2b(digest_size=16)
     h.update(_STATE_CACHE_VERSION)
+    h.update(_covering_fingerprint())
     for name, poly in polygons:
         h.update(name.encode("utf-8"))
         for loop in poly.loops:
