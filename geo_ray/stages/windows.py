@@ -72,76 +72,110 @@ def session_windows(events_ds, gap_sec: int):
         lambda g: session_group(g, gap_sec), batch_format="pandas")
 
 
-def session_partials_group(group: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
-    """Partial sessions within one (user, time-bucket) group: same gap
-    split as session_group, but emits (first_ts, last_ts, n) fragments
-    that phase 2 may merge across bucket boundaries."""
-    g = group.sort_values(["ts_epoch", "event_id"], kind="mergesort")
+def session_partials_part(group: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
+    """Partial sessions for EVERY (user, time-bucket) pair hashed into
+    this partition, in one vectorized pass: sort, mark segment starts
+    where the (user, bucket) key changes or the gap exceeds gap_sec,
+    and aggregate by run boundaries.  One map_groups call covers
+    thousands of (user, bucket) groups — per-group Python calls were
+    the 100x slowdown the first cut of this stage had."""
+    g = group.sort_values(["user_id", "bucket", "ts_epoch", "event_id"],
+                          kind="mergesort")
+    u = g["user_id"].to_numpy()
+    b = g["bucket"].to_numpy()
     ts = g["ts_epoch"].to_numpy()
-    new_session = np.ones(len(g), dtype=np.int64)
+    new = np.ones(len(g), dtype=bool)
     if len(g) > 1:
-        new_session[1:] = (ts[1:] - ts[:-1] > gap_sec).astype(np.int64)
-    sid = np.cumsum(new_session)
-    out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "sid": sid,
-                        "ts_epoch": ts})
-    return out.groupby(["user_id", "sid"]).agg(
-        n=("ts_epoch", "size"),
-        first_ts=("ts_epoch", "min"),
-        last_ts=("ts_epoch", "max")).reset_index().drop(columns=["sid"])
-
-
-def merge_session_partials(group: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
-    """Phase 2: merge a user's boundary-adjacent session fragments.
-    Operates on O(sessions + buckets) rows per user, never raw events."""
-    g = group.sort_values(["first_ts", "last_ts"], kind="mergesort")
-    first = g["first_ts"].to_numpy()
-    last = g["last_ts"].to_numpy()
-    n = g["n"].to_numpy()
-    # a fragment starts a new session iff its gap to the running
-    # session end exceeds gap_sec; fragments are time-sorted and
-    # non-overlapping (they came from disjoint time buckets)
-    sess_first, sess_last, sess_n = [], [], []
-    for i in range(len(g)):
-        if sess_last and first[i] - sess_last[-1] <= gap_sec:
-            sess_last[-1] = max(sess_last[-1], int(last[i]))
-            sess_n[-1] += int(n[i])
-        else:
-            sess_first.append(int(first[i]))
-            sess_last.append(int(last[i]))
-            sess_n.append(int(n[i]))
+        same = (u[1:] == u[:-1]) & (b[1:] == b[:-1])
+        new[1:] = ~same | (ts[1:] - ts[:-1] > gap_sec)
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(g)) - 1
     return pd.DataFrame({
-        "user_id": g["user_id"].to_numpy()[:len(sess_n)],
-        "session_no": np.arange(1, len(sess_n) + 1, dtype=np.int64),
-        "n": pd.Series(sess_n, dtype="int64"),
-        "first_ts": pd.Series(sess_first, dtype="int64"),
-        "last_ts": pd.Series(sess_last, dtype="int64"),
+        "user_id": u[starts],
+        "n": pd.Series(ends - starts + 1, dtype="int64"),
+        "first_ts": pd.Series(ts[starts], dtype="int64"),
+        "last_ts": pd.Series(ts[ends], dtype="int64"),
     })
 
 
+def merge_session_partials_part(group: pd.DataFrame,
+                                gap_sec: int) -> pd.DataFrame:
+    """Phase 2, vectorized over every user in the partition: fragments
+    of one user are disjoint time intervals, so sorted by first_ts
+    their last_ts is increasing and the merge test is simply
+    first[i] - last[i-1] > gap_sec (transitive chain merge)."""
+    g = group.sort_values(["user_id", "first_ts", "last_ts"],
+                          kind="mergesort")
+    u = g["user_id"].to_numpy()
+    f = g["first_ts"].to_numpy()
+    last = g["last_ts"].to_numpy()
+    n = g["n"].to_numpy()
+    new = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        new[1:] = (u[1:] != u[:-1]) | (f[1:] - last[:-1] > gap_sec)
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(g)) - 1
+    n_sum = np.add.reduceat(n, starts).astype(np.int64)
+    su = u[starts]
+    # session_no = 1-based rank of the merged session within its user
+    user_new = np.ones(len(starts), dtype=bool)
+    if len(starts) > 1:
+        user_new[1:] = su[1:] != su[:-1]
+    idx = np.arange(len(starts), dtype=np.int64)
+    base = np.maximum.accumulate(np.where(user_new, idx, 0))
+    return pd.DataFrame({
+        "user_id": su,
+        "session_no": pd.Series(idx - base + 1, dtype="int64"),
+        "n": pd.Series(n_sum, dtype="int64"),
+        "first_ts": pd.Series(f[starts], dtype="int64"),
+        "last_ts": pd.Series(last[ends], dtype="int64"),
+    })
+
+
+_PART_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def session_windows_bucketed(events_ds, gap_sec: int,
-                             bucket_sec: int = 6 * 3600):
-    """Skew-proof sessionization: phase 1 groups by (user, time bucket)
-    so a mega-user's events split across buckets (each group is bounded
-    by the user's event count per bucket_sec, not their total), phase 2
-    merges boundary-crossing fragments over tiny per-session rows.
-    Output is identical to session_windows for any input."""
+                             bucket_sec: int = 6 * 3600,
+                             num_parts: int = 64):
+    """Skew-proof sessionization: phase 1 partitions by a hash of
+    (user, time bucket) so a mega-user's events split across buckets
+    (each phase-1 unit is bounded by the user's event count per
+    bucket_sec, not their total), phase 2 merges boundary-crossing
+    fragments per user over tiny per-fragment rows.  Both phases
+    shuffle into ``num_parts`` coarse partitions and vectorize over
+    all groups inside each — per-(user,bucket) map_groups calls would
+    pay ~1 ms of Python overhead per group.  Output is identical to
+    session_windows for any input."""
     def _key(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy().astype("datetime64[s]") \
             .astype(np.int64)
         bucket = ts // bucket_sec
-        out = pa.table({
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        mix = (uid.astype(np.uint64) * _PART_MIX) ^ bucket.astype(np.uint64)
+        return pa.table({
             "user_id": batch.column("user_id"),
             "event_id": batch.column("event_id"),
             "ts_epoch": pa.array(ts, pa.int64()),
             "bucket": pa.array(bucket, pa.int64()),
+            "part": pa.array((mix % np.uint64(num_parts)).astype(np.int32),
+                             pa.int32()),
         })
-        return out
 
     partials = (events_ds.map_batches(_key, batch_format="pyarrow")
-                .groupby(["user_id", "bucket"])
-                .map_groups(lambda g: session_partials_group(
-                    g.drop(columns=["bucket"]), gap_sec),
+                .groupby("part")
+                .map_groups(lambda g: session_partials_part(
+                    g.drop(columns=["part"]), gap_sec),
                     batch_format="pandas"))
-    return partials.groupby("user_id").map_groups(
-        lambda g: merge_session_partials(g, gap_sec),
-        batch_format="pandas")
+
+    def _key2(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "part", pa.array((uid % np.uint64(num_parts)).astype(np.int32),
+                             pa.int32()))
+
+    return (partials.map_batches(_key2, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: merge_session_partials_part(
+                g.drop(columns=["part"]), gap_sec),
+                batch_format="pandas"))
