@@ -120,8 +120,8 @@ def build_points(num_images: int):
 
     ds = images_dataset(num_images)
     ds = ds.map_batches(geotag_and_cell, batch_format="pyarrow",
-                        batch_size=4096)
-    ds = ds.map_batches(image_stats, batch_format="pyarrow", batch_size=4096)
+                        batch_size=2048)
+    ds = ds.map_batches(image_stats, batch_format="pyarrow", batch_size=2048)
     return ds
 
 

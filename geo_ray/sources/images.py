@@ -160,17 +160,18 @@ def images_dataset(num_rows: int, *, parallelism: int = -1):
     import ray.data as rd
 
     if parallelism <= 0:
-        # ~4096 rows per block: enough tasks to balance (blocks >> CPUs)
-        # without per-task scheduling overhead dominating (too-few
-        # blocks capped the stage at 4 concurrent tasks in profiling;
-        # 16k-row blocks cost a long straggler tail).
-        parallelism = max(16, num_rows // 4096)
+        # ~2048 rows per block: enough tasks to balance (blocks >> CPUs)
+        # and small enough that a batch's pixel working set (~10 MB)
+        # stays cache-friendly under full-width concurrency — repeated
+        # A/B at 400k rows measured 2048/2048 ~10-25% faster than
+        # 4096/4096 and 8192/4096 (straggler tail also halves).
+        parallelism = max(16, num_rows // 2048)
     ds = rd.range(num_rows, override_num_blocks=parallelism)
 
     def _gen(batch: pa.Table) -> pa.Table:
         return generate_batch(batch.column("id").to_numpy())
 
-    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
 
 
 def images_table(num_rows: int) -> pa.Table:
