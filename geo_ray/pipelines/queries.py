@@ -559,6 +559,46 @@ def sql_knn_shape(k: int = 5) -> str:
             f"WHERE rank <= {k} ORDER BY probe_id, rank")
 
 
+def q_polygon_overlay(sf_dir: str):
+    """Distributed polygon boolean overlay (intersection / union /
+    difference / symmetric difference) over deterministic circle-pair
+    polygons derived from customer keys.  Rows-only at the driver;
+    correctness is pinned in pytest by the reference's boolean-op
+    corpus loops (s2/loop_test.go:85-94) and sampled containment
+    equivalence.  Stateless per-row map_batches — scales row-parallel
+    with no shuffle."""
+    from ..stages.overlay import overlay_pairs, polygon_to_text
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).limit(24)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lat, lng = derive_latlng_np(keys)
+        lat = np.clip(lat, -55.0, 55.0)
+        a_txt, b_txt = [], []
+        for k, la, ln in zip(keys, lat, lng):
+            r1 = math.radians(4.0 + float(k % 7))
+            r2 = math.radians(3.0 + float((k // 7) % 5))
+            sep_deg = math.degrees(r1 + r2) * 0.55
+            c1 = np.asarray(latlng_deg_to_xyz(float(la), float(ln)))
+            c2 = np.asarray(latlng_deg_to_xyz(float(la),
+                                              float(ln) + sep_deg))
+            a = Loop.regular_loop(c1, r1, 16)
+            b = Loop.regular_loop(c2, r2, 18)
+            a_txt.append(polygon_to_text(Polygon.from_loop(a)))
+            b_txt.append(polygon_to_text(Polygon.from_loop(b)))
+        return pa.table({
+            "pair_id": pa.array(keys, pa.int64()),
+            "a": pa.array(a_txt, pa.string()),
+            "b": pa.array(b_txt, pa.string()),
+        })
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    out = overlay_pairs(pairs)
+    return out.select_columns(["pair_id", "op", "num_loops", "area"]) \
+        .sort(["pair_id", "op"])
+
+
 def q_convex_hull(sf_dir: str):
     """Distributed convex hull of the cap-region point set (the
     hemisphere-contained regime where the spherical hull is proper;
@@ -1187,6 +1227,7 @@ def queries() -> Dict:
         "knn_geo_ring": q_knn_geo_ring,
         "knn_shape": q_knn_shape,
         "convex_hull": q_convex_hull,
+        "polygon_overlay": q_polygon_overlay,
         "token_count": q_token_count,
         "top_terms": q_top_terms,
         "doc_quality": q_doc_quality,
