@@ -599,6 +599,73 @@ def q_polygon_overlay(sf_dir: str):
         .sort(["pair_id", "op"])
 
 
+def q_polygon_build(sf_dir: str):
+    """Distributed snap-rounding assembly: per-customer circle (and
+    annulus) polygons exploded into shuffled, jittered edge soups, then
+    reassembled by groupby(shape_id) snap rounding (IntLatLng E7
+    lattice).  Rows-only at the driver; correctness is pinned in pytest
+    (tests/test_builder.py) against direct Builder output and sampled
+    containment.  The assembly itself is one shuffle on shape_id —
+    shapes are independent, so the stage scales shape-parallel."""
+    from ..functions.snap import IntLatLngSnapper
+    from ..state.boolean import polygon_difference
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).limit(16)
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lat, lng = derive_latlng_np(keys)
+        lat = np.clip(lat, -55.0, 55.0)
+        out = {"shape_id": [], "edge_id": [], "a_lat": [], "a_lng": [],
+               "b_lat": [], "b_lng": []}
+        from ..functions.latlng import xyz_to_latlng_deg
+        for k, la, ln in zip(keys, lat, lng):
+            c = np.asarray(latlng_deg_to_xyz(float(la), float(ln)))
+            r = math.radians(5.0 + float(k % 9))
+            poly = Polygon.from_loop(Loop.regular_loop(c, r, 12 + k % 5))
+            if k % 3 == 0:  # every third shape is an annulus
+                inner = Polygon.from_loop(
+                    Loop.regular_loop(c, r * 0.4, 10))
+                poly = polygon_difference(poly, inner)
+            depths = poly._loop_depths()
+            eid = 0
+            for lp, d in zip(poly.loops, depths):
+                for (u, v) in lp.edges():
+                    if d % 2 == 1:
+                        u, v = v, u
+                    # deterministic sub-snap-radius jitter (~1e-9 deg)
+                    ja = 1e-9 * math.sin(float(k) * 13.7 + eid)
+                    jb = 1e-9 * math.cos(float(k) * 7.3 + eid)
+                    ula, uln = (float(x) for x in xyz_to_latlng_deg(
+                        np.float64(u[0]), np.float64(u[1]),
+                        np.float64(u[2])))
+                    vla, vln = (float(x) for x in xyz_to_latlng_deg(
+                        np.float64(v[0]), np.float64(v[1]),
+                        np.float64(v[2])))
+                    out["shape_id"].append(int(k))
+                    # shuffled edge ids: reversed emission order per shape
+                    out["edge_id"].append(poly.num_edges() - 1 - eid)
+                    out["a_lat"].append(ula + ja)
+                    out["a_lng"].append(uln + jb)
+                    out["b_lat"].append(vla + jb)
+                    out["b_lng"].append(vln + ja)
+                    eid += 1
+        return pa.table({
+            "shape_id": pa.array(out["shape_id"], pa.int64()),
+            "edge_id": pa.array(out["edge_id"], pa.int64()),
+            "a_lat": pa.array(out["a_lat"], pa.float64()),
+            "a_lng": pa.array(out["a_lng"], pa.float64()),
+            "b_lat": pa.array(out["b_lat"], pa.float64()),
+            "b_lng": pa.array(out["b_lng"], pa.float64()),
+        })
+
+    from ..stages.build import assemble_polygons
+    edges = ds.map_batches(_edges, batch_format="pyarrow")
+    out = assemble_polygons(edges, IntLatLngSnapper(7))
+    return out.select_columns(
+        ["shape_id", "num_loops", "num_vertices", "area"]).sort("shape_id")
+
+
 def q_convex_hull(sf_dir: str):
     """Distributed convex hull of the cap-region point set (the
     hemisphere-contained regime where the spherical hull is proper;
@@ -1228,6 +1295,7 @@ def queries() -> Dict:
         "knn_shape": q_knn_shape,
         "convex_hull": q_convex_hull,
         "polygon_overlay": q_polygon_overlay,
+        "polygon_build": q_polygon_build,
         "token_count": q_token_count,
         "top_terms": q_top_terms,
         "doc_quality": q_doc_quality,
