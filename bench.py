@@ -43,6 +43,33 @@ def _consume(ds) -> int:
     return len(ds)
 
 
+def _host_control_sec() -> float:
+    """Fixed single-core streaming workload in a FRESH subprocess,
+    reported with every bench line so numbers taken in different host
+    phases can be compared.  The sandbox VM's page-allocation path
+    (first-touch faults + kernel zeroing) degrades by >10x over
+    minutes under hypervisor neighbors while cache-resident compute
+    stays fast; a fresh process measures the first-touch path — the
+    one Ray's short-lived task buffers and plasma mmaps actually take.
+    Healthy-host reference: ~0.3 s (see BASELINE.md)."""
+    code = ("import numpy as np, time\n"
+            "a = np.full(2_000_000, 0.5)\n"
+            "t0 = time.perf_counter()\n"
+            "for _ in range(16):\n"
+            "    a = a * 1.000001 + 0.5\n"
+            "    a = a - 0.5\n"
+            "print(time.perf_counter() - t0)\n")
+    vals = []
+    for _ in range(2):
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True)
+        try:
+            vals.append(float(proc.stdout.strip()))
+        except ValueError:
+            return -1.0
+    return round(min(vals), 3)
+
+
 def run_suite(headline_only: bool = False) -> dict:
     import ray
 
@@ -122,6 +149,7 @@ def run_suite(headline_only: bool = False) -> dict:
         "queries": queries,
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
+        "host_control_sec": _host_control_sec(),
         **extras,
     }
 
@@ -173,6 +201,7 @@ def run_scaling() -> dict:
         "rows_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
         "num_images": BENCH_IMAGES,
+        "host_control_sec": _host_control_sec(),
     }
 
 
