@@ -10,9 +10,11 @@ The container has no PIL/libjpeg, so:
   lossy with PSNR comfortably above 40 dB (the driver's per-row
   invariant), deterministic bit-for-bit, and exercises the same
   Ray-side plumbing (binary column in, decode in an actor pool,
-  numpy pixels out).  If a real PIL becomes available it is used for
-  *decoding* real JPEG files transparently (import-try below); our
-  encoder always writes the stand-in format (magic ``LJ92``).
+  numpy pixels out).  The synthesis hot path writes this format
+  (magic ``LJ92``, ~10x cheaper than real Huffman coding); REAL
+  baseline JFIF/JPEG bytes (0xFFD8) are routed to the pure-numpy
+  spec-conformant codec in ``sources/jpeg.py`` — no PIL required
+  (the import-try below only gates an optional cross-check test).
 
 Both codecs are pure numpy and run vectorized per image; batches of
 images are handled by the actor-pool stage in stages/tiles.py.
@@ -304,12 +306,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         b = bytes(data)
         if b[:4] == _LJ_MAGIC:
             return lossy_decode(b)
-        if _HAVE_PIL:  # real JPEG bytes and PIL available
-            import io
-            return np.asarray(PIL.Image.open(io.BytesIO(b)).convert("RGB"))
-        raise NotImplementedError(
-            "real JPEG decoding requires PIL, which is not available in "
-            "this container; synthetic tables use the LJ92 stand-in")
+        if b[:2] == b"\xFF\xD8":  # real JPEG bytes
+            from . import jpeg
+            return jpeg.decode(b)
+        raise ValueError("unrecognized jpeg payload")
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -101,6 +101,33 @@ class ImageResize:
                                                np.int32), pa.int32()))
 
 
+class JpegTranscoder:
+    """Actor-pool stage: decode any supported payload (PNG, LJ92
+    stand-in, or real baseline JPEG) and re-encode as REAL baseline
+    JFIF/JPEG (sources/jpeg.py — pure numpy, externally decodable).
+    Use as ``ds.map_batches(JpegTranscoder(quality=90), concurrency=N,
+    batch_size=B)``.  The LJ92 stand-in stays the synthesis hot path;
+    this is the interop boundary for exporting to real tools."""
+
+    def __init__(self, quality: int = 90):
+        self.quality = int(quality)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import jpeg
+
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out_blobs = [
+            jpeg.encode(codecs.decode(b, f), self.quality)
+            for b, f in zip(blobs, fmts)
+        ]
+        keep = [c for c in batch.column_names if c not in ("bytes", "fmt")]
+        out = batch.select(keep)
+        out = out.append_column("bytes", pa.array(out_blobs, pa.binary()))
+        return out.append_column(
+            "fmt", pa.array(["jpeg"] * len(out_blobs), pa.string()))
+
+
 # ---------------------------------------------------------------------------
 # video: frame container + frame sampling
 # ---------------------------------------------------------------------------
