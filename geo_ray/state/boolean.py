@@ -69,20 +69,177 @@ def _region_contains(poly: Polygon, complemented: bool, p) -> bool:
     return (not c) if complemented else c
 
 
-def _split_edges(edges_a, edges_b):
+# Below this many A x B edge pairs the dense full-matrix triage is cheaper
+# than building a cell index (BLAS matmuls, no Python per pair).
+_DENSE_PAIR_LIMIT = 1 << 16
+
+
+def _edge_arrays(edges):
+    cvs = np.asarray([e[0] for e in edges], dtype=np.float64).reshape(-1, 3)
+    dvs = np.asarray([e[1] for e in edges], dtype=np.float64).reshape(-1, 3)
+    return cvs, dvs
+
+
+def _triage_pairs(cvs_a, dvs_a, cvs_b, dvs_b, ai, bj):
+    """Proper-crossing decision for candidate pairs (ai[k], bj[k]):
+    elementwise vectorized sign triage (same determinants as
+    CrossingSign's triage, s2/edge_crosser.go) with the robust scalar
+    predicate on ambiguous pairs.  Returns the surviving (ai, bj)."""
+    from ..functions.predicates import MAX_DETERMINANT_ERROR
+    if len(ai) == 0:
+        return ai, bj
+    A, B = cvs_a[ai], dvs_a[ai]
+    C, D = cvs_b[bj], dvs_b[bj]
+    axb = np.cross(A, B)
+    cxd = np.cross(C, D)
+    det_c = np.einsum("ij,ij->i", cxd, A)
+    det_d = np.einsum("ij,ij->i", cxd, B)
+    det_a = np.einsum("ij,ij->i", axb, C)
+    det_b = np.einsum("ij,ij->i", axb, D)
+    eps = MAX_DETERMINANT_ERROR
+    amb = ((np.abs(det_c) <= eps) | (np.abs(det_d) <= eps) |
+           (np.abs(det_a) <= eps) | (np.abs(det_b) <= eps))
+    acb = -np.sign(det_a)
+    clear = ((np.sign(det_b) == acb) & (-np.sign(det_d) == acb) &
+             (np.sign(det_c) == acb) & ~amb)
+    keep = clear.copy()
+    for k in np.nonzero(amb)[0]:
+        if crossing_sign(tuple(A[k]), tuple(B[k]),
+                         tuple(C[k]), tuple(D[k])) > 0:
+            keep[k] = True
+    return ai[keep], bj[keep]
+
+
+def _crossing_pairs_dense(cvs_a, dvs_a, cvs_b, dvs_b):
+    """All proper-crossing (i, j) pairs via four (E_a, E_b) sign
+    matrices — the vectorized form of the brute double loop."""
+    from ..functions.predicates import MAX_DETERMINANT_ERROR
+    axb = np.cross(cvs_a, dvs_a)
+    cxd = np.cross(cvs_b, dvs_b)
+    det_a = axb @ cvs_b.T            # (Ea, Eb): axb_i . c_j
+    det_b = axb @ dvs_b.T
+    det_c = cvs_a @ cxd.T            # cxd_j . a_i
+    det_d = dvs_a @ cxd.T
+    eps = MAX_DETERMINANT_ERROR
+    amb = ((np.abs(det_c) <= eps) | (np.abs(det_d) <= eps) |
+           (np.abs(det_a) <= eps) | (np.abs(det_b) <= eps))
+    acb = -np.sign(det_a)
+    clear = ((np.sign(det_b) == acb) & (-np.sign(det_d) == acb) &
+             (np.sign(det_c) == acb) & ~amb)
+    ai, bj = np.nonzero(clear | amb)
+    # re-triage only the candidate pairs so ambiguous ones hit the
+    # robust scalar predicate exactly once
+    mask_amb = amb[ai, bj]
+    out_i = [ai[~mask_amb]]
+    out_j = [bj[~mask_amb]]
+    ri, rj = _triage_pairs(cvs_a, dvs_a, cvs_b, dvs_b,
+                           ai[mask_amb], bj[mask_amb])
+    out_i.append(ri)
+    out_j.append(rj)
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _boundary_edge_index(poly: Polygon):
+    """Clipped-edge cell index over a polygon's boundary (ShapeIndex
+    subdivision semantics, s2/shapeindex.go:923-1260) for
+    output-sensitive crossing discovery.  Edge ids are positions in the
+    loop-order edge enumeration — identical to _region_edges order
+    (endpoint swaps from depth flips don't affect crossing tests)."""
+    from ..stages.join import _PolyEdgeIndex
+    from .coverer import RegionCoverer
+    from . import cellunion as cu
+    rc = RegionCoverer(max_cells=64, max_level=18)
+    cover = rc.cell_union(poly)
+    interior = cu.normalize(rc.interior_covering(poly))
+    boundary = cu.from_difference(cover, interior)
+    if not boundary:
+        boundary = list(cover)
+    return _PolyEdgeIndex(poly, boundary)
+
+
+def _crossing_pairs_indexed(cvs_a, dvs_a, index):
+    """Candidate (i, j) pairs via the cell index: an A edge can only
+    cross B edges stored in leaves whose bounding caps overlap the A
+    edge's bounding cap.  Leaf-vs-edge proximity is blocked matmuls
+    over ~E_b/maxEdgesPerCell leaf centers instead of E_b edges."""
+    from ..functions.latlng import chord2_to_angle
+    mids = cvs_a + dvs_a
+    nrm = np.linalg.norm(mids, axis=1)
+    nrm[nrm == 0.0] = 1.0            # antipodal endpoints: cap = hemisphere
+    mids = mids / nrm[:, None]
+    cosr = np.clip(np.einsum("ij,ij->i", mids, cvs_a), -1.0, 1.0)
+    r_a = np.arccos(cosr)
+    r_a[np.linalg.norm(cvs_a + dvs_a, axis=1) == 0.0] = math.pi / 2
+    centers = index.centers          # (L, 3)
+    r_leaf = chord2_to_angle(index.cap_radius_chord2)  # (L,)
+    n_a = len(cvs_a)
+    pair_i: List[np.ndarray] = []
+    pair_j: List[np.ndarray] = []
+    counts = np.diff(index.offsets)
+    block = max(1, int(4_000_000 // max(1, len(centers))))
+    for lo in range(0, n_a, block):
+        hi = min(n_a, lo + block)
+        cosd = np.clip(centers @ mids[lo:hi].T, -1.0, 1.0)  # (L, blk)
+        ang = np.arccos(cosd)
+        near = ang <= (r_leaf[:, None] + r_a[None, lo:hi] + 1e-9)
+        li, aoff = np.nonzero(near)
+        if len(li) == 0:
+            continue
+        # expand each (leaf, a-edge) hit into the leaf's B edge ids
+        reps = counts[li]
+        a_ids = np.repeat(aoff + lo, reps)
+        starts = index.offsets[li]
+        # vectorized ragged gather: for each hit, a run of edge ids
+        idx = np.repeat(starts + reps - reps.cumsum(), reps) + \
+            np.arange(int(reps.sum()), dtype=np.int64)
+        b_ids = index.edge_ids[idx]
+        pair_i.append(a_ids)
+        pair_j.append(b_ids)
+    if not pair_i:
+        return (np.empty(0, dtype=np.int64),) * 2
+    ai = np.concatenate(pair_i)
+    bj = np.concatenate(pair_j)
+    enc = ai * np.int64(len(index.cvs)) + bj
+    _, first = np.unique(enc, return_index=True)
+    return ai[first], bj[first]
+
+
+def _split_edges(edges_a, edges_b, poly_a: Polygon = None,
+                 poly_b: Polygon = None):
     """Split both edge lists at their pairwise interior crossings.
 
     Returns (sub_a, sub_b).  Both owners of a crossing split at the
-    same float vector, so stitch keys match exactly.
+    same float vector, so stitch keys match exactly.  Small inputs use
+    the dense vectorized triage; above _DENSE_PAIR_LIMIT pairs the
+    larger side gets a clipped-edge cell index so discovery cost is
+    O(E_small x nearby-leaves) instead of O(E_a x E_b).
     """
     splits_a: List[List[np.ndarray]] = [[] for _ in edges_a]
     splits_b: List[List[np.ndarray]] = [[] for _ in edges_b]
-    for i, (u, v) in enumerate(edges_a):
-        for j, (c, d) in enumerate(edges_b):
-            if crossing_sign(u, v, c, d) > 0:
-                x = edge_intersection_robust(u, v, c, d)
-                splits_a[i].append(x)
-                splits_b[j].append(x)
+    if edges_a and edges_b:
+        cvs_a, dvs_a = _edge_arrays(edges_a)
+        cvs_b, dvs_b = _edge_arrays(edges_b)
+        n_pairs = len(edges_a) * len(edges_b)
+        if (n_pairs > _DENSE_PAIR_LIMIT
+                and (poly_a is not None or poly_b is not None)):
+            # index the side with more edges; candidates from the other
+            if (poly_b is not None and
+                    (poly_a is None or len(edges_b) >= len(edges_a))):
+                idx = _boundary_edge_index(poly_b)
+                cand_i, cand_j = _crossing_pairs_indexed(cvs_a, dvs_a, idx)
+            else:
+                idx = _boundary_edge_index(poly_a)
+                cand_j2, cand_i2 = _crossing_pairs_indexed(cvs_b, dvs_b, idx)
+                cand_i, cand_j = cand_i2, cand_j2
+            ai, bj = _triage_pairs(cvs_a, dvs_a, cvs_b, dvs_b,
+                                   cand_i, cand_j)
+        else:
+            ai, bj = _crossing_pairs_dense(cvs_a, dvs_a, cvs_b, dvs_b)
+        for i, j in zip(ai.tolist(), bj.tolist()):
+            x = edge_intersection_robust(edges_a[i][0], edges_a[i][1],
+                                         edges_b[j][0], edges_b[j][1])
+            splits_a[i].append(x)
+            splits_b[j].append(x)
     return (_apply_splits(edges_a, splits_a),
             _apply_splits(edges_b, splits_b))
 
@@ -127,30 +284,42 @@ def _select(sub_a, sub_b, poly_a, comp_a, poly_b, comp_b, want_inside_a,
     b_dir = {e: None for e in sub_b}
     a_dir = {e: None for e in sub_a}
     kept: List[Tuple[Vec, Vec]] = []
-    for (u, v) in sub_a:
-        if (u, v) in b_dir:
-            # same directed edge on both boundaries: the regions lie on
-            # the same side; it bounds the result iff both ops keep it,
-            # and then exactly once.
-            if want_inside_b == want_inside_a:
-                kept.append((u, v))
-            continue
-        if (v, u) in b_dir:
-            # anti-parallel contact: interiors on opposite sides — the
-            # contact segment is degenerate in the open-regularized
-            # result.
-            continue
-        m = np.asarray(u, dtype=np.float64) + np.asarray(v, dtype=np.float64)
-        m = m / np.linalg.norm(m)
-        if _region_contains(poly_b, comp_b, tuple(m)) == want_inside_b:
-            kept.append((u, v))
-    for (u, v) in sub_b:
-        if (u, v) in a_dir or (v, u) in a_dir:
-            continue  # handled above
-        m = np.asarray(u, dtype=np.float64) + np.asarray(v, dtype=np.float64)
-        m = m / np.linalg.norm(m)
-        if _region_contains(poly_a, comp_a, tuple(m)) == want_inside_a:
-            kept.append((u, v))
+
+    def _probe(edges, shared_fwd, shared_rev, region, comp, want, on_shared):
+        """Split edges into shared-contact cases (handled by on_shared)
+        and the common case, whose midpoints are tested against the
+        other region in ONE vectorized containment call."""
+        plain: List[Tuple[Vec, Vec]] = []
+        for (u, v) in edges:
+            if (u, v) in shared_fwd or (v, u) in shared_rev:
+                on_shared((u, v), (u, v) in shared_fwd)
+                continue
+            plain.append((u, v))
+        if not plain:
+            return
+        uv = np.asarray(plain, dtype=np.float64)       # (n, 2, 3)
+        mids = uv[:, 0, :] + uv[:, 1, :]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        inside = region.contains_points_batch(mids)
+        if comp:
+            inside = ~inside
+        for e, ok in zip(plain, inside == want):
+            if ok:
+                kept.append(e)
+
+    def _a_shared(e, forward):
+        # same directed edge on both boundaries: the regions lie on the
+        # same side; it bounds the result iff both ops keep it, and then
+        # exactly once.  Anti-parallel contact (interiors on opposite
+        # sides) is degenerate in the open-regularized result: dropped.
+        if forward and want_inside_b == want_inside_a:
+            kept.append(e)
+
+    def _b_shared(e, forward):
+        pass  # both orientations handled on the A side
+
+    _probe(sub_a, b_dir, b_dir, poly_b, comp_b, want_inside_b, _a_shared)
+    _probe(sub_b, a_dir, a_dir, poly_a, comp_a, want_inside_a, _b_shared)
     return kept
 
 
@@ -285,7 +454,7 @@ def polygon_boolean(op: str, a: Polygon, b: Polygon) -> Polygon:
     if not edges_a and not edges_b:
         return Polygon([Loop.full() if truth else Loop.empty()])
 
-    sub_a, sub_b = _split_edges(edges_a, edges_b)
+    sub_a, sub_b = _split_edges(edges_a, edges_b, a, b)
     kept = _select(sub_a, sub_b, a, comp_a, b, comp_b, want_a, want_b)
     if reverse:
         kept = [(v, u) for (u, v) in kept]

@@ -205,3 +205,35 @@ def test_overlay_stage(ray_session):
         assert abs((a.area() + b.area()) - (u_area + i_area)) < 1e-9
         assert abs(float(sub.loc["difference", "area"])
                    - (a.area() - i_area)) < 1e-9
+
+
+def test_indexed_crossing_discovery_matches_dense():
+    """Above _DENSE_PAIR_LIMIT pairs, _split_edges switches to the
+    clipped-edge cell index; the candidate set it feeds to the robust
+    triage must yield the same crossing pairs as the dense matrices."""
+    from geo_ray.state import boolean as bo
+
+    a = _circle(20.0, 30.0, 12.0, 300)
+    b = _circle(20.0, 39.0, 11.0, 300)
+    edges_a = bo._region_edges(a, False)
+    edges_b = bo._region_edges(b, False)
+    assert len(edges_a) * len(edges_b) > bo._DENSE_PAIR_LIMIT
+
+    cvs_a, dvs_a = bo._edge_arrays(edges_a)
+    cvs_b, dvs_b = bo._edge_arrays(edges_b)
+    di, dj = bo._crossing_pairs_dense(cvs_a, dvs_a, cvs_b, dvs_b)
+    idx = bo._boundary_edge_index(b)
+    ci, cj = bo._crossing_pairs_indexed(cvs_a, dvs_a, idx)
+    ii, jj = bo._triage_pairs(cvs_a, dvs_a, cvs_b, dvs_b, ci, cj)
+    assert set(zip(di.tolist(), dj.tolist())) == set(zip(ii.tolist(),
+                                                         jj.tolist()))
+    assert len(di) == 2  # two proper boundary crossings for circle pair
+
+    # and the full op through the indexed path stays correct
+    inter = polygon_intersection(a, b)
+    assert abs((a.area() + b.area())
+               - (polygon_union(a, b).area() + inter.area())) < 1e-9
+    for p in _rand_pts(200):
+        t = tuple(p)
+        assert inter.contains_point(t) == (a.contains_point(t)
+                                           and b.contains_point(t))
