@@ -109,7 +109,7 @@ def _default_join_state() -> JoinState:
     return state
 
 
-def build_points(num_images: int):
+def build_points(num_images: int, start: int = 0):
     """images -> geotagged, cell-keyed, decoded point rows (lazy).
 
     All three transforms are stateless task stages, so the streaming
@@ -118,7 +118,7 @@ def build_points(num_images: int):
     producer — see stages/tiles.py docstring)."""
     from ..stages.tiles import image_stats
 
-    ds = images_dataset(num_images)
+    ds = images_dataset(num_images, start=start)
     ds = ds.map_batches(geotag_and_cell, batch_format="pyarrow",
                         batch_size=2048)
     ds = ds.map_batches(image_stats, batch_format="pyarrow", batch_size=2048)
@@ -129,10 +129,17 @@ def run_flagship(num_images: int = 10_000, *,
                  tile_level: int = DEFAULT_TILE_LEVEL,
                  polygons: Optional[List[Tuple[str, Polygon]]] = None,
                  out_root: Optional[str] = None,
-                 join_concurrency: Optional[int] = None) -> Dict:
-    """Run the full pipeline; returns datasets + throughput metrics."""
+                 join_concurrency: Optional[int] = None,
+                 n_shards: Optional[int] = None) -> Dict:
+    """Run the full pipeline; returns datasets + throughput metrics.
+
+    With ``out_root`` set, the ingest stage (synthesize -> geotag ->
+    decode) checkpoints per input shard: a killed run resumes at the
+    first unfinished shard instead of repeating the whole stage, and
+    each shard manifest carries rows/wall/lineage (``n_shards`` defaults
+    to ~1 shard per 50k images, min 2 so resume granularity is real)."""
     import ray
-    from .checkpoint import stage_checkpoint
+    from .checkpoint import sharded_stage_checkpoint, stage_checkpoint
 
     use_cache = polygons is None
     polygons = polygons if polygons is not None else city_polygons()
@@ -142,12 +149,21 @@ def run_flagship(num_images: int = 10_000, *,
     t_state = time.perf_counter() - t0
 
     sig = f"n={num_images};tl={tile_level};np={len(polygons)}"
+    if n_shards is None:
+        n_shards = max(2, min(64, num_images // 50_000))
 
-    def _build_points():
-        return build_points(num_images)
+    bounds = np.linspace(0, num_images, n_shards + 1).astype(np.int64)
 
-    points, points_info = stage_checkpoint(out_root, "points", sig,
-                                           _build_points)
+    def _build_points_shard(i: int):
+        return build_points(int(bounds[i + 1] - bounds[i]),
+                            start=int(bounds[i]))
+
+    if out_root is not None:
+        points, points_info = sharded_stage_checkpoint(
+            out_root, "points", sig, n_shards, _build_points_shard)
+    else:
+        points, points_info = stage_checkpoint(
+            out_root, "points", sig, lambda: build_points(num_images))
     if out_root is None:
         # The narrow point table (bytes dropped) is consumed by both the
         # join and the tiling stage: pin it once instead of re-running
@@ -163,7 +179,8 @@ def run_flagship(num_images: int = 10_000, *,
             lambda b: polygon_join(b, state_ref),
             batch_format="pyarrow", batch_size=8192)
 
-    joined, join_info = stage_checkpoint(out_root, "join", sig, _build_join)
+    joined, join_info = stage_checkpoint(out_root, "join", sig, _build_join,
+                                         parents=[points_info])
     if out_root is None:
         joined = joined.materialize()
     n_matches = joined.count()
@@ -177,7 +194,8 @@ def run_flagship(num_images: int = 10_000, *,
             batch_format="pyarrow", batch_size=16384)
         return render_tiles(partials)
 
-    tiles, tiles_info = stage_checkpoint(out_root, "tiles", sig, _build_tiles)
+    tiles, tiles_info = stage_checkpoint(out_root, "tiles", sig, _build_tiles,
+                                         parents=[points_info])
     if out_root is None:
         tiles = tiles.materialize()
     n_tiles = tiles.count()

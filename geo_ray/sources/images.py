@@ -155,8 +155,11 @@ def generate_batch(indices: np.ndarray) -> pa.Table:
     })
 
 
-def images_dataset(num_rows: int, *, parallelism: int = -1):
-    """Distributed synthesis as a Ray Dataset (lazy)."""
+def images_dataset(num_rows: int, *, parallelism: int = -1,
+                   start: int = 0):
+    """Distributed synthesis as a Ray Dataset (lazy) over global row
+    indices [start, start + num_rows) — the offset makes a shard of the
+    logical table addressable on its own (per-partition checkpoints)."""
     import ray.data as rd
 
     if parallelism <= 0:
@@ -167,9 +170,10 @@ def images_dataset(num_rows: int, *, parallelism: int = -1):
         # 4096/4096 and 8192/4096 (straggler tail also halves).
         parallelism = max(16, num_rows // 2048)
     ds = rd.range(num_rows, override_num_blocks=parallelism)
+    off = int(start)
 
     def _gen(batch: pa.Table) -> pa.Table:
-        return generate_batch(batch.column("id").to_numpy())
+        return generate_batch(batch.column("id").to_numpy() + off)
 
     return ds.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
 
