@@ -116,13 +116,29 @@ def build_points(num_images: int, start: int = 0):
     executor fuses them with the range source and scales them to the
     free CPUs (an actor pool sized to the CPU count here deadlocks the
     producer — see stages/tiles.py docstring)."""
+    ds = images_dataset(num_images, start=start)
+    return _points_transforms(ds)
+
+
+def _points_transforms(ds):
     from ..stages.tiles import image_stats
 
-    ds = images_dataset(num_images, start=start)
     ds = ds.map_batches(geotag_and_cell, batch_format="pyarrow",
                         batch_size=2048)
     ds = ds.map_batches(image_stats, batch_format="pyarrow", batch_size=2048)
     return ds
+
+
+def build_points_from_files(files: List[str]):
+    """Same point pipeline over stored table fragments, columns pruned
+    at the scan (the blobs never leave the read for any other column's
+    sake; `caption` is not read at all)."""
+    import ray.data as rd
+
+    from ..sources.table_io import FLAGSHIP_COLUMNS
+
+    ds = rd.read_parquet(files, columns=FLAGSHIP_COLUMNS)
+    return _points_transforms(ds)
 
 
 def run_flagship(num_images: int = 10_000, *,
@@ -130,14 +146,20 @@ def run_flagship(num_images: int = 10_000, *,
                  polygons: Optional[List[Tuple[str, Polygon]]] = None,
                  out_root: Optional[str] = None,
                  join_concurrency: Optional[int] = None,
-                 n_shards: Optional[int] = None) -> Dict:
+                 n_shards: Optional[int] = None,
+                 input_path: Optional[str] = None) -> Dict:
     """Run the full pipeline; returns datasets + throughput metrics.
 
-    With ``out_root`` set, the ingest stage (synthesize -> geotag ->
-    decode) checkpoints per input shard: a killed run resumes at the
+    With ``out_root`` set, the ingest stage (synthesize/read -> geotag
+    -> decode) checkpoints per input shard: a killed run resumes at the
     first unfinished shard instead of repeating the whole stage, and
     each shard manifest carries rows/wall/lineage (``n_shards`` defaults
-    to ~1 shard per 50k images, min 2 so resume granularity is real)."""
+    to ~1 shard per 50k images, min 2 so resume granularity is real).
+
+    ``input_path`` switches ingest from deterministic synthesis to a
+    stored image+caption table (Lance when available, else parquet; see
+    sources/table_io.py), columns pruned at the scan; resume shards
+    then map to contiguous file groups and ``num_images`` is ignored."""
     import ray
     from .checkpoint import sharded_stage_checkpoint, stage_checkpoint
 
@@ -148,19 +170,36 @@ def run_flagship(num_images: int = 10_000, *,
     state_ref = ray.put(state)
     t_state = time.perf_counter() - t0
 
-    sig = f"n={num_images};tl={tile_level};np={len(polygons)}"
-    if n_shards is None:
-        n_shards = max(2, min(64, num_images // 50_000))
+    if input_path is not None:
+        from ..sources.table_io import list_table_files
+        files = list_table_files(input_path)
+        sig = f"in={input_path};nf={len(files)};tl={tile_level};" \
+              f"np={len(polygons)}"
+        if n_shards is None:
+            n_shards = max(1, min(64, len(files)))
+        n_shards = min(n_shards, len(files))
+        fbounds = np.linspace(0, len(files), n_shards + 1).astype(np.int64)
 
-    bounds = np.linspace(0, num_images, n_shards + 1).astype(np.int64)
+        def _build_points_shard(i: int):
+            return build_points_from_files(
+                files[int(fbounds[i]):int(fbounds[i + 1])])
+    else:
+        sig = f"n={num_images};tl={tile_level};np={len(polygons)}"
+        if n_shards is None:
+            n_shards = max(2, min(64, num_images // 50_000))
+        bounds = np.linspace(0, num_images, n_shards + 1).astype(np.int64)
 
-    def _build_points_shard(i: int):
-        return build_points(int(bounds[i + 1] - bounds[i]),
-                            start=int(bounds[i]))
+        def _build_points_shard(i: int):
+            return build_points(int(bounds[i + 1] - bounds[i]),
+                                start=int(bounds[i]))
 
     if out_root is not None:
         points, points_info = sharded_stage_checkpoint(
             out_root, "points", sig, n_shards, _build_points_shard)
+    elif input_path is not None:
+        points, points_info = stage_checkpoint(
+            out_root, "points", sig,
+            lambda: build_points_from_files(files))
     else:
         points, points_info = stage_checkpoint(
             out_root, "points", sig, lambda: build_points(num_images))
@@ -169,6 +208,9 @@ def run_flagship(num_images: int = 10_000, *,
         # join and the tiling stage: pin it once instead of re-running
         # synthesis + decode per consumer.
         points = points.materialize()
+
+    if input_path is not None:
+        num_images = points_info.get("rows") or points.count()
 
     t1 = time.perf_counter()
 

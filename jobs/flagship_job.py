@@ -30,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-images", type=int, default=1_000_000)
+    ap.add_argument("--input", type=str, default=None,
+                    help="stored image table (Lance or parquet dir); "
+                         "when set, --num-images is ignored")
     ap.add_argument("--tile-level", type=int, default=7)
     ap.add_argument("--out", type=str, default="/tmp/geo_ray_job")
     ap.add_argument("--num-cpus", type=int, default=0,
@@ -53,7 +56,8 @@ def main() -> None:
 
     res = run_flagship(num_images=args.num_images,
                        tile_level=args.tile_level,
-                       out_root=args.out)
+                       out_root=args.out,
+                       input_path=args.input)
     metrics = dict(res["metrics"])
     metrics["out"] = args.out
     print(json.dumps(metrics, default=str))
