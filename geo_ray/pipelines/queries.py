@@ -805,6 +805,45 @@ def sql_dedup_exact() -> str:
             "GROUP BY source, n_chars ORDER BY source, n_chars")
 
 
+def q_dedup_clusters(sf_dir: str, delta: int = 1):
+    """Duplicate-cluster representatives via distributed connected
+    components (stages/cc.py): documents are joined into clusters by
+    |n_chars(a) - n_chars(b)| <= delta (an interval graph whose
+    components are long chains — the adversarial shape for label
+    propagation), and every doc gets rep = min doc_id of its cluster.
+    The edge build is linear-size (consecutive-in-sorted-order chain),
+    the CC rounds shuffle only int64 (node, label) pairs, and the
+    oracle reproduces the same components from the quadratic pairwise
+    definition with a recursive CTE."""
+    from ..stages.cc import chain_edges_by_gap, connected_components
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    edges = chain_edges_by_gap(docs, "n_chars", "doc_id", delta,
+                               band_width=64)
+    labels, _info = connected_components(
+        edges, nodes_ds=docs.select_columns(["doc_id"]),
+        node_col="doc_id")
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"),
+                            "rep": b.column("rep")}),
+        batch_format="pyarrow")
+
+
+def sql_dedup_clusters(delta: int = 1) -> str:
+    return (
+        "WITH RECURSIVE pairs AS ("
+        " SELECT d1.doc_id AS a, d2.doc_id AS b FROM documents d1"
+        " JOIN documents d2 ON abs(d1.n_chars - d2.n_chars) <= "
+        f"{delta} AND d1.doc_id <> d2.doc_id"
+        "), comp(node, label) AS ("
+        " SELECT doc_id, doc_id FROM documents"
+        " UNION"
+        " SELECT p.b, c.label FROM comp c JOIN pairs p ON p.a = c.node"
+        " WHERE c.label < p.b"
+        ") SELECT node AS doc_id, MIN(label) AS rep FROM comp "
+        "GROUP BY node ORDER BY doc_id")
+
+
 def q_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
     import ray.data as rd
     from ..stages.embed import embedding_knn
@@ -1300,6 +1339,7 @@ def queries() -> Dict:
         "top_terms": q_top_terms,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "embed_knn": q_embed_knn,
         "embed_neardup": q_embed_neardup,
         "embed_knn_ivf": q_embed_knn_ivf,
@@ -1338,6 +1378,7 @@ def oracle_sql() -> Dict[str, str]:
         "top_terms": sql_top_terms(),
         "doc_quality": sql_doc_quality(),
         "dedup_exact": sql_dedup_exact(),
+        "dedup_clusters": sql_dedup_clusters(),
         "embed_knn": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
         "events_hourly": sql_events_hourly(),
