@@ -131,7 +131,8 @@ def run_suite(headline_only: bool = False) -> dict:
         from geo_ray.pipelines import queries as qmod
         suite = ["cap_contains", "polygon_contains", "radius_join",
                  "knn_geo", "knn_geo_ring", "grid_density", "s2_density",
-                 "token_count", "dedup_exact", "embed_knn", "embed_knn_ivf",
+                 "token_count", "dedup_exact", "dedup_clusters",
+                 "embed_knn", "embed_knn_ivf",
                  "embed_neardup", "minhash_dedup", "simhash", "events_hourly",
                  "events_sliding", "events_sessions", "lineitem_agg"]
         registry = qmod.queries()

@@ -95,6 +95,47 @@ def connected_components(edges_ds, *, nodes_ds=None,
 
     ca, cb = node_cols
 
+    def _contract(batch: pa.Table) -> pa.Table:
+        """Local contraction: union-find over this edge block alone,
+        emitting its spanning forest as star edges (node, local_root).
+        Connectivity is preserved while long paths that happen to share
+        a block collapse to depth 1 — the effective global diameter
+        drops to ~the number of blocks, so the O(log diameter) round
+        bound binds on #blocks, not raw chain length ("CC in MapReduce
+        and beyond"-style preprocessing).  Output never exceeds the
+        block's unique-node count."""
+        a = batch.column(ca).to_numpy().astype(np.int64)
+        b = batch.column(cb).to_numpy().astype(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ia, ib = inv[:len(a)], inv[len(a):]
+        for i in range(len(ia)):
+            ra, rb = find(ia[i]), find(ib[i])
+            if ra != rb:
+                if nodes[ra] < nodes[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(nodes))],
+                         dtype=np.int64)
+        keep = roots != np.arange(len(nodes))
+        return pa.table({
+            ca: pa.array(nodes[keep], pa.int64()),
+            cb: pa.array(nodes[roots[keep]], pa.int64()),
+        })
+
+    # batch_size=None: contract each block as-is (no cross-block
+    # combining, which also cannot mix pandas/arrow source blocks)
+    edges_ds = edges_ds.map_batches(_contract, batch_format="pyarrow",
+                                    batch_size=None)
+
     def _sym(batch: pa.Table) -> pa.Table:
         a = batch.column(ca).to_numpy().astype(np.int64)
         b = batch.column(cb).to_numpy().astype(np.int64)
