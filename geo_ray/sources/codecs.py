@@ -195,6 +195,21 @@ def lossy_encode_many(imgs: np.ndarray) -> list:
     # transpose traffic than blockifying the float32 copy.
     blocks_u8, H, W = _blockify_many(imgs)
     blocks = blocks_u8.astype(np.float32)
+    return _lossy_finish(blocks, n, h, w, c, H, W)
+
+
+def lossy_encode_many_i16(imgs_i16: np.ndarray) -> list:
+    """Fused-synthesis variant: same bytes as ``lossy_encode_many``
+    for int16 pixel values already clipped to [0, 255], skipping the
+    uint8 round-trip (one full write+read pass of the pixel volume)
+    that a separate synthesize-then-encode pipeline pays."""
+    n, h, w, c = imgs_i16.shape
+    blocks_i16, H, W = _blockify_many(imgs_i16)
+    blocks = blocks_i16.astype(np.float32)
+    return _lossy_finish(blocks, n, h, w, c, H, W)
+
+
+def _lossy_finish(blocks: np.ndarray, n, h, w, c, H, W) -> list:
     coefs = _DCT32 @ blocks @ _DCT32.T
     # level shift folded into the DC coefficient: DCT2(128*ones) is
     # 1024 at [0,0] and 0 elsewhere, so subtracting here replaces a

@@ -101,6 +101,14 @@ def _pixels_for_rows(phashes: np.ndarray, w: int, h: int) -> np.ndarray:
     than broadcasting a float32 (n,h,w,3) intermediate (this stage runs
     on every synthesized row, so its bandwidth footprint sets the
     many-core scaling ceiling)."""
+    return _pixels_for_rows_i16(phashes, w, h).astype(np.uint8)
+
+
+def _pixels_for_rows_i16(phashes: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Clipped int16 pixels (values in [0, 255]) without the uint8
+    conversion pass — input for the fused lossy encoder
+    (``codecs.lossy_encode_many_i16``), which produces bit-identical
+    bytes while skipping one full write+read of the pixel volume."""
     u = np.asarray(phashes).view(np.uint64)
     base = np.stack([(u >> _U(16)) & _U(0xFF), (u >> _U(24)) & _U(0xFF),
                      (u >> _U(40)) & _U(0xFF)], axis=1).astype(np.int16)
@@ -111,10 +119,10 @@ def _pixels_for_rows(phashes: np.ndarray, w: int, h: int) -> np.ndarray:
     xn, yn = _grid(w, h)
     grad = gx[:, None, None] * xn[None]
     grad += gy[:, None, None] * yn[None]
-    gradi = np.rint(grad).astype(np.int16)          # shared (n,h,w) plane
-    img = gradi[..., None] + base[:, None, None, :]  # (n,h,w,3) int16
+    gradi = np.rint(grad).astype(np.int16)
+    img = gradi[..., None] + base[:, None, None, :]
     np.clip(img, 0, 255, out=img)
-    return img.astype(np.uint8)
+    return img
 
 
 def generate_batch(indices: np.ndarray) -> pa.Table:
@@ -139,9 +147,14 @@ def generate_batch(indices: np.ndarray) -> pa.Table:
             sub = sel[(fmt[sel] == "png") == is_png]
             if not len(sub):
                 continue
-            imgs = _pixels_for_rows(ph[sub], gw, gh)
-            encoded = (codecs.png_encode_many(imgs) if is_png
-                       else codecs.lossy_encode_many(imgs))
+            if is_png:
+                encoded = codecs.png_encode_many(
+                    _pixels_for_rows(ph[sub], gw, gh))
+            else:
+                # fused: int16 pixels straight into the DCT (identical
+                # bytes, one less full pass over the pixel volume)
+                encoded = codecs.lossy_encode_many_i16(
+                    _pixels_for_rows_i16(ph[sub], gw, gh))
             for pos, blob in zip(sub, encoded):
                 blobs[pos] = blob
     return pa.table({

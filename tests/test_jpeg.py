@@ -201,3 +201,26 @@ def test_pil_cross_check():  # pragma: no cover - exercised where PIL exists
     PIL.Image.fromarray(img).save(buf, format="JPEG", quality=90)
     ours = jpeg.decode(buf.getvalue())
     assert codecs.psnr(img, ours) >= 35.0
+
+
+def test_fused_i16_encode_bit_identical():
+    """lossy_encode_many_i16 (fused synthesis path) must emit byte-
+    identical blobs to the uint8 path for every shape the synthesizer
+    produces and for adversarial clip-boundary content."""
+    import numpy as np
+    from geo_ray.sources import codecs
+    from geo_ray.sources.images import (_pixels_for_rows,
+                                        _pixels_for_rows_i16,
+                                        phash_for_index)
+
+    ph = phash_for_index(np.arange(64, dtype=np.int64))
+    for (w, h) in ((16, 16), (32, 48), (64, 64), (21, 13)):
+        u8 = _pixels_for_rows(ph, w, h)
+        i16 = _pixels_for_rows_i16(ph, w, h)
+        assert codecs.lossy_encode_many(u8) == codecs.lossy_encode_many_i16(i16)
+    rng = np.random.default_rng(5)
+    extreme = rng.integers(0, 256, (8, 24, 24, 3)).astype(np.int16)
+    extreme[0] = 0
+    extreme[1] = 255
+    assert codecs.lossy_encode_many(extreme.astype(np.uint8)) == \
+        codecs.lossy_encode_many_i16(extreme)
