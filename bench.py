@@ -73,6 +73,8 @@ def _host_control_sec() -> float:
 def run_suite(headline_only: bool = False) -> dict:
     import ray
 
+    control_pre = _host_control_sec()
+
     if os.environ.get("GRAFT_AFFINITY") == "1":
         # Hard-cap the whole Ray cluster (driver, raylet, workers) to
         # NUM_CPUS physical cores so the two scaling levels measure
@@ -150,7 +152,11 @@ def run_suite(headline_only: bool = False) -> dict:
         "queries": queries,
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
+        # controls bracketing the timed region: the host phase can
+        # change mid-suite, so one sample is not enough to interpret
+        # the line (healthy reference ~0.3 s; see BASELINE.md)
         "host_control_sec": _host_control_sec(),
+        "host_control_pre_sec": control_pre,
         **extras,
     }
 

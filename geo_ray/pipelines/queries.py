@@ -1141,6 +1141,24 @@ def q_spatial_join_images(sf_dir: str):
               .select_columns(["image_id", "polygon_id"])
 
 
+def q_spatial_join_shuffle(sf_dir: str):
+    """The SHUF spatial-join variant (SURVEY §7.1 step 5): sort-merge
+    interval join over range partitions of the Hilbert order, for
+    polygon sets too large to broadcast — checked against the SAME SQL
+    oracle as the broadcast join, so the two variants are proven
+    interchangeable."""
+    import ray.data as rd
+
+    from .flagship import build_points, city_polygons
+    from ..stages.cover import polygons_to_table
+    from ..stages.shuffle_join import shuffle_polygon_join
+
+    pts = build_points(_sf_num_images(sf_dir))
+    ptable = rd.from_arrow(polygons_to_table(city_polygons()))
+    out = shuffle_polygon_join(pts, ptable, num_parts=16, refine_parts=8)
+    return out.select_columns(["image_id", "polygon_id"])
+
+
 _GOLDEN = 0x9E3779B97F4A7C15
 _SM_C1 = 0xBF58476D1CE4E5B9
 _SM_C2 = 0x94D049BB133111EB
@@ -1352,6 +1370,7 @@ def queries() -> Dict:
         "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
+        "spatial_join_shuffle": q_spatial_join_shuffle,
         "tiling_images": q_tiling_images,
         "knn_images": q_knn_images,
     }
@@ -1388,6 +1407,7 @@ def oracle_sql() -> Dict[str, str]:
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
         "spatial_join_images": sql_spatial_join_images(),
+        "spatial_join_shuffle": sql_spatial_join_images(),
         "tiling_images": sql_tiling_images(),
         "knn_images": sql_knn_images(),
         "convex_hull": sql_convex_hull(),
