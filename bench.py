@@ -124,6 +124,11 @@ def run_suite(headline_only: bool = False) -> dict:
     headline_sec = min(attempts)
     queries["flagship_join_tile"] = headline_sec
     extras["flagship_attempts"] = attempts
+    if os.environ.get("GRAFT_STATS") == "1":
+        # per-operator streaming-executor evidence (wall time, blocks,
+        # memory per stage) for the audit trail; printed to stderr so
+        # the stdout JSON contract is untouched
+        print(res["tiles"].stats(), file=sys.stderr)
     extras["rows_per_sec"] = round(BENCH_IMAGES / headline_sec, 1)
     extras["tiles_per_sec"] = res["metrics"]["tiles_per_sec"]
     extras["n_matches"] = res["metrics"]["n_matches"]
