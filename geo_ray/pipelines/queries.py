@@ -956,9 +956,10 @@ def sql_simhash() -> str:
         f"AS simhash FROM sh ORDER BY doc_id")
 
 
-def sql_langid() -> str:
-    """Stopword-vote language ID: distinct lowercase tokens intersected
-    with each language's stopword list; strict winner or 'und'."""
+def _langid_ctes(extra_cols: str = "") -> str:
+    """CTE chain ``t -> s -> b -> lang`` computing ``lang_pred`` per
+    doc (optionally carrying extra source columns through), shared by
+    the standalone langid oracle and the corpus-curation oracle."""
     from ..stages.text import STOPWORDS
     langs = sorted(STOPWORDS)
     score_cols = []
@@ -971,14 +972,22 @@ def sql_langid() -> str:
     # unique winner: CASE order is irrelevant when n_at_best = 1
     winner = " ".join(f"WHEN s_{l} = best THEN '{l}'"
                       for l in reversed(langs))
+    carry = f", {extra_cols}" if extra_cols else ""
     return (
-        f"WITH t AS (SELECT doc_id, list_transform({_TOKS_SQL}, "
+        f"t AS (SELECT doc_id{carry}, list_transform({_TOKS_SQL}, "
         f"w -> lower(w)) AS toks FROM documents), "
-        f"s AS (SELECT doc_id, {', '.join(score_cols)} FROM t), "
-        f"b AS (SELECT *, {best} AS best FROM s) "
-        f"SELECT doc_id, CASE WHEN best = 0 OR ({n_at_best}) > 1 "
-        f"THEN 'und' {winner} ELSE 'und' END AS lang_pred "
-        f"FROM b ORDER BY doc_id")
+        f"s AS (SELECT * EXCLUDE (toks), {', '.join(score_cols)} FROM t), "
+        f"b AS (SELECT *, {best} AS best FROM s), "
+        f"lang AS (SELECT * EXCLUDE (best), "
+        f"CASE WHEN best = 0 OR ({n_at_best}) > 1 "
+        f"THEN 'und' {winner} ELSE 'und' END AS lang_pred FROM b)")
+
+
+def sql_langid() -> str:
+    """Stopword-vote language ID: distinct lowercase tokens intersected
+    with each language's stopword list; strict winner or 'und'."""
+    return (f"WITH {_langid_ctes()} "
+            f"SELECT doc_id, lang_pred FROM lang ORDER BY doc_id")
 
 
 def sql_fingerprint() -> str:
@@ -1139,6 +1148,133 @@ def q_spatial_join_images(sf_dir: str):
     return pts.map_batches(lambda b: polygon_join(b, ref),
                            batch_format="pyarrow") \
               .select_columns(["image_id", "polygon_id"])
+
+
+def q_corpus_curation(sf_dir: str, min_len: int = 50, delta: int = 1):
+    """End-to-end training-data curation pipeline, the composition a
+    real corpus run chains: ONE text pass for language/quality/token
+    features (text dropped immediately), columnar filters, exact dedup
+    (keep min doc_id per (source, n_chars)), near-dup cluster collapse
+    via distributed connected components (keep each cluster's rep),
+    then per-(source, lang) corpus stats.  Every stage after the first
+    moves only narrow feature rows; the oracle composes the same
+    definitions in SQL ending in a recursive-CTE component search."""
+    import pyarrow.compute as pc
+
+    from ..stages.cc import chain_edges_by_gap, connected_components
+    from ..stages.text import curation_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source",
+                                       "n_chars"])
+    feat = docs.map_batches(curation_features, batch_format="pyarrow")
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.not_equal(batch.column("lang_pred"), "und"),
+                    pc.greater_equal(batch.column("text_len"), min_len)),
+            pc.greater_equal(pc.multiply(batch.column("n_alpha"), 2),
+                             batch.column("text_len")))
+        return batch.filter(ok)
+
+    kept = feat.map_batches(_filter, batch_format="pyarrow")
+
+    def _dk(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("source").cast(pa.string()),
+            pc.cast(batch.column("n_chars"), pa.string()), "|")
+        return batch.append_column("dk", key)
+
+    def _keep_min(g: "pd.DataFrame"):
+        return g.sort_values("doc_id").head(1)
+
+    deduped = (kept.map_batches(_dk, batch_format="pyarrow")
+               .groupby("dk")
+               .map_groups(_keep_min, batch_format="pandas")).materialize()
+
+    labels, _ = connected_components(
+        chain_edges_by_gap(deduped, "n_chars", "doc_id", delta,
+                           band_width=64),
+        nodes_ds=deduped.select_columns(["doc_id"]), node_col="doc_id")
+    reps = labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node").filter(
+            pc.equal(b.column("node"), b.column("rep")))}),
+        batch_format="pyarrow")
+
+    n_buckets = 32
+
+    def _tag(kind: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy().astype(np.int64)
+            t = pa.table({
+                "bucket": pa.array((d % n_buckets).astype(np.int32),
+                                   pa.int32()),
+                "kind": pa.array(np.full(len(d), kind, np.int8), pa.int8()),
+                "doc_id": pa.array(d, pa.int64()),
+                "source": (batch.column("source") if kind == 0
+                           else pa.nulls(len(d), pa.string())),
+                "lang_pred": (batch.column("lang_pred") if kind == 0
+                              else pa.nulls(len(d), pa.string())),
+                "n_tokens": (batch.column("n_tokens") if kind == 0
+                             else pa.nulls(len(d), pa.int64())),
+            })
+            return t
+        return _f
+
+    def _semi(g: "pd.DataFrame"):
+        import pandas as pd
+        rows = g[g["kind"] == 0]
+        keep_ids = set(g[g["kind"] == 1]["doc_id"].tolist())
+        return rows[rows["doc_id"].isin(keep_ids)][
+            ["source", "lang_pred", "n_tokens"]]
+
+    final = (deduped.map_batches(_tag(0), batch_format="pyarrow")
+             .union(reps.map_batches(_tag(1), batch_format="pyarrow"))
+             .groupby("bucket")
+             .map_groups(lambda g: _semi(g.drop(columns=["bucket"])),
+                         batch_format="pandas"))
+
+    from ray.data.aggregate import Count, Sum
+    out = final.groupby(["source", "lang_pred"]).aggregate(
+        Count(), Sum("n_tokens"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "source": b.column("source"),
+            "lang_pred": b.column("lang_pred"),
+            "kept_docs": b.column("count()").cast(pa.int64()),
+            "total_tokens": b.column("sum(n_tokens)").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_corpus_curation(min_len: int = 50, delta: int = 1) -> str:
+    return (
+        "WITH RECURSIVE " + _langid_ctes("source, n_chars") + ", "
+        "feat AS (SELECT l.doc_id, l.source, l.n_chars, l.lang_pred, "
+        " CAST(length(d.text) AS BIGINT) AS text_len, "
+        " CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS "
+        "BIGINT) AS n_alpha, "
+        " CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) "
+        "AS n_tokens "
+        " FROM lang l JOIN documents d USING (doc_id)), "
+        f"kept AS (SELECT * FROM feat WHERE lang_pred <> 'und' "
+        f"AND text_len >= {min_len} AND 2 * n_alpha >= text_len), "
+        "deduped AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY source, n_chars ORDER BY doc_id) AS rn FROM kept) "
+        "WHERE rn = 1), "
+        "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM deduped a "
+        f"JOIN deduped b ON abs(a.n_chars - b.n_chars) <= {delta} "
+        "AND a.doc_id <> b.doc_id), "
+        "comp(node, label) AS ("
+        " SELECT doc_id, doc_id FROM deduped"
+        " UNION"
+        " SELECT p.b, c.label FROM comp c JOIN pairs p ON p.a = c.node"
+        " WHERE c.label < p.b), "
+        "reps AS (SELECT node AS doc_id, MIN(label) AS rep FROM comp "
+        "GROUP BY node) "
+        "SELECT d.source, d.lang_pred, CAST(COUNT(*) AS BIGINT) AS "
+        "kept_docs, CAST(SUM(d.n_tokens) AS BIGINT) AS total_tokens "
+        "FROM deduped d JOIN reps r ON d.doc_id = r.doc_id "
+        "AND r.rep = d.doc_id "
+        "GROUP BY d.source, d.lang_pred ORDER BY d.source, d.lang_pred")
 
 
 def q_spatial_join_shuffle(sf_dir: str):
@@ -1358,6 +1494,7 @@ def queries() -> Dict:
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_curation": q_corpus_curation,
         "embed_knn": q_embed_knn,
         "embed_neardup": q_embed_neardup,
         "embed_knn_ivf": q_embed_knn_ivf,
@@ -1398,6 +1535,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_quality": sql_doc_quality(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_clusters": sql_dedup_clusters(),
+        "corpus_curation": sql_corpus_curation(),
         "embed_knn": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
         "events_hourly": sql_events_hourly(),

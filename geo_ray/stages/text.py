@@ -140,3 +140,31 @@ def simhash(batch: pa.Table) -> pa.Table:
         out[i] = ((votes > 0).astype(np.uint64) @ powers).astype(np.int64)
     return pa.table({"doc_id": batch.column("doc_id"),
                      "simhash": pa.array(out, pa.int64())})
+
+
+def curation_features(batch: pa.Table) -> pa.Table:
+    """ONE pass over the text for the corpus-curation pipeline:
+    language vote, quality counters and token count computed together
+    so the wide ``text`` column is read exactly once and dropped here —
+    at corpus scale, text bytes never reach a second stage."""
+    texts = batch.column("text").to_pylist()
+    langs = sorted(STOPWORDS)
+    lang_out, n_tok, n_alpha, text_len = [], [], [], []
+    for t in texts:
+        toks = tokens_of(t)
+        words = set(w.lower() for w in toks)
+        scores = [(len(words & STOPWORDS[l]), l) for l in langs]
+        best = max(scores, key=lambda s: (s[0], s[1]))
+        second = sorted((s[0] for s in scores), reverse=True)[1] \
+            if len(scores) > 1 else 0
+        lang_out.append(best[1] if best[0] > 0 and best[0] > second
+                        else "und")
+        n_tok.append(len(toks))
+        n_alpha.append(len(_ALPHA.findall(t)))
+        text_len.append(len(t))
+    keep = [c for c in batch.column_names if c != "text"]
+    out = batch.select(keep)
+    out = out.append_column("lang_pred", pa.array(lang_out, pa.string()))
+    out = out.append_column("text_len", pa.array(text_len, pa.int64()))
+    out = out.append_column("n_alpha", pa.array(n_alpha, pa.int64()))
+    return out.append_column("n_tokens", pa.array(n_tok, pa.int64()))

@@ -157,3 +157,24 @@ def test_dedup_clusters_query_vs_duckdb(ray_session):
     want = con.execute(sql_dedup_clusters()).fetchdf() \
         .astype({"doc_id": "int64", "rep": "int64"})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_corpus_curation_query_vs_duckdb(ray_session):
+    """The composite curation pipeline (one-pass features -> filters ->
+    exact dedup -> CC cluster collapse -> per-source/lang stats) must
+    match the SQL oracle that composes the same definitions."""
+    import duckdb
+
+    from geo_ray.pipelines.queries import (q_corpus_curation,
+                                           sql_corpus_curation)
+
+    sfd = "/root/testdata/sf0.001"
+    got = q_corpus_curation(sfd).to_pandas() \
+        .sort_values(["source", "lang_pred"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sfd}/documents.parquet')")
+    want = con.execute(sql_corpus_curation()).fetchdf().astype(
+        {"kept_docs": "int64", "total_tokens": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    assert got["kept_docs"].sum() > 0
