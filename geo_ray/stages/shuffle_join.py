@@ -165,9 +165,6 @@ def _refine_group(g: pd.DataFrame) -> pd.DataFrame:
     once and applied to all of its candidates vectorized."""
     geo = g[g["kind"] == 1]
     cand = g[g["kind"] == 0]
-    out_pid: List[np.ndarray] = []
-    out_cell: List[np.ndarray] = []
-    out_poly: List[str] = []
     polys = {}
     for _, row in geo.iterrows():
         loops = [Loop.from_latlngs_deg([(v["lat"], v["lng"]) for v in ring])
