@@ -920,6 +920,24 @@ def q_embed_knn_ivf(sf_dir: str, k: int = 5, n_queries: int = 8,
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_embed_knn_pq(sf_dir: str, k: int = 5, n_queries: int = 8,
+                   n_sub: int = 8, rerank: int = 48):
+    """Product-quantization ADC top-k (the compressed-candidate scale
+    path: 8-byte codes instead of 256-byte vectors in the scan, exact
+    re-rank of per-batch survivors; rows-only — recall vs the exact
+    baseline asserted in tests).  Codebooks train on a streamed
+    bounded sample."""
+    from ..stages.embed import (embedding_knn_pq, sample_embedding_matrix,
+                                train_pq_codebooks)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = train_pq_codebooks(sample_embedding_matrix(ds, 4000),
+                               n_sub=n_sub)
+    qids, Q = _embed_queries(sf_dir, n_queries)
+    out = embedding_knn_pq(ds, (qids, Q), k, books, rerank=rerank)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_minhash_dedup(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import minhash_dedup
@@ -1498,6 +1516,7 @@ def queries() -> Dict:
         "embed_knn": q_embed_knn,
         "embed_neardup": q_embed_neardup,
         "embed_knn_ivf": q_embed_knn_ivf,
+        "embed_knn_pq": q_embed_knn_pq,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "langid": q_langid,

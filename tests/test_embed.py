@@ -107,3 +107,69 @@ def test_embed_neardup_ivf_planted_recall(ray_session):
     assert len(want_set) >= 90  # the planted copies qualify
     assert got_set <= want_set  # perfect precision
     assert len(got_set & want_set) / len(want_set) >= 0.9  # recall
+
+
+def test_pq_recall_and_exact_rerank(ray_session):
+    """PQ-ADC with exact re-rank: recall >= 0.9 vs brute on clustered
+    vectors, and every emitted cosine is the EXACT cosine (re-rank
+    contract), so surviving candidates sort identically to brute."""
+    import ray.data as rd
+    from geo_ray.stages.embed import (embedding_knn_pq,
+                                      train_pq_codebooks)
+
+    books = train_pq_codebooks(X, n_sub=8, iters=8)
+    assert books.shape == (8, 256, D // 8)
+    # rerank depth must exceed the near-tie set: cluster members here
+    # differ by ~1e-3 in cosine while PQ quantization error is ~0.05,
+    # so the approx scan cannot rank WITHIN a cluster — it only needs
+    # to surface the cluster, and the exact re-rank orders it.
+    got = embedding_knn_pq(rd.from_arrow(TBL), (QIDS, Q), K, books,
+                           rerank=320).to_pandas()
+    oracle = _oracle_topk()
+    Xf = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in TBL.column("embedding").to_pylist()])
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    recalls = []
+    for qi in QIDS:
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        recalls.append(len(set(sub["neighbor_id"]) & set(oracle[qi])) / K)
+        qn = Q[qi] / np.linalg.norm(Q[qi])
+        for nid, cos in zip(sub["neighbor_id"], sub["cosine"]):
+            assert abs(float(Xn[nid] @ qn) - float(cos)) < 1e-12
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_pq_encode_determinism_and_reconstruction():
+    """Codes are deterministic; ADC on a vector that IS a reconstructed
+    codeword recovers the exact decomposed inner product."""
+    from geo_ray.stages.embed import pq_encode, train_pq_codebooks
+
+    books = train_pq_codebooks(X, n_sub=8, iters=6)
+    t1 = pq_encode(TBL, books)
+    t2 = pq_encode(TBL, books)
+    assert t1.column("pq_code").equals(t2.column("pq_code"))
+    codes = np.asarray(t1.column("pq_code").combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False)).reshape(N, 8)
+    # reconstruct row 0 from its codes, then ADC(q, recon) must equal
+    # the table-sum exactly
+    d = D // 8
+    recon = np.concatenate([books[s, codes[0, s]] for s in range(8)])
+    q = Q[1] / np.linalg.norm(Q[1])
+    T = np.einsum("sd,scd->sc", q.reshape(8, d), books)
+    adc = sum(T[s, codes[0, s]] for s in range(8))
+    assert abs(float(q @ recon) - float(adc)) < 1e-12
+
+
+def test_pq_query_registered(ray_session):
+    from geo_ray.pipelines.queries import q_embed_knn_pq, q_embed_knn
+
+    got = q_embed_knn_pq("/root/testdata/sf0.001").to_pandas()
+    exact = q_embed_knn("/root/testdata/sf0.001").to_pandas()
+    assert set(got.columns) == {"query_id", "neighbor_id", "rank"}
+    # recall vs the exact registered query on the real table
+    rec = []
+    for qi in got["query_id"].unique():
+        g = set(got[got["query_id"] == qi]["neighbor_id"])
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        rec.append(len(g & e) / len(e))
+    assert np.mean(rec) >= 0.85, rec
