@@ -938,6 +938,26 @@ def q_embed_knn_pq(sf_dir: str, k: int = 5, n_queries: int = 8,
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_embed_knn_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
+                      n_centroids: int = 16, nprobe: int = 4,
+                      rerank: int = 48):
+    """IVF + PQ composed (coarse pruning, then 8-byte-code ADC scans,
+    then exact in-batch re-rank) — the canonical web-scale ANN ladder's
+    top rung; rows-only, recall asserted in tests."""
+    from ..stages.embed import (embedding_knn_ivfpq,
+                                sample_embedding_matrix,
+                                train_ivf_centroids, train_pq_codebooks)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = sample_embedding_matrix(ds, 4000)
+    C = train_ivf_centroids(sample, n_centroids)
+    books = train_pq_codebooks(sample)
+    qids, Q = _embed_queries(sf_dir, n_queries)
+    out = embedding_knn_ivfpq(ds, (qids, Q), k, C, books, nprobe=nprobe,
+                              rerank=rerank)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_minhash_dedup(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import minhash_dedup
@@ -1517,6 +1537,7 @@ def queries() -> Dict:
         "embed_neardup": q_embed_neardup,
         "embed_knn_ivf": q_embed_knn_ivf,
         "embed_knn_pq": q_embed_knn_pq,
+        "embed_knn_ivfpq": q_embed_knn_ivfpq,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "langid": q_langid,

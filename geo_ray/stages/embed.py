@@ -416,3 +416,83 @@ def embedding_knn_pq(ds, queries, k: int, codebooks: np.ndarray,
                               batch_size=4096)
     return partials.groupby("query_id").map_groups(
         lambda g: finalize_cosine_topk(g, k), batch_format="pandas")
+
+
+def embedding_knn_ivfpq(ds, queries, k: int, centroids: np.ndarray,
+                        codebooks: np.ndarray, nprobe: int = 4,
+                        rerank: int = 64, id_col: str = "vec_id",
+                        embed_col: str = "embedding"):
+    """IVF + PQ composed (the canonical web-scale ANN shape): the IVF
+    coarse quantizer prunes which rows each query touches at all, and
+    within a probed bucket the candidate scan reads 8-byte PQ codes
+    via ADC gathers instead of raw vectors; approx survivors re-rank
+    with exact cosines in-batch.  Cost per batch ~
+    sum_buckets(|bucket| x probing-queries x n_sub gathers) + a tiny
+    exact matmul over survivors — both knobs (nprobe, rerank) trade
+    recall for scan cost, measured in tests."""
+    import ray
+
+    C = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    n_sub, n_codes, d = books.shape
+    qids, Q = queries
+    Qn = _unit_rows(np.asarray(Q, dtype=np.float64))
+    T = np.einsum("psd,scd->psc", Qn.reshape(len(Qn), n_sub, d), books)
+    probe_order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    bucket_queries = {}
+    for qi in range(len(qids)):
+        for b in probe_order[qi]:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    bucket_queries = {b: np.asarray(v, dtype=np.int64)
+                      for b, v in bucket_queries.items()}
+    cref = ray.put(C)
+    bref = ray.put(books)
+    qref = ray.put((pa.array(list(qids)), Qn, T, bucket_queries))
+    cand = max(k, rerank)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qarr, Qn_l, T_l, b2q = ray.get(qref)
+        enc = pq_encode(batch, bref, embed_col) \
+            if "pq_code" not in batch.column_names else batch
+        codes = np.asarray(enc.column("pq_code").combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False)
+                           ).reshape(len(batch), -1)
+        b = ivf_assign(batch, cref, embed_col)
+        buckets = b.column("ivf_bucket").to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        sorted_b = buckets[order]
+        uniq = np.unique(sorted_b)
+        starts = np.searchsorted(sorted_b, uniq, side="left")
+        bounds_ = np.append(starts, len(sorted_b))
+        out_rows, out_q = [], []
+        for i, bb in enumerate(uniq):
+            qlist = b2q.get(int(bb))
+            if qlist is None:
+                continue
+            rows_bb = order[bounds_[i]:bounds_[i + 1]]
+            approx = np.zeros((len(rows_bb), len(qlist)), dtype=np.float64)
+            for s in range(codes.shape[1]):
+                approx += T_l[qlist][:, s, codes[rows_bb, s]].T
+            r, c = tie_complete_smallest(approx, cand, largest=True)
+            out_rows.append(rows_bb[r])
+            out_q.append(qlist[c])
+        if not out_rows:
+            return pa.table({
+                "query_id": qarr.take(pa.array([], pa.int64())),
+                "neighbor_id": batch.column(id_col)
+                                    .take(pa.array([], pa.int64())),
+                "cosine": pa.array([], pa.float64())})
+        rows = np.concatenate(out_rows)
+        qcols = np.concatenate(out_q)
+        Xn = _unit_rows(_matrix(batch, embed_col))
+        exact = np.einsum("ij,ij->i", Xn[rows], Qn_l[qcols])
+        return pa.table({
+            "query_id": qarr.take(pa.array(qcols, pa.int64())),
+            "neighbor_id": batch.column(id_col).take(
+                pa.array(rows, pa.int64())),
+            "cosine": pa.array(exact, pa.float64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=8192)
+    return partials.groupby("query_id").map_groups(
+        lambda g: finalize_cosine_topk(g, k), batch_format="pandas")

@@ -173,3 +173,22 @@ def test_pq_query_registered(ray_session):
         e = set(exact[exact["query_id"] == qi]["neighbor_id"])
         rec.append(len(g & e) / len(e))
     assert np.mean(rec) >= 0.85, rec
+
+
+def test_ivfpq_recall(ray_session):
+    """IVF coarse pruning composed with PQ codes + exact re-rank."""
+    import ray.data as rd
+    from geo_ray.stages.embed import (embedding_knn_ivfpq,
+                                      train_ivf_centroids,
+                                      train_pq_codebooks)
+
+    C = train_ivf_centroids(X, 12, iters=8)
+    books = train_pq_codebooks(X, n_sub=8, iters=8)
+    got = embedding_knn_ivfpq(rd.from_arrow(TBL), (QIDS, Q), K, C, books,
+                              nprobe=3, rerank=320).to_pandas()
+    oracle = _oracle_topk()
+    recalls = []
+    for qi in QIDS:
+        sub = got[got["query_id"] == qi]
+        recalls.append(len(set(sub["neighbor_id"]) & set(oracle[qi])) / K)
+    assert np.mean(recalls) >= 0.9, recalls
