@@ -209,3 +209,22 @@ def tile_pixel_centers_latlng(tile_id: int, px: int = TILE_PX):
     leaf = cid.cell_id_from_face_ij_v(np.full(gi.size, f), gi.ravel(), gj.ravel())
     lat, lng = cid.cell_id_to_latlng_v(leaf)
     return lat, lng, leaf
+
+
+def write_tiles_partitioned(tiles_ds, out_dir: str,
+                            shard_level: int = 3) -> str:
+    """Resumable tile sink: one parquet directory per level-
+    ``shard_level`` ancestor cell (a contiguous Hilbert key range), so
+    a re-run can skip finished key ranges and consumers can prune
+    directories by spatial range — never one giant file.  Tile tokens
+    (not raw uint64) name the directories so they survive hive-style
+    path encoding."""
+    def _shard(batch: pa.Table) -> pa.Table:
+        tile = batch.column("tile_id").to_numpy().astype(np.uint64)
+        anc = cid.parent_v(tile, shard_level)
+        toks = cid.token_v(anc).tolist()
+        return batch.append_column("shard", pa.array(toks, pa.string()))
+
+    (tiles_ds.map_batches(_shard, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["shard"]))
+    return out_dir

@@ -112,3 +112,34 @@ def test_tile_render_determinism(ray_session):
     # every tile png decodes to the tile raster shape
     img = codecs.png_decode(t1["tile_png"].iloc[0])
     assert img.shape == (TILE_PX, TILE_PX, 3)
+
+
+def test_write_tiles_partitioned(ray_session, tmp_path):
+    """Partitioned tile sink: one hive directory per level-3 ancestor
+    (contiguous Hilbert key range); read-back equals the input and
+    directory pruning by shard token works."""
+    import os
+
+    import ray.data as rd
+
+    from geo_ray.functions import cellid as cid
+    from geo_ray.pipelines.flagship import build_points
+    from geo_ray.stages.tiles import (render_tiles, tile_pixel_partials,
+                                      write_tiles_partitioned)
+
+    points = build_points(1500)
+    partials = points.map_batches(lambda b: tile_pixel_partials(b, 7),
+                                  batch_format="pyarrow")
+    tiles = render_tiles(partials).materialize()
+    out = str(tmp_path / "tiles_out")
+    write_tiles_partitioned(tiles, out)
+    shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shards) > 1
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == tiles.count()
+    # every row landed in the directory of its level-3 ancestor token
+    for d in shards:
+        tok = d.split("=", 1)[1]
+        sub = rd.read_parquet(os.path.join(out, d)).to_pandas()
+        anc = cid.parent_v(sub["tile_id"].to_numpy().astype("uint64"), 3)
+        assert all(cid.token(int(a)) == tok for a in anc)
