@@ -966,6 +966,73 @@ def q_minhash_dedup(sf_dir: str):
     return out.select_columns(["doc_a", "doc_b"])
 
 
+def sql_minhash_dedup(threshold: float = 0.5) -> str:
+    """Cross-engine oracle for the full MinHash+LSH near-dup pipeline
+    (stages/dedup.py): md5_number_lower word hashes, odd-multiplier
+    rolling 3-word shingle accumulators + splitmix64, the 64-hash
+    minhash signature (min over the unique shingle-hash set of
+    splitmix64(shingle ^ seed)), 16x4 banding with per-position odd
+    multipliers, candidate pairs per exact (band_id, band_hash), and
+    the exact hash-set Jaccard >= threshold filter.  All 64-bit
+    arithmetic runs wrap-exact via HUGEINT split multiplication."""
+    M0, M1, M2 = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                  0x165667B19E3779F9)
+    tri_acc = (f"xor(xor({_mul64_sql('a.h', M0)}, {_mul64_sql('b.h', M1)}),"
+               f" {_mul64_sql('c.h', M2)})")
+    w1 = _mul64_sql("md5_number_lower(tk[1])::UBIGINT", M0)
+    w2 = _mul64_sql("md5_number_lower(tk[2])::UBIGINT", M1)
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
+        f"wq AS (SELECT doc_id, unnest(range(len(tk))) AS pos, "
+        f"unnest(tk) AS w FROM toks), "
+        f"wh AS (SELECT doc_id, pos, md5_number_lower(w)::UBIGINT AS h "
+        f"FROM wq), "
+        # rolling 3-word windows (docs with >= 3 tokens) ...
+        f"tri AS (SELECT a.doc_id, {tri_acc} AS acc FROM wh a "
+        f"JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        f"JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+        # ... and the 1-2-token degenerate accumulator
+        f"srt AS (SELECT doc_id, CASE WHEN len(tk) >= 2 "
+        f"THEN xor({w1}, {w2}) ELSE {w1} END AS acc "
+        f"FROM toks WHERE len(tk) < 3), "
+        f"accs AS (SELECT * FROM tri UNION ALL SELECT * FROM srt), "
+        f"{_splitmix_ctes('shx', 'accs', 'doc_id', 'acc')}, "
+        f"shingle AS (SELECT DISTINCT doc_id, v AS sh FROM shx), "
+        f"sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle "
+        f"GROUP BY doc_id), "
+        f"sseq AS (SELECT CAST(range AS UBIGINT) AS s FROM range(64)), "
+        f"{_splitmix_ctes('seedx', 'sseq', 's', 's')}, "
+        f"seeds AS (SELECT s, v AS seed FROM seedx), "
+        f"mixin AS (SELECT doc_id, s, xor(sh, seed) AS z "
+        f"FROM shingle CROSS JOIN seeds), "
+        f"{_splitmix_ctes('mhx', 'mixin', 'doc_id, s', 'z')}, "
+        f"sig AS (SELECT doc_id, s, MIN(v) AS mh FROM mhx "
+        f"GROUP BY doc_id, s), "
+        # band multiplier for signature slot s is _BAND_SEEDS[s]
+        f"{_splitmix_ctes('bsx', 'sseq', 's', 's + 7777')}, "
+        f"bseeds AS (SELECT s, (v | 1) AS bm FROM bsx), "
+        f"bmix AS (SELECT g.doc_id, g.s // 4 AS band_id, "
+        f"bit_xor({_mul64v_sql('g.mh', 'b.bm')}) AS m "
+        f"FROM sig g JOIN bseeds b ON b.s = g.s "
+        f"GROUP BY g.doc_id, band_id), "
+        f"bz AS (SELECT doc_id, band_id, xor(m, band_id) AS z FROM bmix), "
+        f"{_splitmix_ctes('bhx', 'bz', 'doc_id, band_id', 'z')}, "
+        f"bands AS (SELECT doc_id, band_id, CAST(v >> 1 AS BIGINT) "
+        f"AS band_hash FROM bhx), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM bands a JOIN bands b ON a.band_id = b.band_id "
+        f"AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
+        f"inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni FROM cand c "
+        f"JOIN shingle sa ON sa.doc_id = c.doc_a "
+        f"JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh "
+        f"GROUP BY c.doc_a, c.doc_b) "
+        f"SELECT i.doc_a, i.doc_b FROM inter i "
+        f"JOIN sizes za ON za.doc_id = i.doc_a "
+        f"JOIN sizes zb ON zb.doc_id = i.doc_b "
+        f"WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) "
+        f">= {threshold!r} ORDER BY doc_a, doc_b")
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
     from ..stages.text import simhash
@@ -1348,6 +1415,34 @@ def _mul64_sql(a: str, c: int) -> str:
             f" % {_TWO64} AS UBIGINT)")
 
 
+def _mul64v_sql(a: str, b: str) -> str:
+    """(a * b) mod 2^64 for two UBIGINT *expressions*, via 32-bit split
+    multiplication in HUGEINT (lo*lo + ((lo*hi + hi*lo) mod 2^32)<<32;
+    both summands < 2^64 so the HUGEINT sum never overflows)."""
+    ah = f"(CAST({a} AS HUGEINT) // 4294967296)"
+    al = f"(CAST({a} AS HUGEINT) % 4294967296)"
+    bh = f"(CAST({b} AS HUGEINT) // 4294967296)"
+    bl = f"(CAST({b} AS HUGEINT) % 4294967296)"
+    return (f"CAST((({al} * {bl}) + "
+            f"((({al} * {bh} + {ah} * {bl}) % 4294967296) * 4294967296)) "
+            f"% {_TWO64} AS UBIGINT)")
+
+
+def _splitmix_ctes(name: str, src: str, keys: str, zexpr: str) -> str:
+    """CTE chain computing ``v = splitmix64(zexpr)`` row-wise over CTE
+    ``src``, carrying key columns; the final CTE ``name`` has columns
+    (keys..., v).  Same constants as stages/dedup._splitmix."""
+    z0 = (f"CAST((CAST({zexpr} AS HUGEINT) + {_GOLDEN}) % {_TWO64} "
+          f"AS UBIGINT)")
+    z1 = _mul64_sql("xor(z0, z0 >> 30)", _SM_C1)
+    z2 = _mul64_sql("xor(z1, z1 >> 27)", _SM_C2)
+    return (f"{name}_a AS (SELECT {keys}, {z0} AS z0 FROM {src}), "
+            f"{name}_b AS (SELECT {keys}, {z1} AS z1 FROM {name}_a), "
+            f"{name}_c AS (SELECT {keys}, {z2} AS z2 FROM {name}_b), "
+            f"{name} AS (SELECT {keys}, xor(z2, z2 >> 31) AS v "
+            f"FROM {name}_c)")
+
+
 def _city_octagon_normals():
     """Outward-CCW edge normals (A x B float64) for each synthetic city
     octagon, embedded in the oracle as literals so containment is the
@@ -1584,6 +1679,7 @@ def oracle_sql() -> Dict[str, str]:
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
+        "minhash_dedup": sql_minhash_dedup(),
         "spatial_join_images": sql_spatial_join_images(),
         "spatial_join_shuffle": sql_spatial_join_images(),
         "tiling_images": sql_tiling_images(),

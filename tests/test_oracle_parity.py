@@ -54,7 +54,8 @@ ORACLE_CHECKED = [
     "cell_assign", "s2_density",
     "langid", "fingerprint", "simhash",
     "token_count", "top_terms", "doc_quality",
-    "dedup_exact", "embed_knn", "embed_neardup", "events_hourly",
+    "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
+    "events_hourly",
     "events_sliding", "events_sessions", "lineitem_agg",
     "spatial_join_images", "tiling_images", "knn_images", "convex_hull",
 ]
