@@ -1202,6 +1202,43 @@ def sql_events_sessions(gap_sec: int = 1800) -> str:
         f"GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase attributed to the user's latest click
+    at-or-before it (match_id, lag_us; -1 when no prior click).  Uses
+    the skew-proof two-phase bucketed path (stages/asof.py) — phase-1
+    units are bounded by a user's events per 6h bucket, never their
+    total; output identical to the single-shuffle simple path."""
+    from ..stages.asof import asof_join_bucketed
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    left = ds.filter(expr="event_type == 'purchase'")
+    right = ds.filter(expr="event_type == 'click'")
+    return asof_join_bucketed(left, right, num_parts=16)
+
+
+def sql_events_asof() -> str:
+    """Deterministic as-of semantics via one ordered scan: rights sort
+    before lefts at equal t (inclusive <=), later event_id wins among
+    equal-t rights; IGNORE-NULLS last_value forward-fills the match."""
+    frame = ("OVER (PARTITION BY user_id ORDER BY t, flag, event_id "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return (
+        "WITH u AS ("
+        "SELECT user_id, epoch_us(ts) AS t, 0 AS flag, event_id, "
+        "event_id AS rid FROM events WHERE event_type = 'click' "
+        "UNION ALL "
+        "SELECT user_id, epoch_us(ts), 1, event_id, NULL "
+        "FROM events WHERE event_type = 'purchase'), "
+        f"f AS (SELECT user_id, t, flag, event_id, "
+        f"last_value(rid IGNORE NULLS) {frame} AS mid, "
+        f"last_value(CASE WHEN flag = 0 THEN t END IGNORE NULLS) {frame} "
+        f"AS mt FROM u) "
+        "SELECT event_id, COALESCE(mid, -1) AS match_id, "
+        "COALESCE(t - mt, -1) AS lag_us FROM f WHERE flag = 1 "
+        "ORDER BY event_id")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -1640,6 +1677,7 @@ def queries() -> Dict:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1676,6 +1714,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_hourly": sql_events_hourly(),
         "events_sliding": sql_events_sliding(),
         "events_sessions": sql_events_sessions(),
+        "events_asof": sql_events_asof(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
