@@ -1239,6 +1239,37 @@ def sql_events_asof() -> str:
         "ORDER BY event_id")
 
 
+def q_events_range_join(sf_dir: str, window_sec: int = 86400):
+    """Trailing-window range join: per purchase, count and exact
+    cent-sum of the user's clicks in the preceding 24h.  Single
+    shuffle with boundary replication (stages/asof.py
+    windowed_range_join): every (left, right) pair meets in exactly
+    one (user, time-bucket) unit; the kernel is one merge-cumsum."""
+    from ..stages.asof import windowed_range_join
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type", "value"])
+    left = ds.filter(expr="event_type == 'purchase'")
+    right = ds.filter(expr="event_type == 'click'")
+    return windowed_range_join(left, right, window_sec=window_sec,
+                               num_parts=16)
+
+
+def sql_events_range_join(window_sec: int = 86400) -> str:
+    w_us = window_sec * 1_000_000
+    return (
+        "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t "
+        "FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, epoch_us(ts) AS t, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT l.event_id, COUNT(r.t) AS n_matches, "
+        "CAST(COALESCE(SUM(r.cents), 0) AS BIGINT) AS sum_cents "
+        f"FROM l LEFT JOIN r ON r.user_id = l.user_id "
+        f"AND r.t > l.t - {w_us} AND r.t <= l.t "
+        "GROUP BY l.event_id ORDER BY l.event_id")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -1678,6 +1709,7 @@ def queries() -> Dict:
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1715,6 +1747,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_sliding": sql_events_sliding(),
         "events_sessions": sql_events_sessions(),
         "events_asof": sql_events_asof(),
+        "events_range_join": sql_events_range_join(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

@@ -193,6 +193,125 @@ def _phase2_part(g: pd.DataFrame) -> pd.DataFrame:
                       out_pend], ignore_index=True)
 
 
+def _range_part(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """All (key, bucket) units of one partition, one merge-cumsum
+    pass: each left contributes two query points (t - W exclusive,
+    t inclusive); rights sort before queries at equal t; the prefix
+    count/sum difference between the two query positions counts
+    exactly the same-unit rights in (t-W, t] — both query rows share
+    the left's (key, bucket), so no per-unit reset is needed."""
+    rights = g[g["flag"] == 0]
+    lefts = g[g["flag"] == 1]
+    nq = len(lefts)
+    if nq == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("event_id", "n_matches",
+                                       "sum_cents")})
+    lt = lefts["t_us"].to_numpy()
+    key = np.concatenate([rights["key"].to_numpy(),
+                          lefts["key"].to_numpy(),
+                          lefts["key"].to_numpy()])
+    bucket = np.concatenate([rights["bucket"].to_numpy(),
+                             lefts["bucket"].to_numpy(),
+                             lefts["bucket"].to_numpy()])
+    t = np.concatenate([rights["t_us"].to_numpy(),
+                        lt - window_us, lt])
+    nr = len(rights)
+    isr = np.zeros(nr + 2 * nq, dtype=np.int64)
+    isr[:nr] = 1
+    cents = np.zeros(nr + 2 * nq, dtype=np.int64)
+    cents[:nr] = rights["cents"].to_numpy()
+    qid = np.full(nr + 2 * nq, -1, dtype=np.int64)
+    qid[nr:nr + nq] = np.arange(nq)           # lower bound queries
+    qid[nr + nq:] = np.arange(nq) + nq        # upper bound queries
+    order = np.lexsort((1 - isr, t, bucket, key))
+    pn = np.cumsum(isr[order])
+    pc = np.cumsum(cents[order])
+    qs = qid[order]
+    qrows = qs >= 0
+    at = np.empty(2 * nq, dtype=np.int64)
+    at[qs[qrows]] = pn[qrows]
+    ac = np.empty(2 * nq, dtype=np.int64)
+    ac[qs[qrows]] = pc[qrows]
+    return pd.DataFrame({
+        "event_id": pd.Series(lefts["event_id"].to_numpy(), dtype="int64"),
+        "n_matches": pd.Series(at[nq:] - at[:nq], dtype="int64"),
+        "sum_cents": pd.Series(ac[nq:] - ac[:nq], dtype="int64"),
+    })
+
+
+def windowed_range_join(left_ds, right_ds, window_sec: int,
+                        by: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        value_col: str = "value",
+                        bucket_sec: int | None = None,
+                        num_parts: int = 64):
+    """Range (interval) join as a trailing-window aggregate: per left
+    event, the count and exact cent-sum of right events in
+    (t - window, t].  Single shuffle with boundary replication: a
+    right row lands in its own (key, bucket) unit and is replicated
+    into the NEXT bucket iff its window can reach it (t > next bucket
+    start - window; requires bucket_sec >= window_sec), so every
+    (left, right) pair meets in exactly one unit and the kernel is one
+    vectorized merge-cumsum — no phase 2, no carry chain.  Values are
+    summed as integer cents so distributed order never perturbs the
+    float result."""
+    if bucket_sec is None:
+        bucket_sec = 2 * window_sec
+    assert bucket_sec >= window_sec
+    window_us = np.int64(window_sec) * 1_000_000
+    bucket_us = np.int64(bucket_sec) * 1_000_000
+
+    def _left(batch: pa.Table) -> pa.Table:
+        t = _t_us(batch, ts_col)
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column(by).cast(pa.int64()),
+            "bucket": pa.array(t // bucket_us, pa.int64()),
+            "t_us": pa.array(t, pa.int64()),
+            "flag": pa.array(np.ones(n, np.int8), pa.int8()),
+            "event_id": batch.column(id_col).cast(pa.int64()),
+            "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def _right(batch: pa.Table) -> pa.Table:
+        t = _t_us(batch, ts_col)
+        key = batch.column(by).to_numpy().astype(np.int64)
+        cents = np.round(batch.column(value_col).to_numpy()
+                         * 100.0).astype(np.int64)
+        eid = batch.column(id_col).to_numpy().astype(np.int64)
+        bucket = t // bucket_us
+        rep = t > (bucket + 1) * bucket_us - window_us
+        t2 = np.concatenate([t, t[rep]])
+        return pa.table({
+            "key": pa.array(np.concatenate([key, key[rep]]), pa.int64()),
+            "bucket": pa.array(np.concatenate([bucket, bucket[rep] + 1]),
+                               pa.int64()),
+            "t_us": pa.array(t2, pa.int64()),
+            "flag": pa.array(np.zeros(len(t2), np.int8), pa.int8()),
+            "event_id": pa.array(np.concatenate([eid, eid[rep]]),
+                                 pa.int64()),
+            "cents": pa.array(np.concatenate([cents, cents[rep]]),
+                              pa.int64()),
+        })
+
+    def _part(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy().astype(np.uint64)
+        bucket = batch.column("bucket").to_numpy().astype(np.uint64)
+        mix = (key * _PART_MIX) ^ bucket
+        return batch.append_column(
+            "part", pa.array((mix % np.uint64(num_parts)).astype(np.int32),
+                             pa.int32()))
+
+    tagged = (left_ds.map_batches(_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(_right, batch_format="pyarrow"))
+              .map_batches(_part, batch_format="pyarrow"))
+    return tagged.groupby("part").map_groups(
+        lambda g: _range_part(g.drop(columns=["part"]),
+                              int(window_us)),
+        batch_format="pandas")
+
+
 def asof_join_bucketed(left_ds, right_ds, by: str = "user_id",
                        ts_col: str = "ts", id_col: str = "event_id",
                        bucket_sec: int = 6 * 3600, num_parts: int = 64):

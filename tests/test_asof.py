@@ -108,6 +108,71 @@ def test_bucketed_equals_simple_equals_brute(lefts, rights, bucket_us):
     pd.testing.assert_frame_equal(bucketed, want)
 
 
+def _range_brute(lefts, rights, w):
+    """Spec: per left, count/cent-sum of same-key rights in (t-w, t]."""
+    out = []
+    for (lk, lt_, lid) in lefts:
+        sel = [c for (k, t, _, c) in rights
+               if k == lk and lt_ - w < t <= lt_]
+        out.append((lid, len(sel), sum(sel)))
+    return pd.DataFrame(out, columns=["event_id", "n_matches",
+                                      "sum_cents"]) \
+        .astype("int64").sort_values("event_id").reset_index(drop=True)
+
+
+def _range_local(lefts, rights, w, bucket_us, num_parts=4):
+    from geo_ray.stages.asof import _range_part
+    rows = []
+    for (k, t, eid) in lefts:
+        rows.append((k, t // bucket_us, t, 1, eid, 0))
+    for (k, t, eid, c) in rights:
+        b = t // bucket_us
+        rows.append((k, b, t, 0, eid, c))
+        if t > (b + 1) * bucket_us - w:
+            rows.append((k, b + 1, t, 0, eid, c))
+    df = pd.DataFrame(rows, columns=["key", "bucket", "t_us", "flag",
+                                     "event_id", "cents"]) \
+        .astype({"flag": "int8"})
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("event_id", "n_matches",
+                                       "sum_cents")})
+    mix = (df["key"].to_numpy().astype(np.uint64) * _PART_MIX) \
+        ^ df["bucket"].to_numpy().astype(np.uint64)
+    df["part"] = (mix % np.uint64(num_parts)).astype(np.int32)
+    return pd.concat([_range_part(g.drop(columns=["part"]), w)
+                      for _, g in df.groupby("part")],
+                     ignore_index=True) \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lefts=events, rights=events,
+       w=st.sampled_from([1, 5, 50, 400]),
+       bucket_mult=st.sampled_from([1, 2, 5]))
+def test_range_join_equals_brute(lefts, rights, w, bucket_mult):
+    lefts = [(k, t, 2 * i) for i, (k, t, _) in enumerate(lefts)]
+    rights = [(k, t, 2 * i + 1, (t % 7) * 13)
+              for i, (k, t, _) in enumerate(rights)]
+    want = _range_brute(lefts, rights, w)
+    got = _range_local(lefts, rights, w, bucket_us=w * bucket_mult)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_window_edges():
+    """Exclusive lower bound, inclusive upper bound, replication at
+    the bucket boundary."""
+    w, bucket = 10, 20
+    lefts = [(1, 25, 0)]
+    rights = [(1, 15, 1, 100),   # t == l.t - w -> excluded
+              (1, 16, 3, 200),   # in window, previous bucket -> replica
+              (1, 25, 5, 400),   # t == l.t -> included
+              (1, 26, 7, 800)]   # after left -> excluded
+    got = _range_local(lefts, rights, w, bucket_us=bucket)
+    assert int(got["n_matches"].iloc[0]) == 2
+    assert int(got["sum_cents"].iloc[0]) == 600
+
+
 def test_dataset_paths_equal(ray_session):
     """End-to-end through Ray Data: bucketed == simple on real events;
     the registered query's oracle parity runs in test_oracle_parity."""

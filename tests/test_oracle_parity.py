@@ -56,7 +56,8 @@ ORACLE_CHECKED = [
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
     "events_hourly",
-    "events_sliding", "events_sessions", "events_asof", "lineitem_agg",
+    "events_sliding", "events_sessions", "events_asof",
+    "events_range_join", "lineitem_agg",
     "spatial_join_images", "tiling_images", "knn_images", "convex_hull",
 ]
 
