@@ -136,6 +136,22 @@ def connected_components(edges_ds, *, nodes_ds=None,
     edges_ds = edges_ds.map_batches(_contract, batch_format="pyarrow",
                                     batch_size=None)
 
+    # Multi-level contraction: the label loop's round count is
+    # O(log diameter) and the post-contraction diameter ~ #edge
+    # blocks, so fold blocks 64:1 and contract again (≤2 levels).
+    # Each level is one narrow repartition + map over (a, b) int64
+    # pairs — far cheaper than a label round (3 shuffles + a sum) —
+    # and block size stays bounded by 64x the original block, so the
+    # top level never concentrates the graph on one worker at scale.
+    for _ in range(2):
+        edges_ds = edges_ds.materialize()
+        nb = edges_ds.num_blocks()
+        if nb <= 1:
+            break
+        edges_ds = edges_ds.repartition(max(1, nb // 64)) \
+            .map_batches(_contract, batch_format="pyarrow",
+                         batch_size=None)
+
     def _sym(batch: pa.Table) -> pa.Table:
         a = batch.column(ca).to_numpy().astype(np.int64)
         b = batch.column(cb).to_numpy().astype(np.int64)
