@@ -141,7 +141,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "token_count", "dedup_exact", "dedup_clusters",
                  "embed_knn", "embed_knn_ivf",
                  "embed_neardup", "minhash_dedup", "simhash", "events_hourly",
-                 "events_sliding", "events_sessions", "lineitem_agg"]
+                 "events_sliding", "events_sessions", "events_asof",
+                 "events_range_join", "events_quantiles", "lineitem_agg"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()

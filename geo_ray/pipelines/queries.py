@@ -1270,6 +1270,37 @@ def sql_events_range_join(window_sec: int = 86400) -> str:
         "GROUP BY l.event_id ORDER BY l.event_id")
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (p50/p90/p99 as integer
+    cents) via distributed counting aggregation (stages/quantiles.py):
+    only (key, cents, count) rows shuffle — distinct-value-sized, not
+    row-sized — then a per-key counting-sort pick."""
+    from ..stages.quantiles import exact_quantiles_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = exact_quantiles_by_key(ds, "event_type", "value")
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["event_type"] + b.column_names[1:]),
+        batch_format="pyarrow")
+
+
+def sql_events_quantiles() -> str:
+    """Mirror of the counting-sort convention: value at 1-based rank
+    ceil(p * n) of the per-type sorted cents multiset."""
+    picks = ", ".join(
+        f"MIN(CASE WHEN rn >= CEIL({p} * n) THEN cents END) "
+        f"AS p{int(p * 100)}_cents" for p in (0.5, 0.9, 0.99))
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "r AS (SELECT event_type, cents, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY cents) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM c) "
+        f"SELECT event_type, {picks} FROM r "
+        "GROUP BY event_type ORDER BY event_type")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -1710,6 +1741,7 @@ def queries() -> Dict:
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "events_quantiles": q_events_quantiles,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1748,6 +1780,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_sessions": sql_events_sessions(),
         "events_asof": sql_events_asof(),
         "events_range_join": sql_events_range_join(),
+        "events_quantiles": sql_events_quantiles(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
