@@ -142,7 +142,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "embed_knn", "embed_knn_ivf",
                  "embed_neardup", "minhash_dedup", "simhash", "events_hourly",
                  "events_sliding", "events_sessions", "events_asof",
-                 "events_range_join", "events_quantiles", "lineitem_agg"]
+                 "events_range_join", "events_quantiles", "events_topk",
+                 "lineitem_agg"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()

@@ -1301,6 +1301,28 @@ def sql_events_quantiles() -> str:
         "GROUP BY event_type ORDER BY event_type")
 
 
+def q_events_topk(sf_dir: str, k: int = 3):
+    """Per-user top-3 purchases by (value DESC, event_id ASC): the
+    mergeable grouped top-k combiner (stages/topk.py) — at most k rows
+    per (batch, key) ever shuffle."""
+    from ..stages.topk import grouped_topk
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value",
+                                  "event_type"])
+    purchases = ds.filter(expr="event_type == 'purchase'") \
+        .drop_columns(["event_type"])
+    return grouped_topk(purchases, "user_id", "value", "event_id", k)
+
+
+def sql_events_topk(k: int = 3) -> str:
+    return (
+        "WITH r AS (SELECT user_id, event_id, value, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
+        "FROM events WHERE event_type = 'purchase') "
+        f"SELECT user_id, value, event_id, rank FROM r WHERE rank <= {k} "
+        "ORDER BY user_id, rank")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -1742,6 +1764,7 @@ def queries() -> Dict:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_quantiles": q_events_quantiles,
+        "events_topk": q_events_topk,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1781,6 +1804,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_asof": sql_events_asof(),
         "events_range_join": sql_events_range_join(),
         "events_quantiles": sql_events_quantiles(),
+        "events_topk": sql_events_topk(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

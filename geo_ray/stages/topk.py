@@ -1,0 +1,46 @@
+"""Grouped top-k: per key, the k best rows by (value DESC, id ASC).
+
+The mergeable-combiner shape: any batch's contribution to a key's
+final top-k is contained in that batch's own per-key top-k, so the
+combiner truncates inside map_batches and the shuffle moves at most
+k rows per (batch, key) — row count never crosses the wire.  Same
+partial/merge contract as the kNN stage (stages/knn.py), generalized
+to arbitrary keyed tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _topk_frame(df: pd.DataFrame, key_col: str, value_col: str,
+                id_col: str, k: int) -> pd.DataFrame:
+    df = df.sort_values([key_col, value_col, id_col], kind="mergesort",
+                        ascending=[True, False, True])
+    return df.groupby(key_col, sort=False).head(k).reset_index(drop=True)
+
+
+def grouped_topk(ds, key_col: str, value_col: str, id_col: str,
+                 k: int, with_rank: bool = True):
+    """Dataset -> per-key top-k rows, deterministic (value DESC,
+    id ASC) order, optional 1-based ``rank`` column."""
+    cols = [key_col, value_col, id_col]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        return pa.Table.from_pandas(
+            _topk_frame(df, key_col, value_col, id_col, k),
+            preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = _topk_frame(g, key_col, value_col, id_col, k)
+        if with_rank:
+            out["rank"] = out.groupby(key_col, sort=False).cumcount() \
+                .astype(np.int64) + 1
+        return out
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(_final,
+                                                batch_format="pandas")

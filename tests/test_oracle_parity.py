@@ -57,7 +57,8 @@ ORACLE_CHECKED = [
     "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
     "events_hourly",
     "events_sliding", "events_sessions", "events_asof",
-    "events_range_join", "events_quantiles", "lineitem_agg",
+    "events_range_join", "events_quantiles", "events_topk",
+    "lineitem_agg",
     "spatial_join_images", "tiling_images", "knn_images", "convex_hull",
 ]
 
