@@ -1323,6 +1323,75 @@ def sql_events_topk(k: int = 3) -> str:
         "ORDER BY user_id, rank")
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast dimension join + pre-aggregated rollup: orders ->
+    customer -> nation revenue, TPC-H Q5-shaped.  The customer and
+    nation tables ship once via ray.put (stages/broadcast_join.py);
+    each orders batch resolves nationkeys by searchsorted and emits a
+    25-row (nationkey, cents, n) partial, so the only shuffle is the
+    tiny per-nation groupby-sum — the fact table never moves.  Revenue
+    sums as integer cents (order-independent exactness)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from ..stages.broadcast_join import DimTable, read_dim_table
+
+    cust = read_dim_table(f"{sf_dir}/customer.parquet",
+                          "c_custkey", "c_nationkey")
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+    cust_ref = ray.put(cust)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(cust_ref)
+        nk = dim.lookup(batch.column("o_custkey").to_numpy()
+                        .astype(np.int64))
+        cents = np.round(batch.column("o_totalprice").to_numpy()
+                         * 100.0).astype(np.int64)
+        nmax = nk.max() + 1 if len(nk) else 1
+        n = np.bincount(nk, minlength=nmax)
+        s = np.bincount(nk, weights=cents.astype(np.float64),
+                        minlength=nmax)
+        keep = n > 0
+        keys = np.nonzero(keep)[0]
+        # bincount sums cents in float64: exact while per-batch sums
+        # stay below 2^53 (65k rows x <10^7 cents << 2^53)
+        return pa.table({
+            "nationkey": pa.array(keys.astype(np.int64), pa.int64()),
+            "revenue_cents": pa.array(s[keep].astype(np.int64), pa.int64()),
+            "n_orders": pa.array(n[keep].astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("nationkey")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("n_orders", alias_name="n_orders")))
+
+    def _name(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[k] for k in nk], pa.string()),
+            "revenue_cents": batch.column("revenue_cents"),
+            "n_orders": batch.column("n_orders"),
+        })
+
+    return agg.map_batches(_name, batch_format="pyarrow")
+
+
+def sql_orders_by_nation() -> str:
+    return (
+        "SELECT n_name, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS "
+        "BIGINT)) AS BIGINT) AS revenue_cents, "
+        "COUNT(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -1765,6 +1834,7 @@ def queries() -> Dict:
         "events_range_join": q_events_range_join,
         "events_quantiles": q_events_quantiles,
         "events_topk": q_events_topk,
+        "orders_by_nation": q_orders_by_nation,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1805,6 +1875,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_range_join": sql_events_range_join(),
         "events_quantiles": sql_events_quantiles(),
         "events_topk": sql_events_topk(),
+        "orders_by_nation": sql_orders_by_nation(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
