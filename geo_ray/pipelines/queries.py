@@ -1323,6 +1323,39 @@ def sql_events_topk(k: int = 3) -> str:
         "ORDER BY user_id, rank")
 
 
+_SAMPLE_RATES = {"purchase": (1, 1), "signup": (1, 2), "view": (1, 4),
+                 "click": (1, 4), "error": (1, 20)}
+
+
+def q_events_sample(sf_dir: str):
+    """Deterministic stratified hash sample (class rebalancing):
+    membership is splitmix64(event_id) under an exact-rational
+    per-class threshold — no RNG state, no shuffle, identical sample
+    from any worker, re-run, or the SQL oracle
+    (stages/sample.py)."""
+    from ..stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return stratified_sample(ds, "event_id", "event_type",
+                             _SAMPLE_RATES)
+
+
+def sql_events_sample() -> str:
+    from ..stages.sample import threshold_of
+    arms = " ".join(
+        f"WHEN '{c}' THEN " + (
+            "TRUE" if n == d else
+            f"CAST(hx.v AS HUGEINT) < {threshold_of(n, d)}")
+        for c, (n, d) in sorted(_SAMPLE_RATES.items()))
+    return (
+        "WITH src AS (SELECT event_id FROM events), "
+        f"{_splitmix_ctes('hx', 'src', 'event_id', 'CAST(event_id AS UBIGINT)')} "
+        "SELECT e.event_id, e.event_type, e.value FROM events e "
+        "JOIN hx ON hx.event_id = e.event_id "
+        f"WHERE CASE e.event_type {arms} ELSE FALSE END "
+        "ORDER BY e.event_id")
+
+
 def q_orders_by_nation(sf_dir: str):
     """Broadcast dimension join + pre-aggregated rollup: orders ->
     customer -> nation revenue, TPC-H Q5-shaped.  The customer and
@@ -1835,6 +1868,7 @@ def queries() -> Dict:
         "events_quantiles": q_events_quantiles,
         "events_topk": q_events_topk,
         "orders_by_nation": q_orders_by_nation,
+        "events_sample": q_events_sample,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1876,6 +1910,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_quantiles": sql_events_quantiles(),
         "events_topk": sql_events_topk(),
         "orders_by_nation": sql_orders_by_nation(),
+        "events_sample": sql_events_sample(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
