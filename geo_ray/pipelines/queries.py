@@ -1323,6 +1323,47 @@ def sql_events_topk(k: int = 3) -> str:
         "ORDER BY user_id, rank")
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct users per event type at unbounded scale: batches
+    emit their local unique (type, user) pairs (combiner), one
+    hash-partitioned groupby dedups pairs, a per-type count follows —
+    shuffle volume is distinct-pair-sized, never row-sized.  The
+    exact counterpart of an HLL sketch (which could never hash-match
+    a SQL oracle)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "user_id": batch.column("user_id").to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uniq = (ds.map_batches(_pairs, batch_format="pyarrow")
+            .groupby(["event_type", "user_id"])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"]))
+
+    def _ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_users": pa.array(np.ones(batch.num_rows, np.int64),
+                                pa.int64()),
+        })
+
+    return (uniq.map_batches(_ones, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def sql_events_distinct_users() -> str:
+    return ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type")
+
+
 _SAMPLE_RATES = {"purchase": (1, 1), "signup": (1, 2), "view": (1, 4),
                  "click": (1, 4), "error": (1, 20)}
 
@@ -1869,6 +1910,7 @@ def queries() -> Dict:
         "events_topk": q_events_topk,
         "orders_by_nation": q_orders_by_nation,
         "events_sample": q_events_sample,
+        "events_distinct_users": q_events_distinct_users,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1911,6 +1953,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_topk": sql_events_topk(),
         "orders_by_nation": sql_orders_by_nation(),
         "events_sample": sql_events_sample(),
+        "events_distinct_users": sql_events_distinct_users(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
