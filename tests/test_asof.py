@@ -173,6 +173,37 @@ def test_range_join_window_edges():
     assert int(got["sum_cents"].iloc[0]) == 600
 
 
+def test_mega_key_single_user(ray_session):
+    """The skew case the two-phase design exists for: ALL events on
+    one key.  Phase-1 units stay bounded by events-per-bucket and the
+    result still equals the single-group simple path."""
+    import pyarrow as pa
+    import ray.data as rd
+    from geo_ray.stages.asof import asof_join_bucketed, asof_join_simple
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    ts = np.sort(rng.integers(0, 3_000_000_000, n)) \
+        .astype("datetime64[us]")
+    t = pa.table({
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "event_type": pa.array(
+            np.where(np.arange(n) % 3 == 0, "purchase", "click")),
+    })
+    ds = rd.from_arrow(t)
+    left = ds.filter(expr="event_type == 'purchase'")
+    right = ds.filter(expr="event_type == 'click'")
+    a = asof_join_simple(left, right).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    b = asof_join_bucketed(left, right, bucket_sec=600,
+                           num_parts=16).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(a) == (n + 2) // 3
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_dataset_paths_equal(ray_session):
     """End-to-end through Ray Data: bucketed == simple on real events;
     the registered query's oracle parity runs in test_oracle_parity."""
