@@ -1364,6 +1364,50 @@ def sql_events_distinct_users() -> str:
             "FROM events GROUP BY event_type ORDER BY event_type")
 
 
+_ANTI_THRESHOLD = 150.0
+
+
+def q_events_anti_join(sf_dir: str):
+    """Distributed anti-join: purchasers who never purchased above the
+    threshold.  Per-batch combiner emits unique (user, has_purchase,
+    has_big) flag partials; one groupby-max resolves the global flags
+    — no row-sized shuffle, no broadcast (both join sides live in the
+    same fact table's flag aggregate)."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(),
+            "et": batch.column("event_type").to_pandas(),
+            "value": batch.column("value").to_numpy(),
+        })
+        isp = df["et"] == "purchase"
+        df["has_purchase"] = isp.astype(np.int64)
+        df["has_big"] = (isp & (df["value"] > _ANTI_THRESHOLD)) \
+            .astype(np.int64)
+        g = df.groupby("user_id", sort=False)[
+            ["has_purchase", "has_big"]].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    flags = (ds.map_batches(_flags, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("has_purchase", alias_name="has_purchase"),
+                        Max("has_big", alias_name="has_big")))
+    return (flags
+            .filter(expr="has_purchase == 1 and has_big == 0")
+            .select_columns(["user_id"]))
+
+
+def sql_events_anti_join() -> str:
+    return ("SELECT DISTINCT user_id FROM events WHERE "
+            "event_type = 'purchase' AND user_id NOT IN "
+            "(SELECT user_id FROM events WHERE event_type = 'purchase' "
+            f"AND value > {_ANTI_THRESHOLD!r}) ORDER BY user_id")
+
+
 _SAMPLE_RATES = {"purchase": (1, 1), "signup": (1, 2), "view": (1, 4),
                  "click": (1, 4), "error": (1, 20)}
 
@@ -1911,6 +1955,7 @@ def queries() -> Dict:
         "orders_by_nation": q_orders_by_nation,
         "events_sample": q_events_sample,
         "events_distinct_users": q_events_distinct_users,
+        "events_anti_join": q_events_anti_join,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -1954,6 +1999,7 @@ def oracle_sql() -> Dict[str, str]:
         "orders_by_nation": sql_orders_by_nation(),
         "events_sample": sql_events_sample(),
         "events_distinct_users": sql_events_distinct_users(),
+        "events_anti_join": sql_events_anti_join(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

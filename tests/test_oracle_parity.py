@@ -59,7 +59,7 @@ ORACLE_CHECKED = [
     "events_sliding", "events_sessions", "events_asof",
     "events_range_join", "events_quantiles", "events_topk",
     "orders_by_nation", "events_sample", "events_distinct_users",
-    "lineitem_agg",
+    "events_anti_join", "lineitem_agg",
     "spatial_join_images", "tiling_images", "knn_images", "convex_hull",
 ]
 
