@@ -143,7 +143,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "embed_neardup", "minhash_dedup", "simhash", "events_hourly",
                  "events_sliding", "events_sessions", "events_asof",
                  "events_range_join", "events_quantiles", "events_topk",
-                 "orders_by_nation", "lineitem_agg"]
+                 "orders_by_nation", "zonal_stats", "events_sample",
+                 "events_distinct_users", "events_anti_join",
+                 "lineitem_agg"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()

@@ -1563,6 +1563,73 @@ def q_spatial_join_images(sf_dir: str):
               .select_columns(["image_id", "polygon_id"])
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (the raster/vector aggregate composite): per
+    city polygon, the count and exact micro-degree centroid sums of
+    the images the spatial join places inside it.  Coordinates become
+    integers via floor(x * 1e6) BEFORE summation so the distributed
+    sum is order-independent and hash-comparable; the oracle rebuilds
+    the same join from the octagon half-spaces and the splitmix64
+    geotag synthesis."""
+    from .flagship import _default_join_state, build_points
+    from ..stages.join import polygon_join
+    import ray
+    from ray.data.aggregate import Sum
+
+    state = _default_join_state()
+    ref = ray.put(state)
+    pts = build_points(_sf_num_images(sf_dir))
+    joined = pts.map_batches(
+        lambda b: polygon_join(b, ref,
+                               keep_cols=["image_id", "lat", "lng"]),
+        batch_format="pyarrow")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "polygon_id": batch.column("polygon_id").to_pandas(),
+            "lat_udeg": np.floor(batch.column("lat").to_numpy()
+                                 * 1e6).astype(np.int64),
+            "lng_udeg": np.floor(batch.column("lng").to_numpy()
+                                 * 1e6).astype(np.int64),
+        })
+        df["n_images"] = np.int64(1)
+        g = df.groupby("polygon_id", sort=False).agg(
+            n_images=("n_images", "sum"),
+            lat_udeg_sum=("lat_udeg", "sum"),
+            lng_udeg_sum=("lng_udeg", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(_partial, batch_format="pyarrow")
+            .groupby("polygon_id")
+            .aggregate(Sum("n_images", alias_name="n_images"),
+                       Sum("lat_udeg_sum", alias_name="lat_udeg_sum"),
+                       Sum("lng_udeg_sum", alias_name="lng_udeg_sum")))
+
+
+def sql_zonal_stats(num_images: int = 10_000) -> str:
+    whens = []
+    for name, normals in _city_octagon_normals():
+        cond = " AND ".join(
+            f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
+            for nx, ny, nz in normals)
+        whens.append(f"WHEN {cond} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + " END"
+    return (
+        f"WITH {_images_xyz_cte(num_images)}, "
+        f"tagged AS (SELECT image_id, {case} AS polygon_id FROM ixyz), "
+        f"lli AS (SELECT printf('img%012d', CAST(i AS BIGINT)) "
+        f"AS image_id, lat, lng FROM ll), "
+        f"j AS (SELECT t.polygon_id, l.lat, l.lng FROM tagged t "
+        f"JOIN lli l USING (image_id) WHERE t.polygon_id IS NOT NULL) "
+        f"SELECT polygon_id, COUNT(*) AS n_images, "
+        f"CAST(SUM(CAST(FLOOR(lat * 1e6) AS BIGINT)) AS BIGINT) "
+        f"AS lat_udeg_sum, "
+        f"CAST(SUM(CAST(FLOOR(lng * 1e6) AS BIGINT)) AS BIGINT) "
+        f"AS lng_udeg_sum FROM j GROUP BY polygon_id "
+        f"ORDER BY polygon_id")
+
+
 def q_corpus_curation(sf_dir: str, min_len: int = 50, delta: int = 1):
     """End-to-end training-data curation pipeline, the composition a
     real corpus run chains: ONE text pass for language/quality/token
@@ -1956,6 +2023,7 @@ def queries() -> Dict:
         "events_sample": q_events_sample,
         "events_distinct_users": q_events_distinct_users,
         "events_anti_join": q_events_anti_join,
+        "zonal_stats": q_zonal_stats,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -2000,6 +2068,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_sample": sql_events_sample(),
         "events_distinct_users": sql_events_distinct_users(),
         "events_anti_join": sql_events_anti_join(),
+        "zonal_stats": sql_zonal_stats(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

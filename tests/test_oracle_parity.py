@@ -60,7 +60,8 @@ ORACLE_CHECKED = [
     "events_range_join", "events_quantiles", "events_topk",
     "orders_by_nation", "events_sample", "events_distinct_users",
     "events_anti_join", "lineitem_agg",
-    "spatial_join_images", "tiling_images", "knn_images", "convex_hull",
+    "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
+    "convex_hull",
 ]
 
 
