@@ -1133,7 +1133,7 @@ def q_events_hourly(sf_dir: str):
     def _partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy()  # datetime64[us]
         hour = (ts.astype("datetime64[s]").astype(np.int64) // 3600) * 3600
-        et = np.array(batch.column("event_type").to_pylist())
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
         import pandas as pd
         df = pd.DataFrame({"event_type": et, "hour_epoch": hour})
         g = df.groupby(["event_type", "hour_epoch"]).size().reset_index(name="n")

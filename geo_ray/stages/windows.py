@@ -24,7 +24,7 @@ def sliding_window_partials(batch: pa.Table, size_sec: int,
     k = size_sec // step_sec
     ts = batch.column("ts").to_numpy()
     base = (ts.astype("datetime64[s]").astype(np.int64) // step_sec) * step_sec
-    et = np.array(batch.column("event_type").to_pylist())
+    et = batch.column("event_type").to_numpy(zero_copy_only=False)
     frames = []
     for i in range(k):
         frames.append(pd.DataFrame({
