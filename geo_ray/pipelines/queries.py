@@ -1033,6 +1033,28 @@ def sql_minhash_dedup(threshold: float = 0.5) -> str:
         f">= {threshold!r} ORDER BY doc_a, doc_b")
 
 
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """Exact Hamming-ball pairs over SimHash via pigeonhole banding
+    (stages/dedup.simhash_neardup): candidate generation is a
+    deterministic superset (64 bits / 4 chunks), verification a
+    vectorized popcount, emission exactly-once from the first
+    colliding band."""
+    from ..stages.dedup import simhash_neardup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_neardup(ds, max_hamming=max_hamming)
+
+
+def sql_simhash_neardup(max_hamming: int = 3) -> str:
+    return (
+        f"WITH sim AS ({sql_simhash()}) "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) "
+        f"AS hamming FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming} "
+        f"ORDER BY doc_a, doc_b")
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
     from ..stages.text import simhash
@@ -2024,6 +2046,7 @@ def queries() -> Dict:
         "events_distinct_users": q_events_distinct_users,
         "events_anti_join": q_events_anti_join,
         "zonal_stats": q_zonal_stats,
+        "simhash_neardup": q_simhash_neardup,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -2069,6 +2092,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_distinct_users": sql_events_distinct_users(),
         "events_anti_join": sql_events_anti_join(),
         "zonal_stats": sql_zonal_stats(),
+        "simhash_neardup": sql_simhash_neardup(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

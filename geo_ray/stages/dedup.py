@@ -308,6 +308,90 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets: int = 256):
             .map_groups(_verify_b, batch_format="pandas"))
 
 
+def simhash_neardup(docs_ds, max_hamming: int = 3,
+                    lsh_buckets: int = 256):
+    """EXACT Hamming-ball near-dup pairs over 64-bit SimHash via
+    pigeonhole banding: the 64 bits split into ``max_hamming + 1``
+    equal chunks, and any pair differing in at most ``max_hamming``
+    bits must agree on at least one whole chunk — so grouping by
+    (chunk_id, chunk_value) generates a candidate SUPERSET exactly
+    (deterministic pigeonhole, not probabilistic LSH recall), and the
+    per-candidate popcount filter is precise.  Each band row carries
+    the 8-byte simhash itself, so verification needs no join back;
+    a pair colliding in several bands is emitted only from its FIRST
+    colliding band (checkable locally from the two simhashes), so the
+    global pair set needs no distinct shuffle.  Shuffle volume:
+    (max_hamming + 1) narrow int rows per doc."""
+    from .text import simhash as simhash_stage
+
+    assert 64 % (max_hamming + 1) == 0
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        h = batch.column("simhash").to_numpy().astype(np.int64) \
+            .view(np.uint64)
+        band_id = np.broadcast_to(np.arange(n_bands, dtype=np.int32),
+                                  (len(ids), n_bands))
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))
+        band_val = ((h[:, None] >> shifts[None, :]) & mask) \
+            .astype(np.int64)
+        bucket = ((band_val.astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))
+                  ^ band_id.astype(np.uint64)) % np.uint64(lsh_buckets)
+        return pa.table({
+            "bucket": pa.array(bucket.ravel().astype(np.int32),
+                               pa.int32()),
+            "band_id": pa.array(band_id.ravel(), pa.int32()),
+            "band_val": pa.array(band_val.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "simhash": pa.array(np.repeat(h.view(np.int64), n_bands),
+                                pa.int64()),
+        })
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a: List[int] = []
+        out_b: List[int] = []
+        out_h: List[int] = []
+        for (band, _), sub in group.groupby(["band_id", "band_val"],
+                                            sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            hs = sub["simhash"].to_numpy().view(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            x = hs[ii] ^ hs[jj]
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1).astype(np.int64) \
+                if len(x) else np.zeros(0, dtype=np.int64)
+            ok = ham <= max_hamming
+            if band > 0 and ok.any():
+                # first-band dedup: drop pairs already equal on an
+                # earlier chunk
+                earlier = np.zeros(len(ii), dtype=bool)
+                for b in range(band):
+                    sh = np.uint64(b * width)
+                    earlier |= ((x >> sh) & mask) == 0
+                ok &= ~earlier
+            out_a.extend(int(v) for v in ids[ii[ok]])
+            out_b.extend(int(v) for v in ids[jj[ok]])
+            out_h.extend(int(v) for v in ham[ok])
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "hamming": pd.Series(out_h, dtype="int64"),
+        })
+
+    sims = docs_ds.map_batches(simhash_stage, batch_format="pyarrow")
+    return (sims.map_batches(_bands, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: _pairs(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
 def exact_dedup(ds, key_cols: List[str], id_col: str):
     """Hash-partition on the key columns, keep the smallest id per
     group (deterministic representative)."""
