@@ -23,6 +23,7 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import pyarrow as pa
 
 from ..sources.images import CITIES, CITY_RADIUS_DEG, images_dataset
 from ..stages.assign import geotag_and_cell
@@ -118,6 +119,34 @@ def build_points(num_images: int, start: int = 0):
     producer — see stages/tiles.py docstring)."""
     ds = images_dataset(num_images, start=start)
     return _points_transforms(ds)
+
+
+def build_geo_points(num_images: int, start: int = 0):
+    """Geo-only point rows (image_id, phash, lat, lng, xyz, cell_id)
+    WITHOUT synthesizing or decoding pixel bytes: the geotag is a pure
+    function of the image index, so join-only queries prune the read
+    to the columns they touch — the synthetic-source analog of a
+    column-pruned stored-table scan that never fetches ``bytes``
+    (sources/table_io.py does the same against real files)."""
+    import ray.data as rd
+
+    from ..sources.images import phash_for_index
+
+    ds = rd.range(num_images,
+                  override_num_blocks=max(16, num_images // 65536))
+    off = int(start)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy() + off
+        ph = phash_for_index(idx)
+        ids = [f"img{i:012d}" for i in idx]
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "phash": pa.array(ph, pa.int64())})
+
+    return (ds.map_batches(_gen, batch_format="pyarrow",
+                           batch_size=65536)
+            .map_batches(geotag_and_cell, batch_format="pyarrow",
+                         batch_size=65536))
 
 
 def _points_transforms(ds):

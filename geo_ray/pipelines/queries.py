@@ -1571,15 +1571,17 @@ def _sf_num_images(sf_dir: str) -> int:
 
 
 def q_spatial_join_images(sf_dir: str):
-    from .flagship import _default_join_state, build_points
+    from .flagship import _default_join_state, build_geo_points
     from ..stages.join import polygon_join
     import ray
 
     # same polygons as the flagship: reuse its disk-cached JoinState
-    # (the covering build is a ~6 s driver-side computation)
+    # (the covering build is a ~6 s driver-side computation).  Points
+    # come from the geo-only builder: the join touches no pixel
+    # columns, so none are synthesized (column pruning at the source).
     state = _default_join_state()
     ref = ray.put(state)
-    pts = build_points(_sf_num_images(sf_dir))
+    pts = build_geo_points(_sf_num_images(sf_dir))
     return pts.map_batches(lambda b: polygon_join(b, ref),
                            batch_format="pyarrow") \
               .select_columns(["image_id", "polygon_id"])
@@ -1593,14 +1595,14 @@ def q_zonal_stats(sf_dir: str):
     sum is order-independent and hash-comparable; the oracle rebuilds
     the same join from the octagon half-spaces and the splitmix64
     geotag synthesis."""
-    from .flagship import _default_join_state, build_points
+    from .flagship import _default_join_state, build_geo_points
     from ..stages.join import polygon_join
     import ray
     from ray.data.aggregate import Sum
 
     state = _default_join_state()
     ref = ray.put(state)
-    pts = build_points(_sf_num_images(sf_dir))
+    pts = build_geo_points(_sf_num_images(sf_dir))
     joined = pts.map_batches(
         lambda b: polygon_join(b, ref,
                                keep_cols=["image_id", "lat", "lng"]),
@@ -1787,11 +1789,11 @@ def q_spatial_join_shuffle(sf_dir: str):
     interchangeable."""
     import ray.data as rd
 
-    from .flagship import build_points, city_polygons
+    from .flagship import build_geo_points, city_polygons
     from ..stages.cover import polygons_to_table
     from ..stages.shuffle_join import shuffle_polygon_join
 
-    pts = build_points(_sf_num_images(sf_dir))
+    pts = build_geo_points(_sf_num_images(sf_dir))
     ptable = rd.from_arrow(polygons_to_table(city_polygons()))
     out = shuffle_polygon_join(pts, ptable, num_parts=16, refine_parts=8)
     return out.select_columns(["image_id", "polygon_id"])
@@ -1984,7 +1986,7 @@ def q_tiling_images(sf_dir: str):
 
 
 def q_knn_images(sf_dir: str, k: int = 10):
-    from .flagship import build_points
+    from .flagship import build_geo_points
     from ..stages.knn import knn
     from ..sources.images import CITIES
 
@@ -1993,7 +1995,7 @@ def q_knn_images(sf_dir: str, k: int = 10):
     x, y, z = latlng_deg_to_xyz(lat, lng)
     Q = np.stack([x, y, z], axis=1)
     probe_ids = [f"city{i}" for i in range(len(CITIES))]
-    pts = build_points(_sf_num_images(sf_dir))
+    pts = build_geo_points(_sf_num_images(sf_dir))
     out = knn(pts, (probe_ids, Q), k, id_col="image_id")
     return out.select_columns(["probe_id", "neighbor_id", "rank"])
 
