@@ -958,6 +958,43 @@ def q_embed_knn_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_embed_clusters(sf_dir: str):
+    """ANN -> clusters composition: embedding cosine near-dup pairs
+    (>= 0.4, the oracle-checked embed_neardup stage) collapsed into
+    duplicate clusters by distributed connected components; every
+    vector gets rep = min vec_id of its component.  Oracle reproduces
+    the same components with a recursive CTE over the quadratic
+    cosine-pair definition."""
+    from ..stages.cc import connected_components
+    from ..stages.embed import embed_neardup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embed_neardup(ds, NEARDUP_THRESHOLD)
+    labels, _info = connected_components(
+        pairs, nodes_ds=ds.select_columns(["vec_id"]),
+        node_cols=("vec_a", "vec_b"), node_col="vec_id")
+    return labels.map_batches(
+        lambda b: pa.table({"vec_id": b.column("node"),
+                            "rep": b.column("rep")}),
+        batch_format="pyarrow")
+
+
+def sql_embed_clusters() -> str:
+    return (
+        "WITH RECURSIVE pairs AS ("
+        " SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a"
+        " JOIN embeddings b ON a.vec_id <> b.vec_id AND"
+        " list_cosine_similarity(a.embedding::DOUBLE[],"
+        f" b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD!r}"
+        "), comp(node, label) AS ("
+        " SELECT vec_id, vec_id FROM embeddings"
+        " UNION"
+        " SELECT p.b, c.label FROM comp c JOIN pairs p ON p.a = c.node"
+        " WHERE c.label < p.b"
+        ") SELECT node AS vec_id, MIN(label) AS rep FROM comp "
+        "GROUP BY node ORDER BY vec_id")
+
+
 def q_minhash_dedup(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import minhash_dedup
@@ -2049,6 +2086,7 @@ def queries() -> Dict:
         "events_anti_join": q_events_anti_join,
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
+        "embed_clusters": q_embed_clusters,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -2095,6 +2133,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_anti_join": sql_events_anti_join(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
+        "embed_clusters": sql_embed_clusters(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
