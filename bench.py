@@ -140,7 +140,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "knn_geo", "knn_geo_ring", "grid_density", "s2_density",
                  "token_count", "dedup_exact", "dedup_clusters",
                  "embed_knn", "embed_knn_ivf",
-                 "embed_neardup", "minhash_dedup", "simhash", "events_hourly",
+                 "embed_neardup", "minhash_dedup", "simhash",
+                 "simhash_neardup", "embed_clusters", "events_hourly",
                  "events_sliding", "events_sessions", "events_asof",
                  "events_range_join", "events_quantiles", "events_topk",
                  "orders_by_nation", "zonal_stats", "events_sample",

@@ -1329,6 +1329,65 @@ def sql_events_range_join(window_sec: int = 86400) -> str:
         "GROUP BY l.event_id ORDER BY l.event_id")
 
 
+def q_events_rollup(sf_dir: str):
+    """Multi-level rollup (GROUP BY ROLLUP(event_type, day)) computed
+    from ONE pass of base partials: the (type, day) combiner rows
+    re-aggregate into the three grouping levels without rescanning the
+    fact table — sums are integer cents so every level is exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = (batch.column("ts").to_numpy()
+               .astype("datetime64[D]").astype(np.int64))
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": day,
+            "cents": np.round(batch.column("value").to_numpy()
+                              * 100.0).astype(np.int64),
+        })
+        g = df.groupby(["event_type", "day"], sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents")))
+
+    def _levels(batch: pa.Table) -> pa.Table:
+        """Each base row contributes to all three rollup levels; the
+        downstream groupby merges across blocks."""
+        import pandas as pd
+        df = batch.to_pandas()
+        lvl0 = df.copy()
+        lvl1 = df.assign(day=np.int64(-1))
+        lvl2 = df.assign(event_type="__all__", day=np.int64(-1))
+        out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+        g = out.groupby(["event_type", "day"], sort=False).agg(
+            n=("n", "sum"), cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (base.map_batches(_levels, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents")))
+
+
+def sql_events_rollup() -> str:
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT COALESCE(event_type, '__all__') AS event_type, "
+        "COALESCE(day, -1) AS day, COUNT(*) AS n, "
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM c "
+        "GROUP BY ROLLUP (event_type, day) "
+        "ORDER BY event_type, day")
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p90/p99 as integer
     cents) via distributed counting aggregation (stages/quantiles.py):
@@ -2079,6 +2138,7 @@ def queries() -> Dict:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_quantiles": q_events_quantiles,
+        "events_rollup": q_events_rollup,
         "events_topk": q_events_topk,
         "orders_by_nation": q_orders_by_nation,
         "events_sample": q_events_sample,
@@ -2126,6 +2186,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_asof": sql_events_asof(),
         "events_range_join": sql_events_range_join(),
         "events_quantiles": sql_events_quantiles(),
+        "events_rollup": sql_events_rollup(),
         "events_topk": sql_events_topk(),
         "orders_by_nation": sql_orders_by_nation(),
         "events_sample": sql_events_sample(),

@@ -58,7 +58,8 @@ ORACLE_CHECKED = [
     "embed_clusters",
     "events_hourly",
     "events_sliding", "events_sessions", "events_asof",
-    "events_range_join", "events_quantiles", "events_topk",
+    "events_range_join", "events_quantiles", "events_rollup",
+    "events_topk",
     "orders_by_nation", "events_sample", "events_distinct_users",
     "events_anti_join", "lineitem_agg",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
