@@ -1432,6 +1432,38 @@ def q_events_topk(sf_dir: str, k: int = 3):
     return grouped_topk(purchases, "user_id", "value", "event_id", k)
 
 
+def q_events_latest(sf_dir: str):
+    """Changelog compaction: treat the event log as a keyed changelog
+    and keep each user's latest row (max (ts, event_id)) — the
+    latest-wins upsert a table-maintenance pipeline runs after
+    ingest.  Timestamps compare as epoch microseconds."""
+    from ..stages.topk import latest_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type", "value"])
+
+    def _epoch(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return batch.drop_columns(["ts"]).append_column(
+            "t_us", pa.array(t, pa.int64()))
+
+    out = latest_by_key(ds.map_batches(_epoch, batch_format="pyarrow"),
+                        "user_id", ["t_us", "event_id"],
+                        keep_cols=["event_type", "value"])
+    return out.select_columns(["user_id", "event_id", "t_us",
+                               "event_type", "value"])
+
+
+def sql_events_latest() -> str:
+    return (
+        "WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, "
+        "event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "SELECT user_id, event_id, t_us, event_type, value FROM r "
+        "WHERE rn = 1 ORDER BY user_id")
+
+
 def sql_events_topk(k: int = 3) -> str:
     return (
         "WITH r AS (SELECT user_id, event_id, value, ROW_NUMBER() OVER "
@@ -2140,6 +2172,7 @@ def queries() -> Dict:
         "events_quantiles": q_events_quantiles,
         "events_rollup": q_events_rollup,
         "events_topk": q_events_topk,
+        "events_latest": q_events_latest,
         "orders_by_nation": q_orders_by_nation,
         "events_sample": q_events_sample,
         "events_distinct_users": q_events_distinct_users,
@@ -2188,6 +2221,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_quantiles": sql_events_quantiles(),
         "events_rollup": sql_events_rollup(),
         "events_topk": sql_events_topk(),
+        "events_latest": sql_events_latest(),
         "orders_by_nation": sql_orders_by_nation(),
         "events_sample": sql_events_sample(),
         "events_distinct_users": sql_events_distinct_users(),

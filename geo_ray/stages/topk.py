@@ -22,6 +22,32 @@ def _topk_frame(df: pd.DataFrame, key_col: str, value_col: str,
     return df.groupby(key_col, sort=False).head(k).reset_index(drop=True)
 
 
+def latest_by_key(ds, key_col: str, order_cols, keep_cols=None):
+    """Changelog compaction (latest-wins upsert): one surviving row
+    per key, the maximum of ``order_cols`` (lexicographic, e.g.
+    (ts, event_id)).  Same mergeable shape as grouped_topk with k=1:
+    each batch keeps its per-key latest, so exactly one row per
+    (batch, key) shuffles regardless of update rate."""
+    order_cols = list(order_cols)
+    cols = [key_col] + order_cols + [c for c in (keep_cols or [])
+                                     if c not in order_cols]
+
+    def _latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            ascending=[True] + [False] * len(order_cols))
+        return df.groupby(key_col, sort=False).head(1) \
+            .reset_index(drop=True)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_latest(batch.select(cols)
+                                            .to_pandas()),
+                                    preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(_latest,
+                                                batch_format="pandas")
+
+
 def grouped_topk(ds, key_col: str, value_col: str, id_col: str,
                  k: int, with_rank: bool = True):
     """Dataset -> per-key top-k rows, deterministic (value DESC,

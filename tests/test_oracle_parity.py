@@ -59,7 +59,7 @@ ORACLE_CHECKED = [
     "events_hourly",
     "events_sliding", "events_sessions", "events_asof",
     "events_range_join", "events_quantiles", "events_rollup",
-    "events_topk",
+    "events_topk", "events_latest",
     "orders_by_nation", "events_sample", "events_distinct_users",
     "events_anti_join", "lineitem_agg",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
