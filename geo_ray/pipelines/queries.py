@@ -1092,6 +1092,34 @@ def sql_simhash_neardup(max_hamming: int = 3) -> str:
         f"ORDER BY doc_a, doc_b")
 
 
+def q_doc_chunks(sf_dir: str, size: int = 64, stride: int = 48):
+    """Overlapping token-window chunking — the 1->N row expansion that
+    precedes embedding in a corpus pipeline (stages/text.py
+    chunk_documents)."""
+    from ..stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_documents(b, size=size, stride=stride),
+        batch_format="pyarrow")
+
+
+def sql_doc_chunks(size: int = 64, stride: int = 48) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
+        f"n AS (SELECT doc_id, tk, CASE WHEN len(tk) <= {size} THEN 1 "
+        f"ELSE (len(tk) - {size} + {stride} - 1) // {stride} + 1 END "
+        f"AS n_chunks FROM t), "
+        f"e AS (SELECT doc_id, tk, "
+        f"unnest(range(n_chunks)) AS chunk_id FROM n), "
+        f"s AS (SELECT doc_id, chunk_id, "
+        f"list_slice(tk, chunk_id * {stride} + 1, "
+        f"chunk_id * {stride} + {size}) AS w FROM e) "
+        f"SELECT doc_id, chunk_id, array_to_string(w, ' ') "
+        f"AS chunk_text, len(w) AS n_tokens FROM s "
+        f"ORDER BY doc_id, chunk_id")
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
     from ..stages.text import simhash
@@ -2180,6 +2208,7 @@ def queries() -> Dict:
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
         "embed_clusters": q_embed_clusters,
+        "doc_chunks": q_doc_chunks,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -2229,6 +2258,7 @@ def oracle_sql() -> Dict[str, str]:
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
+        "doc_chunks": sql_doc_chunks(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

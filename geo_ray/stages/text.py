@@ -121,6 +121,35 @@ def fingerprint(batch: pa.Table) -> pa.Table:
                      "fingerprint": pa.array(out, pa.int64())})
 
 
+def chunk_documents(batch: pa.Table, size: int = 64,
+                    stride: int = 48) -> pa.Table:
+    """Row-expanding chunker (the flat_map shape): each document
+    splits into overlapping token windows of ``size`` every
+    ``stride`` tokens — the standard pre-embedding segmentation of a
+    training corpus.  Chunk count is 1 for docs of <= size tokens,
+    else (n - size + stride - 1) // stride + 1; the last window may
+    be short.  Emits (doc_id, chunk_id, chunk_text, n_tokens)."""
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy()
+    out_doc, out_chunk, out_text, out_n = [], [], [], []
+    for i, t in enumerate(texts):
+        toks = tokens_of(t)
+        n = len(toks)
+        n_chunks = 1 if n <= size else (n - size + stride - 1) // stride + 1
+        for c in range(n_chunks):
+            w = toks[c * stride:c * stride + size]
+            out_doc.append(int(ids[i]))
+            out_chunk.append(c)
+            out_text.append(" ".join(w))
+            out_n.append(len(w))
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "chunk_id": pa.array(out_chunk, pa.int64()),
+        "chunk_text": pa.array(out_text, pa.string()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+    })
+
+
 def simhash(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over word hashes: sum +-1 per bit weighted by
     term frequency; near-duplicate docs land within small Hamming
