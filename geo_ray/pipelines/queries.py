@@ -1120,6 +1120,114 @@ def sql_doc_chunks(size: int = 64, stride: int = 48) -> str:
         f"ORDER BY doc_id, chunk_id")
 
 
+_CID_BASE = 1 << 20
+
+
+def q_chunk_knn(sf_dir: str, k: int = 5, n_probe_docs: int = 3,
+                dim: int = 32):
+    """Chunk -> hash-embed -> exact cosine top-k: the full RAG-shaped
+    composition (segment the corpus, embed each chunk, nearest-chunk
+    search) with a deterministic feature-hash embedding so the cosine
+    ranking is bit-exact across engines (integer dots/norms; score =
+    dot^2/(|a|^2 |b|^2) computed on exactly-representable doubles).
+    Probes are the chunks of the first ``n_probe_docs`` documents
+    (broadcast once); candidates stream through one int-matmul per
+    batch and only per-(batch, probe) top-k rows shuffle."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..stages.text import chunk_documents, hash_embed
+    from ..stages.topk import grouped_topk, _topk_frame
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = (ds.map_batches(chunk_documents, batch_format="pyarrow")
+              .map_batches(lambda b: hash_embed(b, dim=dim),
+                           batch_format="pyarrow"))
+
+    pt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "<", n_probe_docs)])
+    pch = hash_embed(chunk_documents(pt.sort_by("doc_id")), dim=dim)
+    pcid = (pch.column("doc_id").to_numpy() * _CID_BASE
+            + pch.column("chunk_id").to_numpy()).astype(np.int64)
+    Q = np.asarray(pch.column("hvec").combine_chunks().values) \
+        .reshape(-1, dim).astype(np.int64)
+    nq2 = (Q * Q).sum(axis=1)
+    ref = ray.put((pcid, Q, nq2))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        pcid_, Q_, nq2_ = ray.get(ref)
+        cid = (batch.column("doc_id").to_numpy() * _CID_BASE
+               + batch.column("chunk_id").to_numpy()).astype(np.int64)
+        X = np.asarray(batch.column("hvec").combine_chunks().values) \
+            .reshape(len(cid), dim).astype(np.int64)
+        dot = X @ Q_.T                       # exact int64
+        nx2 = (X * X).sum(axis=1)
+        key = (dot.astype(np.float64) ** 2) / (
+            nx2[:, None].astype(np.float64)
+            * nq2_[None, :].astype(np.float64))
+        n, p = key.shape
+        df = pd.DataFrame({
+            "probe_id": np.tile(pcid_, n),
+            "key": key.ravel(),
+            "neighbor_id": np.repeat(cid, p),
+        })
+        return pa.Table.from_pandas(
+            _topk_frame(df, "probe_id", "key", "neighbor_id", k),
+            preserve_index=False)
+
+    partials = chunks.map_batches(_partial, batch_format="pyarrow")
+    out = partials.groupby("probe_id").map_groups(
+        lambda g: _final_chunk_knn(g, k), batch_format="pandas")
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def _final_chunk_knn(g, k):
+    from ..stages.topk import _topk_frame
+    out = _topk_frame(g, "probe_id", "key", "neighbor_id", k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def sql_chunk_knn(k: int = 5, n_probe_docs: int = 3,
+                  dim: int = 32, size: int = 64,
+                  stride: int = 48) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
+        f"n AS (SELECT doc_id, tk, CASE WHEN len(tk) <= {size} THEN 1 "
+        f"ELSE (len(tk) - {size} + {stride} - 1) // {stride} + 1 END "
+        f"AS n_chunks FROM t), "
+        f"e AS (SELECT doc_id, tk, unnest(range(n_chunks)) AS chunk_id "
+        f"FROM n), "
+        f"ch AS (SELECT doc_id * {_CID_BASE} + chunk_id AS cid, "
+        f"list_slice(tk, chunk_id * {stride} + 1, "
+        f"chunk_id * {stride} + {size}) AS w FROM e), "
+        f"words AS (SELECT cid, unnest(w) AS wd FROM ch), "
+        f"dims AS (SELECT cid, CAST(md5_number_lower(wd) % {dim} "
+        f"AS BIGINT) AS d, COUNT(*) AS c FROM words GROUP BY cid, d), "
+        f"norms AS (SELECT cid, CAST(SUM(c * c) AS BIGINT) AS n2 "
+        f"FROM dims GROUP BY cid), "
+        f"probes AS (SELECT cid FROM ch WHERE cid < "
+        f"{n_probe_docs * _CID_BASE}), "
+        f"dots AS (SELECT q.cid AS probe_id, x.cid AS neighbor_id, "
+        f"CAST(SUM(q.c * x.c) AS BIGINT) AS dot FROM dims q "
+        f"JOIN probes p ON p.cid = q.cid "
+        f"JOIN dims x ON x.d = q.d GROUP BY 1, 2), "
+        f"pairs AS (SELECT p.cid AS probe_id, c.cid AS neighbor_id, "
+        f"COALESCE(d.dot, 0) AS dot FROM probes p CROSS JOIN ch c "
+        f"LEFT JOIN dots d ON d.probe_id = p.cid "
+        f"AND d.neighbor_id = c.cid), "
+        f"scored AS (SELECT pr.probe_id, pr.neighbor_id, "
+        f"CAST(pr.dot * pr.dot AS DOUBLE) / (np.n2 * nc.n2) AS key "
+        f"FROM pairs pr JOIN norms np ON np.cid = pr.probe_id "
+        f"JOIN norms nc ON nc.cid = pr.neighbor_id), "
+        f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+        f"(PARTITION BY probe_id ORDER BY key DESC, neighbor_id) "
+        f"AS rank FROM scored) "
+        f"SELECT probe_id, neighbor_id, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY probe_id, rank")
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
     from ..stages.text import simhash
@@ -2209,6 +2317,7 @@ def queries() -> Dict:
         "simhash_neardup": q_simhash_neardup,
         "embed_clusters": q_embed_clusters,
         "doc_chunks": q_doc_chunks,
+        "chunk_knn": q_chunk_knn,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -2259,6 +2368,7 @@ def oracle_sql() -> Dict[str, str]:
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
         "doc_chunks": sql_doc_chunks(),
+        "chunk_knn": sql_chunk_knn(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

@@ -150,6 +150,25 @@ def chunk_documents(batch: pa.Table, size: int = 64,
     })
 
 
+def hash_embed(batch: pa.Table, dim: int = 32,
+               text_col: str = "chunk_text") -> pa.Table:
+    """Deterministic feature-hash embedding: token counts folded into
+    ``dim`` buckets by md5_number_lower(word) % dim.  Integer count
+    vectors make downstream cosine ranking EXACT (dot products and
+    norms are small integers, so both engines compute bit-identical
+    score doubles) — the model-free stand-in that keeps the
+    chunk -> embed -> ANN composition oracle-checkable."""
+    texts = batch.column(text_col).to_pylist()
+    vecs = np.zeros((len(texts), dim), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = tokens_of(t)
+        d = (word_hashes64(toks) % np.uint64(dim)).astype(np.int64)
+        np.add.at(vecs[i], d, 1)
+    flat = pa.array(vecs.ravel(), pa.int64())
+    hvec = pa.FixedSizeListArray.from_arrays(flat, dim)
+    return batch.append_column("hvec", hvec)
+
+
 def simhash(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over word hashes: sum +-1 per bit weighted by
     term frequency; near-duplicate docs land within small Hamming
