@@ -143,10 +143,11 @@ def run_suite(headline_only: bool = False) -> dict:
                  "embed_neardup", "minhash_dedup", "simhash",
                  "simhash_neardup", "embed_clusters", "events_hourly",
                  "events_sliding", "events_sessions", "events_asof",
-                 "events_range_join", "events_quantiles", "events_topk",
+                 "events_range_join", "events_quantiles", "events_rollup",
+                 "events_topk", "events_latest",
                  "orders_by_nation", "zonal_stats", "events_sample",
                  "events_distinct_users", "events_anti_join",
-                 "lineitem_agg"]
+                 "doc_chunks", "chunk_knn", "lineitem_agg"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()
