@@ -1228,6 +1228,74 @@ def sql_chunk_knn(k: int = 5, n_probe_docs: int = 3,
         f"WHERE rank <= {k} ORDER BY probe_id, rank")
 
 
+def q_neardup_agreement(sf_dir: str):
+    """Cross-family validation: how the MinHash text near-dup pairs
+    and the embedding cosine near-dup pairs overlap on the same
+    corpus (documents and embeddings share ids).  Pairs tag their
+    source with a bit, one groupby(pair) ORs the bits, a tiny
+    groupby(method) counts — only pair rows shuffle."""
+    from ray.data.aggregate import Max, Sum
+    from ..stages.dedup import minhash_dedup
+    from ..stages.embed import embed_neardup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    mh = minhash_dedup(docs, threshold=0.5) \
+        .select_columns(["doc_a", "doc_b"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    em = embed_neardup(emb, NEARDUP_THRESHOLD)
+
+    def _tag(bit):
+        def _f(batch: pa.Table) -> pa.Table:
+            a = batch.column(batch.column_names[0]).to_numpy() \
+                .astype(np.int64)
+            b = batch.column(batch.column_names[1]).to_numpy() \
+                .astype(np.int64)
+            return pa.table({
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "mh": pa.array(np.full(len(a), bit & 1, np.int64),
+                               pa.int64()),
+                "em": pa.array(np.full(len(a), bit >> 1, np.int64),
+                               pa.int64()),
+            })
+        return _f
+
+    tagged = (mh.map_batches(_tag(1), batch_format="pyarrow")
+              .union(em.map_batches(_tag(2), batch_format="pyarrow")))
+    flags = (tagged.groupby(["doc_a", "doc_b"])
+             .aggregate(Max("mh", alias_name="mh"),
+                        Max("em", alias_name="em")))
+
+    def _method(batch: pa.Table) -> pa.Table:
+        mh_ = batch.column("mh").to_numpy()
+        em_ = batch.column("em").to_numpy()
+        m = np.where(mh_ & em_.astype(bool), "both",
+                     np.where(mh_ == 1, "minhash_only", "embed_only"))
+        return pa.table({
+            "method": pa.array(m.tolist(), pa.string()),
+            "n_pairs": pa.array(np.ones(len(m), np.int64), pa.int64()),
+        })
+
+    return (flags.map_batches(_method, batch_format="pyarrow")
+            .groupby("method")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
+def sql_neardup_agreement() -> str:
+    return (
+        f"WITH mh AS (SELECT * FROM ({sql_minhash_dedup()})), "
+        f"em AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM "
+        f"({sql_embed_neardup()})), "
+        f"u AS (SELECT COALESCE(m.doc_a, e.doc_a) AS a, "
+        f"CASE WHEN m.doc_a IS NOT NULL AND e.doc_a IS NOT NULL "
+        f"THEN 'both' WHEN m.doc_a IS NOT NULL THEN 'minhash_only' "
+        f"ELSE 'embed_only' END AS method "
+        f"FROM mh m FULL OUTER JOIN em e "
+        f"ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b) "
+        f"SELECT method, COUNT(*) AS n_pairs FROM u "
+        f"GROUP BY method ORDER BY method")
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
     from ..stages.text import simhash
@@ -2318,6 +2386,7 @@ def queries() -> Dict:
         "embed_clusters": q_embed_clusters,
         "doc_chunks": q_doc_chunks,
         "chunk_knn": q_chunk_knn,
+        "neardup_agreement": q_neardup_agreement,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -2369,6 +2438,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_clusters": sql_embed_clusters(),
         "doc_chunks": sql_doc_chunks(),
         "chunk_knn": sql_chunk_knn(),
+        "neardup_agreement": sql_neardup_agreement(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

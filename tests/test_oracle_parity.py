@@ -55,7 +55,7 @@ ORACLE_CHECKED = [
     "langid", "fingerprint", "simhash", "simhash_neardup",
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
-    "embed_clusters", "doc_chunks", "chunk_knn",
+    "embed_clusters", "doc_chunks", "chunk_knn", "neardup_agreement",
     "events_hourly",
     "events_sliding", "events_sessions", "events_asof",
     "events_range_join", "events_quantiles", "events_rollup",
