@@ -147,7 +147,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_topk", "events_latest",
                  "orders_by_nation", "zonal_stats", "events_sample",
                  "events_distinct_users", "events_anti_join",
-                 "doc_chunks", "chunk_knn", "lineitem_agg"]
+                 "doc_chunks", "chunk_knn", "neardup_agreement",
+                 "spatial_join_images", "corpus_curation",
+                 "lineitem_agg"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()
