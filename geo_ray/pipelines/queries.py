@@ -401,6 +401,51 @@ def q_s2_density(sf_dir: str):
             .groupby("token").aggregate(Sum("n", alias_name="n")))
 
 
+_PYRAMID_LEVELS = (2, 4, 6, 8)
+
+
+def q_s2_pyramid(sf_dir: str):
+    """Multi-resolution density pyramid — the map-tile-pyramid
+    primitive: per-cell point counts at several S2 levels from ONE
+    pass over the points (each batch emits its per-(level, cell)
+    partials for every level; a single groupby merges), instead of
+    re-scanning the table once per zoom level."""
+    from ray.data.aggregate import Sum
+
+    pts = _customer_points(sf_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("cell_id").to_numpy()
+        toks: list = []
+        lvls: list = []
+        cnts: list = []
+        for lv in _PYRAMID_LEVELS:
+            p = cid.parent_v(ids, lv)
+            uniq, cnt = np.unique(p, return_counts=True)
+            toks.extend(cid.token(int(v)) for v in uniq)
+            lvls.extend([lv] * len(uniq))
+            cnts.extend(int(c) for c in cnt)
+        return pa.table({
+            "level": pa.array(lvls, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array(cnts, pa.int64()),
+        })
+
+    return (pts.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["level", "token"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_s2_pyramid() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({lv} AS BIGINT) AS level, "
+        f"{_sql_parent_token(lv)} AS token, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY 2"
+        for lv in _PYRAMID_LEVELS)
+    return (f"{_PTS_CTE}, {_cell_sql_cte()} "
+            f"{arms} ORDER BY level, token")
+
+
 def q_covering(sf_dir: str):
     """RegionCoverer over the corpus quad at several configs
     (rows-only; validated by the ported checkCovering oracles)."""
@@ -2387,6 +2432,7 @@ def queries() -> Dict:
         "doc_chunks": q_doc_chunks,
         "chunk_knn": q_chunk_knn,
         "neardup_agreement": q_neardup_agreement,
+        "s2_pyramid": q_s2_pyramid,
         "lineitem_agg": q_lineitem_agg,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
@@ -2439,6 +2485,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_chunks": sql_doc_chunks(),
         "chunk_knn": sql_chunk_knn(),
         "neardup_agreement": sql_neardup_agreement(),
+        "s2_pyramid": sql_s2_pyramid(),
         "lineitem_agg": sql_lineitem_agg(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)

@@ -51,7 +51,7 @@ def _to_df(result) -> pd.DataFrame:
 ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
     "knn_geo", "knn_geo_ring", "knn_shape", "grid_density", "radius_join",
-    "cell_assign", "s2_density",
+    "cell_assign", "s2_density", "s2_pyramid",
     "langid", "fingerprint", "simhash", "simhash_neardup",
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
