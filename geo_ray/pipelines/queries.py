@@ -1807,6 +1807,62 @@ def sql_events_anti_join() -> str:
             f"AND value > {_ANTI_THRESHOLD!r}) ORDER BY user_id")
 
 
+def q_events_retention(sf_dir: str, horizon_days: int = 7):
+    """Cohort retention: per activity day, the distinct active users
+    and how many of them are active again exactly ``horizon_days``
+    later.  Batches emit unique (user, day) pairs; one groupby(user)
+    partition checks day+h membership with a composite-key
+    searchsorted over ALL its users at once; per-day partial sums
+    merge in a tiny final groupby — only distinct pairs shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = (batch.column("ts").to_numpy()
+               .astype("datetime64[D]").astype(np.int64))
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(),
+            "day": day,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _per_user(g) -> "pa.Table":
+        import pandas as pd
+        g = g.drop_duplicates(["user_id", "day"]) \
+             .sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy().astype(np.int64)
+        d = g["day"].to_numpy().astype(np.int64)
+        key = u * np.int64(1 << 21) + d          # day < 2^21
+        want = u * np.int64(1 << 21) + d + horizon_days
+        pos = np.searchsorted(key, want)
+        hit = (pos < len(key)) & (key[np.minimum(pos, len(key) - 1)]
+                                  == want)
+        out = pd.DataFrame({"day": d,
+                            "n_active": np.ones(len(d), np.int64),
+                            "n_retained": hit.astype(np.int64)})
+        return out.groupby("day", sort=False).sum().reset_index()
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    partials = pairs.groupby("user_id").map_groups(
+        _per_user, batch_format="pandas")
+    return (partials.groupby("day")
+            .aggregate(Sum("n_active", alias_name="n_active"),
+                       Sum("n_retained", alias_name="n_retained")))
+
+
+def sql_events_retention(horizon_days: int = 7) -> str:
+    return (
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day FROM events) "
+        "SELECT a.day, COUNT(*) AS n_active, "
+        "CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_retained FROM ud a LEFT JOIN ud b "
+        f"ON b.user_id = a.user_id AND b.day = a.day + {horizon_days} "
+        "GROUP BY a.day ORDER BY a.day")
+
+
 _SAMPLE_RATES = {"purchase": (1, 1), "signup": (1, 2), "view": (1, 4),
                  "click": (1, 4), "error": (1, 20)}
 
@@ -2426,6 +2482,7 @@ def queries() -> Dict:
         "events_sample": q_events_sample,
         "events_distinct_users": q_events_distinct_users,
         "events_anti_join": q_events_anti_join,
+        "events_retention": q_events_retention,
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
         "embed_clusters": q_embed_clusters,
@@ -2479,6 +2536,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_sample": sql_events_sample(),
         "events_distinct_users": sql_events_distinct_users(),
         "events_anti_join": sql_events_anti_join(),
+        "events_retention": sql_events_retention(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
