@@ -1965,6 +1965,95 @@ def sql_orders_by_nation() -> str:
         "GROUP BY n_name ORDER BY n_name")
 
 
+_Q3_CUTOFF = "1998-06-01"
+
+
+def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """TPC-H Q3-shaped: top-k orders by revenue for one market
+    segment, orders placed before / lineitems shipped after the
+    cutoff.  The two small sides reduce to ONE broadcast sorted
+    orderkey array (customer segment membership folded into the
+    orders filter on the driver); the lineitem fact table streams
+    through a searchsorted semi-join + integer revenue partials
+    (cents x discount-percent, exact), then a groupby-sum and a
+    constant-key mergeable top-k.  At 10^12 lineitems with an
+    unbroadcastable orders side this becomes the co-partitioned
+    shuffle join (stages/asof.py / shuffle_join.py pattern)."""
+    import ray
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from ..stages.topk import grouped_topk
+
+    cutoff_us = np.datetime64(_Q3_CUTOFF).astype("datetime64[us]") \
+        .astype(np.int64)
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_mktsegment"])
+    seg = np.sort(ct.filter(pc.equal(ct.column("c_mktsegment"), segment))
+                  .column("c_custkey").to_numpy().astype(np.int64))
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    od = ot.column("o_orderdate").to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    okey = ot.column("o_orderkey").to_numpy().astype(np.int64)
+    ocust = ot.column("o_custkey").to_numpy().astype(np.int64)
+    pos = np.searchsorted(seg, ocust)
+    inseg = (pos < len(seg)) & (seg[np.minimum(pos, len(seg) - 1)]
+                                == ocust)
+    keys = np.sort(okey[inseg & (od < cutoff_us)])
+    ref = ray.put(keys)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ks = ray.get(ref)
+        lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        p = np.searchsorted(ks, lo)
+        keep = (sd > cutoff_us) & (p < len(ks)) \
+            & (ks[np.minimum(p, len(ks) - 1)] == lo)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()[keep]
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount")
+                       .to_numpy()[keep]) * 100.0).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": lo[keep], "revenue": ep * dp})
+        g = df.groupby("o_orderkey", sort=False)["revenue"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("o_orderkey")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def _const(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(np.zeros(b.num_rows, np.int8), pa.int8()))
+
+    top = grouped_topk(agg.map_batches(_const, batch_format="pyarrow"),
+                       "g", "revenue", "o_orderkey", k)
+    return top.select_columns(["o_orderkey", "revenue", "rank"])
+
+
+def sql_tpch_q3(segment: str = "BUILDING", k: int = 10) -> str:
+    return (
+        "WITH r AS (SELECT l.l_orderkey AS o_orderkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue FROM lineitem l "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        f"WHERE c.c_mktsegment = '{segment}' "
+        f"AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}' "
+        f"AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}' GROUP BY 1), "
+        "ranked AS (SELECT o_orderkey, revenue, ROW_NUMBER() OVER "
+        "(ORDER BY revenue DESC, o_orderkey) AS rank FROM r) "
+        f"SELECT o_orderkey, revenue, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY rank")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -2483,6 +2572,7 @@ def queries() -> Dict:
         "events_distinct_users": q_events_distinct_users,
         "events_anti_join": q_events_anti_join,
         "events_retention": q_events_retention,
+        "tpch_q3": q_tpch_q3,
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
         "embed_clusters": q_embed_clusters,
@@ -2537,6 +2627,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_distinct_users": sql_events_distinct_users(),
         "events_anti_join": sql_events_anti_join(),
         "events_retention": sql_events_retention(),
+        "tpch_q3": sql_tpch_q3(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
