@@ -2054,6 +2054,108 @@ def sql_tpch_q3(segment: str = "BUILDING", k: int = 10) -> str:
         f"WHERE rank <= {k} ORDER BY rank")
 
 
+def q_tpch_q5(sf_dir: str, region: str = "ASIA", year: int = 1996):
+    """TPC-H Q5 proper: revenue per nation where the ordering customer
+    and the supplying supplier share a nation inside one region, for
+    one order year.  All dimension state (supplier->nation,
+    customer->nation, region nation set, and the orders->
+    (custkey, in-year) map) ships once via ray.put; the lineitem fact
+    table never shuffles — each batch resolves both nations by
+    searchsorted, filters equality + region + year, and emits
+    25-row integer revenue partials.  At 10^12 lineitems with an
+    unbroadcastable orders map this becomes the co-partitioned
+    shuffle join; the broadcast form is the documented small-side
+    choice (BASELINE.md cost arithmetic)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from ..stages.broadcast_join import DimTable, read_dim_table
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}
+    region_nations = np.array(
+        [r["n_nationkey"] for r in nat.to_pylist()
+         if r["n_regionkey"] == rkey[region]], dtype=np.int64)
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                          "s_suppkey", "s_nationkey")
+    cust = read_dim_table(f"{sf_dir}/customer.parquet",
+                          "c_custkey", "c_nationkey")
+
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey",
+                                "o_orderdate"])
+    oy = ot.column("o_orderdate").to_numpy().astype("datetime64[Y]") \
+        .astype(np.int64) + 1970
+    okey = ot.column("o_orderkey").to_numpy().astype(np.int64)
+    # orders -> customer NATION map (pre-resolved through the customer
+    # dim on the driver), restricted to the target year
+    onat = cust.lookup(ot.column("o_custkey").to_numpy()
+                       .astype(np.int64))
+    sel = oy == year
+    omap = DimTable(okey[sel], onat[sel])
+    ref = ray.put((omap, supp, np.sort(region_nations)))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        omap_, supp_, rn = ray.get(ref)
+        lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        p = np.searchsorted(omap_.keys, lo)
+        has_order = (p < len(omap_.keys)) \
+            & (omap_.keys[np.minimum(p, len(omap_.keys) - 1)] == lo)
+        cn = np.where(has_order,
+                      omap_.values[np.minimum(p, len(omap_.values) - 1)],
+                      -1)
+        sn = supp_.lookup(batch.column("l_suppkey").to_numpy()
+                          .astype(np.int64))
+        rp = np.searchsorted(rn, sn)
+        in_region = (rp < len(rn)) \
+            & (rn[np.minimum(rp, len(rn) - 1)] == sn)
+        keep = has_order & in_region & (cn == sn)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()[keep]
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount")
+                       .to_numpy()[keep]) * 100.0).astype(np.int64)
+        df = pd.DataFrame({"nationkey": sn[keep], "revenue": ep * dp})
+        g = df.groupby("nationkey", sort=False)["revenue"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("nationkey")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def _name(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[k] for k in nk], pa.string()),
+            "revenue": batch.column("revenue"),
+        })
+
+    return agg.map_batches(_name, batch_format="pyarrow")
+
+
+def sql_tpch_q5(region: str = "ASIA", year: int = 1996) -> str:
+    return (
+        "SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * 100) "
+        "AS BIGINT) * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) "
+        "AS BIGINT) AS revenue FROM lineitem "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "JOIN region ON r_regionkey = n_regionkey "
+        "WHERE c_nationkey = s_nationkey "
+        f"AND r_name = '{region}' "
+        f"AND date_part('year', o_orderdate) = {year} "
+        "GROUP BY n_name ORDER BY n_name")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -2573,6 +2675,7 @@ def queries() -> Dict:
         "events_anti_join": q_events_anti_join,
         "events_retention": q_events_retention,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
         "embed_clusters": q_embed_clusters,
@@ -2628,6 +2731,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_anti_join": sql_events_anti_join(),
         "events_retention": sql_events_retention(),
         "tpch_q3": sql_tpch_q3(),
+        "tpch_q5": sql_tpch_q5(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
