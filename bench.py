@@ -149,7 +149,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_distinct_users", "events_anti_join",
                  "doc_chunks", "chunk_knn", "neardup_agreement",
                  "spatial_join_images", "corpus_curation",
-                 "lineitem_agg"]
+                 "events_retention", "s2_pyramid",
+                 "lineitem_agg", "tpch_q3", "tpch_q5"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()
