@@ -2156,6 +2156,85 @@ def sql_tpch_q5(region: str = "ASIA", year: int = 1996) -> str:
         "GROUP BY n_name ORDER BY n_name")
 
 
+def q_tpch_q10(sf_dir: str, k: int = 20):
+    """TPC-H Q10-shaped: top-k customers by revenue of RETURNED items
+    (l_returnflag = 'R').  Orders -> customer key map broadcasts once;
+    returned lineitems stream through a searchsorted lookup and emit
+    integer revenue partials per customer; a groupby-sum and a
+    constant-key mergeable top-k finish, with names attached from the
+    tiny customer dim at the end."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from ..stages.broadcast_join import DimTable
+    from ..stages.topk import grouped_topk
+
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"])
+    omap = DimTable(ot.column("o_orderkey").to_numpy(),
+                    ot.column("o_custkey").to_numpy())
+    ref = ray.put(omap)
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_name"])
+    names = dict(zip(ct.column("c_custkey").to_pylist(),
+                     ct.column("c_name").to_pylist()))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                                    "l_extendedprice", "l_discount"])
+    returned = ds.filter(expr="l_returnflag == 'R'")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        omap_ = ray.get(ref)
+        cust = omap_.lookup(batch.column("l_orderkey").to_numpy()
+                            .astype(np.int64))
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        df = pd.DataFrame({"c_custkey": cust, "revenue": ep * dp})
+        g = df.groupby("c_custkey", sort=False)["revenue"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (returned.map_batches(_partial, batch_format="pyarrow")
+           .groupby("c_custkey")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def _const(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(np.zeros(b.num_rows, np.int8), pa.int8()))
+
+    top = grouped_topk(agg.map_batches(_const, batch_format="pyarrow"),
+                       "g", "revenue", "c_custkey", k)
+
+    def _name(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_pylist()
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_name": pa.array([names[c] for c in ck], pa.string()),
+            "revenue": batch.column("revenue"),
+            "rank": batch.column("rank"),
+        })
+
+    return top.map_batches(_name, batch_format="pyarrow")
+
+
+def sql_tpch_q10(k: int = 20) -> str:
+    return (
+        "WITH r AS (SELECT c_custkey, c_name, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue FROM lineitem "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "WHERE l_returnflag = 'R' GROUP BY 1, 2), "
+        "ranked AS (SELECT c_custkey, c_name, revenue, ROW_NUMBER() "
+        "OVER (ORDER BY revenue DESC, c_custkey) AS rank FROM r) "
+        f"SELECT c_custkey, c_name, revenue, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY rank")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -2676,6 +2755,7 @@ def queries() -> Dict:
         "events_retention": q_events_retention,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
         "embed_clusters": q_embed_clusters,
@@ -2732,6 +2812,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_retention": sql_events_retention(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
+        "tpch_q10": sql_tpch_q10(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
