@@ -150,7 +150,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "doc_chunks", "chunk_knn", "neardup_agreement",
                  "spatial_join_images", "corpus_curation",
                  "events_retention", "s2_pyramid",
-                 "lineitem_agg", "tpch_q3", "tpch_q5"]
+                 "lineitem_agg", "tpch_q3", "tpch_q5", "tpch_q10"]
         registry = qmod.queries()
         for name in suite:
             t0 = time.perf_counter()
