@@ -1807,6 +1807,53 @@ def sql_events_anti_join() -> str:
             f"AND value > {_ANTI_THRESHOLD!r}) ORDER BY user_id")
 
 
+def q_events_gap_quantiles(sf_dir: str):
+    """Approximate inter-event gap quantiles per event type via the
+    integer log-histogram sketch (stages/quantiles.log_bucket):
+    per-user consecutive gaps from the skew-proof two-phase pass
+    (stages/windows.user_gaps_bucketed), bucketed by pure-integer
+    (exponent, 4-mantissa-bit) ids — ≤6.25%% relative error, bounded
+    sketch size at ANY value cardinality, and bit-identical across
+    engines so even the approximate answer has an exact oracle."""
+    from ..stages.quantiles import sketch_quantiles_by_key
+    from ..stages.windows import user_gaps_bucketed
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    gaps = user_gaps_bucketed(ds)
+    out = sketch_quantiles_by_key(gaps, "event_type", "gap_us")
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_type"] + b.column_names[1:]),
+        batch_format="pyarrow")
+
+
+def sql_events_gap_quantiles() -> str:
+    bucket_arms = " ".join(
+        f"WHEN gap < {1 << (e + 1)} THEN {(e - 3) * 16 - 16} "
+        f"+ CAST(gap // {1 << (e - 4)} AS BIGINT)"
+        for e in range(4, 51))
+    bucket = f"CASE WHEN gap < 16 THEN gap {bucket_arms} END"
+    rep = ("CASE WHEN bid < 16 THEN bid ELSE (16 + bid % 16) "
+           "* (1::BIGINT << CAST(bid // 16 - 1 AS INT)) END")
+    picks = ", ".join(
+        f"MIN(CASE WHEN cum >= CEIL({p} * total) THEN {rep} END) "
+        f"AS p{int(p * 100)}_est" for p in (0.5, 0.9, 0.99))
+    return (
+        "WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS t, "
+        "event_id FROM events), "
+        "g AS (SELECT event_type, t - LAG(t) OVER (PARTITION BY "
+        "user_id ORDER BY t, event_id) AS gap FROM o), "
+        "gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL), "
+        f"b AS (SELECT event_type, {bucket} AS bid FROM gg), "
+        "c AS (SELECT event_type, bid, COUNT(*) AS n FROM b "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT event_type, bid, n, SUM(n) OVER (PARTITION BY "
+        "event_type ORDER BY bid) AS cum, SUM(n) OVER (PARTITION BY "
+        "event_type) AS total FROM c) "
+        f"SELECT event_type, {picks} FROM r GROUP BY event_type "
+        "ORDER BY event_type")
+
+
 def q_events_retention(sf_dir: str, horizon_days: int = 7):
     """Cohort retention: per activity day, the distinct active users
     and how many of them are active again exactly ``horizon_days``
@@ -2753,6 +2800,7 @@ def queries() -> Dict:
         "events_distinct_users": q_events_distinct_users,
         "events_anti_join": q_events_anti_join,
         "events_retention": q_events_retention,
+        "events_gap_quantiles": q_events_gap_quantiles,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -2810,6 +2858,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_distinct_users": sql_events_distinct_users(),
         "events_anti_join": sql_events_anti_join(),
         "events_retention": sql_events_retention(),
+        "events_gap_quantiles": sql_events_gap_quantiles(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "tpch_q10": sql_tpch_q10(),

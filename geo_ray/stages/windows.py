@@ -132,6 +132,107 @@ def merge_session_partials_part(group: pd.DataFrame,
     })
 
 
+def _gap_phase1(g: pd.DataFrame) -> pd.DataFrame:
+    """All (user, bucket) units in this partition: in-bucket
+    consecutive gaps (each tagged with the LATER event's type) plus
+    one per-unit summary row (kind=1) carrying the unit's first and
+    last timestamps and the first event's type, for the boundary
+    gaps phase 2 stitches."""
+    g = g.sort_values(["user_id", "bucket", "t_us", "event_id"],
+                      kind="mergesort")
+    u = g["user_id"].to_numpy()
+    b = g["bucket"].to_numpy()
+    t = g["t_us"].to_numpy()
+    et = g["event_type"].to_numpy()
+    n = len(g)
+    same = np.zeros(n, dtype=bool)
+    if n > 1:
+        same[1:] = (u[1:] == u[:-1]) & (b[1:] == b[:-1])
+    gaps = pd.DataFrame({
+        "kind": np.zeros(int(same.sum()), np.int8),
+        "user_id": u[same],
+        "bucket": b[same],
+        "t_first": t[same] - np.concatenate([[0], t[:-1]])[same],
+        "t_last": np.zeros(int(same.sum()), np.int64),
+        "event_type": et[same],
+    }).rename(columns={"t_first": "gap_us"})
+    new_unit = ~same
+    starts = np.nonzero(new_unit)[0]
+    ends = np.append(starts[1:], n) - 1
+    summaries = pd.DataFrame({
+        "kind": np.ones(len(starts), np.int8),
+        "user_id": u[starts],
+        "bucket": b[starts],
+        "gap_us": t[starts],          # first t of the unit
+        "t_last": t[ends],
+        "event_type": et[starts],     # type of the unit's first event
+    })
+    return pd.concat([gaps, summaries], ignore_index=True)
+
+
+def _gap_phase2(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-key boundary gaps: summaries sorted by (user, bucket);
+    each unit's first event closes a gap against the PREVIOUS unit's
+    last timestamp (same user).  In-bucket gap rows pass through."""
+    out = g[g["kind"] == 0][["event_type", "gap_us"]]
+    s = g[g["kind"] == 1].sort_values(["user_id", "bucket"],
+                                      kind="mergesort")
+    if len(s):
+        u = s["user_id"].to_numpy()
+        first_t = s["gap_us"].to_numpy()
+        last_t = s["t_last"].to_numpy()
+        et = s["event_type"].to_numpy()
+        same_user = np.zeros(len(s), dtype=bool)
+        same_user[1:] = u[1:] == u[:-1]
+        prev_last = np.concatenate([[0], last_t[:-1]])
+        bnd = pd.DataFrame({
+            "event_type": et[same_user],
+            "gap_us": (first_t - prev_last)[same_user],
+        })
+        out = pd.concat([out, bnd], ignore_index=True)
+    return out.reset_index(drop=True)
+
+
+def user_gaps_bucketed(events_ds, bucket_sec: int = 6 * 3600,
+                       num_parts: int = 64):
+    """(event_type, gap_us) rows — each event's distance to the same
+    user's previous event in (ts, event_id) order, tagged with the
+    later event's type.  Two-phase like the bucketed sessionization:
+    phase-1 units are (user, time-bucket) so a mega-user splits;
+    phase 2 stitches only per-unit summary rows."""
+    def _key(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        bucket = ts // (np.int64(bucket_sec) * 1_000_000)
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        mix = (uid.astype(np.uint64) * _PART_MIX) ^ bucket.astype(np.uint64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "t_us": pa.array(ts, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "part": pa.array((mix % np.uint64(num_parts)).astype(np.int32),
+                             pa.int32()),
+        })
+
+    p1 = (events_ds.map_batches(_key, batch_format="pyarrow")
+          .groupby("part")
+          .map_groups(lambda g: _gap_phase1(g.drop(columns=["part"])),
+                      batch_format="pandas"))
+
+    def _key2(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "part", pa.array((uid % np.uint64(num_parts)).astype(np.int32),
+                             pa.int32()))
+
+    return (p1.map_batches(_key2, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: _gap_phase2(g.drop(columns=["part"])),
+                        batch_format="pandas"))
+
+
 _PART_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 

@@ -61,7 +61,8 @@ ORACLE_CHECKED = [
     "events_range_join", "events_quantiles", "events_rollup",
     "events_topk", "events_latest",
     "orders_by_nation", "events_sample", "events_distinct_users",
-    "events_anti_join", "events_retention", "lineitem_agg", "tpch_q3",
+    "events_anti_join", "events_retention", "events_gap_quantiles",
+    "lineitem_agg", "tpch_q3",
     "tpch_q5", "tpch_q10",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
     "convex_hull",
