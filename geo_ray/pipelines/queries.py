@@ -1854,6 +1854,39 @@ def sql_events_gap_quantiles() -> str:
         "ORDER BY event_type")
 
 
+_LPC_M = 4096
+
+
+def q_events_distinct_sketch(sf_dir: str):
+    """Approximate distinct users per event type via the linear
+    probabilistic counting bitmap (stages/sample.py): bounded m-bit
+    state per key at ANY cardinality, deterministic because the bit
+    set is an exact splitmix64 function of the ids — the approximate
+    counterpart (and cross-check) of the exact events_distinct_users."""
+    from ..stages.sample import distinct_sketch_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = distinct_sketch_by_key(ds, "event_type", "user_id", m=_LPC_M)
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_type", "est_distinct"]),
+        batch_format="pyarrow")
+
+
+def sql_events_distinct_sketch() -> str:
+    m = _LPC_M
+    return (
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        f"{_splitmix_ctes('ub', 'u', 'user_id', 'CAST(user_id AS UBIGINT)')}, "
+        f"bits AS (SELECT DISTINCT e.event_type, "
+        f"CAST(ub.v % {m} AS BIGINT) AS bit FROM events e "
+        f"JOIN ub ON ub.user_id = e.user_id), "
+        f"c AS (SELECT event_type, COUNT(*) AS nbits FROM bits "
+        f"GROUP BY 1) "
+        f"SELECT event_type, CAST(FLOOR({m} * LN({m}::DOUBLE "
+        f"/ ({m} - nbits))) AS BIGINT) AS est_distinct FROM c "
+        f"ORDER BY event_type")
+
+
 def q_events_retention(sf_dir: str, horizon_days: int = 7):
     """Cohort retention: per activity day, the distinct active users
     and how many of them are active again exactly ``horizon_days``
@@ -2801,6 +2834,7 @@ def queries() -> Dict:
         "events_anti_join": q_events_anti_join,
         "events_retention": q_events_retention,
         "events_gap_quantiles": q_events_gap_quantiles,
+        "events_distinct_sketch": q_events_distinct_sketch,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -2859,6 +2893,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_anti_join": sql_events_anti_join(),
         "events_retention": sql_events_retention(),
         "events_gap_quantiles": sql_events_gap_quantiles(),
+        "events_distinct_sketch": sql_events_distinct_sketch(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "tpch_q10": sql_tpch_q10(),

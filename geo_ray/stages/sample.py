@@ -48,6 +48,60 @@ def hash_sample(ds, id_col: str, num: int, den: int):
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def distinct_sketch_partial(batch: pa.Table, key_col: str,
+                            id_col: str, m: int) -> pa.Table:
+    """Linear probabilistic counting partial: (key, bit) rows where
+    bit = splitmix64(id) % m.  Bitmaps merge by union (a groupby on
+    (key, bit)), so the sketch is order-independent and
+    deterministic — the estimate m*ln(m/zero_bits) is then a pure
+    function of the exact surviving bit set, which is why even this
+    APPROXIMATE distinct count can hash-match a SQL oracle."""
+    import pandas as pd
+    ids = batch.column(id_col).to_numpy().astype(np.uint64)
+    df = pd.DataFrame({
+        "key": batch.column(key_col).to_pandas(),
+        "bit": (_splitmix(ids) % np.uint64(m)).astype(np.int64),
+    }).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lpc_estimate(bits_set: int, m: int) -> int:
+    """Whang et al. linear counting estimate, floored to an integer
+    so both engines emit the identical value."""
+    import math
+    zeros = m - bits_set
+    if zeros <= 0:
+        return m  # saturated; callers should size m >> distinct
+    return int(math.floor(m * math.log(m / zeros)))
+
+
+def distinct_sketch_by_key(ds, key_col: str, id_col: str,
+                           m: int = 4096):
+    """Approximate per-key distinct count in bounded space.  Two-level
+    like every other aggregate here: batch partials emit unique
+    (key, bit) rows, a (key, bit) groupby dedups globally (so the
+    final per-key group is bounded by m rows — never
+    #batches x m), then a per-key count + estimate.  Standard error
+    ~ sqrt(m*(e^(n/m)-n/m-1))/n — under ~2% for n <= m."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def _estimate(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": [g["key"].iloc[0]],
+            "est_distinct": pd.Series([lpc_estimate(len(g), m)],
+                                      dtype="int64"),
+        })
+
+    partials = ds.map_batches(
+        lambda b: distinct_sketch_partial(b, key_col, id_col, m),
+        batch_format="pyarrow")
+    uniq = (partials.groupby(["key", "bit"])
+            .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
+    return uniq.groupby("key").map_groups(_estimate,
+                                          batch_format="pandas")
+
+
 def stratified_sample(ds, id_col: str, class_col: str,
                       rates: Dict[str, Tuple[int, int]]):
     """Per-class deterministic rates; classes absent from ``rates``

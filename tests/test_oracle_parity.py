@@ -62,6 +62,7 @@ ORACLE_CHECKED = [
     "events_topk", "events_latest",
     "orders_by_nation", "events_sample", "events_distinct_users",
     "events_anti_join", "events_retention", "events_gap_quantiles",
+    "events_distinct_sketch",
     "lineitem_agg", "tpch_q3",
     "tpch_q5", "tpch_q10",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",

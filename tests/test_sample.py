@@ -25,6 +25,23 @@ def test_rate_statistics():
     assert abs(frac - 0.25) < 0.01
 
 
+def test_lpc_estimate_accuracy():
+    """Linear counting error stays within ~3x its theoretical standard
+    error across load factors, and saturation is handled."""
+    import math
+    from geo_ray.stages.sample import lpc_estimate
+    m = 4096
+    rng = np.random.default_rng(3)
+    for n in (50, 500, 2000, 4000):
+        ids = rng.integers(0, 2**63, n).astype(np.uint64)
+        bits = len(np.unique(_splitmix(ids) % np.uint64(m)))
+        est = lpc_estimate(bits, m)
+        t = n / m
+        se = math.sqrt(m * (math.exp(t) - t - 1)) / n
+        assert abs(est - n) / n <= max(3 * se, 0.02), (n, est, se)
+    assert lpc_estimate(m, m) == m  # saturated bitmap
+
+
 def test_sample_deterministic_and_stratified(ray_session):
     import ray.data as rd
 
