@@ -146,7 +146,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_range_join", "events_quantiles", "events_rollup",
                  "events_topk", "events_latest",
                  "orders_by_nation", "zonal_stats", "events_sample",
-                 "events_distinct_users", "events_anti_join",
+                 "events_distinct_users", "events_distinct_sketch",
+                 "events_anti_join",
                  "doc_chunks", "chunk_knn", "neardup_agreement",
                  "spatial_join_images", "corpus_curation",
                  "events_retention", "events_gap_quantiles", "s2_pyramid",
