@@ -96,8 +96,12 @@ def test_point_goldens():
               0.99994664350250195)
     # OriginPoint (s2/point.go): golden asserts the exact float64s
     assert enc.encode_point(origin).hex().upper() == G["point_origin"]
-    p = np.array([12.34, 56.78, 9.1011])
-    p /= np.linalg.norm(p)
+    # Normalize exactly as the reference does (v.Mul(1/sqrt(dot))):
+    # np.linalg.norm uses pairwise/SIMD summation and can differ by 1 ULP
+    # across numpy builds, which flips the golden's last mantissa bits.
+    x, y, z = 12.34, 56.78, 9.1011
+    inv = 1.0 / math.sqrt(x * x + y * y + z * z)
+    p = np.array([x * inv, y * inv, z * inv])
     assert enc.encode_point(tuple(p)).hex().upper() == G["point_testing"]
     assert enc.decode_point(bytes.fromhex(G["point_testing"])) == tuple(p)
 
