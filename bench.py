@@ -145,7 +145,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_sliding", "events_sessions", "events_asof",
                  "events_range_join", "events_quantiles", "events_rollup",
                  "events_topk", "events_latest",
-                 "orders_by_nation", "zonal_stats", "events_sample",
+                 "orders_by_nation", "orders_priority_salted",
+                 "zonal_stats", "events_sample",
                  "events_distinct_users", "events_distinct_sketch",
                  "events_anti_join",
                  "doc_chunks", "chunk_knn", "neardup_agreement",

@@ -2045,6 +2045,72 @@ def sql_orders_by_nation() -> str:
         "GROUP BY n_name ORDER BY n_name")
 
 
+def q_orders_priority_salted(sf_dir: str, threshold: int = 5,
+                             num_salts: int = 4):
+    """Per-priority lineitem revenue computed THROUGH the explicit
+    hot-key salted hash join (stages/salt.py) — the north star's
+    "explicit salting of hot cells" exercised end-to-end under a SQL
+    oracle.  Orderkeys whose lineitem count exceeds ``threshold`` are
+    MEASURED hot (a (key,count)-sized combiner pass, never a guess);
+    their probe rows spread across ``num_salts`` shuffle groups while
+    the matching build rows replicate, so no group exceeds
+    hot_count/S + S rows.  Revenue is integerized to exact units
+    (cents x discount-percent) before the join so only int64s flow,
+    and the join output pre-aggregates per batch — 5-row priority
+    partials are all that reach the final groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..stages.salt import salted_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "rev_units": pa.array(ep * dp, pa.int64())})
+
+    left = li.map_batches(_prep, batch_format="pyarrow")
+    right = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = salted_hash_join(left, right, "l_orderkey",
+                              right_key="o_orderkey",
+                              num_salts=num_salts, threshold=threshold)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "priority": batch.column("o_orderpriority").to_pylist(),
+            "rev": batch.column("rev_units").to_numpy(),
+        })
+        g = df.groupby("priority", sort=False)["rev"] \
+            .agg(["sum", "count"]).reset_index()
+        return pa.table({
+            "priority": pa.array(g["priority"], pa.string()),
+            "revenue_units": pa.array(g["sum"].to_numpy()
+                                      .astype(np.int64), pa.int64()),
+            "n_items": pa.array(g["count"].to_numpy()
+                                .astype(np.int64), pa.int64()),
+        })
+
+    return (joined.map_batches(_partial, batch_format="pyarrow")
+            .groupby("priority")
+            .aggregate(Sum("revenue_units", alias_name="revenue_units"),
+                       Sum("n_items", alias_name="n_items"))
+            .sort("priority"))
+
+
+def sql_orders_priority_salted() -> str:
+    return (
+        "SELECT o.o_orderpriority AS priority, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_units, COUNT(*) AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1 ORDER BY 1")
+
+
 _Q3_CUTOFF = "1998-06-01"
 
 
@@ -2829,6 +2895,7 @@ def queries() -> Dict:
         "events_topk": q_events_topk,
         "events_latest": q_events_latest,
         "orders_by_nation": q_orders_by_nation,
+        "orders_priority_salted": q_orders_priority_salted,
         "events_sample": q_events_sample,
         "events_distinct_users": q_events_distinct_users,
         "events_anti_join": q_events_anti_join,
@@ -2888,6 +2955,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_topk": sql_events_topk(),
         "events_latest": sql_events_latest(),
         "orders_by_nation": sql_orders_by_nation(),
+        "orders_priority_salted": sql_orders_priority_salted(),
         "events_sample": sql_events_sample(),
         "events_distinct_users": sql_events_distinct_users(),
         "events_anti_join": sql_events_anti_join(),

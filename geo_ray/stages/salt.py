@@ -1,0 +1,194 @@
+"""Explicit hot-key salting for skewed hash-partitioned shuffles.
+
+The engine's default skew defenses are algebraic (mergeable combiners,
+stages/tiles.py) or partition-shaped (quantile ranges,
+stages/shuffle_join.py).  Those cover aggregations and sweeps; what
+they do NOT cover is a *row-producing* equality join whose probe side
+piles millions of rows onto one key — a city cell, a mega-user, a
+viral document.  A plain ``groupby(key)`` join lands the whole hot key
+on one task and the shuffle stragglers behind it.
+
+This stage is the textbook explicit-salting treatment (the north
+star's "explicit salting of hot cells", SURVEY.md §4 skew row):
+
+1. ``measured_hot_keys`` — a cheap measured pass (never a guess):
+   per-batch ``np.unique`` count partials, a tiny ``groupby(key).sum``
+   (only ``(key, count)`` pairs shuffle — distinct-key-sized, not
+   row-sized), filter by threshold.  The hot set is small by
+   definition and broadcasts.
+2. ``salted_hash_join`` — inner equality join as a tagged-union
+   groupby: probe rows of a hot key get a salt in ``[0, S)`` so the
+   key spreads over S groups; build rows of a hot key REPLICATE to
+   all S salts (the classic probe-salt / build-replicate asymmetry);
+   cold keys pay nothing (salt 0 on both sides, no replication).
+   Within a ``(key, salt)`` group the key is constant, so the join is
+   a vectorized index cross-product — pure Arrow ``take``, no pandas
+   (nullable int64 columns must never round-trip through float NaN).
+
+Scale shape: the only all-to-all exchange moves each probe row once
+and each build row at most S times for hot keys (build sides are the
+narrow dimension rows).  Max group size drops from ``count(hot_key)``
+to ``count(hot_key)/S + count(build_rows)``, restoring task balance
+without touching cold keys.  Keys are int64 (the engine's key
+discipline: string keys dictionary-encode upstream); the composite
+``(key, salt)`` unit packs into one int64 so the groupby key matches
+the single-column idiom used across the engine (hash() is
+process-salted and unusable; see stages/shuffle_join.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+_MAX_ABS_KEY = np.int64(1) << np.int64(56)  # unit packing headroom
+
+
+def measured_hot_keys(ds, key_col: str, threshold: int) -> np.ndarray:
+    """Keys whose total row count exceeds ``threshold``, measured with
+    a combiner pass: only (key, count) partials shuffle, and only the
+    hot keys themselves come back to the driver (bounded by the skew
+    tail, not the key cardinality)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy().astype(np.int64)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table({key_col: pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = (ds.map_batches(_partial, batch_format="pyarrow")
+              .groupby(key_col).aggregate(Sum("n", alias_name="n")))
+
+    def _hot_only(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        return batch.filter(pa.array(n > threshold)) \
+            .select([key_col])
+
+    hot = counts.map_batches(_hot_only, batch_format="pyarrow").take_all()
+    return np.sort(np.array([r[key_col] for r in hot], dtype=np.int64))
+
+
+def _is_hot(keys: np.ndarray, hot_sorted: np.ndarray) -> np.ndarray:
+    if len(hot_sorted) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.searchsorted(hot_sorted, keys)
+    return (pos < len(hot_sorted)) & \
+        (hot_sorted[np.minimum(pos, len(hot_sorted) - 1)] == keys)
+
+
+def _null_columns(schema: pa.Schema, exclude: Sequence[str],
+                  n: int) -> dict:
+    return {f.name: pa.nulls(n, f.type) for f in schema
+            if f.name not in exclude}
+
+
+def salted_hash_join(left, right, key_col: str, *,
+                     right_key: Optional[str] = None,
+                     num_salts: int = 8,
+                     hot_keys: Optional[np.ndarray] = None,
+                     threshold: Optional[int] = None):
+    """Inner equality join of two Datasets on an int64 key with
+    explicit hot-key salting.
+
+    ``left`` is the big/skewed probe side (each row moves once);
+    ``right`` is the build side (hot-key rows replicate ``num_salts``
+    times).  ``hot_keys`` may be passed precomputed; otherwise it is
+    measured from ``left`` with ``threshold`` (one of the two must be
+    given — salting is measured, never guessed).  Output columns are
+    the union of both sides' columns minus the right key (the left key
+    column carries the join key); both inputs must otherwise have
+    disjoint column names.
+    """
+    import ray
+
+    if hot_keys is None:
+        if threshold is None:
+            raise ValueError("pass hot_keys or threshold")
+        hot_keys = measured_hot_keys(left, key_col, threshold)
+    hot_keys = np.sort(np.asarray(hot_keys, dtype=np.int64))
+    S = int(num_salts)
+    if S < 1 or S & (S - 1):
+        raise ValueError("num_salts must be a power of two")
+
+    rk = right_key or key_col
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = [f.name for f in lschema]
+    rcols = [f.name for f in rschema if f.name != rk]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+    rtypes = {f.name: f.type for f in rschema}
+
+    hot_ref = ray.put(hot_keys)
+    sS = np.int64(S)
+
+    def _unit(keys: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        if np.any(np.abs(keys) >= _MAX_ABS_KEY):
+            raise ValueError("key magnitude exceeds unit packing range")
+        return keys * sS + salt.astype(np.int64)
+
+    def _emit(cols: dict, unit: np.ndarray, side: int) -> pa.Table:
+        # one canonical column order for both sides: the union operator
+        # requires identical schemas (order included) across inputs
+        n = len(unit)
+        cols["_unit"] = pa.array(unit, pa.int64())
+        cols["_side"] = pa.array(np.full(n, side, np.int8), pa.int8())
+        return pa.table({name: cols[name]
+                         for name in lcols + rcols + ["_unit", "_side"]})
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy().astype(np.int64)
+        salt = np.zeros(len(keys), dtype=np.int64)
+        hot = _is_hot(keys, ray.get(hot_ref))
+        # spread hot rows evenly: position-within-batch round-robin
+        salt[hot] = np.arange(int(hot.sum()), dtype=np.int64) % sS
+        cols = {name: batch.column(name) for name in lcols}
+        cols.update(_null_columns(rschema, [rk], len(keys)))
+        return _emit(cols, _unit(keys, salt), 0)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch.column(rk).to_numpy().astype(np.int64)
+        hot = _is_hot(keys, ray.get(hot_ref))
+        # cold rows once at salt 0; hot rows replicated to every salt
+        idx = np.concatenate([np.nonzero(~hot)[0],
+                              np.repeat(np.nonzero(hot)[0], S)])
+        salt = np.concatenate([
+            np.zeros(int((~hot).sum()), dtype=np.int64),
+            np.tile(np.arange(S, dtype=np.int64), int(hot.sum()))])
+        taken = batch.take(pa.array(idx, pa.int64()))
+        n = len(idx)
+        cols = _null_columns(lschema, [key_col], n)
+        cols[key_col] = pa.nulls(n, lschema.field(key_col).type)
+        for name in rcols:
+            cols[name] = taken.column(name)
+        return _emit(cols, _unit(keys[idx], salt), 1)
+
+    tagged = (left.map_batches(_tag_left, batch_format="pyarrow")
+              .union(right.map_batches(_tag_right, batch_format="pyarrow")))
+
+    out_fields = [(name, lschema.field(name).type) for name in lcols] + \
+        [(name, rtypes[name]) for name in rcols]
+
+    def _join_group(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy()
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        nl, nr = len(li), len(ri)
+        if nl == 0 or nr == 0:
+            return pa.table({name: pa.nulls(0, typ)
+                             for name, typ in out_fields})
+        # key constant within the (key, salt) unit: the join is the
+        # index cross-product, all-Arrow takes (no pandas NaN detour)
+        lt = group.take(pa.array(np.repeat(li, nr), pa.int64()))
+        rt = group.take(pa.array(np.tile(ri, nl), pa.int64()))
+        cols = {name: lt.column(name) for name in lcols}
+        for name in rcols:
+            cols[name] = rt.column(name)
+        return pa.table(cols)
+
+    return tagged.groupby("_unit").map_groups(_join_group,
+                                              batch_format="pyarrow")

