@@ -148,6 +148,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "orders_by_nation", "orders_priority_salted",
                  "zonal_stats", "events_sample",
                  "events_distinct_users", "events_distinct_sketch",
+                 "events_distinct_hll",
                  "events_anti_join",
                  "doc_chunks", "chunk_knn", "neardup_agreement",
                  "spatial_join_images", "corpus_curation",

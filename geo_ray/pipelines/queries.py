@@ -1887,6 +1887,58 @@ def sql_events_distinct_sketch() -> str:
         f"ORDER BY event_type")
 
 
+_HLL_P = 6  # m=64 registers: small enough that the driver-scale
+# cardinality (~1.5k users) exercises the RAW harmonic path, not the
+# small-range linear-counting fallback
+
+
+def q_events_distinct_hll(sf_dir: str, p: int = _HLL_P):
+    """Approximate distinct users per event type via HyperLogLog
+    (stages/sample.py): O(2^p) registers per key at ANY cardinality —
+    the scale path past the linear-counting sketch's saturation.  The
+    register table is an exact integer function of the ids (splitmix
+    hash, fixed 52-bit rho window, max-merge) and the raw estimator is
+    pure integer rational arithmetic, so even this approximate
+    operator hash-matches its SQL oracle."""
+    from ..stages.sample import hll_sketch_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = hll_sketch_by_key(ds, "event_type", "user_id", p=p)
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_type", "est_distinct"]),
+        batch_format="pyarrow")
+
+
+def sql_events_distinct_hll(p: int = _HLL_P) -> str:
+    from ..stages.sample import hll_alpha_ppb
+    m = 1 << p
+    cap = 53
+    mask = (1 << 52) - 1
+    apb = hll_alpha_ppb(m)
+    return (
+        "WITH u AS (SELECT DISTINCT event_type, user_id FROM events), "
+        f"{_splitmix_ctes('hx', 'u', 'event_type, user_id', 'CAST(user_id AS UBIGINT)')}, "
+        f"br AS (SELECT event_type, CAST(v >> {64 - p} AS BIGINT) AS bucket, "
+        f"CAST((v >> {64 - p - 52}) & CAST({mask} AS UBIGINT) AS BIGINT) "
+        "AS rest FROM hx), "
+        f"rr AS (SELECT event_type, bucket, CASE WHEN rest > 0 THEN "
+        f"{cap} - length(format('{{:b}}', rest)) ELSE {cap} END AS rho "
+        "FROM br), "
+        "regs AS (SELECT event_type, bucket, MAX(rho) AS rho FROM rr "
+        "GROUP BY 1, 2), "
+        "agg AS (SELECT event_type, COUNT(*) AS cnt, "
+        f"SUM(CAST(1 AS BIGINT) << ({cap} - rho)) AS ps FROM regs "
+        "GROUP BY 1), "
+        f"e AS (SELECT event_type, (CAST({apb} AS HUGEINT) * {m * m} * "
+        f"(CAST(1 AS HUGEINT) << {cap})) // ((CAST(({m} - cnt) AS HUGEINT) "
+        f"* (CAST(1 AS HUGEINT) << {cap}) + ps) * 1000000000) AS est_raw, "
+        f"{m} - cnt AS vz FROM agg) "
+        "SELECT event_type, CASE WHEN vz > 0 AND est_raw <= "
+        f"{(5 * m) // 2} THEN CAST(FLOOR({m} * LN({m}::DOUBLE / vz)) "
+        "AS BIGINT) ELSE CAST(est_raw AS BIGINT) END AS est_distinct "
+        "FROM e ORDER BY event_type")
+
+
 def q_events_retention(sf_dir: str, horizon_days: int = 7):
     """Cohort retention: per activity day, the distinct active users
     and how many of them are active again exactly ``horizon_days``
@@ -2902,6 +2954,7 @@ def queries() -> Dict:
         "events_retention": q_events_retention,
         "events_gap_quantiles": q_events_gap_quantiles,
         "events_distinct_sketch": q_events_distinct_sketch,
+        "events_distinct_hll": q_events_distinct_hll,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
@@ -2962,6 +3015,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_retention": sql_events_retention(),
         "events_gap_quantiles": sql_events_gap_quantiles(),
         "events_distinct_sketch": sql_events_distinct_sketch(),
+        "events_distinct_hll": sql_events_distinct_hll(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "tpch_q10": sql_tpch_q10(),

@@ -63,7 +63,7 @@ ORACLE_CHECKED = [
     "orders_by_nation", "orders_priority_salted",
     "events_sample", "events_distinct_users",
     "events_anti_join", "events_retention", "events_gap_quantiles",
-    "events_distinct_sketch",
+    "events_distinct_sketch", "events_distinct_hll",
     "lineitem_agg", "tpch_q3",
     "tpch_q5", "tpch_q10",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",

@@ -66,3 +66,75 @@ def test_sample_deterministic_and_stratified(ray_session):
 
     uni = hash_sample(ds, "event_id", 1, 2).to_pandas()
     assert 0.45 * n < len(uni) < 0.55 * n
+
+
+def test_hll_rho_matches_bit_string_reference():
+    """The frexp-based rho must equal the binary-string length the SQL
+    oracle computes, over hash values that stress the window edges."""
+    from geo_ray.stages.sample import hll_partial
+
+    ids = np.concatenate([
+        np.arange(5000, dtype=np.int64),
+        np.array([0, 1, (1 << 63) - 1], dtype=np.int64),
+    ])
+    t = pa.table({"k": pa.array(np.zeros(len(ids), np.int64)),
+                  "id": pa.array(ids, pa.int64())})
+    p = 6
+    out = hll_partial(t, "k", "id", p)
+    # reference: per (bucket) max over string bit lengths
+    h = _splitmix(ids.astype(np.uint64))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = ((h >> np.uint64(64 - p - 52))
+            & np.uint64((1 << 52) - 1)).astype(object)
+    rho = np.array([53 - len(format(int(r), "b")) if r > 0 else 53
+                    for r in rest], dtype=np.int64)
+    want = {}
+    for b, r in zip(bucket, rho):
+        want[b] = max(want.get(b, 0), r)
+    got = dict(zip(out.column("bucket").to_pylist(),
+                   out.column("rho").to_pylist()))
+    assert got == want
+
+
+def test_hll_estimate_accuracy_and_saturation():
+    """HLL keeps tracking far past the linear-counting saturation
+    point; error stays within ~3 sigma of 1.04/sqrt(m)."""
+    import math
+    from geo_ray.stages.sample import hll_estimate, lpc_estimate
+
+    for n, p in ((500, 6), (100_000, 6), (100_000, 12)):
+        m = 1 << p
+        ids = np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+        h = _splitmix(ids)
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h >> np.uint64(64 - p - 52)) & np.uint64((1 << 52) - 1)
+        _, e = np.frexp(rest.astype(np.float64))
+        rho = np.where(rest > 0, 53 - e, 53).astype(np.int64)
+        regs = {}
+        for b, r in zip(bucket, rho):
+            regs[b] = max(regs.get(b, 0), int(r))
+        est = hll_estimate(list(regs.values()), m)
+        sigma = 1.04 / math.sqrt(m)
+        assert abs(est - n) / n <= 3 * sigma, (n, p, est)
+    # the LPC bitmap saturates at m; HLL above stayed within 3 sigma
+    assert lpc_estimate(4096, 4096) == 4096
+
+
+def test_hll_merge_invariance(ray_session):
+    """Register max-merge makes the sketch independent of how rows
+    are partitioned: 1 block vs 16 blocks give identical estimates."""
+    import ray.data as rd
+    from geo_ray.stages.sample import hll_sketch_by_key
+
+    n = 20000
+    t = pa.table({
+        "k": pa.array((np.arange(n) % 3).astype(np.int64)),
+        "id": pa.array((np.arange(n) * 7919 % 6007).astype(np.int64)),
+    })
+    a = hll_sketch_by_key(rd.from_arrow(t).repartition(1),
+                          "k", "id", p=6).to_pandas()
+    b = hll_sketch_by_key(rd.from_arrow(t).repartition(16),
+                          "k", "id", p=6).to_pandas()
+    a = a.sort_values("key").reset_index(drop=True)
+    b = b.sort_values("key").reset_index(drop=True)
+    assert a.equals(b)
