@@ -248,6 +248,40 @@ def sql_knn_geo(k: int = 5, n_probes: int = 8) -> str:
         f"ORDER BY probe_id, rank")
 
 
+def q_knn_join(sf_dir: str, k: int = 5):
+    """All-pairs kNN join: for EVERY customer, the k nearest OTHER
+    customers (stages/knn.py all_knn) — both sides sharded, no
+    broadcast probe matrix.  Points replicate once to their level-L
+    cell + 8-ring as narrow (id, xyz) rows; one groupby(cell) scores
+    each cell's probes against its 3x3 candidates; the MIN_WIDTH(L)
+    guard proves per-probe exactness and the rest re-run through the
+    broadcast brute path (bounded; at 10^12 rows, pick L from the
+    measured density so rings stay populated).  L auto-sizes here
+    from the table's row count (~24 points/cell)."""
+    import math
+    import pyarrow.parquet as pq
+    from ..stages.knn import all_knn
+
+    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
+        .metadata.num_rows
+    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
+    pts = _customer_points(sf_dir)
+    out = all_knn(pts, k, level, id_col="c_custkey")
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def sql_knn_join(k: int = 5) -> str:
+    return (
+        f"{_PTS_CTE}, dists AS (SELECT p.c_custkey AS probe_id, "
+        "t.c_custkey AS neighbor_id, "
+        "(p.x-t.x)*(p.x-t.x)+(p.y-t.y)*(p.y-t.y)+(p.z-t.z)*(p.z-t.z) "
+        "AS chord2 FROM xyz p JOIN xyz t ON p.c_custkey <> t.c_custkey), "
+        "ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+        "(PARTITION BY probe_id ORDER BY chord2, neighbor_id) AS rank "
+        f"FROM dists) SELECT probe_id, neighbor_id, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY probe_id, rank")
+
+
 def q_grid_density(sf_dir: str):
     """10-degree lat/lng grid aggregate (pre-aggregated inside
     map_batches, then a tiny groupby — the combiner pattern)."""
@@ -2919,6 +2953,7 @@ def queries() -> Dict:
         "radius_join": q_radius_join,
         "knn_geo_ring": q_knn_geo_ring,
         "knn_shape": q_knn_shape,
+        "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
         "polygon_overlay": q_polygon_overlay,
         "polygon_build": q_polygon_build,
@@ -2987,6 +3022,7 @@ def oracle_sql() -> Dict[str, str]:
         # the ring kNN contract is exact equality with brute kNN
         "knn_geo_ring": sql_knn_geo(),
         "knn_shape": sql_knn_shape(),
+        "knn_join": sql_knn_join(),
         "langid": sql_langid(),
         "fingerprint": sql_fingerprint(),
         "simhash": sql_simhash(),

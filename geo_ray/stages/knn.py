@@ -344,3 +344,158 @@ def knn(points_ds, probes: Tuple[Sequence[str], np.ndarray], k: int,
                                      batch_size=16384)
     return partials.groupby("probe_id").map_groups(
         lambda g: finalize_topk(g, k), batch_format="pandas")
+
+
+def all_knn(points_ds, k: int, level: int, *, id_col: str,
+            fallback_limit: int = 1 << 20):
+    """All-pairs kNN join: the k nearest OTHER points for EVERY point,
+    with BOTH sides sharded — the big-probe-side case the broadcast
+    forms (:func:`knn`, :func:`knn_cell_ring`) cannot hold in a probe
+    matrix.
+
+    Shape: each point ships once as a probe to its level-``level``
+    cell and once as a candidate to that cell plus its AllNeighbors
+    ring (s2/cellid.go:274-321) — a 9x replication of narrow
+    (id, xyz) rows, never the payload.  One groupby(cell) then scores
+    every cell's probes against its 3x3-ring candidates in a single
+    matmul.  Exactness guard per probe (same argument as
+    :func:`knn_cell_ring`): any point outside the ring is at least
+    MIN_WIDTH(level) away, so a probe whose k-th candidate distance is
+    below that chord is provably exact; the rest fall back to the
+    broadcast brute path (bounded by ``fallback_limit`` — at scale,
+    raise ``level`` so rings stay populated instead).
+
+    Returns (probe_id, neighbor_id, chord2, rank) rows, rank 1..k by
+    the reference tie order (chord2, neighbor_id), self excluded.
+    ``id_col`` must be integer-typed (the fallback descriptor packs
+    probe ids and coordinates through one fixed schema)."""
+    import ray
+    from ..functions import cellid as cid
+    from ..functions.latlng import angle_to_chord2
+    from ..functions.metric import MIN_WIDTH
+
+    guard = float(angle_to_chord2(MIN_WIDTH.value(level)))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        X = np.stack([batch.column("x").to_numpy(),
+                      batch.column("y").to_numpy(),
+                      batch.column("z").to_numpy()], axis=1)
+        cells = cid.parent_v(batch.column("cell_id").to_numpy()
+                             .astype(np.uint64), level)
+        neigh = cid.all_neighbors_same_level_v(cells)
+        targets = np.concatenate([cells[:, None], neigh], axis=1)
+        targets = np.sort(targets, axis=1)
+        keep = np.ones(targets.shape, dtype=bool)
+        keep[:, 1:] = targets[:, 1:] != targets[:, :-1]  # corner dups
+        rep = np.repeat(np.arange(n), keep.sum(axis=1))
+        grp = np.concatenate([cells, targets[keep]])
+        src = np.concatenate([np.arange(n), rep])
+        role = np.concatenate([np.zeros(n, np.int8),
+                               np.ones(len(rep), np.int8)])
+        return pa.table({
+            "grp": pa.array(grp, pa.uint64()),
+            "role": pa.array(role, pa.int8()),
+            "pid": pa.array(ids[src], pa.int64()),
+            "px": pa.array(X[src, 0], pa.float64()),
+            "py": pa.array(X[src, 1], pa.float64()),
+            "pz": pa.array(X[src, 2], pa.float64()),
+        })
+
+    def _cell_knn(g: pd.DataFrame) -> pd.DataFrame:
+        role = g["role"].to_numpy()
+        ids = g["pid"].to_numpy()
+        X = g[["px", "py", "pz"]].to_numpy()
+        pi = np.nonzero(role == 0)[0]
+        ci = np.nonzero(role == 1)[0]
+        if len(pi) == 0:
+            return pd.DataFrame({"probe_id": [], "neighbor_id": [],
+                                 "chord2": [], "rank": [],
+                                 "px": [], "py": [], "pz": []})
+        P, C = X[pi], X[ci]
+        scores = np.clip(2.0 - 2.0 * (C @ P.T), 0.0, 4.0)
+        scores[ids[ci][:, None] == ids[pi][None, :]] = 4.5  # self
+        n_real = len(ci) - 1  # own candidate copy always present
+        if n_real >= k:
+            kth = np.partition(scores, k - 1, axis=0)[k - 1]
+            exact = kth <= guard
+        else:
+            exact = np.zeros(len(pi), dtype=bool)
+        frames = []
+        if exact.any():
+            sub = scores[:, exact]
+            rows, cols = tie_complete_smallest(sub, k)
+            good = sub[rows, cols] < 4.5
+            epi = pi[exact]
+            df = pd.DataFrame({
+                "probe_id": ids[epi[cols[good]]],
+                "neighbor_id": ids[ci[rows[good]]],
+                "chord2": sub[rows[good], cols[good]],
+            })
+            df = df.sort_values(["probe_id", "chord2", "neighbor_id"],
+                                kind="mergesort")
+            df = df.groupby("probe_id", sort=False).head(k) \
+                .reset_index(drop=True)
+            df["rank"] = df.groupby("probe_id", sort=False).cumcount() \
+                .astype(np.int64) + 1
+            df["px"] = 0.0
+            df["py"] = 0.0
+            df["pz"] = 0.0
+            frames.append(df)
+        if (~exact).any():
+            fpi = pi[~exact]
+            frames.append(pd.DataFrame({
+                "probe_id": ids[fpi],
+                "neighbor_id": np.full(len(fpi), -1, np.int64),
+                "chord2": np.zeros(len(fpi)),
+                "rank": np.zeros(len(fpi), np.int64),  # 0 = descriptor
+                "px": X[fpi, 0], "py": X[fpi, 1], "pz": X[fpi, 2],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = points_ds.map_batches(_tag, batch_format="pyarrow")
+    # materialize: both the exact filter and the fallback-descriptor
+    # filter consume this; without pinning, the lazy groupby (and its
+    # shuffle) would execute once per consumer.  Rows here are k-per-
+    # probe results + descriptors — narrow, bounded by k * n_points.
+    grouped = tagged.groupby("grp").map_groups(
+        lambda g: _cell_knn(g.drop(columns=["grp"])),
+        batch_format="pandas").materialize()
+
+    def _only_exact(batch: pa.Table) -> pa.Table:
+        m = batch.column("rank").to_numpy() >= 1
+        return batch.filter(pa.array(m)) \
+            .select(["probe_id", "neighbor_id", "chord2", "rank"])
+
+    def _only_fb(batch: pa.Table) -> pa.Table:
+        m = batch.column("rank").to_numpy() == 0
+        return batch.filter(pa.array(m)) \
+            .select(["probe_id", "px", "py", "pz"])
+
+    exact_ds = grouped.map_batches(_only_exact, batch_format="pyarrow")
+    fb = grouped.map_batches(_only_fb, batch_format="pyarrow").to_pandas()
+    if len(fb) == 0:
+        return exact_ds
+    if len(fb) > fallback_limit:
+        raise ValueError(
+            f"{len(fb)} fallback probes exceed fallback_limit "
+            f"{fallback_limit}; choose a coarser level")
+    fb = fb.drop_duplicates("probe_id")
+    fb_out = knn(points_ds,
+                 (fb["probe_id"].tolist(),
+                  fb[["px", "py", "pz"]].to_numpy()),
+                 k + 1, id_col=id_col).to_pandas()
+    # drop self (rank recomputed after removal), keep top k
+    fb_out = fb_out[fb_out["neighbor_id"] != fb_out["probe_id"]]
+    fb_out = fb_out.sort_values(["probe_id", "chord2", "neighbor_id"],
+                                kind="mergesort")
+    fb_out = fb_out.groupby("probe_id", sort=False).head(k) \
+        .reset_index(drop=True)
+    fb_out["rank"] = fb_out.groupby("probe_id", sort=False).cumcount() \
+        .astype(np.int64) + 1
+    import ray.data as rd
+    fb_ds = rd.from_arrow(pa.Table.from_pandas(
+        fb_out[["probe_id", "neighbor_id", "chord2", "rank"]],
+        preserve_index=False))
+    return exact_ds.union(fb_ds)

@@ -158,3 +158,69 @@ def test_knn_to_shapes_matches_brute_oracle(ray_session):
         assert list(sub["neighbor_id"]) == want, t.shape_id
     assert set(got["probe_id"]) == {"poly", "line"}
     assert (got.groupby("probe_id").size() == k).all()
+
+
+def test_all_knn_matches_brute_reference(ray_session):
+    """All-pairs kNN join == brute-force oracle at a healthy level AND
+    at a deliberately-too-fine level (guard fails everywhere -> the
+    fallback path must reproduce the same exact result)."""
+    import ray.data as rd
+    from geo_ray.functions import cellid as cid
+    from geo_ray.stages.knn import all_knn
+
+    rng = np.random.RandomState(3)
+    n, k = 400, 4
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64) * 7 + 1
+    cells = cid.cell_id_from_point_v(v[:, 0], v[:, 1], v[:, 2])
+    t = pa.table({
+        "pid": pa.array(ids, pa.int64()),
+        "x": pa.array(v[:, 0]), "y": pa.array(v[:, 1]),
+        "z": pa.array(v[:, 2]),
+        "cell_id": pa.array(cells, pa.uint64()),
+    })
+    # brute reference with the same (chord2, id) tie order
+    d = np.clip(2.0 - 2.0 * (v @ v.T), 0.0, 4.0)
+    np.fill_diagonal(d, 9.0)
+    want = []
+    for i in range(n):
+        order = np.lexsort((ids, d[i]))[:k]
+        for r, j in enumerate(order):
+            want.append((ids[i], ids[j], r + 1))
+    want = pd.DataFrame(want, columns=["probe_id", "neighbor_id", "rank"])
+    want = want.sort_values(["probe_id", "rank"]).reset_index(drop=True)
+
+    for level in (1, 9):   # level 9: ~sparse cells, all-fallback path
+        ds = rd.from_arrow(t).repartition(6)
+        got = all_knn(ds, k, level, id_col="pid").to_pandas()
+        got = got[["probe_id", "neighbor_id", "rank"]] \
+            .sort_values(["probe_id", "rank"]).reset_index(drop=True)
+        assert got.shape == want.shape, level
+        assert (got.to_numpy() == want.to_numpy()).all(), level
+
+
+def test_all_knn_deterministic_across_partitionings(ray_session):
+    import ray.data as rd
+    from geo_ray.functions import cellid as cid
+    from geo_ray.stages.knn import all_knn
+
+    rng = np.random.RandomState(5)
+    n = 300
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cells = cid.cell_id_from_point_v(v[:, 0], v[:, 1], v[:, 2])
+    t = pa.table({
+        "pid": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "x": pa.array(v[:, 0]), "y": pa.array(v[:, 1]),
+        "z": pa.array(v[:, 2]),
+        "cell_id": pa.array(cells, pa.uint64()),
+    })
+    outs = []
+    for parts in (1, 16):
+        ds = rd.from_arrow(t).repartition(parts)
+        df = all_knn(ds, 3, 2, id_col="pid").to_pandas()
+        outs.append(df[["probe_id", "neighbor_id", "rank"]]
+                    .sort_values(["probe_id", "rank"])
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])

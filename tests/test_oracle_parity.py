@@ -50,7 +50,8 @@ def _to_df(result) -> pd.DataFrame:
 
 ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
-    "knn_geo", "knn_geo_ring", "knn_shape", "grid_density", "radius_join",
+    "knn_geo", "knn_geo_ring", "knn_shape", "knn_join",
+    "grid_density", "radius_join",
     "cell_assign", "s2_density", "s2_pyramid",
     "langid", "fingerprint", "simhash", "simhash_neardup",
     "token_count", "top_terms", "doc_quality",
@@ -291,3 +292,26 @@ def test_convex_hull_gap_margins():
                      th[0] + 2 * np.pi - th[-1])
             worst = min(worst, abs(mg - np.pi))
         assert worst > 1e-8, (sf, worst)
+
+
+def test_knn_join_rank_margins():
+    """knn_join oracle: cross-engine chord2 formulas (2-2*dot vs sum of
+    squared diffs) differ by ~1e-15; every rank-deciding gap — between
+    ADJACENT top-k distances and at the k/k+1 boundary — must dwarf
+    that for every probe (measured: 4.4e-8 adjacent / 1.2e-6 boundary
+    at sf0.01)."""
+    import pyarrow.parquet as pq
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.pipelines.queries import derive_latlng_np
+
+    k = 5
+    keys = pq.read_table(f"{SF_DIR}/customer.parquet",
+                         columns=["c_custkey"]).column(0).to_numpy()
+    lat, lng = derive_latlng_np(keys)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    P = np.stack([x, y, z], axis=1)
+    d = np.clip(2.0 - 2.0 * (P @ P.T), 0.0, 4.0)
+    np.fill_diagonal(d, 9.0)
+    top = np.sort(d, axis=1)[:, :k + 1]
+    gaps = np.diff(top, axis=1)
+    assert gaps.min() > 1e-9
