@@ -201,7 +201,7 @@ def _hash_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets: int = 256):
+def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None):
     """Full near-dup pipeline, driver-materialization-free:
 
         docs --map--> (doc_id, shingle-hash sketch)    [ONE text pass]
@@ -221,18 +221,30 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets: int = 256):
     (doc_a, doc_b, jaccard).
     """
     def _sketches(batch: pa.Table) -> pa.Table:
-        return doc_sketches(batch, n_buckets)
+        return doc_sketches(batch, 1)  # real buckets assigned below
 
     sketches = docs_ds.map_batches(_sketches,
                                    batch_format="pyarrow").materialize()
-    # Right-size the shuffle width to the data: Ray splits small inputs
-    # into dozens of near-empty blocks, and each of the three sort
-    # barriers below pays per-block scheduling overhead.  ~64k sketch
-    # rows per block keeps toy scales at a handful of partitions while
-    # growing linearly with the corpus.
-    n_blocks = max(4, int(np.ceil(sketches.count() / 65536)))
+    # Right-size BOTH shuffle knobs to the measured corpus (never a
+    # fixed constant): block count (~64k sketch rows per block — Ray
+    # splits small inputs into dozens of near-empty blocks and every
+    # sort barrier pays per-block scheduling) and co-partition bucket
+    # count (~4k sketches per bucket — a fixed 256 caps the join
+    # parallelism and balloons per-group state at 10^9 docs).
+    cnt = sketches.count()
+    if n_buckets is None:
+        n_buckets = max(16, min(1 << 16, cnt // 4096))
+    n_blocks = max(4, int(np.ceil(cnt / 65536)))
     if n_blocks < sketches.num_blocks():
         sketches = sketches.repartition(n_blocks).materialize()
+
+    def _rebucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.set_column(
+            batch.schema.get_field_index("bucket"), "bucket",
+            pa.array((ids % n_buckets).astype(np.int32), pa.int32()))
+
+    sketches = sketches.map_batches(_rebucket, batch_format="pyarrow")
 
     pairs = (sketches.map_batches(
                  lambda b: bands_from_sketches(b), batch_format="pyarrow")
