@@ -230,9 +230,49 @@ def run_scaling() -> dict:
     }
 
 
+def run_capacity(num_images: int = 1_000_000) -> dict:
+    """1M-image single-node capacity demonstration (BASELINE.md §C):
+    the full flagship at 2.5x the headline row count, reported with
+    the same host control."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data as rd
+    from geo_ray.pipelines.flagship import _default_join_state, run_flagship
+    from geo_ray.sources.images import generate_batch
+    _default_join_state()
+    rd.range(NUM_CPUS * 512, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: generate_batch(b.column("id").to_numpy()),
+        batch_format="pyarrow").materialize()
+    t0 = time.perf_counter()
+    res = run_flagship(num_images=num_images)
+    wall = round(time.perf_counter() - t0, 3)
+    m = res["metrics"]
+    ray.shutdown()
+    return {
+        "metric": "1M-image capacity (full flagship)",
+        "num_images": num_images,
+        "total_sec": wall,
+        "rows_per_sec": round(num_images / wall, 1),
+        "n_matches": m["n_matches"],
+        "n_tiles": m["n_tiles"],
+        "join_sec": m["join_sec"],
+        "tiles_sec": m["tiles_sec"],
+        "num_cpus": NUM_CPUS,
+        "host_control_sec": _host_control_sec(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--capacity" in sys.argv:
+        print(json.dumps(run_capacity(
+            int(os.environ.get("GRAFT_CAPACITY_IMAGES", "1000000")))))
     else:
         headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
         print(json.dumps(run_suite(headline_only=headline_only)))
