@@ -32,6 +32,35 @@ import numpy as np
 
 from .codecs import _DCT  # shared float64 DCT-II basis (orthonormal)
 
+
+def _dct2_fixed(blocks: np.ndarray) -> np.ndarray:
+    """2-D DCT of (n,8,8) blocks with a FIXED left-to-right summation
+    order (explicit k-loop), independent of the BLAS build.  These
+    coefficients feed golden-pinned wire bytes; a batched matmul's
+    accumulation order is a BLAS kernel choice and flipped a pinned
+    byte once already (see tests/test_region_encoding.py history).
+    The fast LJ92 codec keeps its wide-GEMM form on purpose — its
+    bytes are PSNR-contracted, not golden-pinned."""
+    tmp = np.zeros_like(blocks)
+    for k in range(8):  # tmp[n,i,j] = sum_k blocks[n,i,k] * D[j,k]
+        tmp += blocks[:, :, k, None] * _DCT[None, None, :, k]
+    out = np.zeros_like(blocks)
+    for k in range(8):  # out[n,i,j] = sum_k D[i,k] * tmp[n,k,j]
+        out += _DCT[None, :, k, None] * tmp[:, k, None, :]
+    return out
+
+
+def _idct2_fixed(blocks: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_dct2_fixed`, same fixed-order guarantee
+    (feeds the golden-pinned decoded-pixel array)."""
+    tmp = np.zeros_like(blocks)
+    for k in range(8):  # tmp[n,i,j] = sum_k blocks[n,i,k] * D[k,j]
+        tmp += blocks[:, :, k, None] * _DCT[None, None, k, :]
+    out = np.zeros_like(blocks)
+    for k in range(8):  # out[n,i,j] = sum_k D[k,i] * tmp[n,k,j]
+        out += _DCT.T[None, :, k, None] * tmp[:, k, None, :]
+    return out
+
 # ---------------------------------------------------------------------------
 # Annex K tables
 # ---------------------------------------------------------------------------
@@ -235,7 +264,7 @@ def encode(rgb: np.ndarray, quality: int = 90) -> bytes:
         plane = ycc[:, :, ci]
         blocks = plane.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3) \
             .reshape(-1, 8, 8)
-        coefs = _DCT @ blocks @ _DCT.T
+        coefs = _dct2_fixed(blocks)
         q = qt[0] if ci == 0 else qt[1]
         qc = np.rint(coefs / q).astype(np.int32)
         comp_zz.append(qc.reshape(-1, 64)[:, ZIGZAG])
@@ -508,7 +537,7 @@ def decode(data: bytes) -> np.ndarray:
                                                      preds[cid])
                         blk = (zz[UNZIGZAG].reshape(8, 8) * q).astype(
                             np.float64)
-                        pix = _DCT.T @ blk @ _DCT + 128.0
+                        pix = _idct2_fixed(blk[None])[0] + 128.0
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
