@@ -2920,6 +2920,53 @@ def q_tiling_images(sf_dir: str):
     return tiles.select_columns(["token", "level", "n_images", "n_pixels"])
 
 
+def q_tile_vectorize(sf_dir: str):
+    """Raster -> vector completion of the tiling round trip: the
+    filled-pixel mask of every occupied tile is traced into exact
+    spherical rings (stages/vectorize.py) and parity-checked against
+    the mask at every pixel center IN the row (``qa_ok``).  Geo-only
+    source (no pixel bytes synthesized); the per-tile masks are the
+    same integer-exact pixel grid the renderer uses, shuffled as
+    (tile, pixel) partials only."""
+    from .flagship import DEFAULT_TILE_LEVEL, build_geo_points
+    from ..stages.tiles import tile_pixel_partials
+    from ..stages.vectorize import vectorize_tiles
+
+    pts = build_geo_points(_sf_num_images(sf_dir))
+
+    px = 16
+    shift = np.uint64(2 * (30 - DEFAULT_TILE_LEVEL))
+
+    def _mask_partials(batch: pa.Table) -> pa.Table:
+        t = tile_pixel_partials(batch.append_column(
+            "mean_r", pa.array(np.zeros(len(batch)))).append_column(
+            "mean_g", pa.array(np.zeros(len(batch)))).append_column(
+            "mean_b", pa.array(np.zeros(len(batch)))),
+            DEFAULT_TILE_LEVEL)
+        # composite int64 key (same packing as the renderer): Ray's
+        # groupby keys must avoid uint64 (object-pickled otherwise)
+        tile = t.column("tile_id").to_numpy()
+        pix = t.column("pixel").to_numpy().astype(np.uint64)
+        key = ((tile >> shift) * np.uint64(px * px) + pix).astype(np.int64)
+        return pa.table({"tp": pa.array(key, pa.int64())})
+
+    partials = pts.map_batches(_mask_partials, batch_format="pyarrow")
+    # global dedup of (tile, pixel), then the bucketed vector pass
+    from ray.data.aggregate import Count
+    uniq = (partials.groupby("tp")
+            .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        key = batch.column("tp").to_numpy().astype(np.uint64)
+        tile = (key // np.uint64(px * px)) << shift
+        pix = (key % np.uint64(px * px)).astype(np.int64)
+        return pa.table({"tile_id": pa.array(tile, pa.uint64()),
+                         "pixel": pa.array(pix, pa.int64())})
+
+    masks = uniq.map_batches(_unpack, batch_format="pyarrow")
+    return vectorize_tiles(masks, px).sort("token")
+
+
 def q_knn_images(sf_dir: str, k: int = 10):
     from .flagship import build_geo_points
     from ..stages.knn import knn
@@ -3004,6 +3051,7 @@ def queries() -> Dict:
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
         "tiling_images": q_tiling_images,
+        "tile_vectorize": q_tile_vectorize,
         "knn_images": q_knn_images,
     }
 

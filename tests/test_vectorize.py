@@ -1,0 +1,121 @@
+"""Raster -> vector tile tracing (stages/vectorize.py): lattice ring
+properties, the spherical round-trip oracle (parity containment of the
+traced polygon reproduces the mask at every pixel center, via the
+engine's own Loop/Polygon machinery) across all 6 faces, and the
+lattice QA == spherical QA equivalence the query relies on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geo_ray.functions import cellid as cid
+from geo_ray.functions.latlng import latlng_deg_to_xyz
+from geo_ray.stages.tiles import tile_pixel_centers_latlng
+from geo_ray.stages.vectorize import (mask_from_rings, trace_mask,
+                                      vectorize_tile)
+
+PX = 16
+
+
+def _cases():
+    rng = np.random.RandomState(1)
+    out = {}
+    m = np.zeros((PX, PX), bool); m[5, 7] = True
+    out["single"] = m
+    out["full"] = np.ones((PX, PX), bool)
+    m = np.zeros((PX, PX), bool); m[2:10, 3:12] = True; m[4:7, 5:9] = False
+    out["donut"] = m
+    m = np.zeros((PX, PX), bool)
+    m[2:13, 2:13] = True; m[4:11, 4:11] = False; m[6:9, 6:9] = True
+    out["island"] = m
+    m = np.zeros((PX, PX), bool); m[3:6, 3:6] = True; m[6:9, 6:9] = True
+    out["diag_pinch"] = m
+    m = np.zeros((PX, PX), bool); m[::2, ::2] = True; m[1::2, 1::2] = True
+    out["double_checker"] = m
+    for t in range(6):
+        out[f"rand{t}"] = rng.rand(PX, PX) < 0.5
+    return out
+
+
+def test_trace_rings_are_edge_simple_and_closed():
+    """Every traced ring is an edge-simple rectilinear cycle with
+    axis-aligned segments.  Vertices may repeat only at pinch corners
+    where one component touches ITSELF diagonally — the curve touches
+    but never crosses there (the sharp-turn pairing guarantees it), so
+    crossing parity at the off-lattice pixel centers is unaffected;
+    two DISTINCT components always trace separate rings."""
+    for name, mask in _cases().items():
+        all_edges = set()
+        for ring in trace_mask(mask):
+            assert len(ring) >= 4, name
+            for i in range(len(ring)):
+                a, b = ring[i], ring[(i + 1) % len(ring)]
+                assert (a[0] == b[0]) != (a[1] == b[1]), (name, a, b)
+                assert (a, b) not in all_edges, (name, "repeated edge")
+                all_edges.add((a, b))
+            # repeated vertices only at touch points: each appears at
+            # most twice, and the two visits' in/out direction pairs
+            # must not interleave (touch, not cross)
+            from collections import Counter
+            for v, cnt in Counter(ring).items():
+                assert cnt <= 2, (name, v)
+
+
+def test_lattice_parity_reproduces_mask():
+    for name, mask in _cases().items():
+        rings = trace_mask(mask)
+        assert (mask_from_rings(rings, PX) == mask).all(), name
+
+
+def _face_tiles(level=7):
+    out = []
+    for face in range(6):
+        base = np.uint64((face << 61) | (1 << 60))
+        out.append(int(cid.parent_v(np.array([base], np.uint64), level)[0]))
+    return out
+
+
+def test_spherical_roundtrip_all_faces():
+    """The traced spherical polygon's parity containment reproduces
+    the mask at every pixel center — the raster->vector half of the
+    round-trip QA, on every cube face (the ij->xyz handedness flips
+    by face; disk normalization must absorb it)."""
+    cases = _cases()
+    for tile in _face_tiles():
+        for name, mask in cases.items():
+            poly = vectorize_tile(tile, mask, PX)
+            lat, lng, _ = tile_pixel_centers_latlng(tile, PX)
+            x, y, z = latlng_deg_to_xyz(lat, lng)
+            inside = poly.contains_points_batch(np.stack([x, y, z], 1))
+            assert (inside == mask.reshape(-1)).all(), \
+                (cid.token(tile), name)
+
+
+def test_lattice_qa_equals_spherical_qa():
+    """The query's fast lattice QA and the spherical containment QA
+    agree ring-for-ring (gnomonic projection maps geodesics to
+    straight uv lines; st->uv keeps lattice lines axis-aligned)."""
+    rng = np.random.RandomState(7)
+    tile = _face_tiles()[2]
+    for _ in range(4):
+        mask = rng.rand(PX, PX) < 0.35
+        rings = trace_mask(mask)
+        lat_qa = mask_from_rings(rings, PX)
+        poly = vectorize_tile(tile, mask, PX)
+        lat, lng, _ = tile_pixel_centers_latlng(tile, PX)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        sph = poly.contains_points_batch(np.stack([x, y, z], 1)) \
+            if poly is not None else np.zeros(PX * PX, bool)
+        assert (lat_qa.reshape(-1) == sph).all()
+
+
+def test_tile_vectorize_query(ray_session):
+    from geo_ray.pipelines.queries import q_tile_vectorize
+
+    df = q_tile_vectorize("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert df["qa_ok"].all()
+    assert (df["n_rings"] >= 1).all()
+    assert (df["n_filled"] >= 1).all()
