@@ -419,7 +419,9 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
         n_real = len(ci) - 1  # own candidate copy always present
         if n_real >= k:
             kth = np.partition(scores, k - 1, axis=0)[k - 1]
-            exact = kth <= guard
+            # STRICT: at kth == guard an outside point could tie and
+            # win the (distance, id) order — send those to fallback
+            exact = kth < guard
         else:
             exact = np.zeros(len(pi), dtype=bool)
         frames = []

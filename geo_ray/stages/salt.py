@@ -29,11 +29,13 @@ Scale shape: the only all-to-all exchange moves each probe row once
 and each build row at most S times for hot keys (build sides are the
 narrow dimension rows).  Max group size drops from ``count(hot_key)``
 to ``count(hot_key)/S + count(build_rows)``, restoring task balance
-without touching cold keys.  Keys are int64 (the engine's key
-discipline: string keys dictionary-encode upstream); the composite
-``(key, salt)`` unit packs into one int64 so the groupby key matches
-the single-column idiom used across the engine (hash() is
-process-salted and unusable; see stages/shuffle_join.py).
+without touching cold keys.  Integer keys partition by value
+(collision-free); string keys partition by a deterministic blake2b
+hash, and the join body ALWAYS re-checks key equality, so a hash
+collision costs two keys sharing a unit — never a wrong row.  The
+composite ``(key, salt)`` unit packs into one int64 so the groupby
+key matches the single-column idiom used across the engine (hash()
+is process-salted and unusable; see stages/shuffle_join.py).
 """
 
 from __future__ import annotations
@@ -44,6 +46,38 @@ import numpy as np
 import pyarrow as pa
 
 _MAX_ABS_KEY = np.int64(1) << np.int64(56)  # unit packing headroom
+
+
+def _key_ints(col: pa.ChunkedArray) -> np.ndarray:
+    """int64 PARTITION image of a key column.  Integer keys pass
+    through (bijective, so (key, salt) units are collision-free);
+    string keys hash with blake2b-8 (deterministic across processes —
+    builtin hash() is process-salted).  Hashes are partitioning only:
+    the join body re-checks key equality, so a collision merely puts
+    two keys in one unit."""
+    import hashlib
+
+    if pa.types.is_integer(col.type):
+        return col.to_numpy().astype(np.int64)
+    return _hash_strs(col.to_pylist())
+
+
+def _hash_strs(vals) -> np.ndarray:
+    import hashlib
+
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, s in enumerate(vals):
+        d = hashlib.blake2b(str(s).encode("utf-8"),
+                            digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little") >> 8  # < 2^56: packs
+    return out
+
+
+def _key_values(col: pa.ChunkedArray) -> np.ndarray:
+    """Key values as a comparable numpy array (int64 or object)."""
+    if pa.types.is_integer(col.type):
+        return col.to_numpy().astype(np.int64)
+    return np.array(col.to_pylist(), dtype=object)
 
 
 def _mix64(z: np.ndarray) -> np.ndarray:
@@ -65,26 +99,37 @@ def measured_hot_keys(ds, key_col: str, threshold: int,
     same partials."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        k = batch.column(key_col).to_numpy().astype(np.int64)
+        col = batch.column(key_col)
+        k = _key_values(col)
         uniq, cnt = np.unique(k, return_counts=True)
-        b = (_mix64(uniq) % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({key_col: pa.array(uniq, pa.int64()),
+        if pa.types.is_integer(col.type):
+            hashes = uniq.astype(np.int64)
+            key_arr = pa.array(hashes, pa.int64())
+        else:
+            hashes = _hash_strs(uniq)
+            key_arr = pa.array(uniq.tolist(), col.type)
+        b = (_mix64(hashes) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({key_col: key_arr,
                          "n": pa.array(cnt.astype(np.int64), pa.int64()),
                          "_b": pa.array(b, pa.int64())})
 
     def _count_bucket(group: pa.Table) -> pa.Table:
-        k = group.column(key_col).to_numpy()
+        col = group.column(key_col)
+        k = _key_values(col)
         n = group.column("n").to_numpy()
         uniq, inv = np.unique(k, return_inverse=True)
         # float64 partial sums are exact below 2^53 rows per key
         tot = np.bincount(inv, weights=n.astype(np.float64))
-        return pa.table({key_col: pa.array(uniq[tot > threshold],
-                                           pa.int64())})
+        sel = uniq[tot > threshold]
+        return pa.table({key_col: pa.array(sel.tolist(), col.type)})
 
     hot = (ds.map_batches(_partial, batch_format="pyarrow")
            .groupby("_b").map_groups(_count_bucket,
                                      batch_format="pyarrow")).take_all()
-    return np.sort(np.array([r[key_col] for r in hot], dtype=np.int64))
+    vals = [r[key_col] for r in hot]
+    if vals and isinstance(vals[0], (int, np.integer)):
+        return np.sort(np.array(vals, dtype=np.int64))
+    return np.sort(np.array(vals, dtype=object))
 
 
 def _is_hot(keys: np.ndarray, hot_sorted: np.ndarray) -> np.ndarray:
@@ -136,7 +181,7 @@ def salted_hash_join(left, right, key_col: str, *,
         if threshold is None:
             raise ValueError("pass hot_keys or threshold")
         hot_keys = measured_hot_keys(left, key_col, threshold)
-    hot_keys = np.sort(np.asarray(hot_keys, dtype=np.int64))
+    hot_keys = np.sort(np.asarray(hot_keys))
     S = int(num_salts)
     if S < 1 or S & (S - 1):
         raise ValueError("num_salts must be a power of two")
@@ -150,37 +195,46 @@ def salted_hash_join(left, right, key_col: str, *,
     if overlap:
         raise ValueError(f"column collision: {sorted(overlap)}")
     rtypes = {f.name: f.type for f in rschema}
+    key_type = lschema.field(key_col).type
+    int_keyed = pa.types.is_integer(key_type)
 
     hot_ref = ray.put(hot_keys)
     sS = np.int64(S)
 
-    def _unit(keys: np.ndarray, salt: np.ndarray) -> np.ndarray:
-        if np.any(np.abs(keys) >= _MAX_ABS_KEY):
+    def _unit(kints: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        if int_keyed and np.any(np.abs(kints) >= _MAX_ABS_KEY):
             raise ValueError("key magnitude exceeds unit packing range")
-        return keys * sS + salt.astype(np.int64)
+        return kints * sS + salt.astype(np.int64)
 
-    def _emit(cols: dict, unit: np.ndarray, side: int) -> pa.Table:
+    def _emit(cols: dict, key_vals, unit: np.ndarray,
+              side: int) -> pa.Table:
         # one canonical column order for both sides: the union operator
-        # requires identical schemas (order included) across inputs
+        # requires identical schemas (order included) across inputs.
+        # _rkey carries the actual key value for the join body's
+        # equality recheck (a no-op filter for collision-free int
+        # units; the correctness backstop for hashed string units).
         n = len(unit)
+        cols["_rkey"] = key_vals
         cols["_unit"] = pa.array(unit, pa.int64())
         cols["_side"] = pa.array(np.full(n, side, np.int8), pa.int8())
-        return pa.table({name: cols[name]
-                         for name in lcols + rcols + ["_unit", "_side"]})
+        return pa.table({name: cols[name] for name in
+                         lcols + rcols + ["_rkey", "_unit", "_side"]})
 
     def _tag_left(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_numpy().astype(np.int64)
-        salt = np.zeros(len(keys), dtype=np.int64)
-        hot = _is_hot(keys, ray.get(hot_ref))
+        col = batch.column(key_col)
+        kints = _key_ints(col)
+        salt = np.zeros(len(kints), dtype=np.int64)
+        hot = _is_hot(_key_values(col), ray.get(hot_ref))
         # spread hot rows evenly: position-within-batch round-robin
         salt[hot] = np.arange(int(hot.sum()), dtype=np.int64) % sS
         cols = {name: batch.column(name) for name in lcols}
-        cols.update(_null_columns(rschema, [rk], len(keys)))
-        return _emit(cols, _unit(keys, salt), 0)
+        cols.update(_null_columns(rschema, [rk], len(kints)))
+        return _emit(cols, col.combine_chunks(), _unit(kints, salt), 0)
 
     def _tag_right(batch: pa.Table) -> pa.Table:
-        keys = batch.column(rk).to_numpy().astype(np.int64)
-        hot = _is_hot(keys, ray.get(hot_ref))
+        col = batch.column(rk)
+        kints = _key_ints(col)
+        hot = _is_hot(_key_values(col), ray.get(hot_ref))
         # cold rows once at salt 0; hot rows replicated to every salt
         idx = np.concatenate([np.nonzero(~hot)[0],
                               np.repeat(np.nonzero(hot)[0], S)])
@@ -193,7 +247,8 @@ def salted_hash_join(left, right, key_col: str, *,
         cols[key_col] = pa.nulls(n, lschema.field(key_col).type)
         for name in rcols:
             cols[name] = taken.column(name)
-        return _emit(cols, _unit(keys[idx], salt), 1)
+        return _emit(cols, taken.column(rk).combine_chunks(),
+                     _unit(kints[idx], salt), 1)
 
     nb = np.uint64(int(num_buckets))
 
@@ -210,43 +265,54 @@ def salted_hash_join(left, right, key_col: str, *,
     out_fields = [(name, lschema.field(name).type) for name in lcols] + \
         [(name, rtypes[name]) for name in rcols]
 
-    def _join_bucket(group: pa.Table) -> pa.Table:
-        """All of one bucket's units in a single vectorized segmented
-        cross-product: per-unit (left rows) x (right rows), built from
-        repeat/arange index arrays and two Arrow takes."""
-        unit = group.column("_unit").to_numpy()
-        side = group.column("_side").to_numpy()
-        order = np.lexsort((side, unit))  # unit-major, left-before-right
-        u_sorted = unit[order]
-        s_sorted = side[order]
-        starts = np.nonzero(np.r_[True, u_sorted[1:] != u_sorted[:-1]])[0]
-        bounds = np.append(starts, len(u_sorted))
-        # per-unit left/right counts from the side transition point
-        split = starts + np.add.reduceat(
-            (s_sorted == 0).astype(np.int64), starts) \
-            if len(starts) else np.empty(0, np.int64)
-        n_l = split - starts
-        n_r = bounds[1:] - split
-        # per-left-row replication (segments ordered like the sort)
-        lrow_pos = np.nonzero(s_sorted == 0)[0]
-        unit_of_lrow = np.searchsorted(starts, lrow_pos, side="right") - 1
-        nr_per_lrow = n_r[unit_of_lrow]
-        total = int(nr_per_lrow.sum())
-        if total == 0:
-            return pa.table({name: pa.nulls(0, typ)
-                             for name, typ in out_fields})
-        left_idx = np.repeat(lrow_pos, nr_per_lrow)
-        # segmented arange: right rows of the left row's unit
-        seg_start = np.repeat(np.cumsum(nr_per_lrow) - nr_per_lrow,
-                              nr_per_lrow)
-        intra = np.arange(total, dtype=np.int64) - seg_start
-        right_idx = np.repeat(split[unit_of_lrow], nr_per_lrow) + intra
-        lt = group.take(pa.array(order[left_idx], pa.int64()))
-        rt = group.take(pa.array(order[right_idx], pa.int64()))
-        cols = {name: lt.column(name) for name in lcols}
-        for name in rcols:
-            cols[name] = rt.column(name)
-        return pa.table(cols)
+    return tagged.groupby("_bucket").map_groups(
+        lambda g: _cross_join_units(g, lcols, rcols, out_fields),
+        batch_format="pyarrow")
 
-    return tagged.groupby("_bucket").map_groups(_join_bucket,
-                                                batch_format="pyarrow")
+
+def _cross_join_units(group: pa.Table, lcols, rcols,
+                      out_fields) -> pa.Table:
+    """All of one bucket's units in a single vectorized segmented
+    cross-product: per-unit (left rows) x (right rows), built from
+    repeat/arange index arrays and two Arrow takes.  Tested directly
+    with colliding units (tests/test_salt.py)."""
+    import pyarrow.compute as pc
+
+    unit = group.column("_unit").to_numpy()
+    side = group.column("_side").to_numpy()
+    order = np.lexsort((side, unit))  # unit-major, left-before-right
+    u_sorted = unit[order]
+    s_sorted = side[order]
+    starts = np.nonzero(np.r_[True, u_sorted[1:] != u_sorted[:-1]])[0]
+    bounds = np.append(starts, len(u_sorted))
+    # per-unit left/right counts from the side transition point
+    split = starts + np.add.reduceat(
+        (s_sorted == 0).astype(np.int64), starts) \
+        if len(starts) else np.empty(0, np.int64)
+    n_r = bounds[1:] - split
+    # per-left-row replication (segments ordered like the sort)
+    lrow_pos = np.nonzero(s_sorted == 0)[0]
+    unit_of_lrow = np.searchsorted(starts, lrow_pos, side="right") - 1
+    nr_per_lrow = n_r[unit_of_lrow]
+    total = int(nr_per_lrow.sum())
+    if total == 0:
+        return pa.table({name: pa.nulls(0, typ)
+                         for name, typ in out_fields})
+    left_idx = np.repeat(lrow_pos, nr_per_lrow)
+    # segmented arange: right rows of the left row's unit
+    seg_start = np.repeat(np.cumsum(nr_per_lrow) - nr_per_lrow,
+                          nr_per_lrow)
+    intra = np.arange(total, dtype=np.int64) - seg_start
+    right_idx = np.repeat(split[unit_of_lrow], nr_per_lrow) + intra
+    lt = group.take(pa.array(order[left_idx], pa.int64()))
+    rt = group.take(pa.array(order[right_idx], pa.int64()))
+    # key-equality recheck: free for int keys (units are
+    # collision-free), the exactness backstop for hashed strings
+    eq = pc.equal(lt.column("_rkey"), rt.column("_rkey"))
+    if not (pc.all(eq).as_py() or False):
+        lt = lt.filter(eq)
+        rt = rt.filter(eq)
+    cols = {name: lt.column(name) for name in lcols}
+    for name in rcols:
+        cols[name] = rt.column(name)
+    return pa.table(cols)

@@ -146,3 +146,58 @@ def test_salted_join_key_range_guard(ray_session):
                            hot_keys=np.array([], dtype=np.int64))
     with pytest.raises(Exception):
         out.to_pandas()  # unit packing range exceeded surfaces
+
+
+def test_salted_join_string_keys(ray_session):
+    """String keys partition by a deterministic hash; results must
+    equal the pandas merge exactly (including a hot string key)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(23)
+    n = 8000
+    names = np.array([f"user{i}" for i in range(40)], dtype=object)
+    keys = np.where(rng.rand(n) < 0.5, "mega",
+                    names[rng.randint(0, 40, n)]).astype(object)
+    left = pd.DataFrame({"k": keys,
+                         "lv": rng.randint(0, 10**6, n).astype(np.int64)})
+    right = pd.DataFrame({"rk": np.append(names, ["mega"]),
+                          "rv": np.arange(41, dtype=np.int64) * 3})
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(6)
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(2)
+    hot = measured_hot_keys(lds, "k", 1000)
+    assert list(hot) == ["mega"]
+    got = salted_hash_join(lds, rds, "k", right_key="rk",
+                           num_salts=8, hot_keys=hot).to_pandas()
+    got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    exp = left.merge(right, left_on="k", right_on="rk") \
+        .drop(columns=["rk"]).sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+    assert got.shape == exp.shape
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_cross_join_units_survives_hash_collision():
+    """Adversarial, in-process: two DIFFERENT string keys forced into
+    the SAME (unit, salt) — correctness must ride entirely on the
+    bucket body's key-equality recheck, never on hash injectivity."""
+    from geo_ray.stages.salt import _cross_join_units
+
+    # tagged-union layout: key "a" (2 lefts, 1 right), key "b"
+    # (1 left, 1 right), all sharing _unit 0
+    group = pa.table({
+        "k": pa.array(["a", "a", "b", None, None], pa.string()),
+        "lv": pa.array([1, 2, 3, None, None], pa.int64()),
+        "rv": pa.array([None, None, None, 100, 200], pa.int64()),
+        "_rkey": pa.array(["a", "a", "b", "a", "b"], pa.string()),
+        "_unit": pa.array([0, 0, 0, 0, 0], pa.int64()),
+        "_side": pa.array([0, 0, 0, 1, 1], pa.int8()),
+    })
+    out = _cross_join_units(group, ["k", "lv"], ["rv"],
+                            [("k", pa.string()), ("lv", pa.int64()),
+                             ("rv", pa.int64())])
+    df = out.to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    # exactly the matching-key pairs: (a,1,100), (a,2,100), (b,3,200)
+    assert df["k"].tolist() == ["a", "a", "b"]
+    assert df["lv"].tolist() == [1, 2, 3]
+    assert df["rv"].tolist() == [100, 100, 200]
