@@ -113,6 +113,178 @@ def trace_mask(mask: np.ndarray) -> List[List[Tuple[int, int]]]:
     return rings
 
 
+def trace_masks_batch(masks: np.ndarray):
+    """Vectorized tracer over a STACK of masks (n, px, px) — the same
+    ring decomposition as :func:`trace_mask` (including the sharp-turn
+    pairing at pinch corners and collinear-midpoint removal), computed
+    for every tile at once with no per-tile Python loop.
+
+    Returns ``(ring_tile, ring_len, vx, vy)``:
+
+    * ``ring_tile`` int64 (R,) — stack index of each ring's tile;
+    * ``ring_len`` int64 (R,) — vertex count per ring;
+    * ``vx, vy`` int64 (sum(ring_len),) — ring vertices concatenated
+      in ring order (rings ordered by ``ring_tile`` then by their
+      minimum directed edge, matching per-tile ``trace_mask`` output
+      up to ring rotation — parity/area identical).
+
+    Cost: O(E log E) vectorized where E = total boundary edges across
+    the stack (pointer-doubling cycle decomposition), vs the scalar
+    tracer's O(E) *Python* dict operations — ~20x faster/tile at
+    px=16, and the gap grows with batch size."""
+    n, h, w = masks.shape
+    cw = w + 1                               # corner lattice pitch
+    per = (h + 1) * cw                       # corners per tile
+    m = masks
+
+    # boundary sides, each a (n, h, w) boolean stack
+    top = m.copy();    top[:, 1:, :] &= ~m[:, :-1, :]
+    bot = m.copy();    bot[:, :-1, :] &= ~m[:, 1:, :]
+    left = m.copy();   left[:, :, 1:] &= ~m[:, :, :-1]
+    right = m.copy();  right[:, :, :-1] &= ~m[:, :, 1:]
+
+    starts, ends, dirs, tiles = [], [], [], []
+    # direction codes: 0 = +x, 1 = -x, 2 = -y, 3 = +y
+    for side, code in ((top, 0), (bot, 1), (left, 2), (right, 3)):
+        t, r, c = np.nonzero(side)
+        if code == 0:     # (c, r) -> (c+1, r)
+            s = r * cw + c;            e = r * cw + c + 1
+        elif code == 1:   # (c+1, r+1) -> (c, r+1)
+            s = (r + 1) * cw + c + 1;  e = (r + 1) * cw + c
+        elif code == 2:   # (c, r+1) -> (c, r)
+            s = (r + 1) * cw + c;      e = r * cw + c
+        else:             # (c+1, r) -> (c+1, r+1)
+            s = r * cw + c + 1;        e = (r + 1) * cw + c + 1
+        off = t.astype(np.int64) * per
+        starts.append(off + s)
+        ends.append(off + e)
+        dirs.append(np.full(len(t), code, np.int8))
+        tiles.append(t.astype(np.int64))
+    if not starts:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    start = np.concatenate(starts)
+    E = len(start)
+
+    # re-index edges by start corner (tile-major): cycles then live in
+    # small contiguous index ranges, so every doubling gather below is
+    # cache-local (~5x faster than gathering across the side-blocks)
+    order = np.argsort(start, kind="stable")
+    start = start[order]
+    end = np.concatenate(ends)[order]
+    dcode = np.concatenate(dirs)[order]
+    tile = np.concatenate(tiles)[order]
+
+    # successor of edge e = out-edge at end[e]; 1 or 2 candidates
+    lo = np.searchsorted(start, end, side="left")
+    hi = np.searchsorted(start, end, side="right")
+    succ = lo.astype(np.int64)                # the count==1 case
+    two = np.nonzero(hi - lo == 2)[0]
+    if len(two):
+        # sharp turn: direction rotated +90 in screen coords
+        # (+x,-x,-y,+y) -> (+y,-y,+x,-x) = codes (3,2,0,1)
+        sharp = np.array([3, 2, 0, 1], np.int8)[dcode[two]]
+        cand0 = lo[two]
+        cand1 = lo[two] + 1
+        pick1 = dcode[cand1] == sharp
+        pick0 = dcode[cand0] == sharp
+        # no sharp match -> straight (same code); else first candidate
+        straight1 = (~pick0 & ~pick1) & (dcode[cand1] == dcode[two])
+        succ[two] = np.where(pick1 | straight1, cand1, cand0)
+
+    # cycle representative (min edge index in cycle) by doubling:
+    # after k rounds rep[e] = min over 2^k consecutive cycle edges.
+    # A cycle never leaves its tile, so its length is bounded by one
+    # tile's boundary budget (4*h*w directed unit edges), not by E —
+    # ceil(log2(min(E, 4*h*w))) rounds always cover the whole cycle.
+    idx = np.arange(E, dtype=np.int64)
+    rep = idx.copy()
+    jump = succ.astype(np.int64)
+    for _ in range(int(min(E, 4 * h * w) - 1).bit_length()):
+        rep = np.minimum(rep, rep[jump])
+        jump = jump[jump]
+
+    # position within cycle: distance from rep along succ == distance
+    # from e back to rep along pred (rep rooted as a fixed point)
+    pred = np.empty(E, np.int64)
+    pred[succ] = idx
+    is_rep = rep == idx
+    pred[is_rep] = idx[is_rep]
+    J = pred
+    S = (J != idx).astype(np.int64)
+    while S.any() and (J != J[J]).any():
+        S = S + S[J]
+        J = J[J]
+    S = S + S[J]                              # final absorb round
+    pos = S
+
+    # ring layout: edges sorted by (rep, pos)
+    lex = np.lexsort((pos, rep))
+    r_rep = rep[lex]
+    ring_break = np.empty(E, bool)
+    ring_break[0] = True
+    ring_break[1:] = r_rep[1:] != r_rep[:-1]
+    ring_id = np.cumsum(ring_break) - 1
+    ring_start = np.nonzero(ring_break)[0]
+    ring_end = np.append(ring_start[1:], E)
+
+    # vertex of each slot = start corner of its edge; drop collinear
+    # midpoints: keep slot iff prev-in-ring direction != this direction
+    v = start[lex]
+    d = dcode[lex]
+    prev = np.empty(E, np.int64)
+    prev[ring_start] = ring_end - 1
+    inside = np.nonzero(~ring_break)[0]
+    prev[inside] = inside - 1
+    keep = d != d[prev]
+    ring_tile_all = tile[lex]
+
+    ring_len = np.bincount(ring_id[keep], minlength=len(ring_start))
+    ring_tile = ring_tile_all[ring_start]
+    vk = v[keep]
+    vt = vk // per
+    rem = vk - vt * per
+    vy = rem // cw
+    vx = rem - vy * cw
+    return ring_tile, ring_len.astype(np.int64), vx, vy
+
+
+def masks_from_rings_batch(ring_tile: np.ndarray, ring_len: np.ndarray,
+                           vx: np.ndarray, vy: np.ndarray,
+                           n: int, px: int) -> np.ndarray:
+    """Batch form of :func:`mask_from_rings`: even-odd parity of pixel
+    centers against each tile's rectilinear rings, for the whole stack
+    at once.  Returns (n, px, px) bool."""
+    cross = np.zeros((n, px, px + 1), np.int64)
+    if len(vx):
+        # consecutive vertex pairs within each ring (wrap-around)
+        starts = np.cumsum(np.append(0, ring_len[:-1]))
+        ends = starts + ring_len
+        nz = ring_len > 0
+        nxt_idx = np.arange(len(vx)) + 1
+        nxt_idx[ends[nz] - 1] = starts[nz]
+        bx, by = vx[nxt_idx], vy[nxt_idx]
+        vert = vx == bx
+        if vert.any():
+            sx = vx[vert]
+            y0 = np.minimum(vy[vert], by[vert])
+            y1 = np.maximum(vy[vert], by[vert])
+            seg_tile = np.repeat(ring_tile, ring_len)[vert]
+            # expand each vertical segment into unit rows (ragged
+            # arange: position within segment via prefix-sum offsets)
+            lens = (y1 - y0).astype(np.int64)
+            total = int(lens.sum())
+            base = np.repeat(y0, lens)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(np.append(0, lens[:-1])), lens)
+            np.add.at(cross, (np.repeat(seg_tile, lens), base + offs,
+                              np.repeat(sx, lens)), 1)
+    # parity of crossings strictly right of pixel center c+0.5:
+    # sum over columns c+1..px
+    suffix = np.cumsum(cross[:, :, ::-1], axis=2)[:, :, ::-1]
+    return (suffix[:, :, 1:] % 2) == 1
+
+
 def tile_corner_xyz(tile_id: int, px: int, corners: np.ndarray):
     """Lattice corners (n, 2) of a tile's px*px grid -> unit xyz.
 
@@ -224,26 +396,22 @@ def vectorize_tiles(mask_ds, px: int, bucket_levels_up: int = 4):
     def _per_tile(group: pd.DataFrame) -> pa.Table:
         tiles = group["tile_id"].to_numpy().astype(np.uint64)
         pix = group["pixel"].to_numpy().astype(np.int64)
-        order = np.argsort(tiles, kind="stable")
-        tiles, pix = tiles[order], pix[order]
-        uniq, starts = np.unique(tiles, return_index=True)
-        bounds = np.append(starts, len(tiles))
-        toks, nrings, nfill, qa = [], [], [], []
-        for t in range(len(uniq)):
-            tid = int(uniq[t])
-            p = pix[bounds[t]:bounds[t + 1]]
-            mask = np.zeros((px, px), dtype=bool)
-            mask[p // px, p % px] = True
-            rings = trace_mask(mask)
-            back = mask_from_rings(rings, px)
-            toks.append(cid.token(tid))
-            nrings.append(len(rings))
-            nfill.append(int(mask.sum()))
-            qa.append(bool((back == mask).all()))
+        uniq, inv = np.unique(tiles, return_inverse=True)
+        n = len(uniq)
+        # one mask stack for the whole bucket, one batched trace
+        stack = np.zeros((n, px, px), dtype=bool)
+        stack[inv, pix // px, pix % px] = True
+        ring_tile, ring_len, vx, vy = trace_masks_batch(stack)
+        back = masks_from_rings_batch(ring_tile, ring_len, vx, vy,
+                                      n, px)
+        nrings = np.bincount(ring_tile, minlength=n).astype(np.int64)
+        nfill = stack.reshape(n, -1).sum(axis=1).astype(np.int64)
+        qa = (back == stack).reshape(n, -1).all(axis=1)
+        toks = [cid.token(int(t)) for t in uniq]
         return pa.table({
             "token": pa.array(toks, pa.string()),
-            "n_rings": pa.array(np.array(nrings, np.int64), pa.int64()),
-            "n_filled": pa.array(np.array(nfill, np.int64), pa.int64()),
+            "n_rings": pa.array(nrings, pa.int64()),
+            "n_filled": pa.array(nfill, pa.int64()),
             "qa_ok": pa.array(qa, pa.bool_()),
         })
 

@@ -119,3 +119,65 @@ def test_tile_vectorize_query(ray_session):
     assert df["qa_ok"].all()
     assert (df["n_rings"] >= 1).all()
     assert (df["n_filled"] >= 1).all()
+
+
+def _batch_rings_per_tile(stack):
+    from geo_ray.stages.vectorize import trace_masks_batch
+
+    rt, rl, vx, vy = trace_masks_batch(stack)
+    per = {i: [] for i in range(len(stack))}
+    pos = 0
+    for r in range(len(rt)):
+        n = int(rl[r])
+        per[int(rt[r])].append(
+            list(zip(vx[pos:pos + n].tolist(), vy[pos:pos + n].tolist())))
+        pos += n
+    return per
+
+
+def _canon(rings):
+    out = set()
+    for ring in rings:
+        ring = [tuple(map(int, v)) for v in ring]
+        i = ring.index(min(ring))
+        out.add(tuple(ring[i:] + ring[:i]))
+    return out
+
+
+def test_batch_tracer_matches_scalar():
+    """trace_masks_batch yields the exact same ring set per tile as
+    the scalar tracer (up to ring rotation), across the named corpus
+    plus 100 random fills at varied density."""
+    rng = np.random.RandomState(3)
+    cases = list(_cases().values())
+    for _ in range(100):
+        cases.append(rng.rand(PX, PX) < rng.rand())
+    cases.append(np.zeros((PX, PX), bool))
+    stack = np.stack(cases)
+    per = _batch_rings_per_tile(stack)
+    for i, mask in enumerate(cases):
+        assert _canon(trace_mask(mask)) == _canon(per[i]), i
+
+
+def test_batch_parity_qa_matches_masks():
+    from geo_ray.stages.vectorize import (masks_from_rings_batch,
+                                          trace_masks_batch)
+
+    rng = np.random.RandomState(5)
+    cases = list(_cases().values())
+    for _ in range(40):
+        cases.append(rng.rand(PX, PX) < rng.rand())
+    stack = np.stack(cases)
+    rt, rl, vx, vy = trace_masks_batch(stack)
+    back = masks_from_rings_batch(rt, rl, vx, vy, len(stack), PX)
+    assert (back == stack).all()
+
+
+def test_batch_tracer_non_square():
+    """h != w masks: corner-lattice pitch and tile offsets stay
+    consistent."""
+    rng = np.random.RandomState(11)
+    stack = rng.rand(16, 5, 9) < 0.4
+    per = _batch_rings_per_tile(stack)
+    for i in range(len(stack)):
+        assert _canon(trace_mask(stack[i])) == _canon(per[i]), i
