@@ -266,7 +266,11 @@ def q_knn_join(sf_dir: str, k: int = 5):
         .metadata.num_rows
     level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
     pts = _customer_points(sf_dir)
-    out = all_knn(pts, k, level, id_col="c_custkey")
+    # measured skew pass: uniform data leaves the hot set empty, a
+    # dense region (city) descends to finer per-region levels so the
+    # per-cell matmul and the fallback rate both stay bounded
+    out = all_knn(pts, k, level, id_col="c_custkey",
+                  max_cell_points=4096)
     return out.select_columns(["probe_id", "neighbor_id", "rank"])
 
 

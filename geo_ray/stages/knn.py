@@ -346,8 +346,49 @@ def knn(points_ds, probes: Tuple[Sequence[str], np.ndarray], k: int,
         lambda g: finalize_topk(g, k), batch_format="pandas")
 
 
+def measure_hot_cells(points_ds, level: int, max_cell_points: int,
+                      max_descend: int = 8):
+    """Measured skew pass for :func:`all_knn`: count points per
+    level-``level`` cell (combiner partials, tiny groupby), keep only
+    cells over ``max_cell_points``, and assign each a descend level
+    ``level + ceil(log4(count / max_cell_points))`` (clamped) — the
+    same measured-hot-set shape as stages/salt.py.  Returns
+    ``(cells_sorted uint64, levels int64)``; only the hot rows ever
+    reach the driver (bounded by the number of hot cells, not rows)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import cellid as cid
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cells = cid.parent_v(
+            batch.column("cell_id").to_numpy().astype(np.uint64), level)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u.view(np.int64), pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = points_ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n"))
+
+    def _hot_only(batch: pa.Table) -> pa.Table:
+        m = batch.column("n").to_numpy() > max_cell_points
+        return batch.filter(pa.array(m))
+
+    hot = counts.map_batches(_hot_only, batch_format="pyarrow").to_pandas()
+    if len(hot) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    cells = hot["cell"].to_numpy().view(np.uint64)
+    n = hot["n"].to_numpy().astype(np.float64)
+    down = np.ceil(np.log(n / max_cell_points) / np.log(4.0)) \
+        .astype(np.int64)
+    lvls = np.minimum(level + np.maximum(down, 1),
+                      min(level + max_descend, 30))
+    order = np.argsort(cells)
+    return cells[order], lvls[order]
+
+
 def all_knn(points_ds, k: int, level: int, *, id_col: str,
-            fallback_limit: int = 1 << 20):
+            fallback_limit: int = 1 << 20,
+            max_cell_points: int | None = None, max_descend: int = 8):
     """All-pairs kNN join: the k nearest OTHER points for EVERY point,
     with BOTH sides sharded — the big-probe-side case the broadcast
     forms (:func:`knn`, :func:`knn_cell_ring`) cannot hold in a probe
@@ -365,6 +406,16 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
     broadcast brute path (bounded by ``fallback_limit`` — at scale,
     raise ``level`` so rings stay populated instead).
 
+    With ``max_cell_points`` set, a measured pre-pass
+    (:func:`measure_hot_cells`) descends hot cells to a finer
+    per-region level (salt-stage pattern): probes in a hot base cell
+    group at the measured finer level (bounding the per-group matmul),
+    and each point ships candidates at every level active in its base
+    cell's 3x3 neighborhood — a point adjacent to a probe at level L
+    always shares an L0-ring with it (descend-only: L >= L0), so every
+    probe's cell+8-ring candidate set stays complete and the MIN_WIDTH
+    exactness guard applies per group at that group's own level.
+
     Returns (probe_id, neighbor_id, chord2, rank) rows, rank 1..k by
     the reference tie order (chord2, neighbor_id), self excluded.
     ``id_col`` must be integer-typed (the fallback descriptor packs
@@ -374,7 +425,34 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
     from ..functions.latlng import angle_to_chord2
     from ..functions.metric import MIN_WIDTH
 
-    guard = float(angle_to_chord2(MIN_WIDTH.value(level)))
+    if max_cell_points is not None:
+        hot_cells, hot_levels = measure_hot_cells(
+            points_ds, level, max_cell_points, max_descend)
+    else:
+        hot_cells = np.zeros(0, np.uint64)
+        hot_levels = np.zeros(0, np.int64)
+    active = sorted({level} | set(int(v) for v in hot_levels))
+    guards = {lv: float(angle_to_chord2(MIN_WIDTH.value(lv)))
+              for lv in active}
+
+    def _lookup_levels(cells_l0: np.ndarray) -> np.ndarray:
+        out = np.full(len(cells_l0), level, np.int64)
+        if len(hot_cells):
+            pos = np.searchsorted(hot_cells, cells_l0)
+            pos = np.minimum(pos, len(hot_cells) - 1)
+            m = hot_cells[pos] == cells_l0
+            out[m] = hot_levels[pos[m]]
+        return out
+
+    def _ring_targets(cells: np.ndarray):
+        """cells -> (grp, src-index rep) over own cell + deduped ring."""
+        neigh = cid.all_neighbors_same_level_v(cells)
+        targets = np.concatenate([cells[:, None], neigh], axis=1)
+        targets = np.sort(targets, axis=1)
+        keep = np.ones(targets.shape, dtype=bool)
+        keep[:, 1:] = targets[:, 1:] != targets[:, :-1]  # corner dups
+        rep = np.repeat(np.arange(len(cells)), keep.sum(axis=1))
+        return targets[keep], rep
 
     def _tag(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -382,18 +460,36 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
         X = np.stack([batch.column("x").to_numpy(),
                       batch.column("y").to_numpy(),
                       batch.column("z").to_numpy()], axis=1)
-        cells = cid.parent_v(batch.column("cell_id").to_numpy()
-                             .astype(np.uint64), level)
-        neigh = cid.all_neighbors_same_level_v(cells)
-        targets = np.concatenate([cells[:, None], neigh], axis=1)
-        targets = np.sort(targets, axis=1)
-        keep = np.ones(targets.shape, dtype=bool)
-        keep[:, 1:] = targets[:, 1:] != targets[:, :-1]  # corner dups
-        rep = np.repeat(np.arange(n), keep.sum(axis=1))
-        grp = np.concatenate([cells, targets[keep]])
-        src = np.concatenate([np.arange(n), rep])
-        role = np.concatenate([np.zeros(n, np.int8),
-                               np.ones(len(rep), np.int8)])
+        raw = batch.column("cell_id").to_numpy().astype(np.uint64)
+        base = cid.parent_v(raw, level)
+        if len(hot_cells) == 0:
+            tgt, rep = _ring_targets(base)
+            grp = np.concatenate([base, tgt])
+            src = np.concatenate([np.arange(n), rep])
+            role = np.concatenate([np.zeros(n, np.int8),
+                                   np.ones(len(rep), np.int8)])
+        else:
+            ring0 = cid.all_neighbors_same_level_v(base)
+            nbr9 = np.concatenate([base[:, None], ring0], axis=1)
+            lvl9 = _lookup_levels(nbr9.ravel()).reshape(n, 9)
+            probe_lvl = lvl9[:, 0]
+            idx = np.arange(n)
+            grp_p, src_p, role_p = [], [], []
+            for lv in active:
+                pm = probe_lvl == lv
+                if pm.any():
+                    grp_p.append(cid.parent_v(raw[pm], lv))
+                    src_p.append(idx[pm])
+                    role_p.append(np.zeros(int(pm.sum()), np.int8))
+                cm = (lvl9 == lv).any(axis=1)
+                if cm.any():
+                    tgt, rep = _ring_targets(cid.parent_v(raw[cm], lv))
+                    grp_p.append(tgt)
+                    src_p.append(idx[cm][rep])
+                    role_p.append(np.ones(len(rep), np.int8))
+            grp = np.concatenate(grp_p)
+            src = np.concatenate(src_p)
+            role = np.concatenate(role_p)
         return pa.table({
             "grp": pa.array(grp, pa.uint64()),
             "role": pa.array(role, pa.int8()),
@@ -404,6 +500,9 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
         })
 
     def _cell_knn(g: pd.DataFrame) -> pd.DataFrame:
+        guard = guards[cid.level(int(g["grp"].iloc[0]))] \
+            if len(active) > 1 else guards[level]
+        g = g.drop(columns=["grp"])
         role = g["role"].to_numpy()
         ids = g["pid"].to_numpy()
         X = g[["px", "py", "pz"]].to_numpy()
@@ -462,7 +561,7 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
     # shuffle) would execute once per consumer.  Rows here are k-per-
     # probe results + descriptors — narrow, bounded by k * n_points.
     grouped = tagged.groupby("grp").map_groups(
-        lambda g: _cell_knn(g.drop(columns=["grp"])),
+        _cell_knn,
         batch_format="pandas").materialize()
 
     def _only_exact(batch: pa.Table) -> pa.Table:

@@ -224,3 +224,79 @@ def test_all_knn_deterministic_across_partitionings(ray_session):
                     .sort_values(["probe_id", "rank"])
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_all_knn_adaptive_matches_brute_on_skew(ray_session):
+    """max_cell_points triggers the measured descend pass: a dense
+    blob (one hot base cell) plus sparse background must yield the
+    SAME exact result as the non-adaptive run and the brute oracle,
+    while the hot map actually descends the blob's cell."""
+    import ray.data as rd
+    from geo_ray.functions import cellid as cid
+    from geo_ray.stages.knn import all_knn, measure_hot_cells
+
+    rng = np.random.RandomState(11)
+    k = 4
+    # dense blob around a fixed center (~1 degree spread)
+    c = np.array([1.0, 0.3, 0.2])
+    c /= np.linalg.norm(c)
+    blob = c[None, :] + rng.normal(scale=0.01, size=(600, 3))
+    blob /= np.linalg.norm(blob, axis=1, keepdims=True)
+    # sparse background
+    bg = rng.normal(size=(120, 3))
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+    v = np.concatenate([blob, bg])
+    n = len(v)
+    ids = np.arange(n, dtype=np.int64) * 3 + 5
+    cells = cid.cell_id_from_point_v(v[:, 0], v[:, 1], v[:, 2])
+    t = pa.table({
+        "pid": pa.array(ids, pa.int64()),
+        "x": pa.array(v[:, 0]), "y": pa.array(v[:, 1]),
+        "z": pa.array(v[:, 2]),
+        "cell_id": pa.array(cells, pa.uint64()),
+    })
+    level = 3
+    ds = rd.from_arrow(t).repartition(5)
+
+    hot_c, hot_l = measure_hot_cells(ds, level, max_cell_points=100)
+    assert len(hot_c) >= 1                       # the blob cell is hot
+    assert (hot_l > level).all() and (hot_l <= 30).all()
+
+    d = np.clip(2.0 - 2.0 * (v @ v.T), 0.0, 4.0)
+    np.fill_diagonal(d, 9.0)
+    want = []
+    for i in range(n):
+        order = np.lexsort((ids, d[i]))[:k]
+        for r, j in enumerate(order):
+            want.append((ids[i], ids[j], r + 1))
+    want = pd.DataFrame(want, columns=["probe_id", "neighbor_id",
+                                       "rank"])
+    want = want.sort_values(["probe_id", "rank"]).reset_index(drop=True)
+
+    for mcp in (None, 100):
+        got = all_knn(rd.from_arrow(t).repartition(5), k, level,
+                      id_col="pid", max_cell_points=mcp).to_pandas()
+        got = got[["probe_id", "neighbor_id", "rank"]] \
+            .sort_values(["probe_id", "rank"]).reset_index(drop=True)
+        assert got.shape == want.shape, mcp
+        assert (got.to_numpy() == want.to_numpy()).all(), mcp
+
+
+def test_measure_hot_cells_uniform_is_empty(ray_session):
+    import ray.data as rd
+    from geo_ray.functions import cellid as cid
+    from geo_ray.stages.knn import measure_hot_cells
+
+    rng = np.random.RandomState(2)
+    v = rng.normal(size=(500, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cells = cid.cell_id_from_point_v(v[:, 0], v[:, 1], v[:, 2])
+    t = pa.table({
+        "pid": pa.array(np.arange(500, dtype=np.int64), pa.int64()),
+        "x": pa.array(v[:, 0]), "y": pa.array(v[:, 1]),
+        "z": pa.array(v[:, 2]),
+        "cell_id": pa.array(cells, pa.uint64()),
+    })
+    hot_c, hot_l = measure_hot_cells(rd.from_arrow(t), 1,
+                                     max_cell_points=10_000)
+    assert len(hot_c) == 0 and len(hot_l) == 0
