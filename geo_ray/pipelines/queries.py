@@ -2604,7 +2604,7 @@ def q_corpus_curation(sf_dir: str, min_len: int = 50, delta: int = 1):
     definitions in SQL ending in a recursive-CTE component search."""
     import pyarrow.compute as pc
 
-    from ..stages.cc import chain_edges_by_gap, connected_components
+    from ..stages.cc import connected_components
     from ..stages.text import curation_features
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source",
@@ -2621,23 +2621,99 @@ def q_corpus_curation(sf_dir: str, min_len: int = 50, delta: int = 1):
 
     kept = feat.map_batches(_filter, batch_format="pyarrow")
 
-    def _dk(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            batch.column("source").cast(pa.string()),
-            pc.cast(batch.column("n_chars"), pa.string()), "|")
-        return batch.append_column("dk", key)
+    # FUSED dedup + gap-chain pass: the exact-dedup key
+    # (source, n_chars) is always contained in one n_chars band, so a
+    # single groupby(band) does the per-key keep-min, the in-band
+    # consecutive gap edges AND the band-boundary rows in one shuffle
+    # (previously: one groupby(dk) + a second banded shuffle).
+    band_width = 64
 
-    def _keep_min(g: "pd.DataFrame"):
-        return g.sort_values("doc_id").head(1)
+    def _band_tag(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "band", pa.array(v // band_width, pa.int64()))
 
-    deduped = (kept.map_batches(_dk, batch_format="pyarrow")
-               .groupby("dk")
-               .map_groups(_keep_min, batch_format="pandas")).materialize()
+    def _band_body(g: "pd.DataFrame") -> pa.Table:
+        import pandas as pd
+        band = int(g["band"].iloc[0])
+        g = g.sort_values(["n_chars", "source", "doc_id"],
+                          kind="mergesort")
+        d = g[~g.duplicated(subset=["source", "n_chars"], keep="first")]
+        d = d.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        v = d["n_chars"].to_numpy(np.int64)
+        i = d["doc_id"].to_numpy(np.int64)
+        ek = (v[1:] - v[:-1]) <= delta
+        n0, n1 = len(d), int(ek.sum())
+        kind = np.concatenate([np.zeros(n0, np.int8),
+                               np.ones(n1, np.int8),
+                               np.array([2, 3], np.int8)])
+        doc = np.concatenate([i, i[:-1][ek], [i[0], i[-1]]])
+        b = np.concatenate([np.zeros(n0, np.int64), i[1:][ek], [0, 0]])
+        nc = np.concatenate([v, np.zeros(n1, np.int64), [v[0], v[-1]]])
+        pad = pd.Series([None, None], dtype=object)
+        return pa.table({
+            "kind": pa.array(kind, pa.int8()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "band": pa.array(np.full(n0 + n1 + 2, band, np.int64),
+                             pa.int64()),
+            "source": pa.array(
+                pd.concat([d["source"].astype(object),
+                           pd.Series([None] * n1, dtype=object), pad],
+                          ignore_index=True), pa.string()),
+            "lang_pred": pa.array(
+                pd.concat([d["lang_pred"].astype(object),
+                           pd.Series([None] * n1, dtype=object), pad],
+                          ignore_index=True), pa.string()),
+            "n_tokens": pa.array(np.concatenate(
+                [d["n_tokens"].to_numpy(np.int64),
+                 np.zeros(n1 + 2, np.int64)]), pa.int64()),
+        })
+
+    fused = (kept.map_batches(_band_tag, batch_format="pyarrow")
+             .groupby("band")
+             .map_groups(_band_body, batch_format="pandas")).materialize()
+
+    def _only_kind(kinds, cols):
+        def _f(batch: pa.Table) -> pa.Table:
+            m = np.isin(batch.column("kind").to_numpy(), kinds)
+            return batch.filter(pa.array(m)).select(cols)
+        return _f
+
+    deduped = fused.map_batches(
+        _only_kind([0], ["doc_id", "source", "lang_pred", "n_tokens"]),
+        batch_format="pyarrow")
+    in_band = fused.map_batches(
+        lambda b: pa.table({
+            "a": b.filter(pa.array(
+                b.column("kind").to_numpy() == 1)).column("doc_id"),
+            "b": b.filter(pa.array(
+                b.column("kind").to_numpy() == 1)).column("b")}),
+        batch_format="pyarrow")
+    # O(#bands) boundary rows: safe to bring to the driver
+    bounds = fused.map_batches(
+        _only_kind([2, 3], ["kind", "doc_id", "n_chars", "band"]),
+        batch_format="pyarrow").to_pandas() \
+        .sort_values(["band", "kind"]).reset_index(drop=True)
+    firsts = bounds[bounds["kind"] == 2].reset_index(drop=True)
+    lasts = bounds[bounds["kind"] == 3].reset_index(drop=True)
+    cross_a, cross_b = [], []
+    for kk in range(1, len(firsts)):
+        if firsts["n_chars"].iloc[kk] - lasts["n_chars"].iloc[kk - 1] \
+                <= delta:
+            cross_a.append(int(lasts["doc_id"].iloc[kk - 1]))
+            cross_b.append(int(firsts["doc_id"].iloc[kk]))
+    import ray.data as rd
+    edges = in_band
+    if cross_a:
+        edges = edges.union(rd.from_arrow(pa.table(
+            {"a": pa.array(cross_a, pa.int64()),
+             "b": pa.array(cross_b, pa.int64())})))
 
     labels, _ = connected_components(
-        chain_edges_by_gap(deduped, "n_chars", "doc_id", delta,
-                           band_width=64),
-        nodes_ds=deduped.select_columns(["doc_id"]), node_col="doc_id")
+        edges, nodes_ds=deduped.select_columns(["doc_id"]),
+        node_col="doc_id")
     reps = labels.map_batches(
         lambda b: pa.table({"doc_id": b.column("node").filter(
             pc.equal(b.column("node"), b.column("rep")))}),
