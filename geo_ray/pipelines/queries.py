@@ -3015,7 +3015,6 @@ def q_tile_vectorize(sf_dir: str):
     pts = build_geo_points(_sf_num_images(sf_dir))
 
     px = 16
-    shift = np.uint64(2 * (30 - DEFAULT_TILE_LEVEL))
 
     def _mask_partials(batch: pa.Table) -> pa.Table:
         t = tile_pixel_partials(batch.append_column(
@@ -3023,28 +3022,78 @@ def q_tile_vectorize(sf_dir: str):
             "mean_g", pa.array(np.zeros(len(batch)))).append_column(
             "mean_b", pa.array(np.zeros(len(batch)))),
             DEFAULT_TILE_LEVEL)
-        # composite int64 key (same packing as the renderer): Ray's
-        # groupby keys must avoid uint64 (object-pickled otherwise)
-        tile = t.column("tile_id").to_numpy()
-        pix = t.column("pixel").to_numpy().astype(np.uint64)
-        key = ((tile >> shift) * np.uint64(px * px) + pix).astype(np.int64)
-        return pa.table({"tp": pa.array(key, pa.int64())})
+        # per-batch-deduped (tile, pixel) rows only; NO global dedup
+        # shuffle — the per-tile mask build is idempotent (duplicate
+        # pixel rows set the same bit), so the bucketed groupby of
+        # vectorize_tiles is the single all-to-all this query needs
+        return t.select(["tile_id", "pixel"])
 
-    partials = pts.map_batches(_mask_partials, batch_format="pyarrow")
-    # global dedup of (tile, pixel), then the bucketed vector pass
-    from ray.data.aggregate import Count
-    uniq = (partials.groupby("tp")
-            .aggregate(Count(alias_name="_n")).drop_columns(["_n"]))
-
-    def _unpack(batch: pa.Table) -> pa.Table:
-        key = batch.column("tp").to_numpy().astype(np.uint64)
-        tile = (key // np.uint64(px * px)) << shift
-        pix = (key % np.uint64(px * px)).astype(np.int64)
-        return pa.table({"tile_id": pa.array(tile, pa.uint64()),
-                         "pixel": pa.array(pix, pa.int64())})
-
-    masks = uniq.map_batches(_unpack, batch_format="pyarrow")
+    masks = pts.map_batches(_mask_partials, batch_format="pyarrow")
     return vectorize_tiles(masks, px).sort("token")
+
+
+def sql_tile_vectorize(num_images: int = 10_000, level: int = 7,
+                       px: int = 16) -> str:
+    """Oracle for the raster->vector tracer: reproduces the ENTIRE
+    ring decomposition in SQL — boundary edges from the deduped
+    (tile, pixel) mask (filled pixel with an empty 4-neighbor, each
+    side directed so the filled region is on its left), the sharp-turn
+    successor pairing at pinch corners (at a 2-out corner the two outs
+    are the sharp/anti-sharp rotations of the in-direction, so the
+    sharp one always exists), and ring counting as cycle counting of
+    the successor permutation via a recursive min-label walk.  qa_ok
+    is the tracer's in-row parity invariant, TRUE by construction in
+    the lattice (the engine derives it; the oracle states it)."""
+    size = 1 << (30 - level)
+    mask = size - 1
+    cw = px + 1
+    return (
+        f"WITH RECURSIVE {_images_xyz_cte(num_images)}, "
+        f"{_cell_sql_cte(key='image_id', src='ixyz')}, "
+        f"pxl AS (SELECT {_sql_parent_token(level)} AS token, "
+        f"(((j & {mask}::UBIGINT) * {px}) // {size}) * {px} "
+        f"+ (((i & {mask}::UBIGINT) * {px}) // {size}) AS pixel "
+        f"FROM cells), "
+        f"cp AS (SELECT DISTINCT token, CAST(pixel // {px} AS BIGINT) "
+        f"AS r, CAST(pixel % {px} AS BIGINT) AS c FROM pxl), "
+        # directed boundary edges; d codes: 0=+x 1=-x 2=-y 3=+y
+        f"ed AS ("
+        f"SELECT token, r*{cw}+c AS s, r*{cw}+c+1 AS e, 0 AS d FROM cp p "
+        f"WHERE NOT EXISTS (SELECT 1 FROM cp q WHERE q.token=p.token "
+        f"AND q.c=p.c AND q.r=p.r-1) "
+        f"UNION ALL SELECT token, (r+1)*{cw}+c+1, (r+1)*{cw}+c, 1 "
+        f"FROM cp p WHERE NOT EXISTS (SELECT 1 FROM cp q WHERE "
+        f"q.token=p.token AND q.c=p.c AND q.r=p.r+1) "
+        f"UNION ALL SELECT token, (r+1)*{cw}+c, r*{cw}+c, 2 "
+        f"FROM cp p WHERE NOT EXISTS (SELECT 1 FROM cp q WHERE "
+        f"q.token=p.token AND q.r=p.r AND q.c=p.c-1) "
+        f"UNION ALL SELECT token, r*{cw}+c+1, (r+1)*{cw}+c+1, 3 "
+        f"FROM cp p WHERE NOT EXISTS (SELECT 1 FROM cp q WHERE "
+        f"q.token=p.token AND q.r=p.r AND q.c=p.c+1)), "
+        f"eid AS (SELECT *, ROW_NUMBER() OVER (ORDER BY token, s, e, d) "
+        f"AS id FROM ed), "
+        # successor: the out-edge at this edge's end corner; at pinch
+        # corners prefer the sharp (+90 screen) rotation of d:
+        # sharp(0,1,2,3) = (3,2,0,1)
+        f"nx AS (SELECT id, nid FROM (SELECT a.id AS id, b.id AS nid, "
+        f"ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY "
+        f"CASE WHEN b.d = CASE a.d WHEN 0 THEN 3 WHEN 1 THEN 2 "
+        f"WHEN 2 THEN 0 ELSE 1 END THEN 0 ELSE 1 END, b.id) AS rk "
+        f"FROM eid a JOIN eid b ON b.token = a.token AND b.s = a.e) "
+        f"WHERE rk = 1), "
+        # min edge id per successor cycle: full walk from every start
+        f"walk(e0, cur, lab) AS ("
+        f"SELECT id, id, id FROM eid "
+        f"UNION ALL SELECT w.e0, n.nid, LEAST(w.lab, n.nid) "
+        f"FROM walk w JOIN nx n ON n.id = w.cur WHERE n.nid <> w.e0), "
+        f"lab AS (SELECT e0, MIN(lab) AS lab FROM walk GROUP BY e0), "
+        f"rng AS (SELECT t.token, CAST(COUNT(DISTINCT l.lab) AS BIGINT) "
+        f"AS n_rings FROM lab l JOIN eid t ON t.id = l.e0 "
+        f"GROUP BY t.token), "
+        f"fil AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_filled "
+        f"FROM cp GROUP BY token) "
+        f"SELECT r.token, r.n_rings, f.n_filled, TRUE AS qa_ok "
+        f"FROM rng r JOIN fil f USING (token) ORDER BY r.token")
 
 
 def q_knn_images(sf_dir: str, k: int = 10):
@@ -3197,6 +3246,7 @@ def oracle_sql() -> Dict[str, str]:
         "spatial_join_images": sql_spatial_join_images(),
         "spatial_join_shuffle": sql_spatial_join_images(),
         "tiling_images": sql_tiling_images(),
+        "tile_vectorize": sql_tile_vectorize(),
         "knn_images": sql_knn_images(),
         "convex_hull": sql_convex_hull(),
     }

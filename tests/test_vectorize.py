@@ -181,3 +181,22 @@ def test_batch_tracer_non_square():
     per = _batch_rings_per_tile(stack)
     for i in range(len(stack)):
         assert _canon(trace_mask(stack[i])) == _canon(per[i]), i
+
+
+def test_tile_vectorize_oracle_sf0001(ray_session):
+    """The SQL oracle (boundary edges + sharp-turn successor +
+    recursive cycle count) reproduces the engine's n_rings/n_filled
+    per tile token exactly."""
+    import duckdb
+
+    from geo_ray.pipelines.queries import (q_tile_vectorize,
+                                           sql_tile_vectorize)
+
+    got = q_tile_vectorize("/root/testdata/sf0.001").to_pandas()
+    want = duckdb.connect().execute(
+        sql_tile_vectorize(num_images=2000)).df()
+    cols = list(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    assert g.astype(str).equals(w.astype(str))
