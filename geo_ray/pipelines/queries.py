@@ -248,6 +248,52 @@ def sql_knn_geo(k: int = 5, n_probes: int = 8) -> str:
         f"ORDER BY probe_id, rank")
 
 
+KNN_LIMIT_DEG = 60.0           # exclusive DistanceLimit as an angle
+
+
+def _knn_limit_chord2() -> float:
+    s = 2.0 * math.sin(math.radians(KNN_LIMIT_DEG) / 2.0)
+    return s * s
+
+
+def q_knn_geo_limited(sf_dir: str, k: int = 5, n_probes: int = 32):
+    """kNN with the reference's query options: an exclusive
+    DistanceLimit (s2/query_options.go:137-148) and a Region filter
+    (candidates must fall inside the shared CAP) — both applied inside
+    the per-batch partial so they shrink, never grow, the candidate
+    set before the per-probe merge."""
+    from ..stages.knn import knn
+    from ..state.cap import Cap
+
+    probe_keys = np.arange(n_probes, dtype=np.int64)
+    plat, plng = derive_latlng_np(probe_keys)
+    px, py, pz = latlng_deg_to_xyz(plat, plng)
+    Q = np.stack([px, py, pz], axis=1)
+    cap = Cap(_cap_center_xyz(), _cap_chord2())
+    pts = _customer_points(sf_dir)
+    out = knn(pts, ([int(v) for v in probe_keys], Q), k,
+              id_col="c_custkey", distance_limit=_knn_limit_chord2(),
+              region=cap)
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def sql_knn_geo_limited(k: int = 5, n_probes: int = 32) -> str:
+    cx, cy, cz = _cap_center_xyz()
+    return (
+        f"{_PTS_CTE}, probes AS (SELECT * FROM xyz WHERE c_custkey < {n_probes}), "
+        f"cand AS (SELECT * FROM xyz "
+        f"WHERE (x-({cx!r}))*(x-({cx!r})) + (y-({cy!r}))*(y-({cy!r})) "
+        f"+ (z-({cz!r}))*(z-({cz!r})) <= {_cap_chord2()!r}), "
+        f"dists AS (SELECT p.c_custkey AS probe_id, t.c_custkey AS neighbor_id, "
+        f"(p.x-t.x)*(p.x-t.x)+(p.y-t.y)*(p.y-t.y)+(p.z-t.z)*(p.z-t.z) AS chord2 "
+        f"FROM probes p CROSS JOIN cand t), "
+        f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+        f"(PARTITION BY probe_id ORDER BY chord2, neighbor_id) AS rank "
+        f"FROM dists WHERE chord2 < {_knn_limit_chord2()!r}) "
+        f"SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY probe_id, rank")
+
+
 def q_knn_join(sf_dir: str, k: int = 5):
     """All-pairs kNN join: for EVERY customer, the k nearest OTHER
     customers (stages/knn.py all_knn) — both sides sharded, no
@@ -3122,6 +3168,7 @@ def queries() -> Dict:
         "rect_contains": q_rect_contains,
         "polygon_contains": q_polygon_contains,
         "knn_geo": q_knn_geo,
+        "knn_geo_limited": q_knn_geo_limited,
         "grid_density": q_grid_density,
         "cell_assign": q_cell_assign,
         "s2_density": q_s2_density,
@@ -3192,6 +3239,7 @@ def oracle_sql() -> Dict[str, str]:
         "rect_contains": sql_rect_contains(),
         "polygon_contains": sql_polygon_contains(),
         "knn_geo": sql_knn_geo(),
+        "knn_geo_limited": sql_knn_geo_limited(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
         "s2_density": sql_s2_density(),

@@ -27,9 +27,17 @@ import pyarrow as pa
 
 
 class KnnPartial:
-    """Actor-pool stage: per-batch top-k toward each broadcast probe."""
+    """Actor-pool stage: per-batch top-k toward each broadcast probe.
 
-    def __init__(self, probes, k: int, id_col: str = "image_id"):
+    ``distance_limit`` and ``region`` mirror the reference EdgeQuery
+    options (s2/query_options.go:35-103): with ``distance_limit`` set
+    (a squared chord), only candidates strictly within it can appear
+    in results (DistanceLimit is exclusive, edge_query.go:82-88); with
+    ``region`` set, only candidate points the region contains compete
+    (the Region option's point-shape specialization)."""
+
+    def __init__(self, probes, k: int, id_col: str = "image_id",
+                 distance_limit: float | None = None, region=None):
         """probes: (probe_id list, (P,3) xyz matrix) or ObjectRef."""
         import ray
         if isinstance(probes, ray.ObjectRef):
@@ -38,25 +46,56 @@ class KnnPartial:
         self.Q = np.asarray(self.Q, dtype=np.float64)
         self.k = k
         self.id_col = id_col
+        self.distance_limit = distance_limit
+        self.region = region
         self._probe_arr = pa.array(list(self.probe_ids))
+
+    def _empty(self, id_type) -> pa.Table:
+        return pa.table({"probe_id": pa.array([], self._probe_arr.type),
+                         "neighbor_id": pa.array([], id_type),
+                         "chord2": pa.array([], pa.float64())})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         id_type = batch.schema.field(self.id_col).type
+        ids = batch.column(self.id_col)
         if len(batch) == 0:
-            return pa.table({"probe_id": pa.array([], self._probe_arr.type),
-                             "neighbor_id": pa.array([], id_type),
-                             "chord2": pa.array([], pa.float64())})
+            return self._empty(id_type)
         X = np.stack([batch.column("x").to_numpy(),
                       batch.column("y").to_numpy(),
                       batch.column("z").to_numpy()], axis=1)
+        if self.region is not None:
+            inside = region_contains_points(self.region, X)
+            if not inside.any():
+                return self._empty(id_type)
+            sel = np.nonzero(inside)[0]
+            X = X[sel]
+            ids = ids.take(pa.array(sel, pa.int64()))
         chord2 = np.clip(2.0 - 2.0 * (X @ self.Q.T), 0.0, 4.0)  # (n, P)
         rows, probes = tie_complete_smallest(chord2, self.k)
+        if self.distance_limit is not None:
+            ok = chord2[rows, probes] < self.distance_limit
+            rows, probes = rows[ok], probes[ok]
         return pa.table({
             "probe_id": self._probe_arr.take(pa.array(probes, pa.int64())),
-            "neighbor_id": batch.column(self.id_col)
-                                .take(pa.array(rows, pa.int64())),
+            "neighbor_id": ids.take(pa.array(rows, pa.int64())),
             "chord2": pa.array(chord2[rows, probes], pa.float64()),
         })
+
+
+def region_contains_points(region, X: np.ndarray) -> np.ndarray:
+    """Vectorized point containment over whichever Region type is
+    given (Cap / Rect / Loop / Polygon) — the dispatch EdgeQuery's
+    Region option needs inside a batch kernel."""
+    if hasattr(region, "contains_points_v"):          # Cap
+        return np.asarray(region.contains_points_v(
+            X[:, 0], X[:, 1], X[:, 2]), bool)
+    if hasattr(region, "contains_points_batch"):      # Loop / Polygon
+        return np.asarray(region.contains_points_batch(X), bool)
+    if hasattr(region, "contains_latlng_v"):          # Rect (degrees)
+        from ..functions.latlng import xyz_to_latlng_deg
+        lat, lng = xyz_to_latlng_deg(X[:, 0], X[:, 1], X[:, 2])
+        return np.asarray(region.contains_latlng_v(lat, lng), bool)
+    raise TypeError(f"unsupported region type {type(region)!r}")
 
 
 def tie_complete_smallest(scores: np.ndarray, k: int,
@@ -332,13 +371,21 @@ def knn_to_shapes(points_ds, targets, k: int, *,
 
 
 def knn(points_ds, probes: Tuple[Sequence[str], np.ndarray], k: int,
-        *, id_col: str = "image_id", concurrency=None):
-    """points_ds must carry x/y/z and id_col columns."""
+        *, id_col: str = "image_id", concurrency=None,
+        distance_limit: float | None = None, region=None):
+    """points_ds must carry x/y/z and id_col columns.
+
+    ``distance_limit`` (squared chord, exclusive) and ``region``
+    mirror the reference EdgeQuery options (s2/query_options.go) —
+    both only ever shrink the candidate set, so the partial/merge
+    exactness argument is unchanged."""
     import ray
     probes_ref = ray.put(probes)
 
     def _partial(batch: pa.Table) -> pa.Table:
-        return KnnPartial(probes_ref, k, id_col)(batch)
+        return KnnPartial(probes_ref, k, id_col,
+                          distance_limit=distance_limit,
+                          region=region)(batch)
 
     partials = points_ds.map_batches(_partial, batch_format="pyarrow",
                                      batch_size=16384)

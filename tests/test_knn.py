@@ -105,6 +105,61 @@ def test_knn_tie_order_is_deterministic(ray_session):
     assert list(got["neighbor_id"]) == ["d0", "d1", "d2"]
 
 
+def test_knn_distance_limit_is_exclusive(ray_session):
+    """DistanceLimit keeps only results strictly within the limit
+    (s2/query_options.go:137-148, edge_query.go:82-88)."""
+    import ray.data as rd
+    from geo_ray.stages.knn import knn
+
+    pids, Q = _probes()
+    X = np.stack([TBL.column("x").to_numpy(), TBL.column("y").to_numpy(),
+                  TBL.column("z").to_numpy()], axis=1)
+    ids = np.array(TBL.column("pid").to_pylist())
+    # Same chord2 formula as the stage (2 - 2*dot), so the boundary
+    # comparison is bit-identical, not merely allclose.
+    D = np.clip(2.0 - 2.0 * (X @ Q.T), 0.0, 4.0)
+    # Pick a limit exactly equal to probe0's 4th-nearest distance: the
+    # exclusive semantics must drop that result and everything beyond.
+    limit = np.sort(D[:, 0])[3]
+    got = knn(rd.from_arrow(TBL), (pids, Q), K, id_col="pid",
+              distance_limit=limit).to_pandas()
+    for j, p in enumerate(pids):
+        sub = got[got["probe_id"] == p].sort_values("rank")
+        order = np.lexsort((ids, D[:, j]))[:K]
+        want = [ids[i] for i in order if D[i, j] < limit]
+        assert list(sub["neighbor_id"]) == want, p
+        assert (sub["chord2"].to_numpy() < limit).all(), p
+
+
+def test_knn_region_option_filters_candidates(ray_session):
+    """The Region option restricts results to points the region
+    contains (s2/query_options.go Region), for each Region kind."""
+    import ray.data as rd
+    from geo_ray.stages.knn import knn
+    from geo_ray.state.cap import Cap
+    from geo_ray.state.loop import Loop
+    from geo_ray.state.rect import Rect
+
+    pids, Q = _probes()
+    X = np.stack([TBL.column("x").to_numpy(), TBL.column("y").to_numpy(),
+                  TBL.column("z").to_numpy()], axis=1)
+    ids = np.array(TBL.column("pid").to_pylist())
+
+    cap = Cap.from_latlng_deg(10.0, 20.0, np.deg2rad(25.0))
+    rect = Rect(-20.0, 35.0, -5.0, 48.0)
+    loop = Loop.from_text("0:5, 0:35, 25:35, 25:5")
+    for region in (cap, rect, loop):
+        from geo_ray.stages.knn import region_contains_points
+        inside = region_contains_points(region, X)
+        assert 0 < inside.sum() < len(X), type(region)
+        got = knn(rd.from_arrow(TBL), (pids[:1], Q[:1]), K, id_col="pid",
+                  region=region).to_pandas().sort_values("rank")
+        d = ((X[inside] - Q[0]) ** 2).sum(axis=1)
+        sub_ids = ids[inside]
+        order = np.lexsort((sub_ids, d))[:K]
+        assert list(got["neighbor_id"]) == list(sub_ids[order]), type(region)
+
+
 def test_shape_target_chord2_matches_reference_formula():
     """ShapeTarget's closed-form per-edge chord2 must agree with the
     reference projection formula (updateMinDistance)."""

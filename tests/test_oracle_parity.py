@@ -50,7 +50,7 @@ def _to_df(result) -> pd.DataFrame:
 
 ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
-    "knn_geo", "knn_geo_ring", "knn_shape", "knn_join",
+    "knn_geo", "knn_geo_limited", "knn_geo_ring", "knn_shape", "knn_join",
     "grid_density", "radius_join",
     "cell_assign", "s2_density", "s2_pyramid",
     "langid", "fingerprint", "simhash", "simhash_neardup",
@@ -135,6 +135,21 @@ def test_predicate_margins():
                 pts, verts[i], verts[(i + 1) % len(verts)]))
         rc2 = float(angle_to_chord2(math.radians(3.0)))
         assert np.abs(best - rc2).min() > 1e-8
+        # knn_geo_limited boundary: the exclusive DistanceLimit is
+        # compared against 2-2*dot on the Ray side and (p-t)^2 in SQL,
+        # so every probe-candidate distance must clear the limit by
+        # more than the cross-formula ulp gap under BOTH formulas.
+        from geo_ray.pipelines.queries import _knn_limit_chord2
+        n_probes = 32
+        plat, plng = derive_latlng_np(np.arange(n_probes, dtype=np.int64))
+        px, py, pz = latlng_deg_to_xyz(plat, plng)
+        lim = _knn_limit_chord2()
+        for j in range(n_probes):
+            d_dot = np.clip(2.0 - 2.0 * (x * px[j] + y * py[j] + z * pz[j]),
+                            0.0, 4.0)
+            d_sq = (x - px[j]) ** 2 + (y - py[j]) ** 2 + (z - pz[j]) ** 2
+            assert np.abs(d_dot - lim).min() > 1e-9, (sf, j)
+            assert np.abs(d_sq - lim).min() > 1e-9, (sf, j)
 
 
 def test_sql_xyz_bit_identical():
