@@ -3157,6 +3157,22 @@ def q_knn_images(sf_dir: str, k: int = 10):
     return out.select_columns(["probe_id", "neighbor_id", "rank"])
 
 
+def q_image_neardup(sf_dir: str, eps: float = 1.0, every: int = 10):
+    """Image near-dup over decoded pixels: synthesize the image table
+    with one lossy re-encoded variant planted per ``every`` rows, then
+    decode -> content features -> exact L-inf epsilon-ball self-join
+    (stages/media.image_neardup; stages/ball_join).  Non-SQL-
+    expressible (the oracle would need the codec); exactness is
+    brute-oracle-checked in tests/test_image_neardup.py."""
+    from ..sources.images import images_dataset
+    from ..stages.media import image_neardup, reencode_variants
+
+    ds = images_dataset(_sf_num_images(sf_dir)).map_batches(
+        lambda b: reencode_variants(b, every=every),
+        batch_format="pyarrow")
+    return image_neardup(ds, eps=eps)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3229,6 +3245,7 @@ def queries() -> Dict:
         "tiling_images": q_tiling_images,
         "tile_vectorize": q_tile_vectorize,
         "knn_images": q_knn_images,
+        "image_neardup": q_image_neardup,
     }
 
 
