@@ -105,11 +105,19 @@ def _cap_center_xyz():
     return float(x), float(y), float(z)
 
 
-def _quad_edge_normals() -> List[Tuple[float, float, float]]:
+# irregular convex CCW quad for the geofence query: vertex decimals
+# chosen so no event-derived lattice point sits near an edge plane
+# (the shared QUAD has an event at lat 0 within 7e-18 of edge 0's
+# great circle; margins re-checked in tests/test_oracle_parity.py)
+GEOFENCE_QUAD = [(5.03, 29.89), (6.41, 79.77), (44.63, 84.91),
+                 (42.19, 24.87)]
+
+
+def _quad_edge_normals(quad=None) -> List[Tuple[float, float, float]]:
     """Outward-CCW edge normals A x B for the convex quad; containment
     == all dots positive (the Sign predicate, s2/predicates.go:142)."""
     verts = []
-    for lat, lng in QUAD:
+    for lat, lng in (QUAD if quad is None else quad):
         x, y, z = latlng_deg_to_xyz(np.float64(lat), np.float64(lng))
         verts.append((float(x), float(y), float(z)))
     normals = []
@@ -3157,6 +3165,82 @@ def q_knn_images(sf_dir: str, k: int = 10):
     return out.select_columns(["probe_id", "neighbor_id", "rank"])
 
 
+def q_events_geofence(sf_dir: str):
+    """Geofence transition detection — the geo x event-time composite:
+    each event gets the canonical derived position, containment in the
+    GEOFENCE_QUAD polygon runs through the engine's covering semi-join
+    + exact refine (the same JoinState path as polygon_contains, NOT a
+    re-evaluation of the oracle's half-spaces), and per-user ordered
+    scans emit one row per enter/exit transition.  Scale: the flag
+    stage is a stateless broadcast join (no shuffle), the transition
+    scan shuffles only (user_id, event_id, ts, inside) narrow rows."""
+    import pandas as pd
+    import ray
+    from ..stages.join import JoinState, polygon_join
+
+    loop = Loop.from_latlngs_deg(GEOFENCE_QUAD)
+    state = JoinState([("fence", Polygon.from_loop(loop))])
+    ref = ray.put(state)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        ids = cid.cell_id_from_point_v(x, y, z)
+        pts = pa.table({
+            "event_id": batch.column("event_id"),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+            "cell_id": pa.array(ids, pa.uint64()),
+        })
+        matched = polygon_join(pts, ref, id_col="event_id",
+                               keep_cols=["event_id"])
+        inside = np.isin(keys, matched.column("event_id").to_numpy())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "inside": pa.array(inside, pa.bool_()),
+        })
+
+    def _transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ins = g["inside"].to_numpy()
+        chg = np.zeros(len(g), dtype=bool)
+        chg[1:] = ins[1:] != ins[:-1]
+        sub = g[chg]
+        return pd.DataFrame({
+            "user_id": sub["user_id"].to_numpy(),
+            "event_id": sub["event_id"].to_numpy(),
+            "direction": np.where(sub["inside"].to_numpy(),
+                                  "enter", "exit"),
+        })
+
+    return ev.map_batches(_flags, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(_transitions, batch_format="pandas")
+
+
+def sql_events_geofence() -> str:
+    conds = " AND ".join(
+        f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
+        for nx, ny, nz in _quad_edge_normals(GEOFENCE_QUAD))
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, ts, "
+        f"(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
+        f"(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
+        f"FROM events), "
+        f"xyz AS (SELECT event_id, user_id, ts, {_XYZ_SQL} FROM pts), "
+        f"flags AS (SELECT event_id, user_id, ts, ({conds}) AS inside "
+        f"FROM xyz), "
+        f"lagged AS (SELECT user_id, event_id, inside, "
+        f"LAG(inside) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        f"AS prev FROM flags) "
+        f"SELECT user_id, event_id, "
+        f"CASE WHEN inside THEN 'enter' ELSE 'exit' END AS direction "
+        f"FROM lagged WHERE prev IS NOT NULL AND inside <> prev "
+        f"ORDER BY user_id, event_id")
+
+
 def q_image_neardup(sf_dir: str, eps: float = 1.0, every: int = 10):
     """Image near-dup over decoded pixels: synthesize the image table
     with one lossy re-encoded variant planted per ``every`` rows, then
@@ -3246,6 +3330,7 @@ def queries() -> Dict:
         "tile_vectorize": q_tile_vectorize,
         "knn_images": q_knn_images,
         "image_neardup": q_image_neardup,
+        "events_geofence": q_events_geofence,
     }
 
 
@@ -3257,6 +3342,7 @@ def oracle_sql() -> Dict[str, str]:
         "polygon_contains": sql_polygon_contains(),
         "knn_geo": sql_knn_geo(),
         "knn_geo_limited": sql_knn_geo_limited(),
+        "events_geofence": sql_events_geofence(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
         "s2_density": sql_s2_density(),

@@ -64,6 +64,7 @@ ORACLE_CHECKED = [
     "orders_by_nation", "orders_priority_salted",
     "events_sample", "events_distinct_users",
     "events_anti_join", "events_retention", "events_gap_quantiles",
+    "events_geofence",
     "events_distinct_sketch", "events_distinct_hll",
     "lineitem_agg", "tpch_q3",
     "tpch_q5", "tpch_q10",
@@ -150,6 +151,16 @@ def test_predicate_margins():
             d_sq = (x - px[j]) ** 2 + (y - py[j]) ** 2 + (z - pz[j]) ** 2
             assert np.abs(d_dot - lim).min() > 1e-9, (sf, j)
             assert np.abs(d_sq - lim).min() > 1e-9, (sf, j)
+        # events_geofence boundary: every event-derived point must
+        # clear each GEOFENCE_QUAD edge plane (the shared QUAD has an
+        # event within 7e-18 of an edge — hence the dedicated quad)
+        from geo_ray.pipelines.queries import GEOFENCE_QUAD
+        ekeys = pq.read_table(f"{sf}/events.parquet",
+                              columns=["event_id"]).column(0).to_numpy()
+        elat, elng = derive_latlng_np(ekeys)
+        ex, ey, ez = latlng_deg_to_xyz(elat, elng)
+        for nx, ny, nz in _quad_edge_normals(GEOFENCE_QUAD):
+            assert np.abs(nx * ex + ny * ey + nz * ez).min() > 1e-9, sf
 
 
 def test_sql_xyz_bit_identical():
