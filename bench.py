@@ -155,7 +155,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "spatial_join_images", "tile_vectorize", "image_neardup",
                  "corpus_curation",
                  "events_retention", "events_gap_quantiles", "s2_pyramid",
-                 "events_geofence",
+                 "events_geofence", "events_travel",
                  "lineitem_agg", "tpch_q3", "tpch_q5", "tpch_q10"]
         registry = qmod.queries()
         for name in suite:

@@ -3241,6 +3241,73 @@ def sql_events_geofence() -> str:
         f"ORDER BY user_id, event_id")
 
 
+def q_events_travel(sf_dir: str):
+    """Per-user trajectory travel metrics: order each user's events by
+    time, measure every consecutive-pair squared-chord hop, and emit
+    (n_segments, total, max) with segment values integerized to 1e-6
+    chord2 units BEFORE the sum so the distributed aggregate is
+    order-independent and hash-comparable (same integerization rule as
+    zonal_stats).  Scale: only narrow (user, ts, xyz) rows shuffle;
+    per-user groups are the standard sessionization partitioning."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_segments": pd.Series(dtype="int64"),
+                                 "travel_units": pd.Series(dtype="int64"),
+                                 "max_seg_units": pd.Series(dtype="int64")})
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        z = g["z"].to_numpy()
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        dz = z[1:] - z[:-1]
+        c2 = dx * dx + dy * dy + dz * dz
+        units = np.floor(c2 * 1000000.0).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_segments": [len(units)],
+            "travel_units": [int(units.sum())],
+            "max_seg_units": [int(units.max())],
+        })
+
+    return ev.map_batches(_pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(_per_user, batch_format="pandas")
+
+
+def sql_events_travel() -> str:
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, ts, "
+        f"(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
+        f"(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
+        f"FROM events), "
+        f"xyz AS (SELECT event_id, user_id, ts, {_XYZ_SQL} FROM pts), "
+        f"seg AS (SELECT user_id, x - LAG(x) OVER w AS dx, "
+        f"y - LAG(y) OVER w AS dy, z - LAG(z) OVER w AS dz FROM xyz "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"units AS (SELECT user_id, "
+        f"CAST(FLOOR((dx*dx + dy*dy + dz*dz) * 1000000.0) AS BIGINT) AS u2 "
+        f"FROM seg WHERE dx IS NOT NULL) "
+        f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments, "
+        f"SUM(u2) AS travel_units, MAX(u2) AS max_seg_units "
+        f"FROM units GROUP BY user_id ORDER BY user_id")
+
+
 def q_image_neardup(sf_dir: str, eps: float = 1.0, every: int = 10):
     """Image near-dup over decoded pixels: synthesize the image table
     with one lossy re-encoded variant planted per ``every`` rows, then
@@ -3331,6 +3398,7 @@ def queries() -> Dict:
         "knn_images": q_knn_images,
         "image_neardup": q_image_neardup,
         "events_geofence": q_events_geofence,
+        "events_travel": q_events_travel,
     }
 
 
@@ -3343,6 +3411,7 @@ def oracle_sql() -> Dict[str, str]:
         "knn_geo": sql_knn_geo(),
         "knn_geo_limited": sql_knn_geo_limited(),
         "events_geofence": sql_events_geofence(),
+        "events_travel": sql_events_travel(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
         "s2_density": sql_s2_density(),

@@ -32,7 +32,7 @@ quadratic (pick index dims with entropy, or shrink eps).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd

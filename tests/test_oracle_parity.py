@@ -64,7 +64,7 @@ ORACLE_CHECKED = [
     "orders_by_nation", "orders_priority_salted",
     "events_sample", "events_distinct_users",
     "events_anti_join", "events_retention", "events_gap_quantiles",
-    "events_geofence",
+    "events_geofence", "events_travel",
     "events_distinct_sketch", "events_distinct_hll",
     "lineitem_agg", "tpch_q3",
     "tpch_q5", "tpch_q10",
@@ -161,6 +161,19 @@ def test_predicate_margins():
         ex, ey, ez = latlng_deg_to_xyz(elat, elng)
         for nx, ny, nz in _quad_edge_normals(GEOFENCE_QUAD):
             assert np.abs(nx * ex + ny * ey + nz * ez).min() > 1e-9, sf
+        # events_travel integerization: floor(chord2 * 1e6) must not
+        # sit within cross-engine ulp of an integer for any segment
+        edf = pq.read_table(f"{sf}/events.parquet",
+                            columns=["event_id", "user_id", "ts"]) \
+            .to_pandas().sort_values(["user_id", "ts", "event_id"])
+        sk = edf["event_id"].to_numpy()
+        slat, slng = derive_latlng_np(sk)
+        sx, sy, sz = latlng_deg_to_xyz(slat, slng)
+        su = edf["user_id"].to_numpy()
+        same = su[1:] == su[:-1]
+        c2 = ((sx[1:] - sx[:-1]) ** 2 + (sy[1:] - sy[:-1]) ** 2
+              + (sz[1:] - sz[:-1]) ** 2)[same] * 1000000.0
+        assert np.abs(c2 - np.round(c2)).min() > 1e-8, sf
 
 
 def test_sql_xyz_bit_identical():
