@@ -3324,6 +3324,68 @@ def q_image_neardup(sf_dir: str, eps: float = 1.0, every: int = 10):
     return image_neardup(ds, eps=eps)
 
 
+_SEMI_PRIORITY = "1-URGENT"
+_SEMI_MIN_TOTAL = 200000.0
+
+
+def q_lineitem_semi_bloom(sf_dir: str):
+    """Bloom-prefiltered exact semi-join: revenue per returnflag over
+    lineitems whose order is urgent AND high-value (~10% of orders).
+    The order-key set streams into an OR-mergeable Bloom aggregate
+    (stages/bloom.py), broadcasts as a bitmap 16x smaller than the raw
+    keys, and drops non-matching lineitems BEFORE the recheck shuffle;
+    the co-partitioned groupby recheck makes the result exact
+    regardless of false positives.  At 10^12 lineitems this is the
+    canonical selective-fact-filter shape: only survivors (matches +
+    fpp of the rest) ever enter an exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..stages.bloom import bloom_semi_join
+
+    build = (_read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+             .filter(expr=f"o_orderpriority == {_SEMI_PRIORITY!r} "
+                          f"and o_totalprice > {_SEMI_MIN_TOTAL!r}")
+             .select_columns(["o_orderkey"]))
+    probe = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_extendedprice",
+                   "l_discount"])
+    joined = bloom_semi_join(probe, build, "l_orderkey", "o_orderkey",
+                             fpp=0.01)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas(),
+            "revenue": ep * dp,
+            "n_items": np.ones(batch.num_rows, np.int64),
+        })
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(_partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("revenue", alias_name="revenue"),
+                       Sum("n_items", alias_name="n_items")))
+
+
+def sql_lineitem_semi_bloom() -> str:
+    return (
+        "WITH r AS (SELECT l_returnflag, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+        "CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS rev "
+        "FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE "
+        f"o_orderpriority = '{_SEMI_PRIORITY}' "
+        f"AND o_totalprice > {_SEMI_MIN_TOTAL!r})) "
+        "SELECT l_returnflag, CAST(SUM(rev) AS BIGINT) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items "
+        "FROM r GROUP BY 1 ORDER BY 1")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3391,6 +3453,7 @@ def queries() -> Dict:
         "neardup_agreement": q_neardup_agreement,
         "s2_pyramid": q_s2_pyramid,
         "lineitem_agg": q_lineitem_agg,
+        "lineitem_semi_bloom": q_lineitem_semi_bloom,
         "spatial_join_images": q_spatial_join_images,
         "spatial_join_shuffle": q_spatial_join_shuffle,
         "tiling_images": q_tiling_images,
@@ -3460,6 +3523,7 @@ def oracle_sql() -> Dict[str, str]:
         "neardup_agreement": sql_neardup_agreement(),
         "s2_pyramid": sql_s2_pyramid(),
         "lineitem_agg": sql_lineitem_agg(),
+        "lineitem_semi_bloom": sql_lineitem_semi_bloom(),
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
         "minhash_dedup": sql_minhash_dedup(),

@@ -66,7 +66,7 @@ ORACLE_CHECKED = [
     "events_anti_join", "events_retention", "events_gap_quantiles",
     "events_geofence", "events_travel",
     "events_distinct_sketch", "events_distinct_hll",
-    "lineitem_agg", "tpch_q3",
+    "lineitem_agg", "lineitem_semi_bloom", "tpch_q3",
     "tpch_q5", "tpch_q10",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
     "convex_hull",
