@@ -3324,6 +3324,85 @@ def q_image_neardup(sf_dir: str, eps: float = 1.0, every: int = 10):
     return image_neardup(ds, eps=eps)
 
 
+_RESAMPLE_STEP_US = 86_400_000_000  # 1 day
+
+
+def q_events_resample(sf_dir: str, step_us: int = _RESAMPLE_STEP_US):
+    """Trajectory resampling: slerp each user's event track onto a
+    daily epoch grid (stages/trajectory.py).  Narrow (user, ts, xyz)
+    rows shuffle once into per-user groups; coordinates integerize to
+    1e-6 units inside the group so the output is hash-comparable
+    (integerization margins >= 8e-5 units at sf0.01/sf0.1, checked in
+    tests/test_trajectory.py)."""
+    from ..stages.trajectory import resample_tracks
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    return resample_tracks(ev.map_batches(_pts, batch_format="pyarrow"),
+                           step_us)
+
+
+def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+        f"{lat} AS lat, {lng} AS lng FROM events), "
+        f"xyz AS (SELECT event_id, user_id, tsu, {_XYZ_SQL} FROM pts), "
+        f"spans AS (SELECT user_id, MIN(tsu) AS t0, MAX(tsu) AS t1 "
+        f"FROM xyz GROUP BY user_id), "
+        f"grid AS (SELECT user_id, g.epoch FROM spans CROSS JOIN "
+        f"UNNEST(generate_series(((t0 + {step_us - 1}) // {step_us}) "
+        f"* {step_us}, t1, {step_us})) AS g(epoch)), "
+        f"u AS (SELECT user_id, tsu AS pt, 0 AS isg, event_id, "
+        f"tsu AS evts, x, y, z, NULL::BIGINT AS epoch FROM xyz "
+        f"UNION ALL SELECT user_id, epoch AS pt, 1 AS isg, NULL, NULL, "
+        f"NULL, NULL, NULL, epoch FROM grid), "
+        f"w AS (SELECT user_id, epoch, isg, "
+        f"LAST_VALUE(evts IGNORE NULLS) OVER wprev AS ts0, "
+        f"LAST_VALUE(x IGNORE NULLS) OVER wprev AS x0, "
+        f"LAST_VALUE(y IGNORE NULLS) OVER wprev AS y0, "
+        f"LAST_VALUE(z IGNORE NULLS) OVER wprev AS z0, "
+        f"FIRST_VALUE(evts IGNORE NULLS) OVER wnext AS ts1, "
+        f"FIRST_VALUE(x IGNORE NULLS) OVER wnext AS x1, "
+        f"FIRST_VALUE(y IGNORE NULLS) OVER wnext AS y1, "
+        f"FIRST_VALUE(z IGNORE NULLS) OVER wnext AS z1 FROM u "
+        f"WINDOW wprev AS (PARTITION BY user_id ORDER BY pt, isg, "
+        f"event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        f"wnext AS (PARTITION BY user_id ORDER BY pt, isg, event_id "
+        f"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), "
+        f"s AS (SELECT user_id, epoch, ts0, ts1, x0,y0,z0,x1,y1,z1, "
+        f"CAST(epoch - ts0 AS DOUBLE) / CAST(ts1 - ts0 AS DOUBLE) AS t, "
+        f"atan2(sqrt((y0*z1-z0*y1)*(y0*z1-z0*y1) + "
+        f"(z0*x1-x0*z1)*(z0*x1-x0*z1) + (x0*y1-y0*x1)*(x0*y1-y0*x1)), "
+        f"x0*x1 + y0*y1 + z0*z1) AS a FROM w WHERE isg = 1), "
+        f"r AS (SELECT user_id, epoch, "
+        f"CASE WHEN ts0 = epoch OR (x0=x1 AND y0=y1 AND z0=z1) THEN x0 "
+        f"ELSE (sin((1-t)*a)*x0 + sin(t*a)*x1)/sin(a) END AS rx, "
+        f"CASE WHEN ts0 = epoch OR (x0=x1 AND y0=y1 AND z0=z1) THEN y0 "
+        f"ELSE (sin((1-t)*a)*y0 + sin(t*a)*y1)/sin(a) END AS ry, "
+        f"CASE WHEN ts0 = epoch OR (x0=x1 AND y0=y1 AND z0=z1) THEN z0 "
+        f"ELSE (sin((1-t)*a)*z0 + sin(t*a)*z1)/sin(a) END AS rz FROM s) "
+        f"SELECT user_id, epoch, "
+        f"CAST(FLOOR(rx*1000000.0) AS BIGINT) AS xu, "
+        f"CAST(FLOOR(ry*1000000.0) AS BIGINT) AS yu, "
+        f"CAST(FLOOR(rz*1000000.0) AS BIGINT) AS zu "
+        f"FROM r ORDER BY user_id, epoch")
+
+
 _SEMI_PRIORITY = "1-URGENT"
 _SEMI_MIN_TOTAL = 200000.0
 
@@ -3462,6 +3541,7 @@ def queries() -> Dict:
         "image_neardup": q_image_neardup,
         "events_geofence": q_events_geofence,
         "events_travel": q_events_travel,
+        "events_resample": q_events_resample,
     }
 
 
@@ -3475,6 +3555,7 @@ def oracle_sql() -> Dict[str, str]:
         "knn_geo_limited": sql_knn_geo_limited(),
         "events_geofence": sql_events_geofence(),
         "events_travel": sql_events_travel(),
+        "events_resample": sql_events_resample(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
         "s2_density": sql_s2_density(),

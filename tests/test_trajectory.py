@@ -1,0 +1,143 @@
+"""Trajectory slerp resampling: geometric invariants, bracket rules,
+and the cross-engine integerization margin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_ray.stages.trajectory import resample_group
+
+W = 1000  # small step for unit tests
+
+
+def _track(ts, lats, lngs, uid=1):
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    x, y, z = latlng_deg_to_xyz(np.asarray(lats, np.float64),
+                                np.asarray(lngs, np.float64))
+    return pd.DataFrame({"user_id": uid, "tsu": np.asarray(ts, np.int64),
+                         "event_id": np.arange(len(ts), dtype=np.int64),
+                         "x": x, "y": y, "z": z})
+
+
+def test_unit_norm_and_on_arc():
+    """Samples sit on the unit sphere and on the great circle of the
+    bracketing pair (coplanar with it)."""
+    g = _track([0, 10_000], [10.0, 40.0], [20.0, 60.0])
+    out = resample_group(g, W)
+    assert len(out) == 11
+    v = out[["xu", "yu", "zu"]].to_numpy().astype(np.float64) / 1e6
+    norms = np.sqrt((v * v).sum(axis=1))
+    assert np.abs(norms - 1.0).max() < 3e-6   # 1e-6 integerization floor
+    p0 = g[["x", "y", "z"]].iloc[0].to_numpy()
+    p1 = g[["x", "y", "z"]].iloc[1].to_numpy()
+    n = np.cross(p0, p1)
+    n /= np.linalg.norm(n)
+    assert np.abs(v @ n).max() < 3e-6
+
+
+def test_endpoint_and_exact_epoch_branches():
+    g = _track([0, 1000, 2500], [0.0, 30.0, -20.0], [0.0, 50.0, 10.0])
+    out = resample_group(g, W)
+    # epochs 0, 1000, 2000: 0 and 1000 coincide with observations
+    assert list(out["epoch"]) == [0, 1000, 2000]
+    p0 = np.floor(g[["x", "y", "z"]].iloc[0].to_numpy() * 1e6)
+    p1 = np.floor(g[["x", "y", "z"]].iloc[1].to_numpy() * 1e6)
+    assert (out.iloc[0][["xu", "yu", "zu"]].to_numpy() == p0).all()
+    assert (out.iloc[1][["xu", "yu", "zu"]].to_numpy() == p1).all()
+
+
+def test_identical_endpoints_degenerate():
+    g = _track([0, 3000], [25.0, 25.0], [40.0, 40.0])
+    out = resample_group(g, W)
+    p = np.floor(g[["x", "y", "z"]].iloc[0].to_numpy() * 1e6)
+    for _, row in out.iterrows():
+        assert (row[["xu", "yu", "zu"]].to_numpy() == p).all()
+
+
+def test_duplicate_ts_uses_last_by_event_id():
+    """Two observations at the same instant: the bracket's left side
+    is the LAST in (ts, event_id) order — the searchsorted 'right'
+    convention the SQL window mirrors."""
+    g = _track([0, 0, 2000], [10.0, 50.0, 50.0], [10.0, 50.0, 50.0])
+    out = resample_group(g, W)
+    p_last = np.floor(g[["x", "y", "z"]].iloc[1].to_numpy() * 1e6)
+    assert (out.iloc[0][["xu", "yu", "zu"]].to_numpy() == p_last).all()
+
+
+def test_empty_and_single_point():
+    g = _track([], [], [])
+    assert len(resample_group(g, W)) == 0
+    g1 = _track([500], [5.0], [5.0])            # no epoch in [500, 500]
+    assert len(resample_group(g1, W)) == 0
+    g2 = _track([1000], [5.0], [5.0])           # epoch == the point
+    out = resample_group(g2, W)
+    assert len(out) == 1 and out["epoch"].iloc[0] == 1000
+
+
+def test_midpoint_symmetry():
+    """t=0.5 slerp equals the normalized chord midpoint."""
+    g = _track([0, 2000], [0.0, 0.0], [0.0, 90.0])
+    out = resample_group(g, W)
+    mid = out[out["epoch"] == 1000].iloc[0]
+    m = np.array([1.0, 1.0, 0.0]) / np.sqrt(2.0)
+    got = mid[["xu", "yu", "zu"]].to_numpy().astype(np.float64) / 1e6
+    assert np.abs(got - np.floor(m * 1e6) / 1e6).max() < 1e-12
+
+
+def test_integerization_margin_driver_scales():
+    """Direct margin measurement at the scales the driver checks:
+    distance of every un-floored coordinate (in 1e-6 units) to the
+    nearest integer — the guard that keeps the SQL oracle hash-equal
+    despite last-ulp libm differences.  Exact-branch lanes (epoch on
+    an observation / degenerate bracket) are endpoint lattice values
+    computed by the identical formula in both engines, so for those a
+    zero margin (exact-integer double) is also safe."""
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.pipelines.queries import (_RESAMPLE_STEP_US,
+                                           derive_latlng_np)
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ev = pd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        ev["tsu"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        lat, lng = derive_latlng_np(ev["event_id"].to_numpy())
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        ev["x"], ev["y"], ev["z"] = x, y, z
+        worst = 1.0
+        for _, g in ev.groupby("user_id"):
+            g = g.sort_values(["tsu", "event_id"], kind="mergesort")
+            ts = g["tsu"].to_numpy()
+            if len(ts) < 2:
+                continue
+            step = _RESAMPLE_STEP_US
+            g0 = ((ts[0] + step - 1) // step) * step
+            if g0 > ts[-1]:
+                continue
+            ep = np.arange(g0, ts[-1] + 1, step, dtype=np.int64)
+            ir = np.searchsorted(ts, ep, side="right")
+            i, j = ir - 1, np.minimum(ir, len(ts) - 1)
+            xx, yy, zz = (g["x"].to_numpy(), g["y"].to_numpy(),
+                          g["z"].to_numpy())
+            x0, y0, z0 = xx[i], yy[i], zz[i]
+            x1, y1, z1 = xx[j], yy[j], zz[j]
+            exact = (ts[i] == ep) | ((x0 == x1) & (y0 == y1)
+                                     & (z0 == z1))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = (ep - ts[i]) / (ts[j] - ts[i]).astype(np.float64)
+                cx, cy, cz = (y0 * z1 - z0 * y1, z0 * x1 - x0 * z1,
+                              x0 * y1 - y0 * x1)
+                a = np.arctan2(np.sqrt(cx * cx + cy * cy + cz * cz),
+                               x0 * x1 + y0 * y1 + z0 * z1)
+                sa, w0, w1 = (np.sin(a), np.sin((1 - t) * a),
+                              np.sin(t * a))
+                for p0, p1 in ((x0, x1), (y0, y1), (z0, z1)):
+                    r = np.where(exact, p0, (w0 * p0 + w1 * p1) / sa)
+                    v = r * 1e6
+                    m = np.abs(v - np.round(v))
+                    # exact-integer doubles (m == 0) come out identical
+                    # in both engines; only near-misses are dangerous
+                    risky = m[m > 0.0]
+                    if len(risky):
+                        worst = min(worst, risky.min())
+        assert worst > 1e-7, (sf, worst)
