@@ -3403,6 +3403,43 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Long -> wide pivot: one row per day, count + exact cent-sum
+    columns per event type (stages/pivot.py).  The category list is
+    discovered by a bounded distinct pass; per-batch partials fold
+    events into wide rows locally so the shuffle moves one row per
+    (day x batch), never per event."""
+    from ..stages.pivot import pivot_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "day": pa.array(tsu // 86_400_000_000),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
+
+    return pivot_counts(ds.map_batches(_day, batch_format="pyarrow"),
+                        "day", "event_type", measure_col="value")
+
+
+def sql_events_pivot() -> str:
+    cols = ", ".join(
+        [f"CAST(COUNT(*) FILTER (event_type = '{c}') AS BIGINT) "
+         f"AS n_{c}" for c in _PIVOT_TYPES]
+        + [f"CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+           f"FILTER (event_type = '{c}'), 0) AS BIGINT) AS sum_{c}"
+           for c in _PIVOT_TYPES])
+    return (f"SELECT epoch_us(ts) // 86400000000 AS day, {cols} "
+            f"FROM events GROUP BY 1 ORDER BY 1")
+
+
 _SEMI_PRIORITY = "1-URGENT"
 _SEMI_MIN_TOTAL = 200000.0
 
@@ -3542,6 +3579,7 @@ def queries() -> Dict:
         "events_geofence": q_events_geofence,
         "events_travel": q_events_travel,
         "events_resample": q_events_resample,
+        "events_pivot": q_events_pivot,
     }
 
 
@@ -3556,6 +3594,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_geofence": sql_events_geofence(),
         "events_travel": sql_events_travel(),
         "events_resample": sql_events_resample(),
+        "events_pivot": sql_events_pivot(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
         "s2_density": sql_s2_density(),
