@@ -156,6 +156,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "corpus_curation",
                  "events_retention", "events_gap_quantiles", "s2_pyramid",
                  "events_geofence", "events_travel",
+                 "events_resample", "events_pivot", "lineitem_semi_bloom",
                  "lineitem_agg", "tpch_q3", "tpch_q5", "tpch_q10"]
         registry = qmod.queries()
         for name in suite:
