@@ -3403,6 +3403,177 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_LJ_SHIP_CUTOFF = "1996-06-01"
+
+
+def q_orders_left_join(sf_dir: str):
+    """Left outer join with zero-fill: every order appears once with
+    the count and exact quantity-units sum of its lineitems shipped
+    BEFORE the cutoff — orders whose lineitems all ship later keep a
+    zero row (the LEFT semantics).  One shuffle: per-batch lineitem
+    partials and the order rows enter the SAME tagged-union groupby,
+    so the aggregate and the join resolve in a single co-partitioned
+    pass (no second exchange to re-align aggregated counts with the
+    dimension rows)."""
+    import pandas as pd
+
+    cutoff_us = np.datetime64(_LJ_SHIP_CUTOFF).astype("datetime64[us]") \
+        .astype(np.int64)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity", "l_shipdate"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = sd < cutoff_us
+        lo = batch.column("l_orderkey").to_numpy()[keep]
+        qu = np.round(batch.column("l_quantity").to_numpy()[keep]
+                      * 100.0).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": lo, "n_items": 1,
+                           "qty_units": qu})
+        g = df.groupby("o_orderkey", sort=False).sum().reset_index()
+        g["o_orderpriority"] = None
+        g["__src"] = np.int8(1)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("o_orderkey", pa.int64()),
+                       ("n_items", pa.int64()),
+                       ("qty_units", pa.int64()),
+                       ("o_orderpriority", pa.string()),
+                       ("__src", pa.int8())]))
+
+    def _tag_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "n_items": pa.array(np.zeros(n, np.int64)),
+            "qty_units": pa.array(np.zeros(n, np.int64)),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "__src": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    union = orders.map_batches(_tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(_partials, batch_format="pyarrow"))
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        # one call per hash BUCKET (~128 total), vectorized inside:
+        # per-key dispatch at 10^8 orders would pay 10^8 Python calls
+        src = group.column("__src").to_numpy()
+        keys = group.column("o_orderkey").to_numpy()
+        order_rows = group.filter(pa.array(src == 0))
+        okeys = order_rows.column("o_orderkey").to_numpy()
+        pk = keys[src == 1]
+        pn = group.column("n_items").to_numpy()[src == 1]
+        pq = group.column("qty_units").to_numpy()[src == 1]
+        order = np.argsort(okeys, kind="mergesort")
+        idx = np.clip(np.searchsorted(okeys[order], pk), 0,
+                      max(len(okeys) - 1, 0))
+        pos = order[idx] if len(okeys) else idx
+        ok = len(okeys) > 0
+        hit = okeys[pos] == pk if ok else np.zeros(len(pk), bool)
+        n = np.zeros(len(okeys), np.int64)
+        qsum = np.zeros(len(okeys), np.int64)
+        np.add.at(n, pos[hit], pn[hit])
+        np.add.at(qsum, pos[hit], pq[hit])
+        return pa.table({
+            "o_orderkey": order_rows.column("o_orderkey"),
+            "o_orderpriority": order_rows.column("o_orderpriority"),
+            "n_items": pa.array(n),
+            "qty_units": pa.array(qsum),
+        })
+
+    from ..stages.sample import _splitmix
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__bkt", pa.array((_splitmix(k) % np.uint64(128))
+                              .astype(np.int32), pa.int32()))
+
+    return union.map_batches(_with_bucket, batch_format="pyarrow") \
+        .groupby("__bkt").map_groups(_resolve, batch_format="pyarrow")
+
+
+def sql_orders_left_join() -> str:
+    return (
+        "SELECT o.o_orderkey, o.o_orderpriority, "
+        "CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items, "
+        "CAST(COALESCE(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)), "
+        "0) AS BIGINT) AS qty_units "
+        "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = "
+        f"o.o_orderkey AND l.l_shipdate < TIMESTAMP '{_LJ_SHIP_CUTOFF}' "
+        "GROUP BY 1, 2 ORDER BY 1")
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel: per user, the earliest view, the earliest click
+    strictly after it, the earliest purchase strictly after that;
+    output = users reaching each step.  Per-user groups (the
+    sessionization partitioning); inside a group one sort + three
+    vectorized searchsorted steps — no per-event Python.  Ties on ts
+    break by event_id, mirroring the oracle's argmin."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        reached = 0
+        idx = -1  # position of the last matched step
+        for step_i, step in enumerate(_FUNNEL_STEPS):
+            pos = np.nonzero(et == step)[0]
+            pos = pos[pos > idx]
+            if len(pos) == 0:
+                break
+            idx = pos[0]
+            reached = step_i + 1
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "reached": [reached]})
+
+    per_user = ev.groupby("user_id").map_groups(
+        _per_user, batch_format="pandas")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        r = batch.column("reached").to_numpy()
+        out = {"step": pa.array(np.arange(1, len(_FUNNEL_STEPS) + 1,
+                                          dtype=np.int64))}
+        out["n_users"] = pa.array(
+            np.array([(r >= s).sum()
+                      for s in range(1, len(_FUNNEL_STEPS) + 1)],
+                     dtype=np.int64))
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+    return (per_user.map_batches(_partial, batch_format="pyarrow")
+            .groupby("step").aggregate(Sum("n_users",
+                                           alias_name="n_users")))
+
+
+def sql_events_funnel() -> str:
+    return (
+        "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events), "
+        "s1 AS (SELECT user_id, MIN(rn) AS rn1 FROM o "
+        f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1), "
+        "s2 AS (SELECT o.user_id, MIN(rn) AS rn2 FROM o "
+        "JOIN s1 ON s1.user_id = o.user_id AND o.rn > s1.rn1 "
+        f"WHERE event_type = '{_FUNNEL_STEPS[1]}' GROUP BY 1), "
+        "s3 AS (SELECT o.user_id, MIN(rn) AS rn3 FROM o "
+        "JOIN s2 ON s2.user_id = o.user_id AND o.rn > s2.rn2 "
+        f"WHERE event_type = '{_FUNNEL_STEPS[2]}' GROUP BY 1) "
+        "SELECT step, n_users FROM (VALUES "
+        "(1, (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)), "
+        "(2, (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)), "
+        "(3, (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))) "
+        "AS t(step, n_users) ORDER BY step")
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -3580,6 +3751,8 @@ def queries() -> Dict:
         "events_travel": q_events_travel,
         "events_resample": q_events_resample,
         "events_pivot": q_events_pivot,
+        "events_funnel": q_events_funnel,
+        "orders_left_join": q_orders_left_join,
     }
 
 
@@ -3595,6 +3768,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_travel": sql_events_travel(),
         "events_resample": sql_events_resample(),
         "events_pivot": sql_events_pivot(),
+        "events_funnel": sql_events_funnel(),
+        "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
         "s2_density": sql_s2_density(),

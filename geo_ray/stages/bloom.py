@@ -128,15 +128,18 @@ def bloom_prefilter(ds, key_col: str, filter_ref):
 
 def bloom_semi_join(probe_ds, build_ds, probe_key: str, build_key: str,
                     *, fpp: float = 0.01,
-                    n_build_keys: int | None = None):
+                    n_build_keys: int | None = None,
+                    n_buckets: int = 128):
     """Exact semi-join (probe rows whose key appears in the build
     side) with Bloom-prefiltered shuffle volume.
 
     1. build: streaming OR-aggregate -> BloomFilter, ray.put once
     2. prefilter: probe rows failing the filter never shuffle
-    3. recheck: survivors + build keys tagged-union, co-partitioned
-       groupby(key) keeps probe rows iff a build row shares the key —
-       false positives die here, so the result is exact regardless of
+    3. recheck: survivors + build keys tagged-union, co-partitioned by
+       hash BUCKET (not by key: one group per key pays per-group
+       dispatch; ~n_buckets groups each run one vectorized np.isin
+       over the bucket's keys — the salt-stage bucketing idiom).
+       False positives die here, so the result is exact regardless of
        fpp (collision test drives an undersized filter through this).
 
     At scale the only full-payload movement is the survivors' one
@@ -150,33 +153,44 @@ def bloom_semi_join(probe_ds, build_ds, probe_key: str, build_key: str,
     survivors = bloom_prefilter(probe_ds, probe_key, ref)
 
     probe_schema = probe_ds.schema()
-    payload = [n for n in probe_schema.names if n != probe_key]
-    payload_types = {n: probe_schema.types[probe_schema.names.index(n)]
-                     for n in payload}
+    key_type = probe_schema.types[probe_schema.names.index(probe_key)]
+    nb = np.uint64(n_buckets)
+
+    def _bkt(keys: np.ndarray) -> pa.Array:
+        return pa.array((_splitmix(keys.astype(np.uint64)) % nb)
+                        .astype(np.int32), pa.int32())
 
     def _tag_probe(batch: pa.Table) -> pa.Table:
+        keys = batch.column(probe_key).to_numpy()
         return batch.append_column(
             "__src", pa.array(np.zeros(batch.num_rows, np.int8),
-                              pa.int8()))
+                              pa.int8())) \
+            .append_column("__bkt", _bkt(keys))
 
     def _tag_build(batch: pa.Table) -> pa.Table:
         keys = pc.unique(batch.column(build_key))
-        cols = {probe_key: keys.cast(
-            probe_schema.types[probe_schema.names.index(probe_key)])}
-        for n in payload:
-            cols[n] = pa.nulls(len(keys), payload_types[n])
-        t = pa.table(cols)
+        cols = {probe_key: keys.cast(key_type)}
+        for n in probe_schema.names:
+            if n != probe_key:
+                cols[n] = pa.nulls(
+                    len(keys),
+                    probe_schema.types[probe_schema.names.index(n)])
+        t = pa.table({n: cols[n] for n in probe_schema.names})
         return t.append_column(
-            "__src", pa.array(np.ones(len(keys), np.int8), pa.int8()))
+            "__src", pa.array(np.ones(len(keys), np.int8), pa.int8())) \
+            .append_column("__bkt", _bkt(keys.to_numpy()))
 
     tagged = survivors.map_batches(_tag_probe, batch_format="pyarrow") \
         .union(build_ds.map_batches(_tag_build, batch_format="pyarrow"))
 
     def _resolve(group: pa.Table) -> pa.Table:
         src = group.column("__src").to_numpy()
-        if not (src == 1).any():
-            return group.slice(0, 0).drop_columns(["__src"])
-        return group.filter(pa.array(src == 0)).drop_columns(["__src"])
+        keys = group.column(probe_key).to_numpy()
+        bkeys = np.unique(keys[src == 1])
+        probe_mask = src == 0
+        keep = probe_mask & np.isin(keys, bkeys)
+        return group.filter(pa.array(keep)) \
+            .drop_columns(["__src", "__bkt"])
 
-    return tagged.groupby(probe_key).map_groups(
+    return tagged.groupby("__bkt").map_groups(
         _resolve, batch_format="pyarrow")

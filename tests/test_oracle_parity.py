@@ -65,7 +65,7 @@ ORACLE_CHECKED = [
     "events_sample", "events_distinct_users",
     "events_anti_join", "events_retention", "events_gap_quantiles",
     "events_geofence", "events_travel", "events_resample",
-    "events_pivot",
+    "events_pivot", "events_funnel", "orders_left_join",
     "events_distinct_sketch", "events_distinct_hll",
     "lineitem_agg", "lineitem_semi_bloom", "tpch_q3",
     "tpch_q5", "tpch_q10",
