@@ -157,7 +157,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_retention", "events_gap_quantiles", "s2_pyramid",
                  "events_geofence", "events_travel",
                  "events_resample", "events_pivot", "lineitem_semi_bloom",
-                 "events_funnel", "orders_left_join",
+                 "events_funnel", "orders_left_join", "events_colocation",
                  "lineitem_agg", "tpch_q3", "tpch_q5", "tpch_q10"]
         registry = qmod.queries()
         for name in suite:

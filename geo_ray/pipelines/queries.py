@@ -3403,6 +3403,61 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_COLOC_EPS = 0.05                    # chord units (~0.05 rad)
+_COLOC_WINDOW_US = 21_600_000_000    # 6 hours
+_COLOC_BASE_US = 1_704_067_200_000_000  # 2024-01-01, the table epoch
+
+
+def q_events_colocation(sf_dir: str, eps: float = _COLOC_EPS,
+                        window_us: int = _COLOC_WINDOW_US):
+    """Spatiotemporal co-location join: pairs of DIFFERENT users
+    observed within chord distance eps AND six hours of each other
+    (stages/trajectory.colocation_join — shifted-grid exactly-once
+    co-partitioning over (x/eps, y/eps, t/window); the exact integer
+    |dt| and full chord2 predicate run inside the bucket body).
+    Boundary safety: chord2 margins vs eps^2 are measured in
+    tests/test_trajectory.py; |dt| <= window is integer-exact."""
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    return colocation_join(ev.map_batches(_pts, batch_format="pyarrow"),
+                           eps_chord=eps, window_us=window_us,
+                           ts_base_us=_COLOC_BASE_US)
+
+
+def sql_events_colocation(eps: float = _COLOC_EPS,
+                          window_us: int = _COLOC_WINDOW_US) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+        f"{lat} AS lat, {lng} AS lng FROM events), "
+        f"xyz AS (SELECT event_id, user_id, tsu, {_XYZ_SQL} FROM pts) "
+        f"SELECT a.event_id AS event_a, b.event_id AS event_b, "
+        f"a.user_id AS user_a, b.user_id AS user_b, "
+        f"ABS(a.tsu - b.tsu) AS dt_us "
+        f"FROM xyz a JOIN xyz b ON a.tsu BETWEEN b.tsu - {window_us} "
+        f"AND b.tsu + {window_us} WHERE a.event_id < b.event_id "
+        f"AND a.user_id <> b.user_id AND "
+        f"(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+        f"(a.z-b.z)*(a.z-b.z) < {eps * eps!r} "
+        f"ORDER BY event_a, event_b")
+
+
 _LJ_SHIP_CUTOFF = "1996-06-01"
 
 
@@ -3752,6 +3807,7 @@ def queries() -> Dict:
         "events_resample": q_events_resample,
         "events_pivot": q_events_pivot,
         "events_funnel": q_events_funnel,
+        "events_colocation": q_events_colocation,
         "orders_left_join": q_orders_left_join,
     }
 
@@ -3769,6 +3825,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_resample": sql_events_resample(),
         "events_pivot": sql_events_pivot(),
         "events_funnel": sql_events_funnel(),
+        "events_colocation": sql_events_colocation(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),

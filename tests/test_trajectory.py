@@ -141,3 +141,99 @@ def test_integerization_margin_driver_scales():
                     if len(risky):
                         worst = min(worst, risky.min())
         assert worst > 1e-7, (sf, worst)
+
+
+# --------------------------------------------------------------------------
+# spatiotemporal co-location join
+# --------------------------------------------------------------------------
+
+def _coloc_ds(df, parts=6):
+    import ray.data as rd
+    return rd.from_pandas(df).repartition(parts)
+
+
+def _brute_pairs(df, eps, w):
+    out = set()
+    r = df.to_dict("records")
+    for i in range(len(r)):
+        for j in range(i + 1, len(r)):
+            a, b = r[i], r[j]
+            if a["user_id"] == b["user_id"]:
+                continue
+            if abs(a["tsu"] - b["tsu"]) > w:
+                continue
+            c2 = ((a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
+                  + (a["z"] - b["z"]) ** 2)
+            if c2 < eps * eps:
+                out.add((min(a["event_id"], b["event_id"]),
+                         max(a["event_id"], b["event_id"])))
+    return out
+
+
+def _random_obs(n=400, seed=11):
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    rng = np.random.RandomState(seed)
+    lat = rng.uniform(-60, 60, n)
+    lng = rng.uniform(-180, 180, n)
+    # clustered half: pull 50% of points near 3 hotspots so pairs exist
+    hot = rng.randint(0, 3, n)
+    near = rng.rand(n) < 0.5
+    lat[near] = np.array([10.0, -30.0, 48.0])[hot[near]] \
+        + rng.uniform(-1, 1, n)[near]
+    lng[near] = np.array([5.0, 140.0, -100.0])[hot[near]] \
+        + rng.uniform(-1, 1, n)[near]
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 40, n).astype(np.int64),
+        "tsu": rng.randint(0, 100_000, n).astype(np.int64),
+        "x": x, "y": y, "z": z})
+
+
+def test_colocation_matches_brute(ray_session):
+    from geo_ray.stages.trajectory import colocation_join
+    df = _random_obs()
+    eps, w = 0.05, 20_000
+    out = colocation_join(_coloc_ds(df), eps_chord=eps, window_us=w,
+                          ts_base_us=0).to_pandas()
+    got = set(zip(out["event_a"], out["event_b"]))
+    want = _brute_pairs(df, eps, w)
+    assert got == want and len(want) > 10
+    # exactly-once: no duplicate pair rows
+    assert len(out) == len(got)
+    # pair carry columns are consistent
+    assert (out["event_a"] < out["event_b"]).all()
+    assert (out["dt_us"] <= w).all() and (out["dt_us"] >= 0).all()
+
+
+def test_colocation_partition_invariance(ray_session):
+    from geo_ray.stages.trajectory import colocation_join
+    df = _random_obs(seed=12)
+    eps, w = 0.08, 30_000
+    a = colocation_join(_coloc_ds(df, 2), eps_chord=eps, window_us=w,
+                        ts_base_us=0).to_pandas()
+    b = colocation_join(_coloc_ds(df, 13), eps_chord=eps, window_us=w,
+                        ts_base_us=0).to_pandas()
+    key = ["event_a", "event_b"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_colocation_same_user_excluded(ray_session):
+    from geo_ray.stages.trajectory import colocation_join
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    x, y, z = latlng_deg_to_xyz(np.array([10.0, 10.0]),
+                                np.array([10.0, 10.0]))
+    df = pd.DataFrame({"event_id": [0, 1],
+                       "user_id": [7, 7],
+                       "tsu": [0, 5], "x": x, "y": y, "z": z})
+    out = colocation_join(_coloc_ds(df, 1), eps_chord=0.1,
+                          window_us=100, ts_base_us=0).to_pandas()
+    assert len(out) == 0
+
+
+def test_colocation_packing_bound():
+    from geo_ray.stages.trajectory import _pack3
+    with pytest.raises(ValueError):
+        _pack3(np.array([[1 << 20, 0, 0]], dtype=np.int64))
