@@ -3403,6 +3403,111 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_SPLIT_BOUNDS = ((8, 10), (9, 10))   # train < 0.8 <= val < 0.9 <= test
+
+
+def q_events_split(sf_dir: str):
+    """Deterministic train/val/test split assignment: membership is a
+    pure function of splitmix64(event_id) against exact-rational
+    thresholds (the stages/sample.py contract), so any worker, any
+    re-run and the SQL oracle assign the identical split — the
+    coordination-free dataset-split idiom of training-data curation.
+    Output: per (event_type, split) row counts + exact cent sums."""
+    from ray.data.aggregate import Sum
+    from ..stages.sample import _splitmix, threshold_of
+
+    th_train = threshold_of(*_SPLIT_BOUNDS[0])
+    th_val = threshold_of(*_SPLIT_BOUNDS[1])
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = _splitmix(batch.column("event_id").to_numpy()
+                      .astype(np.uint64))
+        split = np.where(h < np.uint64(th_train), "train",
+                         np.where(h < np.uint64(th_val), "val", "test"))
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "key": pd.Series(batch.column("event_type").to_pandas())
+            + "|" + split,
+            "n": np.ones(batch.num_rows, np.int64),
+            "cents": cents,
+        })
+        g = df.groupby("key", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(_assign, batch_format="pyarrow")
+           .groupby("key")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+
+    def _unkey(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        et, sp = zip(*(k.split("|") for k in keys)) if keys else ((), ())
+        return pa.table({
+            "event_type": pa.array(list(et), pa.string()),
+            "split": pa.array(list(sp), pa.string()),
+            "n": batch.column("n"),
+            "cents": batch.column("cents"),
+        })
+
+    return agg.map_batches(_unkey, batch_format="pyarrow")
+
+
+def sql_events_split() -> str:
+    from ..stages.sample import threshold_of
+    th_train = threshold_of(*_SPLIT_BOUNDS[0])
+    th_val = threshold_of(*_SPLIT_BOUNDS[1])
+    return (
+        "WITH src AS (SELECT event_id FROM events), "
+        f"{_splitmix_ctes('hx', 'src', 'event_id', 'CAST(event_id AS UBIGINT)')}, "
+        "assigned AS (SELECT e.event_type, "
+        f"CASE WHEN CAST(hx.v AS HUGEINT) < {th_train} THEN 'train' "
+        f"WHEN CAST(hx.v AS HUGEINT) < {th_val} THEN 'val' "
+        "ELSE 'test' END AS split, "
+        "CAST(ROUND(e.value * 100) AS BIGINT) AS cents "
+        "FROM events e JOIN hx ON hx.event_id = e.event_id) "
+        "SELECT event_type, split, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM assigned "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_events_running(sf_dir: str):
+    """Cumulative (running) window per user: running count and exact
+    running cent sum over each user's events in (ts, event_id) order —
+    the unbounded-preceding window frame, one output row per event.
+    Per-user groups, vectorized cumsum inside; integer cents make the
+    cumulative value order-independent across engines."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "running_n": np.arange(1, len(g) + 1, dtype=np.int64),
+            "running_cents": np.cumsum(cents),
+        })
+
+    return ds.groupby("user_id").map_groups(_per_user,
+                                            batch_format="pandas")
+
+
+def sql_events_running() -> str:
+    return (
+        "SELECT event_id, user_id, "
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS running_cents FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "ORDER BY user_id, event_id")
+
+
 _COLOC_EPS = 0.05                    # chord units (~0.05 rad)
 _COLOC_WINDOW_US = 21_600_000_000    # 6 hours
 _COLOC_BASE_US = 1_704_067_200_000_000  # 2024-01-01, the table epoch
@@ -3808,6 +3913,8 @@ def queries() -> Dict:
         "events_pivot": q_events_pivot,
         "events_funnel": q_events_funnel,
         "events_colocation": q_events_colocation,
+        "events_split": q_events_split,
+        "events_running": q_events_running,
         "orders_left_join": q_orders_left_join,
     }
 
@@ -3826,6 +3933,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_pivot": sql_events_pivot(),
         "events_funnel": sql_events_funnel(),
         "events_colocation": sql_events_colocation(),
+        "events_split": sql_events_split(),
+        "events_running": sql_events_running(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
