@@ -3403,6 +3403,107 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_SIMPLIFY_TOL_RAD = 1.0
+_SIMPLIFY_K = 16
+
+
+def q_events_simplify(sf_dir: str, tol_rad: float = _SIMPLIFY_TOL_RAD,
+                      k: int = _SIMPLIFY_K):
+    """Distributed polyline simplification: each user's track runs the
+    reference's greedy SubsampleVertices walk (s2/polyline.go:226-354)
+    with a bounded candidate lookahead (stages/trajectory.py).  The
+    point-to-edge predicate is libm-free IEEE arithmetic mirrored
+    verbatim by the SQL oracle (projection ratio, normalize, wedge
+    signs, endpoint min), so the kept-vertex set is bit-equal across
+    engines with no float-margin caveat — including degenerate
+    NaN/NULL lanes, which land in the same endpoint branch."""
+    from ..stages.trajectory import simplify_tracks
+
+    tol_chord2 = (2.0 * math.sin(min(tol_rad, math.pi) / 2.0)) ** 2
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    return simplify_tracks(ev.map_batches(_pts, batch_format="pyarrow"),
+                           tol_chord2, max_lookahead=k)
+
+
+def sql_events_simplify(tol_rad: float = _SIMPLIFY_TOL_RAD,
+                        k: int = _SIMPLIFY_K) -> str:
+    tol = (2.0 * math.sin(min(tol_rad, math.pi) / 2.0)) ** 2
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH RECURSIVE "
+        f"pts AS (SELECT event_id, user_id AS u, epoch_us(ts) AS tsu, "
+        f"{lat} AS lat, {lng} AS lng FROM events), "
+        f"xyz AS (SELECT event_id, u, tsu, {_XYZ_SQL} FROM pts), "
+        f"verts AS (SELECT u, event_id, x, y, z, ROW_NUMBER() OVER "
+        f"(PARTITION BY u ORDER BY tsu, event_id) - 1 AS rn FROM xyz), "
+        f"nu AS (SELECT u, COUNT(*) AS n FROM verts GROUP BY u), "
+        f"raw AS (SELECT i.u, i.rn AS i, c.rn AS c, m.rn AS m, "
+        f"(i.y*c.z - i.z*c.y) AS cx, (i.z*c.x - i.x*c.z) AS cy, "
+        f"(i.x*c.y - i.y*c.x) AS cz, i.x AS ax, i.y AS ay, i.z AS az, "
+        f"c.x AS bx, c.y AS by, c.z AS bz, m.x AS xx, m.y AS xy, "
+        f"m.z AS xz FROM verts i "
+        f"JOIN verts c ON c.u = i.u AND c.rn BETWEEN i.rn + 2 "
+        f"AND i.rn + {k} "
+        f"JOIN verts m ON m.u = i.u AND m.rn BETWEEN i.rn + 1 "
+        f"AND c.rn - 1), "
+        f"prj AS (SELECT *, (xx*cx + xy*cy + xz*cz) / "
+        f"(cx*cx + cy*cy + cz*cz) AS r FROM raw), "
+        f"pp AS (SELECT *, xx - cx*r AS px, xy - cy*r AS py, "
+        f"xz - cz*r AS pz FROM prj), "
+        f"qq AS (SELECT *, px / sqrt(px*px + py*py + pz*pz) AS qx, "
+        f"py / sqrt(px*px + py*py + pz*pz) AS qy, "
+        f"pz / sqrt(px*px + py*py + pz*pz) AS qz FROM pp), "
+        f"d2 AS (SELECT u, i, c, CASE WHEN "
+        f"((ay*qz - az*qy)*cx + (az*qx - ax*qz)*cy + (ax*qy - ay*qx)*cz) "
+        f"> 0 AND "
+        f"((qy*bz - qz*by)*cx + (qz*bx - qx*bz)*cy + (qx*by - qy*bx)*cz) "
+        f"> 0 THEN (xx-qx)*(xx-qx) + (xy-qy)*(xy-qy) + (xz-qz)*(xz-qz) "
+        f"ELSE CASE WHEN (xx-ax)*(xx-ax) + (xy-ay)*(xy-ay) + "
+        f"(xz-az)*(xz-az) <= (xx-bx)*(xx-bx) + (xy-by)*(xy-by) + "
+        f"(xz-bz)*(xz-bz) THEN (xx-ax)*(xx-ax) + (xy-ay)*(xy-ay) + "
+        f"(xz-az)*(xz-az) ELSE (xx-bx)*(xx-bx) + (xy-by)*(xy-by) + "
+        f"(xz-bz)*(xz-bz) END END AS d2 FROM qq), "
+        f"okt AS (SELECT u, i, c, BOOL_AND(d2 <= {tol!r}) AS ok "
+        f"FROM d2 GROUP BY u, i, c), "
+        f"ff AS (SELECT u, i, MIN(c) AS ff FROM okt WHERE NOT ok "
+        f"GROUP BY u, i), "
+        f"nxt AS (SELECT v.u, v.rn AS i, CASE WHEN ff.ff IS NOT NULL "
+        f"THEN ff.ff - 1 ELSE LEAST(v.rn + {k}, nu.n - 1) END AS nx "
+        f"FROM verts v JOIN nu ON nu.u = v.u "
+        f"LEFT JOIN ff ON ff.u = v.u AND ff.i = v.rn "
+        f"WHERE v.rn < nu.n - 1), "
+        f"walk AS (SELECT v.u, 0::BIGINT AS idx, v.x AS lx, v.y AS ly, "
+        f"v.z AS lz, TRUE AS emit FROM verts v WHERE v.rn = 0 "
+        f"UNION ALL SELECT w.u, CAST(nxt.nx AS BIGINT) AS idx, "
+        f"CASE WHEN v.x = w.lx AND v.y = w.ly AND v.z = w.lz THEN w.lx "
+        f"ELSE v.x END AS lx, "
+        f"CASE WHEN v.x = w.lx AND v.y = w.ly AND v.z = w.lz THEN w.ly "
+        f"ELSE v.y END AS ly, "
+        f"CASE WHEN v.x = w.lx AND v.y = w.ly AND v.z = w.lz THEN w.lz "
+        f"ELSE v.z END AS lz, "
+        f"NOT (v.x = w.lx AND v.y = w.ly AND v.z = w.lz) AS emit "
+        f"FROM walk w JOIN nxt ON nxt.u = w.u AND nxt.i = w.idx "
+        f"JOIN verts v ON v.u = w.u AND v.rn = nxt.nx) "
+        f"SELECT w.u AS user_id, v.event_id FROM walk w "
+        f"JOIN verts v ON v.u = w.u AND v.rn = w.idx "
+        f"WHERE w.emit ORDER BY user_id, event_id")
+
+
 _SPLIT_BOUNDS = ((8, 10), (9, 10))   # train < 0.8 <= val < 0.9 <= test
 
 
@@ -3915,6 +4016,7 @@ def queries() -> Dict:
         "events_colocation": q_events_colocation,
         "events_split": q_events_split,
         "events_running": q_events_running,
+        "events_simplify": q_events_simplify,
         "orders_left_join": q_orders_left_join,
     }
 
@@ -3935,6 +4037,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_colocation": sql_events_colocation(),
         "events_split": sql_events_split(),
         "events_running": sql_events_running(),
+        "events_simplify": sql_events_simplify(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),

@@ -87,6 +87,90 @@ def resample_tracks(ds, step_us: int):
 
 
 # --------------------------------------------------------------------------
+# polyline simplification (greedy radial, bounded lookahead)
+# --------------------------------------------------------------------------
+
+def _edge_chord2_vec(M: np.ndarray, a: np.ndarray,
+                     b: np.ndarray) -> np.ndarray:
+    """Squared-chord distance from each row of M to geodesic edge AB —
+    the Project/updateMinDistance semantics (s2/edge_distances.go:
+    190-270) written with EXPLICIT component arithmetic so every IEEE
+    operation (and its order) is mirrored verbatim by the SQL oracle;
+    the whole predicate is libm-free (mul/add/div/sqrt only), so both
+    engines produce bit-identical doubles.  Degenerate lanes (A == B,
+    or M on the edge axis) go NaN here / NULL in SQL and land in the
+    same endpoint branch in both engines."""
+    ax, ay, az = a
+    bx, by, bz = b
+    xx, xy, xz = M[:, 0], M[:, 1], M[:, 2]
+    cx = ay * bz - az * by
+    cy = az * bx - ax * bz
+    cz = ax * by - ay * bx
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = (xx * cx + xy * cy + xz * cz) \
+            / (cx * cx + cy * cy + cz * cz)
+        px = xx - cx * r
+        py = xy - cy * r
+        pz = xz - cz * r
+        pn = np.sqrt(px * px + py * py + pz * pz)
+        qx, qy, qz = px / pn, py / pn, pz / pn
+        c1 = (ay * qz - az * qy) * cx + (az * qx - ax * qz) * cy \
+            + (ax * qy - ay * qx) * cz
+        c2 = (qy * bz - qz * by) * cx + (qz * bx - qx * bz) * cy \
+            + (qx * by - qy * bx) * cz
+        da = (xx - ax) ** 2 + (xy - ay) ** 2 + (xz - az) ** 2
+        db = (xx - bx) ** 2 + (xy - by) ** 2 + (xz - bz) ** 2
+        di = (xx - qx) ** 2 + (xy - qy) ** 2 + (xz - qz) ** 2
+        out = np.where(da <= db, da, db)
+        onab = (c1 > 0) & (c2 > 0)
+        return np.where(onab, di, out)
+
+
+def simplify_group(g: pd.DataFrame, tol_chord2: float,
+                   max_lookahead: int = 16) -> pd.DataFrame:
+    """Greedy radial simplification of one user's track — the
+    reference's Polyline.SubsampleVertices walk (s2/polyline.go:
+    226-354: keep the longest prefix of candidates whose intermediate
+    vertices all stay within tolerance, stop at the first failure,
+    skip duplicate positions) with a bounded candidate lookahead that
+    makes the per-step work O(max_lookahead^2) regardless of track
+    length.  Expects (user_id, tsu, event_id, x, y, z); emits the
+    kept (user_id, event_id) rows."""
+    g = g.sort_values(["tsu", "event_id"], kind="mergesort")
+    V = g[["x", "y", "z"]].to_numpy()
+    E = g["event_id"].to_numpy()
+    n = len(V)
+    if n == 0:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64")})
+    kept = [0]
+    idx = 0
+    while idx < n - 1:
+        bound = min(idx + max_lookahead, n - 1)
+        best = idx + 1
+        for c in range(idx + 2, bound + 1):
+            d = _edge_chord2_vec(V[idx + 1:c], V[idx], V[c])
+            if (d > tol_chord2).any():   # NaN lanes compare False: ok
+                break
+            best = c
+        if not np.array_equal(V[best], V[kept[-1]]):
+            kept.append(best)
+        idx = best
+    uid = int(g["user_id"].iloc[0])
+    return pd.DataFrame({
+        "user_id": np.full(len(kept), uid, np.int64),
+        "event_id": E[np.asarray(kept, np.int64)].astype(np.int64)})
+
+
+def simplify_tracks(ds, tol_chord2: float, max_lookahead: int = 16):
+    """Distributed simplification: per-user groups (narrow rows only),
+    greedy walk inside the group."""
+    return ds.groupby("user_id").map_groups(
+        lambda g: simplify_group(g, tol_chord2, max_lookahead),
+        batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # spatiotemporal co-location join
 # --------------------------------------------------------------------------
 

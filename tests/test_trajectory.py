@@ -237,3 +237,96 @@ def test_colocation_packing_bound():
     from geo_ray.stages.trajectory import _pack3
     with pytest.raises(ValueError):
         _pack3(np.array([[1 << 20, 0, 0]], dtype=np.int64))
+
+
+# --------------------------------------------------------------------------
+# polyline simplification
+# --------------------------------------------------------------------------
+
+def _simplify_ref(V, tol_chord2, k):
+    """Scalar reference for the greedy walk, using the engine's own
+    chord2_point_edge (the SubsampleVertices semantics the vectorized
+    kernel must reproduce)."""
+    from geo_ray.functions.distance import chord2_point_edge
+    n = len(V)
+    kept = [0]
+    idx = 0
+    while idx < n - 1:
+        bound = min(idx + k, n - 1)
+        best = idx + 1
+        for c in range(idx + 2, bound + 1):
+            if any(float(chord2_point_edge(V[m], V[idx], V[c]))
+                   > tol_chord2 for m in range(idx + 1, c)):
+                break
+            best = c
+        if not np.array_equal(V[best], V[kept[-1]]):
+            kept.append(best)
+        idx = best
+    return kept
+
+
+def _simplify_df(lats, lngs):
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    x, y, z = latlng_deg_to_xyz(np.asarray(lats, np.float64),
+                                np.asarray(lngs, np.float64))
+    n = len(x)
+    return pd.DataFrame({"user_id": np.ones(n, np.int64),
+                         "tsu": np.arange(n, dtype=np.int64),
+                         "event_id": np.arange(n, dtype=np.int64),
+                         "x": x, "y": y, "z": z})
+
+
+def test_simplify_matches_reference_walk():
+    from geo_ray.stages.trajectory import simplify_group
+    rng = np.random.RandomState(5)
+    for trial in range(5):
+        n = 60
+        # mixture: smooth arc + noise, so both keeps and drops occur
+        t = np.linspace(0, 1, n)
+        lats = 20 * t + rng.uniform(-8, 8, n)
+        lngs = 120 * t + rng.uniform(-8, 8, n)
+        g = _simplify_df(lats, lngs)
+        for tol in (0.01, 0.2, 0.9):
+            out = simplify_group(g, tol, max_lookahead=16)
+            ref = _simplify_ref(g[["x", "y", "z"]].to_numpy(), tol, 16)
+            assert list(out["event_id"]) == ref, (trial, tol)
+
+
+def test_simplify_straight_line_collapses():
+    """Points exactly on one geodesic (equator) collapse to the
+    endpoints within each lookahead window."""
+    from geo_ray.stages.trajectory import simplify_group
+    lngs = np.linspace(0.0, 30.0, 31)
+    g = _simplify_df(np.zeros(31), lngs)
+    out = simplify_group(g, 1e-12, max_lookahead=64)
+    assert list(out["event_id"]) == [0, 30]
+
+
+def test_simplify_duplicate_positions_skipped():
+    from geo_ray.stages.trajectory import simplify_group
+    lats = [0.0, 0.0, 50.0]
+    lngs = [10.0, 10.0, 80.0]
+    g = _simplify_df(lats, lngs)
+    out = simplify_group(g, 1e-12, max_lookahead=4)
+    # vertex 1 duplicates vertex 0's position: never emitted twice
+    assert list(out["event_id"]) == [0, 2]
+
+
+def test_simplify_lookahead_cap_binds():
+    """With lookahead 2 a fully-collinear run still stops every 2
+    steps — the documented bounded-window semantics."""
+    from geo_ray.stages.trajectory import simplify_group
+    lngs = np.linspace(0.0, 10.0, 11)
+    g = _simplify_df(np.zeros(11), lngs)
+    out = simplify_group(g, 10.0, max_lookahead=2)
+    assert list(out["event_id"]) == [0, 2, 4, 6, 8, 10]
+
+
+def test_simplify_tolerance_zero_keeps_unique_positions():
+    from geo_ray.stages.trajectory import simplify_group
+    rng = np.random.RandomState(9)
+    lats = rng.uniform(-60, 60, 20)
+    lngs = rng.uniform(-170, 170, 20)
+    g = _simplify_df(lats, lngs)
+    out = simplify_group(g, 0.0, max_lookahead=8)
+    assert list(out["event_id"]) == list(range(20))
