@@ -64,6 +64,72 @@ def write_images_table(ds, path: str, *, fmt: str = "parquet",
     return path
 
 
+#: canonical image-table schema (the driver input_hint's column list);
+#: text-format ingest normalizes to these arrow types so every
+#: downstream stage sees one schema regardless of source format.
+IMAGE_SCHEMA_TYPES = {
+    "image_id": "string", "bytes": "binary", "w": "int32",
+    "h": "int32", "fmt": "string", "caption": "string",
+    "phash": "int64",
+}
+
+
+def _normalize_schema(ds, columns: Optional[Sequence[str]] = None):
+    """Cast text-parsed columns to the canonical image-table types
+    (CSV/JSON readers infer int64/strings; `bytes` rides base64)."""
+    import base64
+
+    import numpy as np
+    import pyarrow as pa
+
+    want = list(columns) if columns else None
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in (want or batch.column_names):
+            col = batch.column(name)
+            t = IMAGE_SCHEMA_TYPES.get(name)
+            if t == "binary" and pa.types.is_string(col.type):
+                raw = [base64.b64decode(v) if v is not None else None
+                       for v in col.to_pylist()]
+                cols[name] = pa.array(raw, pa.binary())
+            elif t == "int32":
+                cols[name] = col.cast(pa.int32())
+            elif t == "int64":
+                cols[name] = col.cast(pa.int64())
+            elif t == "string" and not pa.types.is_string(col.type):
+                cols[name] = col.cast(pa.string())
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(_cast, batch_format="pyarrow")
+
+
+def read_text_table(path: str, *, fmt: Optional[str] = None,
+                    columns: Optional[Sequence[str]] = None):
+    """CSV / JSONL ingest of the image+caption table (interchange
+    formats for the same schema; binary `bytes` travels base64).
+    Column pruning happens right after parse — text readers must
+    materialize the line anyway, but nothing downstream sees dropped
+    columns.  Returns the canonical arrow schema of
+    read_images_table."""
+    import ray.data as rd
+
+    fmt = fmt or ("csv" if path.endswith(".csv")
+                  else "json" if path.endswith((".json", ".jsonl"))
+                  else None)
+    if fmt == "csv":
+        ds = rd.read_csv(path)
+    elif fmt == "json":
+        ds = rd.read_json(path)
+    else:
+        raise ValueError(f"cannot infer text format of {path}")
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return _normalize_schema(ds, columns)
+
+
 def list_table_files(path: str) -> List[str]:
     """Parquet fragment files of a table directory (one resume shard
     can own a contiguous group of these)."""
