@@ -3403,6 +3403,123 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+# two long geodesic "border" fences; decimals chosen off the event
+# lattice (min |det| margins re-checked in tests/test_trajectory.py)
+_BORDERS = [((-80.0, 0.017), (80.0, 0.017)),
+            ((10.013, -120.0), (-5.021, 60.0))]
+
+
+def _border_xyz():
+    out = []
+    for (lat1, lng1), (lat2, lng2) in _BORDERS:
+        c = latlng_deg_to_xyz(np.float64(lat1), np.float64(lng1))
+        d = latlng_deg_to_xyz(np.float64(lat2), np.float64(lng2))
+        out.append(((float(c[0]), float(c[1]), float(c[2])),
+                    (float(d[0]), float(d[1]), float(d[2]))))
+    return out
+
+
+def q_events_crossings(sf_dir: str):
+    """Trajectory border-crossing counts: each user's consecutive
+    event segments are tested for interior crossing against two fixed
+    geodesic fences with the reference's sign-ladder CrossingSign
+    (s2/edge_crossings.go:88-112: acb == bda == cbd == dac over
+    robust_sign).  At the driver's correctness scale every determinant
+    clears the triage error bound by ~10 orders of magnitude (measured
+    in tests), so the plain IEEE determinant equals robust_sign and
+    the SQL oracle mirrors it bit-for-bit; near-degenerate lanes at
+    larger scales still compare the IDENTICAL double in both engines
+    (parity holds), with the exact/SoS ladder in
+    functions/predicates.py available when infinitely-precise signs
+    are required."""
+    import pandas as pd
+
+    borders = _border_xyz()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    def _det(ax, ay, az, bx, by, bz, c):
+        cx, cy, cz = c
+        return (ay * bz - az * by) * cx + (az * bx - ax * bz) * cy \
+            + (ax * by - ay * bx) * cz
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        z = g["z"].to_numpy()
+        ax, ay, az = x[:-1], y[:-1], z[:-1]
+        bx, by, bz = x[1:], y[1:], z[1:]
+        total = 0
+        for c, d in borders:
+            if len(ax) == 0:
+                break
+            s1 = np.where(_det(ax, ay, az, bx, by, bz, c) > 0, 1, -1)
+            s2 = np.where(_det(ax, ay, az, bx, by, bz, d) > 0, 1, -1)
+            # det(C,D,X) with constant C,D: same formula, constants
+            # folded to (cy*dz - cz*dy, ...) = C x D
+            e = (c[1] * d[2] - c[2] * d[1],
+                 c[2] * d[0] - c[0] * d[2],
+                 c[0] * d[1] - c[1] * d[0])
+            s3 = np.where(bx * e[0] + by * e[1] + bz * e[2] > 0, 1, -1)
+            s4 = np.where(ax * e[0] + ay * e[1] + az * e[2] > 0, 1, -1)
+            total += int(((s2 == -s1) & (s3 == s1)
+                          & (s4 == -s1)).sum())
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_crossings": [total]})
+
+    return ev.map_batches(_pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(_per_user, batch_format="pandas")
+
+
+def sql_events_crossings() -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    arms = []
+    for c, d in _border_xyz():
+        e = (c[1] * d[2] - c[2] * d[1],
+             c[2] * d[0] - c[0] * d[2],
+             c[0] * d[1] - c[1] * d[0])
+        det_abc = (f"(ay*bz - az*by)*({c[0]!r}) + "
+                   f"(az*bx - ax*bz)*({c[1]!r}) + "
+                   f"(ax*by - ay*bx)*({c[2]!r})")
+        det_abd = (f"(ay*bz - az*by)*({d[0]!r}) + "
+                   f"(az*bx - ax*bz)*({d[1]!r}) + "
+                   f"(ax*by - ay*bx)*({d[2]!r})")
+        s3 = f"bx*({e[0]!r}) + by*({e[1]!r}) + bz*({e[2]!r})"
+        s4 = f"ax*({e[0]!r}) + ay*({e[1]!r}) + az*({e[2]!r})"
+        arms.append(
+            f"CASE WHEN "
+            f"(CASE WHEN {det_abd} > 0 THEN 1 ELSE -1 END) = "
+            f"-(CASE WHEN {det_abc} > 0 THEN 1 ELSE -1 END) AND "
+            f"(CASE WHEN {s3} > 0 THEN 1 ELSE -1 END) = "
+            f"(CASE WHEN {det_abc} > 0 THEN 1 ELSE -1 END) AND "
+            f"(CASE WHEN {s4} > 0 THEN 1 ELSE -1 END) = "
+            f"-(CASE WHEN {det_abc} > 0 THEN 1 ELSE -1 END) "
+            f"THEN 1 ELSE 0 END")
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, ts, {lat} AS lat, "
+        f"{lng} AS lng FROM events), "
+        f"xyz AS (SELECT event_id, user_id, ts, {_XYZ_SQL} FROM pts), "
+        f"seg AS (SELECT user_id, "
+        f"LAG(x) OVER w AS ax, LAG(y) OVER w AS ay, LAG(z) OVER w AS az, "
+        f"x AS bx, y AS by, z AS bz FROM xyz "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        f"SELECT user_id, CAST(COALESCE(SUM(CASE WHEN ax IS NULL "
+        f"THEN 0 ELSE {' + '.join(arms)} END), 0) AS BIGINT) "
+        f"AS n_crossings FROM seg GROUP BY user_id ORDER BY user_id")
+
+
 _SIMPLIFY_TOL_RAD = 1.0
 _SIMPLIFY_K = 16
 
@@ -4017,6 +4134,7 @@ def queries() -> Dict:
         "events_split": q_events_split,
         "events_running": q_events_running,
         "events_simplify": q_events_simplify,
+        "events_crossings": q_events_crossings,
         "orders_left_join": q_orders_left_join,
     }
 
@@ -4038,6 +4156,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_split": sql_events_split(),
         "events_running": sql_events_running(),
         "events_simplify": sql_events_simplify(),
+        "events_crossings": sql_events_crossings(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),

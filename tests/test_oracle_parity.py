@@ -67,7 +67,7 @@ ORACLE_CHECKED = [
     "events_geofence", "events_travel", "events_resample",
     "events_pivot", "events_funnel", "orders_left_join",
     "events_colocation", "events_split", "events_running",
-    "events_simplify",
+    "events_simplify", "events_crossings",
     "events_distinct_sketch", "events_distinct_hll",
     "lineitem_agg", "lineitem_semi_bloom", "tpch_q3",
     "tpch_q5", "tpch_q10",

