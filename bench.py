@@ -152,7 +152,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_distinct_hll",
                  "events_anti_join",
                  "doc_chunks", "chunk_knn", "neardup_agreement",
-                 "spatial_join_images", "tile_vectorize", "image_neardup",
+                 "spatial_join_images", "tile_vectorize", "tile_pyramid", "image_neardup",
                  "corpus_curation",
                  "events_retention", "events_gap_quantiles", "s2_pyramid",
                  "events_geofence", "events_travel",

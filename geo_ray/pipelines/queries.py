@@ -3403,6 +3403,68 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_TILE_PYR_LEVELS = (7, 6, 5)
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Raster tile pyramid: level-7 density rasters pooled to levels 6
+    and 5 by EXACT integer 2x2 pooling (stages/tiles.pool_tile_pixels)
+    — zoom-out levels built from the finer level's aggregated pixels,
+    never re-reading leaf data.  The SQL oracle derives every level
+    directly from leaf (i, j) bit math, so it independently proves the
+    pooling identity pixel_parent = (px*q + pixel_child) // 2.
+    Output: per (level, token) exact image counts, occupied-pixel
+    counts and pixel-index checksums."""
+    from .flagship import build_geo_points
+    from ..stages.tiles import (pool_tile_pixels, tile_level_stats,
+                                tile_pixel_count_partials)
+    from ray.data.aggregate import Sum
+
+    pts = build_geo_points(_sf_num_images(sf_dir))
+    agg = {}
+    top = _TILE_PYR_LEVELS[0]
+    agg[top] = (pts.map_batches(
+        lambda b: tile_pixel_count_partials(b, top),
+        batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("count", alias_name="count")))
+    for lv in _TILE_PYR_LEVELS[1:]:
+        agg[lv] = (agg[lv + 1].map_batches(
+            lambda b, _lv=lv: pool_tile_pixels(b, _lv + 1),
+            batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("count", alias_name="count")))
+    out = None
+    for lv in _TILE_PYR_LEVELS:
+        stats = tile_level_stats(agg[lv], lv)
+        out = stats if out is None else out.union(stats)
+    return out
+
+
+def sql_tile_pyramid(px: int = 16, num_images: int = 10_000) -> str:
+    # the oracle re-derives every level from the leaves (_cell_sql_cte
+    # over the synthesized geotags; num_images pinned to the driver's
+    # sf0.01 scale like the other image oracles), proving the pooling
+    arms = []
+    for lv in _TILE_PYR_LEVELS:
+        size = 1 << (30 - lv)
+        mask = size - 1
+        arms.append(
+            f"SELECT CAST({lv} AS BIGINT) AS level, "
+            f"{_sql_parent_token(lv)} AS token, "
+            f"(((j & {mask}::UBIGINT) * {px}) // {size}) * {px} "
+            f"+ (((i & {mask}::UBIGINT) * {px}) // {size}) AS pixel "
+            f"FROM cells")
+    return (
+        f"WITH {_images_xyz_cte(num_images)}, "
+        f"{_cell_sql_cte(key='image_id', src='ixyz')}, "
+        f"pxl AS ({' UNION ALL '.join(arms)}) "
+        f"SELECT level, token, CAST(COUNT(*) AS BIGINT) AS n_images, "
+        f"CAST(COUNT(DISTINCT pixel) AS BIGINT) AS n_pixels, "
+        f"CAST(SUM(pixel) AS BIGINT) AS pix_sum "
+        f"FROM pxl GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 # two long geodesic "border" fences; decimals chosen off the event
 # lattice (min |det| margins re-checked in tests/test_trajectory.py)
 _BORDERS = [((-80.0, 0.017), (80.0, 0.017)),
@@ -4135,6 +4197,7 @@ def queries() -> Dict:
         "events_running": q_events_running,
         "events_simplify": q_events_simplify,
         "events_crossings": q_events_crossings,
+        "tile_pyramid": q_tile_pyramid,
         "orders_left_join": q_orders_left_join,
     }
 
@@ -4157,6 +4220,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_running": sql_events_running(),
         "events_simplify": sql_events_simplify(),
         "events_crossings": sql_events_crossings(),
+        "tile_pyramid": sql_tile_pyramid(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),

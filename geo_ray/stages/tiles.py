@@ -228,3 +228,106 @@ def write_tiles_partitioned(tiles_ds, out_dir: str,
     (tiles_ds.map_batches(_shard, batch_format="pyarrow")
      .write_parquet(out_dir, partition_cols=["shard"]))
     return out_dir
+
+
+def tile_pixel_count_partials(batch: pa.Table, level: int,
+                              px: int = TILE_PX) -> pa.Table:
+    """Count-only per-batch combiner for density rasters: (key, count)
+    partials with the same integer-exact (i, j) pixel bit math as
+    tile_pixel_partials but no color sums — geo-only sources feed it
+    without ever synthesizing pixel bytes.  The composite key
+    (tile >> shift) * px^2 + pixel stays far below 2^63 (level <= 24),
+    so Ray's hash aggregate shuffles a plain int64 — uint64 cell ids
+    on faces 4/5 overflow int64 and break arrow key encoding."""
+    ids = batch.column("cell_id").to_numpy()
+    f, i, j, _ = cid.face_ij_orientation_v(ids)
+    size = np.int64(1) << np.int64(30 - level)
+    px_x = ((i & -size) ^ i) * px // size
+    px_y = ((j & -size) ^ j) * px // size
+    pixel = (px_y * px + px_x).astype(np.int64)
+    tile = cid.parent_v(ids, level)
+    assert level <= 24
+    shift = np.uint64(2 * (30 - level))
+    key = (tile >> shift) * np.uint64(px * px) + pixel.astype(np.uint64)
+    uniq, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "key": pa.array(uniq.astype(np.int64), pa.int64()),
+        "count": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def decode_tile_key(key: np.ndarray, level: int,
+                    px: int = TILE_PX):
+    """(key at level) -> (tile_id uint64, pixel int64)."""
+    k = key.astype(np.uint64)
+    shift = np.uint64(2 * (30 - level))
+    # the tile's lsb sentinel bit sits at position `shift`, i.e. bit 0
+    # of the packed prefix — shifting back restores the full cell id
+    tile = (k // np.uint64(px * px)) << shift
+    pixel = (k % np.uint64(px * px)).astype(np.int64)
+    return tile, pixel
+
+
+def pool_tile_pixels(batch: pa.Table, level_from: int,
+                     px: int = TILE_PX) -> pa.Table:
+    """One pyramid step: (key, count) rows at ``level_from`` ->
+    partials at ``level_from - 1`` by EXACT integer 2x2 pooling.
+
+    A child tile occupies the (qx, qy) quadrant of its parent, where
+    q bits are bit (30 - level_from) of the child's (i, j); the parent
+    pixel is then (px*q + child_pixel) // 2 per axis — identical to
+    recomputing the pixel from leaf (i, j) at the parent level (the
+    floor-division identity ((b*size + r_px)*size' scaling; proven by
+    the SQL oracle, which derives every level directly from leaves).
+    This is how a tiling engine builds zoom-out levels WITHOUT
+    re-reading leaf data: counts pool linearly, so partials at any
+    aggregation state can pool."""
+    key = batch.column("key").to_numpy()
+    tile, pixel = decode_tile_key(key, level_from, px)
+    f, i, j, _ = cid.face_ij_orientation_v(tile)
+    kbit = np.int64(30 - level_from)
+    qx = ((i >> kbit) & 1).astype(np.int64)
+    qy = ((j >> kbit) & 1).astype(np.int64)
+    cx = pixel % px
+    cy = pixel // px
+    nx = (px * qx + cx) // 2
+    ny = (px * qy + cy) // 2
+    parent = cid.parent_v(tile, level_from - 1)
+    npx = (ny * px + nx).astype(np.int64)
+    cnt = batch.column("count").to_numpy().astype(np.int64)
+    shift = np.uint64(2 * (30 - (level_from - 1)))
+    nkey = (parent >> shift) * np.uint64(px * px) + npx.astype(np.uint64)
+    uniq, inv = np.unique(nkey, return_inverse=True)
+    csum = np.bincount(inv, weights=cnt).astype(np.int64)
+    return pa.table({
+        "key": pa.array(uniq.astype(np.int64), pa.int64()),
+        "count": pa.array(csum, pa.int64()),
+    })
+
+
+def tile_level_stats(agg, level: int, px: int = TILE_PX):
+    """Aggregated (key, count) rows -> per-tile stats
+    (level, token, n_images, n_pixels, pix_sum), all exact ints."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        tile, pixel = decode_tile_key(key, level, px)
+        cnt = batch.column("count").to_numpy()
+        uniq, inv = np.unique(tile, return_inverse=True)
+        n_img = np.bincount(inv, weights=cnt).astype(np.int64)
+        n_px = np.bincount(inv).astype(np.int64)
+        psum = np.bincount(inv, weights=pixel * cnt).astype(np.int64)
+        return pa.table({
+            "level": pa.array(np.full(len(uniq), level, np.int64)),
+            "token": pa.array(cid.token_v(uniq), pa.string()),
+            "n_images": pa.array(n_img),
+            "n_pixels": pa.array(n_px),
+            "pix_sum": pa.array(psum),
+        })
+
+    return (agg.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["level", "token"])
+            .aggregate(Sum("n_images", alias_name="n_images"),
+                       Sum("n_pixels", alias_name="n_pixels"),
+                       Sum("pix_sum", alias_name="pix_sum")))
