@@ -138,7 +138,7 @@ def run_suite(headline_only: bool = False) -> dict:
         from geo_ray.pipelines import queries as qmod
         suite = ["cap_contains", "polygon_contains", "radius_join",
                  "knn_geo", "knn_geo_limited", "knn_geo_ring", "knn_join",
-                 "grid_density", "s2_density",
+                 "grid_density", "s2_density", "grid_smooth",
                  "token_count", "dedup_exact", "dedup_clusters",
                  "embed_knn", "embed_knn_ivf",
                  "embed_neardup", "minhash_dedup", "simhash",

@@ -3403,6 +3403,77 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_SMOOTH_LEVEL = 6
+# 3x3 integer box kernel: center 4, edges 2, corners 1
+_SMOOTH_OFFSETS = [(di, dj, (2 - abs(di)) * (2 - abs(dj)))
+                   for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+
+def q_grid_smooth(sf_dir: str, level: int = _SMOOTH_LEVEL):
+    """Kernel-density smoothing: per-cell counts at one S2 level
+    convolved with an integer 3x3 kernel over the face (i, j) grid —
+    the raster blur that turns point density into a heatmap.  Scatter
+    form (each density partial emits its 9 weighted neighbor
+    contributions; one groupby merges), so smoothing costs one shuffle
+    of 9x narrow partial rows — never a gather of neighbor cells.
+    Same-face kernel only (cells on a face edge miss cross-face
+    neighbors; the engine's EdgeNeighbors machinery handles the exact
+    case, tested in tests/test_cellid.py)."""
+    from ray.data.aggregate import Sum
+
+    pts = _customer_points(sf_dir)
+    sh = np.int64(30 - level)
+    lim = (1 << level) - 1
+
+    def _scatter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("cell_id").to_numpy()
+        f, i, j, _ = cid.face_ij_orientation_v(ids)
+        ci = (i >> sh).astype(np.int64)
+        cj = (j >> sh).astype(np.int64)
+        key = (f.astype(np.int64) << 40) | (ci << 20) | cj
+        uniq, cnt = np.unique(key, return_counts=True)
+        uf = uniq >> 40
+        uci = (uniq >> 20) & ((1 << 20) - 1)
+        ucj = uniq & ((1 << 20) - 1)
+        fs, cis, cjs, ws = [], [], [], []
+        for di, dj, w in _SMOOTH_OFFSETS:
+            ni, nj = uci + di, ucj + dj
+            ok = (ni >= 0) & (ni <= lim) & (nj >= 0) & (nj <= lim)
+            fs.append(uf[ok])
+            cis.append(ni[ok])
+            cjs.append(nj[ok])
+            ws.append(w * cnt[ok])
+        return pa.table({
+            "face": pa.array(np.concatenate(fs)),
+            "ci": pa.array(np.concatenate(cis)),
+            "cj": pa.array(np.concatenate(cjs)),
+            "wn": pa.array(np.concatenate(ws).astype(np.int64)),
+        })
+
+    return (pts.map_batches(_scatter, batch_format="pyarrow")
+            .groupby(["face", "ci", "cj"])
+            .aggregate(Sum("wn", alias_name="smooth")))
+
+
+def sql_grid_smooth(level: int = _SMOOTH_LEVEL) -> str:
+    sh = 30 - level
+    lim = (1 << level) - 1
+    offs = ", ".join(f"({di}, {dj}, {w})"
+                     for di, dj, w in _SMOOTH_OFFSETS)
+    return (
+        f"{_PTS_CTE}, {_cell_sql_cte()}, "
+        f"den AS (SELECT CAST(id_u >> 61 AS BIGINT) AS face, "
+        f"CAST(i >> {sh} AS BIGINT) AS ci, "
+        f"CAST(j >> {sh} AS BIGINT) AS cj, COUNT(*) AS n "
+        f"FROM cells GROUP BY 1, 2, 3), "
+        f"off(di, dj, w) AS (VALUES {offs}) "
+        f"SELECT face, ci + di AS ci, cj + dj AS cj, "
+        f"CAST(SUM(w * n) AS BIGINT) AS smooth FROM den, off "
+        f"WHERE ci + di BETWEEN 0 AND {lim} "
+        f"AND cj + dj BETWEEN 0 AND {lim} "
+        f"GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
+
+
 _TILE_PYR_LEVELS = (7, 6, 5)
 
 
@@ -4198,6 +4269,7 @@ def queries() -> Dict:
         "events_simplify": q_events_simplify,
         "events_crossings": q_events_crossings,
         "tile_pyramid": q_tile_pyramid,
+        "grid_smooth": q_grid_smooth,
         "orders_left_join": q_orders_left_join,
     }
 
@@ -4221,6 +4293,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_simplify": sql_events_simplify(),
         "events_crossings": sql_events_crossings(),
         "tile_pyramid": sql_tile_pyramid(),
+        "grid_smooth": sql_grid_smooth(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
