@@ -3403,6 +3403,123 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+_WSAMPLE_SCALE = 500.0  # keep probability = min(1, value / 500)
+
+
+def q_events_weighted_sample(sf_dir: str, scale: float = _WSAMPLE_SCALE):
+    """Weighted deterministic (Poisson/Bernoulli) sampling: each row
+    keeps with probability proportional to its value — membership is
+    splitmix64(event_id) < floor(2^64 * min(1, value/scale)), a pure
+    per-row function (no RNG state, no shuffle, identical in any
+    worker / re-run / the SQL oracle).  The per-row threshold is one
+    IEEE multiply+floor on the same doubles in both engines, so the
+    comparison is bit-exact."""
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    two64 = float(1 << 64)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy().astype(np.uint64)
+        v = batch.column("value").to_numpy()
+        p = np.minimum(v / scale, 1.0)
+        th = np.floor(p * two64)
+        h = _splitmix(ids).astype(np.float64)
+        # compare in float64: both sides are exact images of the same
+        # integers below 2^64; th==2^64 (p==1) keeps everything
+        return batch.filter(pa.array(h < th))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def sql_events_weighted_sample(scale: float = _WSAMPLE_SCALE) -> str:
+    return (
+        "WITH src AS (SELECT event_id FROM events), "
+        f"{_splitmix_ctes('hx', 'src', 'event_id', 'CAST(event_id AS UBIGINT)')} "
+        "SELECT e.event_id, e.event_type, e.value FROM events e "
+        "JOIN hx ON hx.event_id = e.event_id "
+        "WHERE CAST(hx.v AS DOUBLE) < "
+        f"FLOOR(LEAST(e.value / {scale!r}, 1.0) * "
+        "18446744073709551616.0) "
+        "ORDER BY e.event_id")
+
+
+_ZSCORE_UNITS = 1000
+
+
+def q_events_zscore(sf_dir: str):
+    """Group-wise standardization (the feature-engineering z-score):
+    per event type, mean and variance derive from EXACT integer cent
+    sums (n, sum_c, sum_c2) — the two-pass broadcast pattern: one tiny
+    moments aggregate ships to every task via ray.put, then a
+    stateless map normalizes each row.  z is computed from exact
+    integers with one IEEE expression (identical in both engines) and
+    integerized to 1e-3 units; margins asserted in
+    tests/test_oracle_parity.py-style parity by the hash check
+    itself plus the margin test below."""
+    import ray
+    from ray.data.aggregate import Sum, Count
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        c = np.round(batch.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": np.ones(len(c), np.int64), "sc": c, "sc2": c * c})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = (ds.map_batches(_moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sc", alias_name="sc"),
+                      Sum("sc2", alias_name="sc2"))).to_pandas()
+    table = {r["event_type"]: (int(r["n"]), int(r["sc"]), int(r["sc2"]))
+             for _, r in mom.iterrows()}
+    ref = ray.put(table)
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        et = batch.column("event_type").to_pylist()
+        c = np.round(batch.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        n = np.array([t[e][0] for e in et], np.int64)
+        sc = np.array([t[e][1] for e in et], np.int64)
+        sc2 = np.array([t[e][2] for e in et], np.int64)
+        # z = (c*n - sc) / sqrt(n*sc2 - sc^2): exact ints into one IEEE
+        # expression, same order as the SQL
+        num = (c * n - sc).astype(np.float64)
+        den = np.sqrt((n * sc2 - sc * sc).astype(np.float64))
+        zu = np.floor(num / den * float(_ZSCORE_UNITS)) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "z_units": pa.array(zu),
+        })
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def sql_events_zscore() -> str:
+    return (
+        "WITH c AS (SELECT event_id, event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(cents) AS BIGINT) AS sc, "
+        "CAST(SUM(cents * cents) AS BIGINT) AS sc2 "
+        "FROM c GROUP BY 1) "
+        "SELECT c.event_id, c.event_type, "
+        "CAST(FLOOR(CAST(c.cents * m.n - m.sc AS DOUBLE) / "
+        "sqrt(CAST(m.n * m.sc2 - m.sc * m.sc AS DOUBLE)) * "
+        f"{float(_ZSCORE_UNITS)!r}) AS BIGINT) AS z_units "
+        "FROM c JOIN m ON m.event_type = c.event_type "
+        "ORDER BY c.event_id")
+
+
 _SMOOTH_LEVEL = 6
 # 3x3 integer box kernel: center 4, edges 2, corners 1
 _SMOOTH_OFFSETS = [(di, dj, (2 - abs(di)) * (2 - abs(dj)))
@@ -4270,6 +4387,8 @@ def queries() -> Dict:
         "events_crossings": q_events_crossings,
         "tile_pyramid": q_tile_pyramid,
         "grid_smooth": q_grid_smooth,
+        "events_weighted_sample": q_events_weighted_sample,
+        "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
 
@@ -4294,6 +4413,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_crossings": sql_events_crossings(),
         "tile_pyramid": sql_tile_pyramid(),
         "grid_smooth": sql_grid_smooth(),
+        "events_weighted_sample": sql_events_weighted_sample(),
+        "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
