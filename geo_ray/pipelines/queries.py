@@ -3604,29 +3604,95 @@ def q_tile_pyramid(sf_dir: str):
     Output: per (level, token) exact image counts, occupied-pixel
     counts and pixel-index checksums."""
     from .flagship import build_geo_points
-    from ..stages.tiles import (pool_tile_pixels, tile_level_stats,
+    from ..stages.tiles import (decode_tile_key, pool_tile_pixels,
                                 tile_pixel_count_partials)
-    from ray.data.aggregate import Sum
 
     pts = build_geo_points(_sf_num_images(sf_dir))
-    agg = {}
     top = _TILE_PYR_LEVELS[0]
-    agg[top] = (pts.map_batches(
-        lambda b: tile_pixel_count_partials(b, top),
-        batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum("count", alias_name="count")))
-    for lv in _TILE_PYR_LEVELS[1:]:
-        agg[lv] = (agg[lv + 1].map_batches(
-            lambda b, _lv=lv: pool_tile_pixels(b, _lv + 1),
-            batch_format="pyarrow")
-            .groupby("key")
-            .aggregate(Sum("count", alias_name="count")))
-    out = None
-    for lv in _TILE_PYR_LEVELS:
-        stats = tile_level_stats(agg[lv], lv)
-        out = stats if out is None else out.union(stats)
-    return out
+
+    def _all_levels(batch: pa.Table) -> pa.Table:
+        # pooling is LINEAR, so partials pool in-batch: leaves are
+        # read once, and coarser levels derive from the finer level's
+        # partials — never from the leaf rows (the pyramid property).
+        t = tile_pixel_count_partials(batch, top)
+        keys, counts, levels = [], [], []
+        lv = top
+        while True:
+            keys.append(t.column("key").to_numpy())
+            counts.append(t.column("count").to_numpy())
+            levels.append(np.full(t.num_rows, lv, np.int64))
+            if lv <= _TILE_PYR_LEVELS[-1]:
+                break
+            t = pool_tile_pixels(t, lv)
+            lv -= 1
+        # composite (level, key) int64: keys stay below 2^26
+        ck = np.concatenate(levels) * (1 << 32) + np.concatenate(keys)
+        return pa.table({"ckey": pa.array(ck),
+                         "count": pa.array(np.concatenate(counts))})
+
+    from ..stages.sample import _splitmix
+
+    # high-cardinality exact aggregation goes through hash BUCKETS
+    # (vectorized bincount per bucket body), never a per-key Ray
+    # aggregate: Ray's sort-aggregate iterates groups in Python, and
+    # 250k (level, tile, pixel) keys cost ~14s that way (measured)
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ckey").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "bkt", pa.array((_splitmix(ck) % np.uint64(256))
+                            .astype(np.int32), pa.int32()))
+
+    def _sum_bucket(group: pa.Table) -> pa.Table:
+        ck = group.column("ckey").to_numpy()
+        cnt = group.column("count").to_numpy()
+        uniq, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "ckey": pa.array(uniq),
+            "count": pa.array(np.bincount(inv, weights=cnt)
+                              .astype(np.int64)),
+        })
+
+    agg = (pts.map_batches(_all_levels, batch_format="pyarrow")
+           .map_batches(_bucket, batch_format="pyarrow")
+           .groupby("bkt").map_groups(
+               lambda g: _sum_bucket(g.drop_columns(["bkt"])),
+               batch_format="pyarrow"))
+
+    # second bucketed pass groups pixels into per-(level, tile) stats;
+    # a tile's pixels live in one tile-bucket by construction
+    def _tile_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ckey").to_numpy().astype(np.uint64)
+        tk = (ck >> np.uint64(8)) | ((ck >> np.uint64(32))
+                                     << np.uint64(56))
+        return batch.append_column(
+            "tbk", pa.array((_splitmix(tk) % np.uint64(64))
+                            .astype(np.int32), pa.int32()))
+
+    def _stats_bucket(group: pa.Table) -> pa.Table:
+        ck = group.column("ckey").to_numpy()
+        cnt = group.column("count").to_numpy()
+        lv = (ck >> 32).astype(np.int64)
+        key = (ck & ((1 << 32) - 1)).astype(np.int64)
+        outs = []
+        for L in np.unique(lv):
+            m = lv == L
+            tile, pixel = decode_tile_key(key[m], int(L))
+            uniq, inv = np.unique(tile, return_inverse=True)
+            outs.append(pa.table({
+                "level": pa.array(np.full(len(uniq), int(L), np.int64)),
+                "token": pa.array(cid.token_v(uniq), pa.string()),
+                "n_images": pa.array(np.bincount(
+                    inv, weights=cnt[m]).astype(np.int64)),
+                "n_pixels": pa.array(np.bincount(inv).astype(np.int64)),
+                "pix_sum": pa.array(np.bincount(
+                    inv, weights=pixel * cnt[m]).astype(np.int64)),
+            }))
+        return pa.concat_tables(outs)
+
+    return (agg.map_batches(_tile_bucket, batch_format="pyarrow")
+            .groupby("tbk").map_groups(
+                lambda g: _stats_bucket(g.drop_columns(["tbk"])),
+                batch_format="pyarrow"))
 
 
 def sql_tile_pyramid(px: int = 16, num_images: int = 10_000) -> str:
