@@ -2314,9 +2314,9 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", k: int = 10):
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (ds.map_batches(_partial, batch_format="pyarrow")
-           .groupby("o_orderkey")
-           .aggregate(Sum("revenue", alias_name="revenue")))
+    from ..stages.agg import bucketed_sum
+    agg = bucketed_sum(ds.map_batches(_partial, batch_format="pyarrow"),
+                       ["o_orderkey"], ["revenue"])
 
     def _const(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -2487,9 +2487,10 @@ def q_tpch_q10(sf_dir: str, k: int = 20):
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (returned.map_batches(_partial, batch_format="pyarrow")
-           .groupby("c_custkey")
-           .aggregate(Sum("revenue", alias_name="revenue")))
+    from ..stages.agg import bucketed_sum
+    agg = bucketed_sum(
+        returned.map_batches(_partial, batch_format="pyarrow"),
+        ["c_custkey"], ["revenue"])
 
     def _const(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -3567,9 +3568,10 @@ def q_grid_smooth(sf_dir: str, level: int = _SMOOTH_LEVEL):
             "wn": pa.array(np.concatenate(ws).astype(np.int64)),
         })
 
-    return (pts.map_batches(_scatter, batch_format="pyarrow")
-            .groupby(["face", "ci", "cj"])
-            .aggregate(Sum("wn", alias_name="smooth")))
+    from ..stages.agg import bucketed_sum
+    out = bucketed_sum(pts.map_batches(_scatter, batch_format="pyarrow"),
+                       ["face", "ci", "cj"], ["wn"], n_buckets=64)
+    return out.rename_columns({"wn": "smooth"})
 
 
 def sql_grid_smooth(level: int = _SMOOTH_LEVEL) -> str:

@@ -1,0 +1,65 @@
+"""bucketed_sum: exact sums at high key cardinality, multi-key
+packing, and equality with a pandas reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geo_ray.stages.agg import bucketed_sum, _pack_keys, _unpack_keys
+
+
+def _ds(df, parts=8):
+    import ray.data as rd
+    return rd.from_pandas(df).repartition(parts)
+
+
+def test_single_key_high_cardinality(ray_session):
+    rng = np.random.RandomState(0)
+    n = 200_000
+    df = pd.DataFrame({
+        "k": rng.randint(0, 80_000, n).astype(np.int64),
+        "v": rng.randint(-1000, 1000, n).astype(np.int64),
+        "w": rng.randint(0, 10, n).astype(np.int64)})
+    out = bucketed_sum(_ds(df), ["k"], ["v", "w"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", sort=True).sum().reset_index()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_multi_key_with_negatives(ray_session):
+    rng = np.random.RandomState(1)
+    df = pd.DataFrame({
+        "a": rng.randint(-500, 500, 5000).astype(np.int64),
+        "b": rng.randint(0, 50, 5000).astype(np.int64),
+        "v": rng.randint(0, 100, 5000).astype(np.int64)})
+    out = bucketed_sum(_ds(df), ["a", "b"], ["v"]).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    want = df.groupby(["a", "b"], sort=True).sum().reset_index()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_pack_range_guard():
+    with pytest.raises(ValueError):
+        _pack_keys([np.array([1 << 21], np.int64),
+                    np.array([0], np.int64)])
+
+
+def test_pack_round_trip():
+    rng = np.random.RandomState(2)
+    cols = [rng.randint(-(1 << 19), 1 << 19, 1000).astype(np.int64)
+            for _ in range(3)]
+    packed = _pack_keys(cols)
+    back = _unpack_keys(packed, 3)
+    for c, b in zip(cols, back):
+        assert np.array_equal(c, b)
+
+
+def test_unbounded_single_key_passthrough(ray_session):
+    df = pd.DataFrame({"k": np.array([1 << 40, -(1 << 40), 7], np.int64),
+                       "v": np.array([1, 2, 3], np.int64)})
+    out = bucketed_sum(_ds(df, 2), ["k"], ["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == sorted([1 << 40, -(1 << 40), 7])
