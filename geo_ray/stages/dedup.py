@@ -404,10 +404,41 @@ def simhash_neardup(docs_ds, max_hamming: int = 3,
                         batch_format="pandas"))
 
 
-def exact_dedup(ds, key_cols: List[str], id_col: str):
-    """Hash-partition on the key columns, keep the smallest id per
-    group (deterministic representative)."""
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col, kind="mergesort").head(1)
+def exact_dedup(ds, key_cols: List[str], id_col: str,
+                n_buckets: int = 256):
+    """Keep the smallest id per key tuple (deterministic
+    representative).  Per-batch min combiner shrinks to distinct keys
+    BEFORE the shuffle; the merge runs inside ~n_buckets key-hash
+    groups with a vectorized pandas min body — one Ray group per KEY
+    would pay a Python dispatch per distinct document."""
+    import zlib
 
-    return ds.groupby(key_cols).map_groups(_first, batch_format="pandas")
+    from .sample import _splitmix as _mix64
+
+    def _key_hash(g: pd.DataFrame) -> np.ndarray:
+        h = np.zeros(len(g), np.uint64)
+        for c in key_cols:
+            col = g[c]
+            if np.issubdtype(col.dtype, np.integer):
+                h ^= _mix64(col.to_numpy().astype(np.uint64))
+            else:
+                h ^= _mix64(np.array(
+                    [zlib.crc32(str(v).encode("utf-8")) for v in col],
+                    dtype=np.uint64))
+        return h
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols + [id_col]).to_pandas()
+        g = df.groupby(key_cols, sort=False)[id_col].min().reset_index()
+        g["__b"] = (_key_hash(g) % np.uint64(n_buckets)) \
+            .astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_cols, sort=False)[id_col].min() \
+            .reset_index()
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _merge(g.drop(columns=["__b"])),
+                        batch_format="pandas"))

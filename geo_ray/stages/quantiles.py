@@ -130,15 +130,31 @@ def sketch_quantiles_by_key(ds, key_col: str, value_col: str,
 def exact_quantiles_by_key(ds, key_col: str, value_col: str,
                            ps: Sequence[float] = (0.5, 0.9, 0.99)):
     """Dataset -> one row per key with exact p-quantiles (as integer
-    cents).  Two-level aggregation: batch combiner, (key, cents)
-    groupby-sum, then a per-key counting-sort pick over the count
-    table (distinct-value-sized, never row-sized)."""
-    from ray.data.aggregate import Sum
+    cents).  Two-level aggregation: batch combiner, then (key, cents)
+    merge inside ~256 cents-hash buckets (a vectorized pandas groupby
+    per bucket — per-key Ray aggregates iterate the distinct-value
+    key space in Python, measured pathological at 10^5+ keys), then a
+    per-key counting-sort pick over the count table
+    (distinct-value-sized, never row-sized)."""
+    from .sample import _splitmix
 
     partials = ds.map_batches(
         lambda b: cents_counts_partial(b, key_col, value_col),
         batch_format="pyarrow")
-    counts = partials.groupby(["key", "cents"]) \
-        .aggregate(Sum("n", alias_name="n"))
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(c) % np.uint64(256))
+                            .astype(np.int32), pa.int32()))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["key", "cents"], sort=False)["n"].sum() \
+            .reset_index()
+
+    counts = (partials.map_batches(_bucket, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(lambda g: _merge(g.drop(columns=["__b"])),
+                          batch_format="pandas"))
     return counts.groupby("key").map_groups(
         lambda g: _pick_group(g, ps), batch_format="pandas")
