@@ -1833,10 +1833,26 @@ def q_events_distinct_users(sf_dir: str):
         }).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from ..stages.sample import _splitmix
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(u) % np.uint64(128))
+                            .astype(np.int32), pa.int32()))
+
+    def _dedup(g):
+        import pandas as pd
+        return g.drop(columns=["__b"]).drop_duplicates(
+            ["event_type", "user_id"])
+
+    # global pair dedup inside ~128 user-hash buckets (vectorized
+    # drop_duplicates) — a per-(type, user) Ray aggregate iterates
+    # every distinct pair in Python
     uniq = (ds.map_batches(_pairs, batch_format="pyarrow")
-            .groupby(["event_type", "user_id"])
-            .aggregate(Count(alias_name="_n"))
-            .drop_columns(["_n"]))
+            .map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_dedup, batch_format="pandas"))
 
     def _ones(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -2068,9 +2084,21 @@ def q_events_retention(sf_dir: str, horizon_days: int = 7):
                             "n_retained": hit.astype(np.int64)})
         return out.groupby("day", sort=False).sum().reset_index()
 
-    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
-    partials = pairs.groupby("user_id").map_groups(
-        _per_user, batch_format="pandas")
+    from ..stages.sample import _splitmix
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(u) % np.uint64(128))
+                            .astype(np.int32), pa.int32()))
+
+    # the composite-key body handles ANY number of users at once, so
+    # groups are user-hash buckets (vectorized), not one per user
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow") \
+        .map_batches(_bucket, batch_format="pyarrow")
+    partials = pairs.groupby("__b").map_groups(
+        lambda g: _per_user(g.drop(columns=["__b"])),
+        batch_format="pandas")
     return (partials.groupby("day")
             .aggregate(Sum("n_active", alias_name="n_active"),
                        Sum("n_retained", alias_name="n_retained")))
