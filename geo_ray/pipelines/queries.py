@@ -4353,16 +4353,21 @@ def q_lineitem_semi_bloom(sf_dir: str):
     from ray.data.aggregate import Sum
     from ..stages.bloom import bloom_semi_join
 
+    import pyarrow.parquet as pq
     build = (_read(sf_dir, "orders",
                    ["o_orderkey", "o_orderpriority", "o_totalprice"])
              .filter(expr=f"o_orderpriority == {_SEMI_PRIORITY!r} "
                           f"and o_totalprice > {_SEMI_MIN_TOTAL!r}")
              .select_columns(["o_orderkey"]))
+    # size the filter from parquet metadata (an upper bound costs a
+    # few extra bits/key; an exact count() costs a whole extra pass)
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet") \
+        .metadata.num_rows
     probe = _read(sf_dir, "lineitem",
                   ["l_orderkey", "l_returnflag", "l_extendedprice",
                    "l_discount"])
     joined = bloom_semi_join(probe, build, "l_orderkey", "o_orderkey",
-                             fpp=0.01)
+                             fpp=0.01, n_build_keys=n_orders)
 
     def _partial(batch: pa.Table) -> pa.Table:
         ep = np.round(batch.column("l_extendedprice").to_numpy()
