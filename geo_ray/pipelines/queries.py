@@ -3432,6 +3432,57 @@ def sql_events_resample(step_us: int = _RESAMPLE_STEP_US) -> str:
         f"FROM r ORDER BY user_id, epoch")
 
 
+def q_events_props(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column and aggregate per event type.  The hot
+    path is a COMPILED vectorized regex over the string column
+    (pandas str.extract, C regex engine — JSON scalar-field pulls
+    never need a per-row json.loads), with exact integer sums.
+    The curation analog: metadata lives as JSON blobs at ingest and
+    must become typed columns without a Python loop per row."""
+    import pandas as pd
+    import re
+    from ray.data.aggregate import Sum, Min, Max
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    pat = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        props = batch.column("props").to_pandas()
+        k = props.str.extract(pat, expand=False).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": np.ones(len(k), np.int64),
+            "sum_k": k.to_numpy(),
+            "min_k": k.to_numpy(),
+            "max_k": k.to_numpy(),
+        })
+        g = df.groupby("event_type", sort=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(_extract, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Min("min_k", alias_name="min_k"),
+                       Max("max_k", alias_name="max_k")))
+
+
+def sql_events_props() -> str:
+    return (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS sum_k, "
+        "CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS min_k, "
+        "CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS max_k "
+        "FROM events GROUP BY 1 ORDER BY 1")
+
+
 _WSAMPLE_SCALE = 500.0  # keep probability = min(1, value / 500)
 
 
@@ -4489,6 +4540,7 @@ def queries() -> Dict:
         "tile_pyramid": q_tile_pyramid,
         "grid_smooth": q_grid_smooth,
         "events_weighted_sample": q_events_weighted_sample,
+        "events_props": q_events_props,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -4515,6 +4567,7 @@ def oracle_sql() -> Dict[str, str]:
         "tile_pyramid": sql_tile_pyramid(),
         "grid_smooth": sql_grid_smooth(),
         "events_weighted_sample": sql_events_weighted_sample(),
+        "events_props": sql_events_props(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

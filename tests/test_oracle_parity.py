@@ -72,7 +72,7 @@ ORACLE_CHECKED = [
     "lineitem_agg", "lineitem_semi_bloom", "tpch_q3",
     "tpch_q5", "tpch_q10",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
-    "tile_pyramid", "grid_smooth", "events_weighted_sample", "events_zscore",
+    "tile_pyramid", "grid_smooth", "events_weighted_sample", "events_zscore", "events_props",
     "convex_hull",
 ]
 
