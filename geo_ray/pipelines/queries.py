@@ -3483,6 +3483,80 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_CORR_UNITS = 1_000_000
+
+
+def q_events_corr(sf_dir: str):
+    """Grouped Pearson correlation between the value column (cents)
+    and the JSON props field k — computed from SIX exact integer
+    moments per group (n, Sx, Sy, Sxy, Sxx, Syy), so the distributed
+    sum is order-independent and r = (n*Sxy - Sx*Sy) /
+    (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) is one IEEE expression
+    over identical integers in both engines — bit-equal, integerized
+    to 1e-6.  The moments-combiner pattern generalizes to any
+    covariance-family statistic."""
+    import pandas as pd
+    import re
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+    pat = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        x = np.round(batch.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        y = batch.column("props").to_pandas() \
+            .str.extract(pat, expand=False).astype(np.int64).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": np.ones(len(x), np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(_moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxy", "sxx",
+                                  "syy")]))
+
+    def _r(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy().astype(np.float64)
+        sy = batch.column("sy").to_numpy().astype(np.float64)
+        sxy = batch.column("sxy").to_numpy().astype(np.float64)
+        sxx = batch.column("sxx").to_numpy().astype(np.float64)
+        syy = batch.column("syy").to_numpy().astype(np.float64)
+        r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                   * np.sqrt(n * syy - sy * sy))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("n"),
+            "r_units": pa.array(np.floor(r * float(_CORR_UNITS))
+                                .astype(np.int64)),
+        })
+
+    return agg.map_batches(_r, batch_format="pyarrow")
+
+
+def sql_events_corr() -> str:
+    return (
+        "WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x*y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x*x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y*y) AS BIGINT) AS syy FROM (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS x, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS y FROM events) "
+        "GROUP BY 1) "
+        "SELECT event_type, n, CAST(FLOOR("
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+        "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * "
+        "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) "
+        f"* {float(_CORR_UNITS)!r}) AS BIGINT) AS r_units "
+        "FROM m ORDER BY event_type")
+
+
 _WSAMPLE_SCALE = 500.0  # keep probability = min(1, value / 500)
 
 
@@ -4541,6 +4615,7 @@ def queries() -> Dict:
         "grid_smooth": q_grid_smooth,
         "events_weighted_sample": q_events_weighted_sample,
         "events_props": q_events_props,
+        "events_corr": q_events_corr,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -4568,6 +4643,7 @@ def oracle_sql() -> Dict[str, str]:
         "grid_smooth": sql_grid_smooth(),
         "events_weighted_sample": sql_events_weighted_sample(),
         "events_props": sql_events_props(),
+        "events_corr": sql_events_corr(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
