@@ -3483,6 +3483,32 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_FUZZY_MAX_DIST = 3
+
+
+def q_part_fuzzy(sf_dir: str, max_dist: int = _FUZZY_MAX_DIST):
+    """Edit-distance similarity self-join over part names
+    (stages/fuzzy.py): distinct values dedup first, the 1-D
+    shifted-length-bucket trick generates an exactly-once candidate
+    superset (lev <= T implies length buckets of width T+1 differ by
+    at most 1), and the exact DP verify runs inside the bucket body.
+    The string member of the near-dup family."""
+    from ..stages.fuzzy import edit_distance_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return edit_distance_pairs(ds, "p_name", max_dist)
+
+
+def sql_part_fuzzy(max_dist: int = _FUZZY_MAX_DIST) -> str:
+    return (
+        "WITH d AS (SELECT DISTINCT p_name FROM part) "
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev "
+        "FROM d a JOIN d b ON a.p_name < b.p_name "
+        f"WHERE levenshtein(a.p_name, b.p_name) <= {max_dist} "
+        "ORDER BY 1, 2")
+
+
 _CORR_UNITS = 1_000_000
 
 
@@ -4616,6 +4642,7 @@ def queries() -> Dict:
         "events_weighted_sample": q_events_weighted_sample,
         "events_props": q_events_props,
         "events_corr": q_events_corr,
+        "part_fuzzy": q_part_fuzzy,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -4644,6 +4671,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_weighted_sample": sql_events_weighted_sample(),
         "events_props": sql_events_props(),
         "events_corr": sql_events_corr(),
+        "part_fuzzy": sql_part_fuzzy(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

@@ -63,3 +63,38 @@ def test_unbounded_single_key_passthrough(ray_session):
     out = bucketed_sum(_ds(df, 2), ["k"], ["v"]).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     assert list(out["k"]) == sorted([1 << 40, -(1 << 40), 7])
+
+
+# --------------------------------------------------------------------------
+# edit-distance join kernels
+# --------------------------------------------------------------------------
+
+def test_levenshtein_reference():
+    from geo_ray.stages.fuzzy import levenshtein
+    cases = [("", "", 0), ("a", "", 1), ("", "abc", 3),
+             ("kitten", "sitting", 3), ("flaw", "lawn", 2),
+             ("abc", "abc", 0), ("abc", "acb", 2),
+             ("intention", "execution", 5),
+             ("red widget", "red gadget", 3)]
+    for a, b, d in cases:
+        assert levenshtein(a, b) == d, (a, b)
+        assert levenshtein(b, a) == d, (b, a)
+
+
+def test_edit_pairs_exactly_once_and_exact(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.fuzzy import edit_distance_pairs, levenshtein
+    vals = ["cat", "cats", "bat", "hat", "chat", "dog", "dogs",
+            "catalog", "zebra", "zebras", "cab", "crab"]
+    df = pd.DataFrame({"name": np.repeat(vals, 5)})  # duplicates
+    out = edit_distance_pairs(rd.from_pandas(df).repartition(4),
+                              "name", 2).to_pandas()
+    got = set(zip(out["name_a"], out["name_b"]))
+    want = set()
+    for i, a in enumerate(sorted(set(vals))):
+        for b in sorted(set(vals))[i + 1:]:
+            if levenshtein(a, b) <= 2:
+                want.add((a, b))
+    assert got == want
+    assert len(out) == len(got)          # exactly once
+    assert (out["name_a"] < out["name_b"]).all()
