@@ -3483,6 +3483,86 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_OD_LEVEL = 4
+
+
+def q_events_od(sf_dir: str, level: int = _OD_LEVEL):
+    """Origin-destination matrix: per (user, day), the S2 cell of the
+    first and the last event (ties by event_id), counted per
+    (from_token, to_token) pair — the trip-table primitive of movement
+    analytics.  Per-user-hash buckets with one vectorized first/last
+    pick inside (no per-user-day dispatch); only (user, day, cell)
+    rows shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        ids = cid.cell_id_from_point_v(x, y, z)
+        tok = cid.token_v(cid.parent_v(ids, level))
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "tsu": pa.array(tsu),
+            "day": pa.array(tsu // 86_400_000_000),
+            "token": pa.array(tok, pa.string()),
+            "__b": pa.array((_splitmix(u) % np.uint64(128))
+                            .astype(np.int32), pa.int32()),
+        })
+
+    def _od(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day", "tsu", "event_id"],
+                          kind="mergesort")
+        grp = g.groupby(["user_id", "day"], sort=False)["token"]
+        first = grp.first().reset_index(name="from_token")
+        last = grp.last().reset_index(name="to_token")
+        od = first.merge(last, on=["user_id", "day"])
+        out = od.groupby(["from_token", "to_token"], sort=False) \
+            .size().reset_index(name="n")
+        return out
+
+    partials = ev.map_batches(_pts, batch_format="pyarrow") \
+        .groupby("__b").map_groups(
+            lambda g: _od(g.drop(columns=["__b"])),
+            batch_format="pandas")
+    return (partials.groupby(["from_token", "to_token"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_events_od(level: int = _OD_LEVEL) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH epts AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+        f"{lat} AS lat, {lng} AS lng FROM events), "
+        f"exyz AS (SELECT event_id, user_id, tsu, {_XYZ_SQL} "
+        f"FROM epts), "
+        f"{_cell_sql_cte(key='event_id', src='exyz')}, "
+        f"tok AS (SELECT e.user_id, e.tsu, e.event_id, "
+        f"e.tsu // 86400000000 AS day, "
+        f"{_sql_parent_token(level)} AS token "
+        f"FROM exyz e JOIN cells c ON c.event_id = e.event_id), "
+        f"ranked AS (SELECT user_id, day, token, "
+        f"ROW_NUMBER() OVER (PARTITION BY user_id, day "
+        f"ORDER BY tsu, event_id) AS rf, "
+        f"ROW_NUMBER() OVER (PARTITION BY user_id, day "
+        f"ORDER BY tsu DESC, event_id DESC) AS rl FROM tok), "
+        f"od AS (SELECT f.user_id, f.day, f.token AS from_token, "
+        f"l.token AS to_token FROM ranked f JOIN ranked l "
+        f"ON l.user_id = f.user_id AND l.day = f.day "
+        f"AND f.rf = 1 AND l.rl = 1) "
+        f"SELECT from_token, to_token, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM od GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 _FUZZY_MAX_DIST = 3
 
 
@@ -4643,6 +4723,7 @@ def queries() -> Dict:
         "events_props": q_events_props,
         "events_corr": q_events_corr,
         "part_fuzzy": q_part_fuzzy,
+        "events_od": q_events_od,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -4672,6 +4753,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_props": sql_events_props(),
         "events_corr": sql_events_corr(),
         "part_fuzzy": sql_part_fuzzy(),
+        "events_od": sql_events_od(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
