@@ -3483,6 +3483,153 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
+
+
+def q_events_pagerank(sf_dir: str, iters: int = _PR_ITERS):
+    """Iterative numeric algorithm with an EXACT cross-engine
+    contract: PageRank over the co-location "met" graph (distinct
+    user pairs from events_colocation), in pure integer fixed-point —
+    rank starts at 1e6 per node, each iteration sends rank // degree
+    along every edge (floor division) and sets rank' = base +
+    (85 * inbound) // 100 — so three distributed iterations produce
+    bit-identical int64 ranks in any engine.  Distributed shape: the
+    node-rank table broadcasts per iteration (ray.put, node-count
+    sized); inbound sums run through bucketed_sum.  At node counts
+    past worker memory the broadcast becomes a co-partitioned
+    rank/edge join (stages/asof.py pattern) — same arithmetic."""
+    import ray
+    from ..stages.agg import bucketed_sum
+
+    pairs = q_events_colocation(sf_dir)
+
+    def _dedup_pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "a": batch.column("user_a").to_numpy(),
+            "b": batch.column("user_b").to_numpy()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # distinct undirected edges; duplicates across batches resolved by
+    # one more dedup inside the bucketed degree pass below
+    edges = pairs.map_batches(_dedup_pairs, batch_format="pyarrow")
+
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+
+    # exact distinct directed edges, edges stay DISTRIBUTED: bucketed
+    # drop_duplicates, then materialize once (edge-table-sized cache —
+    # three iterations re-read it; without this the colocation join
+    # would re-execute per iteration)
+    def _bucket_e(batch: pa.Table) -> pa.Table:
+        aa = batch.column("a").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(aa) % np.uint64(64))
+                            .astype(np.int32), pa.int32()))
+
+    def _dedup_e(g):
+        return g.drop(columns=["__b"]).drop_duplicates(["a", "b"])
+
+    def _direct(batch: pa.Table) -> pa.Table:
+        aa = batch.column("a").to_numpy()
+        bb = batch.column("b").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([aa, bb])),
+            "dst": pa.array(np.concatenate([bb, aa]))})
+
+    edges_ds = (edges.map_batches(_bucket_e, batch_format="pyarrow")
+                .groupby("__b").map_groups(_dedup_e,
+                                           batch_format="pandas")
+                .map_batches(_direct, batch_format="pyarrow")
+                .materialize())
+
+    # node-sized state (degree and rank maps) is the only thing that
+    # ever reaches the driver or broadcasts — never the edge list
+    deg_df = bucketed_sum(
+        edges_ds.map_batches(
+            lambda b: pa.table({
+                "src": b.column("src"),
+                "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["src"], ["one"], n_buckets=32).to_pandas()
+    deg = dict(zip(deg_df["src"].astype(int), deg_df["one"].astype(int)))
+
+    users = _read(sf_dir, "events", ["user_id"])
+
+    def _uniq_users(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
+    all_users = np.unique(
+        users.map_batches(_uniq_users, batch_format="pyarrow")
+        .to_pandas()["user_id"].to_numpy().astype(np.int64))
+
+    base = _PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
+    rank = {int(u): _PR_SCALE for u in all_users}
+
+    for _ in range(iters):
+        ref = ray.put((rank, deg))
+
+        def _contrib(batch: pa.Table) -> pa.Table:
+            r, dg = ray.get(ref)
+            s_ = batch.column("src").to_numpy()
+            keys = np.array(sorted(dg), np.int64)
+            rv = np.array([r[int(k)] // dg[int(k)] for k in keys],
+                          np.int64)
+            pos = np.searchsorted(keys, s_)
+            return pa.table({"dst": batch.column("dst"),
+                             "c": pa.array(rv[pos])})
+
+        inbound = bucketed_sum(
+            edges_ds.map_batches(_contrib, batch_format="pyarrow"),
+            ["dst"], ["c"], n_buckets=32).to_pandas()
+        nxt = {int(u): base for u in all_users}
+        for d_, c_ in zip(inbound["dst"].astype(int),
+                          inbound["c"].astype(int)):
+            nxt[d_] = base + (_PR_DAMP_NUM * c_) // _PR_DAMP_DEN
+        rank = nxt
+
+    out = pa.table({
+        "user_id": pa.array(sorted(rank), pa.int64()),
+        "rank_units": pa.array([rank[u] for u in sorted(rank)],
+                               pa.int64()),
+    })
+    return rd.from_arrow(out)
+
+
+def sql_events_pagerank(iters: int = _PR_ITERS) -> str:
+    coloc = sql_events_colocation()
+    base = _PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
+    it_ctes = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        it_ctes.append(
+            f"r{i} AS (SELECT n.user_id, CASE WHEN s.c IS NULL "
+            f"THEN {base} ELSE {base} + ({_PR_DAMP_NUM} * s.c) "
+            f"// {_PR_DAMP_DEN} END AS rank FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS user_id, SUM(r.rank // d.deg) AS c "
+            f"FROM dedges e JOIN {prev} r ON r.user_id = e.src "
+            f"JOIN degs d ON d.user_id = e.src GROUP BY 1) s "
+            f"ON s.user_id = n.user_id)")
+        prev = f"r{i}"
+    return (
+        f"WITH pairs AS ({coloc}), "
+        f"uedges AS (SELECT DISTINCT user_a AS a, user_b AS b "
+        f"FROM pairs), "
+        f"dedges AS (SELECT a AS src, b AS dst FROM uedges UNION ALL "
+        f"SELECT b, a FROM uedges), "
+        f"degs AS (SELECT src AS user_id, CAST(COUNT(*) AS BIGINT) "
+        f"AS deg FROM dedges GROUP BY 1), "
+        f"nodes AS (SELECT DISTINCT user_id FROM events), "
+        f"r0 AS (SELECT user_id, {_PR_SCALE}::BIGINT AS rank "
+        f"FROM nodes), "
+        + ", ".join(it_ctes) +
+        f" SELECT user_id, CAST(rank AS BIGINT) AS rank_units "
+        f"FROM {prev} ORDER BY user_id")
+
+
 _OD_LEVEL = 4
 
 
@@ -4724,6 +4871,7 @@ def queries() -> Dict:
         "events_corr": q_events_corr,
         "part_fuzzy": q_part_fuzzy,
         "events_od": q_events_od,
+        "events_pagerank": q_events_pagerank,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -4754,6 +4902,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_corr": sql_events_corr(),
         "part_fuzzy": sql_part_fuzzy(),
         "events_od": sql_events_od(),
+        "events_pagerank": sql_events_pagerank(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
