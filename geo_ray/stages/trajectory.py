@@ -162,12 +162,30 @@ def simplify_group(g: pd.DataFrame, tol_chord2: float,
         "event_id": E[np.asarray(kept, np.int64)].astype(np.int64)})
 
 
-def simplify_tracks(ds, tol_chord2: float, max_lookahead: int = 16):
-    """Distributed simplification: per-user groups (narrow rows only),
-    greedy walk inside the group."""
-    return ds.groupby("user_id").map_groups(
-        lambda g: simplify_group(g, tol_chord2, max_lookahead),
-        batch_format="pandas")
+def simplify_tracks(ds, tol_chord2: float, max_lookahead: int = 16,
+                    n_buckets: int = 64):
+    """Distributed simplification: user-hash bucket groups (narrow
+    rows only), the greedy walk runs per user INSIDE the bucket body —
+    one Ray group per user would pay a Python dispatch per user."""
+    import pyarrow as pa2
+
+    from .sample import _splitmix
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa2.array((_splitmix(u) % np.uint64(n_buckets))
+                             .astype(np.int32), pa2.int32()))
+
+    def _body(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [simplify_group(sub, tol_chord2, max_lookahead)
+                for _, sub in g.drop(columns=["__b"])
+                .groupby("user_id", sort=False)]
+        return pd.concat(outs) if outs else simplify_group(
+            g.drop(columns=["__b"]), tol_chord2, max_lookahead)
+
+    return ds.map_batches(_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(_body, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
