@@ -331,3 +331,41 @@ def tile_level_stats(agg, level: int, px: int = TILE_PX):
             .aggregate(Sum("n_images", alias_name="n_images"),
                        Sum("n_pixels", alias_name="n_pixels"),
                        Sum("pix_sum", alias_name="pix_sum")))
+
+
+def pool_tile_color_partials(batch: pa.Table, level_from: int,
+                             px: int = TILE_PX) -> pa.Table:
+    """Mipmap step for COLOR rasters: (tile_id, pixel, sum_r/g/b,
+    count) partials at ``level_from`` -> the parent level, the same
+    quadrant-bit pixel mapping as pool_tile_pixels.  (sum, count)
+    pairs pool linearly, so zoom-out imagery derives from the finer
+    level's partials without re-decoding a single image; the parent
+    pixel's mean is total_sum / total_count — identical to rendering
+    the parent level from scratch (counts exactly; float sums to
+    addition-order rounding)."""
+    ids = batch.column("tile_id").to_numpy()
+    f, i, j, _ = cid.face_ij_orientation_v(ids)
+    kbit = np.int64(30 - level_from)
+    qx = ((i >> kbit) & 1).astype(np.int64)
+    qy = ((j >> kbit) & 1).astype(np.int64)
+    pixel = batch.column("pixel").to_numpy().astype(np.int64)
+    nx = (px * qx + pixel % px) // 2
+    ny = (px * qy + pixel // px) // 2
+    parent = cid.parent_v(ids, level_from - 1)
+    npx = (ny * px + nx).astype(np.int64)
+    shift = np.uint64(2 * (30 - (level_from - 1)))
+    key = (parent >> shift) * np.uint64(px * px) + npx.astype(np.uint64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    out = {
+        "tile_id": pa.array((uniq // np.uint64(px * px)) << shift,
+                            pa.uint64()),
+        "pixel": pa.array((uniq % np.uint64(px * px)).astype(np.int32),
+                          pa.int32()),
+    }
+    for c in ("sum_r", "sum_g", "sum_b"):
+        out[c] = pa.array(np.bincount(
+            inv, weights=batch.column(c).to_numpy()), pa.float64())
+    out["count"] = pa.array(np.bincount(
+        inv, weights=batch.column("count").to_numpy())
+        .astype(np.int64), pa.int64())
+    return pa.table(out)

@@ -73,3 +73,33 @@ def test_decode_round_trip():
     rek = (tile >> shift) * np.uint64(TILE_PX * TILE_PX) \
         + pixel.astype(np.uint64)
     assert np.array_equal(rek.astype(np.int64), key)
+
+
+def test_color_mipmap_pool_equals_direct_render(ray_session):
+    """Rendering the parent level from POOLED child color partials
+    equals rendering it directly from the points: counts exact, means
+    within float addition-order rounding."""
+    import ray.data as rd
+    from geo_ray.pipelines.flagship import build_points
+    from geo_ray.stages.tiles import (pool_tile_color_partials,
+                                      render_tiles, tile_pixel_partials)
+
+    pts = build_points(4000).materialize()
+    p7 = pts.map_batches(lambda b: tile_pixel_partials(b, 7),
+                         batch_format="pyarrow")
+    pooled6 = p7.map_batches(
+        lambda b: pool_tile_color_partials(b, 7),
+        batch_format="pyarrow")
+    direct6 = pts.map_batches(lambda b: tile_pixel_partials(b, 6),
+                              batch_format="pyarrow")
+    a = render_tiles(pooled6).to_pandas().sort_values("token") \
+        .reset_index(drop=True)
+    b = render_tiles(direct6).to_pandas().sort_values("token") \
+        .reset_index(drop=True)
+    assert list(a["token"]) == list(b["token"]) and len(a) > 10
+    assert (a["n_images"].to_numpy() == b["n_images"].to_numpy()).all()
+    assert (a["n_pixels"].to_numpy() == b["n_pixels"].to_numpy()).all()
+    from geo_ray.sources.codecs import png_decode
+    for pa_, pb_ in zip(a["tile_png"], b["tile_png"]):
+        ia, ib = png_decode(pa_), png_decode(pb_)
+        assert np.abs(ia.astype(np.int32) - ib.astype(np.int32)).max() <= 1
