@@ -1,0 +1,146 @@
+"""Adversarial inputs for the continuation-wave operators: randomized
+brute-force cross-checks and single-mega-user skew."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hypothesis import given, settings, strategies as st
+
+
+# --------------------------------------------------------------------------
+# fuzzy join: randomized strings across bucket boundaries
+# --------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=0, max_size=9),
+                min_size=2, max_size=18), st.integers(1, 3))
+def test_fuzzy_pairs_match_brute(words, max_dist):
+    """Property: candidate generation + canonical emission must equal
+    the brute all-pairs answer for any value set — including values
+    straddling length-bucket boundaries and duplicates."""
+    from geo_ray.stages.fuzzy import levenshtein
+
+    # pure-kernel form of the bucket pipeline (no Ray session per
+    # hypothesis example): replicate + canonical rule + DP verify
+    width = max_dist + 1
+    vals = sorted(set(words))
+    reps = []          # (bucket, obit, value)
+    for v in vals:
+        h = len(v) // width
+        reps.append((h, 0, v))
+        reps.append((h + 1, 1, v))
+    got = set()
+    buckets = {}
+    for b, o, v in reps:
+        buckets.setdefault(b, []).append((o, v))
+    for b, items in buckets.items():
+        items = sorted(items, key=lambda t: t[1])
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                oa, va = items[i]
+                ob, vb = items[j]
+                if va == vb or (oa & ob) != 0:
+                    continue
+                if abs(len(va) - len(vb)) > max_dist:
+                    continue
+                if levenshtein(va, vb) <= max_dist:
+                    got.add((va, vb))
+    want = set()
+    for i, a in enumerate(vals):
+        for b2 in vals[i + 1:]:
+            if levenshtein(a, b2) <= max_dist:
+                want.add((a, b2))
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# mega-user skew: one user owns (almost) every event
+# --------------------------------------------------------------------------
+
+def _mega_obs(n=3000, seed=13):
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    rng = np.random.RandomState(seed)
+    lat = rng.uniform(-60, 60, n)
+    lng = rng.uniform(-180, 180, n)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    user = np.zeros(n, np.int64)
+    user[: n // 100] = np.arange(n // 100)   # a few small users
+    return pd.DataFrame({
+        "user_id": user,
+        "event_id": np.arange(n, dtype=np.int64),
+        "tsu": np.sort(rng.randint(0, 10_000_000, n)).astype(np.int64),
+        "x": x, "y": y, "z": z})
+
+
+def test_mega_user_resample(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.trajectory import resample_group, resample_tracks
+
+    df = _mega_obs()
+    out = resample_tracks(rd.from_pandas(df).repartition(8),
+                          100_000).to_pandas()
+    # distributed result equals the driver-side per-user reference
+    ref = pd.concat([resample_group(g, 100_000)
+                     for _, g in df.groupby("user_id")])
+    key = ["user_id", "epoch"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        ref.sort_values(key).reset_index(drop=True))
+
+
+def test_mega_user_simplify(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.trajectory import simplify_group, simplify_tracks
+
+    df = _mega_obs(1200)
+    out = simplify_tracks(rd.from_pandas(df).repartition(6),
+                          0.5, max_lookahead=8).to_pandas()
+    ref = pd.concat([simplify_group(g, 0.5, 8)
+                     for _, g in df.groupby("user_id")])
+    key = ["user_id", "event_id"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        ref.sort_values(key).reset_index(drop=True))
+
+
+def test_mega_user_colocation_hot_cell(ray_session):
+    """All observations in ONE grid cell and one time bucket — the
+    worst skew case: a single group holds every replicated copy.
+    Correctness must hold (exactly-once, exact predicate) even when
+    the partitioning degenerates."""
+    import ray.data as rd
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.stages.trajectory import colocation_join
+
+    n = 120
+    rng = np.random.RandomState(7)
+    lat = 10.0 + rng.uniform(-0.01, 0.01, n)
+    lng = 20.0 + rng.uniform(-0.01, 0.01, n)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    df = pd.DataFrame({
+        "user_id": np.arange(n, dtype=np.int64) % 7,
+        "event_id": np.arange(n, dtype=np.int64),
+        "tsu": rng.randint(0, 1000, n).astype(np.int64),
+        "x": x, "y": y, "z": z})
+    out = colocation_join(rd.from_pandas(df).repartition(5),
+                          eps_chord=0.05, window_us=500,
+                          ts_base_us=0).to_pandas()
+    want = set()
+    r = df.to_dict("records")
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = r[i], r[j]
+            if a["user_id"] == b["user_id"]:
+                continue
+            if abs(a["tsu"] - b["tsu"]) > 500:
+                continue
+            c2 = ((a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
+                  + (a["z"] - b["z"]) ** 2)
+            if c2 < 0.05 * 0.05:
+                want.add((min(a["event_id"], b["event_id"]),
+                          max(a["event_id"], b["event_id"])))
+    got = set(zip(out["event_a"], out["event_b"]))
+    assert got == want and len(out) == len(got) and len(want) > 100
