@@ -3483,6 +3483,81 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_LATE_WINDOW_US = 3_600_000_000
+_LATE_ALLOWED_US = 120_000_000
+_LATE_MAX_DELAY_US = 600_000_000
+
+
+def q_events_late(sf_dir: str):
+    """Watermark / late-data accounting — streaming semantics made
+    batch-checkable: arrival time = event time + a deterministic
+    splitmix delay; the WATERMARK at each arrival is the running max
+    of event time in global (arrival, event_id) order, computed by
+    the distributed ordered prefix scan (stages/scan.prefix_max_scan:
+    range-partition by arrival, in-partition vectorized scan, P-sized
+    carry summaries — one shuffle, no global sort on the driver).  An
+    event is late iff the watermark already passed its tumbling
+    window's end plus the allowed lateness.  Output: per (window,
+    is_late) counts."""
+    from ray.data.aggregate import Sum
+    from ..stages.sample import _splitmix
+    from ..stages.scan import prefix_max_scan
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def _arr(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy().astype(np.uint64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        delay = (_splitmix(ids) % np.uint64(_LATE_MAX_DELAY_US)) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "tsu": pa.array(tsu),
+            "arrival": pa.array(tsu + delay),
+        })
+
+    scanned = prefix_max_scan(ds.map_batches(_arr,
+                                             batch_format="pyarrow"),
+                              ["arrival", "event_id"], "tsu",
+                              out_col="wm")
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        tsu = batch.column("tsu").to_numpy()
+        wm = batch.column("wm").to_numpy()
+        ws = (tsu // _LATE_WINDOW_US) * _LATE_WINDOW_US
+        late = (wm > ws + _LATE_WINDOW_US + _LATE_ALLOWED_US) \
+            .astype(np.int64)
+        df = pd.DataFrame({"window_start": ws, "is_late": late,
+                           "n": np.ones(len(ws), np.int64)})
+        g = df.groupby(["window_start", "is_late"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (scanned.map_batches(_flag, batch_format="pyarrow")
+            .groupby(["window_start", "is_late"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_events_late() -> str:
+    w, al, md = _LATE_WINDOW_US, _LATE_ALLOWED_US, _LATE_MAX_DELAY_US
+    return (
+        "WITH src AS (SELECT event_id FROM events), "
+        f"{_splitmix_ctes('hx', 'src', 'event_id', 'CAST(event_id AS UBIGINT)')}, "
+        "a AS (SELECT e.event_id, epoch_us(e.ts) AS tsu, "
+        f"epoch_us(e.ts) + CAST(hx.v % {md} AS BIGINT) AS arrival "
+        "FROM events e JOIN hx ON hx.event_id = e.event_id), "
+        "wmk AS (SELECT tsu, MAX(tsu) OVER (ORDER BY arrival, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm "
+        "FROM a) "
+        f"SELECT (tsu // {w}) * {w} AS window_start, "
+        f"CASE WHEN wm > (tsu // {w}) * {w} + {w} + {al} "
+        "THEN 1 ELSE 0 END AS is_late, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM wmk "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 _PR_ITERS = 3
 _PR_SCALE = 1_000_000
 _PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
@@ -4872,6 +4947,7 @@ def queries() -> Dict:
         "part_fuzzy": q_part_fuzzy,
         "events_od": q_events_od,
         "events_pagerank": q_events_pagerank,
+        "events_late": q_events_late,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -4903,6 +4979,7 @@ def oracle_sql() -> Dict[str, str]:
         "part_fuzzy": sql_part_fuzzy(),
         "events_od": sql_events_od(),
         "events_pagerank": sql_events_pagerank(),
+        "events_late": sql_events_late(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

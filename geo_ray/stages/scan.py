@@ -1,0 +1,103 @@
+"""Distributed ordered prefix scan: running aggregates over a GLOBAL
+order — the primitive behind watermark tracking, late-data
+accounting, running totals over event streams, and gap detection.
+
+Shape: range-partition by the order key (quantile bounds from a
+bounded sample, the shuffle_join.sample_bounds idiom — skew-adaptive,
+driver traffic capped), one in-partition sort + vectorized local
+scan, then a P-sized partition-summary pass gives each partition the
+exclusive prefix of everything before it; a final stateless map
+combines local scan + carry-in.  Data moves through exactly one
+shuffle; the only driver state is P partition summaries.
+
+Equal order-key values always land in one partition (searchsorted
+'right' against sampled bounds), so ties resolve inside the sorted
+partition by the caller's tie-break columns.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sample_order_bounds(ds, order_col: str, num_parts: int,
+                        *, sample_cap: int = 8192) -> np.ndarray:
+    """Quantile partition bounds over the order key (int64)."""
+    def _sample(batch: pa.Table) -> pa.Table:
+        v = batch.column(order_col).to_numpy()
+        if len(v) > 64:
+            idx = np.linspace(0, len(v) - 1, 64).astype(np.int64)
+            v = v[idx]
+        return pa.table({order_col: pa.array(v)})
+
+    vals = np.sort(ds.map_batches(_sample, batch_format="pyarrow")
+                   .limit(sample_cap).to_pandas()[order_col]
+                   .to_numpy().astype(np.int64))
+    if len(vals) == 0 or num_parts <= 1:
+        return np.array([], dtype=np.int64)
+    qs = np.linspace(0, len(vals) - 1, num_parts + 1)[1:-1]
+    return np.unique(vals[qs.astype(np.int64)])
+
+
+def prefix_max_scan(ds, order_cols: List[str], value_col: str,
+                    out_col: str = "running_max", *,
+                    num_parts: int = 32):
+    """Attach ``out_col`` = running (inclusive) max of ``value_col``
+    in the global (order_cols) order.  order_cols[0] must be int64;
+    later columns only break ties inside a partition."""
+    import ray
+
+    key = order_cols[0]
+    bounds = sample_order_bounds(ds, key, num_parts)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        v = batch.column(key).to_numpy().astype(np.int64)
+        p = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return batch.append_column("__p", pa.array(p, pa.int32()))
+
+    parted = ds.map_batches(_part, batch_format="pyarrow")
+
+    def _local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        g["__local"] = np.maximum.accumulate(
+            g[value_col].to_numpy().astype(np.int64))
+        return g
+
+    local = parted.groupby("__p").map_groups(
+        _local, batch_format="pandas").materialize()
+
+    # P-sized summary -> exclusive prefix per partition
+    def _summary(batch: pa.Table) -> pa.Table:
+        import pandas as pd2
+        df = pd2.DataFrame({
+            "__p": batch.column("__p").to_numpy(),
+            "m": batch.column("__local").to_numpy()})
+        g = df.groupby("__p", sort=False)["m"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    summ = local.map_batches(_summary, batch_format="pyarrow") \
+        .to_pandas().groupby("__p")["m"].max()
+    parts = np.arange(int(summ.index.max()) + 1 if len(summ) else 0)
+    carry = {}
+    run = np.iinfo(np.int64).min
+    for p in parts:
+        carry[int(p)] = run
+        if int(p) in summ.index:
+            run = max(run, int(summ.loc[int(p)]))
+    ref = ray.put(carry)
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        p = batch.column("__p").to_numpy()
+        loc = batch.column("__local").to_numpy()
+        cin = np.array([c.get(int(x), np.iinfo(np.int64).min)
+                        for x in p], np.int64)
+        out = np.maximum(loc, cin)
+        return batch.drop_columns(["__p", "__local"]).append_column(
+            out_col, pa.array(out))
+
+    return local.map_batches(_combine, batch_format="pyarrow")

@@ -144,3 +144,46 @@ def test_mega_user_colocation_hot_cell(ray_session):
                           max(a["event_id"], b["event_id"])))
     got = set(zip(out["event_a"], out["event_b"]))
     assert got == want and len(out) == len(got) and len(want) > 100
+
+
+# --------------------------------------------------------------------------
+# ordered prefix scan
+# --------------------------------------------------------------------------
+
+def test_prefix_max_scan_matches_cummax(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.scan import prefix_max_scan
+
+    rng = np.random.RandomState(21)
+    n = 20_000
+    df = pd.DataFrame({
+        "order": rng.randint(0, 1_000_000, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": rng.randint(-500, 500, n).astype(np.int64)})
+    out = prefix_max_scan(rd.from_pandas(df).repartition(16),
+                          ["order", "event_id"], "v",
+                          out_col="rm").to_pandas()
+    out = out.sort_values(["order", "event_id"]).reset_index(drop=True)
+    ref = df.sort_values(["order", "event_id"]).reset_index(drop=True)
+    want = np.maximum.accumulate(ref["v"].to_numpy())
+    assert np.array_equal(out["rm"].to_numpy(), want)
+
+
+def test_prefix_max_scan_duplicate_order_keys(ray_session):
+    """Equal order keys must land in one partition so tie-break order
+    is honored; a constant order column is the degenerate case."""
+    import ray.data as rd
+    from geo_ray.stages.scan import prefix_max_scan
+
+    n = 500
+    df = pd.DataFrame({
+        "order": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": np.random.RandomState(3).permutation(n).astype(np.int64)})
+    out = prefix_max_scan(rd.from_pandas(df).repartition(7),
+                          ["order", "event_id"], "v",
+                          out_col="rm").to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    want = np.maximum.accumulate(
+        df.sort_values("event_id")["v"].to_numpy())
+    assert np.array_equal(out["rm"].to_numpy(), want)
