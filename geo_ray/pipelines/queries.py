@@ -3483,6 +3483,136 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_IDW_K = 8
+_IDW_PROBE_BASE = 100_000
+_IDW_N_PROBES = 16
+_IDW_W_SCALE = 1_000_000.0
+_IDW_OFFSET = 10_000_000  # shifts cents nonnegative: floor == trunc
+
+
+def q_idw_interpolate(sf_dir: str, k: int = _IDW_K,
+                      n_probes: int = _IDW_N_PROBES):
+    """Spatial interpolation (inverse-distance weighting): estimate
+    account balance at probe locations as the IDW mean of the k
+    nearest customers.  Composes the exact kNN machinery
+    (stages/knn.py) with an integer-exact estimator: weights
+    floor(1e6 / chord2) and cents shift nonnegative before one
+    integer division, so the distributed result is order-independent
+    and hash-equal (an exact coincident point short-circuits to its
+    own value — the standard IDW singularity rule)."""
+    import pandas as pd
+    import ray
+
+    probe_keys = np.arange(n_probes, dtype=np.int64) + _IDW_PROBE_BASE
+    plat, plng = derive_latlng_np(probe_keys)
+    px, py, pz = latlng_deg_to_xyz(plat, plng)
+    pts = _customer_points(sf_dir)
+
+    # difference-form scoring partial: the shared knn stage ranks by
+    # the GEMM identity 2 - 2*dot, whose last-ulp rounding can break
+    # exact LATTICE ties differently from the oracle's
+    # (px-x)^2 + ... — and the estimator's weights are tie-sensitive.
+    from ..stages.knn import finalize_topk
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        z = batch.column("z").to_numpy()
+        ids = batch.column("c_custkey").to_numpy()
+        c2 = (px[None, :] - x[:, None]) ** 2 \
+            + (py[None, :] - y[:, None]) ** 2 \
+            + (pz[None, :] - z[:, None]) ** 2          # (n, P)
+        outs = {"probe_id": [], "neighbor_id": [], "chord2": []}
+        kk = min(k, len(ids))
+        for p in range(len(probe_keys)):
+            col = c2[:, p]
+            sel = np.lexsort((ids, col))[:kk]
+            outs["probe_id"].append(
+                np.full(kk, probe_keys[p], np.int64))
+            outs["neighbor_id"].append(ids[sel])
+            outs["chord2"].append(col[sel])
+        return pa.table({k2: pa.array(np.concatenate(v))
+                         for k2, v in outs.items()})
+
+    nn = pts.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("probe_id").map_groups(
+            lambda g: finalize_topk(g, k), batch_format="pandas")
+
+    # float dimension snapshot (read_dim_table stores int64 values;
+    # balances need the float cents): sorted keys + values, put once
+    import pyarrow.parquet as pq
+    dt = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_acctbal"])
+    dk = dt.column("c_custkey").to_numpy().astype(np.int64)
+    dv = dt.column("c_acctbal").to_numpy().astype(np.float64)
+    o = np.argsort(dk, kind="mergesort")
+    ref = ray.put((dk[o], dv[o]))
+
+    def _est(g: pd.DataFrame) -> pd.DataFrame:
+        dk2, dv2 = ray.get(ref)
+        g = g.sort_values("rank", kind="mergesort")
+        nid = g["neighbor_id"].to_numpy().astype(np.int64)
+        cents = np.round(dv2[np.searchsorted(dk2, nid)] * 100.0) \
+            .astype(np.int64)
+        # recompute chord2 in the DIFFERENCE form from the derived
+        # coordinates: the knn stage scores with the GEMM identity
+        # 2 - 2*dot (same ranking, different last-ulp rounding), but
+        # the integer weights must floor the exact same doubles as
+        # the oracle's (px-x)^2 + ... expression
+        nlat, nlng = derive_latlng_np(nid)
+        nx, ny, nz = latlng_deg_to_xyz(nlat, nlng)
+        pid = int(g["probe_id"].iloc[0])
+        plat1, plng1 = derive_latlng_np(np.array([pid], np.int64))
+        px1, py1, pz1 = latlng_deg_to_xyz(plat1, plng1)
+        c2 = (px1[0] - nx) ** 2 + (py1[0] - ny) ** 2 \
+            + (pz1[0] - nz) ** 2
+        if c2[0] == 0.0:
+            est = int(cents[0])
+        else:
+            iw = np.floor(_IDW_W_SCALE / c2).astype(np.int64)
+            shifted = cents + _IDW_OFFSET
+            est = int((iw * shifted).sum() // iw.sum()) - _IDW_OFFSET
+        return pd.DataFrame({
+            "probe_id": [pid],
+            "est_cents": [est]})
+
+    return nn.groupby("probe_id").map_groups(_est,
+                                             batch_format="pandas")
+
+
+def sql_idw_interpolate(k: int = _IDW_K,
+                        n_probes: int = _IDW_N_PROBES) -> str:
+    base, off = _IDW_PROBE_BASE, _IDW_OFFSET
+    plat = f"(((pk * 7919) % 17000) / 100.0 - 85.0)"
+    plng = f"(((pk * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"{_PTS_CTE}, "
+        f"pk AS (SELECT UNNEST(generate_series({base}, "
+        f"{base + n_probes - 1})) AS pk), "
+        f"ppts AS (SELECT pk, {plat} AS lat, {plng} AS lng FROM pk), "
+        f"probes AS (SELECT pk AS probe_id, {_XYZ_SQL} FROM ppts), "
+        f"dists AS (SELECT p.probe_id, t.c_custkey AS neighbor_id, "
+        f"(p.x-t.x)*(p.x-t.x)+(p.y-t.y)*(p.y-t.y)+(p.z-t.z)*(p.z-t.z) "
+        f"AS chord2 FROM probes p CROSS JOIN xyz t), "
+        f"ranked AS (SELECT probe_id, neighbor_id, chord2, "
+        f"ROW_NUMBER() OVER (PARTITION BY probe_id "
+        f"ORDER BY chord2, neighbor_id) AS rank FROM dists), "
+        f"topk AS (SELECT r.*, CAST(ROUND(c.c_acctbal * 100) AS BIGINT) "
+        f"AS cents FROM ranked r JOIN customer c "
+        f"ON c.c_custkey = r.neighbor_id WHERE r.rank <= {k}), "
+        f"agg AS (SELECT probe_id, MIN(chord2) AS minc2, "
+        f"MAX(CASE WHEN rank = 1 THEN cents END) AS first_cents, "
+        f"CAST(SUM(CAST(FLOOR({_IDW_W_SCALE!r} / "
+        f"NULLIF(chord2, 0)) AS BIGINT) * (cents + {off})) AS BIGINT) "
+        f"AS num, "
+        f"CAST(SUM(CAST(FLOOR({_IDW_W_SCALE!r} / "
+        f"NULLIF(chord2, 0)) AS BIGINT)) AS BIGINT) AS den "
+        f"FROM topk GROUP BY 1) "
+        f"SELECT probe_id, CAST(CASE WHEN minc2 = 0 THEN first_cents "
+        f"ELSE num // den - {off} END AS BIGINT) AS est_cents "
+        f"FROM agg ORDER BY probe_id")
+
+
 _LATE_WINDOW_US = 3_600_000_000
 _LATE_ALLOWED_US = 120_000_000
 _LATE_MAX_DELAY_US = 600_000_000
@@ -4948,6 +5078,7 @@ def queries() -> Dict:
         "events_od": q_events_od,
         "events_pagerank": q_events_pagerank,
         "events_late": q_events_late,
+        "idw_interpolate": q_idw_interpolate,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -4980,6 +5111,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_od": sql_events_od(),
         "events_pagerank": sql_events_pagerank(),
         "events_late": sql_events_late(),
+        "idw_interpolate": sql_idw_interpolate(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
