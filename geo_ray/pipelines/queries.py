@@ -3483,6 +3483,122 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+def q_orders_skyline(sf_dir: str):
+    """Skyline (Pareto-dominance) filter: orders not dominated on
+    (price low, date recent) — a dominates b iff a is no worse on
+    both axes and strictly better on one.  Distributed 2-D algorithm:
+    per-price group max date (bucketed vectorized max), then the
+    strict-predecessor prefix max over the price order
+    (stages/scan.prefix_max_scan inclusive=False) gives E(p) = best
+    date among strictly cheaper orders; b survives iff
+    E(price_b) < date_b AND no same-price order has a later date.
+    One scan + two bucketed passes — never the quadratic NOT EXISTS
+    the oracle runs."""
+    import pandas as pd
+    import ray
+    from ..stages.sample import _splitmix
+    from ..stages.scan import prefix_max_scan
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                  "o_orderdate"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("o_totalprice").to_numpy()
+                         * 100.0).astype(np.int64)
+        dateu = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "cents": pa.array(cents),
+            "dateu": pa.array(dateu)})
+
+    o = ds.map_batches(_prep, batch_format="pyarrow")
+
+    # per-price group max date (bucketed by price hash)
+    def _gmax_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cents": batch.column("cents").to_numpy(),
+            "g": batch.column("dateu").to_numpy()})
+        gp = df.groupby("cents", sort=False)["g"].max().reset_index()
+        c = gp["cents"].to_numpy().astype(np.uint64)
+        gp["__b"] = (_splitmix(c) % np.uint64(64)).astype(np.int32)
+        return pa.Table.from_pandas(gp, preserve_index=False)
+
+    def _gmax_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["__b"]).groupby(
+            "cents", sort=False)["g"].max().reset_index()
+
+    gmax = (o.map_batches(_gmax_partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(_gmax_merge,
+                                       batch_format="pandas"))
+
+    # E(price) = max date among STRICTLY cheaper prices
+    summary = prefix_max_scan(gmax, ["cents"], "g", out_col="e",
+                              inclusive=False).materialize()
+
+    # co-partitioned join back: order rows + (price, g, e) summaries
+    def _tag_o(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(c) % np.uint64(64))
+                            .astype(np.int32), pa.int32()))
+
+    def _tag_s(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy().astype(np.uint64)
+        n = batch.num_rows
+        return pa.table({
+            "o_orderkey": pa.nulls(n, pa.int64()),
+            "cents": batch.column("cents"),
+            "dateu": batch.column("g"),
+            "__e": batch.column("e"),
+            "__b": pa.array((_splitmix(c) % np.uint64(64))
+                            .astype(np.int32), pa.int32()),
+        })
+
+    def _pad_o(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__e",
+                                   pa.nulls(batch.num_rows, pa.int64()))
+
+    tagged = o.map_batches(_tag_o, batch_format="pyarrow") \
+        .map_batches(_pad_o, batch_format="pyarrow") \
+        .select_columns(["o_orderkey", "cents", "dateu", "__e", "__b"]) \
+        .union(summary.map_batches(_tag_s, batch_format="pyarrow"))
+
+    def _filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["o_orderkey"].isna()]
+        rows = g[~g["o_orderkey"].isna()]
+        sc = s["cents"].to_numpy()
+        order = np.argsort(sc, kind="mergesort")
+        sc = sc[order]
+        sg = s["dateu"].to_numpy()[order]     # per-price max date
+        se = s["__e"].to_numpy()[order]
+        pos = np.searchsorted(sc, rows["cents"].to_numpy())
+        d = rows["dateu"].to_numpy()
+        keep = (se[pos] < d) & (sg[pos] <= d)
+        out = rows[keep]
+        return pd.DataFrame({
+            "o_orderkey": out["o_orderkey"].to_numpy()
+            .astype(np.int64),
+            "cents": out["cents"].to_numpy().astype(np.int64),
+            "dateu": out["dateu"].to_numpy().astype(np.int64)})
+
+    return tagged.groupby("__b").map_groups(
+        lambda g: _filter(g.drop(columns=["__b"])),
+        batch_format="pandas")
+
+
+def sql_orders_skyline() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
+        "epoch_us(o_orderdate) AS dateu FROM orders) "
+        "SELECT o_orderkey, cents, dateu FROM o b "
+        "WHERE NOT EXISTS (SELECT 1 FROM o a WHERE "
+        "a.cents <= b.cents AND a.dateu >= b.dateu "
+        "AND (a.cents < b.cents OR a.dateu > b.dateu)) "
+        "ORDER BY o_orderkey")
+
+
 _IDW_K = 8
 _IDW_PROBE_BASE = 100_000
 _IDW_N_PROBES = 16
@@ -5079,6 +5195,7 @@ def queries() -> Dict:
         "events_pagerank": q_events_pagerank,
         "events_late": q_events_late,
         "idw_interpolate": q_idw_interpolate,
+        "orders_skyline": q_orders_skyline,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5112,6 +5229,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_pagerank": sql_events_pagerank(),
         "events_late": sql_events_late(),
         "idw_interpolate": sql_idw_interpolate(),
+        "orders_skyline": sql_orders_skyline(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

@@ -45,10 +45,13 @@ def sample_order_bounds(ds, order_col: str, num_parts: int,
 
 def prefix_max_scan(ds, order_cols: List[str], value_col: str,
                     out_col: str = "running_max", *,
-                    num_parts: int = 32):
-    """Attach ``out_col`` = running (inclusive) max of ``value_col``
-    in the global (order_cols) order.  order_cols[0] must be int64;
-    later columns only break ties inside a partition."""
+                    num_parts: int = 32, inclusive: bool = True):
+    """Attach ``out_col`` = running max of ``value_col`` in the
+    global (order_cols) order — inclusive of the current row by
+    default; ``inclusive=False`` gives the strict-predecessors max
+    (INT64_MIN for the globally first row), the form dominance /
+    skyline filters need.  order_cols[0] must be int64; later columns
+    only break ties inside a partition."""
     import ray
 
     key = order_cols[0]
@@ -63,19 +66,26 @@ def prefix_max_scan(ds, order_cols: List[str], value_col: str,
 
     def _local(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="mergesort")
-        g["__local"] = np.maximum.accumulate(
+        cm = np.maximum.accumulate(
             g[value_col].to_numpy().astype(np.int64))
+        if inclusive:
+            g["__local"] = cm
+        else:
+            g["__local"] = np.r_[np.iinfo(np.int64).min, cm[:-1]] \
+                if len(cm) else cm
         return g
 
     local = parted.groupby("__p").map_groups(
         _local, batch_format="pandas").materialize()
 
-    # P-sized summary -> exclusive prefix per partition
+    # P-sized summary -> exclusive prefix per partition.  Summaries
+    # must reflect the partition's INCLUSIVE max even in exclusive
+    # mode, so carry-ins cover every predecessor row.
     def _summary(batch: pa.Table) -> pa.Table:
         import pandas as pd2
         df = pd2.DataFrame({
             "__p": batch.column("__p").to_numpy(),
-            "m": batch.column("__local").to_numpy()})
+            "m": batch.column(value_col).to_numpy()})
         g = df.groupby("__p", sort=False)["m"].max().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 

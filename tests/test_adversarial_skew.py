@@ -187,3 +187,24 @@ def test_prefix_max_scan_duplicate_order_keys(ray_session):
     want = np.maximum.accumulate(
         df.sort_values("event_id")["v"].to_numpy())
     assert np.array_equal(out["rm"].to_numpy(), want)
+
+
+def test_prefix_max_scan_exclusive(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.scan import prefix_max_scan
+
+    rng = np.random.RandomState(8)
+    n = 5000
+    df = pd.DataFrame({
+        "order": rng.permutation(n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": rng.randint(-100, 100, n).astype(np.int64)})
+    out = prefix_max_scan(rd.from_pandas(df).repartition(9),
+                          ["order", "event_id"], "v", out_col="em",
+                          inclusive=False).to_pandas()
+    out = out.sort_values(["order", "event_id"]).reset_index(drop=True)
+    ref = df.sort_values(["order", "event_id"]).reset_index(drop=True)
+    v = ref["v"].to_numpy()
+    want = np.r_[np.iinfo(np.int64).min,
+                 np.maximum.accumulate(v)[:-1]]
+    assert np.array_equal(out["em"].to_numpy(), want)
