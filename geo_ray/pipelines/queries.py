@@ -3483,6 +3483,82 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_SMOOTH_HALF_US = 7_200_000_000   # +-2h centered RANGE frame
+_SMOOTH_SHIFT = 1 << 21           # positions to nonnegative ints
+
+
+def q_events_smooth_track(sf_dir: str, half_us: int = _SMOOTH_HALF_US):
+    """Centered RANGE-frame rolling aggregate: each event's smoothed
+    position is the integer mean of all its user's positions within
+    +-2h of it — the moving-average trajectory smoother.  Per-user
+    groups compute every frame with TWO searchsorted bounds + prefix
+    sums (O(n) per user, not O(n * frame)); coordinates integerize to
+    1e-6 units and shift nonnegative so floor and truncating division
+    agree across engines.  RANGE frames (all rows within a value
+    distance) were the missing window class next to the tumbling /
+    sliding / session bucket windows."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "xu": pa.array(np.floor(x * 1e6).astype(np.int64)),
+            "yu": pa.array(np.floor(y * 1e6).astype(np.int64)),
+            "zu": pa.array(np.floor(z * 1e6).astype(np.int64)),
+        })
+
+    S = _SMOOTH_SHIFT
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="mergesort")
+        t = g["tsu"].to_numpy()
+        lo = np.searchsorted(t, t - half_us, side="left")
+        hi = np.searchsorted(t, t + half_us, side="right")
+        n = (hi - lo).astype(np.int64)
+        out = {"event_id": g["event_id"].to_numpy(),
+               "user_id": g["user_id"].to_numpy(),
+               "n_window": n}
+        for c in ("xu", "yu", "zu"):
+            v = g[c].to_numpy() + S
+            cs = np.r_[0, np.cumsum(v)]
+            out[f"m{c[0]}_units"] = ((cs[hi] - cs[lo]) // n) - S
+        return pd.DataFrame(out)
+
+    return ev.map_batches(_pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(_per_user, batch_format="pandas")
+
+
+def sql_events_smooth_track(half_us: int = _SMOOTH_HALF_US) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    S = _SMOOTH_SHIFT
+    cols = ", ".join(
+        f"CAST(SUM({c}u + {S}) OVER w // COUNT(*) OVER w - {S} "
+        f"AS BIGINT) AS m{c}_units" for c in ("x", "y", "z"))
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+        f"{lat} AS lat, {lng} AS lng FROM events), "
+        f"xyz AS (SELECT event_id, user_id, tsu, {_XYZ_SQL} FROM pts), "
+        f"iu AS (SELECT event_id, user_id, tsu, "
+        f"CAST(FLOOR(x*1000000.0) AS BIGINT) AS xu, "
+        f"CAST(FLOOR(y*1000000.0) AS BIGINT) AS yu, "
+        f"CAST(FLOOR(z*1000000.0) AS BIGINT) AS zu FROM xyz) "
+        f"SELECT event_id, user_id, "
+        f"CAST(COUNT(*) OVER w AS BIGINT) AS n_window, {cols} FROM iu "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY tsu "
+        f"RANGE BETWEEN {half_us} PRECEDING AND {half_us} FOLLOWING) "
+        f"ORDER BY user_id, event_id")
+
+
 def q_orders_skyline(sf_dir: str):
     """Skyline (Pareto-dominance) filter: orders not dominated on
     (price low, date recent) — a dominates b iff a is no worse on
@@ -5196,6 +5272,7 @@ def queries() -> Dict:
         "events_late": q_events_late,
         "idw_interpolate": q_idw_interpolate,
         "orders_skyline": q_orders_skyline,
+        "events_smooth_track": q_events_smooth_track,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5230,6 +5307,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_late": sql_events_late(),
         "idw_interpolate": sql_idw_interpolate(),
         "orders_skyline": sql_orders_skyline(),
+        "events_smooth_track": sql_events_smooth_track(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
