@@ -3483,6 +3483,127 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_PCTR_UNITS = 1_000_000_000
+
+
+def q_events_percent_rank(sf_dir: str):
+    """Exact per-row percent rank within each event type — a
+    per-row window rank WITHOUT a row-sized sort shuffle: (type,
+    cents) counts aggregate first (distinct-value-bounded), one
+    per-type pass turns them into a cumulative less-than table, and a
+    co-partitioned join maps every row through it.  The contract is
+    pure integer — pr_units = (rank-1) * 1e9 // (n-1) with min-rank
+    ties — so the result is bit-equal to SQL's PERCENT_RANK
+    integerized the same way."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "cents": c, "n": np.ones(len(c), np.int64)})
+        g = df.groupby(["event_type", "cents"], sort=False).sum() \
+            .reset_index()
+        cc = g["cents"].to_numpy().astype(np.uint64)
+        g["__b"] = (_splitmix(cc) % np.uint64(128)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["__b"]).groupby(
+            ["event_type", "cents"], sort=False)["n"].sum() \
+            .reset_index()
+
+    counts = (ds.map_batches(_counts, batch_format="pyarrow")
+              .groupby("__b").map_groups(_merge_counts,
+                                         batch_format="pandas"))
+
+    def _cdf(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per TYPE: rows are its distinct values (bounded by
+        # the value domain, never by the row count)
+        g = g.sort_values("cents", kind="mergesort")
+        n = g["n"].to_numpy()
+        cum = np.r_[0, np.cumsum(n)[:-1]]   # rows strictly below
+        g["cum_lt"] = cum
+        g["n_type"] = int(n.sum())
+        return g
+
+    cdf = counts.groupby("event_type").map_groups(
+        _cdf, batch_format="pandas")
+
+    def _tag_rows(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(c),
+            "cum_lt": pa.nulls(batch.num_rows, pa.int64()),
+            "n_type": pa.nulls(batch.num_rows, pa.int64()),
+            "__b": pa.array((_splitmix(c.astype(np.uint64))
+                             % np.uint64(128)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _tag_cdf(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": pa.nulls(batch.num_rows, pa.int64()),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(c),
+            "cum_lt": batch.column("cum_lt").cast(pa.int64()),
+            "n_type": batch.column("n_type").cast(pa.int64()),
+            "__b": pa.array((_splitmix(c.astype(np.uint64))
+                             % np.uint64(128)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    tagged = ds.map_batches(_tag_rows, batch_format="pyarrow") \
+        .union(cdf.map_batches(_tag_cdf, batch_format="pyarrow"))
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_id"].isna()]
+        rows = g[~g["event_id"].isna()]
+        if not len(rows):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "event_type": pd.Series(dtype="object"),
+                                 "pr_units": pd.Series(dtype="int64")})
+        key_s = s["event_type"].astype(str) + "|" \
+            + s["cents"].astype(np.int64).astype(str)
+        lut_c = dict(zip(key_s, s["cum_lt"].astype(np.int64)))
+        lut_n = dict(zip(key_s, s["n_type"].astype(np.int64)))
+        key_r = rows["event_type"].astype(str) + "|" \
+            + rows["cents"].astype(np.int64).astype(str)
+        cum = key_r.map(lut_c).to_numpy().astype(np.int64)
+        nt = key_r.map(lut_n).to_numpy().astype(np.int64)
+        pr = np.where(nt > 1,
+                      cum * _PCTR_UNITS // np.maximum(nt - 1, 1), 0)
+        return pd.DataFrame({
+            "event_id": rows["event_id"].to_numpy().astype(np.int64),
+            "event_type": rows["event_type"].to_numpy(),
+            "pr_units": pr.astype(np.int64)})
+
+    return tagged.groupby("__b").map_groups(
+        lambda g: _rank(g.drop(columns=["__b"])),
+        batch_format="pandas")
+
+
+def sql_events_percent_rank() -> str:
+    return (
+        "WITH c AS (SELECT event_id, event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "r AS (SELECT event_id, event_type, "
+        "RANK() OVER (PARTITION BY event_type ORDER BY cents) AS rk, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS nt FROM c) "
+        f"SELECT event_id, event_type, CAST(CASE WHEN nt > 1 THEN "
+        f"(rk - 1) * {_PCTR_UNITS} // (nt - 1) ELSE 0 END AS BIGINT) "
+        "AS pr_units FROM r ORDER BY event_id")
+
+
 _SMOOTH_HALF_US = 7_200_000_000   # +-2h centered RANGE frame
 _SMOOTH_SHIFT = 1 << 21           # positions to nonnegative ints
 
@@ -5273,6 +5394,7 @@ def queries() -> Dict:
         "idw_interpolate": q_idw_interpolate,
         "orders_skyline": q_orders_skyline,
         "events_smooth_track": q_events_smooth_track,
+        "events_percent_rank": q_events_percent_rank,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5308,6 +5430,7 @@ def oracle_sql() -> Dict[str, str]:
         "idw_interpolate": sql_idw_interpolate(),
         "orders_skyline": sql_orders_skyline(),
         "events_smooth_track": sql_events_smooth_track(),
+        "events_percent_rank": sql_events_percent_rank(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
