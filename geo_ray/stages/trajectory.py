@@ -100,8 +100,16 @@ def _edge_chord2_vec(M: np.ndarray, a: np.ndarray,
     engines produce bit-identical doubles.  Degenerate lanes (A == B,
     or M on the edge axis) go NaN here / NULL in SQL and land in the
     same endpoint branch in both engines."""
-    ax, ay, az = a
-    bx, by, bz = b
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.ndim == 2:
+        ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
+    else:
+        ax, ay, az = a
+    if b.ndim == 2:
+        bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
+    else:
+        bx, by, bz = b
     xx, xy, xz = M[:, 0], M[:, 1], M[:, 2]
     cx = ay * bz - az * by
     cy = az * bx - ax * bz
@@ -148,11 +156,30 @@ def simplify_group(g: pd.DataFrame, tol_chord2: float,
     while idx < n - 1:
         bound = min(idx + max_lookahead, n - 1)
         best = idx + 1
-        for c in range(idx + 2, bound + 1):
-            d = _edge_chord2_vec(V[idx + 1:c], V[idx], V[c])
-            if (d > tol_chord2).any():   # NaN lanes compare False: ok
-                break
-            best = c
+        if bound >= idx + 2:
+            # evaluate EVERY candidate's window in one kernel call:
+            # rows are (candidate, mid) pairs; per-candidate failure
+            # reduces by np.add.at, and 'stop at first failure' is
+            # the argmax over the failure flags (identical decisions
+            # to the sequential loop, K^2/2 rows instead of K calls)
+            cands = np.arange(idx + 2, bound + 1)
+            n_mids = cands - idx - 1
+            c_rows = np.repeat(cands, n_mids)
+            m_rows = np.concatenate(
+                [np.arange(idx + 1, c) for c in cands])
+            d = _edge_chord2_vec(V[m_rows], V[np.full(len(m_rows),
+                                                      idx)],
+                                 V[c_rows])
+            fail = np.zeros(len(cands), dtype=np.int64)
+            np.add.at(fail, c_rows - (idx + 2),
+                      (d > tol_chord2).astype(np.int64))
+            bad = fail > 0
+            if bad.any():
+                first_bad = int(np.argmax(bad))
+                best = int(cands[first_bad]) - 1 if first_bad > 0 \
+                    else idx + 1
+            else:
+                best = bound
         if not np.array_equal(V[best], V[kept[-1]]):
             kept.append(best)
         idx = best
