@@ -4164,12 +4164,16 @@ def q_events_od(sf_dir: str, level: int = _OD_LEVEL):
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    shift = np.uint64(2 * (30 - level))
+
     def _pts(batch: pa.Table) -> pa.Table:
         keys = batch.column("event_id").to_numpy()
         lat, lng = derive_latlng_np(keys)
         x, y, z = latlng_deg_to_xyz(lat, lng)
         ids = cid.cell_id_from_point_v(x, y, z)
-        tok = cid.token_v(cid.parent_v(ids, level))
+        # carry the parent cell as a PACKED int (token_v is a per-row
+        # Python hex format — it runs only on the tiny OD output)
+        pcell = (cid.parent_v(ids, level) >> shift).astype(np.int64)
         tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
             .astype(np.int64)
         u = batch.column("user_id").to_numpy().astype(np.uint64)
@@ -4178,7 +4182,7 @@ def q_events_od(sf_dir: str, level: int = _OD_LEVEL):
             "event_id": batch.column("event_id"),
             "tsu": pa.array(tsu),
             "day": pa.array(tsu // 86_400_000_000),
-            "token": pa.array(tok, pa.string()),
+            "pcell": pa.array(pcell),
             "__b": pa.array((_splitmix(u) % np.uint64(128))
                             .astype(np.int32), pa.int32()),
         })
@@ -4186,11 +4190,11 @@ def q_events_od(sf_dir: str, level: int = _OD_LEVEL):
     def _od(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "day", "tsu", "event_id"],
                           kind="mergesort")
-        grp = g.groupby(["user_id", "day"], sort=False)["token"]
-        first = grp.first().reset_index(name="from_token")
-        last = grp.last().reset_index(name="to_token")
+        grp = g.groupby(["user_id", "day"], sort=False)["pcell"]
+        first = grp.first().reset_index(name="from_cell")
+        last = grp.last().reset_index(name="to_cell")
         od = first.merge(last, on=["user_id", "day"])
-        out = od.groupby(["from_token", "to_token"], sort=False) \
+        out = od.groupby(["from_cell", "to_cell"], sort=False) \
             .size().reset_index(name="n")
         return out
 
@@ -4198,8 +4202,21 @@ def q_events_od(sf_dir: str, level: int = _OD_LEVEL):
         .groupby("__b").map_groups(
             lambda g: _od(g.drop(columns=["__b"])),
             batch_format="pandas")
-    return (partials.groupby(["from_token", "to_token"])
-            .aggregate(Sum("n", alias_name="n")))
+    from ..stages.agg import bucketed_sum
+    agg = bucketed_sum(partials, ["from_cell", "to_cell"], ["n"],
+                       n_buckets=64)
+
+    def _tokens(batch: pa.Table) -> pa.Table:
+        fc = batch.column("from_cell").to_numpy().astype(np.uint64)
+        tc = batch.column("to_cell").to_numpy().astype(np.uint64)
+        return pa.table({
+            "from_token": pa.array(cid.token_v(fc << shift),
+                                   pa.string()),
+            "to_token": pa.array(cid.token_v(tc << shift), pa.string()),
+            "n": batch.column("n"),
+        })
+
+    return agg.map_batches(_tokens, batch_format="pyarrow")
 
 
 def sql_events_od(level: int = _OD_LEVEL) -> str:
