@@ -3483,6 +3483,57 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+def q_events_transitions(sf_dir: str):
+    """Sequence mining: first-order Markov transition counts over each
+    user's event-type sequence in (ts, event_id) order — the
+    behavioral-model input.  Per-user-hash buckets emit vectorized
+    (from, to) pair partials (consecutive pairs never cross users);
+    one small groupby merges the 25-cell matrix."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(u) % np.uint64(64))
+                            .astype(np.int32), pa.int32()))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({
+            "from_type": et[:-1][same],
+            "to_type": et[1:][same],
+            "n": np.ones(int(same.sum()), np.int64)})
+        out = df.groupby(["from_type", "to_type"], sort=False).sum() \
+            .reset_index()
+        return out
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _pairs(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_events_transitions() -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events) "
+        "SELECT event_type AS from_type, nxt AS to_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE nxt IS NOT NULL "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 _PCTR_UNITS = 1_000_000_000
 
 
@@ -5412,6 +5463,7 @@ def queries() -> Dict:
         "orders_skyline": q_orders_skyline,
         "events_smooth_track": q_events_smooth_track,
         "events_percent_rank": q_events_percent_rank,
+        "events_transitions": q_events_transitions,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5448,6 +5500,7 @@ def oracle_sql() -> Dict[str, str]:
         "orders_skyline": sql_orders_skyline(),
         "events_smooth_track": sql_events_smooth_track(),
         "events_percent_rank": sql_events_percent_rank(),
+        "events_transitions": sql_events_transitions(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
