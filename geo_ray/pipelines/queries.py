@@ -3483,6 +3483,55 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_CUSUM_K = 24_500      # drift allowance (cents)
+_CUSUM_H = 200_000     # alarm threshold (cents)
+
+
+def q_events_cusum(sf_dir: str, k: int = _CUSUM_K, h: int = _CUSUM_H):
+    """Streaming changepoint detection (one-sided CUSUM) per user —
+    the anomaly-monitoring primitive.  The recurrence
+    s_i = max(0, s_{i-1} + (x_i - k)) has the closed form
+    s_i = c_i - min(0, running_min(c_i)) over the cumulative sums,
+    so it distributes as per-user vectorized cumsum/cummin with NO
+    sequential state — all integer cents, bit-equal across engines.
+    Output per user: alarm count (s > h) and the peak statistic."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "value"])
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        x = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        c = np.cumsum(x - k)
+        s = c - np.minimum(np.minimum.accumulate(c), 0)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_alarms": [int((s > h).sum())],
+            "max_s": [int(s.max()) if len(s) else 0]})
+
+    return ds.groupby("user_id").map_groups(_per_user,
+                                            batch_format="pandas")
+
+
+def sql_events_cusum(k: int = _CUSUM_K, h: int = _CUSUM_H) -> str:
+    return (
+        "WITH b AS (SELECT user_id, ts, event_id, "
+        f"CAST(ROUND(value * 100) AS BIGINT) - {k} AS d FROM events), "
+        "c AS (SELECT user_id, ts, event_id, SUM(d) OVER w AS cs "
+        "FROM b WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)), "
+        "s AS (SELECT user_id, cs - LEAST(MIN(cs) OVER w2, 0) AS st "
+        "FROM c WINDOW w2 AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)) "
+        "SELECT user_id, "
+        f"CAST(SUM(CASE WHEN st > {h} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_alarms, CAST(MAX(st) AS BIGINT) AS max_s "
+        "FROM s GROUP BY 1 ORDER BY 1")
+
+
 def q_events_transitions(sf_dir: str):
     """Sequence mining: first-order Markov transition counts over each
     user's event-type sequence in (ts, event_id) order — the
@@ -5464,6 +5513,7 @@ def queries() -> Dict:
         "events_smooth_track": q_events_smooth_track,
         "events_percent_rank": q_events_percent_rank,
         "events_transitions": q_events_transitions,
+        "events_cusum": q_events_cusum,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5501,6 +5551,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_smooth_track": sql_events_smooth_track(),
         "events_percent_rank": sql_events_percent_rank(),
         "events_transitions": sql_events_transitions(),
+        "events_cusum": sql_events_cusum(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
