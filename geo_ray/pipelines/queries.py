@@ -3483,7 +3483,8 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
-_CUSUM_K = 24_500      # drift allowance (cents)
+_CUSUM_K = 20_000      # drift allowance (cents, below the ~24.5k mean
+                       # so sustained activity drifts into alarms)
 _CUSUM_H = 200_000     # alarm threshold (cents)
 
 
