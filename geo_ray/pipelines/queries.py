@@ -3483,9 +3483,9 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
-_CUSUM_K = 20_000      # drift allowance (cents, below the ~24.5k mean
+_CUSUM_K = 3_500       # drift allowance (cents, below the ~4.9k mean
                        # so sustained activity drifts into alarms)
-_CUSUM_H = 200_000     # alarm threshold (cents)
+_CUSUM_H = 50_000      # alarm threshold (cents)
 
 
 def q_events_cusum(sf_dir: str, k: int = _CUSUM_K, h: int = _CUSUM_H):
