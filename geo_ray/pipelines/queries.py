@@ -3483,6 +3483,63 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_ENT_UNITS = 1_000_000_000
+
+
+def q_events_entropy(sf_dir: str):
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution.  Each type's term floor(n_i * ln(n/n_i) * 1e9 / n)
+    integerizes BEFORE the sum, so the aggregate is order-independent
+    and hash-equal (ln on identical integer-derived doubles is the
+    same libm call in both engines).  Per-user groups over (user,
+    type, count) partials — only 5-row-per-user partials shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(),
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": np.ones(batch.num_rows, np.int64)})
+        g = df.groupby(["user_id", "event_type"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("event_type", sort=False)["n"].sum()
+        ni = c.to_numpy().astype(np.int64)
+        n = int(ni.sum())
+        terms = np.floor(ni.astype(np.float64)
+                         * np.log(n / ni.astype(np.float64))
+                         * float(_ENT_UNITS) / n).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [n],
+            "entropy_units": [int(terms.sum())]})
+
+    return (ds.map_batches(_counts, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(_entropy, batch_format="pandas"))
+
+
+def sql_events_entropy() -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS ni FROM events GROUP BY 1, 2), "
+        "t AS (SELECT user_id, ni, SUM(ni) OVER "
+        "(PARTITION BY user_id) AS n FROM c), "
+        "terms AS (SELECT user_id, CAST(n AS BIGINT) AS n, "
+        "CAST(FLOOR(CAST(ni AS DOUBLE) * "
+        "ln(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE)) * "
+        f"{float(_ENT_UNITS)!r} / CAST(n AS DOUBLE)) AS BIGINT) "
+        "AS term FROM t) "
+        "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events, "
+        "CAST(SUM(term) AS BIGINT) AS entropy_units "
+        "FROM terms GROUP BY 1 ORDER BY 1")
+
+
 _CUSUM_K = 3_500       # drift allowance (cents, below the ~4.9k mean
                        # so sustained activity drifts into alarms)
 _CUSUM_H = 50_000      # alarm threshold (cents)
@@ -5515,6 +5572,7 @@ def queries() -> Dict:
         "events_percent_rank": q_events_percent_rank,
         "events_transitions": q_events_transitions,
         "events_cusum": q_events_cusum,
+        "events_entropy": q_events_entropy,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5553,6 +5611,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_percent_rank": sql_events_percent_rank(),
         "events_transitions": sql_events_transitions(),
         "events_cusum": sql_events_cusum(),
+        "events_entropy": sql_events_entropy(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

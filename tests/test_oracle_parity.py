@@ -73,7 +73,7 @@ ORACLE_CHECKED = [
     "tpch_q5", "tpch_q10",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
     "tile_pyramid", "grid_smooth", "events_weighted_sample", "events_zscore", "events_props",
-    "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum",
+    "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum", "events_entropy",
     "convex_hull",
 ]
 
