@@ -4198,7 +4198,10 @@ def q_events_pagerank(sf_dir: str, iters: int = _PR_ITERS):
     # exact distinct directed edges, edges stay DISTRIBUTED: bucketed
     # drop_duplicates, then materialize once (edge-table-sized cache —
     # three iterations re-read it; without this the colocation join
-    # would re-execute per iteration)
+    # would re-execute per iteration).  Ray's object store spills
+    # pinned blocks to disk, so the cache is storage-bounded; a
+    # parquet checkpoint (pipelines/checkpoint.py) is the
+    # process-loss-durable variant
     def _bucket_e(batch: pa.Table) -> pa.Table:
         aa = batch.column("a").to_numpy().astype(np.uint64)
         return batch.append_column(

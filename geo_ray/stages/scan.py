@@ -75,6 +75,11 @@ def prefix_max_scan(ds, order_cols: List[str], value_col: str,
                 if len(cm) else cm
         return g
 
+    # materialize = the two-pass requirement (summary, then combine)
+    # realized as Ray block pinning; the object store spills to disk
+    # under pressure, so this is storage-bounded, not heap-bounded.
+    # For runs that must survive process loss, the checkpointed
+    # variant is pipelines/checkpoint.sharded_stage_checkpoint.
     local = parted.groupby("__p").map_groups(
         _local, batch_format="pandas").materialize()
 
