@@ -3483,6 +3483,55 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+def q_geohash_assign(sf_dir: str, precision: int = 8):
+    """Geohash cell assignment (the third index system next to S2 and
+    the integer lat/lng grid): 8-character base-32 Z-order codes from
+    integer-exact quantization + bit interleave
+    (functions/geohash.py), plus the 4-character prefix for
+    coarse-level grouping.  Oracle: the same 40-bit math unrolled in
+    SQL bit expressions."""
+    from ..functions.geohash import geohash_encode
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _gh(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        gh = geohash_encode(lat, lng, precision)
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "geohash": pa.array(gh.tolist(), pa.string()),
+            "prefix4": pa.array([s[:4] for s in gh], pa.string()),
+        })
+
+    return ds.map_batches(_gh, batch_format="pyarrow")
+
+
+def sql_geohash_assign(precision: int = 8) -> str:
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    x_bits = " | ".join(
+        f"(((x >> {i}) & 1) << {2 * i + 1})" for i in range(20))
+    y_bits = " | ".join(
+        f"(((y >> {i}) & 1) << {2 * i})" for i in range(20))
+    chars = " || ".join(
+        f"substr('{b32}', CAST(((gh >> {40 - 5 * (j + 1)}) & 31) "
+        f"AS INT) + 1, 1)" for j in range(precision))
+    pfx = " || ".join(
+        f"substr('{b32}', CAST(((gh >> {40 - 5 * (j + 1)}) & 31) "
+        f"AS INT) + 1, 1)" for j in range(4))
+    return (
+        f"WITH pts AS (SELECT c_custkey, {LAT_SQL} AS lat, "
+        f"{LNG_SQL} AS lng FROM customer), "
+        f"q AS (SELECT c_custkey, "
+        f"LEAST(GREATEST(CAST(FLOOR((lng + 180.0) / 360.0 * 1048576.0) "
+        f"AS BIGINT), 0), 1048575) AS x, "
+        f"LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 1048576.0) "
+        f"AS BIGINT), 0), 1048575) AS y FROM pts), "
+        f"g AS (SELECT c_custkey, ({x_bits}) | ({y_bits}) AS gh FROM q) "
+        f"SELECT c_custkey, {chars} AS geohash, {pfx} AS prefix4 "
+        f"FROM g ORDER BY c_custkey")
+
+
 _ENT_UNITS = 1_000_000_000
 
 
@@ -5576,6 +5625,7 @@ def queries() -> Dict:
         "events_transitions": q_events_transitions,
         "events_cusum": q_events_cusum,
         "events_entropy": q_events_entropy,
+        "geohash_assign": q_geohash_assign,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5615,6 +5665,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_transitions": sql_events_transitions(),
         "events_cusum": sql_events_cusum(),
         "events_entropy": sql_events_entropy(),
+        "geohash_assign": sql_geohash_assign(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

@@ -208,3 +208,33 @@ def test_prefix_max_scan_exclusive(ray_session):
     want = np.r_[np.iinfo(np.int64).min,
                  np.maximum.accumulate(v)[:-1]]
     assert np.array_equal(out["em"].to_numpy(), want)
+
+
+# --------------------------------------------------------------------------
+# geohash golden vectors (public reference values)
+# --------------------------------------------------------------------------
+
+def test_geohash_golden():
+    from geo_ray.functions.geohash import geohash_encode
+    lat = np.array([57.64911, 42.605, 0.0, -25.382708])
+    lng = np.array([10.40744, -5.603, 0.0, -49.265506])
+    got = geohash_encode(lat, lng, 8)
+    assert got[0] == "u4pruydq"          # the canonical example
+    assert got[1][:5] == "ezs42"
+    assert got[2][:7] == "s000000"       # origin
+    assert got[3][:6] == "6gkzwg"        # Curitiba reference
+
+
+def test_geohash_prefix_nesting():
+    """A point's precision-4 hash is the prefix of its precision-8
+    hash, and nearby points share prefixes (Z-order locality)."""
+    from geo_ray.functions.geohash import geohash_encode
+    rng = np.random.RandomState(2)
+    lat = rng.uniform(-89, 89, 200)
+    lng = rng.uniform(-179, 179, 200)
+    g8 = geohash_encode(lat, lng, 8)
+    g4 = geohash_encode(lat, lng, 4)
+    assert all(a[:4] == b for a, b in zip(g8, g4))
+    # a tiny perturbation stays in the same precision-4 cell for most
+    g4p = geohash_encode(lat + 1e-7, lng + 1e-7, 4)
+    assert (g4 == g4p).mean() > 0.95

@@ -52,7 +52,7 @@ ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
     "knn_geo", "knn_geo_limited", "knn_geo_ring", "knn_shape", "knn_join",
     "grid_density", "radius_join",
-    "cell_assign", "s2_density", "s2_pyramid",
+    "cell_assign", "s2_density", "s2_pyramid", "geohash_assign",
     "langid", "fingerprint", "simhash", "simhash_neardup",
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
