@@ -3270,6 +3270,86 @@ def sql_events_geofence() -> str:
         f"ORDER BY user_id, event_id")
 
 
+def q_events_dwell(sf_dir: str):
+    """Geofence dwell time: microseconds each user spends inside the
+    fence, attributing every inter-event interval to its STARTING
+    event's containment state (the left-continuous rule — exact
+    integers, no interpolation ambiguity).  Same engine containment
+    path as events_geofence (covering semi-join + exact refine, never
+    the oracle's half-spaces); the per-user scan shuffles only narrow
+    flag rows."""
+    import pandas as pd
+    import ray
+    from ..stages.join import JoinState, polygon_join
+
+    loop = Loop.from_latlngs_deg(GEOFENCE_QUAD)
+    state = JoinState([("fence", Polygon.from_loop(loop))])
+    ref = ray.put(state)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        ids = cid.cell_id_from_point_v(x, y, z)
+        pts = pa.table({
+            "event_id": batch.column("event_id"),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+            "cell_id": pa.array(ids, pa.uint64()),
+        })
+        matched = polygon_join(pts, ref, id_col="event_id",
+                               keep_cols=["event_id"])
+        inside = np.isin(keys, matched.column("event_id").to_numpy())
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "tsu": pa.array(tsu),
+            "inside": pa.array(inside, pa.bool_()),
+        })
+
+    def _dwell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="mergesort")
+        t = g["tsu"].to_numpy()
+        ins = g["inside"].to_numpy()
+        if len(t) < 2:
+            dw, ni = 0, 0
+        else:
+            gaps = t[1:] - t[:-1]
+            dw = int(gaps[ins[:-1]].sum())
+            ni = int(ins[:-1].sum())
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "dwell_us": [dw],
+            "n_inside_intervals": [ni]})
+
+    return ev.map_batches(_flags, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(_dwell, batch_format="pandas")
+
+
+def sql_events_dwell() -> str:
+    conds = " AND ".join(
+        f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
+        for nx, ny, nz in _quad_edge_normals(GEOFENCE_QUAD))
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+        f"(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
+        f"(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
+        f"FROM events), "
+        f"xyz AS (SELECT event_id, user_id, tsu, {_XYZ_SQL} FROM pts), "
+        f"flags AS (SELECT event_id, user_id, tsu, ({conds}) AS inside "
+        f"FROM xyz), "
+        f"seg AS (SELECT user_id, inside, "
+        f"LEAD(tsu) OVER w - tsu AS gap FROM flags "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)) "
+        f"SELECT user_id, CAST(COALESCE(SUM(CASE WHEN inside "
+        f"THEN gap END), 0) AS BIGINT) AS dwell_us, "
+        f"CAST(COALESCE(SUM(CASE WHEN inside AND gap IS NOT NULL "
+        f"THEN 1 END), 0) AS BIGINT) AS n_inside_intervals "
+        f"FROM seg GROUP BY user_id ORDER BY user_id")
+
+
 def q_events_travel(sf_dir: str):
     """Per-user trajectory travel metrics: order each user's events by
     time, measure every consecutive-pair squared-chord hop, and emit
@@ -5626,6 +5706,7 @@ def queries() -> Dict:
         "events_cusum": q_events_cusum,
         "events_entropy": q_events_entropy,
         "geohash_assign": q_geohash_assign,
+        "events_dwell": q_events_dwell,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5666,6 +5747,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_cusum": sql_events_cusum(),
         "events_entropy": sql_events_entropy(),
         "geohash_assign": sql_geohash_assign(),
+        "events_dwell": sql_events_dwell(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

@@ -64,7 +64,7 @@ ORACLE_CHECKED = [
     "orders_by_nation", "orders_priority_salted",
     "events_sample", "events_distinct_users",
     "events_anti_join", "events_retention", "events_gap_quantiles",
-    "events_geofence", "events_travel", "events_resample",
+    "events_geofence", "events_travel", "events_resample", "events_dwell",
     "events_pivot", "events_funnel", "orders_left_join",
     "events_colocation", "events_split", "events_running",
     "events_simplify", "events_crossings",
