@@ -3563,6 +3563,55 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_RECENT_CUTOFF = "2024-01-25"
+
+
+def q_events_recent(sf_dir: str, cutoff: str = _RECENT_CUTOFF):
+    """Predicate pushdown at the SCAN: the time filter rides into
+    read_parquet as a pyarrow dataset expression, so row groups whose
+    statistics exclude the cutoff never leave storage — the row-filter
+    half of scan pruning (every other reader already prunes columns).
+    Downstream: tumbling hourly counts per type over the survivors."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cutoff_us = np.datetime64(cutoff).astype("datetime64[us]")
+    path = f"{sf_dir}/events.parquet"
+    rows = pq.ParquetFile(path).metadata.num_rows
+    ds = rd.read_parquet(
+        path, columns=["event_type", "ts"],
+        filter=(pds.field("ts") >= cutoff_us),
+        override_num_blocks=min(200, max(8, rows // 8192)))
+
+    def _hourly(batch: pa.Table) -> pa.Table:
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        hour = (tsu // 3_600_000_000) * 3600
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour_epoch": hour,
+            "n": np.ones(len(hour), np.int64)})
+        g = df.groupby(["event_type", "hour_epoch"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(_hourly, batch_format="pyarrow")
+            .groupby(["event_type", "hour_epoch"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_events_recent(cutoff: str = _RECENT_CUTOFF) -> str:
+    return (
+        "SELECT event_type, "
+        "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "
+        "AS hour_epoch, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        f"WHERE ts >= TIMESTAMP '{cutoff}' "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_geohash_assign(sf_dir: str, precision: int = 8):
     """Geohash cell assignment (the third index system next to S2 and
     the integer lat/lng grid): 8-character base-32 Z-order codes from
@@ -5707,6 +5756,7 @@ def queries() -> Dict:
         "events_entropy": q_events_entropy,
         "geohash_assign": q_geohash_assign,
         "events_dwell": q_events_dwell,
+        "events_recent": q_events_recent,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5748,6 +5798,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_entropy": sql_events_entropy(),
         "geohash_assign": sql_geohash_assign(),
         "events_dwell": sql_events_dwell(),
+        "events_recent": sql_events_recent(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

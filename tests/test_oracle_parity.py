@@ -57,7 +57,7 @@ ORACLE_CHECKED = [
     "token_count", "top_terms", "doc_quality",
     "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
     "embed_clusters", "doc_chunks", "chunk_knn", "neardup_agreement",
-    "events_hourly",
+    "events_hourly", "events_recent",
     "events_sliding", "events_sessions", "events_asof",
     "events_range_join", "events_quantiles", "events_rollup",
     "events_topk", "events_latest",
