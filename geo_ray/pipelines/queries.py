@@ -3563,6 +3563,88 @@ def sql_events_props() -> str:
         "FROM events GROUP BY 1 ORDER BY 1")
 
 
+_Q4_LATE_DAYS = 90
+
+
+def q_tpch_q4(sf_dir: str, late_days: int = _Q4_LATE_DAYS):
+    """TPC-H Q4-shaped correlated EXISTS: orders per priority having
+    at least one lineitem shipped more than ``late_days`` after the
+    order date.  The correlated predicate collapses to a mergeable
+    per-order MAX(shipdate) partial — EXISTS(ship > odate + d) iff
+    max_ship > odate + d — so the fact table reduces to one
+    (orderkey, max) row per batch, merges in hash buckets, and meets
+    the order rows in the same bucketed tagged-union pass."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ..stages.sample import _splitmix
+
+    late_us = np.int64(late_days) * 86_400_000_000
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def _item_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        sd = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"k": ok, "ms": sd})
+        g = df.groupby("k", sort=False)["ms"].max().reset_index()
+        kk = g["k"].to_numpy().astype(np.uint64)
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy().astype(np.int64)),
+            "ms": pa.array(g["ms"].to_numpy().astype(np.int64)),
+            "od": pa.nulls(len(g), pa.int64()),
+            "priority": pa.nulls(len(g), pa.string()),
+            "__b": pa.array((_splitmix(kk) % np.uint64(128))
+                            .astype(np.int32), pa.int32()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        od = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "k": pa.array(ok.astype(np.int64)),
+            "ms": pa.nulls(len(ok), pa.int64()),
+            "od": pa.array(od),
+            "priority": batch.column("o_orderpriority"),
+            "__b": pa.array((_splitmix(ok.astype(np.uint64))
+                             % np.uint64(128)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    union = items.map_batches(_item_partial, batch_format="pyarrow") \
+        .union(orders.map_batches(_order_rows, batch_format="pyarrow"))
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        part = g[g["od"].isna()]
+        rows = g[~g["od"].isna()]
+        agg = part.groupby("k", sort=False)["ms"].max()
+        ms = rows["k"].map(agg).to_numpy()
+        od = rows["od"].to_numpy().astype(np.int64)
+        late = ~np.isnan(ms) & (ms > od + late_us)
+        sub = rows[late]
+        out = sub.groupby("priority", sort=False).size() \
+            .reset_index(name="n")
+        return out
+
+    return (union.groupby("__b").map_groups(
+        lambda g: _resolve(g.drop(columns=["__b"])),
+        batch_format="pandas")
+        .groupby("priority")
+        .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_tpch_q4(late_days: int = _Q4_LATE_DAYS) -> str:
+    return (
+        "SELECT o_orderpriority AS priority, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        f"AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY) "
+        "GROUP BY 1 ORDER BY 1")
+
+
 _RECENT_CUTOFF = "2024-01-25"
 
 
@@ -5757,6 +5839,7 @@ def queries() -> Dict:
         "geohash_assign": q_geohash_assign,
         "events_dwell": q_events_dwell,
         "events_recent": q_events_recent,
+        "tpch_q4": q_tpch_q4,
         "events_zscore": q_events_zscore,
         "orders_left_join": q_orders_left_join,
     }
@@ -5799,6 +5882,7 @@ def oracle_sql() -> Dict[str, str]:
         "geohash_assign": sql_geohash_assign(),
         "events_dwell": sql_events_dwell(),
         "events_recent": sql_events_recent(),
+        "tpch_q4": sql_tpch_q4(),
         "events_zscore": sql_events_zscore(),
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),

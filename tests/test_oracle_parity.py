@@ -69,7 +69,7 @@ ORACLE_CHECKED = [
     "events_colocation", "events_split", "events_running",
     "events_simplify", "events_crossings",
     "events_distinct_sketch", "events_distinct_hll",
-    "lineitem_agg", "lineitem_semi_bloom", "tpch_q3",
+    "lineitem_agg", "lineitem_semi_bloom", "tpch_q3", "tpch_q4",
     "tpch_q5", "tpch_q10",
     "spatial_join_images", "tiling_images", "knn_images", "zonal_stats",
     "tile_pyramid", "grid_smooth", "events_weighted_sample", "events_zscore", "events_props",
