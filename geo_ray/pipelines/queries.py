@@ -3324,8 +3324,9 @@ def q_events_dwell(sf_dir: str):
             "dwell_us": [dw],
             "n_inside_intervals": [ni]})
 
-    return ev.map_batches(_flags, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(_dwell, batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ev.map_batches(_flags, batch_format="pyarrow"), _dwell)
 
 
 def sql_events_dwell() -> str:
@@ -3395,8 +3396,9 @@ def q_events_travel(sf_dir: str):
             "max_seg_units": [int(units.max())],
         })
 
-    return ev.map_batches(_pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(_per_user, batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ev.map_batches(_pts, batch_format="pyarrow"), _per_user)
 
 
 def sql_events_travel() -> str:
@@ -3828,8 +3830,8 @@ def q_events_cusum(sf_dir: str, k: int = _CUSUM_K, h: int = _CUSUM_H):
             "n_alarms": [int((s > h).sum())],
             "max_s": [int(s.max()) if len(s) else 0]})
 
-    return ds.groupby("user_id").map_groups(_per_user,
-                                            batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(ds, _per_user)
 
 
 def sql_events_cusum(k: int = _CUSUM_K, h: int = _CUSUM_H) -> str:
@@ -5593,8 +5595,8 @@ def q_events_funnel(sf_dir: str):
         return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
                              "reached": [reached]})
 
-    per_user = ev.groupby("user_id").map_groups(
-        _per_user, batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    per_user = bucketed_user_groups(ev, _per_user)
 
     def _partial(batch: pa.Table) -> pa.Table:
         r = batch.column("reached").to_numpy()

@@ -90,3 +90,30 @@ def bucketed_sum(ds, key_cols: Sequence[str], value_cols: Sequence[str],
             .groupby("__b")
             .map_groups(lambda g: _combine(g.drop_columns(["__b"])),
                         batch_format="pyarrow"))
+
+
+def bucketed_user_groups(ds, body, *, user_col: str = "user_id",
+                         n_buckets: int = 64,
+                         batch_format: str = "pandas"):
+    """Run a per-USER group body inside user-hash BUCKET groups: Ray
+    pays one Python dispatch per bucket, the body loops that bucket's
+    users locally.  ``body(sub_frame) -> DataFrame`` sees exactly one
+    user's rows (pre-filtered), so existing per-user bodies drop in
+    unchanged; at 10^6+ users the dispatch cost stays constant."""
+    import pandas as pd
+    import pyarrow as pa2
+
+    def _bucket(batch: pa2.Table) -> pa2.Table:
+        u = batch.column(user_col).to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__ub", pa2.array((_splitmix(u) % np.uint64(n_buckets))
+                              .astype(np.int32), pa2.int32()))
+
+    def _run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__ub"])
+        outs = [body(sub) for _, sub in g.groupby(user_col,
+                                                  sort=False)]
+        return pd.concat(outs) if outs else body(g)
+
+    return ds.map_batches(_bucket, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(_run, batch_format=batch_format)
