@@ -3781,9 +3781,9 @@ def q_events_entropy(sf_dir: str):
             "n_events": [n],
             "entropy_units": [int(terms.sum())]})
 
-    return (ds.map_batches(_counts, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(_entropy, batch_format="pandas"))
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ds.map_batches(_counts, batch_format="pyarrow"), _entropy)
 
 
 def sql_events_entropy() -> str:

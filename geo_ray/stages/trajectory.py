@@ -81,9 +81,11 @@ def resample_group(g: pd.DataFrame, step_us: int) -> pd.DataFrame:
 
 def resample_tracks(ds, step_us: int):
     """Distributed resample over a dataset of (user_id, tsu, event_id,
-    x, y, z) observation rows."""
-    return ds.groupby("user_id").map_groups(
-        lambda g: resample_group(g, step_us), batch_format="pandas")
+    x, y, z) observation rows — user-hash bucket dispatch (constant
+    Python-call count at any user cardinality)."""
+    from .agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ds, lambda g: resample_group(g, step_us))
 
 
 # --------------------------------------------------------------------------
