@@ -3245,8 +3245,9 @@ def q_events_geofence(sf_dir: str):
                                   "enter", "exit"),
         })
 
-    return ev.map_batches(_flags, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(_transitions, batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ev.map_batches(_flags, batch_format="pyarrow"), _transitions)
 
 
 def sql_events_geofence() -> str:
@@ -4074,8 +4075,9 @@ def q_events_smooth_track(sf_dir: str, half_us: int = _SMOOTH_HALF_US):
             out[f"m{c[0]}_units"] = ((cs[hi] - cs[lo]) // n) - S
         return pd.DataFrame(out)
 
-    return ev.map_batches(_pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(_per_user, batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ev.map_batches(_pts, batch_format="pyarrow"), _per_user)
 
 
 def sql_events_smooth_track(half_us: int = _SMOOTH_HALF_US) -> str:
@@ -5160,8 +5162,9 @@ def q_events_crossings(sf_dir: str):
         return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
                              "n_crossings": [total]})
 
-    return ev.map_batches(_pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(_per_user, batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ev.map_batches(_pts, batch_format="pyarrow"), _per_user)
 
 
 def sql_events_crossings() -> str:
@@ -5393,8 +5396,8 @@ def q_events_running(sf_dir: str):
             "running_cents": np.cumsum(cents),
         })
 
-    return ds.groupby("user_id").map_groups(_per_user,
-                                            batch_format="pandas")
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(ds, _per_user)
 
 
 def sql_events_running() -> str:
