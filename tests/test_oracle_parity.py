@@ -359,3 +359,25 @@ def test_knn_join_rank_margins():
     top = np.sort(d, axis=1)[:, :k + 1]
     gaps = np.diff(top, axis=1)
     assert gaps.min() > 1e-9
+
+
+def test_rosters_consistent():
+    """Every bench-suite name and every ORACLE_CHECKED name must exist
+    in the registry; every oracle_sql key must be a registered query;
+    no duplicates anywhere (guards roster edits)."""
+    import __ray_entry__ as entrymod
+    import re
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(ORACLE_CHECKED) == len(set(ORACLE_CHECKED))
+    missing = [n for n in ORACLE_CHECKED if n not in o]
+    assert not missing, missing
+    src = open("bench.py").read()
+    m = re.search(r"suite = \[(.*?)\]", src, re.S)
+    names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    assert len(names) == len(set(names)), "duplicate bench entries"
+    unknown = [n for n in names
+               if n not in q and n != "flagship_join_tile"]
+    assert not unknown, unknown
