@@ -909,18 +909,21 @@ def sql_doc_quality() -> str:
 
 
 def q_top_terms(sf_dir: str, k: int = 25):
-    """Corpus-wide term frequencies, top-k by (count desc, term): the
-    explode -> partial-count -> global-aggregate shape (a word-count
-    over the documents table; whitespace tokens lowercased)."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    """Corpus-wide term frequencies, top-k by (count desc, term):
+    explode -> per-batch partial counts -> bucketed exact string-key
+    sum (stages/agg.bucketed_sum_str — no per-group Python iteration,
+    no full-vocabulary driver materialization) -> constant-key
+    mergeable top-k, so at most k rows per bucket reach the merge
+    regardless of vocabulary size."""
     from ..stages.text import tokens_of
+    from ..stages.agg import bucketed_sum_str
+    from ..stages.topk import grouped_topk
 
     ds = _read(sf_dir, "documents", ["text"])
 
     def _partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
-        counts: "Counter[str]" = __import__("collections").Counter()
+        counts: "Counter[str]" = Counter()
         for t in batch.column("text").to_pylist():
             counts.update(w.lower() for w in tokens_of(t) if w)
         return pa.table({
@@ -928,11 +931,16 @@ def q_top_terms(sf_dir: str, k: int = 25):
             "n": pa.array([int(v) for v in counts.values()], pa.int64()),
         })
 
-    agg = (ds.map_batches(_partial, batch_format="pyarrow")
-           .groupby("term").aggregate(Sum("n", alias_name="n")))
-    df = agg.to_pandas().sort_values(["n", "term"],
-                                     ascending=[False, True]).head(k)
-    return df.reset_index(drop=True)
+    agg = bucketed_sum_str(
+        ds.map_batches(_partial, batch_format="pyarrow"), "term", ["n"])
+
+    def _const(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(np.zeros(b.num_rows, np.int8), pa.int8()))
+
+    top = grouped_topk(agg.map_batches(_const, batch_format="pyarrow"),
+                       "g", "n", "term", k)
+    return top.select_columns(["term", "n"])
 
 
 def sql_top_terms(k: int = 25) -> str:

@@ -50,6 +50,14 @@ def _unpack_keys(packed: np.ndarray, n: int) -> List[np.ndarray]:
             for i in range(n)]
 
 
+def _int_segsum(inv: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
+    """Exact int64 segment sum (np.bincount's float64 weights would
+    silently lose exactness past 2^53 per-key totals)."""
+    out = np.zeros(n, np.int64)
+    np.add.at(out, inv, vals.astype(np.int64))
+    return out
+
+
 def bucketed_sum(ds, key_cols: Sequence[str], value_cols: Sequence[str],
                  *, n_buckets: int = 256, pack: bool = None):
     """Exact per-key sums of ``value_cols`` grouped by ``key_cols``
@@ -68,8 +76,7 @@ def bucketed_sum(ds, key_cols: Sequence[str], value_cols: Sequence[str],
         uniq, inv = np.unique(keys, return_inverse=True)
         cols = {"__k": pa.array(uniq)}
         for c in value_cols:
-            cols[c] = pa.array(np.bincount(inv, weights=vals[c])
-                               .astype(np.int64))
+            cols[c] = pa.array(_int_segsum(inv, vals[c], len(uniq)))
         t = pa.table(cols)
         bkt = (_splitmix(uniq.astype(np.uint64)) % nb).astype(np.int32)
         return t.append_column("__b", pa.array(bkt, pa.int32()))
@@ -81,15 +88,49 @@ def bucketed_sum(ds, key_cols: Sequence[str], value_cols: Sequence[str],
         cols = {k: pa.array(v.astype(np.int64))
                 for k, v in zip(key_cols, unpacked)}
         for c in value_cols:
-            cols[c] = pa.array(
-                np.bincount(inv, weights=group.column(c).to_numpy())
-                .astype(np.int64))
+            cols[c] = pa.array(_int_segsum(
+                inv, group.column(c).to_numpy().astype(np.int64),
+                len(uniq)))
         return pa.table(cols)
 
     return (ds.map_batches(_bucket, batch_format="pyarrow")
             .groupby("__b")
             .map_groups(lambda g: _combine(g.drop_columns(["__b"])),
                         batch_format="pyarrow"))
+
+
+def bucketed_sum_str(ds, key_col: str, value_cols: Sequence[str],
+                     *, n_buckets: int = 256):
+    """bucketed_sum for one STRING key column (term counts, url
+    counts, ...): per-batch pandas-groupby combine, deterministic
+    vectorized string hashing (pandas.util.hash_array — fixed-key
+    siphash, stable across processes), exact int64 sums inside each
+    bucket.  Same exchange shape as bucketed_sum: only per-batch
+    (key, partial) rows cross the wire."""
+    import pandas as pd
+
+    value_cols = list(value_cols)
+    nb = np.uint64(n_buckets)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col] + value_cols).to_pandas()
+        for c in value_cols:
+            df[c] = df[c].astype(np.int64)
+        g = df.groupby(key_col, sort=False, as_index=False).sum()
+        h = pd.util.hash_array(g[key_col].to_numpy(dtype=object))
+        g["__b"] = (h % nb).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["__b"]) \
+            .groupby(key_col, sort=False, as_index=False).sum()
+        for c in value_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(_combine,
+                                       batch_format="pandas"))
 
 
 def bucketed_user_groups(ds, body, *, user_col: str = "user_id",

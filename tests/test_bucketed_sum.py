@@ -98,3 +98,41 @@ def test_edit_pairs_exactly_once_and_exact(ray_session):
     assert got == want
     assert len(out) == len(got)          # exactly once
     assert (out["name_a"] < out["name_b"]).all()
+
+
+# --------------------------------------------------------------------------
+# int64 exactness past 2^53 and the string-key variant
+# --------------------------------------------------------------------------
+
+def test_sums_exact_past_float53(ray_session):
+    """Per-key totals beyond 2^53 must stay exact (float64-weight
+    bincount would round): values near 2^60 summed per key."""
+    big = (1 << 60) + 1
+    df = pd.DataFrame({"k": np.array([1, 1, 2, 2, 2], np.int64),
+                       "v": np.array([big, 3, big, big, 1], np.int64)})
+    out = bucketed_sum(_ds(df, 2), ["k"], ["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(out["v"]) == [big + 3, 2 * big + 1]
+
+
+def test_bucketed_sum_str_matches_pandas(ray_session):
+    from geo_ray.stages.agg import bucketed_sum_str
+    rng = np.random.RandomState(7)
+    terms = np.array([f"t{i:05d}" for i in range(5000)], dtype=object)
+    df = pd.DataFrame({
+        "term": terms[rng.randint(0, 5000, 100_000)],
+        "n": rng.randint(1, 50, 100_000).astype(np.int64)})
+    out = bucketed_sum_str(_ds(df), "term", ["n"]).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    want = df.groupby("term", sort=True, as_index=False).sum()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_bucketed_sum_str_exact_past_float53(ray_session):
+    from geo_ray.stages.agg import bucketed_sum_str
+    big = (1 << 60) + 1
+    df = pd.DataFrame({"term": ["a", "a", "b"],
+                       "n": np.array([big, 5, big], np.int64)})
+    out = bucketed_sum_str(_ds(df, 2), "term", ["n"]).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    assert list(out["n"]) == [big + 5, big]
