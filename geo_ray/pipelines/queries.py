@@ -4599,13 +4599,15 @@ def q_events_pagerank(sf_dir: str, iters: int = _PR_ITERS):
     rank starts at 1e6 per node, each iteration sends rank // degree
     along every edge (floor division) and sets rank' = base +
     (85 * inbound) // 100 — so three distributed iterations produce
-    bit-identical int64 ranks in any engine.  Distributed shape: the
-    node-rank table broadcasts per iteration (ray.put, node-count
-    sized); inbound sums run through bucketed_sum.  At node counts
-    past worker memory the broadcast becomes a co-partitioned
-    rank/edge join (stages/asof.py pattern) — same arithmetic."""
-    import ray
-    from ..stages.agg import bucketed_sum
+    bit-identical int64 ranks in any engine.  Distributed shape
+    (stages/pagerank.py): pre-sorted node (key, contribution) arrays
+    ship once per iteration via ray.put — per-batch work is one
+    searchsorted + gather; inbound sums run through bucketed_sum.
+    At node counts past worker memory the same arithmetic runs as
+    pagerank_bucketed — rank/deg co-partitioned with the edges, no
+    driver-side node state; tests/test_pagerank.py proves the two
+    variants bit-identical."""
+    from ..stages.pagerank import pagerank_broadcast
 
     pairs = q_events_colocation(sf_dir)
 
@@ -4652,17 +4654,8 @@ def q_events_pagerank(sf_dir: str, iters: int = _PR_ITERS):
                 .map_batches(_direct, batch_format="pyarrow")
                 .materialize())
 
-    # node-sized state (degree and rank maps) is the only thing that
-    # ever reaches the driver or broadcasts — never the edge list
-    deg_df = bucketed_sum(
-        edges_ds.map_batches(
-            lambda b: pa.table({
-                "src": b.column("src"),
-                "one": pa.array(np.ones(b.num_rows, np.int64))}),
-            batch_format="pyarrow"),
-        ["src"], ["one"], n_buckets=32).to_pandas()
-    deg = dict(zip(deg_df["src"].astype(int), deg_df["one"].astype(int)))
-
+    # node-sized state (sorted arrays, never dicts) is the only thing
+    # that ever reaches the driver or broadcasts — never the edge list
     users = _read(sf_dir, "events", ["user_id"])
 
     def _uniq_users(batch: pa.Table) -> pa.Table:
@@ -4673,37 +4666,7 @@ def q_events_pagerank(sf_dir: str, iters: int = _PR_ITERS):
         users.map_batches(_uniq_users, batch_format="pyarrow")
         .to_pandas()["user_id"].to_numpy().astype(np.int64))
 
-    base = _PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
-    rank = {int(u): _PR_SCALE for u in all_users}
-
-    for _ in range(iters):
-        ref = ray.put((rank, deg))
-
-        def _contrib(batch: pa.Table) -> pa.Table:
-            r, dg = ray.get(ref)
-            s_ = batch.column("src").to_numpy()
-            keys = np.array(sorted(dg), np.int64)
-            rv = np.array([r[int(k)] // dg[int(k)] for k in keys],
-                          np.int64)
-            pos = np.searchsorted(keys, s_)
-            return pa.table({"dst": batch.column("dst"),
-                             "c": pa.array(rv[pos])})
-
-        inbound = bucketed_sum(
-            edges_ds.map_batches(_contrib, batch_format="pyarrow"),
-            ["dst"], ["c"], n_buckets=32).to_pandas()
-        nxt = {int(u): base for u in all_users}
-        for d_, c_ in zip(inbound["dst"].astype(int),
-                          inbound["c"].astype(int)):
-            nxt[d_] = base + (_PR_DAMP_NUM * c_) // _PR_DAMP_DEN
-        rank = nxt
-
-    out = pa.table({
-        "user_id": pa.array(sorted(rank), pa.int64()),
-        "rank_units": pa.array([rank[u] for u in sorted(rank)],
-                               pa.int64()),
-    })
-    return rd.from_arrow(out)
+    return rd.from_arrow(pagerank_broadcast(edges_ds, all_users, iters))
 
 
 def sql_events_pagerank(iters: int = _PR_ITERS) -> str:

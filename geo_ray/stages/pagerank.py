@@ -1,0 +1,219 @@
+"""Integer fixed-point PageRank over a directed edge dataset, in two
+execution shapes with BIT-IDENTICAL int64 outputs.
+
+Arithmetic contract (cross-engine exact, mirrored by the SQL oracle
+in pipelines/queries.py): rank0 = SCALE per node; each iteration
+sends ``rank // deg`` (floor) along every directed edge and sets
+``rank' = base + (DAMP_NUM * inbound) // DAMP_DEN`` where
+``base = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN``; nodes with no
+inbound edges get ``base``.
+
+* ``pagerank_broadcast`` — node state ships per iteration via one
+  ``ray.put`` of PRE-SORTED (keys, contribution) arrays, so the
+  per-batch work is a single searchsorted + gather (no per-batch
+  state rebuild).  Right while node state fits a worker heap.
+
+* ``pagerank_bucketed`` — rank/degree live as a DATASET
+  co-partitioned with the edges by the deterministic hash bucket of
+  the node id (stages/bucket_join.py); each iteration is two
+  bucketed exchanges (state|x|edges by src -> per-dst partials;
+  partials|x|state by dst -> new state) and the driver never holds
+  node- or edge-sized state.  This is the 10^9-node shape.
+
+Inputs: ``edges_ds`` with int64 columns (src, dst) — every directed
+edge exactly once; ``nodes`` / ``nodes_ds`` — the node universe
+(isolated nodes keep rank = base after one iteration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .agg import bucketed_sum
+from .bucket_join import bucketed_join
+
+SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+
+def pagerank_broadcast(edges_ds, nodes: np.ndarray, iters: int,
+                       *, n_buckets: int = 32) -> pa.Table:
+    """Broadcast-state shape.  ``nodes`` is the sorted unique int64
+    node array (node-sized driver state — the documented ceiling of
+    this variant).  Returns a (user_id, rank_units) arrow table."""
+    import ray
+
+    nodes = np.sort(np.unique(nodes.astype(np.int64)))
+
+    deg_df = bucketed_sum(
+        edges_ds.map_batches(
+            lambda b: pa.table({
+                "src": b.column("src"),
+                "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["src"], ["one"], n_buckets=n_buckets).to_pandas()
+    # degree keys/values sorted ONCE; every iteration reuses them
+    order = np.argsort(deg_df["src"].to_numpy())
+    deg_keys = deg_df["src"].to_numpy().astype(np.int64)[order]
+    deg_vals = deg_df["one"].to_numpy().astype(np.int64)[order]
+    deg_pos = np.searchsorted(nodes, deg_keys)
+
+    rank = np.full(len(nodes), SCALE, np.int64)
+    for _ in range(iters):
+        # pre-sorted (key, contribution) payload, built once per
+        # iteration — per-batch cost is searchsorted + gather only
+        contrib = rank[deg_pos] // deg_vals
+        ref = ray.put((deg_keys, contrib))
+
+        def _contrib(batch: pa.Table) -> pa.Table:
+            ks, cv = ray.get(ref)
+            s = batch.column("src").to_numpy().astype(np.int64)
+            return pa.table({"dst": batch.column("dst"),
+                             "c": pa.array(cv[np.searchsorted(ks, s)])})
+
+        inbound = bucketed_sum(
+            edges_ds.map_batches(_contrib, batch_format="pyarrow"),
+            ["dst"], ["c"], n_buckets=n_buckets).to_pandas()
+        nxt = np.full(len(nodes), BASE, np.int64)
+        dpos = np.searchsorted(nodes, inbound["dst"].to_numpy()
+                               .astype(np.int64))
+        nxt[dpos] = BASE + (DAMP_NUM * inbound["c"].to_numpy()
+                            .astype(np.int64)) // DAMP_DEN
+        rank = nxt
+
+    return pa.table({"user_id": pa.array(nodes, pa.int64()),
+                     "rank_units": pa.array(rank, pa.int64())})
+
+
+def pagerank_bucketed(edges_ds, nodes_ds, iters: int,
+                      *, num_buckets: int = 64,
+                      node_col: str = "user_id"):
+    """Co-partitioned-state shape: no ray.put, no to_pandas, no
+    driver-side node or edge structures — state is a
+    (user_id, rank, deg) dataset that meets the edges in hash
+    buckets.  Individual contribution values must stay below 2^53
+    (they pass through the pandas group body as float64 before the
+    int64 cast); at SCALE = 1e6 fixed-point that allows ~9e9-node
+    inbound sums per single edge value — far past any real rank.
+    Returns the (user_id, rank_units) dataset."""
+    edges = edges_ds.map_batches(
+        lambda b: pa.table({
+            "k": b.column("src").cast(pa.int64()),
+            "dst": b.column("dst").cast(pa.int64()),
+            "rank": pa.nulls(len(b), pa.int64()),
+            "deg": pa.nulls(len(b), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    # initial state: deg from a bucketed count join against the node
+    # universe; rank starts at SCALE
+    deg = bucketed_sum(
+        edges_ds.map_batches(
+            lambda b: pa.table({
+                "src": b.column("src"),
+                "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["src"], ["one"], n_buckets=num_buckets)
+
+    def _node_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column(node_col).cast(pa.int64()),
+            "c": pa.nulls(len(batch), pa.int64()),
+        })
+
+    def _deg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column("src").cast(pa.int64()),
+            "c": batch.column("one").cast(pa.int64()),
+        })
+
+    def _init_state(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g.loc[g["c"].isna(), "k"].to_numpy(np.int64)
+        dmap = g[g["c"].notna()].set_index("k")["c"]
+        deg_v = pd.Series(nodes).map(dmap).fillna(0) \
+            .to_numpy(np.float64).astype(np.int64)
+        return pd.DataFrame({
+            "k": nodes,
+            "rank": np.full(len(nodes), SCALE, np.int64),
+            "deg": deg_v})
+
+    state = bucketed_join(
+        [nodes_ds.map_batches(_node_rows, batch_format="pyarrow"),
+         deg.map_batches(_deg_rows, batch_format="pyarrow")],
+        "k", _init_state, num_buckets=num_buckets).materialize()
+
+    def _state_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column("k").cast(pa.int64()),
+            "dst": pa.nulls(len(batch), pa.int64()),
+            "rank": batch.column("rank").cast(pa.int64()),
+            "deg": batch.column("deg").cast(pa.int64()),
+        })
+
+    def _contrib(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["dst"].isna()].set_index("k")
+        ed = g[g["dst"].notna()]
+        rk = ed["k"].map(st["rank"]).to_numpy(np.float64) \
+            .astype(np.int64)
+        dg = ed["k"].map(st["deg"]).to_numpy(np.float64) \
+            .astype(np.int64)
+        out = pd.DataFrame({
+            "k": ed["dst"].to_numpy(np.float64).astype(np.int64),
+            "c": rk // dg})
+        return out.groupby("k", sort=False, as_index=False).sum()
+
+    def _contrib_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "k": batch.column("k").cast(pa.int64()),
+            "c": batch.column("c").cast(pa.int64()),
+            "rank": pa.nulls(n, pa.int64()),
+            "deg": pa.nulls(n, pa.int64()),
+        })
+
+    def _update(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["rank"].notna()]
+        inc = g[g["rank"].isna()]
+        if len(inc):
+            # int64 before the cross-bucket merge: float64 partial
+            # sums would round past 2^53
+            inb = pd.DataFrame({
+                "k": inc["k"].to_numpy(np.int64),
+                "c": inc["c"].to_numpy(np.float64).astype(np.int64),
+            }).groupby("k")["c"].sum()
+        else:
+            inb = None
+        nodes = st["k"].to_numpy(np.int64)
+        c = (st["k"].map(inb) if inb is not None
+             else pd.Series(np.nan, index=st.index))
+        has = c.notna().to_numpy()
+        rank = np.full(len(nodes), BASE, np.int64)
+        rank[has] = BASE + (DAMP_NUM * c.to_numpy(np.float64)[has]
+                            .astype(np.int64)) // DAMP_DEN
+        return pd.DataFrame({
+            "k": nodes, "rank": rank,
+            "deg": st["deg"].to_numpy(np.int64)})
+
+    for _ in range(iters):
+        partials = bucketed_join(
+            [state.map_batches(_state_rows, batch_format="pyarrow"),
+             edges],
+            "k", _contrib, num_buckets=num_buckets)
+        state = bucketed_join(
+            [state.map_batches(
+                lambda b: pa.table({
+                    "k": b.column("k").cast(pa.int64()),
+                    "c": pa.nulls(len(b), pa.int64()),
+                    "rank": b.column("rank").cast(pa.int64()),
+                    "deg": b.column("deg").cast(pa.int64()),
+                }), batch_format="pyarrow"),
+             partials.map_batches(_contrib_rows,
+                                  batch_format="pyarrow")],
+            "k", _update, num_buckets=num_buckets).materialize()
+
+    return state.map_batches(
+        lambda b: pa.table({"user_id": b.column("k"),
+                            "rank_units": b.column("rank")}),
+        batch_format="pyarrow")
