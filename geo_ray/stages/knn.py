@@ -402,9 +402,8 @@ def measure_hot_cells(points_ds, level: int, max_cell_points: int,
     same measured-hot-set shape as stages/salt.py.  Returns
     ``(cells_sorted uint64, levels int64)``; only the hot rows ever
     reach the driver (bounded by the number of hot cells, not rows)."""
-    from ray.data.aggregate import Sum
-
     from ..functions import cellid as cid
+    from .agg import bucketed_sum
 
     def _partial(batch: pa.Table) -> pa.Table:
         cells = cid.parent_v(
@@ -413,8 +412,12 @@ def measure_hot_cells(points_ds, level: int, max_cell_points: int,
         return pa.table({"cell": pa.array(u.view(np.int64), pa.int64()),
                          "n": pa.array(c.astype(np.int64), pa.int64())})
 
-    counts = points_ds.map_batches(_partial, batch_format="pyarrow") \
-        .groupby("cell").aggregate(Sum("n", alias_name="n"))
+    # distinct level-L cells can reach 10^5+ at all_knn's scales:
+    # merge count partials through the vectorized bucketed sum, not
+    # Ray's per-group-Python aggregate
+    counts = bucketed_sum(
+        points_ds.map_batches(_partial, batch_format="pyarrow"),
+        ["cell"], ["n"])
 
     def _hot_only(batch: pa.Table) -> pa.Table:
         m = batch.column("n").to_numpy() > max_cell_points
@@ -538,7 +541,11 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
             src = np.concatenate(src_p)
             role = np.concatenate(role_p)
         return pa.table({
-            "grp": pa.array(grp, pa.uint64()),
+            # int64 REINTERPRETATION of the uint64 cell id: Ray's
+            # groupby shuffles uint64 keys as object-pickled extension
+            # arrays (silent cliff on faces 4/5 where the top bit is
+            # set); order doesn't matter for hash grouping
+            "grp": pa.array(grp.view(np.int64), pa.int64()),
             "role": pa.array(role, pa.int8()),
             "pid": pa.array(ids[src], pa.int64()),
             "px": pa.array(X[src, 0], pa.float64()),
@@ -547,7 +554,8 @@ def all_knn(points_ds, k: int, level: int, *, id_col: str,
         })
 
     def _cell_knn(g: pd.DataFrame) -> pd.DataFrame:
-        guard = guards[cid.level(int(g["grp"].iloc[0]))] \
+        grp_u64 = np.int64(g["grp"].iloc[0]).view(np.uint64)
+        guard = guards[cid.level(int(grp_u64))] \
             if len(active) > 1 else guards[level]
         g = g.drop(columns=["grp"])
         role = g["role"].to_numpy()

@@ -56,9 +56,18 @@ def pivot_counts(ds, key_col: str, pivot_col: str, *,
     cat_index = {c: i for i, c in enumerate(cats)}
 
     def _partial(batch: pa.Table) -> pa.Table:
+        pv_s = batch.column(pivot_col).to_pandas().map(cat_index)
+        if pv_s.isna().any():
+            # caller-pinned categories that miss values present in the
+            # data would otherwise produce NaN indices and a cryptic
+            # fancy-index failure inside np.add.at
+            bad = sorted(set(batch.column(pivot_col).to_pandas()
+                             [pv_s.isna()].unique()))
+            raise ValueError(
+                f"pivot on {pivot_col}: values {bad[:10]} not in the "
+                f"pinned categories list")
+        pv = pv_s.to_numpy().astype(np.int64)
         keys = batch.column(key_col).to_numpy()
-        pv = batch.column(pivot_col).to_pandas().map(cat_index) \
-            .to_numpy()
         uk, inv = np.unique(keys, return_inverse=True)
         out = {key_col: uk}
         onehot = np.zeros((len(uk), len(cats)), dtype=np.int64)

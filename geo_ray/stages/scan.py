@@ -26,7 +26,15 @@ import pyarrow as pa
 
 def sample_order_bounds(ds, order_col: str, num_parts: int,
                         *, sample_cap: int = 8192) -> np.ndarray:
-    """Quantile partition bounds over the order key (int64)."""
+    """Quantile partition bounds over the order key (int64).
+
+    Every block contributes an evenly-spaced sample (<=64 rows), and
+    ALL block samples are aggregated before the quantile cut — a
+    ``limit()`` here would read the FIRST blocks only, so data stored
+    in order of the key (typical for event time) would yield bounds
+    covering just the low end and send everything else to the last
+    partition.  Driver traffic is 64 x num_blocks rows; the cap is
+    applied by thinning the combined sample, not by truncating it."""
     def _sample(batch: pa.Table) -> pa.Table:
         v = batch.column(order_col).to_numpy()
         if len(v) > 64:
@@ -35,8 +43,11 @@ def sample_order_bounds(ds, order_col: str, num_parts: int,
         return pa.table({order_col: pa.array(v)})
 
     vals = np.sort(ds.map_batches(_sample, batch_format="pyarrow")
-                   .limit(sample_cap).to_pandas()[order_col]
+                   .to_pandas()[order_col]
                    .to_numpy().astype(np.int64))
+    if len(vals) > sample_cap:
+        idx = np.linspace(0, len(vals) - 1, sample_cap).astype(np.int64)
+        vals = vals[idx]
     if len(vals) == 0 or num_parts <= 1:
         return np.array([], dtype=np.int64)
     qs = np.linspace(0, len(vals) - 1, num_parts + 1)[1:-1]
@@ -96,21 +107,27 @@ def prefix_max_scan(ds, order_cols: List[str], value_col: str,
 
     summ = local.map_batches(_summary, batch_format="pyarrow") \
         .to_pandas().groupby("__p")["m"].max()
-    parts = np.arange(int(summ.index.max()) + 1 if len(summ) else 0)
-    carry = {}
-    run = np.iinfo(np.int64).min
-    for p in parts:
-        carry[int(p)] = run
-        if int(p) in summ.index:
-            run = max(run, int(summ.loc[int(p)]))
-    ref = ray.put(carry)
+    n_parts = int(summ.index.max()) + 1 if len(summ) else 0
+    # exclusive prefix of partition maxima as a dense array — the
+    # combine is then a single vectorized gather, no per-row dict
+    imin = np.iinfo(np.int64).min
+    inc = np.full(n_parts, imin, np.int64)
+    if len(summ):
+        inc[summ.index.to_numpy().astype(np.int64)] = \
+            summ.to_numpy().astype(np.int64)
+    carry_arr = np.r_[imin, np.maximum.accumulate(inc)[:-1]] \
+        if n_parts else np.array([], np.int64)
+    ref = ray.put(carry_arr)
 
     def _combine(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        p = batch.column("__p").to_numpy()
+        p = batch.column("__p").to_numpy().astype(np.int64)
         loc = batch.column("__local").to_numpy()
-        cin = np.array([c.get(int(x), np.iinfo(np.int64).min)
-                        for x in p], np.int64)
+        if len(c):
+            cin = np.where(p < len(c), c[np.minimum(p, len(c) - 1)],
+                           imin)
+        else:
+            cin = np.full(len(p), imin, np.int64)
         out = np.maximum(loc, cin)
         return batch.drop_columns(["__p", "__local"]).append_column(
             out_col, pa.array(out))

@@ -238,3 +238,34 @@ def test_geohash_prefix_nesting():
     # a tiny perturbation stays in the same precision-4 cell for most
     g4p = geohash_encode(lat + 1e-7, lng + 1e-7, 4)
     assert (g4 == g4p).mean() > 0.95
+
+
+def test_order_bounds_unbiased_on_sorted_input(ray_session):
+    """Input stored in key order (typical event-time layout): bounds
+    must cover the full range, not just the first blocks' low end."""
+    import ray.data as rd
+    from geo_ray.stages.scan import sample_order_bounds
+    n = 60_000
+    df = pd.DataFrame({"ts": np.arange(n, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(24)
+    bounds = sample_order_bounds(ds, "ts", 8)
+    assert len(bounds) == 7
+    # each quantile bound should sit near i/8 of the range
+    want = n * np.arange(1, 8) / 8.0
+    assert np.abs(bounds - want).max() < n * 0.08, bounds
+
+
+def test_prefix_scan_balanced_on_sorted_input(ray_session):
+    """The straggler scenario from the round-2 ADVICE: ordered input
+    must spread across partitions (no partition holding ~all rows)."""
+    import ray.data as rd
+    from geo_ray.stages.scan import prefix_max_scan
+    n = 40_000
+    df = pd.DataFrame({"ts": np.arange(n, dtype=np.int64),
+                       "v": np.random.RandomState(0)
+                       .randint(0, 1000, n).astype(np.int64)})
+    out = prefix_max_scan(rd.from_pandas(df).repartition(16),
+                          ["ts"], "v", num_parts=8).to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    assert (out["running_max"].to_numpy()
+            == df["v"].cummax().to_numpy()).all()

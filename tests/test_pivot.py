@@ -82,3 +82,14 @@ def test_unpivot_round_trip(ray_session):
     back = back.sort_values("k").reset_index(drop=True)
     for c in ["n_a", "n_b", "n_c"]:
         assert (back[c].to_numpy() == want[c].to_numpy()).all()
+
+
+def test_pinned_categories_missing_value_raises(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.pivot import pivot_counts
+    df = pd.DataFrame({"k": [1, 1, 2], "cat": ["a", "b", "zz"]})
+    ds = rd.from_pandas(df)
+    with pytest.raises((ValueError, Exception)) as ei:
+        pivot_counts(ds, "k", "cat", categories=["a", "b"]) \
+            .to_pandas()
+    assert "zz" in str(ei.value)
