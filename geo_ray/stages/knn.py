@@ -336,6 +336,99 @@ class ShapeTarget:
             best[self.polygon.contains_points_batch(pts)] = 0.0
         return best
 
+    def max_chord2(self, pts: np.ndarray) -> np.ndarray:
+        """(n,) MAX squared-chord distance to the shape — max over
+        boundary edges (s2/edge_distances.go:284-330 semantics), 4.0
+        when the antipodal reflection falls in the interior
+        (s2/max_distance_targets.go ShapeIndexTarget)."""
+        from ..functions.distance import max_chord2_point_edge
+
+        pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+        best = np.zeros(len(pts))
+        for e in range(len(self.A)):
+            best = np.maximum(best, max_chord2_point_edge(
+                pts, self.A[e], self.B[e]))
+        if self.polygon is not None:
+            best[self.polygon.contains_points_batch(-pts)] = 4.0
+        return best
+
+
+class CellUnionTarget:
+    """Distance target for a CellUnion: min squared-chord distance =
+    min over member cells (0 inside any member) — the
+    MinDistanceToCellUnionTarget semantics the Go reference stubs out
+    (s2/min_distance_targets.go:208-249, commented TODO) realized
+    vectorized.  Per cell: the exact operation order of
+    Cell.distance_chord2 (state/cell.py) — uv-rect containment then
+    min over the 4 edges via chord2_point_edge — so scalar and batch
+    paths are bit-identical.  ``max_chord2`` is the furthest twin
+    (s2/max_distance_targets.go CellUnionTarget TODO): max over
+    member cells of Cell.max_distance_chord2."""
+
+    def __init__(self, shape_id, cells):
+        from ..state.cell import Cell
+
+        self.shape_id = shape_id
+        self.cells = [Cell(int(np.uint64(c))) for c in cells]
+        self._verts = [[np.asarray(v, np.float64) for v in c.vertices()]
+                       for c in self.cells]
+
+    def chord2(self, pts: np.ndarray) -> np.ndarray:
+        from ..functions.distance import chord2_point_edge
+
+        pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+        best = np.full(len(pts), 4.0)
+        for cell, verts in zip(self.cells, self._verts):
+            d = np.full(len(pts), 4.0)
+            for kk in range(4):
+                d = np.minimum(d, chord2_point_edge(
+                    pts, verts[kk], verts[(kk + 1) & 3]))
+            d[cell.contains_points_mask(pts)] = 0.0
+            best = np.minimum(best, d)
+        return best
+
+    def max_chord2(self, pts: np.ndarray) -> np.ndarray:
+        from ..functions.distance import max_chord2_point_edge
+
+        pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+        best = np.zeros(len(pts))
+        for cell, verts in zip(self.cells, self._verts):
+            d = np.zeros(len(pts))
+            for kk in range(4):
+                d = np.maximum(d, max_chord2_point_edge(
+                    pts, verts[kk], verts[(kk + 1) & 3]))
+            d[cell.contains_points_mask(-pts)] = 4.0
+            best = np.maximum(best, d)
+        return best
+
+
+class CollectionTarget:
+    """Distance target over a COLLECTION of shapes / cell unions —
+    "nearest of this set of polygons" — the
+    MinDistanceToShapeIndexTarget semantics
+    (s2/min_distance_targets.go:254-359: min over every shape in the
+    index, interiors included) for broadcastable member lists.
+    ``max_chord2`` is the furthest twin (s2/max_distance_targets.go
+    ShapeIndexTarget): max over members."""
+
+    def __init__(self, shape_id, members):
+        self.shape_id = shape_id
+        self.members = list(members)
+        if not self.members:
+            raise ValueError("CollectionTarget needs >= 1 member")
+
+    def chord2(self, pts: np.ndarray) -> np.ndarray:
+        best = np.full(len(np.atleast_2d(pts)), 4.0)
+        for m in self.members:
+            best = np.minimum(best, m.chord2(pts))
+        return best
+
+    def max_chord2(self, pts: np.ndarray) -> np.ndarray:
+        best = np.zeros(len(np.atleast_2d(pts)))
+        for m in self.members:
+            best = np.maximum(best, m.max_chord2(pts))
+        return best
+
 
 def knn_to_shapes(points_ds, targets, k: int, *,
                   id_col: str = "image_id"):
@@ -368,6 +461,51 @@ def knn_to_shapes(points_ds, targets, k: int, *,
                                      batch_size=16384)
     return partials.groupby("probe_id").map_groups(
         lambda g: finalize_topk(g, k), batch_format="pandas")
+
+
+def furthest_to_shapes(points_ds, targets, k: int, *,
+                       id_col: str = "image_id"):
+    """k FURTHEST dataset points from each broadcast geometry /
+    cell-union / collection target (targets expose ``max_chord2``) —
+    the FurthestEdgeQuery over collection targets
+    (s2/edge_query.go:276-288 + s2/max_distance_targets.go).  Same
+    mergeable partial shape as :func:`knn_to_shapes`; order
+    (chord2 DESC, id ASC)."""
+    import ray
+    tref = ray.put(list(targets))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tgts = ray.get(tref)
+        probe_arr = pa.array([t.shape_id for t in tgts])
+        id_type = batch.schema.field(id_col).type
+        if len(batch) == 0:
+            return pa.table({"probe_id": pa.array([], probe_arr.type),
+                             "neighbor_id": pa.array([], id_type),
+                             "chord2": pa.array([], pa.float64())})
+        pts = np.stack([batch.column("x").to_numpy(),
+                        batch.column("y").to_numpy(),
+                        batch.column("z").to_numpy()], axis=1)
+        scores = np.stack([t.max_chord2(pts) for t in tgts], axis=1)
+        rows, probes = tie_complete_smallest(scores, k, largest=True)
+        return pa.table({
+            "probe_id": probe_arr.take(pa.array(probes, pa.int64())),
+            "neighbor_id": batch.column(id_col)
+                                .take(pa.array(rows, pa.int64())),
+            "chord2": pa.array(scores[rows, probes], pa.float64())})
+
+    partials = points_ds.map_batches(_partial, batch_format="pyarrow",
+                                     batch_size=16384)
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["chord2", "neighbor_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("probe_id").map_groups(
+        _final, batch_format="pandas")
 
 
 def knn(points_ds, probes: Tuple[Sequence[str], np.ndarray], k: int,

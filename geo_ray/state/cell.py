@@ -99,6 +99,23 @@ class Cell:
         return bool(((u >= self.u_lo - eps) & (u <= self.u_hi + eps) &
                      (v >= self.v_lo - eps) & (v <= self.v_hi + eps)).any())
 
+    def contains_points_mask(self, varr: np.ndarray) -> np.ndarray:
+        """Vectorized per-row containment mask over an (n,3) array —
+        same uv-rect + 2*dblEpsilon semantics as
+        :meth:`contains_point` (s2/cell.go:462-491)."""
+        varr = np.asarray(varr, dtype=np.float64).reshape(-1, 3)
+        f = self.face
+        major = varr[:, f % 3]
+        ok = major > 0 if f < 3 else major < 0
+        out = np.zeros(len(varr), dtype=bool)
+        if ok.any():
+            u, v = stuv.valid_face_xyz_to_uv(
+                np.int64(f), varr[ok, 0], varr[ok, 1], varr[ok, 2])
+            eps = 2 * DBL_EPSILON
+            out[ok] = ((u >= self.u_lo - eps) & (u <= self.u_hi + eps) &
+                       (v >= self.v_lo - eps) & (v <= self.v_hi + eps))
+        return out
+
     def center(self):
         x, y, z = cid.cell_id_to_point(self.id)
         return (x, y, z)
