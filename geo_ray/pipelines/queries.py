@@ -553,22 +553,101 @@ def sql_s2_pyramid() -> str:
 
 
 def q_covering(sf_dir: str):
-    """RegionCoverer over the corpus quad at several configs
-    (rows-only; validated by the ported checkCovering oracles)."""
-    import ray.data as rd
+    """RegionCoverer structural contract, driver-hash-checkable: for
+    each max_cells config, the EXTERIOR covering must contain every
+    customer point inside the quad loop (n_missed_exterior = 0), the
+    INTERIOR covering must lie inside the loop (n_outside_interior =
+    0), and both stay within the cell budget / max level
+    (budget_ok = 1).  The SQL oracle computes n_inside_loop
+    independently from the base table (the polygon_contains plane
+    tests) and pins the invariant columns at their required values —
+    the coverer itself is not SQL-expressible; the raw cell lists
+    remain pinned by the ported checkCovering / checkCoveringTight /
+    IsCanonical pytest oracles (s2/regioncoverer_test.go)."""
+    import ray
+    from ray.data.aggregate import Sum
     from ..state.coverer import RegionCoverer
 
     loop = Loop.from_latlngs_deg(QUAD)
-    rows = []
+    configs = []
     for max_cells in (8, 32, 128):
         rc = RegionCoverer(max_cells=max_cells, max_level=16)
-        for ci in rc.covering(loop):
-            rows.append({"max_cells": max_cells, "token": cid.token(ci),
-                         "level": cid.level(ci)})
-        for ci in rc.interior_covering(loop):
-            rows.append({"max_cells": -max_cells, "token": cid.token(ci),
-                         "level": cid.level(ci)})
-    return rd.from_items(rows)
+        cov = np.sort(np.array(rc.covering(loop), dtype=np.uint64))
+        icov = np.sort(np.array(rc.interior_covering(loop),
+                                dtype=np.uint64))
+        budget_ok = int(
+            len(cov) <= max_cells and len(icov) <= max_cells
+            and all(cid.level(int(c)) <= 16 for c in cov)
+            and all(cid.level(int(c)) <= 16 for c in icov))
+        configs.append((max_cells, budget_ok,
+                        cid.range_min_v(cov), cid.range_max_v(cov),
+                        cid.range_min_v(icov), cid.range_max_v(icov)))
+    ref = ray.put((loop, configs))
+
+    pts = _customer_points(sf_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from ..state.cellunion import contains_leaf_v
+        loop_, cfgs = ray.get(ref)
+        P = np.stack([batch.column("x").to_numpy(),
+                      batch.column("y").to_numpy(),
+                      batch.column("z").to_numpy()], axis=1)
+        inside = loop_.contains_points_batch(P)
+        leafs = cid.cell_id_from_point_v(P[:, 0], P[:, 1], P[:, 2])
+        rows = {"max_cells": [], "n_inside_loop": [],
+                "n_missed_exterior": [], "n_outside_interior": [],
+                "budget_ok": []}
+        for mc, bok, crmin, crmax, irmin, irmax in cfgs:
+            in_cov = contains_leaf_v(crmin, crmax, leafs)
+            in_icov = contains_leaf_v(irmin, irmax, leafs)
+            rows["max_cells"].append(mc)
+            rows["n_inside_loop"].append(int(inside.sum()))
+            rows["n_missed_exterior"].append(int((inside & ~in_cov)
+                                                 .sum()))
+            rows["n_outside_interior"].append(int((in_icov & ~inside)
+                                                  .sum()))
+            rows["budget_ok"].append(bok)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    return (pts.map_batches(_partial, batch_format="pyarrow")
+            .groupby("max_cells")
+            .aggregate(Sum("n_inside_loop", alias_name="n_inside_loop"),
+                       Sum("n_missed_exterior",
+                           alias_name="n_missed_exterior"),
+                       Sum("n_outside_interior",
+                           alias_name="n_outside_interior"),
+                       Sum("budget_ok", alias_name="budget_sum"))
+            .map_batches(_norm_budget, batch_format="pyarrow"))
+
+
+def _norm_budget(b: pa.Table) -> pa.Table:
+    """budget_ok summed one per batch partial -> back to a 0/1 flag
+    (1 iff every partial agreed, i.e. sum == partial count > 0)."""
+    n = b.column("budget_sum").to_numpy()
+    ok = (n > 0).astype(np.int64)
+    # a single batch disagreeing would make sum < count; partials all
+    # carry the same driver-computed flag, so >0 == all-ones
+    return b.drop_columns(["budget_sum"]).append_column(
+        "budget_ok", pa.array(ok, pa.int64()))
+
+
+def sql_covering() -> str:
+    """Structural oracle: n_inside_loop computed independently from
+    the base table (same plane tests as sql_polygon_contains); the
+    coverer invariant columns pinned at their required values."""
+    conds = " AND ".join(
+        f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
+        for nx, ny, nz in _quad_edge_normals())
+    return (
+        f"{_PTS_CTE}, inside AS (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM xyz WHERE {conds}) "
+        "SELECT CAST(mc AS BIGINT) AS max_cells, n AS n_inside_loop, "
+        "CAST(0 AS BIGINT) AS n_missed_exterior, "
+        "CAST(0 AS BIGINT) AS n_outside_interior, "
+        "CAST(1 AS BIGINT) AS budget_ok "
+        "FROM inside CROSS JOIN (VALUES (8), (32), (128)) t(mc) "
+        "ORDER BY max_cells")
 
 
 # -- documents / embeddings -------------------------------------------------
@@ -713,14 +792,21 @@ def sql_knn_shape(k: int = 5) -> str:
 def q_polygon_overlay(sf_dir: str):
     """Distributed polygon boolean overlay (intersection / union /
     difference / symmetric difference) over deterministic circle-pair
-    polygons derived from customer keys.  Rows-only at the driver;
-    correctness is pinned in pytest by the reference's boolean-op
-    corpus loops (s2/loop_test.go:85-94) and sampled containment
-    equivalence.  Stateless per-row map_batches — scales row-parallel
-    with no shuffle."""
-    from ..stages.overlay import overlay_pairs, polygon_to_text
+    polygons derived from customer keys, with a driver-hash-checkable
+    STRUCTURAL oracle: each (pair, op) row carries ok = 1 iff the
+    boolean-algebra area identities hold (area(A∩B) + area(A∪B) =
+    area(A) + area(B); area(A−B) = area(A) − area(A∩B); area(AxorB) =
+    area(A∪B) − area(A∩B)) AND every off-boundary sample point
+    classifies consistently (in(A∩B) == in(A)&in(B), etc. on a
+    deterministic lat/lng grid, samples within ~1e-6 rad of any input
+    boundary excluded).  The SQL oracle pins ok at 1 for the exact
+    (pair, op) key set.  Deeper pinning (the reference's boolean-op
+    corpus loops, s2/loop_test.go:85-94) stays in pytest.  Stateless
+    per-row map_batches — scales row-parallel with no shuffle."""
+    from ..stages.overlay import polygon_to_text
 
-    ds = _read(sf_dir, "customer", ["c_custkey"]).limit(24)
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", 24))
 
     def _pairs(batch: pa.Table) -> pa.Table:
         keys = batch.column("c_custkey").to_numpy().astype(np.int64)
@@ -745,39 +831,114 @@ def q_polygon_overlay(sf_dir: str):
         })
 
     pairs = ds.map_batches(_pairs, batch_format="pyarrow")
-    out = overlay_pairs(pairs)
-    return out.select_columns(["pair_id", "op", "num_loops", "area"]) \
+    return pairs.map_batches(_overlay_qa_batch, batch_format="pyarrow") \
         .sort(["pair_id", "op"])
+
+
+def _overlay_qa_batch(batch: pa.Table) -> pa.Table:
+    """(pair_id, a, b) -> (pair_id, op, ok) rows; see q_polygon_overlay."""
+    from ..functions.distance import chord2_point_edge
+    from ..functions.latlng import xyz_to_latlng_deg
+    from ..stages.overlay import OPS, polygon_from_text
+    from ..state.boolean import polygon_boolean
+
+    AREA_TOL = 1e-9
+    BOUNDARY_CHORD2 = 1e-12
+    out_pair, out_op, out_ok = [], [], []
+    for pid, at, bt in zip(batch.column("pair_id").to_pylist(),
+                           batch.column("a").to_pylist(),
+                           batch.column("b").to_pylist()):
+        a = polygon_from_text(at)
+        b = polygon_from_text(bt)
+        res = {op: polygon_boolean(op, a, b) for op in OPS}
+        ar = {op: r.area() for op, r in res.items()}
+        aa, ab = a.area(), b.area()
+        id_union = abs(ar["intersection"] + ar["union"] - aa - ab) \
+            <= AREA_TOL
+        id_diff = abs(ar["difference"] - (aa - ar["intersection"])) \
+            <= AREA_TOL
+        id_xor = abs(ar["symmetric_difference"]
+                     - (ar["union"] - ar["intersection"])) <= AREA_TOL
+        # deterministic sample grid over both circles' neighborhoods
+        verts = np.concatenate([lp._varr for p in (a, b)
+                                for lp in p.loops])
+        vlat, vlng = xyz_to_latlng_deg(verts[:, 0], verts[:, 1],
+                                       verts[:, 2])
+        glat = np.linspace(vlat.min() - 1.0, vlat.max() + 1.0, 9)
+        glng = np.linspace(vlng.min() - 1.0, vlng.max() + 1.0, 9)
+        gg = np.stack(np.meshgrid(glat, glng), axis=-1).reshape(-1, 2)
+        sx, sy, sz = latlng_deg_to_xyz(gg[:, 0], gg[:, 1])
+        S = np.stack([sx, sy, sz], axis=1)
+        # drop samples near any input boundary (eps-sensitive)
+        near = np.zeros(len(S), bool)
+        edges = [e for p in (a, b) for lp in p.loops
+                 for e in lp.edges()]
+        for (u, v) in edges:
+            near |= chord2_point_edge(S, np.asarray(u), np.asarray(v)) \
+                < BOUNDARY_CHORD2
+        S = S[~near]
+        ina = a.contains_points_batch(S)
+        inb = b.contains_points_batch(S)
+        want = {"intersection": ina & inb, "union": ina | inb,
+                "difference": ina & ~inb,
+                "symmetric_difference": ina ^ inb}
+        ids_ok = id_union and id_diff and id_xor
+        for op in OPS:
+            got = res[op].contains_points_batch(S)
+            ok = ids_ok and bool((got == want[op]).all())
+            out_pair.append(pid)
+            out_op.append(op)
+            out_ok.append(int(ok))
+    return pa.table({
+        "pair_id": pa.array(out_pair, pa.int64()),
+        "op": pa.array(out_op, pa.string()),
+        "ok": pa.array(out_ok, pa.int64()),
+    })
+
+
+def _pds_field_lt(col: str, v: int):
+    import pyarrow.dataset as pds
+    return pds.field(col) < v
+
+
+def sql_polygon_overlay() -> str:
+    """Structural oracle: the exact (pair, op) key set with every
+    invariant flag pinned at 1 (see q_polygon_overlay)."""
+    return (
+        "SELECT c_custkey AS pair_id, op, CAST(1 AS BIGINT) AS ok "
+        "FROM customer CROSS JOIN (VALUES ('difference'), "
+        "('intersection'), ('symmetric_difference'), ('union')) t(op) "
+        "WHERE c_custkey < 24 ORDER BY pair_id, op")
 
 
 def q_polygon_build(sf_dir: str):
     """Distributed snap-rounding assembly: per-customer circle (and
     annulus) polygons exploded into shuffled, jittered edge soups, then
     reassembled by groupby(shape_id) snap rounding (IntLatLng E7
-    lattice).  Rows-only at the driver; correctness is pinned in pytest
-    (tests/test_builder.py) against direct Builder output and sampled
-    containment.  The assembly itself is one shuffle on shape_id —
-    shapes are independent, so the stage scales shape-parallel."""
+    lattice) — with a driver-hash-checkable structural oracle: the SQL
+    derives the EXPECTED loop and vertex counts from the construction
+    arithmetic (outer ring 12 + k%5 vertices, every third shape an
+    annulus adding a 10-vertex inner ring; sub-snap-radius jitter
+    cannot merge lattice-separated vertices) and pins area_ok = 1,
+    which the Ray side computes by comparing each assembled area
+    against a direct driver-side Builder run of the same shape.
+    Deeper pinning (exact vertex positions vs direct Builder output)
+    stays in pytest (tests/test_builder.py).  The assembly is one
+    shuffle on shape_id — shapes are independent, so the stage scales
+    shape-parallel."""
     from ..functions.snap import IntLatLngSnapper
     from ..state.boolean import polygon_difference
 
-    ds = _read(sf_dir, "customer", ["c_custkey"]).limit(16)
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", 16))
 
     def _edges(batch: pa.Table) -> pa.Table:
         keys = batch.column("c_custkey").to_numpy().astype(np.int64)
-        lat, lng = derive_latlng_np(keys)
-        lat = np.clip(lat, -55.0, 55.0)
         out = {"shape_id": [], "edge_id": [], "a_lat": [], "a_lng": [],
                "b_lat": [], "b_lng": []}
         from ..functions.latlng import xyz_to_latlng_deg
-        for k, la, ln in zip(keys, lat, lng):
-            c = np.asarray(latlng_deg_to_xyz(float(la), float(ln)))
-            r = math.radians(5.0 + float(k % 9))
-            poly = Polygon.from_loop(Loop.regular_loop(c, r, 12 + k % 5))
-            if k % 3 == 0:  # every third shape is an annulus
-                inner = Polygon.from_loop(
-                    Loop.regular_loop(c, r * 0.4, 10))
-                poly = polygon_difference(poly, inner)
+        for k in keys:
+            poly = _build_shape_poly(int(k))
             depths = poly._loop_depths()
             eid = 0
             for lp, d in zip(poly.loops, depths):
@@ -793,6 +954,15 @@ def q_polygon_build(sf_dir: str):
                     vla, vln = (float(x) for x in xyz_to_latlng_deg(
                         np.float64(v[0]), np.float64(v[1]),
                         np.float64(v[2])))
+                    # pre-round to the E7 lattice with the snapper's
+                    # own rounding (half away from zero) so the jitter
+                    # provably rounds back to the same lattice point —
+                    # otherwise a vertex within 1e-9 deg of a .5 lattice
+                    # boundary flips its snapped site vs the direct
+                    # driver-side build and the site sets diverge
+                    ula, uln, vla, vln = (
+                        math.trunc(c * 1e7 + math.copysign(0.5, c)) / 1e7
+                        for c in (ula, uln, vla, vln))
                     out["shape_id"].append(int(k))
                     # shuffled edge ids: reversed emission order per shape
                     out["edge_id"].append(poly.num_edges() - 1 - eid)
@@ -810,11 +980,78 @@ def q_polygon_build(sf_dir: str):
             "b_lng": pa.array(out["b_lng"], pa.float64()),
         })
 
+    # driver-side expected (area, vertex count): direct Builder run
+    # per shape (16 tiny shapes; keys are a-priori 0..15, no table
+    # read needed).  Vertex counts are NOT purely
+    # construction-derived — snap rounding inserts interior sites
+    # where an edge passes within the snap radius of another vertex —
+    # so the count contract is "matches the direct build", while the
+    # loop count IS derivable and goes to the SQL side.
+    import ray
+    from ..state.builder import Builder
+    exp = {}
+    for k in range(16):
+        bd = Builder(IntLatLngSnapper(7))
+        bd.add_polygon(_build_shape_poly(k))
+        dp = bd.build_polygon()
+        real = [l for l in dp.loops if not l.is_empty()]
+        exp[k] = (dp.area(), sum(len(l.vertices) for l in real))
+    eref = ray.put(exp)
+
     from ..stages.build import assemble_polygons
     edges = ds.map_batches(_edges, batch_format="pyarrow")
     out = assemble_polygons(edges, IntLatLngSnapper(7))
-    return out.select_columns(
-        ["shape_id", "num_loops", "num_vertices", "area"]).sort("shape_id")
+
+    def _ok(batch: pa.Table) -> pa.Table:
+        e = ray.get(eref)
+        sid = batch.column("shape_id").to_numpy().astype(np.int64)
+        area = batch.column("area").to_numpy()
+        nv = batch.column("num_vertices").to_numpy().astype(np.int64)
+        # 1e-8 absorbs jitter-induced lattice flips (a 1e-9-degree
+        # jitter can round a vertex to the adjacent E7 lattice point,
+        # moving the area by ~edge_len * 1.7e-9)
+        okv = np.array(
+            [abs(area[i] - e[int(sid[i])][0]) <= 1e-8
+             and nv[i] == e[int(sid[i])][1]
+             for i in range(len(sid))], np.int64)
+        return pa.table({
+            "shape_id": batch.column("shape_id").cast(pa.int64()),
+            "num_loops": batch.column("num_loops").cast(pa.int64()),
+            "build_ok": pa.array(okv, pa.int64()),
+        })
+
+    return out.map_batches(_ok, batch_format="pyarrow").sort("shape_id")
+
+
+def _build_shape_poly(k: int):
+    """Deterministic circle / annulus polygon for customer key k
+    (shared by the distributed edge-soup emitter and the driver-side
+    expected-area pass of q_polygon_build)."""
+    from ..state.boolean import polygon_difference
+
+    lat, lng = derive_latlng_np(np.array([k], dtype=np.int64))
+    la = float(np.clip(lat, -55.0, 55.0)[0])
+    ln = float(lng[0])
+    c = np.asarray(latlng_deg_to_xyz(la, ln))
+    r = math.radians(5.0 + float(k % 9))
+    poly = Polygon.from_loop(Loop.regular_loop(c, r, 12 + k % 5))
+    if k % 3 == 0:  # every third shape is an annulus
+        inner = Polygon.from_loop(Loop.regular_loop(c, r * 0.4, 10))
+        poly = polygon_difference(poly, inner)
+    return poly
+
+
+def sql_polygon_build() -> str:
+    """Structural oracle: loop counts derived from the construction
+    arithmetic (every third shape is an annulus -> 2 loops); build_ok
+    (assembled area + vertex count match a direct driver-side Builder
+    run) pinned at 1 (see q_polygon_build)."""
+    return (
+        "SELECT c_custkey AS shape_id, "
+        "CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) "
+        "AS num_loops, "
+        "CAST(1 AS BIGINT) AS build_ok "
+        "FROM customer WHERE c_custkey < 16 ORDER BY shape_id")
 
 
 def q_convex_hull(sf_dir: str):
@@ -6084,4 +6321,10 @@ def oracle_sql() -> Dict[str, str]:
         "tile_vectorize": sql_tile_vectorize(),
         "knn_images": sql_knn_images(),
         "convex_hull": sql_convex_hull(),
+        # structural (QA-invariant) oracles: SQL derives what it can
+        # from the base tables and pins the engine-computed invariant
+        # flags at their required values — see each query's docstring
+        "covering": sql_covering(),
+        "polygon_overlay": sql_polygon_overlay(),
+        "polygon_build": sql_polygon_build(),
     }
