@@ -201,7 +201,8 @@ def _hash_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None):
+def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None,
+                  ckpt_root=None, ckpt_threshold_rows: int = 2_000_000):
     """Full near-dup pipeline, driver-materialization-free:
 
         docs --map--> (doc_id, shingle-hash sketch)    [ONE text pass]
@@ -214,17 +215,30 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None):
 
     Every stage shuffles only ids, band hashes, or the sketches of
     candidate-pair members — never the corpus text, and nothing ever
-    lands on the driver.  The sketch table is computed once and pinned
-    (object store, spillable) for its three consumers; at petabyte
-    scale substitute a parquet checkpoint (pipelines/checkpoint.py) so
-    the input text is still scanned exactly once.  Returns a Dataset
+    lands on the driver.  The sketch table is computed once for its
+    three consumers: pinned in the object store (spillable) below
+    ``ckpt_threshold_rows``, or — when ``ckpt_root`` is given and the
+    corpus is at least that large — written ONCE as a resumable
+    parquet checkpoint (pipelines/checkpoint.py ``stage_checkpoint``,
+    atomic manifest + signature) and re-read by the consumers, so at
+    petabyte scale the input text is still scanned exactly once and a
+    killed run resumes past the sketch pass.  Returns a Dataset
     (doc_a, doc_b, jaccard).
     """
     def _sketches(batch: pa.Table) -> pa.Table:
         return doc_sketches(batch, 1)  # real buckets assigned below
 
-    sketches = docs_ds.map_batches(_sketches,
-                                   batch_format="pyarrow").materialize()
+    def _build_sketches():
+        return docs_ds.map_batches(_sketches, batch_format="pyarrow")
+
+    if ckpt_root is not None and \
+            (n_docs := docs_ds.count()) >= ckpt_threshold_rows:
+        from ..pipelines.checkpoint import stage_checkpoint
+        sig = f"minhash_sketches;rows={n_docs};threshold={threshold}"
+        sketches, _info = stage_checkpoint(
+            ckpt_root, "minhash_sketches", sig, _build_sketches)
+    else:
+        sketches = _build_sketches().materialize()
     # Right-size BOTH shuffle knobs to the measured corpus (never a
     # fixed constant): block count (~64k sketch rows per block — Ray
     # splits small inputs into dozens of near-empty blocks and every
@@ -235,7 +249,12 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None):
     if n_buckets is None:
         n_buckets = max(16, min(1 << 16, cnt // 4096))
     n_blocks = max(4, int(np.ceil(cnt / 65536)))
-    if n_blocks < sketches.num_blocks():
+    from ray.data.dataset import MaterializedDataset
+    if isinstance(sketches, MaterializedDataset) and \
+            n_blocks < sketches.num_blocks():
+        # checkpointed sketches are a lazy parquet read whose blocks
+        # are already file-sized; only the object-store path needs the
+        # tiny-block consolidation
         sketches = sketches.repartition(n_blocks).materialize()
 
     def _rebucket(batch: pa.Table) -> pa.Table:

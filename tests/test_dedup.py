@@ -117,3 +117,51 @@ def test_exact_dedup_deterministic(ray_session):
     out = exact_dedup(rd.from_arrow(tbl), ["k"], "doc_id").to_pandas()
     got = dict(zip(out["k"], out["doc_id"]))
     assert got == {1: 3, 2: 7, 3: 1}
+
+
+def test_minhash_dedup_parquet_checkpoint_path(ray_session, tmp_path):
+    """Above the row threshold with a ckpt_root, the sketch table must
+    go through the resumable parquet checkpoint (manifest on disk),
+    produce identical pairs, and a rerun must REUSE the checkpoint
+    (manifest mtime unchanged) instead of re-sketching."""
+    import json
+    import os
+
+    import ray.data as rd
+    from geo_ray.stages.dedup import minhash_dedup
+
+    root = str(tmp_path / "mh_ckpt")
+    base = minhash_dedup(rd.from_arrow(DOCS),
+                         threshold=THRESHOLD).to_pandas()
+    got = minhash_dedup(rd.from_arrow(DOCS), threshold=THRESHOLD,
+                        ckpt_root=root, ckpt_threshold_rows=1).to_pandas()
+    man = os.path.join(root, "minhash_sketches", "_MANIFEST.json")
+    assert os.path.exists(man), "sketch checkpoint manifest missing"
+    manifest = json.load(open(man))
+    assert manifest["rows"] == len(ROWS)
+
+    def _key(df):
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(_key(got), _key(base))
+
+    mtime = os.path.getmtime(man)
+    again = minhash_dedup(rd.from_arrow(DOCS), threshold=THRESHOLD,
+                          ckpt_root=root, ckpt_threshold_rows=1).to_pandas()
+    assert os.path.getmtime(man) == mtime, "checkpoint was rebuilt"
+    pd.testing.assert_frame_equal(_key(again), _key(base))
+
+
+def test_minhash_dedup_below_threshold_skips_checkpoint(ray_session,
+                                                        tmp_path):
+    import os
+
+    import ray.data as rd
+    from geo_ray.stages.dedup import minhash_dedup
+
+    root = str(tmp_path / "mh_ckpt_small")
+    out = minhash_dedup(rd.from_arrow(DOCS), threshold=THRESHOLD,
+                        ckpt_root=root,
+                        ckpt_threshold_rows=10**9).to_pandas()
+    assert not os.path.exists(os.path.join(root, "minhash_sketches"))
+    assert len(out) >= len(PLANTED)
