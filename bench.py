@@ -113,17 +113,24 @@ def run_suite(headline_only: bool = False) -> dict:
     queries: dict = {}
     extras: dict = {}
 
-    # best-of-2 on the headline: the sandbox VM has noisy-neighbor
-    # variance; report the least-contended run (both attempts listed).
+    # best-of-3 on the headline: the sandbox VM has noisy-neighbor
+    # variance; report the least-contended run (all attempts listed).
+    # Each attempt is BRACKETED by a host control so a degraded host
+    # phase at fire time is attributable per attempt, not per line
+    # (the flagship is the one bandwidth-bound pipeline here; see
+    # BASELINE.md's host-control section).
     attempts = []
+    attempt_controls = [_host_control_sec()]
     res = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         res = run_flagship(num_images=BENCH_IMAGES)
         attempts.append(round(time.perf_counter() - t0, 3))
+        attempt_controls.append(_host_control_sec())
     headline_sec = min(attempts)
     queries["flagship_join_tile"] = headline_sec
     extras["flagship_attempts"] = attempts
+    extras["flagship_attempt_controls"] = attempt_controls
     if os.environ.get("GRAFT_STATS") == "1":
         # per-operator streaming-executor evidence (wall time, blocks,
         # memory per stage) for the audit trail; printed to stderr so
