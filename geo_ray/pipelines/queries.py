@@ -768,11 +768,29 @@ def _sql_shape_chord2(target) -> str:
     expr = parts[0] if len(parts) == 1 else \
         "least(" + ", ".join(parts) + ")"
     if target.polygon is not None:
-        inside = " AND ".join(
-            f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0"
-            for nx, ny, nz in _quad_edge_normals())
+        inside = _sql_convex_polygon_inside(target.polygon)
         expr = f"CASE WHEN ({inside}) THEN 0.0 ELSE {expr} END"
     return expr
+
+
+def _sql_convex_polygon_inside(polygon) -> str:
+    """Plane-test containment for a polygon of convex CCW loops:
+    inside any loop == all edge-normal (A x B) dots positive — the
+    Sign predicate (s2/predicates.go:142), equal off-boundary to the
+    crossing-test classification the Ray side uses."""
+    loop_conds = []
+    for lp in polygon.loops:
+        verts = np.asarray(lp._varr, dtype=np.float64)
+        conds = []
+        n = len(verts)
+        for i in range(n):
+            a, b = verts[i], verts[(i + 1) % n]
+            nx = float(a[1] * b[2] - a[2] * b[1])
+            ny = float(a[2] * b[0] - a[0] * b[2])
+            nz = float(a[0] * b[1] - a[1] * b[0])
+            conds.append(f"(({nx!r})*x + ({ny!r})*y + ({nz!r})*z) > 0")
+        loop_conds.append("(" + " AND ".join(conds) + ")")
+    return " OR ".join(loop_conds)
 
 
 def sql_knn_shape(k: int = 5) -> str:
@@ -781,6 +799,59 @@ def sql_knn_shape(k: int = 5) -> str:
         blocks.append(
             f"SELECT '{t.shape_id}' AS probe_id, c_custkey AS neighbor_id, "
             f"{_sql_shape_chord2(t)} AS chord2 FROM xyz")
+    union = " UNION ALL ".join(blocks)
+    return (f"{_PTS_CTE}, d AS ({union}), "
+            f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+            f"(PARTITION BY probe_id ORDER BY chord2, neighbor_id) AS rank "
+            f"FROM d) SELECT probe_id, neighbor_id, rank FROM ranked "
+            f"WHERE rank <= {k} ORDER BY probe_id, rank")
+
+
+def _collection_targets():
+    """Two shape COLLECTIONS for the nearest-of-a-set semantics
+    (s2/min_distance_targets.go:254-359 ShapeIndexTarget over a
+    multi-shape index): a trio of convex polygon islands, and a mixed
+    polygon + polyline set."""
+    from ..state.polyline import Polyline
+    from ..stages.knn import CollectionTarget, ShapeTarget
+
+    islands = []
+    for i, (la, ln, r, nv) in enumerate(
+            ((12.0, -30.0, 6.0, 8), (-25.0, 40.0, 4.0, 9),
+             (47.0, 95.0, 5.0, 7))):
+        c = np.asarray(latlng_deg_to_xyz(np.float64(la), np.float64(ln)))
+        lp = Loop.regular_loop(c, math.radians(r), nv)
+        islands.append(ShapeTarget(f"isl{i}", Polygon.from_loop(lp)))
+    quad = ShapeTarget("quad", Polygon.from_loop(Loop.from_latlngs_deg(QUAD)))
+    line = ShapeTarget("line", Polyline.from_latlngs_deg(POLYLINE_PTS))
+    return [CollectionTarget("islands", islands),
+            CollectionTarget("quad_or_line", [quad, line])]
+
+
+def q_knn_collection(sf_dir: str, k: int = 5):
+    """k nearest points to each shape COLLECTION — 'nearest of this
+    set of polygons/polylines', the multi-shape ShapeIndexTarget
+    distance semantics (s2/min_distance_targets.go:254-359) through
+    the same partial/merge kNN machinery as q_knn_shape: the
+    collection's chord2 is the pointwise min over member scorers
+    (stages/knn.CollectionTarget), mirrored in SQL as LEAST over the
+    members' bit-identical chord2 expressions."""
+    from ..stages.knn import knn_to_shapes
+
+    pts = _customer_points(sf_dir)
+    out = knn_to_shapes(pts, _collection_targets(), k, id_col="c_custkey")
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def sql_knn_collection(k: int = 5) -> str:
+    blocks = []
+    for coll in _collection_targets():
+        member_exprs = [_sql_shape_chord2(m) for m in coll.members]
+        least = member_exprs[0] if len(member_exprs) == 1 else \
+            "least(" + ", ".join(member_exprs) + ")"
+        blocks.append(
+            f"SELECT '{coll.shape_id}' AS probe_id, "
+            f"c_custkey AS neighbor_id, {least} AS chord2 FROM xyz")
     union = " UNION ALL ".join(blocks)
     return (f"{_PTS_CTE}, d AS ({union}), "
             f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
@@ -6206,6 +6277,7 @@ def queries() -> Dict:
         "radius_join": q_radius_join,
         "knn_geo_ring": q_knn_geo_ring,
         "knn_shape": q_knn_shape,
+        "knn_collection": q_knn_collection,
         "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
         "token_count": q_token_count,
@@ -6291,6 +6363,7 @@ def oracle_sql() -> Dict[str, str]:
         # the ring kNN contract is exact equality with brute kNN
         "knn_geo_ring": sql_knn_geo(),
         "knn_shape": sql_knn_shape(),
+        "knn_collection": sql_knn_collection(),
         "knn_join": sql_knn_join(),
         "langid": sql_langid(),
         "fingerprint": sql_fingerprint(),
