@@ -2491,8 +2491,10 @@ def q_orders_by_nation(sf_dir: str):
     (order-independent exactness)."""
     import pandas as pd
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
-    from ..stages.bucket_join import bucketed_join
+    from ..stages.agg import bucketed_sum
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
@@ -2541,11 +2543,14 @@ def q_orders_by_nation(sf_dir: str):
     partials = bucketed_join(
         [cust.map_batches(_cust_rows, batch_format="pyarrow"),
          orders.map_batches(_order_partial, batch_format="pyarrow")],
-        "k", _resolve)
+        "k", _resolve,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/orders.parquet")))
 
-    agg = (partials.groupby("nationkey")
-           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
-                      Sum("n_orders", alias_name="n_orders")))
+    # <=25-key final merge of the per-bucket rollups: one vectorized
+    # bucketed_sum group, not Ray's per-group-Python aggregate
+    agg = bucketed_sum(partials, ["nationkey"],
+                       ["revenue_cents", "n_orders"], n_buckets=1)
 
     def _name(batch: pa.Table) -> pa.Table:
         nk = batch.column("nationkey").to_pylist()
@@ -2655,8 +2660,10 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     Date predicates ride into the parquet scans as row filters."""
     import pandas as pd
     import pyarrow.dataset as pds
-    from ..stages.bucket_join import bucketed_join
-    from ..stages.topk import grouped_topk
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+    from ..stages.topk import global_topk
 
     cutoff = np.datetime64(_Q3_CUTOFF).astype("datetime64[us]")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -2691,7 +2698,9 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     qual = bucketed_join(
         [cust.map_batches(_cust_rows, batch_format="pyarrow"),
          orders.map_batches(_order_rows, batch_format="pyarrow")],
-        "k", _resolve_seg)
+        "k", _resolve_seg,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/orders.parquet")))
 
     def _qual_rows(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -2725,15 +2734,12 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     agg = bucketed_join(
         [qual.map_batches(_qual_rows, batch_format="pyarrow"),
          items.map_batches(_item_partial, batch_format="pyarrow")],
-        "k", _resolve_rev)
+        "k", _resolve_rev,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
 
-    def _const(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "g", pa.array(np.zeros(b.num_rows, np.int8), pa.int8()))
-
-    top = grouped_topk(agg.map_batches(_const, batch_format="pyarrow"),
-                       "g", "revenue", "o_orderkey", k)
-    return top.select_columns(["o_orderkey", "revenue", "rank"])
+    top = global_topk(agg, "revenue", "o_orderkey", k)
+    return top[["o_orderkey", "revenue", "rank"]]
 
 
 def sql_tpch_q3(segment: str = "BUILDING", k: int = 10) -> str:
@@ -2770,7 +2776,9 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA", year: int = 1996):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
     from ..stages.broadcast_join import read_dim_table
-    from ..stages.bucket_join import bucketed_join
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     reg = pq.read_table(f"{sf_dir}/region.parquet")
@@ -2831,7 +2839,9 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA", year: int = 1996):
     onat = bucketed_join(
         [cust.map_batches(_cust_rows, batch_format="pyarrow"),
          orders.map_batches(_order_rows, batch_format="pyarrow")],
-        "k", _resolve_cnat)
+        "k", _resolve_cnat,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/orders.parquet")))
 
     # phase 2 (bucket by orderkey): order customer-nations |x|
     # per-(order, supplier-nation) revenue partials
@@ -2874,12 +2884,16 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA", year: int = 1996):
             .astype(np.int64)})
         return out.groupby("nationkey", sort=False).sum().reset_index()
 
-    agg = (bucketed_join(
+    joined = bucketed_join(
         [onat.map_batches(_onat_rows, batch_format="pyarrow"),
          items.map_batches(_item_partial, batch_format="pyarrow")],
-        "k", _resolve_rev)
-        .groupby("nationkey")
-        .aggregate(Sum("revenue", alias_name="revenue")))
+        "k", _resolve_rev,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
+    # <=25-key final merge of the per-bucket rollups: one vectorized
+    # bucketed_sum group, not Ray's per-group-Python aggregate
+    from ..stages.agg import bucketed_sum
+    agg = bucketed_sum(joined, ["nationkey"], ["revenue"], n_buckets=1)
 
     def _name(batch: pa.Table) -> pa.Table:
         nk = batch.column("nationkey").to_pylist()
@@ -2922,8 +2936,10 @@ def q_tpch_q10(sf_dir: str, k: int = 20):
     import pyarrow.dataset as pds
     import ray
     import ray.data as rd
-    from ..stages.bucket_join import bucketed_join
-    from ..stages.topk import grouped_topk
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+    from ..stages.topk import global_topk
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     items = _read_f(sf_dir, "lineitem",
@@ -2969,19 +2985,13 @@ def q_tpch_q10(sf_dir: str, k: int = 20):
         bucketed_join(
             [orders.map_batches(_order_rows, batch_format="pyarrow"),
              items.map_batches(_item_partial, batch_format="pyarrow")],
-            "k", _resolve),
+            "k", _resolve,
+            num_buckets=adaptive_buckets(
+                parquet_rows(f"{sf_dir}/lineitem.parquet"))),
         ["c_custkey"], ["revenue"])
 
-    def _const(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "g", pa.array(np.zeros(b.num_rows, np.int8), pa.int8()))
-
-    top = grouped_topk(agg.map_batches(_const, batch_format="pyarrow"),
-                       "g", "revenue", "c_custkey", k) \
-        .select_columns(["c_custkey", "revenue", "rank"]) \
-        .take_all()  # k rows — the bounded final result
-    tk = np.sort(np.array([r["c_custkey"] for r in top],
-                          dtype=np.int64))
+    top = global_topk(agg, "revenue", "c_custkey", k)  # k-row result
+    tk = np.sort(top["c_custkey"].to_numpy(np.int64))
     kref = ray.put(tk)
 
     def _sel_names(batch: pa.Table) -> pa.Table:
@@ -3001,12 +3011,13 @@ def q_tpch_q10(sf_dir: str, k: int = 20):
              .take_all()}  # k rows
 
     out = pa.table({
-        "c_custkey": pa.array([r["c_custkey"] for r in top],
+        "c_custkey": pa.array(top["c_custkey"].to_numpy(np.int64),
                               pa.int64()),
-        "c_name": pa.array([names[r["c_custkey"]] for r in top],
+        "c_name": pa.array([names[int(ck)] for ck in top["c_custkey"]],
                            pa.string()),
-        "revenue": pa.array([r["revenue"] for r in top], pa.int64()),
-        "rank": pa.array([r["rank"] for r in top], pa.int64()),
+        "revenue": pa.array(top["revenue"].to_numpy(np.int64),
+                            pa.int64()),
+        "rank": pa.array(top["rank"].to_numpy(np.int64), pa.int64()),
     })
     return rd.from_arrow(out)
 
@@ -4065,10 +4076,11 @@ def q_tpch_q4(sf_dir: str, late_days: int = _Q4_LATE_DAYS):
     (orderkey, max) row per batch, merges in hash buckets, and meets
     the order rows in the same bucketed tagged-union pass."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+    from ..stages.bucket_join import adaptive_buckets, parquet_rows
     from ..stages.sample import _splitmix
 
     late_us = np.int64(late_days) * 86_400_000_000
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
@@ -4085,7 +4097,7 @@ def q_tpch_q4(sf_dir: str, late_days: int = _Q4_LATE_DAYS):
             "ms": pa.array(g["ms"].to_numpy().astype(np.int64)),
             "od": pa.nulls(len(g), pa.int64()),
             "priority": pa.nulls(len(g), pa.string()),
-            "__b": pa.array((_splitmix(kk) % np.uint64(128))
+            "__b": pa.array((_splitmix(kk) % np.uint64(nb))
                             .astype(np.int32), pa.int32()),
         })
 
@@ -4099,7 +4111,7 @@ def q_tpch_q4(sf_dir: str, late_days: int = _Q4_LATE_DAYS):
             "od": pa.array(od),
             "priority": batch.column("o_orderpriority"),
             "__b": pa.array((_splitmix(ok.astype(np.uint64))
-                             % np.uint64(128)).astype(np.int32),
+                             % np.uint64(nb)).astype(np.int32),
                             pa.int32()),
         })
 
@@ -4118,11 +4130,15 @@ def q_tpch_q4(sf_dir: str, late_days: int = _Q4_LATE_DAYS):
             .reset_index(name="n")
         return out
 
-    return (union.groupby("__b").map_groups(
+    parts = union.groupby("__b").map_groups(
         lambda g: _resolve(g.drop(columns=["__b"])),
         batch_format="pandas")
-        .groupby("priority")
-        .aggregate(Sum("n", alias_name="n")))
+    # 5-priority final merge: <=5 rows per bucket reach the driver —
+    # a result fetch, not a materialization (bounded by 5 x buckets)
+    df = parts.to_pandas()
+    out = df.groupby("priority", sort=False)["n"].sum().reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("priority").reset_index(drop=True)
 
 
 def sql_tpch_q4(late_days: int = _Q4_LATE_DAYS) -> str:
@@ -5995,12 +6011,15 @@ def q_orders_left_join(sf_dir: str):
             "qty_units": pa.array(qsum),
         })
 
+    from ..stages.bucket_join import adaptive_buckets, parquet_rows
     from ..stages.sample import _splitmix
+
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
 
     def _with_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column("o_orderkey").to_numpy().astype(np.uint64)
         return batch.append_column(
-            "__bkt", pa.array((_splitmix(k) % np.uint64(128))
+            "__bkt", pa.array((_splitmix(k) % np.uint64(nb))
                               .astype(np.int32), pa.int32()))
 
     return union.map_batches(_with_bucket, batch_format="pyarrow") \

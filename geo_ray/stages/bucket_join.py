@@ -39,6 +39,28 @@ from .sample import _splitmix
 
 BUCKET_COL = "__b"
 
+# ~rows per resolve group the vectorized pandas bodies digest
+# comfortably; buckets scale linearly with the fact side above it
+ROWS_PER_BUCKET = 50_000
+
+
+def adaptive_buckets(fact_rows: int, *, lo: int = 16,
+                     hi: int = 65_536) -> int:
+    """Right-size the co-partition count to the measured fact side
+    (parquet-metadata row count — no data scan): too few buckets caps
+    join parallelism and balloons per-group state at 10^9+ rows; too
+    many drowns small inputs in per-group scheduling overhead (the
+    measured cost of a fixed 128 at sf0.1 is ~0.8 s per join)."""
+    return int(np.clip(fact_rows // ROWS_PER_BUCKET, lo, hi))
+
+
+def parquet_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata only (no column reads) —
+    the driver-side cardinality probe adaptive_buckets feeds on."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
 
 def tag_buckets(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
     """Append the deterministic hash-bucket column for ``key``."""

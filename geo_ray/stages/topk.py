@@ -22,6 +22,32 @@ def _topk_frame(df: pd.DataFrame, key_col: str, value_col: str,
     return df.groupby(key_col, sort=False).head(k).reset_index(drop=True)
 
 
+def global_topk(ds, value_col: str, id_col: str, k: int,
+                with_rank: bool = True) -> pd.DataFrame:
+    """GLOBAL (single-group) top-k without a merge shuffle: each block
+    truncates to its own top-k inside map_batches, and the <=k-per-
+    block survivors merge on the driver — bounded by k x block count
+    (tiny even at the 65536-bucket co-partition cap), so this is a
+    k-row result fetch, not a table materialization.  Returns the
+    final pandas frame in (value DESC, id ASC) order with an optional
+    1-based int64 ``rank``."""
+    cols = [value_col, id_col]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        df = df.sort_values([value_col, id_col], kind="mergesort",
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values([value_col, id_col], kind="mergesort",
+                            ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    if with_rank:
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
 def latest_by_key(ds, key_col: str, order_cols, keep_cols=None):
     """Changelog compaction (latest-wins upsert): one surviving row
     per key, the maximum of ``order_cols`` (lexicographic, e.g.
