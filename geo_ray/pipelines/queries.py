@@ -3934,6 +3934,87 @@ def sql_image_neardup(num_images: int = 10_000, every: int = 10) -> str:
         f"FROM range(0, {num_images}, {every}) t(k) ORDER BY id_a")
 
 
+def q_image_phash_neardup(sf_dir: str, max_hamming: int = 3,
+                          every: int = 10):
+    """Perceptual-hash near-dup over the image table's 64-bit
+    ``phash`` column: exact Hamming-ball pairs via pigeonhole banding
+    (stages/dedup.hamming_ball_pairs — the same banded machinery as
+    simhash_neardup, parameterized on the hash column).  Every
+    ``every``-th image gets a planted variant row whose phash flips
+    ``k % 4`` deterministic bits (a re-encode's perceptual drift);
+    the FULL pair search is mirrored in SQL (splitmix64 phash
+    synthesis + the 4 pigeonhole band equi-joins + bit_count verify),
+    so the oracle is a real cross-engine pair check, not structural.
+    No pixels are touched: the phash IS the dedup signal, so the scan
+    is 8 bytes per image."""
+    import ray.data as rd
+    from ..sources.images import phash_for_index
+    from ..stages.dedup import hamming_ball_pairs
+
+    n = _sf_num_images(sf_dir)
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy().astype(np.int64)
+        ph = phash_for_index(i)
+        v = i[i % every == 0]
+        pv = phash_for_index(v).view(np.uint64)
+        nbits = (v % 4).astype(np.uint64)
+        shift = (v % 61).astype(np.uint64)
+        mask = ((np.uint64(1) << nbits) - np.uint64(1)) << shift
+        return pa.table({
+            "img": pa.array(np.concatenate([i, v + n]), pa.int64()),
+            "phash": pa.array(
+                np.concatenate([ph, (pv ^ mask).view(np.int64)]),
+                pa.int64()),
+        })
+
+    rows = rd.range(n).map_batches(_rows, batch_format="pyarrow")
+    pairs = hamming_ball_pairs(rows, id_col="img", hash_col="phash",
+                               max_hamming=max_hamming)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"id_a": b.column("doc_a"),
+                         "id_b": b.column("doc_b"),
+                         "hamming": b.column("hamming")})
+
+    return pairs.map_batches(_rename, batch_format="pyarrow") \
+        .sort(["id_a", "id_b"])
+
+
+def sql_image_phash_neardup(num_images: int = 10_000,
+                            max_hamming: int = 3,
+                            every: int = 10) -> str:
+    """Full cross-engine oracle: splitmix64 phash synthesis (the
+    shared _splitmix_ctes bit math), the deterministic variant bit
+    flips, the 4-band pigeonhole candidate join, and the exact
+    bit_count Hamming verify."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    gold = f"CAST({_GOLDEN} AS UBIGINT)"
+    mask = (f"CAST(((CAST(1 AS BIGINT) << CAST(k % 4 AS INTEGER)) - 1) "
+            f"<< CAST(k % 61 AS INTEGER) AS UBIGINT)")
+    sm = _splitmix_ctes("ph", "idx", "k",
+                        f"xor(CAST(k AS UBIGINT), {gold})")
+    bands = " UNION ALL ".join(
+        f"SELECT img, v, {c} AS band, "
+        f"CAST((v >> {c * width}) & {(1 << width) - 1} AS BIGINT) AS bv "
+        f"FROM allr" for c in range(n_bands))
+    return (
+        f"WITH idx AS (SELECT k FROM range(0, {num_images}) t(k)), "
+        f"{sm}, "
+        f"base AS (SELECT k AS img, v FROM ph), "
+        f"vars AS (SELECT k + {num_images} AS img, "
+        f"xor(v, {mask}) AS v FROM ph WHERE k % {every} = 0), "
+        f"allr AS (SELECT * FROM base UNION ALL SELECT * FROM vars), "
+        f"bands AS ({bands}), "
+        f"cand AS (SELECT DISTINCT a.img AS id_a, b.img AS id_b, "
+        f"CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming "
+        f"FROM bands a JOIN bands b ON a.band = b.band "
+        f"AND a.bv = b.bv AND a.img < b.img) "
+        f"SELECT id_a, id_b, hamming FROM cand "
+        f"WHERE hamming <= {max_hamming} ORDER BY id_a, id_b")
+
+
 _RESAMPLE_STEP_US = 86_400_000_000  # 1 day
 
 
@@ -6242,6 +6323,7 @@ def queries() -> Dict:
         "tile_vectorize": q_tile_vectorize,
         "knn_images": q_knn_images,
         "image_neardup": q_image_neardup,
+        "image_phash_neardup": q_image_phash_neardup,
         "events_geofence": q_events_geofence,
         "events_travel": q_events_travel,
         "events_resample": q_events_resample,
@@ -6434,6 +6516,7 @@ def oracle_sql() -> Dict[str, str]:
         "tile_vectorize": sql_tile_vectorize(),
         "knn_images": sql_knn_images(),
         "image_neardup": sql_image_neardup(),
+        "image_phash_neardup": sql_image_phash_neardup(),
         "convex_hull": sql_convex_hull(),
         # structural (QA-invariant) oracles: SQL derives what it can
         # from the base tables and pins the engine-computed invariant

@@ -339,30 +339,30 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None,
             .map_groups(_verify_b, batch_format="pandas"))
 
 
-def simhash_neardup(docs_ds, max_hamming: int = 3,
-                    lsh_buckets: int = 256):
-    """EXACT Hamming-ball near-dup pairs over 64-bit SimHash via
-    pigeonhole banding: the 64 bits split into ``max_hamming + 1``
-    equal chunks, and any pair differing in at most ``max_hamming``
-    bits must agree on at least one whole chunk — so grouping by
-    (chunk_id, chunk_value) generates a candidate SUPERSET exactly
-    (deterministic pigeonhole, not probabilistic LSH recall), and the
-    per-candidate popcount filter is precise.  Each band row carries
-    the 8-byte simhash itself, so verification needs no join back;
-    a pair colliding in several bands is emitted only from its FIRST
-    colliding band (checkable locally from the two simhashes), so the
-    global pair set needs no distinct shuffle.  Shuffle volume:
-    (max_hamming + 1) narrow int rows per doc."""
-    from .text import simhash as simhash_stage
-
+def hamming_ball_pairs(hashed_ds, *, id_col: str = "doc_id",
+                       hash_col: str = "simhash", max_hamming: int = 3,
+                       lsh_buckets: int = 256):
+    """EXACT Hamming-ball near-dup pairs over any 64-bit hash column
+    (SimHash, pHash, fingerprints) via pigeonhole banding: the 64 bits
+    split into ``max_hamming + 1`` equal chunks, and any pair
+    differing in at most ``max_hamming`` bits must agree on at least
+    one whole chunk — so grouping by (chunk_id, chunk_value) generates
+    a candidate SUPERSET exactly (deterministic pigeonhole, not
+    probabilistic LSH recall), and the per-candidate popcount filter
+    is precise.  Each band row carries the 8-byte hash itself, so
+    verification needs no join back; a pair colliding in several bands
+    is emitted only from its FIRST colliding band (checkable locally
+    from the two hashes), so the global pair set needs no distinct
+    shuffle.  Shuffle volume: (max_hamming + 1) narrow int rows per
+    row.  Returns (doc_a, doc_b, hamming)."""
     assert 64 % (max_hamming + 1) == 0
     n_bands = max_hamming + 1
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
 
     def _bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        h = batch.column("simhash").to_numpy().astype(np.int64) \
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        h = batch.column(hash_col).to_numpy().astype(np.int64) \
             .view(np.uint64)
         band_id = np.broadcast_to(np.arange(n_bands, dtype=np.int32),
                                   (len(ids), n_bands))
@@ -416,11 +416,22 @@ def simhash_neardup(docs_ds, max_hamming: int = 3,
             "hamming": pd.Series(out_h, dtype="int64"),
         })
 
-    sims = docs_ds.map_batches(simhash_stage, batch_format="pyarrow")
-    return (sims.map_batches(_bands, batch_format="pyarrow")
+    return (hashed_ds.map_batches(_bands, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(lambda g: _pairs(g.drop(columns=["bucket"])),
                         batch_format="pandas"))
+
+
+def simhash_neardup(docs_ds, max_hamming: int = 3,
+                    lsh_buckets: int = 256):
+    """Exact SimHash Hamming-ball near-dup over a (doc_id, text)
+    table: one text pass computes the 64-bit SimHash, then
+    :func:`hamming_ball_pairs` does the banded exact pair search."""
+    from .text import simhash as simhash_stage
+
+    sims = docs_ds.map_batches(simhash_stage, batch_format="pyarrow")
+    return hamming_ball_pairs(sims, max_hamming=max_hamming,
+                              lsh_buckets=lsh_buckets)
 
 
 def exact_dedup(ds, key_cols: List[str], id_col: str,
