@@ -1470,15 +1470,13 @@ def q_minhash_dedup(sf_dir: str):
     return out.select_columns(["doc_a", "doc_b"])
 
 
-def sql_minhash_dedup(threshold: float = 0.5) -> str:
-    """Cross-engine oracle for the full MinHash+LSH near-dup pipeline
-    (stages/dedup.py): md5_number_lower word hashes, odd-multiplier
-    rolling 3-word shingle accumulators + splitmix64, the 64-hash
-    minhash signature (min over the unique shingle-hash set of
-    splitmix64(shingle ^ seed)), 16x4 banding with per-position odd
-    multipliers, candidate pairs per exact (band_id, band_hash), and
-    the exact hash-set Jaccard >= threshold filter.  All 64-bit
-    arithmetic runs wrap-exact via HUGEINT split multiplication."""
+def _shingle_ctes() -> str:
+    """Shared CTE chain: documents -> per-doc unique 3-word rolling
+    shingle-hash set (CTE ``shingle``: doc_id, sh UBIGINT) and set
+    sizes (CTE ``sizes``) — the exact SQL mirror of
+    stages/dedup._shingle_hashes / doc_sketches (md5_number_lower word
+    hashes, odd-multiplier rolling accumulators, splitmix64; all
+    64-bit arithmetic wrap-exact via HUGEINT split multiplication)."""
     M0, M1, M2 = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                   0x165667B19E3779F9)
     tri_acc = (f"xor(xor({_mul64_sql('a.h', M0)}, {_mul64_sql('b.h', M1)}),"
@@ -1486,7 +1484,7 @@ def sql_minhash_dedup(threshold: float = 0.5) -> str:
     w1 = _mul64_sql("md5_number_lower(tk[1])::UBIGINT", M0)
     w2 = _mul64_sql("md5_number_lower(tk[2])::UBIGINT", M1)
     return (
-        f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
+        f"toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
         f"wq AS (SELECT doc_id, unnest(range(len(tk))) AS pos, "
         f"unnest(tk) AS w FROM toks), "
         f"wh AS (SELECT doc_id, pos, md5_number_lower(w)::UBIGINT AS h "
@@ -1503,7 +1501,26 @@ def sql_minhash_dedup(threshold: float = 0.5) -> str:
         f"{_splitmix_ctes('shx', 'accs', 'doc_id', 'acc')}, "
         f"shingle AS (SELECT DISTINCT doc_id, v AS sh FROM shx), "
         f"sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle "
-        f"GROUP BY doc_id), "
+        f"GROUP BY doc_id)")
+
+
+def sql_minhash_dedup(threshold: float = 0.5) -> str:
+    """Cross-engine oracle for the full MinHash+LSH near-dup pipeline
+    (stages/dedup.py): md5_number_lower word hashes, odd-multiplier
+    rolling 3-word shingle accumulators + splitmix64, the 64-hash
+    minhash signature (min over the unique shingle-hash set of
+    splitmix64(shingle ^ seed)), 16x4 banding with per-position odd
+    multipliers, candidate pairs per exact (band_id, band_hash), and
+    the exact hash-set Jaccard >= threshold filter.  All 64-bit
+    arithmetic runs wrap-exact via HUGEINT split multiplication."""
+    M0, M1, M2 = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                  0x165667B19E3779F9)
+    tri_acc = (f"xor(xor({_mul64_sql('a.h', M0)}, {_mul64_sql('b.h', M1)}),"
+               f" {_mul64_sql('c.h', M2)})")
+    w1 = _mul64_sql("md5_number_lower(tk[1])::UBIGINT", M0)
+    w2 = _mul64_sql("md5_number_lower(tk[2])::UBIGINT", M1)
+    return (
+        f"WITH {_shingle_ctes()}, "
         f"sseq AS (SELECT CAST(range AS UBIGINT) AS s FROM range(64)), "
         f"{_splitmix_ctes('seedx', 'sseq', 's', 's')}, "
         f"seeds AS (SELECT s, v AS seed FROM seedx), "
@@ -1531,6 +1548,42 @@ def sql_minhash_dedup(threshold: float = 0.5) -> str:
         f"JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh "
         f"GROUP BY c.doc_a, c.doc_b) "
         f"SELECT i.doc_a, i.doc_b FROM inter i "
+        f"JOIN sizes za ON za.doc_id = i.doc_a "
+        f"JOIN sizes zb ON zb.doc_id = i.doc_b "
+        f"WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) "
+        f">= {threshold!r} ORDER BY doc_a, doc_b")
+
+
+def q_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
+    """EXACT n-gram Jaccard similarity self-join over documents —
+    complete by the PPJoin prefix-filter theorem, no probabilistic
+    recall (stages/dedup.ngram_jaccard_join): candidates share a
+    prefix shingle hash, verification is the exact co-partitioned
+    hash-set Jaccard.  The SQL oracle is fully INDEPENDENT of the
+    candidate path: it computes every intersecting pair's exact
+    Jaccard via a shingle equi-join (pairs sharing no shingle have
+    J = 0 < t and drop out automatically), so a single pair missed by
+    the prefix filter would fail the hash check."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_join(ds, threshold=threshold) \
+        .sort(["doc_a", "doc_b"])
+
+
+def sql_ngram_jaccard(threshold: float = 0.5) -> str:
+    """Independent all-intersecting-pairs oracle: exact hash-set
+    Jaccard from the shared shingle CTEs, identical int64 counts and
+    the identical IEEE division on both engines."""
+    return (
+        f"WITH {_shingle_ctes()}, "
+        f"inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, "
+        f"COUNT(*) AS ni FROM shingle sa "
+        f"JOIN shingle sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id "
+        f"GROUP BY 1, 2) "
+        f"SELECT i.doc_a, i.doc_b, "
+        f"CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) AS jaccard "
+        f"FROM inter i "
         f"JOIN sizes za ON za.doc_id = i.doc_a "
         f"JOIN sizes zb ON zb.doc_id = i.doc_b "
         f"WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) "
@@ -6310,6 +6363,7 @@ def queries() -> Dict:
         "tpch_q10": q_tpch_q10,
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
         "embed_clusters": q_embed_clusters,
         "doc_chunks": q_doc_chunks,
         "chunk_knn": q_chunk_knn,
@@ -6510,6 +6564,7 @@ def oracle_sql() -> Dict[str, str]:
         # synthesizes the image geotags with exact 64-bit arithmetic in
         # SQL; valid at the driver's sf0.01 scale (10k images)
         "minhash_dedup": sql_minhash_dedup(),
+        "ngram_jaccard": sql_ngram_jaccard(),
         "spatial_join_images": sql_spatial_join_images(),
         "spatial_join_shuffle": sql_spatial_join_images(),
         "tiling_images": sql_tiling_images(),

@@ -271,6 +271,18 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None,
              .map_groups(lambda g: candidate_pairs_group(
                  g.drop(columns=["bucket"])), batch_format="pandas"))
 
+    return verify_jaccard_pairs(sketches, pairs, threshold, n_buckets)
+
+
+def verify_jaccard_pairs(sketches, pairs, threshold: float,
+                         n_buckets: int):
+    """Exact hash-set Jaccard verification of candidate (doc_a, doc_b)
+    pairs against the co-partitioned sketch table: two tagged-union
+    shuffles (attach sketch_a by doc_a bucket, then verify by doc_b
+    bucket), duplicate candidates dropped at attach time.  Only the
+    sketches of candidate-pair members move.  Returns
+    (doc_a, doc_b, jaccard) rows with jaccard >= threshold."""
+
     def _pair_rows_a(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
         b = batch.column("doc_b").to_numpy().astype(np.int64)
@@ -337,6 +349,7 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None,
     return (sketches.union(with_a)
             .groupby("bucket")
             .map_groups(_verify_b, batch_format="pandas"))
+
 
 
 def hamming_ball_pairs(hashed_ds, *, id_col: str = "doc_id",
@@ -472,3 +485,80 @@ def exact_dedup(ds, key_cols: List[str], id_col: str,
             .groupby("__b")
             .map_groups(lambda g: _merge(g.drop(columns=["__b"])),
                         batch_format="pandas"))
+
+
+def ngram_jaccard_join(docs_ds, threshold: float = 0.5,
+                       n_buckets: int = 256,
+                       prefix_buckets: int = 1024):
+    """EXACT n-gram (3-word rolling shingle) Jaccard similarity
+    self-join — complete, no probabilistic recall: candidates come
+    from PPJoin-style prefix filtering (Bayardo et al., WWW'07 /
+    Xiao et al., PPJoin): with each doc's unique shingle-hash set
+    sorted ascending (the global order) and prefix length
+    ``|S| - ceil(t*|S|) + 1``, any pair with J >= t MUST share a
+    prefix hash, so grouping by prefix hash yields a deterministic
+    candidate superset.  Exact verification reuses the co-partitioned
+    sketch join (:func:`verify_jaccard_pairs`).  Shuffle volume:
+    ~(1-t)*|S| narrow (hash, doc_id) int rows per doc for candidates,
+    then only candidate members' sketches.  Returns
+    (doc_a, doc_b, jaccard)."""
+    import math
+
+    def _sketch_rows(batch: pa.Table) -> pa.Table:
+        return doc_sketches(batch, 1)
+
+    sketches = docs_ds.map_batches(_sketch_rows,
+                                   batch_format="pyarrow").materialize()
+    nb = int(n_buckets)
+
+    def _rebucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.set_column(
+            batch.schema.get_field_index("bucket"), "bucket",
+            pa.array((ids % nb).astype(np.int32), pa.int32()))
+
+    sketches = sketches.map_batches(_rebucket, batch_format="pyarrow")
+
+    def _prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        arr = batch.column("sketch").combine_chunks()
+        offsets = np.asarray(arr.offsets)
+        values = np.asarray(arr.values).view(np.uint64) \
+            if len(arr.values) else np.array([], dtype=np.uint64)
+        out_h: List[int] = []
+        out_d: List[int] = []
+        for i in range(len(ids)):
+            s = values[offsets[i]:offsets[i + 1]]  # sorted unique asc
+            if not len(s):
+                continue
+            p = len(s) - math.ceil(threshold * len(s)) + 1
+            out_h.extend(int(v) for v in s[:p].view(np.int64))
+            out_d.extend([int(ids[i])] * min(p, len(s)))
+        h = np.array(out_h, dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(
+                (_splitmix(h.view(np.uint64))
+                 % np.uint64(prefix_buckets)).astype(np.int32),
+                pa.int32()),
+            "ph": pa.array(h, pa.int64()),
+            "doc_id": pa.array(np.array(out_d, np.int64), pa.int64()),
+        })
+
+    def _cand(group: pd.DataFrame) -> pd.DataFrame:
+        out_a: List[int] = []
+        out_b: List[int] = []
+        for _, sub in group.groupby("ph", sort=False):
+            if len(sub) < 2:
+                continue
+            docs = np.unique(sub["doc_id"].to_numpy())
+            ii, jj = np.triu_indices(len(docs), k=1)
+            out_a.extend(int(v) for v in docs[ii])
+            out_b.extend(int(v) for v in docs[jj])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    pairs = (sketches.map_batches(_prefix_rows, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda g: _cand(g.drop(columns=["bucket"])),
+                         batch_format="pandas"))
+    return verify_jaccard_pairs(sketches, pairs, threshold, nb)
