@@ -160,7 +160,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_anti_join",
                  "doc_chunks", "chunk_knn", "neardup_agreement",
                  "spatial_join_images", "tile_vectorize", "tile_pyramid", "image_neardup",
-                 "image_phash_neardup", "knn_collection", "ngram_jaccard",
+                 "image_phash_neardup", "knn_collection", "knn_furthest",
+                 "ngram_jaccard",
                  "corpus_curation",
                  "events_retention", "events_gap_quantiles", "s2_pyramid",
                  "events_geofence", "events_travel",

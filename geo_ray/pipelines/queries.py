@@ -258,6 +258,36 @@ def q_knn_geo(sf_dir: str, k: int = 5, n_probes: int = 8):
     return out.select_columns(["probe_id", "neighbor_id", "rank"])
 
 
+def q_knn_furthest(sf_dir: str, k: int = 5, n_probes: int = 8):
+    """FURTHEST-point query (FurthestEdgeQuery point-target semantics,
+    s2/edge_query.go:276-288 + s2/max_distance_targets.go): k furthest
+    customer points from each probe, maxDistance ordering
+    (chord2 DESC, id ASC) through the same partial/merge machinery as
+    knn_geo."""
+    from ..stages.knn import furthest
+
+    probe_keys = np.arange(n_probes, dtype=np.int64)
+    plat, plng = derive_latlng_np(probe_keys)
+    px, py, pz = latlng_deg_to_xyz(plat, plng)
+    Q = np.stack([px, py, pz], axis=1)
+    pts = _customer_points(sf_dir)
+    out = furthest(pts, ([int(v) for v in probe_keys], Q), k,
+                   id_col="c_custkey")
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def sql_knn_furthest(k: int = 5, n_probes: int = 8) -> str:
+    return (
+        f"{_PTS_CTE}, probes AS (SELECT * FROM xyz WHERE c_custkey < {n_probes}), "
+        f"dists AS (SELECT p.c_custkey AS probe_id, t.c_custkey AS neighbor_id, "
+        f"(p.x-t.x)*(p.x-t.x)+(p.y-t.y)*(p.y-t.y)+(p.z-t.z)*(p.z-t.z) AS chord2 "
+        f"FROM probes p CROSS JOIN xyz t), "
+        f"ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+        f"(PARTITION BY probe_id ORDER BY chord2 DESC, neighbor_id) AS rank FROM dists) "
+        f"SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY probe_id, rank")
+
+
 def sql_knn_geo(k: int = 5, n_probes: int = 8) -> str:
     return (
         f"{_PTS_CTE}, probes AS (SELECT * FROM xyz WHERE c_custkey < {n_probes}), "
@@ -6433,6 +6463,7 @@ def queries() -> Dict:
         "knn_geo_ring": q_knn_geo_ring,
         "knn_shape": q_knn_shape,
         "knn_collection": q_knn_collection,
+        "knn_furthest": q_knn_furthest,
         "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
         "token_count": q_token_count,
@@ -6519,6 +6550,7 @@ def oracle_sql() -> Dict[str, str]:
         "knn_geo_ring": sql_knn_geo(),
         "knn_shape": sql_knn_shape(),
         "knn_collection": sql_knn_collection(),
+        "knn_furthest": sql_knn_furthest(),
         "knn_join": sql_knn_join(),
         "langid": sql_langid(),
         "fingerprint": sql_fingerprint(),

@@ -76,7 +76,7 @@ ORACLE_CHECKED = [
     "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum", "events_entropy",
     "convex_hull",
     "covering", "polygon_overlay", "polygon_build", "image_neardup",
-    "knn_collection", "image_phash_neardup", "ngram_jaccard",
+    "knn_collection", "knn_furthest", "image_phash_neardup", "ngram_jaccard",
 ]
 
 
