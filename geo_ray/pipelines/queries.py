@@ -4940,21 +4940,35 @@ def q_idw_interpolate(sf_dir: str, k: int = _IDW_K,
         .groupby("probe_id").map_groups(
             lambda g: finalize_topk(g, k), batch_format="pandas")
 
-    # float dimension snapshot (read_dim_table stores int64 values;
-    # balances need the float cents): sorted keys + values, put once
-    import pyarrow.parquet as pq
-    dt = pq.read_table(f"{sf_dir}/customer.parquet",
-                       columns=["c_custkey", "c_acctbal"])
-    dk = dt.column("c_custkey").to_numpy().astype(np.int64)
-    dv = dt.column("c_acctbal").to_numpy().astype(np.float64)
-    o = np.argsort(dk, kind="mergesort")
-    ref = ray.put((dk[o], dv[o]))
+    # balance attach: the winner set is bounded (n_probes * k rows),
+    # so broadcast the winner KEY SET into a streaming customer scan
+    # and fetch only the matching balances — never the customer table
+    # (fact-scale at large sf; the round-2 VERDICT broadcast rule)
+    win = pd.DataFrame(nn.take_all())  # <= n_probes * k rows
+    need = np.unique(win["neighbor_id"].to_numpy().astype(np.int64))
+    kref = ray.put(need)
 
-    def _est(g: pd.DataFrame) -> pd.DataFrame:
-        dk2, dv2 = ray.get(ref)
+    def _sel_bal(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        p = np.searchsorted(ks, ck)
+        keep = (p < len(ks)) & (ks[np.minimum(p, len(ks) - 1)] == ck)
+        sel = batch.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": sel.column("c_custkey").cast(pa.int64()),
+            "c_acctbal": sel.column("c_acctbal").cast(pa.float64()),
+        })
+
+    bal_rows = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(_sel_bal, batch_format="pyarrow") \
+        .take_all()  # <= n_probes * k rows
+    bal = {int(r["c_custkey"]): float(r["c_acctbal"]) for r in bal_rows}
+
+    out_pid, out_est = [], []
+    for pid, g in win.groupby("probe_id", sort=True):
         g = g.sort_values("rank", kind="mergesort")
         nid = g["neighbor_id"].to_numpy().astype(np.int64)
-        cents = np.round(dv2[np.searchsorted(dk2, nid)] * 100.0) \
+        cents = np.round(np.array([bal[int(i)] for i in nid]) * 100.0) \
             .astype(np.int64)
         # recompute chord2 in the DIFFERENCE form from the derived
         # coordinates: the knn stage scores with the GEMM identity
@@ -4963,8 +4977,7 @@ def q_idw_interpolate(sf_dir: str, k: int = _IDW_K,
         # the oracle's (px-x)^2 + ... expression
         nlat, nlng = derive_latlng_np(nid)
         nx, ny, nz = latlng_deg_to_xyz(nlat, nlng)
-        pid = int(g["probe_id"].iloc[0])
-        plat1, plng1 = derive_latlng_np(np.array([pid], np.int64))
+        plat1, plng1 = derive_latlng_np(np.array([int(pid)], np.int64))
         px1, py1, pz1 = latlng_deg_to_xyz(plat1, plng1)
         c2 = (px1[0] - nx) ** 2 + (py1[0] - ny) ** 2 \
             + (pz1[0] - nz) ** 2
@@ -4974,12 +4987,11 @@ def q_idw_interpolate(sf_dir: str, k: int = _IDW_K,
             iw = np.floor(_IDW_W_SCALE / c2).astype(np.int64)
             shifted = cents + _IDW_OFFSET
             est = int((iw * shifted).sum() // iw.sum()) - _IDW_OFFSET
-        return pd.DataFrame({
-            "probe_id": [pid],
-            "est_cents": [est]})
-
-    return nn.groupby("probe_id").map_groups(_est,
-                                             batch_format="pandas")
+        out_pid.append(int(pid))
+        out_est.append(est)
+    return pd.DataFrame({
+        "probe_id": pd.Series(out_pid, dtype="int64"),
+        "est_cents": pd.Series(out_est, dtype="int64")})
 
 
 def sql_idw_interpolate(k: int = _IDW_K,
