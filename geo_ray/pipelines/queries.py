@@ -4364,6 +4364,80 @@ def sql_events_recent(cutoff: str = _RECENT_CUTOFF) -> str:
         "GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+_HEX_SIZE = 0.05
+
+
+def q_hex_density(sf_dir: str, size: float = _HEX_SIZE):
+    """Hexagonal-grid density — the north rule's "H3/S2 index" hex
+    family realized from scratch (functions/hexgrid.py): points
+    project to their S2 cube face's gnomonic (u, v) plane and bin into
+    a pointy-top axial hex lattice via the public cube-round
+    algorithm; counts merge through the exact bucketed integer sum.
+    Pure per-row vectorized map, one narrow (face, q, r, n) shuffle."""
+    from ..functions.hexgrid import hex_assign
+    from ..stages.agg import bucketed_sum
+
+    pts = _customer_points(sf_dir)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        f, q, r = hex_assign(batch.column("x").to_numpy(),
+                             batch.column("y").to_numpy(),
+                             batch.column("z").to_numpy(), size)
+        return pa.table({
+            "face": pa.array(f, pa.int64()),
+            "q": pa.array(q, pa.int64()),
+            "r": pa.array(r, pa.int64()),
+            "n": pa.array(np.ones(len(f), np.int64), pa.int64()),
+        })
+
+    return bucketed_sum(pts.map_batches(_assign, batch_format="pyarrow"),
+                        ["face", "q", "r"], ["n"]) \
+        .sort(["face", "q", "r"])
+
+
+def sql_hex_density(size: float = _HEX_SIZE) -> str:
+    """Bit-exact mirror of functions/hexgrid.hex_assign: same face/uv
+    projection CASEs as _cell_sql_cte, the same axial-basis doubles,
+    floor(x + 0.5) rounding and original-value cube-round correction
+    (only q and r are returned, so only the fix_x / else branches
+    matter)."""
+    from ..functions.hexgrid import C_Q_U, C_Q_V, C_R_V
+
+    face_expr = (
+        "CASE WHEN abs(x) > abs(y) THEN "
+        "(CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END) ELSE "
+        "(CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END")
+    return (
+        f"{_PTS_CTE}, "
+        f"f0 AS (SELECT c_custkey, x, y, z, {face_expr} AS fa FROM xyz), "
+        f"fc AS (SELECT *, CASE fa WHEN 0 THEN x WHEN 1 THEN y ELSE z "
+        f"END AS comp FROM f0), "
+        f"ff AS (SELECT c_custkey, x, y, z, "
+        f"CASE WHEN comp < 0 THEN fa + 3 ELSE fa END AS f FROM fc), "
+        f"uv AS (SELECT c_custkey, f, "
+        f"CASE f WHEN 0 THEN y/x WHEN 1 THEN (-x)/y WHEN 2 THEN (-x)/z "
+        f"WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE (-y)/z END AS u, "
+        f"CASE f WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN (-y)/z "
+        f"WHEN 3 THEN y/x WHEN 4 THEN (-x)/y ELSE (-x)/z END AS v "
+        f"FROM ff), "
+        f"hx AS (SELECT f, (u * {C_Q_U!r} - v * {C_Q_V!r}) / {size!r} "
+        f"AS xf, (v * {C_R_V!r}) / {size!r} AS zf FROM uv), "
+        f"cf AS (SELECT f, xf, (-xf) - zf AS yf, zf FROM hx), "
+        f"rr AS (SELECT f, xf, yf, zf, floor(xf + 0.5) AS rx, "
+        f"floor(yf + 0.5) AS ry, floor(zf + 0.5) AS rz FROM cf), "
+        f"dd AS (SELECT f, rx, ry, rz, abs(rx - xf) AS dx, "
+        f"abs(ry - yf) AS dy, abs(rz - zf) AS dz FROM rr), "
+        f"hexes AS (SELECT f AS face, "
+        f"CAST(CASE WHEN dx > dy AND dx > dz THEN (-ry) - rz "
+        f"ELSE rx END AS BIGINT) AS q, "
+        f"CAST(CASE WHEN NOT (dx > dy AND dx > dz) "
+        f"AND NOT (dy > dz) THEN (-rx) - ry ELSE rz END AS BIGINT) "
+        f"AS r FROM dd) "
+        f"SELECT CAST(face AS BIGINT) AS face, q, r, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM hexes "
+        f"GROUP BY face, q, r ORDER BY face, q, r")
+
+
 def q_geohash_assign(sf_dir: str, precision: int = 8):
     """Geohash cell assignment (the third index system next to S2 and
     the integer lat/lng grid): 8-character base-32 Z-order codes from
@@ -6445,6 +6519,7 @@ def queries() -> Dict:
         "events_percent_rank": q_events_percent_rank,
         "events_transitions": q_events_transitions,
         "geohash_assign": q_geohash_assign,
+        "hex_density": q_hex_density,
         "events_dwell": q_events_dwell,
         "events_recent": q_events_recent,
         "tpch_q4": q_tpch_q4,
@@ -6556,6 +6631,7 @@ def oracle_sql() -> Dict[str, str]:
         "orders_left_join": sql_orders_left_join(),
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
+        "hex_density": sql_hex_density(),
         "s2_density": sql_s2_density(),
         "radius_join": sql_radius_join(),
         # the ring kNN contract is exact equality with brute kNN
