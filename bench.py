@@ -168,7 +168,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_resample", "events_pivot", "lineitem_semi_bloom",
                  "events_funnel", "orders_left_join", "events_colocation",
                  "events_split", "events_running", "events_simplify", "events_crossings",
-                 "events_weighted_sample", "events_zscore", "events_props", "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum", "events_entropy", "geohash_assign", "hex_density", "events_dwell", "events_recent",
+                 "events_weighted_sample", "events_zscore", "events_props", "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum", "events_entropy", "geohash_assign", "hex_density", "hex_smooth", "events_dwell", "events_recent",
                  "lineitem_agg", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q10"]
         registry = qmod.queries()
         for name in suite:

@@ -4438,6 +4438,65 @@ def sql_hex_density(size: float = _HEX_SIZE) -> str:
         f"GROUP BY face, q, r ORDER BY face, q, r")
 
 
+_HEX_KERNEL = ((0, 0, 2), (1, 0, 1), (-1, 0, 1), (0, 1, 1),
+               (0, -1, 1), (1, -1, 1), (-1, 1, 1))
+
+
+def q_hex_smooth(sf_dir: str, size: float = _HEX_SIZE):
+    """Hex-lattice kernel smoothing — the hex index family's neighbor
+    traversal payoff (every hex has exactly 6 uniform neighbors, the
+    property H3 exists for): per-hex counts convolved with an integer
+    (center 2, ring 1) kernel in SCATTER form, so smoothing costs one
+    shuffle of 7x narrow (face, q, r, wn) partials — never a gather of
+    neighbor cells.  Same-face kernel (hexes at a cube-face edge miss
+    cross-face neighbors), identical on both engines."""
+    from ..functions.hexgrid import hex_assign
+    from ..stages.agg import bucketed_sum
+
+    pts = _customer_points(sf_dir)
+
+    def _scatter(batch: pa.Table) -> pa.Table:
+        f, q, r = hex_assign(batch.column("x").to_numpy(),
+                             batch.column("y").to_numpy(),
+                             batch.column("z").to_numpy(), size)
+        key = (f << 42) | ((q + (1 << 20)) << 21) | (r + (1 << 20))
+        uniq, cnt = np.unique(key, return_counts=True)
+        uf = uniq >> 42
+        uq = ((uniq >> 21) & ((1 << 21) - 1)) - (1 << 20)
+        ur = (uniq & ((1 << 21) - 1)) - (1 << 20)
+        fs, qs, rs, ws = [], [], [], []
+        for dq, dr, w in _HEX_KERNEL:
+            fs.append(uf)
+            qs.append(uq + dq)
+            rs.append(ur + dr)
+            ws.append(w * cnt)
+        return pa.table({
+            "face": pa.array(np.concatenate(fs), pa.int64()),
+            "q": pa.array(np.concatenate(qs), pa.int64()),
+            "r": pa.array(np.concatenate(rs), pa.int64()),
+            "wn": pa.array(np.concatenate(ws).astype(np.int64),
+                           pa.int64()),
+        })
+
+    out = bucketed_sum(pts.map_batches(_scatter, batch_format="pyarrow"),
+                       ["face", "q", "r"], ["wn"], n_buckets=64)
+    return out.rename_columns({"wn": "smooth"}).sort(["face", "q", "r"])
+
+
+def sql_hex_smooth(size: float = _HEX_SIZE) -> str:
+    offs = ", ".join(f"({dq}, {dr}, {w})" for dq, dr, w in _HEX_KERNEL)
+    base = sql_hex_density(size)
+    head = base[:base.index("SELECT CAST(face AS BIGINT)")]
+    return (
+        f"{head}"
+        f"SELECT CAST(h.face AS BIGINT) AS face, "
+        f"CAST(h.q + o.dq AS BIGINT) AS q, "
+        f"CAST(h.r + o.dr AS BIGINT) AS r, "
+        f"CAST(SUM(o.w) AS BIGINT) AS smooth "
+        f"FROM hexes h CROSS JOIN (VALUES {offs}) o(dq, dr, w) "
+        f"GROUP BY 1, 2, 3 ORDER BY face, q, r")
+
+
 def q_geohash_assign(sf_dir: str, precision: int = 8):
     """Geohash cell assignment (the third index system next to S2 and
     the integer lat/lng grid): 8-character base-32 Z-order codes from
@@ -6520,6 +6579,7 @@ def queries() -> Dict:
         "events_transitions": q_events_transitions,
         "geohash_assign": q_geohash_assign,
         "hex_density": q_hex_density,
+        "hex_smooth": q_hex_smooth,
         "events_dwell": q_events_dwell,
         "events_recent": q_events_recent,
         "tpch_q4": q_tpch_q4,
@@ -6632,6 +6692,7 @@ def oracle_sql() -> Dict[str, str]:
         "grid_density": sql_grid_density(),
         "cell_assign": sql_cell_assign(),
         "hex_density": sql_hex_density(),
+        "hex_smooth": sql_hex_smooth(),
         "s2_density": sql_s2_density(),
         "radius_join": sql_radius_join(),
         # the ring kNN contract is exact equality with brute kNN
