@@ -6567,22 +6567,19 @@ def queries() -> Dict:
         "grid_smooth": q_grid_smooth,
         "events_weighted_sample": q_events_weighted_sample,
         "events_props": q_events_props,
-        "events_corr": q_events_corr,
         "part_fuzzy": q_part_fuzzy,
         "events_od": q_events_od,
         "events_pagerank": q_events_pagerank,
-        "events_late": q_events_late,
         "idw_interpolate": q_idw_interpolate,
         "orders_skyline": q_orders_skyline,
-        "events_smooth_track": q_events_smooth_track,
-        "events_percent_rank": q_events_percent_rank,
-        "events_transitions": q_events_transitions,
         "geohash_assign": q_geohash_assign,
         "hex_density": q_hex_density,
         "hex_smooth": q_hex_smooth,
         "events_dwell": q_events_dwell,
         "events_recent": q_events_recent,
         "tpch_q4": q_tpch_q4,
+        "knn_furthest": q_knn_furthest,
+        "knn_collection": q_knn_collection,
         # --- newly SQL-oracled this round (were no_oracle rows in
         # CORRECTNESS_r01/r02): placed inside the driver's 50-query
         # window so the structural oracles acquire driver rows ---
@@ -6590,12 +6587,19 @@ def queries() -> Dict:
         "polygon_overlay": q_polygon_overlay,
         "polygon_build": q_polygon_build,
         # --- round-1/2 set: driver-green in CORRECTNESS_r01/r02, or
-        # (events_zscore/cusum/entropy, orders_left_join) simple
-        # analytics continuously re-verified by the identical local
-        # parity check in tests/test_oracle_parity.py ---
+        # (the eight simple per-user/scalar analytics just below plus
+        # orders_left_join) continuously re-verified by the identical
+        # local parity check in tests/test_oracle_parity.py — demoted
+        # behind the 50-query driver window so every never-checked or
+        # newly-oracled query earns a CORRECTNESS_r03 row ---
         "events_cusum": q_events_cusum,
         "events_entropy": q_events_entropy,
         "events_zscore": q_events_zscore,
+        "events_corr": q_events_corr,
+        "events_transitions": q_events_transitions,
+        "events_percent_rank": q_events_percent_rank,
+        "events_smooth_track": q_events_smooth_track,
+        "events_late": q_events_late,
         "orders_left_join": q_orders_left_join,
         "geotag": q_geotag,
         "cap_contains": q_cap_contains,
@@ -6609,8 +6613,6 @@ def queries() -> Dict:
         "radius_join": q_radius_join,
         "knn_geo_ring": q_knn_geo_ring,
         "knn_shape": q_knn_shape,
-        "knn_collection": q_knn_collection,
-        "knn_furthest": q_knn_furthest,
         "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
         "token_count": q_token_count,
