@@ -4051,7 +4051,8 @@ def q_image_phash_neardup(sf_dir: str, max_hamming: int = 3,
                 pa.int64()),
         })
 
-    rows = rd.range(n).map_batches(_rows, batch_format="pyarrow")
+    rows = rd.range(n, override_num_blocks=32) \
+        .map_batches(_rows, batch_format="pyarrow")
     pairs = hamming_ball_pairs(rows, id_col="img", hash_col="phash",
                                max_hamming=max_hamming)
 

@@ -147,18 +147,24 @@ def candidate_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
     many LSH buckets, and the inner exact grouping is vectorized
     pandas.  Only rows sharing the exact (band_id, band_hash) pair up.
     """
-    out_a: List[int] = []
-    out_b: List[int] = []
-    for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
-        if len(sub) < 2:
-            continue
-        docs = sorted(set(int(d) for d in sub["doc_id"]))
-        for i, a in enumerate(docs):
-            for b in docs[i + 1:]:
-                out_a.append(a)
-                out_b.append(b)
-    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                         "doc_b": pd.Series(out_b, dtype="int64")})
+    g = group[group.duplicated(["band_id", "band_hash"],
+                               keep=False)]  # vectorized singleton drop
+    if not len(g):
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    band = g["band_id"].to_numpy().astype(np.int64)
+    bh = g["band_hash"].to_numpy().astype(np.int64)
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    # per-segment doc dedup (one row per (doc, band), so duplicates
+    # within a segment cannot occur; keep = all)
+    new_seg = np.ones(len(band), bool)
+    new_seg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    seg_sizes = np.diff(np.append(np.flatnonzero(new_seg), len(band)))
+    ii, jj = segment_all_pairs(seg_sizes)
+    return pd.DataFrame({"doc_a": pd.Series(ids[ii], dtype="int64"),
+                         "doc_b": pd.Series(ids[jj], dtype="int64")})
 
 
 def jaccard(text_a: str, text_b: str) -> float:
@@ -352,9 +358,27 @@ def verify_jaccard_pairs(sketches, pairs, threshold: float,
 
 
 
+def segment_all_pairs(seg_sizes: np.ndarray):
+    """Vectorized all-unordered-pairs WITHIN consecutive segments: for
+    segments of sizes (m1, m2, ...) laid out contiguously, return
+    global index arrays (ii, jj) with ii < jj covering every
+    within-segment pair — sum(m*(m-1)/2) pairs, zero Python loops.
+    The standard repeat/cumsum construction: row r of its segment
+    pairs with the (size - 1 - rank) rows after it."""
+    seg_sizes = np.asarray(seg_sizes, dtype=np.int64)
+    n = int(seg_sizes.sum())
+    seg_start = np.concatenate([[0], np.cumsum(seg_sizes)[:-1]])
+    rank = np.arange(n) - np.repeat(seg_start, seg_sizes)
+    reps = np.repeat(seg_sizes, seg_sizes) - 1 - rank
+    ii = np.repeat(np.arange(n), reps)
+    starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    offs = np.arange(int(reps.sum())) - np.repeat(starts, reps) + 1
+    return ii, ii + offs
+
+
 def hamming_ball_pairs(hashed_ds, *, id_col: str = "doc_id",
                        hash_col: str = "simhash", max_hamming: int = 3,
-                       lsh_buckets: int = 256):
+                       lsh_buckets: int = 64):
     """EXACT Hamming-ball near-dup pairs over any 64-bit hash column
     (SimHash, pHash, fingerprints) via pigeonhole banding: the 64 bits
     split into ``max_hamming + 1`` equal chunks, and any pair
@@ -396,37 +420,45 @@ def hamming_ball_pairs(hashed_ds, *, id_col: str = "doc_id",
         })
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a: List[int] = []
-        out_b: List[int] = []
-        out_h: List[int] = []
-        for (band, _), sub in group.groupby(["band_id", "band_val"],
-                                            sort=False):
-            if len(sub) < 2:
-                continue
-            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = sub["doc_id"].to_numpy()
-            hs = sub["simhash"].to_numpy().view(np.uint64)
-            ii, jj = np.triu_indices(len(ids), k=1)
-            x = hs[ii] ^ hs[jj]
-            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                                axis=1).sum(axis=1).astype(np.int64) \
-                if len(x) else np.zeros(0, dtype=np.int64)
-            ok = ham <= max_hamming
-            if band > 0 and ok.any():
-                # first-band dedup: drop pairs already equal on an
-                # earlier chunk
-                earlier = np.zeros(len(ii), dtype=bool)
-                for b in range(band):
-                    sh = np.uint64(b * width)
-                    earlier |= ((x >> sh) & mask) == 0
-                ok &= ~earlier
-            out_a.extend(int(v) for v in ids[ii[ok]])
-            out_b.extend(int(v) for v in ids[jj[ok]])
-            out_h.extend(int(v) for v in ham[ok])
+        # vectorized singleton drop FIRST: iterating a pandas groupby
+        # materializes a sub-frame per group, and nearly every
+        # (band, value) group is a singleton — then fully vectorized
+        # within-segment pair generation (most colliding groups have
+        # exactly 2 rows, so a Python loop per group is the cost)
+        g = group[group.duplicated(["band_id", "band_val"], keep=False)]
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64")})
+        if not len(g):
+            return empty
+        band = g["band_id"].to_numpy().astype(np.int64)
+        val = g["band_val"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, val, band))
+        band, val, ids, hs = band[order], val[order], ids[order], hs[order]
+        new_seg = np.ones(len(band), bool)
+        new_seg[1:] = (band[1:] != band[:-1]) | (val[1:] != val[:-1])
+        seg_sizes = np.diff(np.append(np.flatnonzero(new_seg), len(band)))
+        ii, jj = segment_all_pairs(seg_sizes)
+        if not len(ii):
+            return empty
+        x = hs[ii] ^ hs[jj]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        ok = ham <= max_hamming
+        # first-band dedup: emit a pair only from its FIRST agreeing
+        # chunk (rows within a segment share `band`, so the pair's
+        # band is band[ii])
+        pband = band[ii]
+        for e in range(64 // width - 1):
+            sh = np.uint64(e * width)
+            ok &= ~((pband > e) & (((x >> sh) & mask) == 0))
         return pd.DataFrame({
-            "doc_a": pd.Series(out_a, dtype="int64"),
-            "doc_b": pd.Series(out_b, dtype="int64"),
-            "hamming": pd.Series(out_h, dtype="int64"),
+            "doc_a": pd.Series(ids[ii][ok], dtype="int64"),
+            "doc_b": pd.Series(ids[jj][ok], dtype="int64"),
+            "hamming": pd.Series(ham[ok], dtype="int64"),
         })
 
     return (hashed_ds.map_batches(_bands, batch_format="pyarrow")
@@ -436,7 +468,7 @@ def hamming_ball_pairs(hashed_ds, *, id_col: str = "doc_id",
 
 
 def simhash_neardup(docs_ds, max_hamming: int = 3,
-                    lsh_buckets: int = 256):
+                    lsh_buckets: int = 64):
     """Exact SimHash Hamming-ball near-dup over a (doc_id, text)
     table: one text pass computes the 64-bit SimHash, then
     :func:`hamming_ball_pairs` does the banded exact pair search."""
@@ -488,77 +520,110 @@ def exact_dedup(ds, key_cols: List[str], id_col: str,
 
 
 def ngram_jaccard_join(docs_ds, threshold: float = 0.5,
-                       n_buckets: int = 256,
-                       prefix_buckets: int = 1024):
+                       n_buckets=None):
     """EXACT n-gram (3-word rolling shingle) Jaccard similarity
-    self-join — complete, no probabilistic recall: candidates come
-    from PPJoin-style prefix filtering (Bayardo et al., WWW'07 /
-    Xiao et al., PPJoin): with each doc's unique shingle-hash set
-    sorted ascending (the global order) and prefix length
-    ``|S| - ceil(t*|S|) + 1``, any pair with J >= t MUST share a
-    prefix hash, so grouping by prefix hash yields a deterministic
-    candidate superset.  Exact verification reuses the co-partitioned
-    sketch join (:func:`verify_jaccard_pairs`).  Shuffle volume:
-    ~(1-t)*|S| narrow (hash, doc_id) int rows per doc for candidates,
-    then only candidate members' sketches.  Returns
-    (doc_a, doc_b, jaccard)."""
-    import math
+    self-join — complete, no probabilistic recall, no per-pair Python
+    work: intersection counts come from a narrow shingle EQUI-JOIN
+    (docs sharing a shingle pair up inside that shingle's hash bucket;
+    within-bucket partial counts pre-aggregate before one (a, b)
+    co-partitioned merge), then the exact set-size Jaccard filter.
+    Pairs sharing no shingle have J = 0 < t and never materialize.
+
+    Shuffle volume: one (shingle, doc_id, set_len) int row per shingle
+    instance, then sum(df_s choose 2) packed-pair partials.  The df^2
+    term is the scale knob: it is bounded by the corpus's shingle
+    document frequencies (max df 25 / 1.3M pairs over 260k instances
+    at sf0.1); a stop-shingle-skewed corpus would switch candidate
+    generation to prefix filtering (Bayardo et al. WWW'07) with the
+    co-partitioned per-pair verify (:func:`verify_jaccard_pairs`, the
+    minhash path).  doc_ids must fit int32 for the packed pair key
+    (document at 10^9+ docs: widen to a two-column key).
+
+    Returns (doc_a, doc_b, jaccard) with J >= threshold."""
 
     def _sketch_rows(batch: pa.Table) -> pa.Table:
         return doc_sketches(batch, 1)
 
     sketches = docs_ds.map_batches(_sketch_rows,
                                    batch_format="pyarrow").materialize()
-    nb = int(n_buckets)
+    cnt = sketches.count()
+    nb = int(n_buckets) if n_buckets is not None else \
+        max(16, min(1 << 16, cnt // 4096))
 
-    def _rebucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        return batch.set_column(
-            batch.schema.get_field_index("bucket"), "bucket",
-            pa.array((ids % nb).astype(np.int32), pa.int32()))
-
-    sketches = sketches.map_batches(_rebucket, batch_format="pyarrow")
-
-    def _prefix_rows(batch: pa.Table) -> pa.Table:
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
         arr = batch.column("sketch").combine_chunks()
         offsets = np.asarray(arr.offsets)
         values = np.asarray(arr.values).view(np.uint64) \
             if len(arr.values) else np.array([], dtype=np.uint64)
-        out_h: List[int] = []
-        out_d: List[int] = []
-        for i in range(len(ids)):
-            s = values[offsets[i]:offsets[i + 1]]  # sorted unique asc
-            if not len(s):
-                continue
-            p = len(s) - math.ceil(threshold * len(s)) + 1
-            out_h.extend(int(v) for v in s[:p].view(np.int64))
-            out_d.extend([int(ids[i])] * min(p, len(s)))
-        h = np.array(out_h, dtype=np.int64)
+        lens = np.diff(offsets).astype(np.int64)
+        doc = np.repeat(ids, lens)
+        ln = np.repeat(lens, lens)
         return pa.table({
-            "bucket": pa.array(
-                (_splitmix(h.view(np.uint64))
-                 % np.uint64(prefix_buckets)).astype(np.int32),
-                pa.int32()),
-            "ph": pa.array(h, pa.int64()),
-            "doc_id": pa.array(np.array(out_d, np.int64), pa.int64()),
+            "bucket": pa.array((_splitmix(values)
+                                % np.uint64(nb)).astype(np.int32),
+                               pa.int32()),
+            "sh": pa.array(values.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
         })
 
-    def _cand(group: pd.DataFrame) -> pd.DataFrame:
-        out_a: List[int] = []
-        out_b: List[int] = []
-        for _, sub in group.groupby("ph", sort=False):
-            if len(sub) < 2:
-                continue
-            docs = np.unique(sub["doc_id"].to_numpy())
-            ii, jj = np.triu_indices(len(docs), k=1)
-            out_a.extend(int(v) for v in docs[ii])
-            out_b.extend(int(v) for v in docs[jj])
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ln = g["ln"].to_numpy()
+        order = np.lexsort((ids, sh))
+        sh, ids, ln = sh[order], ids[order], ln[order]
+        new_seg = np.ones(len(sh), bool)
+        new_seg[1:] = sh[1:] != sh[:-1]
+        seg_sizes = np.diff(np.append(np.flatnonzero(new_seg), len(sh)))
+        ii, jj = segment_all_pairs(seg_sizes)
+        empty = pd.DataFrame({
+            "bucket": pd.Series([], dtype="int32"),
+            "pair": pd.Series([], dtype="int64"),
+            "ni": pd.Series([], dtype="int64"),
+            "la": pd.Series([], dtype="int64"),
+            "lb": pd.Series([], dtype="int64")})
+        if not len(ii):
+            return empty
+        # within-segment rows are doc-sorted, so a < b
+        pair = (ids[ii] << np.int64(32)) | ids[jj]
+        uniq, first, ni = np.unique(pair, return_index=True,
+                                    return_counts=True)
+        return pd.DataFrame({
+            "bucket": pd.Series(
+                (_splitmix(uniq.astype(np.uint64))
+                 % np.uint64(nb)).astype(np.int32), dtype="int32"),
+            "pair": pd.Series(uniq, dtype="int64"),
+            "ni": pd.Series(ni.astype(np.int64), dtype="int64"),
+            "la": pd.Series(ln[ii][first], dtype="int64"),
+            "lb": pd.Series(ln[jj][first], dtype="int64")})
 
-    pairs = (sketches.map_batches(_prefix_rows, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(lambda g: _cand(g.drop(columns=["bucket"])),
-                         batch_format="pandas"))
-    return verify_jaccard_pairs(sketches, pairs, threshold, nb)
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g["pair"].to_numpy()
+        order = np.argsort(pair, kind="mergesort")
+        pair = pair[order]
+        niv = g["ni"].to_numpy()[order]
+        la = g["la"].to_numpy()[order]
+        lb = g["lb"].to_numpy()[order]
+        uniq, first = np.unique(pair, return_index=True)
+        inv = np.searchsorted(uniq, pair)
+        ni = np.zeros(len(uniq), np.int64)
+        np.add.at(ni, inv, niv)
+        la, lb = la[first], lb[first]
+        jac = ni / (la + lb - ni)
+        keep = jac >= threshold
+        return pd.DataFrame({
+            "doc_a": pd.Series(uniq[keep] >> np.int64(32),
+                               dtype="int64"),
+            "doc_b": pd.Series(uniq[keep] & np.int64(0xFFFFFFFF),
+                               dtype="int64"),
+            "jaccard": pd.Series(jac[keep], dtype="float64")})
+
+    return (sketches.map_batches(_shingle_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: _pair_partials(
+                g.drop(columns=["bucket"])), batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda g: _merge(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
