@@ -54,7 +54,7 @@ def _read(sf_dir: str, table: str, columns):
 
     path = f"{sf_dir}/{table}.parquet"
     rows = pq.ParquetFile(path).metadata.num_rows
-    n_blocks = min(200, max(8, rows // 8192))
+    n_blocks = min(4096, max(32, rows // 32768))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=n_blocks)
 
@@ -68,7 +68,7 @@ def _read_f(sf_dir: str, table: str, columns, row_filter):
 
     path = f"{sf_dir}/{table}.parquet"
     rows = pq.ParquetFile(path).metadata.num_rows
-    n_blocks = min(200, max(8, rows // 8192))
+    n_blocks = min(4096, max(32, rows // 32768))
     return rd.read_parquet(path, columns=columns, filter=row_filter,
                            override_num_blocks=n_blocks)
 
