@@ -2670,7 +2670,7 @@ def q_orders_priority_salted(sf_dir: str, threshold: int = 5,
     and the join output pre-aggregates per batch — 5-row priority
     partials are all that reach the final groupby."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+    from ..stages.bucket_join import adaptive_buckets, parquet_rows
     from ..stages.salt import salted_hash_join
 
     li = _read(sf_dir, "lineitem",
@@ -2686,9 +2686,11 @@ def q_orders_priority_salted(sf_dir: str, threshold: int = 5,
 
     left = li.map_batches(_prep, batch_format="pyarrow")
     right = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = salted_hash_join(left, right, "l_orderkey",
-                              right_key="o_orderkey",
-                              num_salts=num_salts, threshold=threshold)
+    joined = salted_hash_join(
+        left, right, "l_orderkey", right_key="o_orderkey",
+        num_salts=num_salts, threshold=threshold,
+        num_buckets=2 * adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -2705,11 +2707,15 @@ def q_orders_priority_salted(sf_dir: str, threshold: int = 5,
                                 .astype(np.int64), pa.int64()),
         })
 
-    return (joined.map_batches(_partial, batch_format="pyarrow")
-            .groupby("priority")
-            .aggregate(Sum("revenue_units", alias_name="revenue_units"),
-                       Sum("n_items", alias_name="n_items"))
-            .sort("priority"))
+    # 5-priority final merge: <=5 rows per block reach the driver —
+    # a result fetch, not a materialization
+    parts = joined.map_batches(_partial, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby("priority", sort=True)[
+        ["revenue_units", "n_items"]].sum().reset_index()
+    out["revenue_units"] = out["revenue_units"].astype(np.int64)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out
 
 
 def sql_orders_priority_salted() -> str:
