@@ -82,7 +82,8 @@ def connected_components(edges_ds, *, nodes_ds=None,
                          node_cols: Tuple[str, str] = ("a", "b"),
                          node_col: str = "node",
                          num_parts: int = 64,
-                         max_iters: int = 64):
+                         max_iters: int = 64,
+                         contraction_levels: int = 2):
     """Edges (a, b) [+ optional isolated-node table] -> Dataset
     (node, rep) with rep = min node id of the connected component.
 
@@ -143,7 +144,7 @@ def connected_components(edges_ds, *, nodes_ds=None,
     # pairs — far cheaper than a label round (3 shuffles + a sum) —
     # and block size stays bounded by 64x the original block, so the
     # top level never concentrates the graph on one worker at scale.
-    for _ in range(2):
+    for _ in range(contraction_levels):
         edges_ds = edges_ds.materialize()
         nb = edges_ds.num_blocks()
         if nb <= 1:
@@ -151,6 +152,53 @@ def connected_components(edges_ds, *, nodes_ds=None,
         edges_ds = edges_ds.repartition(max(1, nb // 64)) \
             .map_batches(_contract, batch_format="pyarrow",
                          batch_size=None)
+
+    # FAST PATH: when the multi-level contraction collapsed the whole
+    # graph into ONE block, its min-id union-find output IS the exact
+    # component labeling (star edges node -> component-min root), so
+    # the label loop would spend ~6 shuffle barriers confirming a
+    # fixpoint.  The work is bounded by a block that already sat on
+    # one worker; at cluster scale the contracted forest spans many
+    # blocks and this path never triggers.
+    edges_ds = edges_ds.materialize()
+    if edges_ds.num_blocks() <= 1:
+        import ray
+
+        forest = edges_ds.take_all()
+        fk = np.array([int(r[ca]) for r in forest], dtype=np.int64)
+        fv = np.array([int(r[cb]) for r in forest], dtype=np.int64)
+        order = np.argsort(fk, kind="mergesort")
+        fk, fv = fk[order], fv[order]
+        fnodes = np.unique(np.concatenate([fk, fv]))
+        fpos = np.searchsorted(fk, fnodes)
+        fhit = (fpos < len(fk)) & (fk[np.minimum(fpos, max(len(fk) - 1,
+                                                           0))] == fnodes) \
+            if len(fk) else np.zeros(len(fnodes), bool)
+        freps = np.where(fhit, fv[np.minimum(fpos, max(len(fk) - 1, 0))]
+                         if len(fk) else fnodes, fnodes)
+        base = rd.from_arrow(pa.table({
+            "node": pa.array(fnodes, pa.int64()),
+            "rep": pa.array(freps, pa.int64())}))
+        if nodes_ds is None:
+            return base, {"rounds": 0, "num_parts": num_parts,
+                          "fast_path": True}
+        ref = ray.put(fnodes)
+
+        def _isolated(batch: pa.Table) -> pa.Table:
+            known = ray.get(ref)
+            n = batch.column(node_col).to_numpy().astype(np.int64)
+            p = np.searchsorted(known, n)
+            seen = (p < len(known)) & \
+                (known[np.minimum(p, max(len(known) - 1, 0))] == n) \
+                if len(known) else np.zeros(len(n), bool)
+            iso = n[~seen]
+            return pa.table({"node": pa.array(iso, pa.int64()),
+                             "rep": pa.array(iso, pa.int64())})
+
+        out = base.union(nodes_ds.map_batches(_isolated,
+                                              batch_format="pyarrow"))
+        return out, {"rounds": 0, "num_parts": num_parts,
+                     "fast_path": True}
 
     def _sym(batch: pa.Table) -> pa.Table:
         a = batch.column(ca).to_numpy().astype(np.int64)

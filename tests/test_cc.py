@@ -178,3 +178,40 @@ def test_corpus_curation_query_vs_duckdb(ray_session):
         {"kept_docs": "int64", "total_tokens": "int64"})
     pd.testing.assert_frame_equal(got, want)
     assert got["kept_docs"].sum() > 0
+
+
+def test_label_loop_forced_multiblock(ray_session):
+    """The single-block fast path must not be the only tested route:
+    repartition the edges across blocks and disable the contraction
+    cascade so the distributed hash-min + pointer-jump loop actually
+    runs, and still matches brute union-find."""
+    import ray.data as rd
+
+    from geo_ray.stages.cc import connected_components
+
+    n = 160
+    edges = [(i, i + 1) for i in range(n - 1)]
+    e = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                  "b": pa.array([b for _, b in edges], pa.int64())})
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array(range(n),
+                                                       pa.int64())}))
+    out, info = connected_components(
+        rd.from_arrow(e).repartition(8), nodes_ds=nodes,
+        node_col="doc_id", num_parts=8, contraction_levels=0)
+    assert not info.get("fast_path"), info
+    assert 1 <= info["rounds"] <= 12, info
+    got = out.to_pandas().sort_values("node").reset_index(drop=True)
+    want = _uf_components(n, edges)
+    assert got["rep"].tolist() == [want[i] for i in range(n)]
+
+
+def test_fast_path_single_block_exact(ray_session):
+    """When contraction collapses the graph to one block, the fast
+    path must produce the identical labeling with zero label rounds."""
+    edges = ([(10, j) for j in range(11, 20)] +
+             [(40, 41), (41, 42), (40, 42)] + [(3, 3)])
+    got, info = _run_cc(50, edges, num_parts=4)
+    assert info.get("fast_path"), info
+    assert info["rounds"] == 0
+    want = _uf_components(50, edges)
+    assert got["rep"].tolist() == [want[i] for i in range(50)]
