@@ -1177,7 +1177,10 @@ def q_convex_hull(sf_dir: str):
                         batch.column("y").to_numpy(),
                         batch.column("z").to_numpy()))
         hp = set(hull_partial(pts3))
-        keep = pa.array([tuple(float(c) for c in p) in hp for p in pts3])
+        # empty list must still carry bool type: pa.array([]) infers
+        # null and Arrow filter rejects non-boolean masks
+        keep = pa.array([tuple(float(c) for c in p) in hp for p in pts3],
+                        type=pa.bool_())
         return batch.filter(keep).select(["c_custkey", "x", "y", "z"])
 
     partials = pts.map_batches(_partial, batch_format="pyarrow").to_pandas()
@@ -1452,6 +1455,24 @@ def q_embed_knn_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 8,
     qids, Q = _embed_queries(sf_dir, n_queries)
     out = embedding_knn_ivfpq(ds, (qids, Q), k, C, books, nprobe=nprobe,
                               rerank=rerank)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q_embed_knn_lsh(sf_dir: str, k: int = 5, n_queries: int = 8,
+                    n_tables: int = 6, n_planes: int = 10):
+    """Random-hyperplane LSH approximate cosine top-k (the hash-family
+    scale path beside IVF/PQ: queries register in T x (1+P) probe
+    buckets once, each batch does one sign-matmul per table plus one
+    scoring matmul per populated probed bucket).  Rows-only like the
+    other approximate ANN entries — legitimately no SQL oracle; the
+    recall-vs-brute and exact-cosine contracts live in
+    tests/test_embed.py."""
+    from ..stages.embed import embedding_knn_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, Q = _embed_queries(sf_dir, n_queries)
+    out = embedding_knn_lsh(ds, (qids, Q), k, n_tables=n_tables,
+                            n_planes=n_planes, multiprobe=1)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
@@ -2686,9 +2707,15 @@ def q_orders_priority_salted(sf_dir: str, threshold: int = 5,
 
     left = li.map_batches(_prep, batch_format="pyarrow")
     right = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # hot-key detection on a NARROW key-only scan: the measured pass
+    # needs l_orderkey alone, so it must not re-read the price columns
+    # or re-run the revenue arithmetic of the probe pipeline
+    from ..stages.salt import measured_hot_keys
+    hot = measured_hot_keys(_read(sf_dir, "lineitem", ["l_orderkey"]),
+                            "l_orderkey", threshold)
     joined = salted_hash_join(
         left, right, "l_orderkey", right_key="o_orderkey",
-        num_salts=num_salts, threshold=threshold,
+        num_salts=num_salts, hot_keys=hot,
         num_buckets=2 * adaptive_buckets(
             parquet_rows(f"{sf_dir}/lineitem.parquet")))
 
@@ -6633,6 +6660,7 @@ def queries() -> Dict:
         "embed_knn_ivf": q_embed_knn_ivf,
         "embed_knn_pq": q_embed_knn_pq,
         "embed_knn_ivfpq": q_embed_knn_ivfpq,
+        "embed_knn_lsh": q_embed_knn_lsh,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "langid": q_langid,

@@ -108,28 +108,28 @@ def connected_components(edges_ds, *, nodes_ds=None,
         a = batch.column(ca).to_numpy().astype(np.int64)
         b = batch.column(cb).to_numpy().astype(np.int64)
         nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-        parent = np.arange(len(nodes), dtype=np.int64)
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
         ia, ib = inv[:len(a)], inv[len(a):]
-        for i in range(len(ia)):
-            ra, rb = find(ia[i]), find(ib[i])
-            if ra != rb:
-                if nodes[ra] < nodes[rb]:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        roots = np.array([find(i) for i in range(len(nodes))],
-                         dtype=np.int64)
-        keep = roots != np.arange(len(nodes))
+        # vectorized hash-min with pointer doubling (no per-edge Python
+        # loop): labels are node INDICES (nodes is sorted, so index
+        # order == id order); each round takes the min over edge
+        # neighbors then follows label chains twice.  Labels are
+        # monotone nonincreasing and a fixpoint forces equality across
+        # every edge, so the result is the per-component min — the same
+        # star edges the union-find emitted.
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, ia, lab[ib])
+            np.minimum.at(new, ib, lab[ia])
+            new = new[new]
+            new = new[new]
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        keep = lab != np.arange(len(nodes))
         return pa.table({
             ca: pa.array(nodes[keep], pa.int64()),
-            cb: pa.array(nodes[roots[keep]], pa.int64()),
+            cb: pa.array(nodes[lab[keep]], pa.int64()),
         })
 
     # batch_size=None: contract each block as-is (no cross-block

@@ -496,3 +496,121 @@ def embedding_knn_ivfpq(ds, queries, k: int, centroids: np.ndarray,
                               batch_size=8192)
     return partials.groupby("query_id").map_groups(
         lambda g: finalize_cosine_topk(g, k), batch_format="pandas")
+
+
+# -- LSH (random signed hyperplanes) ANN -------------------------------------
+
+def lsh_planes(dim: int, n_tables: int = 4, n_planes: int = 12,
+               seed: int = 7) -> np.ndarray:
+    """(n_tables, n_planes, dim) deterministic Gaussian hyperplanes —
+    the random-hyperplane (SimHash-for-vectors) family: two unit
+    vectors at angle theta land in the same 1-bit bucket with
+    probability 1 - theta/pi, so a P-bit code over T tables gives the
+    classic (1 - (1 - s^P)^T) LSH recall curve."""
+    if n_planes > 62:
+        raise ValueError("n_planes must fit an int64 code")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def _lsh_codes(Xn: np.ndarray, planes_t: np.ndarray) -> np.ndarray:
+    """Pack one table's sign bits into int64 codes."""
+    bits = (Xn @ planes_t.T) > 0.0          # (n, P)
+    weights = (np.int64(1) << np.arange(bits.shape[1], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def embedding_knn_lsh(ds, queries: Tuple[Sequence[int], np.ndarray],
+                      k: int, *, n_tables: int = 4, n_planes: int = 12,
+                      multiprobe: int = 1, seed: int = 7,
+                      id_col: str = "vec_id",
+                      embed_col: str = "embedding"):
+    """LSH-bucketed approximate cosine top-k — the hash-family scale
+    path next to IVF (centroid family) and PQ (compression family).
+
+    Driver side: each query registers in its exact code bucket per
+    table, plus every 1-bit-flip neighbor bucket when ``multiprobe >=
+    1`` (T x (1+P) dict entries per query — constant, broadcast once).
+    Batch side: one sign-matmul per table codes all rows, rows
+    bucket-sort per table, and each populated bucket that some query
+    probes does ONE matmul of its rows against those queries.
+    Candidate (row, query) pairs dedupe across tables inside the
+    batch, then a per-batch per-query top-k bounds what shuffles to
+    the same tiny groupby(query_id) merge the exact baseline uses —
+    so a neighbor reaches the merge at most once and the final
+    (cosine desc, neighbor_id) order is exact over the candidate set.
+    Approximate overall (recall measured in tests vs the brute
+    baseline); no full-table materialization anywhere."""
+    import ray
+
+    qids, Q = queries
+    Qn = _unit_rows(np.asarray(Q, dtype=np.float64))
+    planes = lsh_planes(Qn.shape[1], n_tables, n_planes, seed)
+    P = n_planes
+    bucket_queries: dict = {}
+    for t in range(n_tables):
+        qcodes = _lsh_codes(Qn, planes[t])
+        for qi, code in enumerate(qcodes):
+            probes = [int(code)]
+            if multiprobe >= 1:
+                probes += [int(code) ^ (1 << b) for b in range(P)]
+            for c in probes:
+                bucket_queries.setdefault((t << P) | c, []).append(qi)
+    bucket_queries = {key: np.unique(np.asarray(v, dtype=np.int64))
+                      for key, v in bucket_queries.items()}
+    qref = ray.put((pa.array(list(qids)), Qn, planes, bucket_queries))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qarr, Qn_l, planes_l, b2q = ray.get(qref)
+        Xn = _unit_rows(_matrix(batch, embed_col))
+        n = len(Xn)
+        nq = len(Qn_l)
+        cand_rows, cand_q = [], []
+        for t in range(len(planes_l)):
+            codes = (np.int64(t) << np.int64(P)) | _lsh_codes(
+                Xn, planes_l[t])
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            uniq, starts = np.unique(sc, return_index=True)
+            bounds = np.append(starts, n)
+            for i, code in enumerate(uniq):
+                qlist = b2q.get(int(code))
+                if qlist is None:
+                    continue
+                rows = order[starts[i]:bounds[i + 1]]
+                cand_rows.append(np.repeat(rows, len(qlist)))
+                cand_q.append(np.tile(qlist, len(rows)))
+        empty = pa.table({
+            "query_id": qarr.take(pa.array([], pa.int64())),
+            "neighbor_id": batch.column(id_col)
+                                .take(pa.array([], pa.int64())),
+            "cosine": pa.array([], pa.float64())})
+        if not cand_rows:
+            return empty
+        pair = np.concatenate(cand_rows) * np.int64(nq) \
+            + np.concatenate(cand_q)
+        pair = np.unique(pair)              # dedupe across tables
+        rows = pair // nq
+        qcols = pair % nq
+        cos = np.einsum("ij,ij->i", Xn[rows], Qn_l[qcols])
+        # per-batch per-query top-k with the merge's exact comparator
+        nbr = batch.column(id_col).to_numpy()[rows]
+        order = np.lexsort((nbr, -cos, qcols))
+        qs = qcols[order]
+        new = np.empty(len(qs), dtype=bool)
+        new[0] = True
+        new[1:] = qs[1:] != qs[:-1]
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        pos = np.arange(len(qs)) - starts[gid]
+        sel = order[pos < k]
+        return pa.table({
+            "query_id": qarr.take(pa.array(qcols[sel], pa.int64())),
+            "neighbor_id": batch.column(id_col).take(
+                pa.array(rows[sel], pa.int64())),
+            "cosine": pa.array(cos[sel], pa.float64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=8192)
+    return partials.groupby("query_id").map_groups(
+        lambda g: finalize_cosine_topk(g, k), batch_format="pandas")

@@ -191,11 +191,101 @@ def simplify_group(g: pd.DataFrame, tol_chord2: float,
         "event_id": E[np.asarray(kept, np.int64)].astype(np.int64)})
 
 
+def simplify_bucket_vec(g: pd.DataFrame, tol_chord2: float,
+                        max_lookahead: int = 16,
+                        pair_chunk: int = 4_000_000) -> pd.DataFrame:
+    """Vectorized multi-user simplification: identical decisions to
+    running `simplify_group` per user, but the candidate-window
+    distance kernel evaluates ALL (vertex, candidate, mid) triples of
+    the whole bucket in one pass instead of one numpy call per walk
+    step per user.
+
+    The trick: the greedy walk's advance from index i depends only on
+    i (first candidate c in [i+2, i+K] with an out-of-tolerance mid,
+    else min(i+K, last)), so `next[i]` is a pure function precomputable
+    for every vertex — exactly the `ff`/`nxt` CTEs of the SQL oracle.
+    The walk itself degenerates to a per-user scalar pointer chase
+    (O(kept) trivial comparisons), and the kernel-call count drops
+    from O(users x steps) to O(1) per bucket.  `pair_chunk` bounds the
+    transient (i, c, m) expansion memory."""
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64")})
+    g = g.sort_values(["user_id", "tsu", "event_id"], kind="mergesort")
+    U = g["user_id"].to_numpy()
+    V = g[["x", "y", "z"]].to_numpy()
+    E = g["event_id"].to_numpy()
+    K = int(max_lookahead)
+
+    new_u = np.empty(n, dtype=bool)
+    new_u[0] = True
+    new_u[1:] = U[1:] != U[:-1]
+    starts = np.flatnonzero(new_u)
+    ends = np.empty(len(starts), np.int64)
+    ends[:-1] = starts[1:] - 1
+    ends[-1] = n - 1
+    seg = np.cumsum(new_u) - 1
+    last = ends[seg]                       # per-row last index of its user
+    idxs = np.arange(n, dtype=np.int64)
+    bound = np.minimum(idxs + K, last)
+    L = bound - idxs                       # candidate reach (0 at track end)
+
+    # template of (dc, dm) offsets: dc in [2..K], dm in [1..dc-1]
+    dc_t = np.concatenate([np.full(dc - 1, dc, np.int64)
+                           for dc in range(2, K + 1)]) \
+        if K >= 2 else np.empty(0, np.int64)
+    dm_t = np.concatenate([np.arange(1, dc, dtype=np.int64)
+                           for dc in range(2, K + 1)]) \
+        if K >= 2 else np.empty(0, np.int64)
+    P = len(dc_t)
+
+    # per-(i, dc) "any mid out of tolerance" counts; col j <-> dc=j+2
+    failm = np.zeros((n, max(K - 1, 1)), dtype=np.uint8)
+    rows = np.flatnonzero(L >= 2)
+    if P and len(rows):
+        step = max(1, pair_chunk // P)
+        for lo in range(0, len(rows), step):
+            r = rows[lo:lo + step]
+            ii = np.repeat(r, P)
+            dcr = np.tile(dc_t, len(r))
+            dmr = np.tile(dm_t, len(r))
+            ok = dcr <= L[ii]
+            ii, dcr, dmr = ii[ok], dcr[ok], dmr[ok]
+            d = _edge_chord2_vec(V[ii + dmr], V[ii], V[ii + dcr])
+            np.add.at(failm, (ii, dcr - 2),
+                      (d > tol_chord2).astype(np.uint8))
+
+    anyf = failm > 0
+    has_bad = anyf.any(axis=1)
+    fb = np.argmax(anyf, axis=1)           # first failing dc index
+    # first_bad_c - 1 == i + (fb+2) - 1; else the full bound
+    nxt = np.where(has_bad, idxs + fb + 1, bound)
+    nxt = np.where(L >= 2, nxt, idxs + 1)  # 0/1-candidate windows
+
+    out = []
+    for s, e in zip(starts, ends):
+        i = int(s)
+        kept_last = i
+        out.append(i)
+        while i < e:
+            b = int(nxt[i])
+            if not (V[b] == V[kept_last]).all():
+                out.append(b)
+                kept_last = b
+            i = b
+    out = np.asarray(out, np.int64)
+    return pd.DataFrame({"user_id": U[out].astype(np.int64),
+                         "event_id": E[out].astype(np.int64)})
+
+
 def simplify_tracks(ds, tol_chord2: float, max_lookahead: int = 16,
                     n_buckets: int = 64):
     """Distributed simplification: user-hash bucket groups (narrow
-    rows only), the greedy walk runs per user INSIDE the bucket body —
-    one Ray group per user would pay a Python dispatch per user."""
+    rows only), the vectorized multi-user walk (`simplify_bucket_vec`,
+    decision-identical to per-user `simplify_group`) runs INSIDE the
+    bucket body — one Ray group per user would pay a Python dispatch
+    per user."""
     import pyarrow as pa2
 
     from .sample import _splitmix
@@ -207,11 +297,8 @@ def simplify_tracks(ds, tol_chord2: float, max_lookahead: int = 16,
                              .astype(np.int32), pa2.int32()))
 
     def _body(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [simplify_group(sub, tol_chord2, max_lookahead)
-                for _, sub in g.drop(columns=["__b"])
-                .groupby("user_id", sort=False)]
-        return pd.concat(outs) if outs else simplify_group(
-            g.drop(columns=["__b"]), tol_chord2, max_lookahead)
+        return simplify_bucket_vec(g.drop(columns=["__b"]),
+                                   tol_chord2, max_lookahead)
 
     return ds.map_batches(_bucket, batch_format="pyarrow") \
         .groupby("__b").map_groups(_body, batch_format="pandas")

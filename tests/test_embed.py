@@ -192,3 +192,47 @@ def test_ivfpq_recall(ray_session):
         sub = got[got["query_id"] == qi]
         recalls.append(len(set(sub["neighbor_id"]) & set(oracle[qi])) / K)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_lsh_recall_and_candidate_exactness(ray_session):
+    """Random-hyperplane LSH path: mean recall >= 0.9 vs brute on the
+    clustered corpus (multi-probe on), every returned cosine is the
+    exact dot product of the unit vectors, and no (query, neighbor)
+    pair is emitted twice despite multi-table candidate overlap."""
+    import ray.data as rd
+    from geo_ray.stages.embed import embedding_knn_lsh
+
+    got = embedding_knn_lsh(rd.from_arrow(TBL).repartition(4),
+                            (QIDS, Q), K, n_tables=6, n_planes=10,
+                            multiprobe=1, seed=3).to_pandas()
+    oracle = _oracle_topk()
+    Xf = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in TBL.column("embedding").to_pylist()])
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    recalls = []
+    for qi in QIDS:
+        sub = got[got["query_id"] == qi]
+        assert not sub["neighbor_id"].duplicated().any()
+        qn = Q[qi] / np.linalg.norm(Q[qi])
+        for nid, cos in zip(sub["neighbor_id"], sub["cosine"]):
+            assert cos == pytest.approx(float(Xn[int(nid)] @ qn),
+                                        abs=1e-12)
+        recalls.append(len(set(sub["neighbor_id"]) & set(oracle[qi])) / K)
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_lsh_is_deterministic(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.embed import embedding_knn_lsh
+
+    a = embedding_knn_lsh(rd.from_arrow(TBL), (QIDS, Q), K,
+                          seed=11).to_pandas()
+    b = embedding_knn_lsh(rd.from_arrow(TBL).repartition(7), (QIDS, Q),
+                          K, seed=11).to_pandas()
+    key = ["query_id", "rank"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[
+            ["query_id", "neighbor_id", "rank"]],
+        b.sort_values(key).reset_index(drop=True)[
+            ["query_id", "neighbor_id", "rank"]])

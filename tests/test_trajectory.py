@@ -334,6 +334,42 @@ def test_simplify_tolerance_zero_keeps_unique_positions():
     assert list(out["event_id"]) == list(range(20))
 
 
+def test_simplify_bucket_vec_matches_sequential_walk():
+    """The vectorized multi-user body makes identical decisions to the
+    per-user greedy walk — random tracks with duplicate positions,
+    shuffled input order, mixed tolerances/lookaheads, and a
+    chunk-boundary stress (pair_chunk smaller than one row's window
+    set is clamped to whole rows)."""
+    from geo_ray.stages.trajectory import (simplify_bucket_vec,
+                                           simplify_group)
+    rng = np.random.RandomState(31)
+    for trial in range(8):
+        frames = []
+        for u in range(rng.randint(1, 9)):
+            n = rng.randint(1, 90)
+            t = np.linspace(0, 1, n)
+            lats = 20 * t + rng.uniform(-8, 8, n)
+            lngs = 120 * t + rng.uniform(-8, 8, n)
+            f = _simplify_df(lats, lngs)
+            f["user_id"] = np.int64(u * 13 + 1)
+            f["event_id"] = rng.permutation(n).astype(np.int64)
+            if n > 3:
+                di = rng.randint(1, n - 1)
+                for c in ("x", "y", "z"):
+                    f.loc[di, c] = f.loc[di - 1, c]
+            frames.append(f)
+        df = pd.concat(frames, ignore_index=True) \
+            .sample(frac=1.0, random_state=trial).reset_index(drop=True)
+        for tol, k in ((0.0, 8), (1e-12, 2), (0.01, 16), (0.5, 4)):
+            ref = pd.concat([simplify_group(g, tol, k)
+                             for _, g in df.groupby("user_id")])
+            out = simplify_bucket_vec(df, tol, k, pair_chunk=64)
+            key = ["user_id", "event_id"]
+            pd.testing.assert_frame_equal(
+                out.sort_values(key).reset_index(drop=True),
+                ref.sort_values(key).reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # border-crossing determinant margins
 # --------------------------------------------------------------------------
