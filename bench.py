@@ -171,10 +171,26 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_weighted_sample", "events_zscore", "events_props", "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum", "events_entropy", "geohash_assign", "hex_density", "hex_smooth", "events_dwell", "events_recent",
                  "lineitem_agg", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q10"]
         registry = qmod.queries()
-        for name in suite:
-            t0 = time.perf_counter()
-            _consume(registry[name](SF_DIR))
-            queries[name] = round(time.perf_counter() - t0, 3)
+        # min-of-N per query (default 2): the host's documented
+        # bandwidth phases can degrade >10x for a minute mid-suite; a
+        # single-shot timing of 90 sequential queries attributes that
+        # phase to whichever queries it straddles.  The flagship is
+        # already best-of-3 with per-attempt controls; this extends the
+        # same policy to the breadth suite.  GRAFT_BEST_OF=1 restores
+        # single-shot timing.
+        best_of = max(1, int(os.environ.get("GRAFT_BEST_OF", "2")))
+        suite_controls = []
+        for qi, name in enumerate(suite):
+            if qi % 20 == 0:
+                suite_controls.append(_host_control_sec())
+            reps = []
+            for _ in range(best_of):
+                t0 = time.perf_counter()
+                _consume(registry[name](SF_DIR))
+                reps.append(time.perf_counter() - t0)
+            queries[name] = round(min(reps), 3)
+        suite_controls.append(_host_control_sec())
+        extras["suite_controls"] = suite_controls
 
     ray.shutdown()
     total = round(sum(queries.values()), 3)
