@@ -2595,7 +2595,6 @@ def q_orders_by_nation(sf_dir: str):
     (order-independent exactness)."""
     import pandas as pd
     import pyarrow.parquet as pq
-    from ..stages.agg import bucketed_sum
     from ..stages.bucket_join import (adaptive_buckets,
                                       bucketed_join,
                                       parquet_rows)
@@ -2651,20 +2650,14 @@ def q_orders_by_nation(sf_dir: str):
         num_buckets=adaptive_buckets(
             parquet_rows(f"{sf_dir}/orders.parquet")))
 
-    # <=25-key final merge of the per-bucket rollups: one vectorized
-    # bucketed_sum group, not Ray's per-group-Python aggregate
-    agg = bucketed_sum(partials, ["nationkey"],
-                       ["revenue_cents", "n_orders"], n_buckets=1)
-
-    def _name(batch: pa.Table) -> pa.Table:
-        nk = batch.column("nationkey").to_pylist()
-        return pa.table({
-            "n_name": pa.array([names[k] for k in nk], pa.string()),
-            "revenue_cents": batch.column("revenue_cents"),
-            "n_orders": batch.column("n_orders"),
-        })
-
-    return agg.map_batches(_name, batch_format="pyarrow")
+    # <=25-key final merge of the per-bucket rollups: each bucket
+    # already emitted a nation rollup, so the global sum is a bounded
+    # driver merge (no shuffle barrier) — stages/agg.driver_merged_sum
+    from ..stages.agg import driver_merged_sum
+    agg = driver_merged_sum(partials, ["nationkey"],
+                            ["revenue_cents", "n_orders"])
+    agg["n_name"] = agg["nationkey"].map(names)
+    return agg[["n_name", "revenue_cents", "n_orders"]]
 
 
 def sql_orders_by_nation() -> str:
@@ -3006,19 +2999,13 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA", year: int = 1996):
         "k", _resolve_rev,
         num_buckets=adaptive_buckets(
             parquet_rows(f"{sf_dir}/lineitem.parquet")))
-    # <=25-key final merge of the per-bucket rollups: one vectorized
-    # bucketed_sum group, not Ray's per-group-Python aggregate
-    from ..stages.agg import bucketed_sum
-    agg = bucketed_sum(joined, ["nationkey"], ["revenue"], n_buckets=1)
-
-    def _name(batch: pa.Table) -> pa.Table:
-        nk = batch.column("nationkey").to_pylist()
-        return pa.table({
-            "n_name": pa.array([names[k] for k in nk], pa.string()),
-            "revenue": batch.column("revenue"),
-        })
-
-    return agg.map_batches(_name, batch_format="pyarrow")
+    # <=25-key final merge of the per-bucket rollups: each bucket
+    # already emitted a nation rollup, so the global sum is a bounded
+    # driver merge (no shuffle barrier) — stages/agg.driver_merged_sum
+    from ..stages.agg import driver_merged_sum
+    agg = driver_merged_sum(joined, ["nationkey"], ["revenue"])
+    agg["n_name"] = agg["nationkey"].map(names)
+    return agg[["n_name", "revenue"]]
 
 
 def sql_tpch_q5(region: str = "ASIA", year: int = 1996) -> str:

@@ -158,3 +158,34 @@ def bucketed_user_groups(ds, body, *, user_col: str = "user_id",
 
     return ds.map_batches(_bucket, batch_format="pyarrow") \
         .groupby("__ub").map_groups(_run, batch_format=batch_format)
+
+
+def driver_merged_sum(ds, key_cols: Sequence[str],
+                      value_cols: Sequence[str], *,
+                      max_rows: int = 4_000_000):
+    """Final merge for SMALL-key-domain rollups WITHOUT a shuffle
+    barrier: when every upstream block already holds per-key partials
+    (e.g. per-bucket nation rollups — bounded by key-domain x block
+    count, not by data size), the global sum is a bounded result
+    fetch plus one vectorized pandas groupby on the driver — the
+    summation counterpart of stages/topk.global_topk.  At 32 CPUs a
+    Ray groupby barrier costs ~0.5-1 s regardless of volume; this
+    path costs one take of <= max_rows narrow rows.  ``max_rows``
+    guards the contract: exceeding it raises instead of silently
+    materializing a table-sized dataset on the driver (use
+    bucketed_sum for unbounded key domains)."""
+    import pandas as pd
+
+    parts = ds.to_pandas()
+    if len(parts) > max_rows:
+        raise ValueError(
+            f"driver_merged_sum fetched {len(parts)} partial rows "
+            f"(> max_rows={max_rows}); the upstream is not a bounded "
+            "rollup — use bucketed_sum instead")
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    out = parts.groupby(key_cols, sort=True)[value_cols].sum() \
+        .reset_index()
+    for c in value_cols:
+        out[c] = out[c].astype(np.int64)
+    return out
