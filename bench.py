@@ -147,7 +147,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "knn_geo", "knn_geo_limited", "knn_geo_ring", "knn_join",
                  "grid_density", "s2_density", "grid_smooth",
                  "token_count", "dedup_exact", "dedup_clusters",
-                 "embed_knn", "embed_knn_ivf",
+                 "embed_knn", "embed_knn_ivf", "embed_knn_lsh",
                  "embed_neardup", "minhash_dedup", "simhash",
                  "simhash_neardup", "embed_clusters", "events_hourly",
                  "events_sliding", "events_sessions", "events_asof",
@@ -169,7 +169,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_funnel", "orders_left_join", "events_colocation",
                  "events_split", "events_running", "events_simplify", "events_crossings",
                  "events_weighted_sample", "events_zscore", "events_props", "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum", "events_entropy", "geohash_assign", "hex_density", "hex_smooth", "events_dwell", "events_recent",
-                 "lineitem_agg", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q10"]
+                 "lineitem_agg", "tpch_q3", "tpch_q4", "tpch_q5",
+                 "tpch_q7", "tpch_q10"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

@@ -3024,6 +3024,180 @@ def sql_tpch_q5(region: str = "ASIA", year: int = 1996) -> str:
         "GROUP BY n_name ORDER BY n_name")
 
 
+_Q7_NATIONS = (3, 7)
+_Q7_SHIP_LO = "1996-01-01"
+_Q7_SHIP_HI = "1998-01-01"     # exclusive
+
+
+def q_tpch_q7(sf_dir: str, nations: tuple = _Q7_NATIONS):
+    """TPC-H Q7-shaped: shipping volume between two nations by ship
+    year — supplier in one nation, ordering customer in the other,
+    both directions reported.  Same streaming skeleton as q5 (no
+    fact-scale broadcast):
+
+      phase 1 (bucket by custkey):  two-nation customers |x| orders
+        -> (orderkey, cust_nation);
+      phase 2 (bucket by orderkey): those orders |x| per-(order,
+        supp_nation, ship_year) integer volume partials of date-windowed
+        lineitems whose supplier sits in either nation (supplier ->
+        nationkey is the one genuinely small broadcast dim);
+      finish: the nation-pair filter (supp != cust) rides in the
+        resolve, per-bucket rollups merge on the driver
+        (driver_merged_sum — <=2x2xyears keys, no final barrier).
+
+    Volume is exact integer units (cents x discount-percent); ship
+    year is exact integer calendar arithmetic on datetime64 — both
+    mirrored verbatim by the SQL oracle."""
+    import ray
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    from ..stages.agg import driver_merged_sum
+    from ..stages.broadcast_join import read_dim_table
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+
+    na, nb = int(nations[0]), int(nations[1])
+    pair = np.sort(np.array([na, nb], dtype=np.int64))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                          "s_suppkey", "s_nationkey")
+    ref = ray.put((supp, pair))
+
+    lo = np.datetime64(_Q7_SHIP_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q7_SHIP_HI).astype("datetime64[us]")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    items = _read_f(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+                    (pds.field("l_shipdate") >= lo)
+                    & (pds.field("l_shipdate") < hi))
+
+    # phase 1: two-nation customers |x| all orders -> order cust-nation
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        keep = (nk == na) | (nk == nb)
+        sel = batch.filter(pa.array(keep, type=pa.bool_()))
+        return pa.table({
+            "k": sel.column("c_custkey").cast(pa.int64()),
+            "nat": sel.column("c_nationkey").cast(pa.int64()),
+            "ok": pa.nulls(len(sel), pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column("o_custkey").cast(pa.int64()),
+            "nat": pa.nulls(len(batch), pa.int64()),
+            "ok": batch.column("o_orderkey").cast(pa.int64()),
+        })
+
+    def _resolve_cnat(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["ok"].isna()]
+        fact = g[g["ok"].notna()]
+        cn = fact["k"].map(dim.set_index("k")["nat"])
+        keep = cn.notna().to_numpy()
+        return pd.DataFrame({
+            "k": fact["ok"].to_numpy(np.float64)[keep].astype(np.int64),
+            "nat": cn.to_numpy(np.float64)[keep].astype(np.int64)})
+
+    onat = bucketed_join(
+        [cust.map_batches(_cust_rows, batch_format="pyarrow"),
+         orders.map_batches(_order_rows, batch_format="pyarrow")],
+        "k", _resolve_cnat,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/orders.parquet")))
+
+    # phase 2: per-(order, supp_nation, year) volume partials
+    def _onat_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "k": batch.column("k").cast(pa.int64()),
+            "cnat": batch.column("nat").cast(pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "yr": pa.nulls(n, pa.int64()),
+            "vol": pa.nulls(n, pa.int64()),
+        })
+
+    def _item_partial(batch: pa.Table) -> pa.Table:
+        supp_, pr = ray.get(ref)
+        sn = supp_.lookup(batch.column("l_suppkey").to_numpy()
+                          .astype(np.int64))
+        keep = (sn == pr[0]) | (sn == pr[1])
+        lo_ = batch.column("l_orderkey").to_numpy().astype(np.int64)[keep]
+        ep = np.round(batch.column("l_extendedprice").to_numpy()[keep]
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount")
+                       .to_numpy()[keep]) * 100.0).astype(np.int64)
+        yr = (batch.column("l_shipdate").to_numpy()
+              .astype("datetime64[Y]").astype(np.int64) + 1970)[keep]
+        df = pd.DataFrame({"k": lo_, "snat": sn[keep], "yr": yr,
+                           "vol": ep * dp})
+        g = df.groupby(["k", "snat", "yr"], sort=False)["vol"].sum() \
+            .reset_index()
+        m = len(g)
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "cnat": pa.nulls(m, pa.int64()),
+            "snat": pa.array(g["snat"].to_numpy(np.int64), pa.int64()),
+            "yr": pa.array(g["yr"].to_numpy(np.int64), pa.int64()),
+            "vol": pa.array(g["vol"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def _resolve_vol(g: pd.DataFrame) -> pd.DataFrame:
+        ords = g[g["vol"].isna()]
+        part = g[g["vol"].notna()]
+        cn = part["k"].map(ords.set_index("k")["cnat"])
+        keep = (cn.notna() & (cn != part["snat"])).to_numpy()
+        out = pd.DataFrame({
+            "snat": part["snat"].to_numpy(np.float64)[keep]
+            .astype(np.int64),
+            "cnat": cn.to_numpy(np.float64)[keep].astype(np.int64),
+            "l_year": part["yr"].to_numpy(np.float64)[keep]
+            .astype(np.int64),
+            "volume": part["vol"].to_numpy(np.float64)[keep]
+            .astype(np.int64)})
+        return out.groupby(["snat", "cnat", "l_year"],
+                           sort=False).sum().reset_index()
+
+    joined = bucketed_join(
+        [onat.map_batches(_onat_rows, batch_format="pyarrow"),
+         items.map_batches(_item_partial, batch_format="pyarrow")],
+        "k", _resolve_vol,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
+
+    agg = driver_merged_sum(joined, ["snat", "cnat", "l_year"],
+                            ["volume"])
+    agg["supp_nation"] = agg["snat"].map(names)
+    agg["cust_nation"] = agg["cnat"].map(names)
+    return agg[["supp_nation", "cust_nation", "l_year", "volume"]]
+
+
+def sql_tpch_q7(nations: tuple = _Q7_NATIONS) -> str:
+    na, nb = int(nations[0]), int(nations[1])
+    return (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS volume "
+        "FROM lineitem "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
+        "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
+        f"WHERE ((s_nationkey = {na} AND c_nationkey = {nb}) "
+        f"OR (s_nationkey = {nb} AND c_nationkey = {na})) "
+        f"AND l_shipdate >= DATE '{_Q7_SHIP_LO}' "
+        f"AND l_shipdate < DATE '{_Q7_SHIP_HI}' "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
+
+
 def q_tpch_q10(sf_dir: str, k: int = 20):
     """TPC-H Q10-shaped: top-k customers by revenue of RETURNED items
     (l_returnflag = 'R').  No driver-side table reads (the round-2
@@ -3481,6 +3655,27 @@ def q_spatial_join_shuffle(sf_dir: str):
     ptable = rd.from_arrow(polygons_to_table(city_polygons()))
     out = shuffle_polygon_join(pts, ptable, num_parts=16, refine_parts=8)
     return out.select_columns(["image_id", "polygon_id"])
+
+
+def q_spatial_join_auto(sf_dir: str):
+    """Cost-based plan selection for the spatial join: the engine
+    picks broadcast vs shuffle from driver-side cardinality probes
+    (stages/strategy.choose_join_strategy — the automated form of the
+    BASELINE.md join-strategy arithmetic; no data scan, no human in
+    the loop).  At the city corpus (8 polygons, ~24 KB of broadcast
+    state) it picks the broadcast plan; a corpus past the worker-heap
+    budget flips to the shuffle plan (decision matrix + both-branch
+    row-identity in tests/test_strategy.py).  Oracle: the SAME SQL as
+    both fixed-plan variants, so all three entries are proven
+    interchangeable."""
+    from .flagship import city_polygons
+    from ..stages.strategy import choose_join_strategy
+
+    strat = choose_join_strategy(_sf_num_images(sf_dir),
+                                 len(city_polygons()))
+    if strat == "broadcast":
+        return q_spatial_join_images(sf_dir)
+    return q_spatial_join_shuffle(sf_dir)
 
 
 _GOLDEN = 0x9E3779B97F4A7C15
@@ -6670,6 +6865,8 @@ def queries() -> Dict:
         "events_gap_quantiles": q_events_gap_quantiles,
         "events_distinct_sketch": q_events_distinct_sketch,
         "events_distinct_hll": q_events_distinct_hll,
+        "tpch_q7": q_tpch_q7,
+        "spatial_join_auto": q_spatial_join_auto,
     }
 
 
@@ -6756,6 +6953,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_distinct_hll": sql_events_distinct_hll(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
+        "tpch_q7": sql_tpch_q7(),
         "tpch_q10": sql_tpch_q10(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
@@ -6772,6 +6970,7 @@ def oracle_sql() -> Dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "spatial_join_images": sql_spatial_join_images(),
         "spatial_join_shuffle": sql_spatial_join_images(),
+        "spatial_join_auto": sql_spatial_join_images(),
         "tiling_images": sql_tiling_images(),
         "tile_vectorize": sql_tile_vectorize(),
         "knn_images": sql_knn_images(),
