@@ -6739,14 +6739,68 @@ def sql_lineitem_semi_bloom() -> str:
 # registry
 # --------------------------------------------------------------------------
 
+def _driver_green() -> set:
+    """Query names with a fully-green driver correctness row
+    (rows + schema + hash, no err) in ANY committed
+    CORRECTNESS_r*.json.  Missing or unreadable files contribute
+    nothing, so environments without the history fall back to the
+    authored order."""
+    import glob
+    import json as _json
+    import os
+
+    base = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    green = set()
+    for p in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                d = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k, v in d.items():
+            if isinstance(v, dict) and not v.get("err") \
+                    and v.get("rows_match") and v.get("schema_match") \
+                    and v.get("hash_match"):
+                green.add(k)
+    return green
+
+
+def _window_order(authored: Dict, oracles: set) -> Dict:
+    """The driver verifies a bounded window from the FRONT of the
+    registry (observed: first 50), so ordering is load-bearing.
+    Generate it from the committed CORRECTNESS history instead of
+    hand-curating each round (round-2 lesson: the hand order left all
+    50 round-2 additions driver-unchecked):
+
+      1. never-driver-green queries WITH a SQL oracle (strongest
+         available check) — authored order;
+      2. never-driver-green without an oracle (rows-only check);
+      3. already-green queries (continuously re-verified by the local
+         parity suite) — authored order.
+
+    Stable within each class, so the curated authored order still
+    decides ties."""
+    green = _driver_green()
+    names = list(authored)
+
+    def _cls(n: str) -> int:
+        if n not in green:
+            return 0 if n in oracles else 1
+        return 2
+
+    ordered = sorted(names, key=lambda n: (_cls(n), names.index(n)))
+    return {n: authored[n] for n in ordered}
+
+
 def queries() -> Dict:
-    # Ordering note (round 3): the driver verifies a bounded window of
-    # entries from the FRONT of this registry (observed: first 50).
-    # CORRECTNESS_r02 therefore covered only the round-1 set; the 50
-    # round-2 additions below are placed FIRST so they acquire driver
-    # rows this round.  The round-1 queries (all driver-green in
-    # CORRECTNESS_r01/r02 and continuously re-verified by the local
-    # tests/test_oracle_parity.py suite) follow.
+    # The dict below is the AUTHORED order (stable tie-break);
+    # _window_order reorders it so never-driver-green queries occupy
+    # the driver's verification window each round.
+    return _window_order(_authored_queries(), set(oracle_sql()))
+
+
+def _authored_queries() -> Dict:
     return {
         # --- round-2 additions: never driver-checked before r3 ---
         "tpch_q3": q_tpch_q3,

@@ -78,6 +78,7 @@ ORACLE_CHECKED = [
     "covering", "polygon_overlay", "polygon_build", "image_neardup",
     "knn_collection", "knn_furthest", "image_phash_neardup", "ngram_jaccard",
     "hex_density", "hex_smooth", "tpch_q7", "spatial_join_auto",
+    "dedup_clusters", "corpus_curation",
 ]
 
 
@@ -384,3 +385,59 @@ def test_rosters_consistent():
     unknown = [n for n in names
                if n not in q and n != "flagship_join_tile"]
     assert not unknown, unknown
+
+
+def test_window_order_invariants():
+    """The registry's driver window (first 50) is generated from
+    CORRECTNESS history: every window slot holds a query with no
+    fully-green driver row yet; oracle-backed queries outrank
+    oracle-less ones within the never-green class; authored order
+    breaks ties; and the green queries all retain local parity
+    coverage (they are in ORACLE_CHECKED)."""
+    import __ray_entry__ as entrymod
+    from geo_ray.pipelines.queries import (_authored_queries,
+                                           _driver_green, _window_order)
+
+    authored = _authored_queries()
+    oracles = set(entrymod.oracle_sql())
+    green = _driver_green()
+    ordered = list(_window_order(authored, oracles))
+
+    assert set(ordered) == set(authored)
+    window = ordered[:50]
+    not_green = [n for n in ordered if n not in green]
+    # every window slot is spent on a never-green query (as long as
+    # enough exist)
+    take = min(50, len(not_green))
+    assert all(n not in green for n in window[:take])
+    # oracle-backed never-green precede oracle-less never-green
+    seen_oracle_less = False
+    for n in not_green:
+        if n not in oracles:
+            seen_oracle_less = True
+        else:
+            assert not seen_oracle_less, n
+    # authored order is the tie-break within each class
+    idx = {n: i for i, n in enumerate(authored)}
+    for cls_members in (
+            [n for n in ordered if n not in green and n in oracles],
+            [n for n in ordered if n not in green and n not in oracles],
+            [n for n in ordered if n in green]):
+        assert cls_members == sorted(cls_members, key=idx.__getitem__)
+    # green queries keep local parity coverage
+    missing = [n for n in green
+               if n in oracles and n not in ORACLE_CHECKED]
+    assert not missing, missing
+
+
+def test_window_order_without_history(tmp_path, monkeypatch):
+    """With no CORRECTNESS files visible, the order degrades to
+    authored (oracle-backed first) — never an exception."""
+    import geo_ray.pipelines.queries as qmod
+
+    monkeypatch.setattr(
+        qmod, "_driver_green", lambda: set())
+    authored = qmod._authored_queries()
+    ordered = list(qmod._window_order(authored, {"geotag"}))
+    assert set(ordered) == set(authored)
+    assert ordered[0] == "geotag"
