@@ -3198,6 +3198,216 @@ def sql_tpch_q7(nations: tuple = _Q7_NATIONS) -> str:
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
 
 
+_Q8_REGION = "AMERICA"
+_Q8_HOME_NATION = 5
+_Q8_PTYPE = "ECONOMY"
+_Q8_DATE_LO = "1995-01-01"
+_Q8_DATE_HI = "1997-01-01"    # exclusive
+
+
+def q_tpch_q8(sf_dir: str, region: str = _Q8_REGION,
+              home: int = _Q8_HOME_NATION, ptype: str = _Q8_PTYPE):
+    """TPC-H Q8-shaped market share: per order year, the volume
+    supplied by the ``home`` nation vs total volume, over lineitems of
+    one part type whose ordering customer sits in one region.  Three
+    bucketed tagged-union joins, ALL fact tables streaming (part is
+    fact-scale at large sf — it joins by partkey rather than
+    broadcasting a filtered key set):
+
+      phase A (bucket by partkey): type-filtered part keys |x|
+        lineitems -> per-(orderkey) [total, home] integer volume
+        partials (supplier nation resolves vectorized from the one
+        genuinely small broadcast dim);
+      phase B (bucket by custkey):  region customers |x| date-windowed
+        orders -> (orderkey, order year);
+      phase C (bucket by orderkey): A |x| B -> per-bucket year
+        rollups, merged barrier-free on the driver.
+
+    The market share itself is a ratio; to stay hash-comparable the
+    query reports the exact integer numerator (home_volume) and
+    denominator (total_volume) per year — the SQL oracle mirrors both
+    (the division is the caller's one-line epilogue)."""
+    import ray
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    from ..stages.agg import driver_merged_sum
+    from ..stages.broadcast_join import read_dim_table
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}
+    region_nations = np.sort(np.array(
+        [r["n_nationkey"] for r in nat.to_pylist()
+         if r["n_regionkey"] == rkey[region]], dtype=np.int64))
+
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                          "s_suppkey", "s_nationkey")
+    sref = ray.put((supp, np.int64(home)))
+
+    lo = np.datetime64(_Q8_DATE_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q8_DATE_HI).astype("datetime64[us]")
+    part = _read_f(sf_dir, "part", ["p_partkey"],
+                   pds.field("p_type") == ptype)
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read_f(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"],
+                     (pds.field("o_orderdate") >= lo)
+                     & (pds.field("o_orderdate") < hi))
+
+    # phase A: type parts |x| lineitems, bucketed by partkey
+    def _part_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "k": batch.column("p_partkey").cast(pa.int64()),
+            "ok": pa.nulls(n, pa.int64()),
+            "tot": pa.nulls(n, pa.int64()),
+            "hom": pa.nulls(n, pa.int64()),
+        })
+
+    def _item_rows(batch: pa.Table) -> pa.Table:
+        supp_, hm = ray.get(sref)
+        sn = supp_.lookup(batch.column("l_suppkey").to_numpy()
+                          .astype(np.int64))
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        vol = ep * dp
+        return pa.table({
+            "k": batch.column("l_partkey").cast(pa.int64()),
+            "ok": batch.column("l_orderkey").cast(pa.int64()),
+            "tot": pa.array(vol, pa.int64()),
+            "hom": pa.array(np.where(sn == hm, vol, 0), pa.int64()),
+        })
+
+    def _resolve_part(g: pd.DataFrame) -> pd.DataFrame:
+        pk = set(g.loc[g["ok"].isna(), "k"])
+        fact = g[g["ok"].notna() & g["k"].isin(pk)]
+        out = pd.DataFrame({
+            "k": fact["ok"].to_numpy(np.float64).astype(np.int64),
+            "tot": fact["tot"].to_numpy(np.float64).astype(np.int64),
+            "hom": fact["hom"].to_numpy(np.float64).astype(np.int64)})
+        return out.groupby("k", sort=False).sum().reset_index()
+
+    vols = bucketed_join(
+        [part.map_batches(_part_rows, batch_format="pyarrow"),
+         items.map_batches(_item_rows, batch_format="pyarrow")],
+        "k", _resolve_part,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
+
+    # phase B: region customers |x| windowed orders, bucketed by custkey
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        p = np.searchsorted(region_nations, nk)
+        keep = (p < len(region_nations)) \
+            & (region_nations[np.minimum(p, len(region_nations) - 1)]
+               == nk)
+        sel = batch.filter(pa.array(keep, type=pa.bool_()))
+        return pa.table({
+            "k": sel.column("c_custkey").cast(pa.int64()),
+            "ok": pa.nulls(len(sel), pa.int64()),
+            "yr": pa.nulls(len(sel), pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        yr = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "k": batch.column("o_custkey").cast(pa.int64()),
+            "ok": batch.column("o_orderkey").cast(pa.int64()),
+            "yr": pa.array(yr, pa.int64()),
+        })
+
+    def _resolve_cust(g: pd.DataFrame) -> pd.DataFrame:
+        ck = set(g.loc[g["ok"].isna(), "k"])
+        fact = g[g["ok"].notna() & g["k"].isin(ck)]
+        return pd.DataFrame({
+            "k": fact["ok"].to_numpy(np.float64).astype(np.int64),
+            "yr": fact["yr"].to_numpy(np.float64).astype(np.int64)})
+
+    oyr = bucketed_join(
+        [cust.map_batches(_cust_rows, batch_format="pyarrow"),
+         orders.map_batches(_order_rows, batch_format="pyarrow")],
+        "k", _resolve_cust,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/orders.parquet")))
+
+    # phase C: volumes |x| order years, bucketed by orderkey
+    def _vol_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "k": batch.column("k").cast(pa.int64()),
+            "yr": pa.nulls(n, pa.int64()),
+            "tot": batch.column("tot").cast(pa.int64()),
+            "hom": batch.column("hom").cast(pa.int64()),
+        })
+
+    def _oyr_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "k": batch.column("k").cast(pa.int64()),
+            "yr": batch.column("yr").cast(pa.int64()),
+            "tot": pa.nulls(n, pa.int64()),
+            "hom": pa.nulls(n, pa.int64()),
+        })
+
+    def _resolve_year(g: pd.DataFrame) -> pd.DataFrame:
+        ords = g[g["tot"].isna()]
+        part_ = g[g["tot"].notna()]
+        yr = part_["k"].map(ords.set_index("k")["yr"])
+        keep = yr.notna().to_numpy()
+        out = pd.DataFrame({
+            "o_year": yr.to_numpy(np.float64)[keep].astype(np.int64),
+            "home_volume": part_["hom"].to_numpy(np.float64)[keep]
+            .astype(np.int64),
+            "total_volume": part_["tot"].to_numpy(np.float64)[keep]
+            .astype(np.int64)})
+        return out.groupby("o_year", sort=False).sum().reset_index()
+
+    joined = bucketed_join(
+        [oyr.map_batches(_oyr_rows, batch_format="pyarrow"),
+         vols.map_batches(_vol_rows, batch_format="pyarrow")],
+        "k", _resolve_year,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
+
+    agg = driver_merged_sum(joined, ["o_year"],
+                            ["home_volume", "total_volume"])
+    return agg[["o_year", "home_volume", "total_volume"]]
+
+
+def sql_tpch_q8(region: str = _Q8_REGION, home: int = _Q8_HOME_NATION,
+                ptype: str = _Q8_PTYPE) -> str:
+    # arithmetic identical to the engine: round both factors to ints
+    vol = ("(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+           "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT))")
+    return (
+        "SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS "
+        "o_year, "
+        f"CAST(SUM(CASE WHEN s_nationkey = {home} THEN {vol} ELSE 0 "
+        "END) AS BIGINT) AS home_volume, "
+        f"CAST(SUM({vol}) AS BIGINT) AS total_volume "
+        "FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON n1.n_nationkey = c_nationkey "
+        "JOIN region ON r_regionkey = n1.n_regionkey "
+        f"WHERE r_name = '{region}' AND p_type = '{ptype}' "
+        f"AND o_orderdate >= DATE '{_Q8_DATE_LO}' "
+        f"AND o_orderdate < DATE '{_Q8_DATE_HI}' "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_tpch_q10(sf_dir: str, k: int = 20):
     """TPC-H Q10-shaped: top-k customers by revenue of RETURNED items
     (l_returnflag = 'R').  No driver-side table reads (the round-2
@@ -6920,6 +7130,7 @@ def _authored_queries() -> Dict:
         "events_distinct_sketch": q_events_distinct_sketch,
         "events_distinct_hll": q_events_distinct_hll,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
         "spatial_join_auto": q_spatial_join_auto,
     }
 
@@ -7008,6 +7219,7 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "tpch_q7": sql_tpch_q7(),
+        "tpch_q8": sql_tpch_q8(),
         "tpch_q10": sql_tpch_q10(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),

@@ -77,8 +77,8 @@ ORACLE_CHECKED = [
     "convex_hull",
     "covering", "polygon_overlay", "polygon_build", "image_neardup",
     "knn_collection", "knn_furthest", "image_phash_neardup", "ngram_jaccard",
-    "hex_density", "hex_smooth", "tpch_q7", "spatial_join_auto",
-    "dedup_clusters", "corpus_curation",
+    "hex_density", "hex_smooth", "tpch_q7", "tpch_q8",
+    "spatial_join_auto", "dedup_clusters", "corpus_curation",
 ]
 
 
