@@ -2700,12 +2700,13 @@ def q_orders_priority_salted(sf_dir: str, threshold: int = 5,
 
     left = li.map_batches(_prep, batch_format="pyarrow")
     right = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    # hot-key detection on a NARROW key-only scan: the measured pass
-    # needs l_orderkey alone, so it must not re-read the price columns
-    # or re-run the revenue arithmetic of the probe pipeline
-    from ..stages.salt import measured_hot_keys
-    hot = measured_hot_keys(_read(sf_dir, "lineitem", ["l_orderkey"]),
-                            "l_orderkey", threshold)
+    # hot-key detection from a strided ROW-GROUP sample of the key
+    # column (footers enumerate, tasks read only chosen groups) —
+    # ~1/4 of a second scan; salting is a perf hint, so sampling
+    # cannot change the join output (oracle-identical by design)
+    from ..stages.salt import sampled_hot_keys
+    hot = sampled_hot_keys(f"{sf_dir}/lineitem.parquet",
+                           "l_orderkey", threshold, frac=0.25)
     joined = salted_hash_join(
         left, right, "l_orderkey", right_key="o_orderkey",
         num_salts=num_salts, hot_keys=hot,

@@ -88,7 +88,7 @@ def _mix64(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def measured_hot_keys(ds, key_col: str, threshold: int,
+def measured_hot_keys(ds, key_col: str, threshold: float,
                       num_buckets: int = 64) -> np.ndarray:
     """Keys whose total row count exceeds ``threshold``, measured with
     a combiner pass: only (key, count) partials shuffle, and only the
@@ -130,6 +130,94 @@ def measured_hot_keys(ds, key_col: str, threshold: int,
     if vals and isinstance(vals[0], (int, np.integer)):
         return np.sort(np.array(vals, dtype=np.int64))
     return np.sort(np.array(vals, dtype=object))
+
+
+def sampled_hot_keys(paths, key_col: str, threshold: int, *,
+                     frac: float = 0.25, safety: float = 0.5,
+                     rgs_per_task: int = 8,
+                     num_buckets: int = 64) -> np.ndarray:
+    """Hot-key detection from a strided ROW-GROUP sample of the
+    parquet input — ~``frac`` of the scan cost instead of a second
+    full key-column pass.  Salting is a performance hint, so sampled
+    detection cannot cost correctness: a missed moderately-hot key
+    only costs shuffle balance, and a truly hot key (count many
+    multiples of ``threshold``) appears in every row-group stride with
+    overwhelming probability because its rows are spread across the
+    file (hot join keys — cities, mega-users — are not stored
+    contiguously in fact tables sorted by time or id).
+
+    Mechanics: the driver reads FOOTERS ONLY to enumerate
+    (file, row_group, rows), takes every ``stride``-th row group
+    (stride = round(1/frac)), and fans the chosen groups out as Ray
+    tasks that each read only their row groups' key column
+    (``pyarrow.parquet.ParquetFile.read_row_group`` — the row group is
+    the parquet I/O unit, so unread groups cost nothing).  The count
+    threshold is scaled by the MEASURED sampled-row fraction (rows in
+    chosen groups / total rows, not the nominal ``frac`` — uneven
+    group sizes must not bias it) times ``safety`` (<1 biases toward
+    over-detection: salting a borderline-hot key is cheap, missing a
+    hot one is the failure mode).
+
+    Degrades gracefully: with a single row group (small test files)
+    the sample IS the full scan and the result equals
+    ``measured_hot_keys`` exactly.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    stride = max(1, int(round(1.0 / max(frac, 1e-9))))
+
+    total_rows = 0
+    chosen = []          # (path, rg_index)
+    sampled_rows = 0
+    seq = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata   # footer only
+        for rg in range(md.num_row_groups):
+            nr = md.row_group(rg).num_rows
+            total_rows += nr
+            if seq % stride == 0:
+                chosen.append((p, rg))
+                sampled_rows += nr
+            seq += 1
+    if total_rows == 0 or not chosen:
+        return np.array([], dtype=np.int64)
+    actual_frac = sampled_rows / total_rows
+    thr = threshold * actual_frac * safety
+
+    tasks = [{"path": p, "rgs": [rg for (_, rg) in grp]}
+             for p, grp in _group_by_path(chosen, rgs_per_task)]
+
+    def _read_rgs(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            f = pq.ParquetFile(row["path"])
+            for rg in row["rgs"]:
+                out.append(f.read_row_group(rg, columns=[key_col]))
+        return pa.concat_tables(out) if out else \
+            pa.table({key_col: pa.array([], pa.int64())})
+
+    ds = ray.data.from_items(tasks).map_batches(
+        _read_rgs, batch_format="pyarrow", batch_size=1)
+    return measured_hot_keys(ds, key_col, thr, num_buckets=num_buckets)
+
+
+def _group_by_path(chosen, rgs_per_task):
+    """Chunk (path, rg) pairs into per-task units of <=rgs_per_task
+    row groups, never mixing files in a unit (one open per task)."""
+    out = []
+    cur_path, cur = None, []
+    for p, rg in chosen:
+        if p != cur_path or len(cur) >= rgs_per_task:
+            if cur:
+                out.append((cur_path, cur))
+            cur_path, cur = p, []
+        cur.append((p, rg))
+    if cur:
+        out.append((cur_path, cur))
+    return out
 
 
 def _is_hot(keys: np.ndarray, hot_sorted: np.ndarray) -> np.ndarray:

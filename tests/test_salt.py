@@ -201,3 +201,73 @@ def test_cross_join_units_survives_hash_collision():
     assert df["k"].tolist() == ["a", "a", "b"]
     assert df["lv"].tolist() == [1, 2, 3]
     assert df["rv"].tolist() == [100, 100, 200]
+
+
+def _write_rg_parquet(tmp_path, n=40000, n_hot=3, hot_count=2000,
+                      n_cold_keys=500, row_group_size=2000, seed=3):
+    """Skewed key table written with many SMALL row groups so the
+    strided row-group sample is a real subset of the file."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    cold = rng.randint(10**6, 10**6 + n_cold_keys,
+                       n - n_hot * hot_count).astype(np.int64)
+    hot = np.repeat(np.arange(n_hot, dtype=np.int64) * 7 + 1, hot_count)
+    keys = np.concatenate([cold, hot])
+    rng.shuffle(keys)  # hot keys spread across row groups, like a fact table
+    path = str(tmp_path / "keys.parquet")
+    pq.write_table(pa.table({"k": keys}), path,
+                   row_group_size=row_group_size)
+    return path, keys
+
+
+def test_sampled_hot_keys_recall_and_cost(ray_session, tmp_path):
+    from geo_ray.stages.salt import sampled_hot_keys
+    import pyarrow.parquet as pq
+
+    path, keys = _write_rg_parquet(tmp_path)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups >= 10  # the stride has something to skip
+
+    threshold = 400
+    hot = sampled_hot_keys(path, "k", threshold, frac=0.25)
+    truly_hot = np.sort(np.unique(keys[np.isin(
+        keys, np.arange(3, dtype=np.int64) * 7 + 1)]))
+    # every planted hot key (5x over threshold) must be detected
+    assert np.isin(truly_hot, hot).all()
+    # over-detection is allowed (safety bias) but bounded: no cold key
+    # with true count under threshold/2 may appear
+    counts = pd.Series(keys).value_counts()
+    for k in hot:
+        assert counts[k] > threshold / 2 / 4  # frac*safety floor
+
+    # determinism: same stride, same answer
+    hot2 = sampled_hot_keys(path, "k", threshold, frac=0.25)
+    assert np.array_equal(hot, hot2)
+
+
+def test_sampled_hot_keys_single_rg_equals_full(ray_session, tmp_path):
+    """With one row group the sample IS the full scan: result equals
+    measured_hot_keys at the same effective threshold."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    left, _ = _skewed_tables()
+    path = str(tmp_path / "one_rg.parquet")
+    pq.write_table(pa.Table.from_pandas(left[["k"]]), path)
+    from geo_ray.stages.salt import sampled_hot_keys
+
+    threshold = 1000
+    hot = sampled_hot_keys(path, "k", threshold, frac=0.25, safety=1.0)
+    ds = rd.from_arrow(pa.Table.from_pandas(left[["k"]]))
+    exp = measured_hot_keys(ds, "k", threshold)
+    assert np.array_equal(hot, exp)
+
+
+def test_sampled_hot_keys_empty_and_missing_frac(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from geo_ray.stages.salt import sampled_hot_keys
+
+    path = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"k": pa.array([], pa.int64())}), path)
+    assert len(sampled_hot_keys(path, "k", 10, frac=0.5)) == 0
