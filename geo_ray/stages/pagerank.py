@@ -11,7 +11,13 @@ inbound edges get ``base``.
 * ``pagerank_broadcast`` — node state ships per iteration via one
   ``ray.put`` of PRE-SORTED (keys, contribution) arrays, so the
   per-batch work is a single searchsorted + gather (no per-batch
-  state rebuild).  Right while node state fits a worker heap.
+  state rebuild).  Inbound sums pre-aggregate per batch (exact int64
+  sort + reduceat) and merge driver-side through
+  ``agg.driver_merged_sum`` — ZERO AllToAll barriers per iteration
+  (a Ray groupby barrier costs ~0.5-1 s at 32 CPUs regardless of
+  volume; the driver already holds node-sized state by this
+  variant's contract, so the merge adds no new ceiling).  Right
+  while node state fits a worker heap.
 
 * ``pagerank_bucketed`` — rank/degree live as a DATASET
   co-partitioned with the edges by the deterministic hash bucket of
@@ -31,7 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .agg import bucketed_sum
+from .agg import bucketed_sum, driver_merged_sum
 from .bucket_join import bucketed_join
 
 SCALE = 1_000_000
@@ -39,22 +45,40 @@ DAMP_NUM, DAMP_DEN = 85, 100
 BASE = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
 
 
+def _group_sum_int64(keys: np.ndarray, vals: np.ndarray):
+    """Exact int64 per-key sums via sort + reduceat (no float64
+    bincount rounding, no Python loop).  Returns (sorted unique keys,
+    sums)."""
+    if len(keys) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], ks[1:] != ks[:-1])))
+    return ks[starts], np.add.reduceat(vals[order], starts)
+
+
 def pagerank_broadcast(edges_ds, nodes: np.ndarray, iters: int,
-                       *, n_buckets: int = 32) -> pa.Table:
+                       *, max_partial_rows: int = 16_000_000
+                       ) -> pa.Table:
     """Broadcast-state shape.  ``nodes`` is the sorted unique int64
     node array (node-sized driver state — the documented ceiling of
-    this variant).  Returns a (user_id, rank_units) arrow table."""
+    this variant; ``max_partial_rows`` guards the matching bound on
+    the per-batch partials the driver merges).  Returns a
+    (user_id, rank_units) arrow table."""
     import ray
 
     nodes = np.sort(np.unique(nodes.astype(np.int64)))
 
-    deg_df = bucketed_sum(
-        edges_ds.map_batches(
-            lambda b: pa.table({
-                "src": b.column("src"),
-                "one": pa.array(np.ones(b.num_rows, np.int64))}),
-            batch_format="pyarrow"),
-        ["src"], ["one"], n_buckets=n_buckets).to_pandas()
+    def _partial_deg(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        u, c = _group_sum_int64(s, np.ones(len(s), np.int64))
+        return pa.table({"src": pa.array(u, pa.int64()),
+                         "one": pa.array(c, pa.int64())})
+
+    deg_df = driver_merged_sum(
+        edges_ds.map_batches(_partial_deg, batch_format="pyarrow"),
+        ["src"], ["one"], max_rows=max_partial_rows)
     # degree keys/values sorted ONCE; every iteration reuses them
     order = np.argsort(deg_df["src"].to_numpy())
     deg_keys = deg_df["src"].to_numpy().astype(np.int64)[order]
@@ -71,12 +95,15 @@ def pagerank_broadcast(edges_ds, nodes: np.ndarray, iters: int,
         def _contrib(batch: pa.Table) -> pa.Table:
             ks, cv = ray.get(ref)
             s = batch.column("src").to_numpy().astype(np.int64)
-            return pa.table({"dst": batch.column("dst"),
-                             "c": pa.array(cv[np.searchsorted(ks, s)])})
+            d = batch.column("dst").to_numpy().astype(np.int64)
+            u, sums = _group_sum_int64(
+                d, cv[np.searchsorted(ks, s)])
+            return pa.table({"dst": pa.array(u, pa.int64()),
+                             "c": pa.array(sums, pa.int64())})
 
-        inbound = bucketed_sum(
+        inbound = driver_merged_sum(
             edges_ds.map_batches(_contrib, batch_format="pyarrow"),
-            ["dst"], ["c"], n_buckets=n_buckets).to_pandas()
+            ["dst"], ["c"], max_rows=max_partial_rows)
         nxt = np.full(len(nodes), BASE, np.int64)
         dpos = np.searchsorted(nodes, inbound["dst"].to_numpy()
                                .astype(np.int64))
