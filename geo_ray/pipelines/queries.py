@@ -3525,6 +3525,398 @@ def sql_tpch_q10(k: int = 20) -> str:
         f"WHERE rank <= {k} ORDER BY rank")
 
 
+_Q6_SHIP_LO = "1996-01-01"
+_Q6_SHIP_HI = "1997-01-01"     # exclusive
+_Q6_DISC_LO, _Q6_DISC_HI = 2, 4   # discount percent, inclusive
+_Q6_QTY_MAX = 24                  # exclusive
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue-change: one streaming filter
+    + global integer sum over lineitem, the canonical
+    scan-dominated query.  Date and quantity predicates ride into
+    the parquet scan as row filters (only matching row groups leave
+    storage); the discount band is applied per batch on the EXACT
+    percent representation (round(disc*100)) so float storage noise
+    cannot flip a boundary row differently than the SQL oracle.
+    Each batch reduces to ONE (revenue, count) partial row; the
+    global merge is a bounded driver fetch — no shuffle barrier
+    anywhere (the scan is the whole query)."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    lo = np.datetime64(_Q6_SHIP_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q6_SHIP_HI).astype("datetime64[us]")
+    items = _read_f(
+        sf_dir, "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        (pds.field("l_shipdate") >= lo)
+        & (pds.field("l_shipdate") < hi)
+        & (pds.field("l_quantity") < float(_Q6_QTY_MAX)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        dp = np.round(batch.column("l_discount").to_numpy()
+                      * 100.0).astype(np.int64)
+        keep = (dp >= _Q6_DISC_LO) & (dp <= _Q6_DISC_HI)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)[keep]
+        rev = int((ep * dp[keep]).sum())
+        return pa.table({
+            "revenue_units": pa.array([rev], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = (items.map_batches(_partial, batch_format="pyarrow")
+             .to_pandas())
+    return rd.from_arrow(pa.table({
+        "revenue_units": pa.array([int(parts["revenue_units"].sum())],
+                                  pa.int64()),
+        "n_items": pa.array([int(parts["n_items"].sum())],
+                            pa.int64())}))
+
+
+def sql_tpch_q6() -> str:
+    return (
+        "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_units, CAST(COUNT(*) AS BIGINT) AS n_items "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= DATE '{_Q6_SHIP_LO}' "
+        f"AND l_shipdate < DATE '{_Q6_SHIP_HI}' "
+        f"AND l_quantity < {_Q6_QTY_MAX} "
+        f"AND CAST(ROUND(l_discount * 100) AS BIGINT) "
+        f"BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}")
+
+
+_Q14_SHIP_LO = "1997-07-01"
+_Q14_SHIP_HI = "1997-10-01"    # exclusive
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14-shaped promotion-revenue share: dated lineitems meet
+    the part type in a bucketed tagged-union join keyed by partkey —
+    part is a catalog table (~2x10^8 rows at sf1000), so neither
+    side broadcasts; fact rows pre-aggregate per batch to
+    (partkey, revenue) integer partials before the shuffle.  Each
+    bucket emits one (promo, total) partial row and the driver
+    merges a bucket-count-sized fetch.  The share is reported in
+    integer basis points (10000 * promo // total) so the result is
+    hash-exact cross-engine."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+
+    lo = np.datetime64(_Q14_SHIP_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q14_SHIP_HI).astype("datetime64[us]")
+    items = _read_f(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount"],
+                    (pds.field("l_shipdate") >= lo)
+                    & (pds.field("l_shipdate") < hi))
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def _part_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "k": batch.column("p_partkey").cast(pa.int64()),
+            "promo": pc.equal(batch.column("p_type"), "PROMO")
+            .cast(pa.int8()),
+            "rev": pa.nulls(len(batch), pa.int64()),
+        })
+
+    def _item_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        df = pd.DataFrame({"k": pk, "rev": ep * dp})
+        g = df.groupby("k", sort=False)["rev"].sum().reset_index()
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "promo": pa.nulls(len(g), pa.int8()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cat = g[g["rev"].isna()].set_index("k")["promo"]
+        fact = g[g["rev"].notna()]
+        pr = fact["k"].map(cat)
+        rev = fact["rev"].to_numpy(np.float64).astype(np.int64)
+        hit = pr.notna().to_numpy()
+        promo = rev[hit & (pr.to_numpy(np.float64) == 1.0)]
+        total = rev[hit]
+        return pd.DataFrame({
+            "promo": [int(promo.sum())], "total": [int(total.sum())]})
+
+    parts = bucketed_join(
+        [part.map_batches(_part_rows, batch_format="pyarrow"),
+         items.map_batches(_item_partial, batch_format="pyarrow")],
+        "k", _resolve,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/part.parquet"))).to_pandas()
+
+    promo = int(parts["promo"].sum())
+    total = int(parts["total"].sum())
+    return rd.from_arrow(pa.table({
+        "promo_rev_units": pa.array([promo], pa.int64()),
+        "total_rev_units": pa.array([total], pa.int64()),
+        "promo_bp": pa.array(
+            [10000 * promo // total if total else 0], pa.int64())}))
+
+
+def sql_tpch_q14() -> str:
+    return (
+        "WITH r AS (SELECT "
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT) AS promo_rev_units, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_rev_units FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        f"WHERE l_shipdate >= DATE '{_Q14_SHIP_LO}' "
+        f"AND l_shipdate < DATE '{_Q14_SHIP_HI}') "
+        "SELECT promo_rev_units, total_rev_units, "
+        "CAST(10000 * promo_rev_units // total_rev_units AS BIGINT) "
+        "AS promo_bp FROM r")
+
+
+_Q18_QTY_MIN = 150   # exclusive threshold on per-order quantity
+
+
+def q_tpch_q18(sf_dir: str, k: int = 20):
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds the threshold, top-k by quantity.
+    Per-batch (orderkey, qty) integer partials -> bucketed final sum
+    (each orderkey lives in exactly one bucket, so the HAVING filter
+    applies inside the bucket) -> constant-key mergeable top-k.
+    Custkey and name attach by streaming orders and customer through
+    a k-row winner-set filter (ray.put of k keys — the q10 pattern);
+    the only driver materialization is the k-row result."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+    from ..stages.topk import global_topk
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def _item_partial(batch: pa.Table) -> pa.Table:
+        lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        q = np.round(batch.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        df = pd.DataFrame({"k": lo, "q": q})
+        g = df.groupby("k", sort=False)["q"].sum().reset_index()
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "q": pa.array(g["q"].to_numpy(np.int64), pa.int64())})
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("k", sort=False)["q"].sum()
+        tot = tot[tot > _Q18_QTY_MIN].reset_index()
+        return pd.DataFrame({
+            "o_orderkey": tot["k"].to_numpy(np.int64),
+            "total_qty": tot["q"].to_numpy(np.int64)})
+
+    big = bucketed_join(
+        [items.map_batches(_item_partial, batch_format="pyarrow")],
+        "k", _resolve,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
+
+    top = global_topk(big, "total_qty", "o_orderkey", k)
+    wk = np.sort(top["o_orderkey"].to_numpy(np.int64))
+    wref = ray.put(wk)
+
+    def _sel_orders(batch: pa.Table) -> pa.Table:
+        ks = ray.get(wref)
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        p = np.searchsorted(ks, ok)
+        keep = (p < len(ks)) & (ks[np.minimum(p, len(ks) - 1)] == ok)
+        sel = batch.filter(pa.array(keep))
+        return pa.table({
+            "o_orderkey": sel.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": sel.column("o_custkey").cast(pa.int64())})
+
+    cust_of = {r["o_orderkey"]: r["o_custkey"]
+               for r in _read(sf_dir, "orders",
+                              ["o_orderkey", "o_custkey"])
+               .map_batches(_sel_orders, batch_format="pyarrow")
+               .take_all()}  # k rows
+
+    ck = np.sort(np.unique(np.array(list(cust_of.values()),
+                                    np.int64)))
+    cref = ray.put(ck)
+
+    def _sel_names(batch: pa.Table) -> pa.Table:
+        ks = ray.get(cref)
+        c = batch.column("c_custkey").to_numpy().astype(np.int64)
+        p = np.searchsorted(ks, c)
+        keep = (p < len(ks)) & (ks[np.minimum(p, len(ks) - 1)] == c)
+        sel = batch.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": sel.column("c_custkey").cast(pa.int64()),
+            "c_name": sel.column("c_name")})
+
+    names = {r["c_custkey"]: r["c_name"]
+             for r in _read(sf_dir, "customer",
+                            ["c_custkey", "c_name"])
+             .map_batches(_sel_names, batch_format="pyarrow")
+             .take_all()}  # <= k rows
+
+    custs = [int(cust_of[int(o)]) for o in top["o_orderkey"]]
+    return rd.from_arrow(pa.table({
+        "o_orderkey": pa.array(top["o_orderkey"].to_numpy(np.int64),
+                               pa.int64()),
+        "c_custkey": pa.array(custs, pa.int64()),
+        "c_name": pa.array([names[c] for c in custs], pa.string()),
+        "total_qty": pa.array(top["total_qty"].to_numpy(np.int64),
+                              pa.int64()),
+        "rank": pa.array(top["rank"].to_numpy(np.int64), pa.int64()),
+    }))
+
+
+def sql_tpch_q18(k: int = 20) -> str:
+    return (
+        "WITH t AS (SELECT l_orderkey AS o_orderkey, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
+        "AS total_qty FROM lineitem GROUP BY 1 "
+        f"HAVING total_qty > {_Q18_QTY_MIN}), "
+        "ranked AS (SELECT o_orderkey, total_qty, ROW_NUMBER() OVER "
+        "(ORDER BY total_qty DESC, o_orderkey) AS rank FROM t) "
+        "SELECT r.o_orderkey, o.o_custkey AS c_custkey, c.c_name, "
+        "r.total_qty, r.rank FROM ranked r "
+        "JOIN orders o ON o.o_orderkey = r.o_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        f"WHERE r.rank <= {k} ORDER BY r.rank")
+
+
+# (brand, qty_lo, qty_hi, size_lo, size_hi) — all bounds inclusive
+_Q19_BANDS = (("Brand#1", 1, 11, 1, 5),
+              ("Brand#2", 10, 20, 1, 10),
+              ("Brand#3", 20, 30, 1, 15))
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19-shaped discounted-revenue with OR-of-band
+    predicates: revenue per brand band where the part matches the
+    band's (brand, size) AND the lineitem quantity falls in the
+    band's range.  The OR disjunction cannot ride into the scan, but
+    its envelope can: quantity <= max band hi prunes at the read.
+    Part rows carry their matching band id (a part matches at most
+    one band here — bands have distinct brands); fact and part sides
+    meet in a bucketed tagged-union join by partkey, each bucket
+    emitting per-band (revenue, count) partials; the driver merges a
+    (bands x buckets)-bounded fetch."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+
+    qty_max = max(b[2] for b in _Q19_BANDS)
+    items = _read_f(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+                    pds.field("l_quantity") <= float(qty_max))
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def _part_rows(batch: pa.Table) -> pa.Table:
+        br = batch.column("p_brand").to_pylist()
+        sz = batch.column("p_size").to_numpy().astype(np.int64)
+        band = np.full(len(br), -1, np.int64)
+        for i, (b, _, _, s_lo, s_hi) in enumerate(_Q19_BANDS):
+            hit = np.array([x == b for x in br]) \
+                & (sz >= s_lo) & (sz <= s_hi)
+            band[hit] = i
+        keep = band >= 0
+        n = int(keep.sum())
+        return pa.table({
+            "k": pa.array(batch.column("p_partkey").to_numpy()
+                          .astype(np.int64)[keep], pa.int64()),
+            "band": pa.array(band[keep], pa.int64()),
+            "qty": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+        })
+
+    def _item_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        q = np.round(batch.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        return pa.table({
+            "k": pa.array(pk, pa.int64()),
+            "band": pa.nulls(len(pk), pa.int64()),
+            "qty": pa.array(q, pa.int64()),
+            "rev": pa.array(ep * dp, pa.int64()),
+        })
+
+    lo_by_band = np.array([b[1] for b in _Q19_BANDS], np.int64)
+    hi_by_band = np.array([b[2] for b in _Q19_BANDS], np.int64)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cat = g[g["rev"].isna()].set_index("k")["band"]
+        fact = g[g["rev"].notna()]
+        band = fact["k"].map(cat)
+        hit = band.notna().to_numpy()
+        band = band.to_numpy(np.float64)[hit].astype(np.int64)
+        q = fact["qty"].to_numpy(np.float64)[hit].astype(np.int64)
+        rev = fact["rev"].to_numpy(np.float64)[hit].astype(np.int64)
+        inr = (q >= lo_by_band[band]) & (q <= hi_by_band[band])
+        df = pd.DataFrame({"band": band[inr], "rev": rev[inr]})
+        out = df.groupby("band", sort=False).agg(
+            revenue_units=("rev", "sum"),
+            n_items=("rev", "size")).reset_index()
+        return out.astype({"band": np.int64,
+                           "revenue_units": np.int64,
+                           "n_items": np.int64})
+
+    parts = bucketed_join(
+        [part.map_batches(_part_rows, batch_format="pyarrow"),
+         items.map_batches(_item_rows, batch_format="pyarrow")],
+        "k", _resolve,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/part.parquet"))).to_pandas()
+
+    merged = (parts.groupby("band")[["revenue_units", "n_items"]]
+              .sum().reindex(range(len(_Q19_BANDS)), fill_value=0))
+    return rd.from_arrow(pa.table({
+        "p_brand": pa.array([b[0] for b in _Q19_BANDS], pa.string()),
+        "revenue_units": pa.array(
+            merged["revenue_units"].to_numpy(np.int64), pa.int64()),
+        "n_items": pa.array(
+            merged["n_items"].to_numpy(np.int64), pa.int64())}))
+
+
+def sql_tpch_q19() -> str:
+    cases = " ".join(
+        f"WHEN p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+        f"AND CAST(ROUND(l_quantity) AS BIGINT) "
+        f"BETWEEN {q_lo} AND {q_hi} THEN '{b}'"
+        for (b, q_lo, q_hi, s_lo, s_hi) in _Q19_BANDS)
+    brands = ", ".join(f"('{b[0]}')" for b in _Q19_BANDS)
+    return (
+        "WITH hits AS (SELECT CASE " + cases + " END AS p_brand, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS rev "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey), "
+        f"bands(p_brand) AS (VALUES {brands}) "
+        "SELECT b.p_brand, "
+        "CAST(COALESCE(SUM(h.rev), 0) AS BIGINT) AS revenue_units, "
+        "CAST(COUNT(h.rev) AS BIGINT) AS n_items "
+        "FROM bands b LEFT JOIN hits h ON h.p_brand = b.p_brand "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -5677,7 +6069,10 @@ def q_events_pagerank(sf_dir: str, iters: int = _PR_ITERS):
     bit-identical int64 ranks in any engine.  Distributed shape
     (stages/pagerank.py): pre-sorted node (key, contribution) arrays
     ship once per iteration via ray.put — per-batch work is one
-    searchsorted + gather; inbound sums run through bucketed_sum.
+    searchsorted + gather; inbound sums pre-aggregate per batch and
+    merge barrier-free on the driver (driver_merged_sum — the driver
+    already holds node-sized state in this variant, so the merge
+    adds no ceiling and removes every per-iteration AllToAll).
     At node counts past worker memory the same arithmetic runs as
     pagerank_bucketed — rank/deg co-partitioned with the edges, no
     driver-side node state; tests/test_pagerank.py proves the two
@@ -7133,6 +7528,10 @@ def _authored_queries() -> Dict:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "spatial_join_auto": q_spatial_join_auto,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
     }
 
 
@@ -7219,9 +7618,13 @@ def oracle_sql() -> Dict[str, str]:
         "events_distinct_hll": sql_events_distinct_hll(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
+        "tpch_q6": sql_tpch_q6(),
         "tpch_q7": sql_tpch_q7(),
         "tpch_q8": sql_tpch_q8(),
         "tpch_q10": sql_tpch_q10(),
+        "tpch_q14": sql_tpch_q14(),
+        "tpch_q18": sql_tpch_q18(),
+        "tpch_q19": sql_tpch_q19(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
