@@ -388,6 +388,8 @@ def colocation_join(ds, *, eps_chord: float, window_us: int,
         })
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import segment_all_pairs
+
         order = np.lexsort((g["event_id"].to_numpy(),
                             g["cell"].to_numpy()))
         cell = g["cell"].to_numpy()[order]
@@ -397,38 +399,33 @@ def colocation_join(ds, *, eps_chord: float, window_us: int,
         ob = g["obits"].to_numpy().astype(np.int8)[order]
         P = np.stack([g["x"].to_numpy(), g["y"].to_numpy(),
                       g["z"].to_numpy()], axis=1)[order]
-        out = {k: [] for k in ("event_a", "event_b", "user_a",
-                               "user_b", "dt_us")}
+        cols = ("event_a", "event_b", "user_a", "user_b", "dt_us")
         starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
-        ends = np.r_[starts[1:], len(cell)]
-        for s, t in zip(starts, ends):
-            if t - s < 2:
-                continue
-            ii, jj = np.triu_indices(t - s, k=1)
-            canonical = (ob[s:t][ii] & ob[s:t][jj]) == 0
-            dt = np.abs(tsu[s:t][ii] - tsu[s:t][jj])
-            dp = P[s:t][ii] - P[s:t][jj]
+        # one vectorized within-cell pair sweep over the whole bucket
+        # (segment_all_pairs — no per-cell Python loop); emission
+        # order equals the old per-cell triu walk exactly
+        ii, jj = segment_all_pairs(np.diff(np.r_[starts, len(cell)]))
+        if len(ii):
+            canonical = (ob[ii] & ob[jj]) == 0
+            dt = np.abs(tsu[ii] - tsu[jj])
+            dp = P[ii] - P[jj]
             # explicit left-to-right sum: bit-identical to the SQL
             # oracle's (dx*dx + dy*dy + dz*dz) on the same doubles
             c2 = dp[:, 0] * dp[:, 0] + dp[:, 1] * dp[:, 1] \
                 + dp[:, 2] * dp[:, 2]
             ok = canonical & (dt <= w) & (c2 < eps2) \
-                & (uid[s:t][ii] != uid[s:t][jj])
-            if not ok.any():
-                continue
-            a, b = eid[s:t][ii[ok]], eid[s:t][jj[ok]]
-            ua, ub = uid[s:t][ii[ok]], uid[s:t][jj[ok]]
-            swap = a > b
-            out["event_a"].append(np.where(swap, b, a))
-            out["event_b"].append(np.where(swap, a, b))
-            out["user_a"].append(np.where(swap, ub, ua))
-            out["user_b"].append(np.where(swap, ua, ub))
-            out["dt_us"].append(dt[ok])
-        if out["event_a"]:
-            return pd.DataFrame({k: np.concatenate(v).astype(np.int64)
-                                 for k, v in out.items()})
+                & (uid[ii] != uid[jj])
+            if ok.any():
+                a, b = eid[ii[ok]], eid[jj[ok]]
+                ua, ub = uid[ii[ok]], uid[jj[ok]]
+                swap = a > b
+                vals = (np.where(swap, b, a), np.where(swap, a, b),
+                        np.where(swap, ub, ua), np.where(swap, ua, ub),
+                        dt[ok])
+                return pd.DataFrame({k: v.astype(np.int64)
+                                     for k, v in zip(cols, vals)})
         return pd.DataFrame({k: pd.Series(dtype="int64")
-                             for k in out})
+                             for k in cols})
 
     return (ds.map_batches(_replicate, batch_format="pyarrow")
             .groupby("bucket")
