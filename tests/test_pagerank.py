@@ -89,3 +89,30 @@ def test_bucketed_holds_no_driver_state():
     for banned in ["to_pandas", "take_all", "iter_rows", "ray.put",
                    "to_pylist"]:
         assert banned not in body, banned
+
+
+def test_group_sum_int64_exact_and_edge_cases():
+    from geo_ray.stages.pagerank import _group_sum_int64
+
+    k, s = _group_sum_int64(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(k) == 0 and len(s) == 0
+
+    k, s = _group_sum_int64(np.array([7], np.int64),
+                            np.array([3], np.int64))
+    assert k.tolist() == [7] and s.tolist() == [3]
+
+    # exactness past 2^53 (the float64 bincount failure mode)
+    big = np.int64(2**60)
+    k, s = _group_sum_int64(np.array([1, 2, 1, 2, 1], np.int64),
+                            np.array([big, 1, 1, big, 2], np.int64))
+    assert k.tolist() == [1, 2]
+    assert s.tolist() == [int(big) + 3, int(big) + 1]
+
+    # matches pandas groupby on random input
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 50, 4000).astype(np.int64)
+    vals = rng.randint(-10**9, 10**9, 4000).astype(np.int64)
+    k, s = _group_sum_int64(keys, vals)
+    exp = pd.Series(vals).groupby(keys).sum()
+    assert np.array_equal(k, exp.index.to_numpy())
+    assert np.array_equal(s, exp.to_numpy())
