@@ -96,3 +96,18 @@ def test_prefilter_cuts_shuffle_volume(ray_session):
     true_matches = int(np.isin(probe_keys, build_keys).sum())
     assert survivors < 0.05 * len(probe_keys)
     assert survivors >= true_matches
+
+
+def test_tpch_q8_bloom_plan_matches_direct(ray_session):
+    """q_tpch_q8's cost-based Bloom prefilter (chosen past the fact
+    row threshold) must be output-identical to the direct plan — the
+    in-bucket isin recheck absorbs false positives."""
+    from geo_ray.pipelines.queries import q_tpch_q8
+
+    sf = "/root/testdata/sf0.01"
+    direct = q_tpch_q8(sf)                      # below threshold
+    bloom = q_tpch_q8(sf, bloom_min_rows=0)     # forced bloom path
+    pd.testing.assert_frame_equal(
+        direct.sort_values("o_year").reset_index(drop=True),
+        bloom.sort_values("o_year").reset_index(drop=True),
+        check_exact=True)
