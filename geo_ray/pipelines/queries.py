@@ -5742,19 +5742,27 @@ def sql_events_smooth_track(half_us: int = _SMOOTH_HALF_US) -> str:
         f"ORDER BY user_id, event_id")
 
 
-def q_orders_skyline(sf_dir: str):
+def q_orders_skyline(sf_dir: str, driver_merge: bool = True):
     """Skyline (Pareto-dominance) filter: orders not dominated on
     (price low, date recent) — a dominates b iff a is no worse on
-    both axes and strictly better on one.  Distributed 2-D algorithm:
-    per-price group max date (bucketed vectorized max), then the
+    both axes and strictly better on one.
+
+    Default plan (stages/skyline.py): skyline is distributive over
+    blocks, so each block reduces to its own front (vectorized,
+    typically a few dozen rows) and a guarded bounded driver fetch
+    runs the final front pass — ZERO AllToAll exchanges.  On
+    anti-correlated axes the front can be table-sized; the guard
+    raises and ``driver_merge=False`` selects this fully distributed
+    plan: per-price group max date (bucketed vectorized max), the
     strict-predecessor prefix max over the price order
-    (stages/scan.prefix_max_scan inclusive=False) gives E(p) = best
-    date among strictly cheaper orders; b survives iff
-    E(price_b) < date_b AND no same-price order has a later date.
-    One scan + two bucketed passes — never the quadratic NOT EXISTS
-    the oracle runs."""
+    (stages/scan.prefix_max_scan inclusive=False) giving E(p) = best
+    date among strictly cheaper orders, and a co-partitioned filter
+    (survive iff E(price) < date AND date == same-price max).  Both
+    plans are exact and output-identical — never the quadratic
+    NOT EXISTS the oracle runs."""
     import pandas as pd
     import ray
+    import ray.data as rd
     from ..stages.sample import _splitmix
     from ..stages.scan import prefix_max_scan
 
@@ -5772,6 +5780,10 @@ def q_orders_skyline(sf_dir: str):
             "dateu": pa.array(dateu)})
 
     o = ds.map_batches(_prep, batch_format="pyarrow")
+
+    if driver_merge:
+        from ..stages.skyline import skyline_2d
+        return rd.from_pandas(skyline_2d(o))
 
     # per-price group max date (bucketed by price hash)
     def _gmax_partial(batch: pa.Table) -> pa.Table:
