@@ -1249,6 +1249,45 @@ def sql_doc_quality() -> str:
             " AS n_alpha FROM documents ORDER BY doc_id")
 
 
+_REDACT_PAT = r"\b(customer|spark|window)\b"
+_REDACT_SUB = "[X]"
+
+
+def q_doc_redact(sf_dir: str):
+    """Blocklist scrub — the shape of PII/boilerplate redaction in a
+    training-data pipeline: replace every blocklisted term with a
+    fixed token and report per-document hit counts.  One streaming
+    map_batches, no shuffle; the regex runs through Arrow's
+    vectorized RE2 kernels (count_substring_regex /
+    replace_substring_regex), the SAME regex engine DuckDB embeds,
+    so the oracle is byte-exact by construction.  Real PII patterns
+    (emails, phones) drop in by swapping the pattern constant."""
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_hits": pc.count_substring_regex(
+                txt, _REDACT_PAT).cast(pa.int64()),
+            "redacted": pc.replace_substring_regex(
+                txt, _REDACT_PAT, _REDACT_SUB),
+        })
+
+    return docs.map_batches(_scrub, batch_format="pyarrow")
+
+
+def sql_doc_redact() -> str:
+    return (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) "
+        "AS BIGINT) AS n_hits, "
+        f"regexp_replace(text, '{_REDACT_PAT}', '{_REDACT_SUB}', 'g') "
+        "AS redacted FROM documents ORDER BY doc_id")
+
+
 def q_top_terms(sf_dir: str, k: int = 25):
     """Corpus-wide term frequencies, top-k by (count desc, term):
     explode -> per-batch partial counts -> bucketed exact string-key
@@ -7565,6 +7604,7 @@ def _authored_queries() -> Dict:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "doc_redact": q_doc_redact,
     }
 
 
@@ -7658,6 +7698,7 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q14": sql_tpch_q14(),
         "tpch_q18": sql_tpch_q18(),
         "tpch_q19": sql_tpch_q19(),
+        "doc_redact": sql_doc_redact(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
