@@ -3862,7 +3862,8 @@ _Q19_BANDS = (("Brand#1", 1, 11, 1, 5),
               ("Brand#3", 20, 30, 1, 15))
 
 
-def q_tpch_q19(sf_dir: str):
+def q_tpch_q19(sf_dir: str,
+               bloom_min_rows: int = _Q8_BLOOM_MIN_ROWS):
     """TPC-H Q19-shaped discounted-revenue with OR-of-band
     predicates: revenue per brand band where the part matches the
     band's (brand, size) AND the lineitem quantity falls in the
@@ -3920,6 +3921,22 @@ def q_tpch_q19(sf_dir: str):
             "rev": pa.array(ep * dp, pa.int64()),
         })
 
+    # band-matching parts are a tiny fraction of the catalog, so past
+    # the footer row threshold a Bloom prefilter on l_partkey drops
+    # non-candidate lineitems before the shuffle (in-bucket band map
+    # recheck keeps it exact) — the q8 cost-based plan
+    fact_rows = parquet_rows(f"{sf_dir}/lineitem.parquet")
+    if fact_rows >= bloom_min_rows:
+        import ray
+        from ..stages.bloom import bloom_build, bloom_prefilter
+        band_parts = part.map_batches(_part_rows,
+                                      batch_format="pyarrow") \
+            .select_columns(["k"])
+        pbloom = ray.put(bloom_build(
+            band_parts, "k",
+            n_keys=parquet_rows(f"{sf_dir}/part.parquet")))
+        items = bloom_prefilter(items, "l_partkey", pbloom)
+
     lo_by_band = np.array([b[1] for b in _Q19_BANDS], np.int64)
     hi_by_band = np.array([b[2] for b in _Q19_BANDS], np.int64)
 
@@ -3945,7 +3962,8 @@ def q_tpch_q19(sf_dir: str):
          items.map_batches(_item_rows, batch_format="pyarrow")],
         "k", _resolve,
         num_buckets=adaptive_buckets(
-            parquet_rows(f"{sf_dir}/part.parquet"))).to_pandas()
+            parquet_rows(f"{sf_dir}/part.parquet"))) \
+        .to_pandas()
 
     merged = (parts.groupby("band")[["revenue_units", "n_items"]]
               .sum().reindex(range(len(_Q19_BANDS)), fill_value=0))
