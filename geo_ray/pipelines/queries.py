@@ -4267,25 +4267,26 @@ def q_corpus_curation(sf_dir: str, min_len: int = 50, delta: int = 1):
         import pandas as pd
         rows = g[g["kind"] == 0]
         keep_ids = set(g[g["kind"] == 1]["doc_id"].tolist())
-        return rows[rows["doc_id"].isin(keep_ids)][
-            ["source", "lang_pred", "n_tokens"]]
+        kept = rows[rows["doc_id"].isin(keep_ids)]
+        # per-bucket (source, lang) partials: the final stats domain
+        # is bounded, so the cross-bucket merge is a driver fetch,
+        # not another groupby barrier
+        out = kept.groupby(["source", "lang_pred"], sort=False).agg(
+            kept_docs=("doc_id", "size"),
+            total_tokens=("n_tokens", "sum")).reset_index()
+        return out.astype({"kept_docs": np.int64,
+                           "total_tokens": np.int64})
 
+    from ..stages.agg import driver_merged_sum
     final = (deduped.map_batches(_tag(0), batch_format="pyarrow")
              .union(reps.map_batches(_tag(1), batch_format="pyarrow"))
              .groupby("bucket")
              .map_groups(lambda g: _semi(g.drop(columns=["bucket"])),
                          batch_format="pandas"))
-
-    from ray.data.aggregate import Count, Sum
-    out = final.groupby(["source", "lang_pred"]).aggregate(
-        Count(), Sum("n_tokens"))
-    return out.map_batches(
-        lambda b: pa.table({
-            "source": b.column("source"),
-            "lang_pred": b.column("lang_pred"),
-            "kept_docs": b.column("count()").cast(pa.int64()),
-            "total_tokens": b.column("sum(n_tokens)").cast(pa.int64()),
-        }), batch_format="pyarrow")
+    out = driver_merged_sum(final, ["source", "lang_pred"],
+                            ["kept_docs", "total_tokens"])
+    import ray.data as rd
+    return rd.from_pandas(out)
 
 
 def sql_corpus_curation(min_len: int = 50, delta: int = 1) -> str:
