@@ -1886,9 +1886,18 @@ def q_neardup_agreement(sf_dir: str):
             "n_pairs": pa.array(np.ones(len(m), np.int64), pa.int64()),
         })
 
-    return (flags.map_batches(_method, batch_format="pyarrow")
-            .groupby("method")
-            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+    def _method_partial(batch: pa.Table) -> pa.Table:
+        t = _method(batch)
+        df = t.to_pandas().groupby("method", sort=False)["n_pairs"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # 3-value method domain: bounded rollup, driver merge
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    return rd.from_pandas(driver_merged_sum(
+        flags.map_batches(_method_partial, batch_format="pyarrow"),
+        ["method"], ["n_pairs"]))
 
 
 def sql_neardup_agreement() -> str:
@@ -4010,10 +4019,12 @@ def q_lineitem_agg(sf_dir: str):
              .agg(sum_qty=("qty", "sum"), n=("qty", "size")).reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (ds.map_batches(_partial, batch_format="pyarrow")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                       Sum("n", alias_name="n")))
+    # (returnflag x linestatus) is a ~6-key domain: bounded rollup,
+    # driver merge instead of a groupby barrier
+    from ..stages.agg import driver_merged_sum
+    return rd.from_pandas(driver_merged_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], ["sum_qty", "n"]))
 
 
 def sql_lineitem_agg() -> str:
@@ -7412,10 +7423,13 @@ def q_lineitem_semi_bloom(sf_dir: str):
         g = df.groupby("l_returnflag", sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (joined.map_batches(_partial, batch_format="pyarrow")
-            .groupby("l_returnflag")
-            .aggregate(Sum("revenue", alias_name="revenue"),
-                       Sum("n_items", alias_name="n_items")))
+    # bounded key domain (3 return flags): per-batch partials merge
+    # on the driver, no groupby barrier
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    return rd.from_pandas(driver_merged_sum(
+        joined.map_batches(_partial, batch_format="pyarrow"),
+        ["l_returnflag"], ["revenue", "n_items"]))
 
 
 def sql_lineitem_semi_bloom() -> str:
