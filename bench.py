@@ -171,7 +171,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_weighted_sample", "events_zscore", "events_props", "events_corr", "part_fuzzy", "events_od", "events_pagerank", "events_late", "idw_interpolate", "orders_skyline", "events_smooth_track", "events_percent_rank", "events_transitions", "events_cusum", "events_entropy", "geohash_assign", "hex_density", "hex_smooth", "events_dwell", "events_recent",
                  "lineitem_agg", "tpch_q3", "tpch_q4", "tpch_q5",
                  "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10",
-                 "tpch_q14", "tpch_q18", "tpch_q19", "doc_redact"]
+                 "tpch_q12", "tpch_q14", "tpch_q18", "tpch_q19",
+                 "doc_redact"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

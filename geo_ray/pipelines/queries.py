@@ -4004,6 +4004,101 @@ def sql_tpch_q19() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+_Q12_LATE_DAYS = 60
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12-shaped shipping-delay audit (l_shipmode is absent
+    from this dataset, so the classifier is lateness itself): per
+    order priority, how many lineitems shipped more than
+    ``_Q12_LATE_DAYS`` days after the order date, vs on time.
+    Lateness is per LINEITEM but only relative to the order date, so
+    batches pre-aggregate to (orderkey, ship-day) COUNTS before the
+    orderkey shuffle — an order's items cluster on few ship days, so
+    the partial deduplicates hard; the split resolves inside the
+    owning bucket.  Priorities are a 5-value domain: per-bucket
+    rollups merge on the driver, no tail barrier."""
+    import pandas as pd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+    import ray.data as rd
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({
+            "k": batch.column("o_orderkey").cast(pa.int64()),
+            "sd": pa.nulls(len(batch), pa.int64()),
+            "n": pa.nulls(len(batch), pa.int64()),
+            "od": pa.array(od, pa.int64()),
+            "prio": batch.column("o_orderpriority"),
+        })
+
+    def _item_partial(batch: pa.Table) -> pa.Table:
+        lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"k": lo, "sd": sd})
+        g = df.groupby(["k", "sd"], sort=False).size() \
+            .reset_index(name="n")
+        m = len(g)
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "sd": pa.array(g["sd"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "od": pa.nulls(m, pa.int64()),
+            "prio": pa.nulls(m, pa.string()),
+        })
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ords = g[g["n"].isna()].set_index("k")
+        fact = g[g["n"].notna()]
+        od = fact["k"].map(ords["od"])
+        prio = fact["k"].map(ords["prio"])
+        hit = od.notna().to_numpy()
+        late = (fact["sd"].to_numpy(np.float64)[hit]
+                - od.to_numpy(np.float64)[hit]) > _Q12_LATE_DAYS
+        n = fact["n"].to_numpy(np.float64)[hit].astype(np.int64)
+        out = pd.DataFrame({
+            "o_orderpriority": prio.to_numpy()[hit],
+            "late_items": np.where(late, n, 0),
+            "ontime_items": np.where(late, 0, n)})
+        return out.groupby("o_orderpriority", sort=False) \
+            .sum().reset_index()
+
+    parts = bucketed_join(
+        [orders.map_batches(_order_rows, batch_format="pyarrow"),
+         items.map_batches(_item_partial, batch_format="pyarrow")],
+        "k", _resolve,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
+
+    out = driver_merged_sum(parts, ["o_orderpriority"],
+                            ["late_items", "ontime_items"])
+    return rd.from_pandas(out)
+
+
+def sql_tpch_q12() -> str:
+    return (
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CASE WHEN date_diff('day', "
+        "CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) "
+        f"> {_Q12_LATE_DAYS} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS late_items, "
+        "CAST(SUM(CASE WHEN date_diff('day', "
+        "CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) "
+        f"> {_Q12_LATE_DAYS} THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS ontime_items "
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -7638,6 +7733,7 @@ def _authored_queries() -> Dict:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "doc_redact": q_doc_redact,
+        "tpch_q12": q_tpch_q12,
     }
 
 
@@ -7732,6 +7828,7 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q18": sql_tpch_q18(),
         "tpch_q19": sql_tpch_q19(),
         "doc_redact": sql_doc_redact(),
+        "tpch_q12": sql_tpch_q12(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
