@@ -4099,6 +4099,109 @@ def sql_tpch_q12() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22-shaped dormant-high-balance audit: per market
+    segment, customers whose balance exceeds the positive-balance
+    average AND who have placed no URGENT order.  The scalar subquery
+    resolves as one barrier-free partial pass — each batch emits one
+    (sum_cents, n) row and the driver holds two integers; the
+    comparison is the exact integer cross-multiply
+    ``bal_cents * n > sum_cents`` so no float average can flip a
+    boundary row differently than SQL.  The NOT EXISTS is the
+    anti-join shape: qualifying customers and (priority-prefiltered,
+    scan-pushed) order custkeys meet in a bucketed tagged-union
+    groupby; per-bucket segment rollups merge on the driver (5-value
+    domain, no tail barrier)."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def _avg_partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("c_acctbal").to_numpy()
+                         * 100.0).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({
+            "s": pa.array([int(pos.sum())], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64())})
+
+    acc = cust.map_batches(_avg_partial,
+                           batch_format="pyarrow").to_pandas()
+    tot, cnt = int(acc["s"].sum()), int(acc["n"].sum())
+
+    orders = _read_f(sf_dir, "orders", ["o_custkey"],
+                     pds.field("o_orderpriority") == "1-URGENT")
+
+    def _cust_rows(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("c_acctbal").to_numpy()
+                         * 100.0).astype(np.int64)
+        keep = cents * cnt > tot          # exact cross-multiply
+        sel = batch.filter(pa.array(keep))
+        return pa.table({
+            "k": sel.column("c_custkey").cast(pa.int64()),
+            "seg": sel.column("c_mktsegment"),
+            "bal": pa.array(cents[keep], pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = pc.unique(batch.column("o_custkey")).cast(pa.int64())
+        n = len(u)
+        return pa.table({
+            "k": u,
+            "seg": pa.nulls(n, pa.string()),
+            "bal": pa.nulls(n, pa.int64()),
+        })
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        has_order = set(g.loc[g["bal"].isna(), "k"])
+        c = g[g["bal"].notna()]
+        keep = c[~c["k"].isin(has_order)]
+        out = pd.DataFrame({
+            "c_mktsegment": keep["seg"].astype(str),
+            "n_custs": np.ones(len(keep), np.int64),
+            "total_bal_cents": keep["bal"].to_numpy(np.float64)
+            .astype(np.int64)})
+        out = out.groupby("c_mktsegment", sort=False) \
+            .sum().reset_index()
+        # typed empty: zero-row buckets must not degrade the merged
+        # frame's schema
+        return out.astype({"c_mktsegment": str,
+                           "n_custs": np.int64,
+                           "total_bal_cents": np.int64})
+
+    parts = bucketed_join(
+        [cust.map_batches(_cust_rows, batch_format="pyarrow"),
+         orders.map_batches(_order_rows, batch_format="pyarrow")],
+        "k", _resolve,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/orders.parquet")))
+
+    return rd.from_pandas(driver_merged_sum(
+        parts, ["c_mktsegment"], ["n_custs", "total_bal_cents"]))
+
+
+def sql_tpch_q22() -> str:
+    return (
+        "WITH c AS (SELECT c_custkey, c_mktsegment, "
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer), "
+        "avgp AS (SELECT CAST(SUM(bal) AS BIGINT) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE bal > 0) "
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs, "
+        "CAST(SUM(bal) AS BIGINT) AS total_bal_cents "
+        "FROM c, avgp WHERE bal * n > s "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT') "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -7734,6 +7837,7 @@ def _authored_queries() -> Dict:
         "tpch_q19": q_tpch_q19,
         "doc_redact": q_doc_redact,
         "tpch_q12": q_tpch_q12,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -7829,6 +7933,7 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q19": sql_tpch_q19(),
         "doc_redact": sql_doc_redact(),
         "tpch_q12": sql_tpch_q12(),
+        "tpch_q22": sql_tpch_q22(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
