@@ -2084,18 +2084,30 @@ def sql_events_sessions(gap_sec: int = 1800) -> str:
         f"GROUP BY 1, 2 ORDER BY 1, 2")
 
 
-def q_events_asof(sf_dir: str):
+def q_events_asof(sf_dir: str, hot_threshold: int = 2_000_000):
     """As-of join: each purchase attributed to the user's latest click
-    at-or-before it (match_id, lag_us; -1 when no prior click).  Uses
-    the skew-proof two-phase bucketed path (stages/asof.py) — phase-1
-    units are bounded by a user's events per 6h bucket, never their
-    total; output identical to the single-shuffle simple path."""
-    from ..stages.asof import asof_join_bucketed
+    at-or-before it (match_id, lag_us; -1 when no prior click).
+
+    Skew-adaptive plan (the spatial_join_auto pattern): a row-group-
+    sampled hot-key probe (salt.sampled_hot_keys — ~1/8 of a narrow
+    key scan) checks whether any user's event count exceeds what one
+    groupby unit can safely hold; with no mega-user the SINGLE-
+    shuffle simple path runs, otherwise the skew-proof two-phase
+    bucketed path (stages/asof.py), whose phase-1 units are bounded
+    by a user's events per 6h bucket, never their total.  The two
+    paths are output-identical (stage cross-tests + the plan-equality
+    test), so sampling can only pick a plan, never change rows."""
+    from ..stages.asof import asof_join_bucketed, asof_join_simple
+    from ..stages.salt import sampled_hot_keys
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
                                   "event_type"])
     left = ds.filter(expr="event_type == 'purchase'")
     right = ds.filter(expr="event_type == 'click'")
+    hot = sampled_hot_keys(f"{sf_dir}/events.parquet", "user_id",
+                           hot_threshold, frac=0.125)
+    if len(hot) == 0:
+        return asof_join_simple(left, right)
     return asof_join_bucketed(left, right, num_parts=16)
 
 

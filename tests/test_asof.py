@@ -221,3 +221,20 @@ def test_dataset_paths_equal(ray_session):
         .sort_values("event_id").reset_index(drop=True)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_query_asof_plans_identical(ray_session):
+    """q_events_asof's sampled skew probe picks a plan, never rows:
+    the simple path (no hot user at the default threshold) and the
+    forced bucketed path (hot_threshold=1 makes every user hot) must
+    be output-identical on real data."""
+    import pandas as pd
+    from geo_ray.pipelines.queries import q_events_asof
+
+    sf = "/root/testdata/sf0.01"
+    a = q_events_asof(sf).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    b = q_events_asof(sf, hot_threshold=1).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True,
+                                  check_dtype=False)
