@@ -135,7 +135,8 @@ def measured_hot_keys(ds, key_col: str, threshold: float,
 def sampled_hot_keys(paths, key_col: str, threshold: int, *,
                      frac: float = 0.25, safety: float = 0.5,
                      rgs_per_task: int = 8,
-                     num_buckets: int = 64) -> np.ndarray:
+                     num_buckets: int = 64,
+                     min_sampled_count: float = 2.0) -> np.ndarray:
     """Hot-key detection from a strided ROW-GROUP sample of the
     parquet input — ~``frac`` of the scan cost instead of a second
     full key-column pass.  Salting is a performance hint, so sampled
@@ -186,6 +187,17 @@ def sampled_hot_keys(paths, key_col: str, threshold: int, *,
         return np.array([], dtype=np.int64)
     actual_frac = sampled_rows / total_rows
     thr = threshold * actual_frac * safety
+    if thr < min_sampled_count and actual_frac < 1.0:
+        # statistical-validity guard: a scaled threshold below
+        # ``min_sampled_count`` cannot discriminate (a key with a
+        # single sampled row would count as hot — over-salting the
+        # whole key space).  Sampling only makes sense when
+        # threshold >> 1/frac; otherwise measure exactly on the full
+        # narrow key scan.
+        import ray.data as rd
+        full = rd.read_parquet(list(paths), columns=[key_col])
+        return measured_hot_keys(full, key_col, threshold,
+                                 num_buckets=num_buckets)
 
     tasks = [{"path": p, "rgs": [rg for (_, rg) in grp]}
              for p, grp in _group_by_path(chosen, rgs_per_task)]

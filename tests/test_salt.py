@@ -271,3 +271,19 @@ def test_sampled_hot_keys_empty_and_missing_frac(ray_session, tmp_path):
     path = str(tmp_path / "empty.parquet")
     pq.write_table(pa.table({"k": pa.array([], pa.int64())}), path)
     assert len(sampled_hot_keys(path, "k", 10, frac=0.5)) == 0
+
+
+def test_sampled_hot_keys_validity_fallback(ray_session, tmp_path):
+    """A threshold too small for the sample fraction to discriminate
+    (threshold * frac * safety < min_sampled_count) must fall back to
+    the EXACT full measurement, not over-salt every sampled key."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from geo_ray.stages.salt import sampled_hot_keys
+
+    path, keys = _write_rg_parquet(tmp_path)
+    threshold = 5   # 5 * 0.25 * 0.5 = 0.625 < 2 -> fallback
+    got = sampled_hot_keys(path, "k", threshold, frac=0.25)
+    ds = rd.read_parquet(path, columns=["k"])
+    exp = measured_hot_keys(ds, "k", threshold)
+    assert np.array_equal(got, exp)
