@@ -5826,18 +5826,21 @@ def sql_events_transitions() -> str:
 _PCTR_UNITS = 1_000_000_000
 
 
-def q_events_percent_rank(sf_dir: str):
-    """Exact per-row percent rank within each event type — a
-    per-row window rank WITHOUT a row-sized sort shuffle: (type,
-    cents) counts aggregate first (distinct-value-bounded), one
-    per-type pass turns them into a cumulative less-than table, and a
-    co-partitioned join maps every row through it.  The contract is
-    pure integer — pr_units = (rank-1) * 1e9 // (n-1) with min-rank
-    ties — so the result is bit-equal to SQL's PERCENT_RANK
-    integerized the same way."""
+def q_events_percent_rank(sf_dir: str,
+                          max_distinct: int = 4_000_000):
+    """Exact per-row percent rank within each event type — a per-row
+    window rank with ZERO shuffle barriers: the (type, cents) count
+    domain is bounded by the VALUE domain (never by row count), so
+    per-batch count partials merge on the driver (driver_merged_sum,
+    guarded by ``max_distinct``), the cumulative less-than table
+    builds there, and one broadcast map pass ranks every row
+    (searchsorted per type).  The contract is pure integer —
+    pr_units = (rank-1) * 1e9 // (n-1) with min-rank ties — so the
+    result is bit-equal to SQL's PERCENT_RANK integerized the same
+    way."""
     import pandas as pd
-    from ray.data.aggregate import Sum
-    from ..stages.sample import _splitmix
+    import ray
+    from ..stages.agg import driver_merged_sum
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
@@ -5849,87 +5852,40 @@ def q_events_percent_rank(sf_dir: str):
             "cents": c, "n": np.ones(len(c), np.int64)})
         g = df.groupby(["event_type", "cents"], sort=False).sum() \
             .reset_index()
-        cc = g["cents"].to_numpy().astype(np.uint64)
-        g["__b"] = (_splitmix(cc) % np.uint64(128)).astype(np.int32)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def _merge_counts(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns=["__b"]).groupby(
-            ["event_type", "cents"], sort=False)["n"].sum() \
-            .reset_index()
+    counts = driver_merged_sum(
+        ds.map_batches(_counts, batch_format="pyarrow"),
+        ["event_type", "cents"], ["n"], max_rows=max_distinct)
 
-    counts = (ds.map_batches(_counts, batch_format="pyarrow")
-              .groupby("__b").map_groups(_merge_counts,
-                                         batch_format="pandas"))
+    lut = {}
+    for t, g in counts.groupby("event_type", sort=False):
+        # driver_merged_sum sorts keys, so cents arrive ascending
+        n = g["n"].to_numpy(np.int64)
+        lut[str(t)] = (g["cents"].to_numpy(np.int64),
+                       np.r_[np.int64(0),
+                             np.cumsum(n)[:-1]].astype(np.int64),
+                       int(n.sum()))
+    ref = ray.put(lut)
 
-    def _cdf(g: pd.DataFrame) -> pd.DataFrame:
-        # one group per TYPE: rows are its distinct values (bounded by
-        # the value domain, never by the row count)
-        g = g.sort_values("cents", kind="mergesort")
-        n = g["n"].to_numpy()
-        cum = np.r_[0, np.cumsum(n)[:-1]]   # rows strictly below
-        g["cum_lt"] = cum
-        g["n_type"] = int(n.sum())
-        return g
-
-    cdf = counts.groupby("event_type").map_groups(
-        _cdf, batch_format="pandas")
-
-    def _tag_rows(batch: pa.Table) -> pa.Table:
+    def _rank_rows(batch: pa.Table) -> pa.Table:
+        L = ray.get(ref)
         c = np.round(batch.column("value").to_numpy() * 100.0) \
             .astype(np.int64)
+        et = pd.Series(batch.column("event_type").to_pandas())
+        pr = np.zeros(len(c), np.int64)
+        for t in et.unique():
+            cents_t, cum_t, nt = L[str(t)]
+            m = (et == t).to_numpy()
+            if nt > 1:
+                pos = np.searchsorted(cents_t, c[m])
+                pr[m] = cum_t[pos] * _PCTR_UNITS // (nt - 1)
         return pa.table({
-            "event_id": batch.column("event_id"),
+            "event_id": batch.column("event_id").cast(pa.int64()),
             "event_type": batch.column("event_type"),
-            "cents": pa.array(c),
-            "cum_lt": pa.nulls(batch.num_rows, pa.int64()),
-            "n_type": pa.nulls(batch.num_rows, pa.int64()),
-            "__b": pa.array((_splitmix(c.astype(np.uint64))
-                             % np.uint64(128)).astype(np.int32),
-                            pa.int32()),
-        })
+            "pr_units": pa.array(pr, pa.int64())})
 
-    def _tag_cdf(batch: pa.Table) -> pa.Table:
-        c = batch.column("cents").to_numpy().astype(np.int64)
-        return pa.table({
-            "event_id": pa.nulls(batch.num_rows, pa.int64()),
-            "event_type": batch.column("event_type"),
-            "cents": pa.array(c),
-            "cum_lt": batch.column("cum_lt").cast(pa.int64()),
-            "n_type": batch.column("n_type").cast(pa.int64()),
-            "__b": pa.array((_splitmix(c.astype(np.uint64))
-                             % np.uint64(128)).astype(np.int32),
-                            pa.int32()),
-        })
-
-    tagged = ds.map_batches(_tag_rows, batch_format="pyarrow") \
-        .union(cdf.map_batches(_tag_cdf, batch_format="pyarrow"))
-
-    def _rank(g: pd.DataFrame) -> pd.DataFrame:
-        s = g[g["event_id"].isna()]
-        rows = g[~g["event_id"].isna()]
-        if not len(rows):
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "event_type": pd.Series(dtype="object"),
-                                 "pr_units": pd.Series(dtype="int64")})
-        key_s = s["event_type"].astype(str) + "|" \
-            + s["cents"].astype(np.int64).astype(str)
-        lut_c = dict(zip(key_s, s["cum_lt"].astype(np.int64)))
-        lut_n = dict(zip(key_s, s["n_type"].astype(np.int64)))
-        key_r = rows["event_type"].astype(str) + "|" \
-            + rows["cents"].astype(np.int64).astype(str)
-        cum = key_r.map(lut_c).to_numpy().astype(np.int64)
-        nt = key_r.map(lut_n).to_numpy().astype(np.int64)
-        pr = np.where(nt > 1,
-                      cum * _PCTR_UNITS // np.maximum(nt - 1, 1), 0)
-        return pd.DataFrame({
-            "event_id": rows["event_id"].to_numpy().astype(np.int64),
-            "event_type": rows["event_type"].to_numpy(),
-            "pr_units": pr.astype(np.int64)})
-
-    return tagged.groupby("__b").map_groups(
-        lambda g: _rank(g.drop(columns=["__b"])),
-        batch_format="pandas")
+    return ds.map_batches(_rank_rows, batch_format="pyarrow")
 
 
 def sql_events_percent_rank() -> str:
