@@ -7612,6 +7612,71 @@ def sql_lineitem_semi_bloom() -> str:
         "FROM r GROUP BY 1 ORDER BY 1")
 
 
+DBSCAN_EPS_DEG = 3.5      # sf0.01 mix: 756 core / 102 border / 642 noise
+DBSCAN_MIN_PTS = 4
+
+
+def _dbscan_eps_chord2() -> float:
+    return 2.0 - 2.0 * math.cos(math.radians(DBSCAN_EPS_DEG))
+
+
+def q_dbscan_geo(sf_dir: str):
+    """Grid DBSCAN over the customer points (eps = 3.5 deg chord,
+    min_pts = 4): the density-based clustering operator
+    (stages/dbscan.py) — cell-ring candidate generation with the
+    MIN_WIDTH coverage guard, exact in-group degrees, CC over
+    core-core eps-edges, min-label border assignment, noise = -1.
+    Deterministic contract (border takes the MIN cluster id), so the
+    whole algorithm has an exact recursive-CTE SQL mirror."""
+    from ..stages.dbscan import dbscan
+
+    pts = _customer_points(sf_dir)
+    out, _info = dbscan(pts, _dbscan_eps_chord2(), DBSCAN_MIN_PTS,
+                        id_col="c_custkey")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("i").cast(pa.int64()),
+            "cluster": batch.column("cluster").cast(pa.int64()),
+            "is_core": batch.column("is_core").cast(pa.int64()),
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def sql_dbscan_geo() -> str:
+    eps2 = _dbscan_eps_chord2()
+    return (
+        "WITH RECURSIVE " + _PTS_CTE[len("WITH "):] + ", "
+        "pairs AS (SELECT a.c_custkey AS i, b.c_custkey AS j "
+        "FROM xyz a JOIN xyz b ON a.c_custkey <> b.c_custkey AND "
+        "((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+        f"(a.z-b.z)*(a.z-b.z)) <= {eps2!r}), "
+        "deg AS (SELECT i AS k, COUNT(*) AS n FROM pairs GROUP BY i), "
+        "core AS (SELECT x.c_custkey AS k FROM xyz x "
+        "JOIN deg d ON d.k = x.c_custkey "
+        f"WHERE d.n + 1 >= {DBSCAN_MIN_PTS}), "
+        "cedges AS (SELECT p.i, p.j FROM pairs p "
+        "JOIN core ca ON ca.k = p.i JOIN core cb ON cb.k = p.j), "
+        "comp(node, label) AS ("
+        " SELECT k, k FROM core"
+        " UNION"
+        " SELECT e.j, c.label FROM comp c JOIN cedges e ON e.i = c.node"
+        " WHERE c.label < e.j), "
+        "clab AS (SELECT node, MIN(label) AS rep FROM comp "
+        "GROUP BY node), "
+        "border AS (SELECT p.i AS k, MIN(cl.rep) AS rep FROM pairs p "
+        "JOIN core co ON co.k = p.j JOIN clab cl ON cl.node = p.j "
+        "WHERE p.i NOT IN (SELECT k FROM core) GROUP BY p.i) "
+        "SELECT x.c_custkey, "
+        "CAST(COALESCE(cl.rep, bo.rep, -1) AS BIGINT) AS cluster, "
+        "CAST(CASE WHEN cl.node IS NOT NULL THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_core "
+        "FROM xyz x LEFT JOIN clab cl ON cl.node = x.c_custkey "
+        "LEFT JOIN border bo ON bo.k = x.c_custkey "
+        "ORDER BY x.c_custkey")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7806,6 +7871,7 @@ def _authored_queries() -> Dict:
         "doc_redact": q_doc_redact,
         "tpch_q12": q_tpch_q12,
         "tpch_q22": q_tpch_q22,
+        "dbscan_geo": q_dbscan_geo,
     }
 
 
@@ -7902,6 +7968,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_redact": sql_doc_redact(),
         "tpch_q12": sql_tpch_q12(),
         "tpch_q22": sql_tpch_q22(),
+        "dbscan_geo": sql_dbscan_geo(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
