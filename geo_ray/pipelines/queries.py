@@ -7677,6 +7677,164 @@ def sql_dbscan_geo() -> str:
         "ORDER BY x.c_custkey")
 
 
+_MORAN_DEG = 5.0      # grid resolution; domain <= 34 x 72 cells
+
+
+def q_moran_grid(sf_dir: str, size_deg: float = _MORAN_DEG):
+    """Local Moran's I spatial-autocorrelation statistics (Anselin
+    LISA, integer-exact form) over the 5-degree lat/lng grid of
+    customer points: per occupied cell, the count n, the centered
+    value s = N*n - S (N = occupied cells, S = total points — the
+    deviation from the mean scaled by N so everything stays int64),
+    the queen-contiguity spatial lag (sum of s over the <= 8 occupied
+    ring neighbors, no longitude wrap), the realized weight row-sum w,
+    and the local numerator li_num = s * lag whose sign classifies the
+    cell (HH/LL positive, HL/LH negative).  Global Moran's I is
+    sum(li_num) * N / (sum(w) * sum(s^2)) — recoverable exactly from
+    the emitted integers.
+
+    Scale shape: one vectorized per-batch count combiner feeding
+    driver_merged_sum — legitimate because the key domain is bounded
+    by the GRID RESOLUTION (<= 2448 cells at 5 degrees), not by data
+    size; the neighbor convolution then runs on a dense
+    (34 x 72) int64 lattice on the driver (stages/agg.py
+    driver_merged_sum contract).  Overflow bound: |s| <= N*S,
+    |li_num| <= 8*(N*S)^2 — int64-safe through ~10^7 points per cell
+    at this resolution; beyond that, rescale s by a documented shift.
+    """
+    pts = _customer_points(sf_dir)
+    from ..stages.agg import driver_merged_sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        glat = np.floor(batch.column("lat").to_numpy()
+                        / size_deg).astype(np.int64)
+        glng = np.floor(batch.column("lng").to_numpy()
+                        / size_deg).astype(np.int64)
+        key = (glat + 32) * 128 + (glng + 64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "glat": pa.array(uniq // 128 - 32, pa.int64()),
+            "glng": pa.array(uniq % 128 - 64, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    cells = driver_merged_sum(
+        pts.map_batches(_partial, batch_format="pyarrow"),
+        ["glat", "glng"], ["n"])
+    glat = cells["glat"].to_numpy()
+    glng = cells["glng"].to_numpy()
+    n = cells["n"].to_numpy()
+    N = np.int64(len(cells))
+    S = np.int64(n.sum())
+    s = N * n - S
+
+    # dense lattice convolution: occupied mask + s values
+    la0, lo0 = glat.min(), glng.min()
+    H, W = int(glat.max() - la0 + 3), int(glng.max() - lo0 + 3)
+    sv = np.zeros((H, W), np.int64)
+    occ = np.zeros((H, W), np.int64)
+    r, c = (glat - la0 + 1).astype(int), (glng - lo0 + 1).astype(int)
+    sv[r, c] = s
+    occ[r, c] = 1
+    lag = np.zeros((H, W), np.int64)
+    w = np.zeros((H, W), np.int64)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            lag += np.roll(np.roll(sv, dr, 0), dc, 1)
+            w += np.roll(np.roll(occ, dr, 0), dc, 1)
+    import pandas as pd
+    out = pd.DataFrame({
+        "glat": glat, "glng": glng, "n": n, "s": s,
+        "w": w[r, c], "lag": lag[r, c],
+        "li_num": s * lag[r, c],
+    })
+    return out.sort_values(["glat", "glng"]).reset_index(drop=True)
+
+
+def sql_moran_grid(size_deg: float = _MORAN_DEG) -> str:
+    return (
+        f"WITH pts AS (SELECT c_custkey, {LAT_SQL} AS lat, "
+        f"{LNG_SQL} AS lng FROM customer), "
+        f"g AS (SELECT CAST(FLOOR(lat / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR(lng / {size_deg!r}) AS BIGINT) AS glng FROM pts), "
+        "cells AS (SELECT glat, glng, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM g GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc, "
+        "CAST(SUM(n) AS BIGINT) AS st FROM cells), "
+        "sc AS (SELECT glat, glng, n, t.nc * n - t.st AS s "
+        "FROM cells, tot t), "
+        "nb AS (SELECT a.glat, a.glng, CAST(COUNT(*) AS BIGINT) AS w, "
+        "CAST(SUM(b.s) AS BIGINT) AS lag FROM sc a JOIN sc b ON "
+        "abs(a.glat - b.glat) <= 1 AND abs(a.glng - b.glng) <= 1 "
+        "AND NOT (a.glat = b.glat AND a.glng = b.glng) GROUP BY 1, 2) "
+        "SELECT a.glat, a.glng, a.n, CAST(a.s AS BIGINT) AS s, "
+        "COALESCE(nb.w, 0) AS w, COALESCE(nb.lag, 0) AS lag, "
+        "CAST(a.s * COALESCE(nb.lag, 0) AS BIGINT) AS li_num "
+        "FROM sc a LEFT JOIN nb ON nb.glat = a.glat AND "
+        "nb.glng = a.glng ORDER BY a.glat, a.glng")
+
+
+def q_rknn_count(sf_dir: str, k: int = 5):
+    """Reverse-kNN counts: for every customer, how many OTHER
+    customers have it among their k nearest (the 'influence set' size
+    of RkNN literature; hubness diagnostic for embedding spaces).
+    Rides the exact all-pairs kNN join (stages/knn.all_knn, same
+    level/skew policy as knn_join) — the reverse direction is then
+    ONE narrow (neighbor_id, 1) combiner pass through the exact
+    bucketed integer sum, tagged-union'd with zero rows for every
+    customer so non-influencing points keep an explicit 0 (the LEFT
+    semantics, resolved in the same shuffle)."""
+    import pyarrow.parquet as pq
+    from ..stages.agg import bucketed_sum
+    from ..stages.knn import all_knn
+
+    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
+        .metadata.num_rows
+    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
+    pts = _customer_points(sf_dir)
+    nn = all_knn(pts, k, level, id_col="c_custkey",
+                 max_cell_points=4096)
+
+    def _ones(batch: pa.Table) -> pa.Table:
+        ids = batch.column("neighbor_id").to_numpy()
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table({
+            "c_custkey": pa.array(uniq.astype(np.int64), pa.int64()),
+            "rknn": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def _zeros(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+            "rknn": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    base = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(_zeros, batch_format="pyarrow")
+    counted = nn.map_batches(_ones, batch_format="pyarrow")
+    return bucketed_sum(base.union(counted), ["c_custkey"], ["rknn"]) \
+        .sort("c_custkey")
+
+
+def sql_rknn_count(k: int = 5) -> str:
+    return (
+        f"{_PTS_CTE}, dists AS (SELECT p.c_custkey AS probe_id, "
+        "t.c_custkey AS neighbor_id, "
+        "(p.x-t.x)*(p.x-t.x)+(p.y-t.y)*(p.y-t.y)+(p.z-t.z)*(p.z-t.z) "
+        "AS chord2 FROM xyz p JOIN xyz t ON p.c_custkey <> t.c_custkey), "
+        "ranked AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER "
+        "(PARTITION BY probe_id ORDER BY chord2, neighbor_id) AS rank "
+        "FROM dists), "
+        f"hits AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS m "
+        f"FROM ranked WHERE rank <= {k} GROUP BY 1) "
+        "SELECT c.c_custkey, COALESCE(h.m, 0) AS rknn FROM customer c "
+        "LEFT JOIN hits h ON h.neighbor_id = c.c_custkey "
+        "ORDER BY c.c_custkey")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7872,6 +8030,8 @@ def _authored_queries() -> Dict:
         "tpch_q12": q_tpch_q12,
         "tpch_q22": q_tpch_q22,
         "dbscan_geo": q_dbscan_geo,
+        "moran_grid": q_moran_grid,
+        "rknn_count": q_rknn_count,
     }
 
 
@@ -7969,6 +8129,8 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q12": sql_tpch_q12(),
         "tpch_q22": sql_tpch_q22(),
         "dbscan_geo": sql_dbscan_geo(),
+        "moran_grid": sql_moran_grid(),
+        "rknn_count": sql_rknn_count(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
