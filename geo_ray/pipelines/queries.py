@@ -7835,6 +7835,84 @@ def sql_rknn_count(k: int = 5) -> str:
         "ORDER BY c.c_custkey")
 
 
+_FP_MIN_SUPPORT = 2
+
+
+def q_frequent_pairs(sf_dir: str, min_support: int = _FP_MIN_SUPPORT):
+    """Frequent co-ordered part pairs (the market-basket / a-priori
+    pair-counting kernel): unordered pairs of DISTINCT parts appearing
+    in the same order, kept when their order count reaches
+    ``min_support``.  Scale shape: orders hash-bucket by orderkey so
+    each bucket body sees complete baskets; inside a bucket the pair
+    expansion is fully vectorized (sort by (orderkey, partkey), dedupe,
+    stages/dedup.segment_all_pairs over the basket segments) and
+    collapses to per-bucket (pair, n) partials before anything
+    shuffles again; the global count is one exact bucketed integer sum
+    over the packed int64 pair key.  Basket-size skew is TPC-H-bounded
+    (<= 7 lineitems/order); for unbounded baskets, cap or salt the
+    basket before the expansion (documented, not needed here)."""
+    import pandas as pd
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import segment_all_pairs
+    from ..stages.sample import _splitmix
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nb = 64
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(ok) % np.uint64(nb))
+                            .astype(np.int32), pa.int32()))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy().astype(np.int64)
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.ones(len(ok), bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        _, sizes = np.unique(ok, return_counts=True)
+        ii, jj = segment_all_pairs(sizes)
+        packed = (pk[ii] << np.int64(32)) | pk[jj]
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pd.DataFrame({"pair": uniq,
+                             "n": cnt.astype(np.int64)})
+
+    partials = items.map_batches(_bucket, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: _pairs(g.drop(columns=["__b"])),
+                    batch_format="pandas")
+    summed = bucketed_sum(partials, ["pair"], ["n"])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        pair = batch.column("pair").to_numpy()
+        n = batch.column("n").to_numpy()
+        keep = n >= min_support
+        pair, n = pair[keep], n[keep]
+        return pa.table({
+            "part_a": pa.array(pair >> np.int64(32), pa.int64()),
+            "part_b": pa.array(pair & np.int64(0xFFFFFFFF), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    return summed.map_batches(_final, batch_format="pyarrow") \
+        .sort(["part_a", "part_b"])
+
+
+def sql_frequent_pairs(min_support: int = _FP_MIN_SUPPORT) -> str:
+    return (
+        "WITH it AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem), "
+        "pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+        "FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey) "
+        "SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= {min_support} "
+        "ORDER BY 1, 2")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8032,6 +8110,7 @@ def _authored_queries() -> Dict:
         "dbscan_geo": q_dbscan_geo,
         "moran_grid": q_moran_grid,
         "rknn_count": q_rknn_count,
+        "frequent_pairs": q_frequent_pairs,
     }
 
 
@@ -8131,6 +8210,7 @@ def oracle_sql() -> Dict[str, str]:
         "dbscan_geo": sql_dbscan_geo(),
         "moran_grid": sql_moran_grid(),
         "rknn_count": sql_rknn_count(),
+        "frequent_pairs": sql_frequent_pairs(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
