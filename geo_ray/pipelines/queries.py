@@ -7913,6 +7913,74 @@ def sql_frequent_pairs(min_support: int = _FP_MIN_SUPPORT) -> str:
         "ORDER BY 1, 2")
 
 
+def q_user_triangles(sf_dir: str):
+    """Per-user triangle counts over the co-location graph: users are
+    linked when ANY two of their events fall within _COLOC_EPS chord
+    distance and six hours of each other (the exactly-once shifted-grid
+    join of q_events_colocation), and each user's count of closed
+    triads in that graph measures how clustered their contact
+    neighborhood is (the local clustering numerator).  The triangle
+    kernel is stages/triangles.triangle_counts — degree-ordered wedge
+    generation, O(m^1.5) worst-case, every exchange narrow int64
+    rows."""
+    from ..stages.triangles import triangle_counts
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    pairs = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+
+    def _user_edges(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.int64)
+        ub = batch.column("user_b").to_numpy().astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.minimum(ua, ub), pa.int64()),
+            "b": pa.array(np.maximum(ua, ub), pa.int64()),
+        })
+
+    out = triangle_counts(
+        pairs.map_batches(_user_edges, batch_format="pyarrow"))
+    return out.rename_columns({"node": "user_id"}).sort("user_id")
+
+
+def sql_user_triangles() -> str:
+    base = sql_events_colocation()
+    head = base[:base.index("SELECT a.event_id")].rstrip()
+    return (
+        f"{head}, "
+        "pairs AS (SELECT LEAST(a.user_id, b.user_id) AS u, "
+        "GREATEST(a.user_id, b.user_id) AS v "
+        f"FROM xyz a JOIN xyz b ON a.tsu BETWEEN b.tsu - "
+        f"{_COLOC_WINDOW_US} AND b.tsu + {_COLOC_WINDOW_US} "
+        "WHERE a.event_id < b.event_id AND a.user_id <> b.user_id AND "
+        "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+        f"(a.z-b.z)*(a.z-b.z) < {_COLOC_EPS * _COLOC_EPS!r}), "
+        "ed AS (SELECT DISTINCT u, v FROM pairs), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM ed e1 JOIN ed e2 ON e2.u = e1.v "
+        "JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v), "
+        "corners AS (SELECT a AS user_id FROM tri UNION ALL "
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM corners GROUP BY 1 ORDER BY 1")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8111,6 +8179,7 @@ def _authored_queries() -> Dict:
         "moran_grid": q_moran_grid,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
+        "user_triangles": q_user_triangles,
     }
 
 
@@ -8211,6 +8280,7 @@ def oracle_sql() -> Dict[str, str]:
         "moran_grid": sql_moran_grid(),
         "rknn_count": sql_rknn_count(),
         "frequent_pairs": sql_frequent_pairs(),
+        "user_triangles": sql_user_triangles(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

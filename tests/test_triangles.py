@@ -1,0 +1,67 @@
+"""triangle_counts vs a brute-force all-triples oracle."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from geo_ray.stages.triangles import triangle_counts
+
+
+def _brute(edges):
+    es = {tuple(e) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    cnt = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return {n: c for n, c in cnt.items() if c > 0}
+
+
+def _run(edges):
+    df = pd.DataFrame(edges, columns=["a", "b"]).astype(np.int64)
+    out = triangle_counts(rd.from_pandas(df), n_buckets=8).to_pandas()
+    if out.empty:   # zero groups drop the schema (Ray Data quirk)
+        return {}
+    return dict(zip(out["node"].astype(int),
+                    out["n_triangles"].astype(int)))
+
+
+def test_k4_plus_tail(ray_session):
+    # K4 (every vertex in 3 triangles) plus a triangle-free tail
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5)]
+    assert _run(edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_duplicate_edges_collapse(ray_session):
+    edges = [(0, 1), (0, 1), (1, 2), (0, 2), (0, 2)]
+    assert _run(edges) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_free(ray_session):
+    # bipartite graph: no triangles, empty result
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10)]
+    assert _run(edges) == {}
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 30, 120), (13, 50, 300)])
+def test_random_graph_matches_brute(ray_session, seed, n, m):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    edges = list({(int(x), int(y)) for x, y in zip(lo, hi)})
+    assert _run(edges) == _brute(edges)
+
+
+def test_large_ids_pack(ray_session):
+    big = (1 << 32) - 2
+    edges = [(big - 1, big), (big - 2, big), (big - 2, big - 1)]
+    assert _run(edges) == {big: 1, big - 1: 1, big - 2: 1}
