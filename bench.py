@@ -172,7 +172,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "lineitem_agg", "tpch_q3", "tpch_q4", "tpch_q5",
                  "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10",
                  "tpch_q12", "tpch_q14", "tpch_q18", "tpch_q19",
-                 "tpch_q22", "doc_redact"]
+                 "tpch_q22", "doc_redact", "dbscan_geo", "moran_grid",
+                 "rknn_count", "frequent_pairs", "user_triangles"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

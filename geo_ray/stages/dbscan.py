@@ -75,12 +75,75 @@ def _part(ids: np.ndarray, nb: int) -> np.ndarray:
             % np.uint64(nb)).astype(np.int32)
 
 
+def _finish_local(df: pd.DataFrame):
+    """E2-E5 on one in-memory (kind, i, i_core, j) frame: flag lookup,
+    core-core CC (the same vectorized hash-min + pointer-doubling loop
+    as stages/cc._contract), border min-label, noise fill.  Used by
+    the measured driver-merge fast path; proven identical to the
+    distributed exchanges in tests/test_dbscan.py."""
+    kind = df["kind"].to_numpy().astype(np.int8)
+    fi = df["i"].to_numpy(np.int64)[kind == 0]
+    fc = df["i_core"].to_numpy().astype(np.int8)[kind == 0]
+    pi = df["i"].to_numpy(np.int64)[kind == 1]
+    pic = df["i_core"].to_numpy().astype(np.int8)[kind == 1]
+    pj = df["j"].to_numpy(np.int64)[kind == 1]
+    o = np.argsort(fi, kind="mergesort")
+    fi, fc = fi[o], fc[o]
+    jc = fc[np.searchsorted(fi, pj)] if len(pj) else \
+        np.zeros(0, np.int8)
+    ee = (pic == 1) & (jc == 1)
+    bb = (pic == 0) & (jc == 1)
+    cores = fi[fc == 1]
+    ia = np.searchsorted(cores, pi[ee])
+    ib = np.searchsorted(cores, pj[ee])
+    lab = np.arange(len(cores), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])
+        np.minimum.at(new, ib, lab[ia])
+        new = new[new]
+        new = new[new]
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    rep_core = cores[lab]
+    bi_ids, bj = pi[bb], pj[bb]
+    rep_j = rep_core[np.searchsorted(cores, bj)] if len(bj) else \
+        np.zeros(0, np.int64)
+    ub, inv = np.unique(bi_ids, return_inverse=True)
+    mn = np.full(len(ub), np.iinfo(np.int64).max)
+    if len(ub):
+        np.minimum.at(mn, inv, rep_j)
+    nc = fi[fc == 0]
+    cl = np.full(len(nc), -1, np.int64)
+    if len(ub) and len(nc):
+        pos = np.searchsorted(ub, nc)
+        hit = (pos < len(ub)) & (ub[np.minimum(pos, len(ub) - 1)] == nc)
+        cl[hit] = mn[pos[hit]]
+    return pa.table({
+        "i": pa.array(np.concatenate([cores, nc]), pa.int64()),
+        "cluster": pa.array(np.concatenate([rep_core, cl]), pa.int64()),
+        "is_core": pa.array(np.concatenate(
+            [np.ones(len(cores), np.int8), np.zeros(len(nc), np.int8)]),
+            pa.int8()),
+    })
+
+
 def dbscan(points_ds, eps_chord2: float, min_pts: int, *,
            id_col: str = "id", level: int = None,
-           num_buckets: int = 64) -> Tuple["object", dict]:
+           num_buckets: int = 64,
+           driver_merge_rows: int = 2_000_000) -> Tuple["object", dict]:
     """points_ds (id_col, x, y, z, cell_id uint64 leaf) ->
     (Dataset (id, cluster, is_core int8), info).  cluster = -1 marks
-    noise."""
+    noise.
+
+    Plan selection is MEASURED: E1's flag+pair table is materialized
+    either way (two downstream consumers); when its row count fits
+    ``driver_merge_rows``, exchanges E2-E5 (each a Ray groupby
+    barrier costing ~0.5-1 s at 32 CPUs regardless of volume) are
+    replaced by one bounded fetch + the identical vectorized kernel
+    on the driver.  ``driver_merge_rows=0`` forces the distributed
+    plan (exercised against the fast path in tests)."""
     from .cc import connected_components
 
     if level is None:
@@ -157,6 +220,11 @@ def dbscan(points_ds, eps_chord2: float, min_pts: int, *,
              .groupby("cell")
              .map_groups(lambda g: _group(g.drop(columns=["cell"])),
                          batch_format="pandas")).materialize()
+    if stepA.count() <= driver_merge_rows:
+        import ray.data as rd
+        out = rd.from_arrow(_finish_local(stepA.to_pandas()))
+        return out, {"level": level, "cc_rounds": 0,
+                     "num_buckets": nb, "driver_merged": True}
     flags = stepA.filter(expr="kind == 0")       # (i=id, i_core)
     pairs = stepA.filter(expr="kind == 1")       # (i, i_core, j)
 

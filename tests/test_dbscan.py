@@ -127,6 +127,20 @@ def test_three_branches_and_chains(ray_session):
     assert got.loc[:10, "cluster"].nunique() == 1
 
 
+def test_distributed_plan_matches_fast_path(ray_session):
+    """driver_merge_rows=0 forces the full E2-E5 exchange plan; both
+    plans must agree with brute force on the same input."""
+    rng = np.random.default_rng(5)
+    n = 250
+    lat = rng.uniform(-80, 80, n)
+    lng = rng.uniform(-180, 180, n)
+    ids = np.arange(n, dtype=np.int64)
+    fast, fi = _run(ids, lat, lng, 12.0, 4)
+    dist, di = _run(ids, lat, lng, 12.0, 4, driver_merge_rows=0)
+    pd.testing.assert_frame_equal(fast, dist, check_exact=True)
+    assert fi.get("driver_merged") and not di.get("driver_merged")
+
+
 def test_all_noise_and_empty_core_graph(ray_session):
     rng = np.random.default_rng(9)
     n = 40

@@ -22,9 +22,11 @@ def _brute(edges):
     return {n: c for n, c in cnt.items() if c > 0}
 
 
-def _run(edges):
+def _run(edges, driver_merge_rows=2_000_000):
     df = pd.DataFrame(edges, columns=["a", "b"]).astype(np.int64)
-    out = triangle_counts(rd.from_pandas(df), n_buckets=8).to_pandas()
+    out = triangle_counts(rd.from_pandas(df), n_buckets=8,
+                          driver_merge_rows=driver_merge_rows) \
+        .to_pandas()
     if out.empty:   # zero groups drop the schema (Ray Data quirk)
         return {}
     return dict(zip(out["node"].astype(int),
@@ -59,6 +61,20 @@ def test_random_graph_matches_brute(ray_session, seed, n, m):
     hi = np.maximum(a[keep], b[keep])
     edges = list({(int(x), int(y)) for x, y in zip(lo, hi)})
     assert _run(edges) == _brute(edges)
+
+
+def test_distributed_plan_matches_fast_path(ray_session):
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 40, 250)
+    b = rng.integers(0, 40, 250)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    edges = list({(int(x), int(y)) for x, y in zip(lo, hi)})
+    # driver_merge_rows=0 forces all six exchanges of the
+    # distributed plan; both plans must agree with brute force
+    dist = _run(edges, driver_merge_rows=0)
+    assert dist == _run(edges) == _brute(edges)
 
 
 def test_large_ids_pack(ray_session):
