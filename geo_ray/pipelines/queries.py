@@ -7981,6 +7981,193 @@ def sql_user_triangles() -> str:
         "FROM corners GROUP BY 1 ORDER BY 1")
 
 
+def q_hotspot_trend(sf_dir: str, size_deg: float = 5.0):
+    """Emerging-hot-spot trend detection (the space-time-cube kernel):
+    per 5-degree grid cell, weekly event counts and the Mann-Kendall
+    trend statistic S = sum over week pairs w1 < w2 of
+    sign(n_w2 - n_w1) — positive S marks an intensifying cell,
+    negative a cooling one; |S| near the pair count means a monotonic
+    trend.  Integer-exact by construction (counts and signs only), over
+    the cell's OBSERVED weeks (documented contract — zero-filling the
+    global week range would make S depend on unrelated cells' spans).
+
+    Scale shape: one vectorized per-batch (cell, week, n) combiner
+    feeding driver_merged_sum — bounded by grid resolution x week
+    domain (2448 cells x weeks, NOT by event count); the pairwise
+    sign sum then runs vectorized per cell segment on the driver
+    (stages/dedup.segment_all_pairs, zero Python loops)."""
+    import pandas as pd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.dedup import segment_all_pairs
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    week_us = 7 * 86_400_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        glat = np.floor(lat / size_deg).astype(np.int64)
+        glng = np.floor(lng / size_deg).astype(np.int64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        week = tsu // week_us
+        key = ((glat + 32) * 128 + (glng + 64)) * 8192 + week
+        uniq, cnt = np.unique(key, return_counts=True)
+        cw = uniq // 8192
+        return pa.table({
+            "glat": pa.array(cw // 128 - 32, pa.int64()),
+            "glng": pa.array(cw % 128 - 64, pa.int64()),
+            "week": pa.array(uniq % 8192, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    wc = driver_merged_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["glat", "glng", "week"], ["n"])
+    glat = wc["glat"].to_numpy()
+    glng = wc["glng"].to_numpy()
+    n = wc["n"].to_numpy()
+    cell = (glat + 32) * 128 + (glng + 64)
+    # driver_merged_sum sorts by key => rows are (cell, week)-ordered
+    ucell, sizes = np.unique(cell, return_counts=True)
+    ii, jj = segment_all_pairs(sizes)
+    s_pair = np.sign(n[jj] - n[ii]).astype(np.int64)
+    seg = np.repeat(np.arange(len(ucell)), sizes * (sizes - 1) // 2)
+    mk = np.zeros(len(ucell), np.int64)
+    np.add.at(mk, seg, s_pair)
+    nweeks = sizes.astype(np.int64)
+    total = np.zeros(len(ucell), np.int64)
+    np.add.at(total, np.searchsorted(ucell, cell), n)
+    import pandas as pd
+    out = pd.DataFrame({
+        "glat": (ucell // 128 - 32).astype(np.int64),
+        "glng": (ucell % 128 - 64).astype(np.int64),
+        "nweeks": nweeks, "total": total, "mk_s": mk,
+    })
+    return out.sort_values(["glat", "glng"]).reset_index(drop=True)
+
+
+def sql_hotspot_trend(size_deg: float = 5.0) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH ev AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng, "
+        f"epoch_us(ts) // 604800000000 AS week FROM events), "
+        "wc AS (SELECT glat, glng, week, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM ev GROUP BY 1, 2, 3), "
+        "mk AS (SELECT a.glat, a.glng, "
+        "CAST(SUM(SIGN(b.n - a.n)) AS BIGINT) AS s FROM wc a "
+        "JOIN wc b ON a.glat = b.glat AND a.glng = b.glng "
+        "AND a.week < b.week GROUP BY 1, 2) "
+        "SELECT w.glat, w.glng, CAST(COUNT(*) AS BIGINT) AS nweeks, "
+        "CAST(SUM(w.n) AS BIGINT) AS total, "
+        "COALESCE(ANY_VALUE(mk.s), 0) AS mk_s "
+        "FROM wc w LEFT JOIN mk ON mk.glat = w.glat "
+        "AND mk.glng = w.glng "
+        "GROUP BY w.glat, w.glng ORDER BY w.glat, w.glng")
+
+
+_RIPLEY_DEGS = (1.0, 2.0, 4.0, 8.0)
+
+
+def q_ripley_k(sf_dir: str, radii_deg: Tuple[float, ...] = _RIPLEY_DEGS):
+    """Ripley's K-function raw counts (point-pattern analysis): the
+    number of unordered customer pairs within chord distance r, for a
+    ladder of radii — the empirical K(r) numerator whose
+    faster-than-area growth flags clustering.  Counts are exact
+    integers; the caller normalizes by intensity.
+
+    Scale shape: the DBSCAN/all_knn cell-ring co-partitioning at the
+    level whose MIN_WIDTH covers the LARGEST radius (every
+    <= r_max-ball lives inside the 3x3 ring — stages/dbscan.py's E1
+    guard): each point's own-cell group sees all its candidates, the
+    (id_i < id_j) tie-break counts every pair exactly once (only i's
+    own-cell group has i as base), and each group collapses to
+    len(radii) partial counts before the driver-side scalar merge —
+    ONE groupby(cell) shuffle total, no all-pairs."""
+    import pandas as pd
+    from ..stages.dbscan import level_for_eps_chord2
+
+    r2s = [2.0 - 2.0 * math.cos(math.radians(d)) for d in radii_deg]
+    level = level_for_eps_chord2(max(r2s))
+    pts = _customer_points(sf_dir)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("c_custkey").to_numpy().astype(np.int64)
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        z = batch.column("z").to_numpy()
+        own = cid.parent_v(batch.column("cell_id").to_numpy()
+                           .astype(np.uint64), level)
+        ring = np.sort(cid.all_neighbors_same_level_v(own), axis=1)
+        keep = np.ones(ring.shape, bool)
+        keep[:, 1:] = ring[:, 1:] != ring[:, :-1]
+        n = len(ids)
+        cells = np.concatenate([own[:, None], ring], axis=1)
+        role = np.zeros((n, 9), np.int8)
+        role[:, 1:] = 1
+        mask = np.concatenate([np.ones((n, 1), bool), keep],
+                              axis=1).reshape(-1)
+        rep = np.repeat(np.arange(n), 9)[mask]
+        return pa.table({
+            "cell": pa.array(cells.reshape(-1)[mask].view(np.int64),
+                             pa.int64()),
+            "role": pa.array(role.reshape(-1)[mask], pa.int8()),
+            "id": pa.array(ids[rep], pa.int64()),
+            "x": pa.array(x[rep], pa.float64()),
+            "y": pa.array(y[rep], pa.float64()),
+            "z": pa.array(z[rep], pa.float64()),
+        })
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        z = g["z"].to_numpy(np.float64)
+        bi = np.nonzero(g["role"].to_numpy().astype(np.int8) == 0)[0]
+        if not len(bi):
+            return pd.DataFrame({"ri": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        dx = x[bi, None] - x[None, :]
+        dy = y[bi, None] - y[None, :]
+        dz = z[bi, None] - z[None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        lt = ids[bi, None] < ids[None, :]
+        return pd.DataFrame({
+            "ri": np.arange(len(r2s), dtype=np.int64),
+            "n_pairs": np.array([int((lt & (d2 <= r2)).sum())
+                                 for r2 in r2s], np.int64),
+        })
+
+    from ..stages.agg import driver_merged_sum
+    partials = (pts.map_batches(_emit, batch_format="pyarrow")
+                .groupby("cell")
+                .map_groups(lambda g: _count(g.drop(columns=["cell"])),
+                            batch_format="pandas"))
+    out = driver_merged_sum(partials, ["ri"], ["n_pairs"])
+    out["r_centideg"] = np.array([int(round(d * 100))
+                                  for d in radii_deg], np.int64)
+    return out[["ri", "r_centideg", "n_pairs"]]
+
+
+def sql_ripley_k(radii_deg: Tuple[float, ...] = _RIPLEY_DEGS) -> str:
+    rows = ", ".join(
+        f"({i}, {int(round(d * 100))}, "
+        f"{2.0 - 2.0 * math.cos(math.radians(d))!r})"
+        for i, d in enumerate(radii_deg))
+    return (
+        f"{_PTS_CTE} "
+        "SELECT rad.ri, rad.r_centideg, "
+        "CAST((SELECT COUNT(*) FROM xyz a JOIN xyz b "
+        "ON a.c_custkey < b.c_custkey "
+        "WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+        "(a.z-b.z)*(a.z-b.z) <= rad.r2) AS BIGINT) AS n_pairs "
+        f"FROM (VALUES {rows}) rad(ri, r_centideg, r2) "
+        "ORDER BY rad.ri")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8180,6 +8367,8 @@ def _authored_queries() -> Dict:
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
+        "hotspot_trend": q_hotspot_trend,
+        "ripley_k": q_ripley_k,
     }
 
 
@@ -8281,6 +8470,8 @@ def oracle_sql() -> Dict[str, str]:
         "rknn_count": sql_rknn_count(),
         "frequent_pairs": sql_frequent_pairs(),
         "user_triangles": sql_user_triangles(),
+        "hotspot_trend": sql_hotspot_trend(),
+        "ripley_k": sql_ripley_k(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
