@@ -8168,6 +8168,73 @@ def sql_ripley_k(radii_deg: Tuple[float, ...] = _RIPLEY_DEGS) -> str:
         "ORDER BY rad.ri")
 
 
+_BLOB_DEG = 2.0
+
+
+def q_event_blobs(sf_dir: str, size_deg: float = _BLOB_DEG):
+    """Raster blob labeling (distributed flood fill): rasterize events
+    onto the 2-degree grid (a cell is ACTIVE when >= 1 event falls in
+    it) and label every active cell with the minimum packed (glat,
+    glng) id of its 4-connected component — segmentation of the
+    activity mask into contiguous regions, across tile boundaries.
+
+    Scale shape: per-batch distinct-cell partials collapse through one
+    exact bucketed pass (grid-bounded key domain); labeling is
+    stages/grid_cc.label_grid_components — ghost-halo tile groups find
+    adjacency pairs vectorized, stages/cc does the O(log diameter)
+    component rounds.  Mirrors exactly in SQL via the same recursive
+    min-label CTE as dbscan_geo."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.grid_cc import label_grid_components
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        glat = np.floor(lat / size_deg).astype(np.int64)
+        glng = np.floor(lng / size_deg).astype(np.int64)
+        key = (glat + 128) * 512 + (glng + 256)
+        uniq = np.unique(key)
+        return pa.table({
+            "x": pa.array(uniq // 512 - 128, pa.int64()),
+            "y": pa.array(uniq % 512 - 256, pa.int64()),
+            "n": pa.array(np.ones(len(uniq), np.int64), pa.int64()),
+        })
+
+    active = bucketed_sum(ev.map_batches(_cells, batch_format="pyarrow"),
+                          ["x", "y"], ["n"]) \
+        .select_columns(["x", "y"])
+    out, _info = label_grid_components(active, tile=16)
+    return out.rename_columns({"x": "glat", "y": "glng"}) \
+        .sort(["glat", "glng"])
+
+
+def sql_event_blobs(size_deg: float = _BLOB_DEG) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        "WITH RECURSIVE ev AS (SELECT DISTINCT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng "
+        "FROM events), "
+        "cells AS (SELECT glat, glng, "
+        "(glat + 1048576) * 2097152 + (glng + 1048576) AS id FROM ev), "
+        "edges AS (SELECT a.id AS i, b.id AS j FROM cells a "
+        "JOIN cells b ON abs(a.glat - b.glat) + abs(a.glng - b.glng) "
+        "= 1), "
+        "comp(node, label) AS ("
+        " SELECT id, id FROM cells"
+        " UNION"
+        " SELECT e.j, c.label FROM comp c JOIN edges e ON e.i = c.node"
+        " WHERE c.label < e.j), "
+        "lab AS (SELECT node, MIN(label) AS blob FROM comp "
+        "GROUP BY node) "
+        "SELECT c.glat, c.glng, CAST(l.blob AS BIGINT) AS blob "
+        "FROM cells c JOIN lab l ON l.node = c.id "
+        "ORDER BY c.glat, c.glng")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8369,6 +8436,7 @@ def _authored_queries() -> Dict:
         "user_triangles": q_user_triangles,
         "hotspot_trend": q_hotspot_trend,
         "ripley_k": q_ripley_k,
+        "event_blobs": q_event_blobs,
     }
 
 
@@ -8472,6 +8540,7 @@ def oracle_sql() -> Dict[str, str]:
         "user_triangles": sql_user_triangles(),
         "hotspot_trend": sql_hotspot_trend(),
         "ripley_k": sql_ripley_k(),
+        "event_blobs": sql_event_blobs(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
