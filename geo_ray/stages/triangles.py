@@ -121,6 +121,23 @@ def triangle_counts(pairs_ds, *, a_col: str = "a", b_col: str = "b",
     import ray.data as rd
     nb = n_buckets
 
+    # Fast-path gate on the RAW pair count (conservative: raw >=
+    # deduped).  The input is materialized either way — the X1 dedup
+    # consumes it, and at suite scale the fetch replaces X1's groupby
+    # barrier too, not just X3-X6.
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= driver_merge_rows:
+        df = pairs_ds.to_pandas()
+        if len(df):
+            pk = np.unique(_pack(df[a_col].to_numpy().astype(np.int64),
+                                 df[b_col].to_numpy().astype(np.int64)))
+        else:
+            pk = np.zeros(0, np.int64)
+        nodes, cnt = _local_triangles(pk)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "n_triangles": pa.array(cnt, pa.int64())}))
+
     # ---- X1: dedup edges, emit degree partials --------------------
     def _tag_pairs(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy().astype(np.int64)
@@ -160,15 +177,6 @@ def triangle_counts(pairs_ds, *, a_col: str = "a", b_col: str = "b",
     edges = mixed.map_batches(_sel(0, ("pk",)), batch_format="pyarrow")
     deg_partials = mixed.map_batches(_sel(1, ("node", "deg")),
                                      batch_format="pyarrow")
-
-    if mixed.count() <= driver_merge_rows:
-        pk_df = edges.to_pandas()
-        pk = pk_df["pk"].to_numpy() if len(pk_df) else \
-            np.zeros(0, np.int64)
-        nodes, cnt = _local_triangles(pk.astype(np.int64))
-        return rd.from_arrow(pa.table({
-            "node": pa.array(nodes, pa.int64()),
-            "n_triangles": pa.array(cnt, pa.int64())}))
 
     # ---- X2: exact global degrees ---------------------------------
     # materialized: consumed by both X3 and X4 (one narrow row per
