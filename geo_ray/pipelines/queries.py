@@ -8235,6 +8235,79 @@ def sql_event_blobs(size_deg: float = _BLOB_DEG) -> str:
         "ORDER BY c.glat, c.glng")
 
 
+def q_colocation_support(sf_dir: str):
+    """Per-edge common-neighbor counts over the co-location graph
+    (k-truss support / the common-neighbors link-prediction feature):
+    for every linked user pair, how many users are co-located with
+    BOTH, plus each endpoint's contact degree.  Rides
+    stages/triangles.edge_supports — the same degree-ordered wedge
+    closure as user_triangles, emitting the three edge keys of each
+    closed triangle instead of its corners; support-0 edges keep an
+    explicit row (zero rows enter the same exact bucketed sum)."""
+    from ..stages.triangles import edge_supports
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    pairs = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+
+    def _user_edges(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.int64)
+        ub = batch.column("user_b").to_numpy().astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.minimum(ua, ub), pa.int64()),
+            "b": pa.array(np.maximum(ua, ub), pa.int64()),
+        })
+
+    out = edge_supports(
+        pairs.map_batches(_user_edges, batch_format="pyarrow"))
+    return out.rename_columns({"a": "user_a", "b": "user_b"}) \
+        .sort(["user_a", "user_b"])
+
+
+def sql_colocation_support() -> str:
+    base = sql_events_colocation()
+    head = base[:base.index("SELECT a.event_id")].rstrip()
+    return (
+        f"{head}, "
+        "prs AS (SELECT LEAST(a.user_id, b.user_id) AS u, "
+        "GREATEST(a.user_id, b.user_id) AS v "
+        f"FROM xyz a JOIN xyz b ON a.tsu BETWEEN b.tsu - "
+        f"{_COLOC_WINDOW_US} AND b.tsu + {_COLOC_WINDOW_US} "
+        "WHERE a.event_id < b.event_id AND a.user_id <> b.user_id AND "
+        "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+        f"(a.z-b.z)*(a.z-b.z) < {_COLOC_EPS * _COLOC_EPS!r}), "
+        "ed AS (SELECT DISTINCT u, v FROM prs), "
+        "nb AS (SELECT u AS n, v AS m FROM ed "
+        "UNION ALL SELECT v, u FROM ed), "
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM nb "
+        "GROUP BY 1), "
+        "sup AS (SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS s "
+        "FROM ed e JOIN nb x ON x.n = e.u "
+        "JOIN nb y ON y.n = e.v AND y.m = x.m GROUP BY 1, 2) "
+        "SELECT e.u AS user_a, e.v AS user_b, "
+        "COALESCE(s.s, 0) AS support, da.d AS deg_a, db.d AS deg_b "
+        "FROM ed e LEFT JOIN sup s ON s.u = e.u AND s.v = e.v "
+        "JOIN deg da ON da.n = e.u JOIN deg db ON db.n = e.v "
+        "ORDER BY 1, 2")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8437,6 +8510,7 @@ def _authored_queries() -> Dict:
         "hotspot_trend": q_hotspot_trend,
         "ripley_k": q_ripley_k,
         "event_blobs": q_event_blobs,
+        "colocation_support": q_colocation_support,
     }
 
 
@@ -8541,6 +8615,7 @@ def oracle_sql() -> Dict[str, str]:
         "hotspot_trend": sql_hotspot_trend(),
         "ripley_k": sql_ripley_k(),
         "event_blobs": sql_event_blobs(),
+        "colocation_support": sql_colocation_support(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

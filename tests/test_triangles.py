@@ -1,4 +1,4 @@
-"""triangle_counts vs a brute-force all-triples oracle."""
+"""triangle_counts / edge_supports vs brute-force oracles."""
 
 import itertools
 
@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from geo_ray.stages.triangles import triangle_counts
+from geo_ray.stages.triangles import edge_supports, triangle_counts
 
 
 def _brute(edges):
@@ -75,6 +75,62 @@ def test_distributed_plan_matches_fast_path(ray_session):
     # distributed plan; both plans must agree with brute force
     dist = _run(edges, driver_merge_rows=0)
     assert dist == _run(edges) == _brute(edges)
+
+
+def _brute_support(edges):
+    es = {tuple(e) for e in edges}
+    nbrs = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return {(a, b): (len(nbrs[a] & nbrs[b]),
+                     len(nbrs[a]), len(nbrs[b]))
+            for a, b in es}
+
+
+def _run_support(edges, driver_merge_rows=2_000_000):
+    df = pd.DataFrame(edges, columns=["a", "b"]).astype(np.int64)
+    out = edge_supports(rd.from_pandas(df), n_buckets=8,
+                        driver_merge_rows=driver_merge_rows) \
+        .to_pandas()
+    if out.empty:
+        return {}
+    return {(int(r.a), int(r.b)): (int(r.support), int(r.deg_a),
+                                   int(r.deg_b))
+            for r in out.itertuples()}
+
+
+def test_edge_support_k4(ray_session):
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4)]
+    got = _run_support(edges)
+    assert got == _brute_support(edges)
+    assert got[(0, 1)] == (2, 3, 3)     # K4 edge: 2 common neighbors
+    assert got[(3, 4)] == (0, 4, 1)     # pendant edge: support 0
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 30, 120), (21, 45, 260)])
+def test_edge_support_matches_brute(ray_session, seed, n, m):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    edges = list({(int(x), int(y)) for x, y in zip(lo, hi)})
+    assert _run_support(edges) == _brute_support(edges)
+
+
+def test_edge_support_distributed_matches_fast_path(ray_session):
+    rng = np.random.default_rng(33)
+    a = rng.integers(0, 30, 160)
+    b = rng.integers(0, 30, 160)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    edges = list({(int(x), int(y)) for x, y in zip(lo, hi)})
+    dist = _run_support(edges, driver_merge_rows=0)
+    assert dist == _run_support(edges) == _brute_support(edges)
 
 
 def test_large_ids_pack(ray_session):
