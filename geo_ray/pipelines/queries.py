@@ -8308,6 +8308,57 @@ def sql_colocation_support() -> str:
         "ORDER BY 1, 2")
 
 
+def q_user_top_types(sf_dir: str, k: int = 3):
+    """Per-user top-k event types by count (deterministic ties: count
+    DESC, type ASC) — the per-entity leaderboard shape.  One shuffle:
+    per-batch (user, type, n) count partials hash-bucket by user, so
+    each bucket body holds every partial for its users and resolves
+    the final counts AND the top-k rank vectorized (one pandas pass
+    per bucket, no per-user dispatch)."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = 64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["user_id", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        u = g["user_id"].to_numpy().astype(np.uint64)
+        g["n"] = g["n"].astype(np.int64)
+        g["__b"] = (_splitmix(u) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["user_id", "event_type"], sort=False)["n"] \
+            .sum().reset_index()
+        full = full.sort_values(["user_id", "n", "event_type"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        full["rank"] = full.groupby("user_id", sort=False).cumcount() \
+            .astype(np.int64) + 1
+        out = full[full["rank"] <= k].reset_index(drop=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _final(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["user_id", "rank"]))
+
+
+def sql_user_top_types(k: int = 3) -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY n DESC, event_type) AS BIGINT) AS rank FROM c) "
+        f"SELECT user_id, event_type, n, rank FROM r WHERE rank <= {k} "
+        "ORDER BY user_id, rank")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8511,6 +8562,7 @@ def _authored_queries() -> Dict:
         "ripley_k": q_ripley_k,
         "event_blobs": q_event_blobs,
         "colocation_support": q_colocation_support,
+        "user_top_types": q_user_top_types,
     }
 
 
@@ -8616,6 +8668,7 @@ def oracle_sql() -> Dict[str, str]:
         "ripley_k": sql_ripley_k(),
         "event_blobs": sql_event_blobs(),
         "colocation_support": sql_colocation_support(),
+        "user_top_types": sql_user_top_types(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -82,7 +82,7 @@ ORACLE_CHECKED = [
     "tpch_q6", "tpch_q14", "tpch_q18", "tpch_q19", "doc_redact",
     "tpch_q12", "tpch_q22", "dbscan_geo", "moran_grid", "rknn_count",
     "frequent_pairs", "user_triangles", "hotspot_trend", "ripley_k",
-    "event_blobs", "colocation_support",
+    "event_blobs", "colocation_support", "user_top_types",
 ]
 
 
