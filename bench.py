@@ -175,7 +175,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "tpch_q22", "doc_redact", "dbscan_geo", "moran_grid",
                  "rknn_count", "frequent_pairs", "user_triangles",
                  "hotspot_trend", "ripley_k", "event_blobs",
-                 "colocation_support", "user_top_types"]
+                 "colocation_support", "user_top_types",
+                 "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

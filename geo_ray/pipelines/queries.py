@@ -8359,6 +8359,341 @@ def sql_user_top_types(k: int = 3) -> str:
         "ORDER BY user_id, rank")
 
 
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly N orders, zero included (the LEFT-join
+    semantics).  Two bounded reductions, no wide shuffle: per-batch
+    (custkey, n) order-count partials and customer zero rows meet in
+    one exact bucketed sum; the count-of-counts histogram then has a
+    DATA-bounded tiny domain (max orders per customer), so per-block
+    histogram partials driver-merge."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum, driver_merged_sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _order_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"c": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    def _cust_zero(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"c": batch.column("c_custkey").cast(pa.int64()),
+                         "n": pa.array(np.zeros(n, np.int64),
+                                       pa.int64())})
+
+    per_cust = bucketed_sum(
+        orders.map_batches(_order_partial, batch_format="pyarrow")
+        .union(cust.map_batches(_cust_zero, batch_format="pyarrow")),
+        ["c"], ["n"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(uniq, pa.int64()),
+                         "custdist": pa.array(cnt.astype(np.int64),
+                                              pa.int64())})
+
+    out = driver_merged_sum(
+        per_cust.map_batches(_hist, batch_format="pyarrow"),
+        ["c_count"], ["custdist"])
+    out = out.sort_values(["custdist", "c_count"],
+                          ascending=[False, False])
+    return out.reset_index(drop=True)
+
+
+def sql_tpch_q13() -> str:
+    return (
+        "WITH oc AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS "
+        "c_count FROM customer c LEFT JOIN orders o "
+        "ON o.o_custkey = c.c_custkey GROUP BY 1) "
+        "SELECT CAST(c_count AS BIGINT) AS c_count, "
+        "CAST(COUNT(*) AS BIGINT) AS custdist FROM oc GROUP BY 1 "
+        "ORDER BY custdist DESC, c_count DESC")
+
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    quarterly revenue.  Revenue per supplier through the exact
+    bucketed integer sum; the global maximum is a per-block partial
+    max + bounded driver merge (block-count rows, no barrier); only
+    the winner keys (ties included) fetch their names — a k-row read,
+    never a supplier-table scan."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    lo = np.datetime64(_Q15_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q15_HI).astype("datetime64[us]")
+    items = _read_f(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount"],
+                    (pds.field("l_shipdate") >= lo)
+                    & (pds.field("l_shipdate") < hi))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        rev = ep * dp
+        uniq, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, rev)
+        return pa.table({"s": pa.array(uniq, pa.int64()),
+                         "rev": pa.array(tot, pa.int64())})
+
+    per_supp = bucketed_sum(
+        items.map_batches(_partial, batch_format="pyarrow"),
+        ["s"], ["rev"])
+
+    def _blk_max(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev").to_numpy()
+        return pa.table({"m": pa.array([int(rev.max())]
+                                       if len(rev) else [],
+                                       pa.int64())})
+
+    mx = per_supp.map_batches(_blk_max, batch_format="pyarrow") \
+        .to_pandas()
+    best = int(mx["m"].max())
+    winners = per_supp.filter(expr=f"rev == {best}").to_pandas() \
+        .sort_values("s")
+    keys = winners["s"].to_numpy(np.int64)
+    st = pq2.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"],
+                        filters=[("s_suppkey", "in", keys.tolist())])
+    names = dict(zip(st.column("s_suppkey").to_pylist(),
+                     st.column("s_name").to_pylist()))
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(keys, pa.int64()),
+        "s_name": pa.array([names[int(k)] for k in keys], pa.string()),
+        "total_revenue_units": pa.array(
+            winners["rev"].to_numpy(np.int64), pa.int64()),
+    }))
+
+
+def sql_tpch_q15() -> str:
+    return (
+        "WITH r AS (SELECT l_suppkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+        "CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS units FROM lineitem "
+        f"WHERE l_shipdate >= DATE '{_Q15_LO}' "
+        f"AND l_shipdate < DATE '{_Q15_HI}' GROUP BY 1) "
+        "SELECT s.s_suppkey, s.s_name, r.units AS total_revenue_units "
+        "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+        "WHERE r.units = (SELECT MAX(units) FROM r) "
+        "ORDER BY s.s_suppkey")
+
+
+_Q17_BRAND = "Brand#23"
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity-order revenue: total revenue of
+    lineitems whose quantity is below 20% of their part's average, for
+    one brand — the correlated-average made exact by integer
+    cross-multiply (qty_units * 5 * cnt_part < sum_qty_units_part).
+    One bucketed tagged-union pass by partkey: brand part keys, each
+    fact batch's per-part (cnt, sum) partials, AND the candidate item
+    rows all meet in the same bucket; the per-part stats never leave
+    their bucket and the output is one scalar partial per bucket,
+    driver-merged."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    from ..stages.bucket_join import bucketed_join
+
+    part = _read_f(sf_dir, "part", ["p_partkey"],
+                   pds.field("p_brand") == _Q17_BRAND)
+    items = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _part_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "k": batch.column("p_partkey").cast(pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "qu": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "ep": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def _item_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        qu = np.round(batch.column("l_quantity").to_numpy()
+                      * 100.0).astype(np.int64)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        return pa.table({
+            "k": pa.array(pk, pa.int64()),
+            "kind": pa.array(np.ones(len(pk), np.int8), pa.int8()),
+            "qu": pa.array(qu, pa.int64()),
+            "ep": pa.array(ep, pa.int64()),
+        })
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        pk = np.sort(np.unique(g["k"].to_numpy()[kind == 0]))
+        ik = g["k"].to_numpy()[kind == 1]
+        pos = np.searchsorted(pk, ik)
+        hit = (pos < len(pk)) & (pk[np.minimum(pos, max(len(pk) - 1,
+                                                        0))] == ik) \
+            if len(pk) else np.zeros(len(ik), bool)
+        ik = ik[hit]
+        qu = g["qu"].to_numpy()[kind == 1][hit]
+        ep = g["ep"].to_numpy()[kind == 1][hit]
+        uniq, inv = np.unique(ik, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        su = np.zeros(len(uniq), np.int64)
+        np.add.at(su, inv, qu)
+        small = qu * np.int64(5) * cnt[inv] < su[inv]
+        return pd.DataFrame({
+            "total_cents": [int(ep[small].sum())],
+            "n_items": [int(small.sum())]})
+
+    parts = bucketed_join(
+        [part.map_batches(_part_rows, batch_format="pyarrow"),
+         items.map_batches(_item_rows, batch_format="pyarrow")],
+        "k", _resolve)
+    agg = parts.to_pandas()
+    return rd.from_arrow(pa.table({
+        "total_cents": pa.array([int(agg["total_cents"].sum())],
+                                pa.int64()),
+        "n_items": pa.array([int(agg["n_items"].sum())], pa.int64()),
+    }))
+
+
+def sql_tpch_q17() -> str:
+    return (
+        "WITH it AS (SELECT l_partkey, "
+        "CAST(ROUND(l_quantity * 100) AS BIGINT) AS qu, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        f"WHERE p_brand = '{_Q17_BRAND}'), "
+        "st AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(qu) AS BIGINT) AS su FROM it GROUP BY 1) "
+        "SELECT CAST(COALESCE(SUM(CASE WHEN it.qu * 5 * st.cnt < st.su "
+        "THEN it.ep END), 0) AS BIGINT) AS total_cents, "
+        "CAST(COALESCE(SUM(CASE WHEN it.qu * 5 * st.cnt < st.su "
+        "THEN 1 END), 0) AS BIGINT) AS n_items "
+        "FROM it JOIN st ON st.l_partkey = it.l_partkey")
+
+
+_Q21_LATE_DAYS = 90
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21-shaped waiting-supplier audit: suppliers who were the
+    ONLY late shipper (shipdate > orderdate + 90 days — the schema has
+    no commit/receipt dates; documented substitution) in a finished
+    multi-supplier order, counted per supplier.  One bucketed
+    tagged-union pass by orderkey resolves order date, per-order
+    distinct suppliers, distinct LATE suppliers, and the
+    exactly-one-late test vectorized; only (suppkey, 1) partials leave
+    the buckets for the exact final sum."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.bucket_join import bucketed_join
+
+    orders = _read_f(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                     pds.field("o_orderstatus") == "F")
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "k": batch.column("o_orderkey").cast(pa.int64()),
+            "kind": pa.array(np.zeros(len(od), np.int8), pa.int8()),
+            "v1": pa.array(od, pa.int64()),
+            "v2": pa.array(np.zeros(len(od), np.int64), pa.int64()),
+        })
+
+    def _item_rows(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "k": batch.column("l_orderkey").cast(pa.int64()),
+            "kind": pa.array(np.ones(len(sd), np.int8), pa.int8()),
+            "v1": batch.column("l_suppkey").cast(pa.int64()),
+            "v2": pa.array(sd, pa.int64()),
+        })
+
+    late_us = np.int64(_Q21_LATE_DAYS) * 86_400_000_000
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        ok = g["k"].to_numpy()[kind == 0]
+        od = g["v1"].to_numpy()[kind == 0]
+        o_order = np.argsort(ok, kind="mergesort")
+        ok, od = ok[o_order], od[o_order]
+        ik = g["k"].to_numpy()[kind == 1]
+        sk = g["v1"].to_numpy()[kind == 1]
+        sd = g["v2"].to_numpy()[kind == 1]
+        pos = np.searchsorted(ok, ik)
+        hit = (pos < len(ok)) & (ok[np.minimum(pos, max(len(ok) - 1,
+                                                        0))] == ik) \
+            if len(ok) else np.zeros(len(ik), bool)
+        ik, sk, sd, pos = ik[hit], sk[hit], sd[hit], pos[hit]
+        late = sd > od[pos] + late_us
+        # distinct (order, supplier) pairs with ANY-late flag
+        order2 = np.lexsort((sk, ik))
+        ik, sk, late = ik[order2], sk[order2], late[order2]
+        new = np.ones(len(ik), bool)
+        new[1:] = (ik[1:] != ik[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1 if len(seg) else 0
+        pl = np.zeros(nseg, np.int64)
+        np.add.at(pl, seg, late.astype(np.int64))
+        pl = (pl > 0)
+        pk_o, pk_s = ik[new], sk[new]
+        # per order: distinct-supplier count and late-supplier count
+        uo, oinv = np.unique(pk_o, return_inverse=True)
+        nsupp = np.bincount(oinv).astype(np.int64)
+        nlate = np.zeros(len(uo), np.int64)
+        np.add.at(nlate, oinv, pl.astype(np.int64))
+        qual = pl & (nlate[oinv] == 1) & (nsupp[oinv] >= 2)
+        winners = pk_s[qual]
+        uniq, cnt = np.unique(winners, return_counts=True)
+        return pd.DataFrame({"s_suppkey": uniq,
+                             "numwait": cnt.astype(np.int64)})
+
+    partials = bucketed_join(
+        [orders.map_batches(_order_rows, batch_format="pyarrow"),
+         items.map_batches(_item_rows, batch_format="pyarrow")],
+        "k", _resolve)
+    return bucketed_sum(partials, ["s_suppkey"], ["numwait"]) \
+        .sort(["s_suppkey"])
+
+
+def sql_tpch_q21() -> str:
+    return (
+        "WITH f AS (SELECT o_orderkey, o_orderdate FROM orders "
+        "WHERE o_orderstatus = 'F'), "
+        "ps AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk, "
+        "MAX(CASE WHEN l.l_shipdate > f.o_orderdate + INTERVAL "
+        f"{_Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END) AS late "
+        "FROM lineitem l JOIN f ON f.o_orderkey = l.l_orderkey "
+        "GROUP BY 1, 2), "
+        "oo AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS nsupp, "
+        "CAST(SUM(late) AS BIGINT) AS nlate FROM ps GROUP BY 1) "
+        "SELECT ps.sk AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS "
+        "numwait FROM ps JOIN oo ON oo.ok = ps.ok "
+        "WHERE ps.late = 1 AND oo.nlate = 1 AND oo.nsupp >= 2 "
+        "GROUP BY 1 ORDER BY 1")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8563,6 +8898,10 @@ def _authored_queries() -> Dict:
         "event_blobs": q_event_blobs,
         "colocation_support": q_colocation_support,
         "user_top_types": q_user_top_types,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
     }
 
 
@@ -8669,6 +9008,10 @@ def oracle_sql() -> Dict[str, str]:
         "event_blobs": sql_event_blobs(),
         "colocation_support": sql_colocation_support(),
         "user_top_types": sql_user_top_types(),
+        "tpch_q13": sql_tpch_q13(),
+        "tpch_q15": sql_tpch_q15(),
+        "tpch_q17": sql_tpch_q17(),
+        "tpch_q21": sql_tpch_q21(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -83,6 +83,7 @@ ORACLE_CHECKED = [
     "tpch_q12", "tpch_q22", "dbscan_geo", "moran_grid", "rknn_count",
     "frequent_pairs", "user_triangles", "hotspot_trend", "ripley_k",
     "event_blobs", "colocation_support", "user_top_types",
+    "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21",
 ]
 
 
