@@ -8497,7 +8497,8 @@ def sql_tpch_q15() -> str:
 _Q17_BRAND = "Brand#23"
 
 
-def q_tpch_q17(sf_dir: str):
+def q_tpch_q17(sf_dir: str,
+               bloom_min_rows: int = _Q8_BLOOM_MIN_ROWS):
     """TPC-H Q17-shaped small-quantity-order revenue: total revenue of
     lineitems whose quantity is below 20% of their part's average, for
     one brand — the correlated-average made exact by integer
@@ -8506,16 +8507,27 @@ def q_tpch_q17(sf_dir: str):
     fact batch's per-part (cnt, sum) partials, AND the candidate item
     rows all meet in the same bucket; the per-part stats never leave
     their bucket and the output is one scalar partial per bucket,
-    driver-merged."""
+    driver-merged.  The brand keeps ~1/25 of the catalog, so past the
+    q8 footer-row threshold a Bloom filter on the brand keys drops
+    non-candidate lineitems BEFORE the partkey shuffle (the in-bucket
+    searchsorted membership recheck keeps the result exact under
+    false positives)."""
     import pandas as pd
     import pyarrow.dataset as pds
+    import ray
     import ray.data as rd
-    from ..stages.bucket_join import bucketed_join
+    from ..stages.bucket_join import bucketed_join, parquet_rows
 
     part = _read_f(sf_dir, "part", ["p_partkey"],
                    pds.field("p_brand") == _Q17_BRAND)
     items = _read(sf_dir, "lineitem",
                   ["l_partkey", "l_quantity", "l_extendedprice"])
+    if parquet_rows(f"{sf_dir}/lineitem.parquet") >= bloom_min_rows:
+        from ..stages.bloom import bloom_build, bloom_prefilter
+        pbloom = ray.put(bloom_build(
+            part, "p_partkey",
+            n_keys=parquet_rows(f"{sf_dir}/part.parquet")))
+        items = bloom_prefilter(items, "l_partkey", pbloom)
 
     def _part_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)

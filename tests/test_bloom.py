@@ -120,3 +120,12 @@ def test_tpch_q19_bloom_plan_matches_direct(ray_session):
     direct = q_tpch_q19(sf).to_pandas()
     bloom = q_tpch_q19(sf, bloom_min_rows=0).to_pandas()
     pd.testing.assert_frame_equal(direct, bloom, check_exact=True)
+
+
+def test_tpch_q17_bloom_plan_matches_direct(ray_session):
+    from geo_ray.pipelines.queries import q_tpch_q17
+
+    sf = "/root/testdata/sf0.01"
+    direct = q_tpch_q17(sf).to_pandas()
+    bloom = q_tpch_q17(sf, bloom_min_rows=0).to_pandas()
+    pd.testing.assert_frame_equal(direct, bloom, check_exact=True)
