@@ -8633,13 +8633,27 @@ def q_tpch_q21(sf_dir: str):
         })
 
     def _item_rows(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: the late test only needs max(shipdate)
+        # per DISTINCT (order, supplier), so that reduction happens
+        # before the shuffle — ~2-4x fewer rows at TPC-H multiplicity
         sd = batch.column("l_shipdate").to_numpy() \
             .astype("datetime64[us]").astype(np.int64)
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, sd = ok[order], sk[order], sd[order]
+        new = np.ones(len(ok), bool)
+        new[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        seg = np.cumsum(new) - 1
+        mx = np.full(int(seg[-1]) + 1 if len(seg) else 0,
+                     np.iinfo(np.int64).min)
+        np.maximum.at(mx, seg, sd)
         return pa.table({
-            "k": batch.column("l_orderkey").cast(pa.int64()),
-            "kind": pa.array(np.ones(len(sd), np.int8), pa.int8()),
-            "v1": batch.column("l_suppkey").cast(pa.int64()),
-            "v2": pa.array(sd, pa.int64()),
+            "k": pa.array(ok[new], pa.int64()),
+            "kind": pa.array(np.ones(int(new.sum()), np.int8),
+                             pa.int8()),
+            "v1": pa.array(sk[new], pa.int64()),
+            "v2": pa.array(mx, pa.int64()),
         })
 
     late_us = np.int64(_Q21_LATE_DAYS) * 86_400_000_000
