@@ -8720,6 +8720,76 @@ def sql_tpch_q21() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+def q_grid_mode(sf_dir: str, size_deg: float = 10.0):
+    """Zonal majority (mode): per 10-degree grid cell, the most
+    frequent event type (deterministic ties: count DESC, type ASC),
+    its count, and the cell total — the categorical-raster zonal
+    statistic next to zonal_stats' numeric ones.  One narrow shuffle:
+    per-batch (cell, type, n) count partials hash-bucket by cell, the
+    bucket body resolves totals and the argmax vectorized."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    nb = 64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "glat": np.floor(lat / size_deg).astype(np.int64),
+            "glng": np.floor(lng / size_deg).astype(np.int64),
+            "event_type": batch.column("event_type").to_pandas(),
+        })
+        g = df.groupby(["glat", "glng", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        cell = ((g["glat"].to_numpy() + 32) * 128
+                + (g["glng"].to_numpy() + 64)).astype(np.uint64)
+        g["__b"] = (_splitmix(cell) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["glat", "glng", "event_type"],
+                         sort=False)["n"].sum().reset_index()
+        tot = full.groupby(["glat", "glng"], sort=False)["n"] \
+            .sum().rename("total")
+        full = full.sort_values(["glat", "glng", "n", "event_type"],
+                                ascending=[True, True, False, True],
+                                kind="mergesort")
+        top = full.groupby(["glat", "glng"], sort=False).head(1)
+        out = top.merge(tot, on=["glat", "glng"])
+        out = out.rename(columns={"event_type": "mode_type",
+                                  "n": "mode_n"})
+        out["mode_n"] = out["mode_n"].astype(np.int64)
+        out["total"] = out["total"].astype(np.int64)
+        return out[["glat", "glng", "mode_type", "mode_n", "total"]]
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _final(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["glat", "glng"]))
+
+
+def sql_grid_mode(size_deg: float = 10.0) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH ev AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng, "
+        "event_type FROM events), "
+        "c AS (SELECT glat, glng, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2, 3), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY glat, glng "
+        "ORDER BY n DESC, event_type) AS rk, "
+        "CAST(SUM(n) OVER (PARTITION BY glat, glng) AS BIGINT) "
+        "AS total FROM c) "
+        "SELECT glat, glng, event_type AS mode_type, n AS mode_n, "
+        "total FROM r WHERE rk = 1 ORDER BY glat, glng")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8835,6 +8905,7 @@ def _authored_queries() -> Dict:
         "tpch_q4": q_tpch_q4,
         "knn_furthest": q_knn_furthest,
         "knn_collection": q_knn_collection,
+        "grid_mode": q_grid_mode,
         # --- newly SQL-oracled this round (were no_oracle rows in
         # CORRECTNESS_r01/r02): placed inside the driver's 50-query
         # window so the structural oracles acquire driver rows ---
@@ -9066,4 +9137,5 @@ def oracle_sql() -> Dict[str, str]:
         "covering": sql_covering(),
         "polygon_overlay": sql_polygon_overlay(),
         "polygon_build": sql_polygon_build(),
+        "grid_mode": sql_grid_mode(),
     }
