@@ -1331,6 +1331,139 @@ def sql_top_terms(k: int = 25) -> str:
         f"GROUP BY term ORDER BY n DESC, term LIMIT {k}")
 
 
+_TFIDF_UNITS = 1_000_000_000
+
+
+def _term_tf_rows(sf_dir: str):
+    """documents -> (key=siphash(term) as int64, term, doc_id, tf)
+    rows, one per distinct (doc, term): the shared explode feeding
+    doc_tfidf and inverted_index.  tf is exact per row because a
+    document is one row (never split across batches)."""
+    from ..stages.text import tokens_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        from collections import Counter
+        docs, terms, tfs = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            c = Counter(w.lower() for w in tokens_of(t) if w)
+            docs.extend([did] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(int(v) for v in c.values())
+        h = pd.util.hash_array(np.asarray(terms, dtype=object)) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(h, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(np.asarray(docs, np.int64), pa.int64()),
+            "tf": pa.array(np.asarray(tfs, np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def q_doc_tfidf(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms, integer-exact: score_units =
+    (tf * 1e9) // df — monotone in tf/df (the IDF log is monotone in
+    1/df, so the ranking is the classic tf-idf ranking), ties broken
+    (score DESC, term ASC).  The workhorse of corpus keyword
+    extraction / weak labeling at training-data scale.
+
+    Scale shape: ONE term-hash co-partition computes df inside the
+    bucket (all rows of a term land together, df = group size — no
+    separate df pass, no vocabulary broadcast), then the mergeable
+    per-doc top-k (stages/topk.grouped_topk) bounds the second
+    exchange at k rows per doc."""
+    from ..stages.topk import grouped_topk
+
+    rows = _term_tf_rows(sf_dir)
+
+    def _score(g):
+        import pandas as pd
+        df_ = g.groupby("term", sort=False)["doc_id"] \
+            .transform("size").to_numpy().astype(np.int64)
+        tf = g["tf"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "term": g["term"].to_numpy(),
+            "score": (tf * _TFIDF_UNITS) // df_,
+        })
+
+    from ..stages.bucket_join import bucketed_join
+    scored = bucketed_join([rows], "key", _score, num_buckets=64)
+    top = grouped_topk(scored, "doc_id", "score", "term", k)
+    return top.select_columns(["doc_id", "rank", "term", "score"]) \
+        .sort(["doc_id", "rank"])
+
+
+def sql_doc_tfidf(k: int = 3) -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, lower(unnest("
+        "string_split_regex(trim(text), '\\s+'))) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tok WHERE term <> '' GROUP BY 1, 2), "
+        "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY 1), "
+        "sc AS (SELECT tf.doc_id, tf.term, "
+        f"CAST((tf.tf * {_TFIDF_UNITS}) // df.df AS BIGINT) AS score "
+        "FROM tf JOIN df ON df.term = tf.term), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, term) AS rk FROM sc) "
+        f"SELECT doc_id, CAST(rk AS BIGINT) AS rank, term, score "
+        f"FROM r WHERE rk <= {k} ORDER BY doc_id, rank")
+
+
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted-index build: per term, the document
+    frequency and the full posting list (comma-joined doc_ids,
+    ascending) — the retrieval-index construction pass every search /
+    RAG corpus pipeline runs.  Restricted to terms with df >= 2 (the
+    df-1 tail is recoverable from the tf table and would dominate
+    rows without adding structure).
+
+    Scale shape: the same single term-hash co-partition as doc_tfidf;
+    posting lists assemble inside the term's bucket (vectorized sort +
+    per-term join), so no term's postings ever cross buckets and the
+    driver holds nothing."""
+    rows = _term_tf_rows(sf_dir)
+
+    def _postings(g):
+        import pandas as pd
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        sizes = g.groupby("term", sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        keep = sizes >= 2
+        g = g[keep]
+        g = g.assign(_s=g["doc_id"].astype(str))
+        out = g.groupby("term", sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("_s", ",".join),
+        ).reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        return out[["term", "df", "postings"]]
+
+    from ..stages.bucket_join import bucketed_join
+    return bucketed_join([rows], "key", _postings, num_buckets=64) \
+        .sort("term")
+
+
+def sql_inverted_index() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, lower(unnest("
+        "string_split_regex(trim(text), '\\s+'))) AS term "
+        "FROM documents), "
+        "tf AS (SELECT DISTINCT doc_id, term FROM tok "
+        "WHERE term <> '') "
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+        "array_to_string(list(CAST(doc_id AS VARCHAR) "
+        "ORDER BY doc_id), ',') AS postings "
+        "FROM tf GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term")
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import exact_dedup
@@ -5823,6 +5956,91 @@ def sql_events_transitions() -> str:
         "GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_events_turns(sf_dir: str):
+    """Trajectory turn-direction histogram: per user, the counts of
+    left / right / straight heading changes along the event-position
+    sequence in (ts, event_id) order — the turn-angle-distribution
+    kernel of movement analytics (map-matching priors, mode-of-travel
+    classifiers).  Direction is the SIGN of the planar cross product
+    of consecutive displacement vectors in integer centi-degree
+    coordinates (the exact integers the lat/lng derivation is built
+    from), so every comparison is exact int64 in both engines — no
+    trig, no float boundary.  |cross| <= 2*36000*17000 ~ 1.2e9.
+
+    Scale shape: user-hash buckets (consecutive triples never cross
+    users), one vectorized sort + diff pass per bucket, per-user rows
+    emitted directly — a single narrow shuffle of (user, x, y, ts)
+    rows, no all-pairs, no driver state."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64), pa.int64()),
+            "tsu": pa.array(tsu, pa.int64()),
+            "event_id": pa.array(k, pa.int64()),
+            "y": pa.array((k * 7919) % 17000, pa.int64()),
+            "x": pa.array((k * 104729) % 36000, pa.int64()),
+            "__b": pa.array((_splitmix(u) % np.uint64(64))
+                            .astype(np.int32), pa.int32()),
+        })
+
+    def _turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        dx1 = x[1:-1] - x[:-2]
+        dy1 = y[1:-1] - y[:-2]
+        dx2 = x[2:] - x[1:-1]
+        dy2 = y[2:] - y[1:-1]
+        cr = (dx1 * dy2 - dy1 * dx2)[same]
+        u3 = uid[2:][same]
+        uniq, inv = np.unique(u3, return_inverse=True)
+        nl = np.bincount(inv, weights=(cr > 0), minlength=len(uniq))
+        nr = np.bincount(inv, weights=(cr < 0), minlength=len(uniq))
+        ns = np.bincount(inv, weights=(cr == 0), minlength=len(uniq))
+        return pd.DataFrame({
+            "user_id": uniq,
+            "n_left": nl.astype(np.int64),
+            "n_right": nr.astype(np.int64),
+            "n_straight": ns.astype(np.int64),
+        })
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _turns(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def sql_events_turns() -> str:
+    return (
+        "WITH ev AS (SELECT user_id, ts, event_id, "
+        "CAST((event_id * 7919) % 17000 AS BIGINT) AS y, "
+        "CAST((event_id * 104729) % 36000 AS BIGINT) AS x FROM events), "
+        "s AS (SELECT user_id, x, y, "
+        "LAG(x, 1) OVER w AS x1, LAG(y, 1) OVER w AS y1, "
+        "LAG(x, 2) OVER w AS x2, LAG(y, 2) OVER w AS y2 FROM ev "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "t AS (SELECT user_id, "
+        "(x1 - x2) * (y - y1) - (y1 - y2) * (x - x1) AS cr FROM s "
+        "WHERE x2 IS NOT NULL) "
+        "SELECT user_id, "
+        "CAST(SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left, "
+        "CAST(SUM(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right, "
+        "CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_straight FROM t GROUP BY 1 ORDER BY 1")
+
+
 _PCTR_UNITS = 1_000_000_000
 
 
@@ -7776,6 +7994,92 @@ def sql_moran_grid(size_deg: float = _MORAN_DEG) -> str:
         "nb.glng = a.glng ORDER BY a.glat, a.glng")
 
 
+def q_getis_ord(sf_dir: str, size_deg: float = _MORAN_DEG):
+    """Getis-Ord Gi* hot-spot statistic (integer-exact numerator form)
+    over the 5-degree lat/lng grid of customer points: per occupied
+    cell, the count n, the 3x3-window sum INCLUDING self gsum (the Gi*
+    local sum), the realized window weight wk (occupied cells incl
+    self), and the Gi* z-score numerator gi_num = N*gsum - wk*S
+    (N = occupied cells, S = total points) — positive marks a hot
+    spot, negative a cold spot; the full z divides by a global-only
+    positive denominator, so sign and ranking are recoverable exactly
+    from these integers.  Complements moran_grid (Anselin LISA): Gi*
+    includes self and classifies hot/cold, LISA excludes self and
+    classifies clustering.
+
+    Scale shape: identical to moran_grid — one vectorized per-batch
+    (cell, n) count combiner feeding driver_merged_sum (domain bounded
+    by GRID RESOLUTION, <= 2448 cells, not data size), then a dense
+    int64 lattice convolution on the driver.  Overflow bound:
+    |gi_num| <= 9*N*S — int64-safe to ~10^8 points at this
+    resolution."""
+    pts = _customer_points(sf_dir)
+    from ..stages.agg import driver_merged_sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        glat = np.floor(batch.column("lat").to_numpy()
+                        / size_deg).astype(np.int64)
+        glng = np.floor(batch.column("lng").to_numpy()
+                        / size_deg).astype(np.int64)
+        key = (glat + 32) * 128 + (glng + 64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "glat": pa.array(uniq // 128 - 32, pa.int64()),
+            "glng": pa.array(uniq % 128 - 64, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    cells = driver_merged_sum(
+        pts.map_batches(_partial, batch_format="pyarrow"),
+        ["glat", "glng"], ["n"])
+    glat = cells["glat"].to_numpy()
+    glng = cells["glng"].to_numpy()
+    n = cells["n"].to_numpy()
+    N = np.int64(len(cells))
+    S = np.int64(n.sum())
+
+    la0, lo0 = glat.min(), glng.min()
+    H, W = int(glat.max() - la0 + 3), int(glng.max() - lo0 + 3)
+    nv = np.zeros((H, W), np.int64)
+    occ = np.zeros((H, W), np.int64)
+    r, c = (glat - la0 + 1).astype(int), (glng - lo0 + 1).astype(int)
+    nv[r, c] = n
+    occ[r, c] = 1
+    gsum = np.zeros((H, W), np.int64)
+    wk = np.zeros((H, W), np.int64)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            gsum += np.roll(np.roll(nv, dr, 0), dc, 1)
+            wk += np.roll(np.roll(occ, dr, 0), dc, 1)
+    import pandas as pd
+    out = pd.DataFrame({
+        "glat": glat, "glng": glng, "n": n,
+        "wk": wk[r, c], "gsum": gsum[r, c],
+        "gi_num": N * gsum[r, c] - wk[r, c] * S,
+    })
+    return out.sort_values(["glat", "glng"]).reset_index(drop=True)
+
+
+def sql_getis_ord(size_deg: float = _MORAN_DEG) -> str:
+    return (
+        f"WITH pts AS (SELECT c_custkey, {LAT_SQL} AS lat, "
+        f"{LNG_SQL} AS lng FROM customer), "
+        f"g AS (SELECT CAST(FLOOR(lat / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR(lng / {size_deg!r}) AS BIGINT) AS glng FROM pts), "
+        "cells AS (SELECT glat, glng, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM g GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc, "
+        "CAST(SUM(n) AS BIGINT) AS st FROM cells), "
+        "nb AS (SELECT a.glat, a.glng, CAST(COUNT(*) AS BIGINT) AS wk, "
+        "CAST(SUM(b.n) AS BIGINT) AS gsum FROM cells a JOIN cells b ON "
+        "abs(a.glat - b.glat) <= 1 AND abs(a.glng - b.glng) <= 1 "
+        "GROUP BY 1, 2) "
+        "SELECT a.glat, a.glng, a.n, nb.wk, nb.gsum, "
+        "CAST(t.nc * nb.gsum - nb.wk * t.st AS BIGINT) AS gi_num "
+        "FROM cells a JOIN nb ON nb.glat = a.glat AND nb.glng = a.glng, "
+        "tot t ORDER BY a.glat, a.glng")
+
+
 def q_rknn_count(sf_dir: str, k: int = 5):
     """Reverse-kNN counts: for every customer, how many OTHER
     customers have it among their k nearest (the 'influence set' size
@@ -8987,6 +9291,10 @@ def _authored_queries() -> Dict:
         "tpch_q22": q_tpch_q22,
         "dbscan_geo": q_dbscan_geo,
         "moran_grid": q_moran_grid,
+        "getis_ord": q_getis_ord,
+        "events_turns": q_events_turns,
+        "doc_tfidf": q_doc_tfidf,
+        "inverted_index": q_inverted_index,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
@@ -9097,6 +9405,10 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q22": sql_tpch_q22(),
         "dbscan_geo": sql_dbscan_geo(),
         "moran_grid": sql_moran_grid(),
+        "getis_ord": sql_getis_ord(),
+        "events_turns": sql_events_turns(),
+        "doc_tfidf": sql_doc_tfidf(),
+        "inverted_index": sql_inverted_index(),
         "rknn_count": sql_rknn_count(),
         "frequent_pairs": sql_frequent_pairs(),
         "user_triangles": sql_user_triangles(),

@@ -84,7 +84,8 @@ ORACLE_CHECKED = [
     "frequent_pairs", "user_triangles", "hotspot_trend", "ripley_k",
     "event_blobs", "colocation_support", "user_top_types",
     "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21",
-    "grid_mode",
+    "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
+    "inverted_index",
 ]
 
 
