@@ -384,6 +384,93 @@ def sql_knn_join(k: int = 5) -> str:
         f"WHERE rank <= {k} ORDER BY probe_id, rank")
 
 
+_KCORE_K = 3
+_KCORE_UNROLL = 24   # sf0.01 peel depth measured 17; parity asserts it
+
+
+def q_knn_core(sf_dir: str, k_nn: int = 5, k_core: int = _KCORE_K):
+    """k-core of the MUTUAL kNN graph: customers u, v are linked when
+    each lists the other among its 5 nearest (the mutual-kNN graph of
+    density-based clustering / outlier pruning; unlike the directed
+    kNN graph its degrees vary 0..k, so cores are non-trivial), and
+    the query keeps the 3-core — the maximal subgraph of minimum
+    degree >= 3 — emitting each member with its degree INSIDE the
+    core.  Coreness runs as the distributed h-index fixpoint
+    (stages/kcore.py, Montresor et al. 2013); membership is
+    coreness >= k, exact at any scale (no unrolled depth on the Ray
+    side).  The SQL oracle peels the definition directly with
+    _KCORE_UNROLL unrolled rounds — the parity test proves the depth
+    suffices at the driver's scale.
+
+    Scale shape: exact all-pairs kNN join (both sides sharded), one
+    packed-pair bucketed count for mutuality (count == 2), then the
+    kcore stage's co-partitioned label rounds — no driver state
+    beyond the measured fast-path threshold."""
+    import math
+    import pyarrow.parquet as pq
+    from ..stages.agg import bucketed_sum
+    from ..stages.kcore import kcore_members
+    from ..stages.knn import all_knn
+    from ..stages.triangles import _hi, _lo, _pack
+
+    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
+        .metadata.num_rows
+    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
+    pts = _customer_points(sf_dir)
+    knn = all_knn(pts, k_nn, level, id_col="c_custkey",
+                  max_cell_points=4096)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        p = batch.column("probe_id").to_numpy().astype(np.int64)
+        q = batch.column("neighbor_id").to_numpy().astype(np.int64)
+        pk = _pack(np.minimum(p, q), np.maximum(p, q))
+        return pa.table({
+            "pk": pa.array(pk, pa.int64()),
+            "n": pa.array(np.ones(len(pk), np.int64), pa.int64())})
+
+    counted = bucketed_sum(
+        knn.map_batches(_pairs, batch_format="pyarrow"), ["pk"], ["n"])
+
+    def _mutual(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(batch.column("n")) == 2
+        pk = batch.column("pk").to_numpy()[keep]
+        return pa.table({"a": pa.array(_hi(pk), pa.int64()),
+                         "b": pa.array(_lo(pk), pa.int64())})
+
+    edges = counted.map_batches(_mutual, batch_format="pyarrow")
+    out = kcore_members(edges, k_core)
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("node"),
+                            "core_deg": b.column("core_deg")}),
+        batch_format="pyarrow").sort("c_custkey")
+
+
+def sql_knn_core(k_nn: int = 5, k_core: int = _KCORE_K,
+                 unroll: int = _KCORE_UNROLL) -> str:
+    # every CTE is MATERIALIZED: inlined, each unroll level would
+    # duplicate the previous level's subtree twice (exponential) and
+    # re-scan the base parquet hundreds of times
+    parts = [
+        f"WITH knn AS MATERIALIZED ({sql_knn_join(k_nn)}), "
+        "mnn AS MATERIALIZED (SELECT a.probe_id AS u, "
+        "a.neighbor_id AS v FROM knn a "
+        "JOIN knn b ON b.probe_id = a.neighbor_id AND "
+        "b.neighbor_id = a.probe_id WHERE a.probe_id < a.neighbor_id), "
+        "dir AS MATERIALIZED (SELECT u AS n, v AS m FROM mnn "
+        "UNION ALL SELECT v, u FROM mnn), "
+        "a0 AS MATERIALIZED (SELECT DISTINCT n FROM dir)"]
+    for i in range(unroll):
+        parts.append(
+            f", a{i + 1} AS MATERIALIZED (SELECT e.n FROM dir e "
+            f"JOIN a{i} p ON p.n = e.n JOIN a{i} q ON q.n = e.m "
+            f"GROUP BY e.n HAVING COUNT(*) >= {k_core})")
+    parts.append(
+        f" SELECT e.n AS c_custkey, CAST(COUNT(*) AS BIGINT) AS "
+        f"core_deg FROM dir e JOIN a{unroll} p ON p.n = e.n "
+        f"JOIN a{unroll} q ON q.n = e.m GROUP BY 1 ORDER BY 1")
+    return "".join(parts)
+
+
 def q_grid_density(sf_dir: str):
     """10-degree lat/lng grid aggregate (pre-aggregated inside
     map_batches, then a tiny groupby — the combiner pattern)."""
@@ -9295,6 +9382,7 @@ def _authored_queries() -> Dict:
         "events_turns": q_events_turns,
         "doc_tfidf": q_doc_tfidf,
         "inverted_index": q_inverted_index,
+        "knn_core": q_knn_core,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
@@ -9409,6 +9497,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_turns": sql_events_turns(),
         "doc_tfidf": sql_doc_tfidf(),
         "inverted_index": sql_inverted_index(),
+        "knn_core": sql_knn_core(),
         "rknn_count": sql_rknn_count(),
         "frequent_pairs": sql_frequent_pairs(),
         "user_triangles": sql_user_triangles(),
