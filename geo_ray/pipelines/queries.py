@@ -1551,6 +1551,52 @@ def sql_inverted_index() -> str:
         "FROM tf GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term")
 
 
+_HH_THRESHOLD = 40
+
+
+def q_heavy_hitters(sf_dir: str, threshold: int = _HH_THRESHOLD):
+    """Sketch-guided exact heavy hitters: every word BIGRAM occurring
+    >= threshold times corpus-wide, with its exact count.  The
+    Count-Min prefilter (stages/heavy.py) keeps the vocabulary off
+    the wire — fixed 4x8192 int64 sketch state, candidate superset
+    bounded by total/threshold, exact bucketed verification of
+    candidates only — so the answer is EXACT (the sketch only decides
+    what to count precisely) and the plain GROUP BY ... HAVING oracle
+    applies.  Bigrams (not unigrams) because pair composition is the
+    n-gram LM / collocation-mining workload this targets."""
+    from ..stages.heavy import cm_heavy_hitters
+    from ..stages.text import tokens_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[str]" = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = [w.lower() for w in tokens_of(t)]
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:])
+                     if a and b)
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array([int(v) for v in c.values()], pa.int64()),
+        })
+
+    return cm_heavy_hitters(ds, _explode, threshold).sort("term")
+
+
+def sql_heavy_hitters(threshold: int = _HH_THRESHOLD) -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, generate_subscripts("
+        "string_split_regex(trim(text), '\\s+'), 1) AS pos, "
+        "lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term "
+        "FROM documents), "
+        "bg AS (SELECT a.term || ' ' || b.term AS term FROM tok a "
+        "JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.term <> '' AND b.term <> '') "
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM bg "
+        f"GROUP BY term HAVING COUNT(*) >= {threshold} ORDER BY term")
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import exact_dedup
@@ -9383,6 +9429,7 @@ def _authored_queries() -> Dict:
         "doc_tfidf": q_doc_tfidf,
         "inverted_index": q_inverted_index,
         "knn_core": q_knn_core,
+        "heavy_hitters": q_heavy_hitters,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
@@ -9498,6 +9545,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_tfidf": sql_doc_tfidf(),
         "inverted_index": sql_inverted_index(),
         "knn_core": sql_knn_core(),
+        "heavy_hitters": sql_heavy_hitters(),
         "rknn_count": sql_rknn_count(),
         "frequent_pairs": sql_frequent_pairs(),
         "user_triangles": sql_user_triangles(),
