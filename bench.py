@@ -176,7 +176,10 @@ def run_suite(headline_only: bool = False) -> dict:
                  "rknn_count", "frequent_pairs", "user_triangles",
                  "hotspot_trend", "ripley_k", "event_blobs",
                  "colocation_support", "user_top_types",
-                 "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21"]
+                 "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21",
+                 "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
+                 "inverted_index", "knn_core", "heavy_hitters",
+                 "user_bbox"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

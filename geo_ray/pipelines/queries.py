@@ -6089,6 +6089,63 @@ def sql_events_transitions() -> str:
         "GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_user_bbox(sf_dir: str):
+    """Per-user spatial extent: event count and the bounding box of
+    the user's event positions in exact integer centi-degrees (the
+    raw integers the lat/lng derivation divides — no float min/max
+    ambiguity).  The min/max-combiner twin of the sum-combiner
+    pattern: per-batch pandas groupby partials (each batch emits at
+    most one row per user it saw), then user-hash buckets merge
+    partials with the same vectorized agg — so the exchange carries
+    per-(batch,user) partial rows, never events."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy()
+            .astype(np.int64),
+            "y": (k * 7919) % 17000,
+            "x": (k * 104729) % 36000,
+        })
+        g = df.groupby("user_id", sort=False).agg(
+            n=("y", "size"), min_y=("y", "min"), max_y=("y", "max"),
+            min_x=("x", "min"), max_x=("x", "max")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        u = g["user_id"].to_numpy().astype(np.uint64)
+        g["__b"] = (_splitmix(u) % np.uint64(64)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", sort=False).agg(
+            n=("n", "sum"), min_y=("min_y", "min"),
+            max_y=("max_y", "max"), min_x=("min_x", "min"),
+            max_x=("max_x", "max")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _merge(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def sql_user_bbox() -> str:
+    return (
+        "WITH ev AS (SELECT user_id, "
+        "CAST((event_id * 7919) % 17000 AS BIGINT) AS y, "
+        "CAST((event_id * 104729) % 36000 AS BIGINT) AS x "
+        "FROM events) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(y) AS min_y, MAX(y) AS max_y, "
+        "MIN(x) AS min_x, MAX(x) AS max_x "
+        "FROM ev GROUP BY 1 ORDER BY 1")
+
+
 def q_events_turns(sf_dir: str):
     """Trajectory turn-direction histogram: per user, the counts of
     left / right / straight heading changes along the event-position
@@ -9430,6 +9487,7 @@ def _authored_queries() -> Dict:
         "inverted_index": q_inverted_index,
         "knn_core": q_knn_core,
         "heavy_hitters": q_heavy_hitters,
+        "user_bbox": q_user_bbox,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
@@ -9546,6 +9604,7 @@ def oracle_sql() -> Dict[str, str]:
         "inverted_index": sql_inverted_index(),
         "knn_core": sql_knn_core(),
         "heavy_hitters": sql_heavy_hitters(),
+        "user_bbox": sql_user_bbox(),
         "rknn_count": sql_rknn_count(),
         "frequent_pairs": sql_frequent_pairs(),
         "user_triangles": sql_user_triangles(),

@@ -85,7 +85,7 @@ ORACLE_CHECKED = [
     "event_blobs", "colocation_support", "user_top_types",
     "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21",
     "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
-    "inverted_index", "knn_core", "heavy_hitters",
+    "inverted_index", "knn_core", "heavy_hitters", "user_bbox",
 ]
 
 
