@@ -14,6 +14,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .sample import _splitmix
+
+
+def _bucket_of(vals: np.ndarray, nb: int) -> np.ndarray:
+    """Deterministic hash bucket for int OR string key columns
+    (splitmix64 for ints, pandas fixed-key siphash for strings —
+    both stable across processes)."""
+    if vals.dtype.kind in "OUS":
+        h = pd.util.hash_array(vals.astype(object))
+    else:
+        h = _splitmix(vals.astype(np.uint64))
+    return (h % np.uint64(nb)).astype(np.int32)
+
 
 def _topk_frame(df: pd.DataFrame, key_col: str, value_col: str,
                 id_col: str, k: int) -> pd.DataFrame:
@@ -69,9 +82,18 @@ def latest_by_key(ds, key_col: str, order_cols, keep_cols=None):
                                             .to_pandas()),
                                     preserve_index=False)
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow")
-    return partials.groupby(key_col).map_groups(_latest,
-                                                batch_format="pandas")
+    def _tag(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(batch.column(key_col).to_numpy(
+            zero_copy_only=False), 64)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    # hash-bucket merge for the same reason as grouped_topk: _latest
+    # is key-aware and vectorized per bucket
+    partials = ds.map_batches(_partial, batch_format="pyarrow") \
+        .map_batches(_tag, batch_format="pyarrow")
+    return partials.groupby("__b").map_groups(
+        lambda g: _latest(g.drop(columns=["__b"])),
+        batch_format="pandas")
 
 
 def grouped_topk(ds, key_col: str, value_col: str, id_col: str,
@@ -93,6 +115,18 @@ def grouped_topk(ds, key_col: str, value_col: str, id_col: str,
                 .astype(np.int64) + 1
         return out
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow")
-    return partials.groupby(key_col).map_groups(_final,
-                                                batch_format="pandas")
+    def _tag(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(batch.column(key_col).to_numpy(
+            zero_copy_only=False), 64)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    # groupby on the HASH BUCKET, not the key: the merge body
+    # (_topk_frame) is key-aware and vectorized, so one bucket of many
+    # keys resolves in one pandas pass — Ray's per-key map_groups
+    # would iterate keys in Python, the repo's documented pathology at
+    # 10^5+ distinct keys
+    partials = ds.map_batches(_partial, batch_format="pyarrow") \
+        .map_batches(_tag, batch_format="pyarrow")
+    return partials.groupby("__b").map_groups(
+        lambda g: _final(g.drop(columns=["__b"])),
+        batch_format="pandas")
