@@ -8270,6 +8270,193 @@ def sql_getis_ord(size_deg: float = _MORAN_DEG) -> str:
         "tot t ORDER BY a.glat, a.glng")
 
 
+def q_grid_median(sf_dir: str, size_deg: float = 5.0):
+    """Zonal median: per 5-degree grid cell, the event count and the
+    LOWER MEDIAN of the integer-cents event values (the smallest value
+    whose cumulative count reaches ceil(n/2) — a deterministic
+    order statistic, unlike the averaged even-count median).  The
+    counting form of the exact-quantile pattern: the exchange carries
+    (cell, cents, n) count partials — bounded by cells x value
+    domain, never by event count — and each cell's median falls out
+    of one vectorized cumsum inside its hash bucket."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    nb = 64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        glat = np.floor(lat / size_deg).astype(np.int64)
+        glng = np.floor(lng / size_deg).astype(np.int64)
+        df = pd.DataFrame({"glat": glat, "glng": glng, "cents": cents})
+        g = df.groupby(["glat", "glng", "cents"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        cell = ((g["glat"].to_numpy() + 32) * 128
+                + (g["glng"].to_numpy() + 64)).astype(np.uint64)
+        g["__b"] = (_splitmix(cell) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["glat", "glng", "cents"], sort=False)["n"] \
+            .sum().reset_index()
+        full = full.sort_values(["glat", "glng", "cents"],
+                                kind="mergesort")
+        key = full["glat"].to_numpy() * 1_000_000 + full["glng"].to_numpy()
+        n = full["n"].to_numpy()
+        new_seg = np.r_[True, key[1:] != key[:-1]]
+        cum = np.cumsum(n)
+        seg_start_cum = np.r_[0, cum[:-1]][new_seg]
+        seg_id = np.cumsum(new_seg) - 1
+        within = cum - seg_start_cum[seg_id]
+        tot = np.add.reduceat(n, np.flatnonzero(new_seg))
+        need = (tot[seg_id] + 1) // 2
+        hit = within >= need
+        # first hit per segment: hit is monotone within a segment
+        first = hit & (np.r_[True, key[1:] != key[:-1]]
+                       | ~np.r_[False, hit[:-1]])
+        out = full[first].copy()
+        out["n"] = tot
+        return out.rename(columns={"cents": "median_cents"})[
+            ["glat", "glng", "n", "median_cents"]]
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _median(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["glat", "glng"]))
+
+
+def sql_grid_median(size_deg: float = 5.0) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH ev AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "c AS (SELECT glat, glng, cents, CAST(COUNT(*) AS BIGINT) AS "
+        "cnt FROM ev GROUP BY 1, 2, 3), "
+        "r AS (SELECT glat, glng, cents, "
+        "SUM(cnt) OVER (PARTITION BY glat, glng ORDER BY cents) AS cum, "
+        "SUM(cnt) OVER (PARTITION BY glat, glng) AS tot FROM c) "
+        "SELECT glat, glng, CAST(tot AS BIGINT) AS n, "
+        "MIN(cents) AS median_cents FROM r "
+        "WHERE cum >= (tot + 1) // 2 "
+        "GROUP BY glat, glng, tot ORDER BY glat, glng")
+
+
+def q_knn_regression(sf_dir: str, k: int = 5):
+    """k-NN regression residuals: predict every customer's account
+    balance from its k geographic nearest neighbors and emit the
+    integer residual 5*own - sum(neighbors) in cents (kept as the
+    UNDIVIDED cross-multiplied form so the contract stays pure int64
+    — the caller divides by k for the prediction).  The spatial
+    label-propagation / imputation kernel: exact all-pairs kNN join,
+    then neighbor balances attach through a bucketed co-partition
+    (key = neighbor id), one exact bucketed sum per probe, and the
+    probe's own balance joins in a second co-partition — no customer
+    table broadcast."""
+    import math
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ..stages.agg import bucketed_sum
+    from ..stages.bucket_join import bucketed_join
+    from ..stages.knn import all_knn
+
+    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
+        .metadata.num_rows
+    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
+    pts = _customer_points(sf_dir)
+    knn = all_knn(pts, k, level, id_col="c_custkey",
+                  max_cell_points=4096)
+
+    bal = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "probe": pa.nulls(batch.num_rows, pa.int64()),
+            "cents": pa.array(np.round(
+                batch.column("c_acctbal").to_numpy() * 100.0)
+                .astype(np.int64), pa.int64()),
+        })
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("neighbor_id").cast(pa.int64()),
+            "probe": batch.column("probe_id").cast(pa.int64()),
+            "cents": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["cents"].notna()]
+        ed = g[g["cents"].isna()]
+        m = pd.Series(dim["cents"].to_numpy(np.int64),
+                      index=dim["key"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "probe": ed["probe"].to_numpy(np.int64),
+            "nn_sum_cents": m.reindex(ed["key"].to_numpy(np.int64))
+            .to_numpy(np.int64)})
+
+    picked = bucketed_join(
+        [knn.map_batches(_edges, batch_format="pyarrow"),
+         bal.map_batches(_cents, batch_format="pyarrow")],
+        "key", _attach, num_buckets=64)
+    sums = bucketed_sum(picked, ["probe"], ["nn_sum_cents"])
+
+    def _own_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "nn_sum_cents": pa.nulls(batch.num_rows, pa.int64()),
+            "own": pa.array(np.round(
+                batch.column("c_acctbal").to_numpy() * 100.0)
+                .astype(np.int64), pa.int64()),
+        })
+
+    def _sum_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("probe").cast(pa.int64()),
+            "nn_sum_cents": batch.column("nn_sum_cents"),
+            "own": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def _resid(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["own"].notna()]
+        sm = g[g["own"].isna()]
+        m = pd.Series(own["own"].to_numpy(np.int64),
+                      index=own["key"].to_numpy(np.int64))
+        key = sm["key"].to_numpy(np.int64)
+        ow = m.reindex(key).to_numpy(np.int64)
+        ns = sm["nn_sum_cents"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c_custkey": key, "own_cents": ow, "nn_sum_cents": ns,
+            "resid": np.int64(k) * ow - ns})
+
+    return bucketed_join(
+        [sums.map_batches(_sum_rows, batch_format="pyarrow"),
+         bal.map_batches(_own_rows, batch_format="pyarrow")],
+        "key", _resid, num_buckets=64).sort("c_custkey")
+
+
+def sql_knn_regression(k: int = 5) -> str:
+    return (
+        f"WITH knn AS ({sql_knn_join(k)}), "
+        "cb AS (SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS "
+        "BIGINT) AS cents FROM customer), "
+        "s AS (SELECT knn.probe_id AS c_custkey, "
+        "CAST(SUM(b.cents) AS BIGINT) AS nn_sum_cents FROM knn "
+        "JOIN cb b ON b.c_custkey = knn.neighbor_id GROUP BY 1) "
+        "SELECT s.c_custkey, o.cents AS own_cents, s.nn_sum_cents, "
+        f"CAST({k} * o.cents - s.nn_sum_cents AS BIGINT) AS resid "
+        "FROM s JOIN cb o ON o.c_custkey = s.c_custkey "
+        "ORDER BY s.c_custkey")
+
+
 def q_rknn_count(sf_dir: str, k: int = 5):
     """Reverse-kNN counts: for every customer, how many OTHER
     customers have it among their k nearest (the 'influence set' size
@@ -9488,6 +9675,8 @@ def _authored_queries() -> Dict:
         "knn_core": q_knn_core,
         "heavy_hitters": q_heavy_hitters,
         "user_bbox": q_user_bbox,
+        "grid_median": q_grid_median,
+        "knn_regression": q_knn_regression,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
@@ -9605,6 +9794,8 @@ def oracle_sql() -> Dict[str, str]:
         "knn_core": sql_knn_core(),
         "heavy_hitters": sql_heavy_hitters(),
         "user_bbox": sql_user_bbox(),
+        "grid_median": sql_grid_median(),
+        "knn_regression": sql_knn_regression(),
         "rknn_count": sql_rknn_count(),
         "frequent_pairs": sql_frequent_pairs(),
         "user_triangles": sql_user_triangles(),

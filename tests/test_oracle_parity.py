@@ -86,6 +86,7 @@ ORACLE_CHECKED = [
     "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21",
     "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
     "inverted_index", "knn_core", "heavy_hitters", "user_bbox",
+    "grid_median", "knn_regression",
 ]
 
 
