@@ -179,7 +179,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21",
                  "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
                  "inverted_index", "knn_core", "heavy_hitters",
-                 "user_bbox"]
+                 "user_bbox", "grid_median", "knn_regression",
+                 "tpch_q9", "decontaminate", "lm_score",
+                 "image_caption_mismatch"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

@@ -1946,6 +1946,186 @@ def sql_ngram_jaccard(threshold: float = 0.5) -> str:
         f">= {threshold!r} ORDER BY doc_a, doc_b")
 
 
+_DECON_MOD = 97     # benchmark membership: doc_id % _DECON_MOD == 0
+
+
+def q_decontaminate(sf_dir: str, mod: int = _DECON_MOD):
+    """Benchmark decontamination: flag every training document that
+    shares at least one 3-word shingle with the held-out benchmark
+    set (docs with doc_id % mod == 0), reporting the count of
+    DISTINCT contaminated shingles.  The standard pre-training
+    hygiene pass (GPT-3 appendix C / Dolma): the benchmark side is a
+    fixed small eval corpus by construction, so its unique
+    shingle-hash set broadcasts once (ray.put) and the corpus streams
+    through one membership pass — no shuffle at all.  Shingles are
+    the minhash pipeline's rolling hashes (stages/dedup
+    ._shingle_hashes), mirrored bit-exactly by the shared SQL CTE
+    chain, so the oracle checks the real hash math end to end."""
+    import ray
+    from ..stages.dedup import _shingle_hashes
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        keep = ids % mod == 0
+        texts = batch.column("text").to_pylist()
+        sh = [np.unique(_shingle_hashes(t))
+              for t, k in zip(texts, keep) if k]
+        vals = (np.unique(np.concatenate(sh)) if sh
+                else np.array([], dtype=np.uint64))
+        return pa.table({"sh": pa.array(vals, pa.uint64())})
+
+    # benchmark shingle set: bounded by the eval corpus, not the
+    # training corpus — a driver fetch is the scale-correct plan
+    # (same contract as driver_merged_sum; guarded below).
+    bench_parts = docs.map_batches(_bench_rows, batch_format="pyarrow") \
+        .to_pandas()
+    bench = np.unique(bench_parts["sh"].to_numpy(np.uint64))
+    if len(bench) > 50_000_000:
+        raise ValueError(
+            f"benchmark shingle set has {len(bench)} hashes; the "
+            "broadcast-side contract assumes a fixed small eval corpus")
+    ref = ray.put(bench)
+
+    def _hits(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_id, out_n = [], []
+        for did, t in zip(ids, texts):
+            if did % mod == 0:
+                continue
+            sh = np.unique(_shingle_hashes(t))
+            if not len(sh):
+                continue
+            pos = np.searchsorted(b, sh)
+            pos_c = np.minimum(pos, len(b) - 1) if len(b) else pos
+            n = int(np.count_nonzero(
+                (pos < len(b)) & (b[pos_c] == sh))) if len(b) else 0
+            if n:
+                out_id.append(did)
+                out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "n_overlap": pa.array(np.asarray(out_n, np.int64),
+                                  pa.int64())})
+
+    return docs.map_batches(_hits, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def sql_decontaminate(mod: int = _DECON_MOD) -> str:
+    return (
+        f"WITH {_shingle_ctes()}, "
+        f"bench AS (SELECT DISTINCT sh FROM shingle "
+        f"WHERE doc_id % {mod} = 0) "
+        f"SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap "
+        f"FROM shingle s JOIN bench b ON b.sh = s.sh "
+        f"WHERE s.doc_id % {mod} <> 0 "
+        f"GROUP BY s.doc_id ORDER BY s.doc_id")
+
+
+_LM_SCALE = 1_000_000
+
+
+def q_lm_score(sf_dir: str, scale: int = _LM_SCALE):
+    """Integer-exact bigram language-model scoring: train bigram /
+    prefix counts on the corpus itself and score every document as
+
+        lm_score_units = sum over its bigram occurrences of
+                         (C(w1 w2) * scale) // C(w1 *)
+
+    — the quality-filtering perplexity proxy (CCNet-style "score by
+    an LM trained on the corpus"), kept in integer floor-division so
+    the result is hash-exact cross-engine.  Plan: one explode pass
+    emits per-batch (w1, w2, doc, cnt) partials; ONE prefix-hash
+    co-partition puts every bigram sharing w1 in the same bucket, so
+    the global bigram counts, the prefix totals AND each document's
+    contribution all resolve inside the bucket without a vocabulary
+    broadcast; per-doc partials then merge in an exact bucketed sum.
+    Worker state is bounded by vocab/buckets, never by corpus size."""
+    import pandas as pd
+    from ..stages.agg import bucketed_sum
+    from ..stages.text import tokens_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = 64
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[tuple]" = Counter()
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = [w.lower() for w in tokens_of(t)]
+            c.update((did, a, b) for a, b in zip(toks, toks[1:])
+                     if a and b)
+        if not c:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "__b": pa.array([], pa.int32())})
+        keys = list(c.keys())
+        w1 = np.array([k[1] for k in keys], dtype=object)
+        h = pd.util.hash_array(w1)
+        return pa.table({
+            "doc_id": pa.array(np.array([k[0] for k in keys],
+                                        np.int64), pa.int64()),
+            "w1": pa.array(list(w1), pa.string()),
+            "w2": pa.array([k[2] for k in keys], pa.string()),
+            "cnt": pa.array(np.array([int(v) for v in c.values()],
+                                     np.int64), pa.int64()),
+            "__b": pa.array((h % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        c2 = g.groupby(["w1", "w2"], sort=False)["cnt"].sum() \
+            .rename("c2").reset_index()
+        c1 = c2.groupby("w1", sort=False)["c2"].sum().rename("c1") \
+            .reset_index()
+        m = g.merge(c2, on=["w1", "w2"]).merge(c1, on="w1")
+        per = (m["c2"].to_numpy(np.int64) * np.int64(scale)) \
+            // m["c1"].to_numpy(np.int64)
+        m["part"] = m["cnt"].to_numpy(np.int64) * per
+        out = m.groupby("doc_id", sort=False)["part"].sum() \
+            .reset_index()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "lm_score_units": out["part"].to_numpy(np.int64)})
+
+    parts = ds.map_batches(_explode, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: _score(g.drop(columns=["__b"])),
+                    batch_format="pandas")
+    agg = bucketed_sum(parts, ["doc_id"], ["lm_score_units"])
+    return agg.sort("doc_id")
+
+
+def sql_lm_score(scale: int = _LM_SCALE) -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, generate_subscripts("
+        "string_split_regex(trim(text), '\\s+'), 1) AS pos, "
+        "lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term "
+        "FROM documents), "
+        "bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2 "
+        "FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+        "AND b.pos = a.pos + 1 "
+        "WHERE a.term <> '' AND b.term <> ''), "
+        "g2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 "
+        "FROM bg GROUP BY 1, 2), "
+        "g1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 "
+        "FROM g2 GROUP BY 1), "
+        "d AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM bg GROUP BY 1, 2, 3) "
+        "SELECT d.doc_id, "
+        f"CAST(SUM(d.cnt * ((g2.c2 * {scale}) // g1.c1)) AS BIGINT) "
+        "AS lm_score_units "
+        "FROM d JOIN g2 USING (w1, w2) JOIN g1 USING (w1) "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     """Exact Hamming-ball pairs over SimHash via pigeonhole banding
     (stages/dedup.simhash_neardup): candidate generation is a
@@ -4480,6 +4660,164 @@ def sql_tpch_q22() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+_Q9_NAME_TOKEN = "red"
+
+
+def q_tpch_q9(sf_dir: str, token: str = _Q9_NAME_TOKEN):
+    """TPC-H Q9-shaped product-profit rollup: revenue from lineitems
+    whose part name contains ``token``, grouped by the supplier's
+    nation and the ORDER year (the testdata has no partsupp table, so
+    profit is the pure revenue term — the join topology is Q9's).
+    Three fact/catalog joins, zero fact-scale broadcasts:
+
+      phase 1 (bucket by partkey):  name-matched parts semi-join the
+        lineitems — part is catalog-scale (~2x10^8 rows at sf1000),
+        so the filter rides a bucketed tagged-union, not a broadcast;
+        survivors leave as (orderkey, supp_nation, revenue) partials
+        pre-aggregated per (order, nation) inside the resolve;
+      phase 2 (bucket by orderkey): those partials meet orders for
+        the order YEAR (the q4/q7 pattern — orders never leaves
+        storage whole);
+      finish: per-bucket (nation, year) rollups are bounded by
+        25 nations x ~7 years, so driver_merged_sum replaces the
+        final barrier.
+
+    supplier -> nationkey is the one genuinely small broadcast dim
+    (dense int keys; ~80 MB at sf1000 as a numpy array).  Revenue is
+    exact integer units (cents x discount-percent), mirrored verbatim
+    by the SQL oracle."""
+    import ray
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ..stages.agg import driver_merged_sum
+    from ..stages.broadcast_join import read_dim_table
+    from ..stages.bucket_join import (adaptive_buckets,
+                                      bucketed_join,
+                                      parquet_rows)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                          "s_suppkey", "s_nationkey")
+    ref = ray.put(supp)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount"])
+
+    # phase 1: name-matched parts semi-join lineitems by partkey
+    def _part_rows(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.match_substring(
+            batch.column("p_name"), token))
+        n = len(sel)
+        return pa.table({
+            "k": sel.column("p_partkey").cast(pa.int64()),
+            "ok": pa.nulls(n, pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+        })
+
+    def _item_rows(batch: pa.Table) -> pa.Table:
+        supp_ = ray.get(ref)
+        sn = supp_.lookup(batch.column("l_suppkey").to_numpy()
+                          .astype(np.int64))
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        return pa.table({
+            "k": batch.column("l_partkey").cast(pa.int64()),
+            "ok": batch.column("l_orderkey").cast(pa.int64()),
+            "snat": pa.array(sn.astype(np.int64), pa.int64()),
+            "rev": pa.array(ep * dp, pa.int64()),
+        })
+
+    def _resolve_part(g: pd.DataFrame) -> pd.DataFrame:
+        keep_keys = np.unique(
+            g.loc[g["ok"].isna(), "k"].to_numpy(np.int64))
+        fact = g[g["ok"].notna()]
+        hit = np.isin(fact["k"].to_numpy(np.int64), keep_keys,
+                      assume_unique=False)
+        sel = fact[hit]
+        out = pd.DataFrame({
+            "k": sel["ok"].to_numpy(np.float64).astype(np.int64),
+            "snat": sel["snat"].to_numpy(np.float64).astype(np.int64),
+            "rev": sel["rev"].to_numpy(np.float64).astype(np.int64)})
+        return out.groupby(["k", "snat"], sort=False)["rev"].sum() \
+            .reset_index()
+
+    matched = bucketed_join(
+        [part.map_batches(_part_rows, batch_format="pyarrow"),
+         items.map_batches(_item_rows, batch_format="pyarrow")],
+        "k", _resolve_part,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
+
+    # phase 2: (orderkey, snat, rev) partials meet orders for the year
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _matched_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column("k").cast(pa.int64()),
+            "snat": batch.column("snat").cast(pa.int64()),
+            "yr": pa.nulls(len(batch), pa.int64()),
+            "rev": batch.column("rev").cast(pa.int64()),
+        })
+
+    def _order_rows(batch: pa.Table) -> pa.Table:
+        yr = (batch.column("o_orderdate").to_numpy()
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        n = len(batch)
+        return pa.table({
+            "k": batch.column("o_orderkey").cast(pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "yr": pa.array(yr, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+        })
+
+    def _resolve_year(g: pd.DataFrame) -> pd.DataFrame:
+        ords = g[g["rev"].isna()]
+        fact = g[g["rev"].notna()]
+        yr = fact["k"].map(ords.set_index("k")["yr"])
+        out = pd.DataFrame({
+            "snat": fact["snat"].to_numpy(np.float64).astype(np.int64),
+            "o_year": yr.to_numpy(np.float64).astype(np.int64),
+            "profit_units": fact["rev"].to_numpy(np.float64)
+            .astype(np.int64)})
+        return out.groupby(["snat", "o_year"], sort=False).sum() \
+            .reset_index()
+
+    joined = bucketed_join(
+        [matched.map_batches(_matched_rows, batch_format="pyarrow"),
+         orders.map_batches(_order_rows, batch_format="pyarrow")],
+        "k", _resolve_year,
+        num_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/orders.parquet")))
+
+    agg = driver_merged_sum(joined, ["snat", "o_year"],
+                            ["profit_units"])
+    agg["nation"] = agg["snat"].map(names)
+    return agg[["nation", "o_year", "profit_units"]]
+
+
+def sql_tpch_q9(token: str = _Q9_NAME_TOKEN) -> str:
+    return (
+        "SELECT n_name AS nation, "
+        "CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS profit_units "
+        "FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        f"WHERE p_name LIKE '%{token}%' "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate with integer-exact measures."""
     import ray.data as rd
@@ -5481,6 +5819,121 @@ def sql_image_phash_neardup(num_images: int = 10_000,
         f"AND a.bv = b.bv AND a.img < b.img) "
         f"SELECT id_a, id_b, hamming FROM cand "
         f"WHERE hamming <= {max_hamming} ORDER BY id_a, id_b")
+
+
+_MISMATCH_EVERY = 10    # re-encode variants (same caption)
+_MISMATCH_MIS = 25      # planted mislabels (caption off by one)
+
+
+def q_image_caption_mismatch(sf_dir: str, max_hamming: int = 3,
+                             every: int = _MISMATCH_EVERY,
+                             mis: int = _MISMATCH_MIS):
+    """Mislabeled near-duplicate detection: pairs of images whose
+    pixels are perceptually identical (phash Hamming <= max_hamming)
+    but whose CAPTIONS differ — the image+caption curation defect
+    this engine's north star targets (a re-encoded copy carrying the
+    wrong alt text poisons contrastive training).  The population
+    plants two row classes over the base table: every ``every``-th
+    image gets a re-encode variant (perturbed phash, SAME caption —
+    must NOT be flagged) and every ``mis``-th image a mislabeled twin
+    (1-bit phash drift, caption of the NEXT index — must be flagged).
+    Candidate generation is the exact pigeonhole-banded Hamming ball
+    (stages/dedup.hamming_ball_pairs); the caption check is pure
+    index arithmetic on this synthetic population, so the filter
+    rides the pair stream without any join.  The SQL oracle mirrors
+    the full chain: splitmix synthesis, both planted populations, the
+    band equi-joins, bit_count verify, and the caption inequality."""
+    import ray.data as rd
+    from ..sources.images import phash_for_index
+    from ..stages.dedup import hamming_ball_pairs
+
+    n = _sf_num_images(sf_dir)
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy().astype(np.int64)
+        ph = phash_for_index(i)
+        v = i[i % every == 0]
+        pv = phash_for_index(v).view(np.uint64)
+        nbits = (v % 4).astype(np.uint64)
+        shift = (v % 61).astype(np.uint64)
+        vmask = ((np.uint64(1) << nbits) - np.uint64(1)) << shift
+        m = i[i % mis == 0]
+        pm = phash_for_index(m).view(np.uint64)
+        mmask = np.uint64(1) << (m % 59).astype(np.uint64)
+        return pa.table({
+            "img": pa.array(np.concatenate([i, v + n, m + 2 * n]),
+                            pa.int64()),
+            "phash": pa.array(np.concatenate(
+                [ph, (pv ^ vmask).view(np.int64),
+                 (pm ^ mmask).view(np.int64)]), pa.int64()),
+        })
+
+    rows = rd.range(n, override_num_blocks=32) \
+        .map_batches(_rows, batch_format="pyarrow")
+    pairs = hamming_ball_pairs(rows, id_col="img", hash_col="phash",
+                               max_hamming=max_hamming)
+
+    def _caption_of(img: np.ndarray) -> np.ndarray:
+        # base i -> caption i; variant i+n -> caption i;
+        # mislabeled twin i+2n -> caption i+1
+        return np.where(img < n, img,
+                        np.where(img < 2 * n, img - n,
+                                 img - 2 * n + 1))
+
+    def _mismatch_only(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy().astype(np.int64)
+        c = b.column("doc_b").to_numpy().astype(np.int64)
+        keep = _caption_of(a) != _caption_of(c)
+        sel = b.filter(pa.array(keep, pa.bool_()))
+        return pa.table({"id_a": sel.column("doc_a"),
+                         "id_b": sel.column("doc_b"),
+                         "hamming": sel.column("hamming")})
+
+    return pairs.map_batches(_mismatch_only, batch_format="pyarrow") \
+        .sort(["id_a", "id_b"])
+
+
+def sql_image_caption_mismatch(num_images: int = 10_000,
+                               max_hamming: int = 3,
+                               every: int = _MISMATCH_EVERY,
+                               mis: int = _MISMATCH_MIS) -> str:
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    gold = f"CAST({_GOLDEN} AS UBIGINT)"
+    vmask = (f"CAST(((CAST(1 AS BIGINT) << CAST(k % 4 AS INTEGER)) - 1) "
+             f"<< CAST(k % 61 AS INTEGER) AS UBIGINT)")
+    mmask = f"CAST(CAST(1 AS BIGINT) << CAST(k % 59 AS INTEGER) AS UBIGINT)"
+    n = num_images
+    def cap(col: str) -> str:
+        return (f"CASE WHEN {col} < {n} THEN {col} "
+                f"WHEN {col} < {2 * n} THEN {col} - {n} "
+                f"ELSE {col} - {2 * n} + 1 END")
+    sm = _splitmix_ctes("ph", "idx", "k",
+                        f"xor(CAST(k AS UBIGINT), {gold})")
+    bands = " UNION ALL ".join(
+        f"SELECT img, v, {c} AS band, "
+        f"CAST((v >> {c * width}) & {(1 << width) - 1} AS BIGINT) AS bv "
+        f"FROM allr" for c in range(n_bands))
+    return (
+        f"WITH idx AS (SELECT k FROM range(0, {n}) t(k)), "
+        f"{sm}, "
+        f"base AS (SELECT k AS img, v FROM ph), "
+        f"vars AS (SELECT k + {n} AS img, xor(v, {vmask}) AS v "
+        f"FROM ph WHERE k % {every} = 0), "
+        f"mis AS (SELECT k + {2 * n} AS img, xor(v, {mmask}) AS v "
+        f"FROM ph WHERE k % {mis} = 0), "
+        f"allr AS (SELECT * FROM base UNION ALL SELECT * FROM vars "
+        f"UNION ALL SELECT * FROM mis), "
+        f"bands AS ({bands}), "
+        f"cand AS (SELECT DISTINCT a.img AS id_a, b.img AS id_b, "
+        f"CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming "
+        f"FROM bands a JOIN bands b ON a.band = b.band "
+        f"AND a.bv = b.bv AND a.img < b.img), "
+        f"caps AS (SELECT id_a, id_b, hamming, "
+        f"{cap('id_a')} AS cap_a, {cap('id_b')} AS cap_b FROM cand) "
+        f"SELECT id_a, id_b, hamming FROM caps "
+        f"WHERE hamming <= {max_hamming} AND cap_a <> cap_b "
+        f"ORDER BY id_a, id_b")
 
 
 _RESAMPLE_STEP_US = 86_400_000_000  # 1 day
@@ -9689,6 +10142,10 @@ def _authored_queries() -> Dict:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
+        "tpch_q9": q_tpch_q9,
+        "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+        "image_caption_mismatch": q_image_caption_mismatch,
     }
 
 
@@ -9808,6 +10265,10 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q15": sql_tpch_q15(),
         "tpch_q17": sql_tpch_q17(),
         "tpch_q21": sql_tpch_q21(),
+        "tpch_q9": sql_tpch_q9(),
+        "decontaminate": sql_decontaminate(),
+        "lm_score": sql_lm_score(),
+        "image_caption_mismatch": sql_image_caption_mismatch(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -87,6 +87,7 @@ ORACLE_CHECKED = [
     "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
     "inverted_index", "knn_core", "heavy_hitters", "user_bbox",
     "grid_median", "knn_regression",
+    "tpch_q9", "decontaminate", "lm_score", "image_caption_mismatch",
 ]
 
 
