@@ -181,7 +181,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "inverted_index", "knn_core", "heavy_hitters",
                  "user_bbox", "grid_median", "knn_regression",
                  "tpch_q9", "decontaminate", "lm_score",
-                 "image_caption_mismatch"]
+                 "image_caption_mismatch", "events_overlap",
+                 "multimodal_clusters", "events_winsorize",
+                 "join_counts"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

@@ -2610,6 +2610,194 @@ def sql_events_range_join(window_sec: int = 86400) -> str:
         "GROUP BY l.event_id ORDER BY l.event_id")
 
 
+_OVERLAP_MOD_MIN = 1440    # interval length: (cents % mod) minutes
+
+
+def q_events_overlap(sf_dir: str, mod_min: int = _OVERLAP_MOD_MIN):
+    """Interval-overlap self-join: pairs of the SAME user's events
+    whose time intervals [ts, ts + (cents % mod) minutes) genuinely
+    overlap, with the exact integer overlap in microseconds — the
+    interval-join operator family (distinct from as-of and
+    trailing-window joins: both endpoints of both sides matter).
+    Plan: one user-hash co-partition; inside each bucket the rows
+    sort by (user, start) once and a single vectorized sweep finds
+    every partner — for each interval, binary search bounds the run
+    of later starts below its end, and pair expansion is
+    repeat/arange (no per-user Python loop).  Emission is
+    exactly-once by construction (partners strictly later in start
+    order), and worker state is bounded by the bucket, never the
+    table."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"])
+    nb = 64
+    step = np.int64(60_000_000)
+
+    def _iv(batch: pa.Table) -> pa.Table:
+        s = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + (cents % mod_min) * step, pa.int64()),
+            "__b": pa.array((_splitmix(u.astype(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "s", "event_id"],
+                           kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        e = df["e"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        n = len(df)
+        if n < 2:
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64),
+                                 "overlap_us": np.array([], np.int64)})
+        # dense per-bucket user rank -> collision-free shifted axis
+        # (rank count is bounded by the bucket, so the shift never
+        # overflows regardless of global user cardinality)
+        _, urank = np.unique(u, return_inverse=True)
+        span = max(int(s.max() - s.min()) + 1, 1)
+        base = np.int64(s.min())
+        # slot width span+1: ends clip to `span`, strictly above every
+        # same-user start offset (<= span-1) and strictly below the
+        # next user's slot, so the clip never drops a true partner
+        slot = np.int64(span + 1)
+        shifted_s = urank.astype(np.int64) * slot + (s - base)
+        shifted_e = urank.astype(np.int64) * slot \
+            + np.minimum(e - base, np.int64(span))
+        hi = np.searchsorted(shifted_s, shifted_e, side="left")
+        ar = np.arange(n, dtype=np.int64)
+        cnt = np.maximum(hi - ar - 1, 0)
+        total = int(cnt.sum())
+        if not total:
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64),
+                                 "overlap_us": np.array([], np.int64)})
+        a_idx = np.repeat(ar, cnt)
+        starts = np.cumsum(np.r_[0, cnt[:-1]])
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64)
+                             - np.repeat(starts, cnt))
+        ov = np.minimum(e[a_idx], e[b_idx]) - s[b_idx]
+        keep = ov > 0
+        ea, eb = eid[a_idx[keep]], eid[b_idx[keep]]
+        lo = np.minimum(ea, eb)
+        hi_id = np.maximum(ea, eb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi_id,
+                             "overlap_us": ov[keep]})
+
+    return (ev.map_batches(_iv, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _sweep(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["id_a", "id_b"]))
+
+
+def sql_events_overlap(mod_min: int = _OVERLAP_MOD_MIN) -> str:
+    return (
+        "WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + (CAST(ROUND(value * 100) AS BIGINT) "
+        f"% {mod_min}) * 60000000 AS e FROM events) "
+        "SELECT LEAST(a.event_id, b.event_id) AS id_a, "
+        "GREATEST(a.event_id, b.event_id) AS id_b, "
+        "CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) "
+        "AS overlap_us "
+        "FROM iv a JOIN iv b ON b.user_id = a.user_id "
+        "AND a.event_id < b.event_id "
+        "WHERE LEAST(a.e, b.e) - GREATEST(a.s, b.s) > 0 "
+        "ORDER BY 1, 2")
+
+
+_WINSOR_PCT = 5    # clip below p5 / above p95 (lower order statistics)
+
+
+def q_events_winsorize(sf_dir: str, pct: int = _WINSOR_PCT):
+    """Winsorized per-type statistics: for every event type, the
+    exact p- and (100-p)-percentile integer-cent bounds (LOWER order
+    statistics at rank ceil(n*p/100) — deterministic, no averaging)
+    and the sum of values clipped into [lo, hi] — the outlier-robust
+    aggregation every metrics/feature pipeline runs before training.
+    The counting form of the exact-quantile pattern: the exchange
+    carries (type, cents, cnt) partials — bounded by types x value
+    domain, never event count — and each type's bounds and clipped
+    sum fall out of one cumsum inside its hash bucket."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    nb = 16
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "cents": cents})
+        g = df.groupby(["event_type", "cents"], sort=False) \
+            .size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        h = pd.util.hash_array(g["event_type"].to_numpy(dtype=object))
+        g["__b"] = (h % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _winsor(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["event_type", "cents"], sort=False)["cnt"] \
+            .sum().reset_index()
+        full = full.sort_values(["event_type", "cents"],
+                                kind="mergesort")
+        out = []
+        for et, grp in full.groupby("event_type", sort=False):
+            c = grp["cents"].to_numpy(np.int64)
+            cnt = grp["cnt"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            tot = int(cum[-1])
+            klo = (tot * pct + 99) // 100
+            khi = (tot * (100 - pct) + 99) // 100
+            lo = int(c[np.searchsorted(cum, klo)])
+            hi = int(c[np.searchsorted(cum, khi)])
+            ws = int((np.clip(c, lo, hi) * cnt).sum())
+            out.append((et, tot, lo, hi, ws))
+        return pd.DataFrame(out, columns=[
+            "event_type", "n", "lo_cents", "hi_cents", "wsum_cents"])
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _winsor(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("event_type"))
+
+
+def sql_events_winsorize(pct: int = _WINSOR_PCT) -> str:
+    return (
+        "WITH ev AS (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "c AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) "
+        "AS cnt FROM ev GROUP BY 1, 2), "
+        "r AS (SELECT *, SUM(cnt) OVER (PARTITION BY event_type "
+        "ORDER BY cents) AS cum, SUM(cnt) OVER (PARTITION BY "
+        "event_type) AS tot FROM c), "
+        f"lo AS (SELECT event_type, MIN(cents) AS lo_cents FROM r "
+        f"WHERE cum >= (tot * {pct} + 99) // 100 GROUP BY 1), "
+        f"hi AS (SELECT event_type, MIN(cents) AS hi_cents FROM r "
+        f"WHERE cum >= (tot * {100 - pct} + 99) // 100 GROUP BY 1) "
+        "SELECT c.event_type, CAST(SUM(cnt) AS BIGINT) AS n, "
+        "lo_cents, hi_cents, "
+        "CAST(SUM(GREATEST(LEAST(cents, hi_cents), lo_cents) * cnt) "
+        "AS BIGINT) AS wsum_cents "
+        "FROM c JOIN lo USING (event_type) JOIN hi USING (event_type) "
+        "GROUP BY 1, 3, 4 ORDER BY 1")
+
+
 def q_events_rollup(sf_dir: str):
     """Multi-level rollup (GROUP BY ROLLUP(event_type, day)) computed
     from ONE pass of base partials: the (type, day) combiner rows
@@ -5825,29 +6013,22 @@ _MISMATCH_EVERY = 10    # re-encode variants (same caption)
 _MISMATCH_MIS = 25      # planted mislabels (caption off by one)
 
 
-def q_image_caption_mismatch(sf_dir: str, max_hamming: int = 3,
-                             every: int = _MISMATCH_EVERY,
-                             mis: int = _MISMATCH_MIS):
-    """Mislabeled near-duplicate detection: pairs of images whose
-    pixels are perceptually identical (phash Hamming <= max_hamming)
-    but whose CAPTIONS differ — the image+caption curation defect
-    this engine's north star targets (a re-encoded copy carrying the
-    wrong alt text poisons contrastive training).  The population
-    plants two row classes over the base table: every ``every``-th
-    image gets a re-encode variant (perturbed phash, SAME caption —
-    must NOT be flagged) and every ``mis``-th image a mislabeled twin
-    (1-bit phash drift, caption of the NEXT index — must be flagged).
-    Candidate generation is the exact pigeonhole-banded Hamming ball
-    (stages/dedup.hamming_ball_pairs); the caption check is pure
-    index arithmetic on this synthetic population, so the filter
-    rides the pair stream without any join.  The SQL oracle mirrors
-    the full chain: splitmix synthesis, both planted populations, the
-    band equi-joins, bit_count verify, and the caption inequality."""
+def _mm_caption_of(img: np.ndarray, n: int) -> np.ndarray:
+    """Caption id of a mixed-population image row: base i -> caption
+    i; re-encode variant i+n -> caption i; mislabeled twin i+2n ->
+    caption i+1."""
+    return np.where(img < n, img,
+                    np.where(img < 2 * n, img - n, img - 2 * n + 1))
+
+
+def _mm_population(n: int, every: int, mis: int):
+    """The mixed image population shared by the caption-mismatch and
+    multimodal-cluster queries: n base rows, a re-encode variant
+    (perturbed phash, same caption) for every ``every``-th image and
+    a mislabeled twin (1-bit phash drift, next caption) for every
+    ``mis``-th — as a streaming (img, phash) dataset."""
     import ray.data as rd
     from ..sources.images import phash_for_index
-    from ..stages.dedup import hamming_ball_pairs
-
-    n = _sf_num_images(sf_dir)
 
     def _rows(batch: pa.Table) -> pa.Table:
         i = batch.column("id").to_numpy().astype(np.int64)
@@ -5868,22 +6049,39 @@ def q_image_caption_mismatch(sf_dir: str, max_hamming: int = 3,
                  (pm ^ mmask).view(np.int64)]), pa.int64()),
         })
 
-    rows = rd.range(n, override_num_blocks=32) \
+    return rd.range(n, override_num_blocks=32) \
         .map_batches(_rows, batch_format="pyarrow")
+
+
+def q_image_caption_mismatch(sf_dir: str, max_hamming: int = 3,
+                             every: int = _MISMATCH_EVERY,
+                             mis: int = _MISMATCH_MIS):
+    """Mislabeled near-duplicate detection: pairs of images whose
+    pixels are perceptually identical (phash Hamming <= max_hamming)
+    but whose CAPTIONS differ — the image+caption curation defect
+    this engine's north star targets (a re-encoded copy carrying the
+    wrong alt text poisons contrastive training).  The population
+    plants two row classes over the base table: every ``every``-th
+    image gets a re-encode variant (perturbed phash, SAME caption —
+    must NOT be flagged) and every ``mis``-th image a mislabeled twin
+    (1-bit phash drift, caption of the NEXT index — must be flagged).
+    Candidate generation is the exact pigeonhole-banded Hamming ball
+    (stages/dedup.hamming_ball_pairs); the caption check is pure
+    index arithmetic on this synthetic population, so the filter
+    rides the pair stream without any join.  The SQL oracle mirrors
+    the full chain: splitmix synthesis, both planted populations, the
+    band equi-joins, bit_count verify, and the caption inequality."""
+    from ..stages.dedup import hamming_ball_pairs
+
+    n = _sf_num_images(sf_dir)
+    rows = _mm_population(n, every, mis)
     pairs = hamming_ball_pairs(rows, id_col="img", hash_col="phash",
                                max_hamming=max_hamming)
-
-    def _caption_of(img: np.ndarray) -> np.ndarray:
-        # base i -> caption i; variant i+n -> caption i;
-        # mislabeled twin i+2n -> caption i+1
-        return np.where(img < n, img,
-                        np.where(img < 2 * n, img - n,
-                                 img - 2 * n + 1))
 
     def _mismatch_only(b: pa.Table) -> pa.Table:
         a = b.column("doc_a").to_numpy().astype(np.int64)
         c = b.column("doc_b").to_numpy().astype(np.int64)
-        keep = _caption_of(a) != _caption_of(c)
+        keep = _mm_caption_of(a, n) != _mm_caption_of(c, n)
         sel = b.filter(pa.array(keep, pa.bool_()))
         return pa.table({"id_a": sel.column("doc_a"),
                          "id_b": sel.column("doc_b"),
@@ -5893,21 +6091,25 @@ def q_image_caption_mismatch(sf_dir: str, max_hamming: int = 3,
         .sort(["id_a", "id_b"])
 
 
-def sql_image_caption_mismatch(num_images: int = 10_000,
-                               max_hamming: int = 3,
-                               every: int = _MISMATCH_EVERY,
-                               mis: int = _MISMATCH_MIS) -> str:
+def _mm_cap_sql(col: str, n: int) -> str:
+    """Caption id of a mixed-population image row (SQL mirror of
+    q_image_caption_mismatch._caption_of)."""
+    return (f"CASE WHEN {col} < {n} THEN {col} "
+            f"WHEN {col} < {2 * n} THEN {col} - {n} "
+            f"ELSE {col} - {2 * n} + 1 END")
+
+
+def _mm_pop_ctes(n: int, every: int, mis: int, max_hamming: int) -> str:
+    """Shared CTE chain for the mixed image population: splitmix
+    phash synthesis, the re-encode variants, the mislabeled twins,
+    the pigeonhole band expansion and the exact Hamming candidate
+    pairs (CTEs: idx, ph*, base, vars, mis, allr, bands, cand)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     gold = f"CAST({_GOLDEN} AS UBIGINT)"
     vmask = (f"CAST(((CAST(1 AS BIGINT) << CAST(k % 4 AS INTEGER)) - 1) "
              f"<< CAST(k % 61 AS INTEGER) AS UBIGINT)")
     mmask = f"CAST(CAST(1 AS BIGINT) << CAST(k % 59 AS INTEGER) AS UBIGINT)"
-    n = num_images
-    def cap(col: str) -> str:
-        return (f"CASE WHEN {col} < {n} THEN {col} "
-                f"WHEN {col} < {2 * n} THEN {col} - {n} "
-                f"ELSE {col} - {2 * n} + 1 END")
     sm = _splitmix_ctes("ph", "idx", "k",
                         f"xor(CAST(k AS UBIGINT), {gold})")
     bands = " UNION ALL ".join(
@@ -5915,7 +6117,7 @@ def sql_image_caption_mismatch(num_images: int = 10_000,
         f"CAST((v >> {c * width}) & {(1 << width) - 1} AS BIGINT) AS bv "
         f"FROM allr" for c in range(n_bands))
     return (
-        f"WITH idx AS (SELECT k FROM range(0, {n}) t(k)), "
+        f"idx AS (SELECT k FROM range(0, {n}) t(k)), "
         f"{sm}, "
         f"base AS (SELECT k AS img, v FROM ph), "
         f"vars AS (SELECT k + {n} AS img, xor(v, {vmask}) AS v "
@@ -5928,12 +6130,116 @@ def sql_image_caption_mismatch(num_images: int = 10_000,
         f"cand AS (SELECT DISTINCT a.img AS id_a, b.img AS id_b, "
         f"CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming "
         f"FROM bands a JOIN bands b ON a.band = b.band "
-        f"AND a.bv = b.bv AND a.img < b.img), "
+        f"AND a.bv = b.bv AND a.img < b.img)")
+
+
+def sql_image_caption_mismatch(num_images: int = 10_000,
+                               max_hamming: int = 3,
+                               every: int = _MISMATCH_EVERY,
+                               mis: int = _MISMATCH_MIS) -> str:
+    n = num_images
+    return (
+        f"WITH {_mm_pop_ctes(n, every, mis, max_hamming)}, "
         f"caps AS (SELECT id_a, id_b, hamming, "
-        f"{cap('id_a')} AS cap_a, {cap('id_b')} AS cap_b FROM cand) "
+        f"{_mm_cap_sql('id_a', n)} AS cap_a, "
+        f"{_mm_cap_sql('id_b', n)} AS cap_b FROM cand) "
         f"SELECT id_a, id_b, hamming FROM caps "
         f"WHERE hamming <= {max_hamming} AND cap_a <> cap_b "
         f"ORDER BY id_a, id_b")
+
+
+def q_multimodal_clusters(sf_dir: str, max_hamming: int = 3,
+                          every: int = _MISMATCH_EVERY,
+                          mis: int = _MISMATCH_MIS):
+    """Cross-modal duplicate clustering: connected components over
+    the UNION of two edge types on the mixed image population —
+    pixel edges (phash Hamming <= max_hamming, exact pigeonhole-
+    banded ball join) and caption edges (exact caption equality) —
+    with rep = min image id per cluster.  This is the real-world
+    multimodal dedup shape: a re-encoded copy links to its base by
+    pixels, a mislabeled twin links one caption group to another by
+    pixels while belonging to the next group by text, so components
+    span modalities and single-modality dedup under-merges.  Caption
+    edges come from a bucketed exact-dup star pass (min-id per
+    caption group), pixel edges from hamming_ball_pairs, and the
+    merge is stages/cc's contract: O(log diameter) label rounds,
+    only int64 (node, label) pairs on the wire."""
+    import ray.data as rd
+    from ..stages.cc import connected_components
+    from ..stages.dedup import hamming_ball_pairs
+    from ..stages.sample import _splitmix
+
+    n = _sf_num_images(sf_dir)
+    rows = _mm_population(n, every, mis)
+    ppairs = hamming_ball_pairs(rows, id_col="img", hash_col="phash",
+                                max_hamming=max_hamming) \
+        .map_batches(lambda b: pa.table({"a": b.column("doc_a"),
+                                         "b": b.column("doc_b")}),
+                     batch_format="pyarrow")
+
+    nb = 64
+
+    def _cap_rows(batch: pa.Table) -> pa.Table:
+        img = batch.column("img").to_numpy().astype(np.int64)
+        cap = _mm_caption_of(img, n)
+        return pa.table({
+            "cap": pa.array(cap, pa.int64()),
+            "img": pa.array(img, pa.int64()),
+            "__b": pa.array((_splitmix(cap.astype(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _stars(g) -> "pd.DataFrame":
+        import pandas as pd
+        df = g.sort_values(["cap", "img"], kind="mergesort")
+        cap = df["cap"].to_numpy(np.int64)
+        img = df["img"].to_numpy(np.int64)
+        new = np.r_[True, cap[1:] != cap[:-1]]
+        seg = np.cumsum(new) - 1
+        rep = img[new][seg]          # min img per caption group
+        keep = img != rep
+        return pd.DataFrame({"a": rep[keep], "b": img[keep]})
+
+    cpairs = rows.map_batches(_cap_rows, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: _stars(g.drop(columns=["__b"])),
+                    batch_format="pandas")
+
+    nodes = rows.map_batches(
+        lambda b: pa.table({"img": b.column("img")}),
+        batch_format="pyarrow")
+    labels, _info = connected_components(
+        ppairs.union(cpairs), nodes_ds=nodes, node_col="img")
+    return labels.map_batches(
+        lambda b: pa.table({"img": b.column("node"),
+                            "rep": b.column("rep")}),
+        batch_format="pyarrow").sort("img")
+
+
+def sql_multimodal_clusters(num_images: int = 10_000,
+                            max_hamming: int = 3,
+                            every: int = _MISMATCH_EVERY,
+                            mis: int = _MISMATCH_MIS) -> str:
+    n = num_images
+    return (
+        f"WITH RECURSIVE {_mm_pop_ctes(n, every, mis, max_hamming)}, "
+        f"allc AS (SELECT img, {_mm_cap_sql('img', n)} AS cap "
+        f"FROM allr), "
+        f"ppairs AS (SELECT id_a AS a, id_b AS b FROM cand "
+        f"WHERE hamming <= {max_hamming}), "
+        f"cpairs AS (SELECT x.img AS a, y.img AS b FROM allc x "
+        f"JOIN allc y ON y.cap = x.cap AND x.img < y.img), "
+        f"pairs AS (SELECT a, b FROM ppairs UNION "
+        f"SELECT a, b FROM cpairs), "
+        f"sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+        f"comp(node, label) AS ("
+        f" SELECT img, img FROM allr"
+        f" UNION"
+        f" SELECT s.b, c.label FROM comp c JOIN sym s ON s.a = c.node"
+        f" WHERE c.label < s.b"
+        f") SELECT node AS img, MIN(label) AS rep FROM comp "
+        f"GROUP BY node ORDER BY img")
 
 
 _RESAMPLE_STEP_US = 86_400_000_000  # 1 day
@@ -9924,6 +10230,99 @@ def sql_grid_mode(size_deg: float = 10.0) -> str:
         "total FROM r WHERE rk = 1 ORDER BY glat, glng")
 
 
+def q_join_counts(sf_dir: str, size_deg: float = 10.0):
+    """Join-count statistics (Cliff-Ord): over the 10-degree modal-
+    type raster (grid_mode's argmax lattice), count rook-adjacent
+    cell pairs per unordered (type, type) combination — the
+    categorical spatial-autocorrelation statistic (BB/BW join counts
+    generalized to k categories).  The modal lattice is resolution-
+    bounded (<= 32x128 cells at any data size), so after the
+    distributed bucketed mode resolution the adjacency pair count is
+    a legitimate driver merge (the moran_grid / getis_ord precedent:
+    key domain bounded by the grid, not the data)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    nb = 64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "glat": np.floor(lat / size_deg).astype(np.int64),
+            "glng": np.floor(lng / size_deg).astype(np.int64),
+            "event_type": batch.column("event_type").to_pandas(),
+        })
+        g = df.groupby(["glat", "glng", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        cell = ((g["glat"].to_numpy() + 32) * 128
+                + (g["glng"].to_numpy() + 64)).astype(np.uint64)
+        g["__b"] = (_splitmix(cell) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _mode(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["glat", "glng", "event_type"],
+                         sort=False)["n"].sum().reset_index()
+        full = full.sort_values(["glat", "glng", "n", "event_type"],
+                                ascending=[True, True, False, True],
+                                kind="mergesort")
+        top = full.groupby(["glat", "glng"], sort=False).head(1)
+        return top[["glat", "glng", "event_type"]]
+
+    modes = (ev.map_batches(_partial, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: _mode(g.drop(columns=["__b"])),
+                         batch_format="pandas")).to_pandas()
+    if len(modes) > 1_000_000:
+        raise ValueError(
+            f"{len(modes)} modal cells; the lattice-bounded driver "
+            "merge contract does not hold at this resolution")
+
+    east = modes.merge(
+        modes.assign(glng=modes["glng"] - 1),
+        on=["glat", "glng"], suffixes=("_a", "_b"))
+    north = modes.merge(
+        modes.assign(glat=modes["glat"] - 1),
+        on=["glat", "glng"], suffixes=("_a", "_b"))
+    pairs = pd.concat([east, north], ignore_index=True)
+    ta = pairs["event_type_a"].to_numpy(dtype=object)
+    tb = pairs["event_type_b"].to_numpy(dtype=object)
+    lo = np.where(ta <= tb, ta, tb)
+    hi = np.where(ta <= tb, tb, ta)
+    out = pd.DataFrame({"type_lo": lo, "type_hi": hi}) \
+        .groupby(["type_lo", "type_hi"], sort=True) \
+        .size().reset_index(name="n_pairs")
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return rd.from_pandas(out)
+
+
+def sql_join_counts(size_deg: float = 10.0) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH ev AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng, "
+        "event_type FROM events), "
+        "c AS (SELECT glat, glng, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2, 3), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY glat, glng "
+        "ORDER BY n DESC, event_type) AS rk FROM c), "
+        "m AS (SELECT glat, glng, event_type AS t FROM r WHERE rk = 1), "
+        "pairs AS ("
+        "SELECT a.t AS ta, b.t AS tb FROM m a JOIN m b "
+        "ON b.glat = a.glat AND b.glng = a.glng + 1 "
+        "UNION ALL "
+        "SELECT a.t, b.t FROM m a JOIN m b "
+        "ON b.glat = a.glat + 1 AND b.glng = a.glng) "
+        "SELECT LEAST(ta, tb) AS type_lo, GREATEST(ta, tb) AS type_hi, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM pairs GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10146,6 +10545,10 @@ def _authored_queries() -> Dict:
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "image_caption_mismatch": q_image_caption_mismatch,
+        "events_overlap": q_events_overlap,
+        "multimodal_clusters": q_multimodal_clusters,
+        "events_winsorize": q_events_winsorize,
+        "join_counts": q_join_counts,
     }
 
 
@@ -10269,6 +10672,10 @@ def oracle_sql() -> Dict[str, str]:
         "decontaminate": sql_decontaminate(),
         "lm_score": sql_lm_score(),
         "image_caption_mismatch": sql_image_caption_mismatch(),
+        "events_overlap": sql_events_overlap(),
+        "multimodal_clusters": sql_multimodal_clusters(),
+        "events_winsorize": sql_events_winsorize(),
+        "join_counts": sql_join_counts(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

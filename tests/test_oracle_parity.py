@@ -88,6 +88,8 @@ ORACLE_CHECKED = [
     "inverted_index", "knn_core", "heavy_hitters", "user_bbox",
     "grid_median", "knn_regression",
     "tpch_q9", "decontaminate", "lm_score", "image_caption_mismatch",
+    "events_overlap", "multimodal_clusters", "events_winsorize",
+    "join_counts",
 ]
 
 
