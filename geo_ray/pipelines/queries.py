@@ -9748,6 +9748,178 @@ def sql_colocation_support() -> str:
         "ORDER BY 1, 2")
 
 
+def q_traj_hausdorff(sf_dir: str):
+    """Trajectory-similarity join: the exact symmetric Hausdorff
+    distance (integer centi-degree L1 metric — the synthetic lattice
+    makes coordinates exact integers, so the statistic is hash-exact)
+    between every CO-LOCATED user pair's point sets.  The trajectory-
+    mining shape (contact tracing, convoy detection, track
+    clustering) with the scale discipline explicit: candidate pairs
+    come from the exactly-once colocation join — never all user
+    pairs — and tracks replicate only per candidate pair:
+
+      1. colocation pairs -> distinct packed (u << 32 | v) pair keys
+         (bucketed distinct, int64 rows only);
+      2. one user-hash tagged-union co-partition attaches each user's
+         deduplicated centi-degree point set to every pair that
+         references it (per-pair replication, bounded by the
+         colocation degree);
+      3. per-pair buckets compute max-min both directions in one
+         broadcast |A| x |B| integer matrix.
+    """
+    import pandas as pd
+    from ..stages.bucket_join import bucketed_join
+    from ..stages.sample import _splitmix
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    coloc = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+    nb = 64
+
+    # 1. distinct packed pair keys
+    def _pk_rows(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.uint64)
+        ub = batch.column("user_b").to_numpy().astype(np.uint64)
+        lo = np.minimum(ua, ub)
+        hi = np.maximum(ua, ub)
+        pk = np.unique((lo << np.uint64(32)) | hi)
+        return pa.table({
+            "pk": pa.array(pk.view(np.int64), pa.int64()),
+            "__b": pa.array((_splitmix(pk) % np.uint64(nb))
+                            .astype(np.int32), pa.int32())})
+
+    pairs = coloc.map_batches(_pk_rows, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: pd.DataFrame(
+            {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
+            batch_format="pandas")
+
+    # 2. attach each user's dedup'd centi-degree points per pair
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().astype(np.uint64)
+        u = (pk >> np.uint64(32)).astype(np.int64)
+        v = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        n = len(pk)
+        return pa.table({
+            "key": pa.array(np.concatenate([u, v]), pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]).view(np.int64),
+                           pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                pa.int8()),
+            "clat": pa.nulls(2 * n, pa.int64()),
+            "clng": pa.nulls(2 * n, pa.int64()),
+        })
+
+    def _point_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        clat = (k * 7919) % 17000 - 8500
+        clng = (k * 104729) % 36000 - 18000
+        df = pd.DataFrame({"key": u, "clat": clat, "clng": clng}) \
+            .drop_duplicates()
+        m = len(df)
+        return pa.table({
+            "key": pa.array(df["key"].to_numpy(np.int64), pa.int64()),
+            "pk": pa.nulls(m, pa.int64()),
+            "side": pa.nulls(m, pa.int8()),
+            "clat": pa.array(df["clat"].to_numpy(np.int64), pa.int64()),
+            "clng": pa.array(df["clng"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def _replicate(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["pk"].isna()]
+        prs = g[g["pk"].notna()]
+        out = prs[["key", "pk", "side"]].merge(
+            pts[["key", "clat", "clng"]], on="key")
+        return pd.DataFrame({
+            "pk": out["pk"].to_numpy(np.float64).astype(np.int64),
+            "side": out["side"].to_numpy(np.float64).astype(np.int8),
+            "clat": out["clat"].to_numpy(np.int64),
+            "clng": out["clng"].to_numpy(np.int64)})
+
+    rep = bucketed_join(
+        [pairs.map_batches(_pair_rows, batch_format="pyarrow"),
+         ev.map_batches(_point_rows, batch_format="pyarrow")],
+        "key", _replicate, num_buckets=nb)
+
+    # 3. per-pair symmetric Hausdorff inside pair-hash buckets
+    def _tag_pk(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().astype(np.uint64)
+        return batch.append_column("__b", pa.array(
+            (_splitmix(pk) % np.uint64(nb)).astype(np.int32),
+            pa.int32()))
+
+    def _hausdorff(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v, out_h = [], [], []
+        for pk, grp in g.groupby("pk", sort=False):
+            a = grp[grp["side"] == 0]
+            b = grp[grp["side"] == 1]
+            pa_ = a[["clat", "clng"]].to_numpy(np.int64)
+            pb_ = b[["clat", "clng"]].to_numpy(np.int64)
+            if not len(pa_) or not len(pb_):
+                continue
+            d = (np.abs(pa_[:, None, 0] - pb_[None, :, 0])
+                 + np.abs(pa_[:, None, 1] - pb_[None, :, 1]))
+            h = max(int(d.min(axis=1).max()), int(d.min(axis=0).max()))
+            u = int(np.uint64(pk) >> np.uint64(32))
+            v = int(np.uint64(pk) & np.uint64(0xFFFFFFFF))
+            out_u.append(u)
+            out_v.append(v)
+            out_h.append(h)
+        return pd.DataFrame({
+            "user_a": np.asarray(out_u, np.int64),
+            "user_b": np.asarray(out_v, np.int64),
+            "hausdorff_cd": np.asarray(out_h, np.int64)})
+
+    return (rep.map_batches(_tag_pk, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _hausdorff(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["user_a", "user_b"]))
+
+
+def sql_traj_hausdorff() -> str:
+    base = sql_colocation_support()
+    head = base[:base.index("nb AS")].rstrip().rstrip(",")
+    return (
+        f"{head}, "
+        "cpts AS (SELECT DISTINCT user_id, "
+        "(event_id * 7919) % 17000 - 8500 AS clat, "
+        "(event_id * 104729) % 36000 - 18000 AS clng FROM events), "
+        "m1 AS (SELECT e.u, e.v, p.clat, p.clng, "
+        "MIN(ABS(p.clat - q.clat) + ABS(p.clng - q.clng)) AS md "
+        "FROM ed e JOIN cpts p ON p.user_id = e.u "
+        "JOIN cpts q ON q.user_id = e.v GROUP BY 1, 2, 3, 4), "
+        "h1 AS (SELECT u, v, MAX(md) AS h FROM m1 GROUP BY 1, 2), "
+        "m2 AS (SELECT e.u, e.v, p.clat, p.clng, "
+        "MIN(ABS(p.clat - q.clat) + ABS(p.clng - q.clng)) AS md "
+        "FROM ed e JOIN cpts p ON p.user_id = e.v "
+        "JOIN cpts q ON q.user_id = e.u GROUP BY 1, 2, 3, 4), "
+        "h2 AS (SELECT u, v, MAX(md) AS h FROM m2 GROUP BY 1, 2) "
+        "SELECT h1.u AS user_a, h1.v AS user_b, "
+        "CAST(GREATEST(h1.h, h2.h) AS BIGINT) AS hausdorff_cd "
+        "FROM h1 JOIN h2 ON h2.u = h1.u AND h2.v = h1.v "
+        "ORDER BY 1, 2")
+
+
 def q_user_top_types(sf_dir: str, k: int = 3):
     """Per-user top-k event types by count (deterministic ties: count
     DESC, type ASC) — the per-entity leaderboard shape.  One shuffle:
@@ -10549,6 +10721,7 @@ def _authored_queries() -> Dict:
         "multimodal_clusters": q_multimodal_clusters,
         "events_winsorize": q_events_winsorize,
         "join_counts": q_join_counts,
+        "traj_hausdorff": q_traj_hausdorff,
     }
 
 
@@ -10676,6 +10849,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_clusters": sql_multimodal_clusters(),
         "events_winsorize": sql_events_winsorize(),
         "join_counts": sql_join_counts(),
+        "traj_hausdorff": sql_traj_hausdorff(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
