@@ -183,7 +183,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "tpch_q9", "decontaminate", "lm_score",
                  "image_caption_mismatch", "events_overlap",
                  "multimodal_clusters", "events_winsorize",
-                 "join_counts", "traj_hausdorff"]
+                 "join_counts", "traj_hausdorff", "stratified_sample",
+                 "doc_pmi", "events_kmeans"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

@@ -1597,6 +1597,48 @@ def sql_heavy_hitters(threshold: int = _HH_THRESHOLD) -> str:
         f"GROUP BY term HAVING COUNT(*) >= {threshold} ORDER BY term")
 
 
+_STRAT_QUOTA = 200
+
+
+def q_stratified_sample(sf_dir: str, quota: int = _STRAT_QUOTA):
+    """Stratified quota sampling: for every event type, the ``quota``
+    events with the smallest splitmix64(event_id) hash — the
+    class-balanced deterministic sample every training pipeline draws
+    (uniform within stratum, coordination-free, stable across runs
+    and partitionings).  Rides the mergeable grouped_topk combiner
+    (negated hash = top-k by smallest), so at most quota rows per
+    stratum leave any block regardless of stratum size."""
+    from ..stages.sample import _splitmix
+    from ..stages.topk import grouped_topk
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy().astype(np.uint64)
+        h = (_splitmix(ids) >> np.uint64(1)).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "neg_h": pa.array(-h, pa.int64()),
+        })
+
+    top = grouped_topk(ev.map_batches(_tag, batch_format="pyarrow"),
+                       "event_type", "neg_h", "event_id", quota)
+    return top.select_columns(["event_type", "event_id", "rank"]) \
+        .sort(["event_type", "rank"])
+
+
+def sql_stratified_sample(quota: int = _STRAT_QUOTA) -> str:
+    return (
+        f"WITH ev AS (SELECT event_id, event_type FROM events), "
+        f"{_splitmix_ctes('hx', 'ev', 'event_id, event_type', 'CAST(event_id AS UBIGINT)')}, "
+        f"r AS (SELECT event_type, event_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY event_type ORDER BY v >> 1, event_id) AS rank "
+        f"FROM hx) "
+        f"SELECT event_type, event_id, CAST(rank AS BIGINT) AS rank "
+        f"FROM r WHERE rank <= {quota} ORDER BY event_type, rank")
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
     from ..stages.dedup import exact_dedup
@@ -2124,6 +2166,156 @@ def sql_lm_score(scale: int = _LM_SCALE) -> str:
         "AS lm_score_units "
         "FROM d JOIN g2 USING (w1, w2) JOIN g1 USING (w1) "
         "GROUP BY 1 ORDER BY 1")
+
+
+_PMI_MIN_COUNT = 25
+_PMI_SCALE = 1_000_000
+
+
+def q_doc_pmi(sf_dir: str, min_count: int = _PMI_MIN_COUNT,
+              scale: int = _PMI_SCALE):
+    """PMI collocation mining: for every word bigram occurring >=
+    min_count times, the integer-exact pointwise-mutual-information
+    ratio
+
+        pmi_units = ((c_ab * scale) // c1 * T) // c2
+
+    (c1/c2 = the word's occurrences as bigram first/second, T = total
+    bigrams) — monotone in the classic PMI = log(P(ab)/(P(a)P(b))),
+    kept in two staged floor divisions so every intermediate fits
+    int64 at any corpus size (first quotient <= scale, then x T <=
+    scale x T).  Two narrow co-partitions: a w1-hash bucket resolves
+    global pair counts and first-word totals in one body (emitting a
+    per-bucket scalar partial whose driver sum IS T — no extra pass),
+    then the qualifying pairs meet the UNFILTERED second-word totals
+    in a w2-hash tagged union, so sub-threshold pairs still count
+    toward the denominators."""
+    import pandas as pd
+    from ..stages.text import tokens_of
+
+    ds = _read(sf_dir, "documents", ["text"])
+    nb = 64
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[tuple]" = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = [w.lower() for w in tokens_of(t)]
+            c.update((a, b) for a, b in zip(toks, toks[1:])
+                     if a and b)
+        keys = list(c.keys())
+        w1 = np.array([k[0] for k in keys], dtype=object)
+        h = pd.util.hash_array(w1) if len(keys) else \
+            np.array([], np.uint64)
+        return pa.table({
+            "w1": pa.array(list(w1), pa.string()),
+            "w2": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array(np.array([int(v) for v in c.values()],
+                                     np.int64), pa.int64()),
+            "__b": pa.array((h % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    def _first_pass(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["w1", "w2"], sort=False)["cnt"].sum() \
+            .reset_index()
+        c1 = full.groupby("w1", sort=False)["cnt"].sum().rename("c1")
+        cand = full[full["cnt"] >= min_count].merge(c1, on="w1")
+        out = pd.DataFrame({
+            "w1": cand["w1"], "w2": cand["w2"],
+            "c_ab": cand["cnt"].to_numpy(np.int64),
+            "c1": cand["c1"].to_numpy(np.int64)})
+        # per-bucket scalar partial: the bucket's share of T
+        out = pd.concat([out, pd.DataFrame({
+            "w1": [""], "w2": [""],
+            "c_ab": np.array([-1], np.int64),
+            "c1": np.array([int(full["cnt"].sum())], np.int64)})],
+            ignore_index=True)
+        return out
+
+    stage1 = ds.map_batches(_explode, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: _first_pass(g.drop(columns=["__b"])),
+                    batch_format="pandas")
+
+    parts = stage1.to_pandas()
+    tmask = parts["c_ab"].to_numpy() == -1
+    T = int(parts.loc[tmask, "c1"].sum())
+    cand = parts[~tmask]
+
+    # second co-partition: qualifying pairs meet UNFILTERED w2 totals
+    import ray.data as rd
+
+    def _cand_rows(batch: pa.Table) -> pa.Table:
+        w2 = batch.column("w2").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(w2.astype(object))
+        return pa.table({
+            "w2": batch.column("w2"),
+            "w1": batch.column("w1"),
+            "c_ab": batch.column("c_ab"),
+            "c1": batch.column("c1"),
+            "__b": pa.array((h % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    def _w2_partials(batch: pa.Table) -> pa.Table:
+        df = pa.table({"w2": batch.column("w2"),
+                       "cnt": batch.column("cnt")}).to_pandas()
+        g = df.groupby("w2", sort=False)["cnt"].sum().reset_index()
+        h = pd.util.hash_array(g["w2"].to_numpy(dtype=object))
+        return pa.table({
+            "w2": pa.array(g["w2"], pa.string()),
+            "w1": pa.nulls(len(g), pa.string()),
+            "c_ab": pa.nulls(len(g), pa.int64()),
+            "c1": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            "__b": pa.array((h % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    def _attach_c2(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g[g["c_ab"].isna()]
+        c2 = tot.groupby("w2", sort=False)["c1"].sum().rename("c2")
+        cnd = g[g["c_ab"].notna()].merge(c2, on="w2")
+        c_ab = cnd["c_ab"].to_numpy(np.float64).astype(np.int64)
+        c1_ = cnd["c1"].to_numpy(np.float64).astype(np.int64)
+        c2_ = cnd["c2"].to_numpy(np.int64)
+        pmi = ((c_ab * np.int64(scale)) // c1_ * np.int64(T)) // c2_
+        return pd.DataFrame({
+            "w1": cnd["w1"], "w2": cnd["w2"], "n": c_ab,
+            "pmi_units": pmi})
+
+    cand_ds = rd.from_pandas(cand.reset_index(drop=True)) \
+        .map_batches(_cand_rows, batch_format="pyarrow")
+    w2_ds = ds.map_batches(_explode, batch_format="pyarrow") \
+        .map_batches(_w2_partials, batch_format="pyarrow")
+    return (cand_ds.union(w2_ds)
+            .groupby("__b")
+            .map_groups(lambda g: _attach_c2(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["w1", "w2"]))
+
+
+def sql_doc_pmi(min_count: int = _PMI_MIN_COUNT,
+                scale: int = _PMI_SCALE) -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, generate_subscripts("
+        "string_split_regex(trim(text), '\\s+'), 1) AS pos, "
+        "lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term "
+        "FROM documents), "
+        "bg AS (SELECT a.term AS w1, b.term AS w2 "
+        "FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+        "AND b.pos = a.pos + 1 "
+        "WHERE a.term <> '' AND b.term <> ''), "
+        "g2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab "
+        "FROM bg GROUP BY 1, 2), "
+        "c1 AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c1 "
+        "FROM g2 GROUP BY 1), "
+        "c2 AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c2 "
+        "FROM g2 GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS tt FROM g2) "
+        "SELECT g2.w1, g2.w2, g2.c_ab AS n, "
+        f"CAST((((g2.c_ab * {scale}) // c1.c1) * t.tt) // c2.c2 "
+        "AS BIGINT) AS pmi_units "
+        "FROM g2 CROSS JOIN t "
+        "JOIN c1 ON c1.w1 = g2.w1 JOIN c2 ON c2.w2 = g2.w2 "
+        f"WHERE g2.c_ab >= {min_count} ORDER BY 1, 2")
 
 
 def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
@@ -10402,6 +10594,153 @@ def sql_grid_mode(size_deg: float = 10.0) -> str:
         "total FROM r WHERE rk = 1 ORDER BY glat, glng")
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def q_events_kmeans(sf_dir: str, k: int = _KMEANS_K,
+                    iters: int = _KMEANS_ITERS):
+    """Integer-exact Lloyd's k-means over the event lattice: ``iters``
+    assignment/update rounds on the centi-degree integer coordinates,
+    deterministic everywhere — squared-L2 assignment with ties to the
+    smallest cluster index, centroid update by nonnegative-shifted
+    floor division (numpy floors, DuckDB truncates; shifting the
+    numerator into the nonnegative domain makes them agree bit-for-
+    bit), empty clusters keep their previous centroid.  The iterative
+    ML shape with the scale contract explicit: each round is ONE
+    streaming pass emitting k x 3 int64 partials per batch (points
+    compress to weighted distinct coordinates first), merged driver-
+    side (k-bounded, the driver_merged_sum contract) — no shuffle at
+    any round.  Output: per cluster the final centroid, member count
+    and exact within-cluster squared error (wss < 2^63 up to ~10^12
+    points at this lattice span).  SQL oracle: the identical rounds
+    unrolled as CTEs over weighted distinct points."""
+    import pandas as pd
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        kk = batch.column("event_id").to_numpy().astype(np.int64)
+        la = (kk * 7919) % 17000 - 8500
+        lo = (kk * 104729) % 36000 - 18000
+        df = pd.DataFrame({"la": la, "lo": lo})
+        g = df.groupby(["la", "lo"], sort=False).size() \
+            .reset_index(name="w")
+        g["w"] = g["w"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pts = ev.map_batches(_pts, batch_format="pyarrow").materialize()
+
+    cla = np.array([-8500 + ((2 * j + 1) * 17000) // (2 * k)
+                    for j in range(k)], np.int64)
+    clo = np.array([-18000 + ((2 * j + 1) * 36000) // (2 * k)
+                    for j in range(k)], np.int64)
+
+    def _assign(la, lo, a_cla, a_clo):
+        d2 = ((la[:, None] - a_cla[None, :]) ** 2
+              + (lo[:, None] - a_clo[None, :]) ** 2)
+        return np.argmin(d2, axis=1), d2
+
+    for _ in range(iters):
+        c_la, c_lo = cla.copy(), clo.copy()
+
+        def _partial(batch: pa.Table, a=c_la, b=c_lo) -> pa.Table:
+            la = batch.column("la").to_numpy()
+            lo = batch.column("lo").to_numpy()
+            w = batch.column("w").to_numpy()
+            j, _ = _assign(la, lo, a, b)
+            # exact int64 accumulation (np.add.at, not float bincount)
+            sla = np.zeros(k, np.int64)
+            slo = np.zeros(k, np.int64)
+            n = np.zeros(k, np.int64)
+            np.add.at(sla, j, w * la)
+            np.add.at(slo, j, w * lo)
+            np.add.at(n, j, w)
+            return pa.table({
+                "j": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                "sla": pa.array(sla, pa.int64()),
+                "slo": pa.array(slo, pa.int64()),
+                "n": pa.array(n, pa.int64())})
+
+        s = driver_merged_sum(
+            pts.map_batches(_partial, batch_format="pyarrow"),
+            ["j"], ["sla", "slo", "n"])
+        sla = s["sla"].to_numpy(np.int64)
+        slo = s["slo"].to_numpy(np.int64)
+        n = s["n"].to_numpy(np.int64)
+        nz = n > 0
+        safe = np.maximum(n, 1)
+        cla = np.where(nz, (sla + n * 18000) // safe - 18000, cla)
+        clo = np.where(nz, (slo + n * 18000) // safe - 18000, clo)
+
+    f_la, f_lo = cla.copy(), clo.copy()
+
+    def _final(batch: pa.Table) -> pa.Table:
+        la = batch.column("la").to_numpy()
+        lo = batch.column("lo").to_numpy()
+        w = batch.column("w").to_numpy()
+        j, d2 = _assign(la, lo, f_la, f_lo)
+        best = d2[np.arange(len(j)), j]
+        n = np.zeros(k, np.int64)
+        wss = np.zeros(k, np.int64)
+        np.add.at(n, j, w)
+        np.add.at(wss, j, w * best)
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64),
+                                pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "wss": pa.array(wss, pa.int64())})
+
+    out = driver_merged_sum(
+        pts.map_batches(_final, batch_format="pyarrow"),
+        ["cluster"], ["n", "wss"])
+    out["clat_c"] = f_la[out["cluster"].to_numpy(np.int64)]
+    out["clng_c"] = f_lo[out["cluster"].to_numpy(np.int64)]
+    return out[["cluster", "n", "clat_c", "clng_c", "wss"]]
+
+
+def sql_events_kmeans(k: int = _KMEANS_K,
+                      iters: int = _KMEANS_ITERS) -> str:
+    d2 = ("(p.la - c.cla) * (p.la - c.cla) "
+          "+ (p.lo - c.clo) * (p.lo - c.clo)")
+    parts = [
+        "WITH pts0 AS (SELECT (event_id * 7919) % 17000 - 8500 AS la, "
+        "(event_id * 104729) % 36000 - 18000 AS lo FROM events), "
+        "pts AS (SELECT la, lo, CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM pts0 GROUP BY 1, 2), "
+        f"c0 AS (SELECT j, -8500 + ((2 * j + 1) * 17000) // {2 * k} "
+        f"AS cla, -18000 + ((2 * j + 1) * 36000) // {2 * k} AS clo "
+        f"FROM (SELECT CAST(range AS BIGINT) AS j FROM range({k})))"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", a{i} AS (SELECT p.la, p.lo, p.w, c.j, ROW_NUMBER() "
+            f"OVER (PARTITION BY p.la, p.lo ORDER BY {d2}, c.j) AS rk "
+            f"FROM pts p CROSS JOIN c{i - 1} c), "
+            f"s{i} AS (SELECT j, CAST(SUM(w * la) AS BIGINT) AS sla, "
+            f"CAST(SUM(w * lo) AS BIGINT) AS slo, "
+            f"CAST(SUM(w) AS BIGINT) AS n "
+            f"FROM a{i} WHERE rk = 1 GROUP BY j), "
+            f"c{i} AS (SELECT pc.j, "
+            f"COALESCE((s.sla + s.n * 18000) // s.n - 18000, pc.cla) "
+            f"AS cla, "
+            f"COALESCE((s.slo + s.n * 18000) // s.n - 18000, pc.clo) "
+            f"AS clo "
+            f"FROM c{i - 1} pc LEFT JOIN s{i} s ON s.j = pc.j)")
+    parts.append(
+        f", af AS (SELECT p.la, p.lo, p.w, c.j, {d2} AS d2, "
+        f"ROW_NUMBER() OVER (PARTITION BY p.la, p.lo "
+        f"ORDER BY {d2}, c.j) AS rk "
+        f"FROM pts p CROSS JOIN c{iters} c) "
+        f"SELECT c.j AS cluster, "
+        f"CAST(COALESCE(SUM(a.w), 0) AS BIGINT) AS n, "
+        f"c.cla AS clat_c, c.clo AS clng_c, "
+        f"CAST(COALESCE(SUM(a.w * a.d2), 0) AS BIGINT) AS wss "
+        f"FROM c{iters} c LEFT JOIN (SELECT * FROM af WHERE rk = 1) a "
+        f"ON a.j = c.j GROUP BY 1, 3, 4 ORDER BY 1")
+    return "".join(parts)
+
+
 def q_join_counts(sf_dir: str, size_deg: float = 10.0):
     """Join-count statistics (Cliff-Ord): over the 10-degree modal-
     type raster (grid_mode's argmax lattice), count rook-adjacent
@@ -10722,6 +11061,9 @@ def _authored_queries() -> Dict:
         "events_winsorize": q_events_winsorize,
         "join_counts": q_join_counts,
         "traj_hausdorff": q_traj_hausdorff,
+        "stratified_sample": q_stratified_sample,
+        "doc_pmi": q_doc_pmi,
+        "events_kmeans": q_events_kmeans,
     }
 
 
@@ -10850,6 +11192,9 @@ def oracle_sql() -> Dict[str, str]:
         "events_winsorize": sql_events_winsorize(),
         "join_counts": sql_join_counts(),
         "traj_hausdorff": sql_traj_hausdorff(),
+        "stratified_sample": sql_stratified_sample(),
+        "doc_pmi": sql_doc_pmi(),
+        "events_kmeans": sql_events_kmeans(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

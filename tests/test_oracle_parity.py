@@ -89,7 +89,8 @@ ORACLE_CHECKED = [
     "grid_median", "knn_regression",
     "tpch_q9", "decontaminate", "lm_score", "image_caption_mismatch",
     "events_overlap", "multimodal_clusters", "events_winsorize",
-    "join_counts", "traj_hausdorff",
+    "join_counts", "traj_hausdorff", "stratified_sample", "doc_pmi",
+    "events_kmeans",
 ]
 
 
