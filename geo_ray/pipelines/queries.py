@@ -8693,6 +8693,130 @@ def sql_events_colocation(eps: float = _COLOC_EPS,
 _LJ_SHIP_CUTOFF = "1996-06-01"
 
 
+_DAY_US = 86_400_000_000
+
+
+def q_events_full_join(sf_dir: str):
+    """FULL OUTER join of two keyed aggregates: per (user, day),
+    click cent totals vs purchase cent totals, keeping keys present
+    on EITHER side with zero-fill on the other — the reconciliation
+    join (spend vs conversions, impressions vs engagements) that
+    left/anti joins cannot express.  The full-outer of two GROUPED
+    sides degenerates to ONE exact bucketed sum over their tagged
+    union (absent sides contribute zero rows automatically), so the
+    whole join is a single narrow exchange of per-batch partials
+    keyed by the packed (user << 20 | day) int64."""
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        u = batch.column("user_id").to_numpy().astype(np.int64)[keep]
+        day = (batch.column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // _DAY_US)[keep]
+        cents = np.round(batch.column("value").to_numpy()[keep]
+                         * 100.0).astype(np.int64)
+        is_click = (et[keep] == "click")
+        df = pd.DataFrame({
+            "key": (u << 20) | day,
+            "click_cents": np.where(is_click, cents, 0),
+            "purchase_cents": np.where(is_click, 0, cents)})
+        g = df.groupby("key", sort=False).sum().reset_index()
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(np.int64), pa.int64()),
+            "click_cents": pa.array(
+                g["click_cents"].to_numpy(np.int64), pa.int64()),
+            "purchase_cents": pa.array(
+                g["purchase_cents"].to_numpy(np.int64), pa.int64())})
+
+    agg = bucketed_sum(ev.map_batches(_partial, batch_format="pyarrow"),
+                       ["key"], ["click_cents", "purchase_cents"])
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(k >> 20, pa.int64()),
+            "day": pa.array(k & ((1 << 20) - 1), pa.int64()),
+            "click_cents": batch.column("click_cents"),
+            "purchase_cents": batch.column("purchase_cents")})
+
+    return agg.map_batches(_unpack, batch_format="pyarrow") \
+        .sort(["user_id", "day"])
+
+
+def sql_events_full_join() -> str:
+    return (
+        "WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS "
+        "day, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS click_cents FROM events WHERE event_type = 'click' "
+        "GROUP BY 1, 2), "
+        "p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS purchase_cents FROM events WHERE event_type = 'purchase' "
+        "GROUP BY 1, 2) "
+        "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+        "CAST(COALESCE(c.day, p.day) AS BIGINT) AS day, "
+        "COALESCE(c.click_cents, 0) AS click_cents, "
+        "COALESCE(p.purchase_cents, 0) AS purchase_cents "
+        "FROM c FULL OUTER JOIN p ON p.user_id = c.user_id "
+        "AND p.day = c.day ORDER BY 1, 2")
+
+
+def q_events_new_users(sf_dir: str):
+    """New-user growth curve: per day, the count of users whose FIRST
+    event falls on it — the activation metric every product pipeline
+    computes.  Exact two-step: per-batch per-user min-day partials
+    merge in user-hash buckets (the min-combiner twin of user_bbox),
+    then the day rollup is calendar-bounded, so the final count is a
+    driver merge (driver_merged_sum contract)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = 64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        day = (batch.column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // _DAY_US)
+        df = pd.DataFrame({"user_id": u, "day": day})
+        g = df.groupby("user_id", sort=False)["day"].min().reset_index()
+        g["__b"] = (_splitmix(g["user_id"].to_numpy(np.int64)
+                              .astype(np.uint64))
+                    % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _first_day(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", sort=False)["day"].min().reset_index()
+        out = f.groupby("day", sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (ev.map_batches(_partial, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(lambda g: _first_day(g.drop(columns=["__b"])),
+                          batch_format="pandas"))
+    out = driver_merged_sum(counts, ["day"], ["n"])
+    out = out.rename(columns={"n": "new_users"})
+    return rd.from_pandas(out)
+
+
+def sql_events_new_users() -> str:
+    return (
+        "WITH f AS (SELECT user_id, "
+        "MIN(epoch_us(ts) // 86400000000) AS day FROM events "
+        "GROUP BY 1) "
+        "SELECT CAST(day AS BIGINT) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS new_users FROM f "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_orders_left_join(sf_dir: str):
     """Left outer join with zero-fill: every order appears once with
     the count and exact quantity-units sum of its lineitems shipped
@@ -11064,6 +11188,8 @@ def _authored_queries() -> Dict:
         "stratified_sample": q_stratified_sample,
         "doc_pmi": q_doc_pmi,
         "events_kmeans": q_events_kmeans,
+        "events_full_join": q_events_full_join,
+        "events_new_users": q_events_new_users,
     }
 
 
@@ -11195,6 +11321,8 @@ def oracle_sql() -> Dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "doc_pmi": sql_doc_pmi(),
         "events_kmeans": sql_events_kmeans(),
+        "events_full_join": sql_events_full_join(),
+        "events_new_users": sql_events_new_users(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

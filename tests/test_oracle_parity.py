@@ -90,7 +90,7 @@ ORACLE_CHECKED = [
     "tpch_q9", "decontaminate", "lm_score", "image_caption_mismatch",
     "events_overlap", "multimodal_clusters", "events_winsorize",
     "join_counts", "traj_hausdorff", "stratified_sample", "doc_pmi",
-    "events_kmeans",
+    "events_kmeans", "events_full_join", "events_new_users",
 ]
 
 
