@@ -10236,6 +10236,158 @@ def sql_traj_hausdorff() -> str:
         "ORDER BY 1, 2")
 
 
+def q_user_components(sf_dir: str):
+    """Contact-graph connected components: the colocation join's user
+    pairs feed stages/cc, labeling every user (isolated users keep
+    themselves) with the min user id of its contact cluster — the
+    contact-tracing / community-seed operator over the
+    spatiotemporal graph.  Edges are the exactly-once colocation
+    pairs (never all user pairs); CC rounds move int64 (node, label)
+    pairs only; the recursive-CTE oracle reproduces the components
+    from the same pair predicate."""
+    from ..stages.cc import connected_components
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    coloc = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+    edges = coloc.map_batches(
+        lambda b: pa.table({"a": b.column("user_a").cast(pa.int64()),
+                            "b": b.column("user_b").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    # distinct users (exact, combiner-first: unique per batch, then
+    # per hash bucket — distinct-sized shuffle, never row-sized)
+    from ..stages.sample import _splitmix
+    import pandas as pd
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy()
+                      .astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "__b": pa.array((_splitmix(u.astype(np.uint64))
+                             % np.uint64(64)).astype(np.int32),
+                            pa.int32())})
+
+    nodes = (ev.map_batches(_uniq, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: pd.DataFrame(
+                 {"user_id": np.unique(g["user_id"]
+                                       .to_numpy(np.int64))}),
+                 batch_format="pandas"))
+    labels, _info = connected_components(edges, nodes_ds=nodes,
+                                         node_col="user_id")
+    return labels.map_batches(
+        lambda b: pa.table({"user_id": b.column("node"),
+                            "rep": b.column("rep")}),
+        batch_format="pyarrow").sort("user_id")
+
+
+def sql_user_components() -> str:
+    base = sql_colocation_support()
+    head = base[:base.index("nb AS")].rstrip().rstrip(",")
+    return (
+        f"WITH RECURSIVE {head[5:]}, "
+        "sym AS (SELECT u AS a, v AS b FROM ed "
+        "UNION SELECT v, u FROM ed), "
+        "comp(node, label) AS ("
+        " SELECT DISTINCT user_id, user_id FROM events"
+        " UNION"
+        " SELECT s.b, c.label FROM comp c JOIN sym s ON s.a = c.node"
+        " WHERE c.label < s.b"
+        ") SELECT node AS user_id, MIN(label) AS rep FROM comp "
+        "GROUP BY node ORDER BY user_id")
+
+
+_PATHS_MIN = 10
+
+
+def q_user_paths(sf_dir: str, min_count: int = _PATHS_MIN):
+    """Path mining: corpus-wide counts of time-ordered event-type
+    TRIGRAMS along each user's event sequence (ties broken by
+    event_id — deterministic), reported for every path occurring >=
+    min_count times.  The funnel/path-analytics kernel (what do
+    users do in sequence?).  One user-hash exchange: each bucket
+    sorts its users' rows once and emits vectorized trigram partials,
+    then the bounded (6^3 max) path rollup driver-merges."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    nb = 64
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "tsu": pa.array(batch.column("ts").to_numpy()
+                            .astype("datetime64[us]").astype(np.int64),
+                            pa.int64()),
+            "event_type": batch.column("event_type"),
+            "__b": pa.array((_splitmix(u.astype(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "tsu", "event_id"],
+                           kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["event_type"].to_numpy(dtype=object)
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:]) \
+            if len(u) >= 3 else np.zeros(0, bool)
+        if not same3.any():
+            return pd.DataFrame({"path": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        path = (t[:-2][same3] + " > " + t[1:-1][same3]
+                + " > " + t[2:][same3])
+        vc = pd.Series(path).value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = (ev.map_batches(_rows, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: _trigrams(g.drop(columns=["__b"])),
+                         batch_format="pandas"))
+    out = driver_merged_sum(parts, ["path"], ["n"])
+    out = out[out["n"] >= min_count].reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+def sql_user_paths(min_count: int = _PATHS_MIN) -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type, "
+        "LEAD(event_type, 1) OVER w AS t2, "
+        "LEAD(event_type, 2) OVER w AS t3 "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id)) "
+        "SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+        "WHERE t3 IS NOT NULL "
+        f"GROUP BY 1 HAVING COUNT(*) >= {min_count} ORDER BY 1")
+
+
 def q_user_top_types(sf_dir: str, k: int = 3):
     """Per-user top-k event types by count (deterministic ties: count
     DESC, type ASC) — the per-entity leaderboard shape.  One shuffle:
@@ -11190,6 +11342,8 @@ def _authored_queries() -> Dict:
         "events_kmeans": q_events_kmeans,
         "events_full_join": q_events_full_join,
         "events_new_users": q_events_new_users,
+        "user_components": q_user_components,
+        "user_paths": q_user_paths,
     }
 
 
@@ -11323,6 +11477,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_kmeans": sql_events_kmeans(),
         "events_full_join": sql_events_full_join(),
         "events_new_users": sql_events_new_users(),
+        "user_components": sql_user_components(),
+        "user_paths": sql_user_paths(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
