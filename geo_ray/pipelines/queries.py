@@ -2990,6 +2990,167 @@ def sql_events_winsorize(pct: int = _WINSOR_PCT) -> str:
         "GROUP BY 1, 3, 4 ORDER BY 1")
 
 
+def q_events_twap(sf_dir: str):
+    """Time-weighted average value per user, reported as the EXACT
+    integer (numerator, denominator) pair — num = sum of cents_i x
+    (t_{i+1} - t_i) over consecutive events (left-continuous, the
+    events_dwell convention), den = the user's total span in
+    microseconds.  The TWAP / time-weighted-telemetry kernel; no
+    division, so the contract is hash-exact (callers divide).  One
+    user-hash exchange; each bucket sorts its users once and the
+    weighted sums fall out of one shifted-difference kernel (no
+    per-user loop)."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "value"])
+    nb = 64
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "tsu": pa.array(batch.column("ts").to_numpy()
+                            .astype("datetime64[us]").astype(np.int64),
+                            pa.int64()),
+            "cents": pa.array(np.round(batch.column("value")
+                                       .to_numpy() * 100.0)
+                              .astype(np.int64), pa.int64()),
+            "__b": pa.array((_splitmix(u.astype(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _twap(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "tsu", "event_id"],
+                           kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["tsu"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        same = u[:-1] == u[1:] if len(u) > 1 else np.zeros(0, bool)
+        dt = (t[1:] - t[:-1])[same]
+        w = c[:-1][same] * dt
+        owner = u[:-1][same]
+        ou = np.unique(u)
+        num = np.zeros(len(ou), np.int64)
+        den = np.zeros(len(ou), np.int64)
+        idx = np.searchsorted(ou, owner)
+        np.add.at(num, idx, w)
+        np.add.at(den, idx, dt)
+        return pd.DataFrame({"user_id": ou, "num_cent_us": num,
+                             "den_us": den})
+
+    return (ev.map_batches(_rows, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _twap(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def sql_events_twap() -> str:
+    return (
+        "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+        "LEAD(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id) AS tn FROM events) "
+        "SELECT user_id, "
+        "CAST(COALESCE(SUM(cents * (tn - t)), 0) AS BIGINT) "
+        "AS num_cent_us, "
+        "CAST(COALESCE(SUM(tn - t), 0) AS BIGINT) AS den_us "
+        "FROM s GROUP BY user_id ORDER BY user_id")
+
+
+def q_events_ohlc(sf_dir: str):
+    """OHLC candles: per (event_type, day) the opening value (first
+    by (ts, event_id)), high, low, and closing value (last) in exact
+    integer cents — the market-candle / telemetry-rollup kernel.
+    Fully mergeable combiner: each batch emits one partial row per
+    (type, day) carrying (argmin-ts open, max, min, argmax-ts close);
+    partials merge associatively inside type-hash buckets, so the
+    exchange is partial-sized regardless of row count."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type",
+                                  "value"])
+    nb = 16
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": batch.column("ts").to_numpy()
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US,
+            "tsu": batch.column("ts").to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "event_id": batch.column("event_id").to_numpy()
+            .astype(np.int64),
+            "cents": np.round(batch.column("value").to_numpy()
+                              * 100.0).astype(np.int64),
+        })
+        df = df.sort_values(["event_type", "day", "tsu", "event_id"],
+                            kind="mergesort")
+        g = df.groupby(["event_type", "day"], sort=False)
+        out = g.agg(o_ts=("tsu", "first"), o_id=("event_id", "first"),
+                    open=("cents", "first"), high=("cents", "max"),
+                    low=("cents", "min"), c_ts=("tsu", "last"),
+                    c_id=("event_id", "last"), close=("cents", "last")
+                    ).reset_index()
+        h = pd.util.hash_array(out["event_type"].to_numpy(dtype=object))
+        out["__b"] = (h % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        # associative merge of per-batch candle partials: open from
+        # the min (o_ts, o_id) partial, close from the max (c_ts,
+        # c_id) partial, high/low by max/min
+        df = g.sort_values(["event_type", "day", "o_ts", "o_id"],
+                           kind="mergesort")
+        first = df.groupby(["event_type", "day"], sort=False).agg(
+            open=("open", "first")).reset_index()
+        df2 = g.sort_values(["event_type", "day", "c_ts", "c_id"],
+                            kind="mergesort")
+        last = df2.groupby(["event_type", "day"], sort=False).agg(
+            close=("close", "last")).reset_index()
+        hl = g.groupby(["event_type", "day"], sort=False).agg(
+            high=("high", "max"), low=("low", "min")).reset_index()
+        out = first.merge(hl, on=["event_type", "day"]) \
+            .merge(last, on=["event_type", "day"])
+        for c in ("open", "high", "low", "close"):
+            out[c] = out[c].astype(np.int64)
+        out["day"] = out["day"].astype(np.int64)
+        return out[["event_type", "day", "open", "high", "low",
+                    "close"]]
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _merge(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["event_type", "day"]))
+
+
+def sql_events_ohlc() -> str:
+    return (
+        "WITH s AS (SELECT event_type, "
+        "epoch_us(ts) // 86400000000 AS day, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type, "
+        "epoch_us(ts) // 86400000000 ORDER BY epoch_us(ts), event_id) "
+        "AS rk_a, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type, "
+        "epoch_us(ts) // 86400000000 ORDER BY epoch_us(ts) DESC, "
+        "event_id DESC) AS rk_z FROM events) "
+        "SELECT event_type, CAST(day AS BIGINT) AS day, "
+        "CAST(MAX(CASE WHEN rk_a = 1 THEN cents END) AS BIGINT) "
+        "AS open, "
+        "CAST(MAX(cents) AS BIGINT) AS high, "
+        "CAST(MIN(cents) AS BIGINT) AS low, "
+        "CAST(MAX(CASE WHEN rk_z = 1 THEN cents END) AS BIGINT) "
+        "AS close "
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_events_rollup(sf_dir: str):
     """Multi-level rollup (GROUP BY ROLLUP(event_type, day)) computed
     from ONE pass of base partials: the (type, day) combiner rows
@@ -11344,6 +11505,8 @@ def _authored_queries() -> Dict:
         "events_new_users": q_events_new_users,
         "user_components": q_user_components,
         "user_paths": q_user_paths,
+        "events_twap": q_events_twap,
+        "events_ohlc": q_events_ohlc,
     }
 
 
@@ -11479,6 +11642,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_new_users": sql_events_new_users(),
         "user_components": sql_user_components(),
         "user_paths": sql_user_paths(),
+        "events_twap": sql_events_twap(),
+        "events_ohlc": sql_events_ohlc(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -91,7 +91,7 @@ ORACLE_CHECKED = [
     "events_overlap", "multimodal_clusters", "events_winsorize",
     "join_counts", "traj_hausdorff", "stratified_sample", "doc_pmi",
     "events_kmeans", "events_full_join", "events_new_users",
-    "user_components", "user_paths",
+    "user_components", "user_paths", "events_twap", "events_ohlc",
 ]
 
 
