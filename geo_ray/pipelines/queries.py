@@ -2990,6 +2990,86 @@ def sql_events_winsorize(pct: int = _WINSOR_PCT) -> str:
         "GROUP BY 1, 3, 4 ORDER BY 1")
 
 
+def q_events_gini(sf_dir: str):
+    """Exact Gini coefficient of per-user total spend, as the integer
+    (numerator, denominator) pair of the classic rank formula over
+    ascending totals x_1 <= ... <= x_n (ties broken by user id):
+
+        num = 2 * sum(i * x_i) - (n + 1) * sum(x_i),  den = n * sum(x_i)
+
+    — the inequality / concentration metric (traffic skew, spend
+    concentration) kept divisionless so it hash-matches SQL.  Per-user
+    totals come from one exact bucketed sum; the rank pass sorts the
+    USER-TOTAL table (user-bounded, not event-bounded) and one
+    cumulative kernel finishes — at 10^9 users that sort is the
+    operator's intrinsic cost, and everything upstream stays
+    partial-sized."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        c = np.round(batch.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "cents": c})
+        g = df.groupby("user_id", sort=False)["cents"].sum() \
+            .reset_index()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64),
+                              pa.int64())})
+
+    totals = bucketed_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["user_id"], ["cents"])
+
+    # value-domain counting (the exact-quantile trick): ranks of a
+    # run of equal totals contribute v * (a + b)(b - a + 1) / 2, so
+    # the whole rank sum falls out of the (total, count) histogram —
+    # bounded by the value domain, never the user count
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy().astype(np.int64)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({
+            "cents": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    hist = bucketed_sum(
+        totals.map_batches(_hist, batch_format="pyarrow"),
+        ["cents"], ["cnt"]).sort("cents").to_pandas()
+    v = hist["cents"].to_numpy(np.int64)
+    cnt = hist["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    s = int((v * cnt).sum())
+    a = (cum - cnt + 1).astype(object)       # python ints: no wrap
+    b = cum.astype(object)
+    ranksum = int(sum(int(vv) * (aa + bb) * (bb - aa + 1) // 2
+                      for vv, aa, bb in zip(v, a, b)))
+    num = 2 * ranksum - (n + 1) * s
+    return rd.from_arrow(pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "gini_num": pa.array([num], pa.int64()),
+        "gini_den": pa.array([n * s], pa.int64())}))
+
+
+def sql_events_gini() -> str:
+    return (
+        "WITH t AS (SELECT user_id, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM events GROUP BY 1), "
+        "r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, "
+        "user_id) AS i FROM t) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) "
+        "AS BIGINT) AS gini_num, "
+        "CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den FROM r")
+
+
 def q_events_twap(sf_dir: str):
     """Time-weighted average value per user, reported as the EXACT
     integer (numerator, denominator) pair — num = sum of cents_i x
@@ -11507,6 +11587,7 @@ def _authored_queries() -> Dict:
         "user_paths": q_user_paths,
         "events_twap": q_events_twap,
         "events_ohlc": q_events_ohlc,
+        "events_gini": q_events_gini,
     }
 
 
@@ -11644,6 +11725,7 @@ def oracle_sql() -> Dict[str, str]:
         "user_paths": sql_user_paths(),
         "events_twap": sql_events_twap(),
         "events_ohlc": sql_events_ohlc(),
+        "events_gini": sql_events_gini(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
