@@ -186,7 +186,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "join_counts", "traj_hausdorff", "stratified_sample",
                  "doc_pmi", "events_kmeans", "events_full_join",
                  "events_new_users", "user_components", "user_paths",
-                 "events_twap", "events_ohlc", "events_gini"]
+                 "events_twap", "events_ohlc", "events_gini",
+                 "basket_lift"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

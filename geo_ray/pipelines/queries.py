@@ -9910,6 +9910,183 @@ def sql_frequent_pairs(min_support: int = _FP_MIN_SUPPORT) -> str:
         "ORDER BY 1, 2")
 
 
+_LIFT_SCALE = 1_000_000
+
+
+def q_basket_lift(sf_dir: str, min_support: int = _FP_MIN_SUPPORT,
+                  scale: int = _LIFT_SCALE):
+    """Association-rule LIFT for frequent part pairs: for pairs
+    co-ordered >= min_support times,
+
+        lift_units = ((n_ab * scale) // n_a * B) // n_b
+
+    (n_a/n_b = orders containing the part, B = total baskets) — the
+    a-priori confidence/lift step after frequent_pairs, staged floor
+    divisions keeping every intermediate in int64 at catalog scale.
+    ONE basket exchange emits pair partials, per-part partials and
+    the bucket's basket count together (kind-tagged); pair candidates
+    are support-bounded (driver fetch, the heavy-hitters contract)
+    and meet the UNFILTERED part counts in two bucketed tagged-union
+    passes — the part table never broadcasts."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum, driver_merged_sum
+    from ..stages.bucket_join import bucketed_join
+    from ..stages.dedup import segment_all_pairs
+    from ..stages.sample import _splitmix
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nb = 64
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(ok) % np.uint64(nb))
+                            .astype(np.int32), pa.int32()))
+
+    def _basket_body(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy().astype(np.int64)
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.ones(len(ok), bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        uniq_ok, sizes = np.unique(ok, return_counts=True)
+        ii, jj = segment_all_pairs(sizes)
+        packed = (pk[ii] << np.int64(32)) | pk[jj]
+        pu, pc_ = np.unique(packed, return_counts=True)
+        au, ac = np.unique(pk, return_counts=True)
+        kind = np.concatenate([
+            np.zeros(len(pu), np.int8), np.ones(len(au), np.int8),
+            np.full(1, 2, np.int8)])
+        key = np.concatenate([pu, au, np.zeros(1, np.int64)])
+        n = np.concatenate([pc_.astype(np.int64),
+                            ac.astype(np.int64),
+                            np.array([len(uniq_ok)], np.int64)])
+        return pd.DataFrame({"kind": kind, "key": key, "n": n})
+
+    tagged = (items.map_batches(_bucket, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(lambda g: _basket_body(
+                  g.drop(columns=["__b"])), batch_format="pandas")) \
+        .materialize()
+
+    def _only(kind: int):
+        def _f(b: pa.Table) -> pa.Table:
+            k = b.column("kind").to_numpy()
+            sel = b.filter(pa.array(k == kind, pa.bool_()))
+            return pa.table({"key": sel.column("key"),
+                             "n": sel.column("n")})
+        return _f
+
+    B = int(driver_merged_sum(
+        tagged.map_batches(_only(2), batch_format="pyarrow"),
+        ["key"], ["n"])["n"].iloc[0])
+    pair_sums = bucketed_sum(
+        tagged.map_batches(_only(0), batch_format="pyarrow"),
+        ["key"], ["n"])
+    part_sums = bucketed_sum(
+        tagged.map_batches(_only(1), batch_format="pyarrow"),
+        ["key"], ["n"])
+
+    def _cand(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.int64)
+        return b.filter(pa.array(n >= min_support, pa.bool_()))
+
+    cand = pair_sums.map_batches(_cand, batch_format="pyarrow") \
+        .to_pandas()                       # support-bounded fetch
+
+    def _cand_a_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("key").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(pk >> 32, pa.int64()),
+            "pair": batch.column("key"),
+            "n_ab": batch.column("n"),
+            "cnt": pa.nulls(len(batch), pa.int64())})
+
+    def _part_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("key"),
+            "pair": pa.nulls(len(batch), pa.int64()),
+            "n_ab": pa.nulls(len(batch), pa.int64()),
+            "cnt": batch.column("n")})
+
+    def _attach(col: str):
+        def _f(g: pd.DataFrame) -> pd.DataFrame:
+            dim = g[g["pair"].isna()]
+            ed = g[g["pair"].notna()]
+            m = pd.Series(dim["cnt"].to_numpy(np.float64)
+                          .astype(np.int64),
+                          index=dim["key"].to_numpy(np.int64))
+            out = pd.DataFrame({
+                "pair": ed["pair"].to_numpy(np.float64)
+                .astype(np.int64),
+                "n_ab": ed["n_ab"].to_numpy(np.float64)
+                .astype(np.int64),
+                col: m.reindex(ed["key"].to_numpy(np.int64))
+                .to_numpy(np.int64)})
+            return out
+        return _f
+
+    cand_ds = rd.from_pandas(cand.reset_index(drop=True))
+    with_a = bucketed_join(
+        [cand_ds.map_batches(_cand_a_rows, batch_format="pyarrow"),
+         part_sums.map_batches(_part_rows, batch_format="pyarrow")],
+        "key", _attach("n_a"), num_buckets=nb)
+
+    def _cand_b_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pair").to_numpy().astype(np.int64)
+        na = batch.column("n_a").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(pk & ((1 << 32) - 1), pa.int64()),
+            "pair": batch.column("pair"),
+            "n_ab": batch.column("n_ab"),
+            "cnt": pa.array(na, pa.int64())})
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["pair"].isna()]
+        ed = g[g["pair"].notna()]
+        m = pd.Series(dim["cnt"].to_numpy(np.float64).astype(np.int64),
+                      index=dim["key"].to_numpy(np.int64))
+        pk = ed["pair"].to_numpy(np.float64).astype(np.int64)
+        n_ab = ed["n_ab"].to_numpy(np.float64).astype(np.int64)
+        n_a = ed["cnt"].to_numpy(np.float64).astype(np.int64)
+        n_b = m.reindex(ed["key"].to_numpy(np.int64)).to_numpy(np.int64)
+        lift = ((n_ab * np.int64(scale)) // n_a * np.int64(B)) // n_b
+        return pd.DataFrame({
+            "part_a": pk >> 32, "part_b": pk & ((1 << 32) - 1),
+            "n": n_ab, "lift_units": lift})
+
+    return bucketed_join(
+        [with_a.map_batches(_cand_b_rows, batch_format="pyarrow"),
+         part_sums.map_batches(_part_rows, batch_format="pyarrow")],
+        "key", _finish, num_buckets=nb).sort(["part_a", "part_b"])
+
+
+def sql_basket_lift(min_support: int = _FP_MIN_SUPPORT,
+                    scale: int = _LIFT_SCALE) -> str:
+    return (
+        "WITH it AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem), "
+        "bk AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) "
+        "AS nb FROM it), "
+        "pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM it GROUP BY 1), "
+        "pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 "
+        f"HAVING COUNT(*) >= {min_support}) "
+        "SELECT part_a, part_b, n, "
+        f"CAST((((n * {scale}) // ca.c) * bk.nb) // cb.c AS BIGINT) "
+        "AS lift_units "
+        "FROM pr CROSS JOIN bk "
+        "JOIN pc ca ON ca.l_partkey = part_a "
+        "JOIN pc cb ON cb.l_partkey = part_b "
+        "ORDER BY 1, 2")
+
+
 def q_user_triangles(sf_dir: str):
     """Per-user triangle counts over the co-location graph: users are
     linked when ANY two of their events fall within _COLOC_EPS chord
@@ -11588,6 +11765,7 @@ def _authored_queries() -> Dict:
         "events_twap": q_events_twap,
         "events_ohlc": q_events_ohlc,
         "events_gini": q_events_gini,
+        "basket_lift": q_basket_lift,
     }
 
 
@@ -11726,6 +11904,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_twap": sql_events_twap(),
         "events_ohlc": sql_events_ohlc(),
         "events_gini": sql_events_gini(),
+        "basket_lift": sql_basket_lift(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
