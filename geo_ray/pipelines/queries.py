@@ -2990,6 +2990,154 @@ def sql_events_winsorize(pct: int = _WINSOR_PCT) -> str:
         "GROUP BY 1, 3, 4 ORDER BY 1")
 
 
+def q_events_peaks(sf_dir: str):
+    """Spike detection: per event type, the OBSERVED days whose event
+    count strictly exceeds both neighboring observed days (interior
+    local maxima of the daily series) — the anomaly-triage primitive.
+    One narrow exchange of (type, day, n) count partials hash-
+    bucketed by type; each bucket sorts its types' series once and
+    the neighbor comparison is a shifted-array kernel."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    nb = 16
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": batch.column("ts").to_numpy()
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US})
+        g = df.groupby(["event_type", "day"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        h = pd.util.hash_array(g["event_type"].to_numpy(dtype=object))
+        g["__b"] = (h % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _peaks(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["event_type", "day"], sort=False)["n"] \
+            .sum().reset_index()
+        full = full.sort_values(["event_type", "day"],
+                                kind="mergesort")
+        t = full["event_type"].to_numpy(dtype=object)
+        n = full["n"].to_numpy(np.int64)
+        if len(full) < 3:
+            return pd.DataFrame({"event_type": np.array([], object),
+                                 "day": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        same_prev = t[1:-1] == t[:-2]
+        same_next = t[1:-1] == t[2:]
+        peak = same_prev & same_next & (n[1:-1] > n[:-2]) \
+            & (n[1:-1] > n[2:])
+        sel = np.flatnonzero(peak) + 1
+        return pd.DataFrame({
+            "event_type": t[sel],
+            "day": full["day"].to_numpy(np.int64)[sel],
+            "n": n[sel]})
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _peaks(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["event_type", "day"]))
+
+
+def sql_events_peaks() -> str:
+    return (
+        "WITH d AS (SELECT event_type, "
+        "epoch_us(ts) // 86400000000 AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "w AS (SELECT event_type, day, n, "
+        "LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS pn, "
+        "LEAD(n) OVER (PARTITION BY event_type ORDER BY day) AS nn "
+        "FROM d) "
+        "SELECT event_type, CAST(day AS BIGINT) AS day, n FROM w "
+        "WHERE pn IS NOT NULL AND nn IS NOT NULL "
+        "AND n > pn AND n > nn ORDER BY 1, 2")
+
+
+def q_lineitem_pareto(sf_dir: str):
+    """Pareto / ABC analysis: the minimal number of parts whose
+    revenues (exact integer units, descending, ties by any order —
+    the count is tie-invariant) cover 80% of total revenue, plus the
+    exact covered amount.  Per-part revenue comes from one bucketed
+    sum; the rank prefix falls out of the VALUE-DOMAIN revenue
+    histogram (the events_gini trick — runs of equal revenue
+    contribute k x v), so the driver fetch is bounded by distinct
+    revenue values, never the catalog size."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round((1.0 - batch.column("l_discount").to_numpy())
+                      * 100.0).astype(np.int64)
+        df = pd.DataFrame({"l_partkey": pk, "rev": ep * dp})
+        g = df.groupby("l_partkey", sort=False)["rev"].sum() \
+            .reset_index()
+        return pa.table({
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64())})
+
+    totals = bucketed_sum(
+        items.map_batches(_partial, batch_format="pyarrow"),
+        ["l_partkey"], ["rev"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        r = batch.column("rev").to_numpy().astype(np.int64)
+        uniq, cnt = np.unique(r, return_counts=True)
+        return pa.table({
+            "rev": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    hist = bucketed_sum(
+        totals.map_batches(_hist, batch_format="pyarrow"),
+        ["rev"], ["cnt"]).sort("rev", descending=True).to_pandas()
+    v = hist["rev"].to_numpy(np.int64)
+    cnt = hist["cnt"].to_numpy(np.int64)
+    total_parts = int(cnt.sum())
+    total_rev = int((v * cnt).sum())
+    threshold = (4 * total_rev + 4) // 5          # ceil(0.8 R)
+    cum_rev = np.cumsum(v * cnt)
+    cum_cnt = np.cumsum(cnt)
+    i = int(np.searchsorted(cum_rev, threshold))
+    before_rev = int(cum_rev[i - 1]) if i else 0
+    before_cnt = int(cum_cnt[i - 1]) if i else 0
+    k = -((before_rev - threshold) // int(v[i]))  # ceil div
+    n80 = before_cnt + k
+    rev80 = before_rev + k * int(v[i])
+    return rd.from_arrow(pa.table({
+        "n_parts_80": pa.array([n80], pa.int64()),
+        "total_parts": pa.array([total_parts], pa.int64()),
+        "rev80_units": pa.array([rev80], pa.int64()),
+        "total_rev_units": pa.array([total_rev], pa.int64())}))
+
+
+def sql_lineitem_pareto() -> str:
+    return (
+        "WITH t AS (SELECT l_partkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "* CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS rev FROM lineitem GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np_, "
+        "CAST(SUM(rev) AS BIGINT) AS r FROM t), "
+        "r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC, "
+        "l_partkey) AS i, SUM(rev) OVER (ORDER BY rev DESC, "
+        "l_partkey) AS cum FROM t) "
+        "SELECT CAST(MIN(i) AS BIGINT) AS n_parts_80, "
+        "CAST(ANY_VALUE(tot.np_) AS BIGINT) AS total_parts, "
+        "CAST(MIN(cum) AS BIGINT) AS rev80_units, "
+        "CAST(ANY_VALUE(tot.r) AS BIGINT) AS total_rev_units "
+        "FROM r CROSS JOIN tot WHERE cum >= (4 * tot.r + 4) // 5")
+
+
 def q_events_gini(sf_dir: str):
     """Exact Gini coefficient of per-user total spend, as the integer
     (numerator, denominator) pair of the classic rank formula over
@@ -11766,6 +11914,8 @@ def _authored_queries() -> Dict:
         "events_ohlc": q_events_ohlc,
         "events_gini": q_events_gini,
         "basket_lift": q_basket_lift,
+        "events_peaks": q_events_peaks,
+        "lineitem_pareto": q_lineitem_pareto,
     }
 
 
@@ -11905,6 +12055,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_ohlc": sql_events_ohlc(),
         "events_gini": sql_events_gini(),
         "basket_lift": sql_basket_lift(),
+        "events_peaks": sql_events_peaks(),
+        "lineitem_pareto": sql_lineitem_pareto(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -92,7 +92,7 @@ ORACLE_CHECKED = [
     "join_counts", "traj_hausdorff", "stratified_sample", "doc_pmi",
     "events_kmeans", "events_full_join", "events_new_users",
     "user_components", "user_paths", "events_twap", "events_ohlc",
-    "events_gini", "basket_lift",
+    "events_gini", "basket_lift", "events_peaks", "lineitem_pareto",
 ]
 
 
