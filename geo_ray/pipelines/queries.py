@@ -1321,6 +1321,52 @@ def sql_token_count() -> str:
             "AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id")
 
 
+_PACK_BUDGET = 4096     # tokens per training shard
+
+
+def q_pack_shards(sf_dir: str, budget: int = _PACK_BUDGET):
+    """Token-budget shard packing: lay the corpus out in doc_id order
+    and assign every document the shard its START offset falls in
+    (shard = exclusive-prefix-tokens // budget) — the deterministic
+    sequence-packing step that turns a curated corpus into fixed-size
+    training shards.  Built on the distributed prefix-sum primitive
+    (stages/scan.prefix_sum_scan): one range-partitioned exchange, a
+    P-sized summary pass for the carry-ins, exact int64 offsets at
+    any corpus size."""
+    from ..stages.scan import prefix_sum_scan
+    from ..stages.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(token_count, batch_format="pyarrow")
+    off = prefix_sum_scan(toks, ["doc_id"], "n_tokens",
+                          out_col="start_tokens", inclusive=False)
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        s = batch.column("start_tokens").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("n_tokens"),
+            "start_tokens": pa.array(s, pa.int64()),
+            "shard": pa.array(s // np.int64(budget), pa.int64())})
+
+    return off.map_batches(_shard, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def sql_pack_shards(budget: int = _PACK_BUDGET) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "o AS (SELECT doc_id, n_tokens, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS start_tokens FROM t) "
+        "SELECT doc_id, n_tokens, start_tokens, "
+        f"CAST(start_tokens // {budget} AS BIGINT) AS shard "
+        "FROM o ORDER BY doc_id")
+
+
 def q_doc_quality(sf_dir: str):
     import ray.data as rd
     from ..stages.text import quality_score
@@ -11916,6 +11962,7 @@ def _authored_queries() -> Dict:
         "basket_lift": q_basket_lift,
         "events_peaks": q_events_peaks,
         "lineitem_pareto": q_lineitem_pareto,
+        "pack_shards": q_pack_shards,
     }
 
 
@@ -12057,6 +12104,7 @@ def oracle_sql() -> Dict[str, str]:
         "basket_lift": sql_basket_lift(),
         "events_peaks": sql_events_peaks(),
         "lineitem_pareto": sql_lineitem_pareto(),
+        "pack_shards": sql_pack_shards(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -133,3 +133,75 @@ def prefix_max_scan(ds, order_cols: List[str], value_col: str,
             out_col, pa.array(out))
 
     return local.map_batches(_combine, batch_format="pyarrow")
+
+
+def prefix_sum_scan(ds, order_cols: List[str], value_col: str,
+                    out_col: str = "running_sum", *,
+                    num_parts: int = 32, inclusive: bool = True):
+    """Attach ``out_col`` = running int64 SUM of ``value_col`` in the
+    global (order_cols) order — the distributed prefix-sum primitive
+    (token-budget shard packing, byte-offset assignment, cumulative
+    quotas).  Same two-pass shape as prefix_max_scan: range-partition
+    by the sampled order bounds, one in-partition sort + local
+    cumsum, a P-sized partition-summary pass turns partition totals
+    into exclusive carry-ins, and a stateless map combines.
+    ``inclusive=False`` yields the strict-predecessors sum (0 for
+    the globally first row) — the offset form packers need.  Sums are
+    exact int64; the caller owns the < 2^63 total bound."""
+    import ray
+
+    key = order_cols[0]
+    bounds = sample_order_bounds(ds, key, num_parts)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        v = batch.column(key).to_numpy().astype(np.int64)
+        p = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return batch.append_column("__p", pa.array(p, pa.int32()))
+
+    parted = ds.map_batches(_part, batch_format="pyarrow")
+
+    def _local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        cs = np.cumsum(g[value_col].to_numpy().astype(np.int64))
+        if inclusive:
+            g["__local"] = cs
+        else:
+            g["__local"] = np.r_[np.int64(0), cs[:-1]] if len(cs) \
+                else cs
+        return g
+
+    local = parted.groupby("__p").map_groups(
+        _local, batch_format="pandas").materialize()
+
+    def _summary(batch: pa.Table) -> pa.Table:
+        import pandas as pd2
+        df = pd2.DataFrame({
+            "__p": batch.column("__p").to_numpy(),
+            "s": batch.column(value_col).to_numpy().astype(np.int64)})
+        g = df.groupby("__p", sort=False)["s"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    summ = local.map_batches(_summary, batch_format="pyarrow") \
+        .to_pandas().groupby("__p")["s"].sum()
+    n_parts = int(summ.index.max()) + 1 if len(summ) else 0
+    tot = np.zeros(n_parts, np.int64)
+    if len(summ):
+        tot[summ.index.to_numpy().astype(np.int64)] = \
+            summ.to_numpy().astype(np.int64)
+    carry_arr = np.r_[np.int64(0), np.cumsum(tot)[:-1]] if n_parts \
+        else np.array([], np.int64)
+    ref = ray.put(carry_arr)
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        p = batch.column("__p").to_numpy().astype(np.int64)
+        loc = batch.column("__local").to_numpy().astype(np.int64)
+        if len(c):
+            cin = np.where(p < len(c), c[np.minimum(p, len(c) - 1)],
+                           np.int64(0))
+        else:
+            cin = np.zeros(len(p), np.int64)
+        return batch.drop_columns(["__p", "__local"]).append_column(
+            out_col, pa.array(loc + cin, pa.int64()))
+
+    return local.map_batches(_combine, batch_format="pyarrow")
