@@ -269,3 +269,44 @@ def test_prefix_scan_balanced_on_sorted_input(ray_session):
         .sort_values("ts").reset_index(drop=True)
     assert (out["running_max"].to_numpy()
             == df["v"].cummax().to_numpy()).all()
+
+
+def test_prefix_sum_scan_matches_cumsum(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.scan import prefix_sum_scan
+
+    rng = np.random.RandomState(31)
+    n = 20_000
+    df = pd.DataFrame({
+        "order": rng.randint(0, 1_000_000, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": rng.randint(-500, 500, n).astype(np.int64)})
+    out = prefix_sum_scan(rd.from_pandas(df).repartition(16),
+                          ["order", "event_id"], "v",
+                          out_col="rs").to_pandas()
+    out = out.sort_values(["order", "event_id"]).reset_index(drop=True)
+    ref = df.sort_values(["order", "event_id"]).reset_index(drop=True)
+    want = np.cumsum(ref["v"].to_numpy())
+    assert np.array_equal(out["rs"].to_numpy(), want)
+
+
+def test_prefix_sum_scan_exclusive_ordered_input(ray_session):
+    """Pre-sorted input (the sample_order_bounds skew case) with the
+    exclusive form: the first row must carry 0 and every offset must
+    equal the strict-predecessor sum."""
+    import ray.data as rd
+    from geo_ray.stages.scan import prefix_sum_scan
+
+    n = 5000
+    df = pd.DataFrame({
+        "order": np.arange(n, dtype=np.int64),     # already ordered
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": np.random.RandomState(9).randint(1, 40, n)
+        .astype(np.int64)})
+    out = prefix_sum_scan(rd.from_pandas(df).repartition(16),
+                          ["order", "event_id"], "v",
+                          out_col="off", inclusive=False).to_pandas()
+    out = out.sort_values("order").reset_index(drop=True)
+    v = df["v"].to_numpy()
+    want = np.r_[np.int64(0), np.cumsum(v)[:-1]]
+    assert np.array_equal(out["off"].to_numpy(), want)
