@@ -188,7 +188,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_new_users", "user_components", "user_paths",
                  "events_twap", "events_ohlc", "events_gini",
                  "basket_lift", "events_peaks", "lineitem_pareto",
-                 "pack_shards"]
+                 "pack_shards", "events_benford", "doc_repetition"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

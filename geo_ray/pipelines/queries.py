@@ -3184,6 +3184,106 @@ def sql_lineitem_pareto() -> str:
         "FROM r CROSS JOIN tot WHERE cum >= (4 * tot.r + 4) // 5")
 
 
+def q_events_benford(sf_dir: str):
+    """Benford first-digit audit: per event type, the count of
+    positive integer-cent values starting with each digit 1-9 — the
+    classic fraud / synthetic-data forensic.  The leading digit is
+    exact integer arithmetic (repeated floor division by 10 — at most
+    ~6 vectorized passes, no float log whose last ulp could flip a
+    boundary); counts ride the (type, digit)-partial exchange and the
+    9 x types rollup driver-merges."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        et = batch.column("event_type").to_pandas()
+        pos = cents > 0
+        d = cents[pos].copy()
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        df = pd.DataFrame({"event_type": et[pos].to_numpy(object),
+                           "digit": d})
+        g = df.groupby(["event_type", "digit"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        g["digit"] = g["digit"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = driver_merged_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "digit"], ["n"])
+    return rd.from_pandas(out)
+
+
+def sql_events_benford() -> str:
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT event_type, "
+        "CAST(LEFT(CAST(cents AS VARCHAR), 1) AS BIGINT) AS digit, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE cents > 0 "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_doc_repetition(sf_dir: str):
+    """Intra-document repetition (the Gopher/Dolma quality rule): per
+    document, total and DISTINCT word-trigram counts — the duplicate-
+    trigram fraction (1 - distinct/total) flags boilerplate and
+    degenerate generations.  Embarrassingly parallel: a document is
+    one row, so both counts come from one vectorized pass, no
+    shuffle; docs with < 3 tokens have no trigrams and drop (the SQL
+    mirror's inner join does the same)."""
+    import pandas as pd
+    from ..stages.text import tokens_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        ids, tot, dis = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = [w.lower() for w in tokens_of(t)]
+            tri = [(a, b, c) for a, b, c in
+                   zip(toks, toks[1:], toks[2:])
+                   if a and b and c]
+            if not tri:
+                continue
+            ids.append(did)
+            tot.append(len(tri))
+            dis.append(len(set(tri)))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "total_trigrams": pa.array(np.asarray(tot, np.int64),
+                                       pa.int64()),
+            "distinct_trigrams": pa.array(np.asarray(dis, np.int64),
+                                          pa.int64())})
+
+    return ds.map_batches(_rep, batch_format="pyarrow").sort("doc_id")
+
+
+def sql_doc_repetition() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, generate_subscripts("
+        "string_split_regex(trim(text), '\\s+'), 1) AS pos, "
+        "lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term "
+        "FROM documents), "
+        "tri AS (SELECT a.doc_id, a.term AS t1, b.term AS t2, "
+        "c.term AS t3 FROM tok a "
+        "JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        "JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 "
+        "WHERE a.term <> '' AND b.term <> '' AND c.term <> '') "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_trigrams, "
+        "CAST(COUNT(DISTINCT (t1, t2, t3)) AS BIGINT) "
+        "AS distinct_trigrams "
+        "FROM tri GROUP BY 1 ORDER BY 1")
+
+
 def q_events_gini(sf_dir: str):
     """Exact Gini coefficient of per-user total spend, as the integer
     (numerator, denominator) pair of the classic rank formula over
@@ -11963,6 +12063,8 @@ def _authored_queries() -> Dict:
         "events_peaks": q_events_peaks,
         "lineitem_pareto": q_lineitem_pareto,
         "pack_shards": q_pack_shards,
+        "events_benford": q_events_benford,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -12105,6 +12207,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_peaks": sql_events_peaks(),
         "lineitem_pareto": sql_lineitem_pareto(),
         "pack_shards": sql_pack_shards(),
+        "events_benford": sql_events_benford(),
+        "doc_repetition": sql_doc_repetition(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

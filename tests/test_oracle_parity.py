@@ -93,7 +93,7 @@ ORACLE_CHECKED = [
     "events_kmeans", "events_full_join", "events_new_users",
     "user_components", "user_paths", "events_twap", "events_ohlc",
     "events_gini", "basket_lift", "events_peaks", "lineitem_pareto",
-    "pack_shards",
+    "pack_shards", "events_benford", "doc_repetition",
 ]
 
 
