@@ -11823,6 +11823,394 @@ def sql_join_counts(size_deg: float = 10.0) -> str:
 
 
 # --------------------------------------------------------------------------
+# round-3 seventh continuation: curation-depth wave
+# --------------------------------------------------------------------------
+
+def _ilog2_np(x: np.ndarray) -> np.ndarray:
+    """Exact integer floor(log2(x)) for int64 x >= 1 via power-table
+    searchsorted — no float log2, whose rounding can flip the floor at
+    exact powers of two."""
+    powers = (np.int64(1) << np.arange(63, dtype=np.int64))
+    return np.searchsorted(powers, x, side="right").astype(np.int64) - 1
+
+
+def _ilog2_sql(expr: str) -> str:
+    """DuckDB mirror of _ilog2_np: bin() renders a positive BIGINT
+    with no leading zeros, so bit length - 1 IS floor(log2)."""
+    return f"(LENGTH(BIN(CAST({expr} AS BIGINT))) - 1)"
+
+
+def q_term_freq_spectrum(sf_dir: str):
+    """Frequency-of-frequencies spectrum (the Good-Turing / Zipf
+    input): for each corpus-wide term frequency f, how many distinct
+    terms occur exactly f times.  Two exact passes: term counts via
+    the string-key bucketed sum (no per-group Python, no vocabulary
+    on the driver), then a second bucketed sum over the bounded
+    frequency domain (distinct frequencies <= sqrt(2 * total tokens),
+    so the final table is tiny at any corpus size)."""
+    from ..stages.text import tokens_of
+    from ..stages.agg import bucketed_sum, bucketed_sum_str
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        counts: "Counter[str]" = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(w.lower() for w in tokens_of(t) if w)
+        return pa.table({
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array([int(v) for v in counts.values()], pa.int64()),
+        })
+
+    tc = bucketed_sum_str(
+        ds.map_batches(_partial, batch_format="pyarrow"), "term", ["n"])
+
+    def _spec(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        return pa.table({
+            "freq": pa.array(n, pa.int64()),
+            "n_terms": pa.array(np.ones(len(n), np.int64), pa.int64()),
+        })
+
+    spec = bucketed_sum(tc.map_batches(_spec, batch_format="pyarrow"),
+                        ["freq"], ["n_terms"], n_buckets=32)
+    return spec.sort("freq")
+
+
+def sql_term_freq_spectrum() -> str:
+    return (
+        "WITH tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) "
+        "AS term FROM documents) WHERE term <> '' GROUP BY term) "
+        "SELECT n AS freq, CAST(COUNT(*) AS BIGINT) AS n_terms "
+        "FROM tc GROUP BY 1 ORDER BY 1")
+
+
+def q_substring_dedup(sf_dir: str, w: int = 40, stride: int = 20):
+    """Exact repeated-substring detection (the span-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every w-char window at stride s is checked for exact
+    occurrence as a window of ANY other document; per doc we report
+    total windows and duplicated windows — the span-duplication rate
+    that drives cross-doc boilerplate removal.
+
+    Scale shape: one window-hash co-partition (all copies of a window
+    string land in one bucket; dup test is a vectorized per-bucket
+    nunique), then an exact per-doc bucketed sum.  Only (window,
+    doc_id) narrow rows shuffle — never document bodies.  We ship the
+    w-char window itself because the oracle demands exact string
+    equality; the PB-scale variant ships a 128-bit window hash
+    (collision odds ~1e-18 per pair) with byte verification only
+    inside candidate buckets."""
+    import pandas as pd
+    from ..stages.agg import bucketed_sum
+
+    nb = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        docs: List[int] = []
+        wins: List[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            n = len(t)
+            for s in range(0, n - w + 1, stride):
+                docs.append(did)
+                wins.append(t[s:s + w])
+        h = pd.util.hash_array(np.asarray(wins, dtype=object))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(docs, np.int64), pa.int64()),
+            "win": pa.array(wins, pa.string()),
+            "__b": pa.array((h % np.uint64(nb)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _flag(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.groupby("win", sort=False)["doc_id"] \
+            .transform("nunique").to_numpy()
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_windows": np.ones(len(g), np.int64),
+            "n_dup_windows": (nun >= 2).astype(np.int64),
+        })
+        return out.groupby("doc_id", sort=False, as_index=False).sum()
+
+    part = (ds.map_batches(_windows, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _flag(g.drop(columns=["__b"])),
+                        batch_format="pandas"))
+    out = bucketed_sum(part, ["doc_id"],
+                       ["n_windows", "n_dup_windows"], n_buckets=64)
+    return out.sort("doc_id")
+
+
+def sql_substring_dedup(w: int = 40, stride: int = 20) -> str:
+    return (
+        f"WITH w AS (SELECT d.doc_id, "
+        f"substr(d.text, CAST(1 + {stride} * t.k AS INT), {w}) AS win "
+        f"FROM documents d CROSS JOIN range(0, 2000) t(k) "
+        f"WHERE 1 + {stride} * t.k + {w - 1} <= length(d.text)), "
+        f"dup AS (SELECT win FROM w GROUP BY win "
+        f"HAVING COUNT(DISTINCT doc_id) >= 2) "
+        f"SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+        f"CAST(SUM(CASE WHEN w.win IN (SELECT win FROM dup) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows "
+        f"FROM w GROUP BY 1 ORDER BY 1")
+
+
+def q_dsir_weights(sf_dir: str, target_lang: str = "en"):
+    """DSIR-style importance weights (Xie et al., "Data Selection
+    for Language Models via Importance Resampling"): score each doc
+    by how much its tokens look like the TARGET corpus (here the
+    English slice) versus the raw corpus — sum over token instances
+    of log p_target(t) - log p_raw(t), with counts +1-smoothed and
+    the log taken as the exact integer floor(log2) so both engines
+    agree bit-for-bit (the ranking this induces is the DSIR ranking
+    at integer-log resolution).
+
+    Scale shape: ONE term-hash co-partition computes both corpus
+    counts inside the bucket (all instances of a term land together —
+    no vocabulary broadcast, no second pass), then an exact per-doc
+    bucketed sum; only (term, doc, tf) rows shuffle."""
+    import pandas as pd
+    from collections import Counter
+    from ..stages.text import tokens_of
+    from ..stages.agg import bucketed_sum
+
+    nb = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        docs: List[int] = []
+        terms: List[str] = []
+        tfs: List[int] = []
+        tgts: List[int] = []
+        for did, t, lg in zip(batch.column("doc_id").to_pylist(),
+                              batch.column("text").to_pylist(),
+                              batch.column("lang").to_pylist()):
+            c = Counter(w_.lower() for w_ in tokens_of(t) if w_)
+            is_t = 1 if lg == target_lang else 0
+            for term, tf in c.items():
+                docs.append(did)
+                terms.append(term)
+                tfs.append(int(tf))
+                tgts.append(int(tf) * is_t)
+        h = pd.util.hash_array(np.asarray(terms, dtype=object))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(docs, np.int64), pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(np.asarray(tfs, np.int64), pa.int64()),
+            "tf_tgt": pa.array(np.asarray(tgts, np.int64), pa.int64()),
+            "__b": pa.array((h % np.uint64(nb)).astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("term", sort=False)
+        c_raw = grp["tf"].transform("sum").to_numpy().astype(np.int64)
+        c_tgt = grp["tf_tgt"].transform("sum").to_numpy() \
+            .astype(np.int64)
+        tf = g["tf"].to_numpy().astype(np.int64)
+        wgt = tf * (_ilog2_np(c_tgt + 1) - _ilog2_np(c_raw + 1))
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": tf,
+            "weight_ilog2": wgt,
+        })
+        return out.groupby("doc_id", sort=False, as_index=False).sum()
+
+    part = (ds.map_batches(_explode, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _score(g.drop(columns=["__b"])),
+                        batch_format="pandas"))
+    out = bucketed_sum(part, ["doc_id"],
+                       ["n_tokens", "weight_ilog2"], n_buckets=64)
+    return out.sort("doc_id")
+
+
+def sql_dsir_weights(target_lang: str = "en") -> str:
+    il_tgt = _ilog2_sql("c.c_tgt + 1")
+    il_raw = _ilog2_sql("c.c_raw + 1")
+    return (
+        "WITH tok AS (SELECT doc_id, lang, "
+        "lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term "
+        "FROM documents), "
+        "t2 AS (SELECT * FROM tok WHERE term <> ''), "
+        "cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_raw, "
+        f"CAST(SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS c_tgt FROM t2 GROUP BY term) "
+        "SELECT t2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        f"CAST(SUM({il_tgt} - {il_raw}) AS BIGINT) AS weight_ilog2 "
+        "FROM t2 JOIN cnt c USING (term) GROUP BY 1 ORDER BY 1")
+
+
+def q_embed_gram(sf_dir: str, units: int = 1000):
+    """Exact Gram (scatter) matrix of the embedding table — the
+    d x d sufficient statistic behind PCA / whitening / linear-probe
+    covariance at corpus scale.  Embeddings quantize to integers by
+    floor(x * units) (identical IEEE double ops in both engines), and
+    each batch contributes one d x d int64 partial via an integer
+    matmul — the mergeable-matrix-partial pattern: the exchange is
+    d(d+1)/2 rows per BLOCK regardless of row count, merged on the
+    driver under driver_merged_sum's bounded-rollup guard."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // max(1, batch.num_rows)
+        vals = flat.astype(np.float64).reshape(batch.num_rows, d)
+        q = np.floor(vals * units).astype(np.int64)
+        g = q.T @ q                       # exact int64 matmul
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "g": pa.array(g[iu, ju], pa.int64()),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    out = driver_merged_sum(parts, ["i", "j"], ["g"])
+    return rd.from_pandas(out.sort_values(["i", "j"])
+                          .reset_index(drop=True))
+
+
+def sql_embed_gram(units: int = 1000, dim: int = 64) -> str:
+    return (
+        f"SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS g FROM ("
+        f"SELECT CAST(ii.k AS BIGINT) AS i, CAST(jj.k AS BIGINT) AS j, "
+        f"CAST(FLOOR(CAST(e.embedding[CAST(ii.k AS INT) + 1] AS DOUBLE) "
+        f"* {units}) AS BIGINT) AS qi, "
+        f"CAST(FLOOR(CAST(e.embedding[CAST(jj.k AS INT) + 1] AS DOUBLE) "
+        f"* {units}) AS BIGINT) AS qj "
+        f"FROM embeddings e CROSS JOIN range(0, {dim}) ii(k) "
+        f"CROSS JOIN range(0, {dim}) jj(k) WHERE ii.k <= jj.k) "
+        f"GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_events_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation sufficient statistics over the
+    event value series in (ts, event_id) order: exact int64 pair
+    count and sums (sx, sy, sxy, sx2, sy2) over consecutive-value
+    pairs in cents — the serial-dependence screen for sensor/metric
+    streams, kept in raw moments so the statistic stays exact and
+    mergeable.  User-hash buckets hold whole users, so pairs never
+    cross buckets and the per-bucket result is final."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(u) % np.uint64(64))
+                            .astype(np.int32), pa.int32()))
+
+    def _stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        c = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        x, y, u = c[:-1][same], c[1:][same], uid[:-1][same]
+        df = pd.DataFrame({
+            "user_id": u,
+            "n_pairs": np.ones(len(u), np.int64),
+            "sx": x, "sy": y, "sxy": x * y,
+            "sx2": x * x, "sy2": y * y,
+        })
+        return df.groupby("user_id", sort=False, as_index=False).sum()
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _stats(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def sql_events_autocorr() -> str:
+    return (
+        "WITH s AS (SELECT user_id, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS x, "
+        "LEAD(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS y FROM events) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sx2, "
+        "CAST(SUM(y * y) AS BIGINT) AS sy2 "
+        "FROM s WHERE y IS NOT NULL GROUP BY 1 ORDER BY 1")
+
+
+def q_orders_cohort(sf_dir: str):
+    """Cohort-retention matrix: customers cohorted by first-order
+    month, order counts by months-since-cohort — the standard
+    growth/retention triangle.  One custkey-hash co-partition both
+    resolves each customer's cohort (min month inside the bucket)
+    and emits (cohort, age) count partials; the merge domain is
+    months x months (bounded by the calendar, not the data), so the
+    final sum is a guarded driver merge."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+    from ..stages.agg import driver_merged_sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("o_custkey").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(u) % np.uint64(64))
+                            .astype(np.int32), pa.int32()))
+
+    def _cohort(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["o_orderdate"].to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)                 # months since 1970-01
+        g2 = pd.DataFrame({"cust": g["o_custkey"].to_numpy(), "m": m})
+        m0 = g2.groupby("cust", sort=False)["m"].transform("min") \
+            .to_numpy()
+        yr = 1970 + m0 // 12
+        cohort = yr * 100 + (m0 % 12 + 1)
+        out = pd.DataFrame({
+            "cohort": cohort.astype(np.int64),
+            "age_months": (m - m0).astype(np.int64),
+            "n_orders": np.ones(len(m), np.int64),
+        })
+        return out.groupby(["cohort", "age_months"], sort=False,
+                           as_index=False).sum()
+
+    parts = (ds.map_batches(_bucket, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: _cohort(g.drop(columns=["__b"])),
+                         batch_format="pandas"))
+    out = driver_merged_sum(parts, ["cohort", "age_months"],
+                            ["n_orders"])
+    return rd.from_pandas(out.sort_values(["cohort", "age_months"])
+                          .reset_index(drop=True))
+
+
+def sql_orders_cohort() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey, "
+        "CAST(EXTRACT(year FROM o_orderdate) * 12 "
+        "+ EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m "
+        "FROM orders), "
+        "f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1) "
+        "SELECT CAST((f.m0 // 12) * 100 + (f.m0 % 12 + 1) AS BIGINT) "
+        "AS cohort, CAST(o.m - f.m0 AS BIGINT) AS age_months, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM o JOIN f USING (o_custkey) GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -12065,6 +12453,12 @@ def _authored_queries() -> Dict:
         "pack_shards": q_pack_shards,
         "events_benford": q_events_benford,
         "doc_repetition": q_doc_repetition,
+        "term_freq_spectrum": q_term_freq_spectrum,
+        "substring_dedup": q_substring_dedup,
+        "dsir_weights": q_dsir_weights,
+        "embed_gram": q_embed_gram,
+        "events_autocorr": q_events_autocorr,
+        "orders_cohort": q_orders_cohort,
     }
 
 
@@ -12209,6 +12603,12 @@ def oracle_sql() -> Dict[str, str]:
         "pack_shards": sql_pack_shards(),
         "events_benford": sql_events_benford(),
         "doc_repetition": sql_doc_repetition(),
+        "term_freq_spectrum": sql_term_freq_spectrum(),
+        "substring_dedup": sql_substring_dedup(),
+        "dsir_weights": sql_dsir_weights(),
+        "embed_gram": sql_embed_gram(),
+        "events_autocorr": sql_events_autocorr(),
+        "orders_cohort": sql_orders_cohort(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -94,6 +94,8 @@ ORACLE_CHECKED = [
     "user_components", "user_paths", "events_twap", "events_ohlc",
     "events_gini", "basket_lift", "events_peaks", "lineitem_pareto",
     "pack_shards", "events_benford", "doc_repetition",
+    "term_freq_spectrum", "substring_dedup", "dsir_weights",
+    "embed_gram", "events_autocorr", "orders_cohort",
 ]
 
 
