@@ -188,7 +188,10 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_new_users", "user_components", "user_paths",
                  "events_twap", "events_ohlc", "events_gini",
                  "basket_lift", "events_peaks", "lineitem_pareto",
-                 "pack_shards", "events_benford", "doc_repetition"]
+                 "pack_shards", "events_benford", "doc_repetition",
+                 "events_streak", "events_cube", "events_mad",
+                 "type_affinity", "orders_rfm", "events_pettitt",
+                 "events_theilsen", "grid_distance"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

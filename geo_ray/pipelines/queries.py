@@ -12210,6 +12210,651 @@ def sql_orders_cohort() -> str:
         "FROM o JOIN f USING (o_custkey) GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_events_streak(sf_dir: str):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands engagement statistic.  Per-batch (user, day)
+    dedup shrinks the exchange to distinct pairs; one user-hash
+    co-partition sorts each bucket once and the island lengths fall
+    out of a single vectorized run-boundary cumsum (no per-user
+    loop, no global sort)."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = 64
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        d = batch.column("ts").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        df = pd.DataFrame({"user_id": u, "day": d}).drop_duplicates()
+        ub = df["user_id"].to_numpy().astype(np.uint64)
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "day": pa.array(df["day"].to_numpy(), pa.int64()),
+            "__b": pa.array((_splitmix(ub) % np.uint64(nb))
+                            .astype(np.int32), pa.int32())})
+
+    def _streak(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id).astype(np.int64)
+        out = pd.DataFrame({"user_id": u[new_run], "max_streak": run_len})
+        return out.groupby("user_id", sort=False, as_index=False) \
+            .max()
+
+    return (ev.map_batches(_pairs, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _streak(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def sql_events_streak() -> str:
+    return (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day "
+        "FROM events), "
+        "r AS (SELECT user_id, day, day - ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+        "s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len "
+        "FROM r GROUP BY user_id, grp) "
+        "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
+        "FROM s GROUP BY user_id ORDER BY user_id")
+
+
+def q_events_cube(sf_dir: str):
+    """GROUPING SETS / CUBE rollup: event counts and exact cent sums
+    at (type, day), (type), (day) and grand-total granularity with
+    the standard 'ALL' / -1 fillers.  One partial pass computes the
+    FINEST level (per-batch combiners merged on the driver — the
+    domain is types x calendar days, bounded by the calendar, never
+    by row count); the three coarser levels are derived from that
+    table, so nothing rescans the events and nothing shuffles."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": batch.column("ts").to_numpy()
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US,
+            "cents": np.round(batch.column("value").to_numpy()
+                              * 100.0).astype(np.int64)})
+        g = df.groupby(["event_type", "day"], sort=False) \
+            .agg(n=("cents", "size"), cents=("cents", "sum")) \
+            .reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = driver_merged_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "day"], ["n", "cents"])
+
+    by_type = fine.groupby("event_type", as_index=False)[
+        ["n", "cents"]].sum()
+    by_type["day"] = np.int64(-1)
+    by_day = fine.groupby("day", as_index=False)[["n", "cents"]].sum()
+    by_day["event_type"] = "ALL"
+    total = pd.DataFrame({"event_type": ["ALL"], "day": [np.int64(-1)],
+                          "n": [fine["n"].sum()],
+                          "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, by_type, by_day, total], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["cents"] = out["cents"].astype(np.int64)
+    out["day"] = out["day"].astype(np.int64)
+    out = out[["event_type", "day", "n", "cents"]] \
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+def sql_events_cube() -> str:
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+        "CAST(COALESCE(day, -1) AS BIGINT) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM e "
+        "GROUP BY GROUPING SETS ((event_type, day), (event_type), "
+        "(day), ()) ORDER BY 1, 2")
+
+
+def q_events_mad(sf_dir: str):
+    """Per-type median absolute deviation, both medians the LOWER
+    order statistic in exact integer cents — the robust dispersion
+    twin of events_zscore.  One counting pass builds the (type,
+    cents, n) value-domain histogram; each type resolves entirely
+    inside its hash bucket (median via cumsum, then the |x - med|
+    histogram folds arithmetically from the SAME sorted histogram),
+    so the exchange is value-domain-sized and the raw events are
+    scanned exactly once."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    nb = 16
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "cents": np.round(batch.column("value").to_numpy()
+                              * 100.0).astype(np.int64)})
+        g = df.groupby(["event_type", "cents"], sort=False) \
+            .size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        h = pd.util.hash_pandas_object(g["event_type"],
+                                       index=False).to_numpy() \
+            .astype(np.uint64)
+        g["__b"] = (_splitmix(h) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _mad(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["event_type", "cents"], sort=False)["cnt"] \
+            .sum().reset_index()
+        rows = []
+        for t, sub in full.groupby("event_type", sort=False):
+            sub = sub.sort_values("cents", kind="mergesort")
+            v = sub["cents"].to_numpy(np.int64)
+            n = sub["cnt"].to_numpy(np.int64)
+            cum = np.cumsum(n)
+            tot = int(cum[-1])
+            med = int(v[np.searchsorted(cum, (tot + 1) // 2)])
+            dev = np.abs(v - med)
+            order = np.argsort(dev, kind="mergesort")
+            dcum = np.cumsum(n[order])
+            mad = int(dev[order][np.searchsorted(dcum,
+                                                 (tot + 1) // 2)])
+            rows.append((t, tot, med, mad))
+        return pd.DataFrame(rows, columns=["event_type", "n",
+                                           "med_cents", "mad_cents"])
+
+    return (ev.map_batches(_hist, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _mad(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("event_type"))
+
+
+def sql_events_mad() -> str:
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "h AS (SELECT event_type, cents, COUNT(*) AS cnt FROM c "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT event_type, cents, SUM(cnt) OVER "
+        "(PARTITION BY event_type ORDER BY cents) AS cum, "
+        "SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM h), "
+        "m AS (SELECT event_type, CAST(tot AS BIGINT) AS n, "
+        "MIN(cents) AS med FROM r WHERE cum >= (tot + 1) // 2 "
+        "GROUP BY event_type, tot), "
+        "a AS (SELECT c.event_type, ABS(c.cents - m.med) AS dev "
+        "FROM c JOIN m USING (event_type)), "
+        "h2 AS (SELECT event_type, dev, COUNT(*) AS cnt FROM a "
+        "GROUP BY 1, 2), "
+        "r2 AS (SELECT event_type, dev, SUM(cnt) OVER "
+        "(PARTITION BY event_type ORDER BY dev) AS cum, "
+        "SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM h2) "
+        "SELECT m.event_type, m.n, CAST(m.med AS BIGINT) AS med_cents, "
+        "CAST(MIN(r2.dev) AS BIGINT) AS mad_cents FROM r2 "
+        "JOIN m ON m.event_type = r2.event_type "
+        "WHERE r2.cum >= (r2.tot + 1) // 2 "
+        "GROUP BY m.event_type, m.n, m.med ORDER BY m.event_type")
+
+
+def q_type_affinity(sf_dir: str):
+    """Type-type affinity: the cosine-similarity structure of event
+    types over per-user count vectors, kept divisionless — for each
+    type pair a < b the exact int64 dot product sum_u c_ua * c_ub
+    plus both squared norms (callers divide).  The co-occurrence /
+    item-similarity kernel: (user, type) counts merge inside
+    user-hash buckets, each user's <= T types cross INSIDE the
+    bucket, and the surviving exchange is pair-domain-sized (T^2
+    partials per bucket), never user-sized."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = 64
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy()
+            .astype(np.int64),
+            "event_type": batch.column("event_type").to_pandas()})
+        g = df.groupby(["user_id", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        u = g["user_id"].to_numpy().astype(np.uint64)
+        g["__b"] = (_splitmix(u) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _cross(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], sort=False)["n"] \
+            .sum().reset_index()
+        m = c.merge(c, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] <= m["event_type_b"]]
+        m["dot"] = m["n_a"].to_numpy(np.int64) \
+            * m["n_b"].to_numpy(np.int64)
+        out = m.groupby(["event_type_a", "event_type_b"], sort=False,
+                        as_index=False)["dot"].sum()
+        out["dot"] = out["dot"].astype(np.int64)
+        return out.rename(columns={"event_type_a": "type_a",
+                                   "event_type_b": "type_b"})
+
+    pairs = (ev.map_batches(_counts, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: _cross(g.drop(columns=["__b"])),
+                         batch_format="pandas"))
+    merged = driver_merged_sum(pairs, ["type_a", "type_b"], ["dot"])
+    norms = merged[merged["type_a"] == merged["type_b"]] \
+        .set_index("type_a")["dot"]
+    out = merged[merged["type_a"] < merged["type_b"]].copy()
+    out["norm_a"] = out["type_a"].map(norms).astype(np.int64)
+    out["norm_b"] = out["type_b"].map(norms).astype(np.int64)
+    return rd.from_pandas(out.sort_values(["type_a", "type_b"])
+                          .reset_index(drop=True))
+
+
+def sql_type_affinity() -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(SUM(a.n * b.n) AS BIGINT) AS dot FROM c a "
+        "JOIN c b USING (user_id) "
+        "WHERE a.event_type < b.event_type GROUP BY 1, 2), "
+        "nn AS (SELECT event_type, CAST(SUM(n * n) AS BIGINT) AS nrm "
+        "FROM c GROUP BY 1) "
+        "SELECT type_a, type_b, p.dot, na.nrm AS norm_a, "
+        "nb.nrm AS norm_b FROM p "
+        "JOIN nn na ON na.event_type = type_a "
+        "JOIN nn nb ON nb.event_type = type_b ORDER BY type_a, type_b")
+
+
+def q_orders_rfm(sf_dir: str):
+    """RFM customer segmentation: per customer the recency (last
+    order day), frequency (order count) and monetary (exact cent
+    total) metrics, each scored 1-5 by DETERMINISTIC quintile
+    thresholds (threshold k = the smallest metric value whose
+    cumulative count reaches k/5 of customers; score = 1 + number of
+    thresholds strictly below the value — tie-stable, unlike NTILE).
+    Per-customer metrics come from mergeable per-batch combiners in
+    custkey-hash buckets; the three threshold histograms are
+    value-domain-sized driver fetches (the events_gini pattern), and
+    one broadcast of 12 integers scores every customer."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    nb = 64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "custkey": batch.column("o_custkey").to_numpy()
+            .astype(np.int64),
+            "day": batch.column("o_orderdate").to_numpy()
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US,
+            "cents": np.round(batch.column("o_totalprice").to_numpy()
+                              * 100.0).astype(np.int64)})
+        g = df.groupby("custkey", sort=False).agg(
+            r=("day", "max"), f=("cents", "size"),
+            m=("cents", "sum")).reset_index()
+        g["f"] = g["f"].astype(np.int64)
+        u = g["custkey"].to_numpy().astype(np.uint64)
+        g["__b"] = (_splitmix(u) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("custkey", sort=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")) \
+            .reset_index()
+
+    per_cust = (ds.map_batches(_partial, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(lambda g: _merge(g.drop(columns=["__b"])),
+                            batch_format="pandas")
+                .materialize())
+
+    def _thresholds(col: str) -> np.ndarray:
+        def _h(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy().astype(np.int64)
+            uniq, cnt = np.unique(v, return_counts=True)
+            return pa.table({"v": pa.array(uniq, pa.int64()),
+                             "cnt": pa.array(cnt.astype(np.int64),
+                                             pa.int64())})
+        from ..stages.agg import driver_merged_sum
+        h = driver_merged_sum(
+            per_cust.map_batches(_h, batch_format="pyarrow"),
+            ["v"], ["cnt"])
+        v = h["v"].to_numpy(np.int64)
+        cum = np.cumsum(h["cnt"].to_numpy(np.int64))
+        tot = int(cum[-1])
+        return np.array([v[np.searchsorted(5 * cum, k * tot)]
+                         for k in (1, 2, 3, 4)], np.int64)
+
+    thr = {c: _thresholds(c) for c in ("r", "f", "m")}
+
+    def _score(batch: pa.Table) -> pa.Table:
+        out = {"custkey": batch.column("custkey").cast(pa.int64())}
+        scores = {}
+        for c in ("r", "f", "m"):
+            v = batch.column(c).to_numpy().astype(np.int64)
+            scores[c] = (1 + np.searchsorted(thr[c], v, side="left")
+                         ).astype(np.int64)
+            out[f"{c}_score"] = pa.array(scores[c], pa.int64())
+        out["rfm_code"] = pa.array(
+            scores["r"] * 100 + scores["f"] * 10 + scores["m"],
+            pa.int64())
+        return pa.table(out)
+
+    return per_cust.map_batches(_score, batch_format="pyarrow") \
+        .sort("custkey")
+
+
+def sql_orders_rfm() -> str:
+    thr = (
+        "h{x} AS (SELECT {x} AS v, COUNT(*) AS cnt FROM c GROUP BY 1), "
+        "r{x} AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, "
+        "SUM(cnt) OVER () AS tot FROM h{x}), "
+        "t{x} AS (SELECT k, MIN(v) AS thr FROM r{x}, "
+        "(VALUES (1), (2), (3), (4)) ks(k) "
+        "WHERE 5 * cum >= k * tot GROUP BY k), ")
+    return (
+        "WITH c AS (SELECT o_custkey AS custkey, "
+        "CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) "
+        "AS r, CAST(COUNT(*) AS BIGINT) AS f, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS m FROM orders GROUP BY 1), "
+        + thr.format(x="r") + thr.format(x="f") + thr.format(x="m") +
+        "s AS (SELECT custkey, "
+        "1 + (SELECT COUNT(*) FROM tr WHERE c.r > tr.thr) AS r_score, "
+        "1 + (SELECT COUNT(*) FROM tf WHERE c.f > tf.thr) AS f_score, "
+        "1 + (SELECT COUNT(*) FROM tm WHERE c.m > tm.thr) AS m_score "
+        "FROM c) "
+        "SELECT custkey, CAST(r_score AS BIGINT) AS r_score, "
+        "CAST(f_score AS BIGINT) AS f_score, "
+        "CAST(m_score AS BIGINT) AS m_score, "
+        "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) "
+        "AS rfm_code FROM s ORDER BY custkey")
+
+
+def q_events_pettitt(sf_dir: str):
+    """Pettitt change-point statistic per event type over DAILY cent
+    totals: U(t) = sum_{i<=t} sum_{j>t} sign(x_j - x_i) for every
+    candidate split day t, reporting the argmax-|U| day (smallest day
+    on ties) — the nonparametric regime-shift detector.  Daily totals
+    are one bounded combiner pass (types x calendar days); the O(d^2)
+    pair scan runs on the driver over that calendar-bounded table, so
+    cost never grows with row count."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": batch.column("ts").to_numpy()
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US,
+            "cents": np.round(batch.column("value").to_numpy()
+                              * 100.0).astype(np.int64)})
+        g = df.groupby(["event_type", "day"], sort=False)["cents"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = driver_merged_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "day"], ["cents"])
+
+    rows = []
+    for t, sub in daily.groupby("event_type", sort=True):
+        sub = sub.sort_values("day", kind="mergesort")
+        d = sub["day"].to_numpy(np.int64)
+        x = sub["cents"].to_numpy(np.int64)
+        sgn = np.sign(x[None, :] - x[:, None]).astype(np.int64)
+        best_u, best_day = 0, None
+        for k in range(len(d) - 1):
+            u = int(sgn[: k + 1, k + 1:].sum())
+            if best_day is None or abs(u) > abs(best_u):
+                best_u, best_day = u, int(d[k])
+        if best_day is not None:
+            rows.append((t, best_day, best_u, len(d)))
+    out = pd.DataFrame(rows, columns=["event_type", "change_day",
+                                      "u_stat", "n_days"])
+    for c in ("change_day", "u_stat", "n_days"):
+        out[c] = out[c].astype(np.int64)
+    return rd.from_pandas(out)
+
+
+def sql_events_pettitt() -> str:
+    return (
+        "WITH d AS (SELECT event_type, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM events GROUP BY 1, 2), "
+        "s AS (SELECT event_type, day FROM d t WHERE day < "
+        "(SELECT MAX(day) FROM d m WHERE m.event_type = t.event_type)), "
+        "u AS (SELECT s.event_type, s.day, "
+        "CAST(SUM(SIGN(b.cents - a.cents)) AS BIGINT) AS u, "
+        "(SELECT COUNT(*) FROM d n "
+        "WHERE n.event_type = s.event_type) AS n_days "
+        "FROM s JOIN d a ON a.event_type = s.event_type "
+        "AND a.day <= s.day JOIN d b ON b.event_type = s.event_type "
+        "AND b.day > s.day GROUP BY 1, 2) "
+        "SELECT event_type, day AS change_day, u AS u_stat, "
+        "CAST(n_days AS BIGINT) AS n_days FROM u "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY ABS(u) DESC, day) = 1 ORDER BY event_type")
+
+
+def q_events_theilsen(sf_dir: str):
+    """Theil-Sen robust trend per event type over daily cent totals:
+    the LOWER-median of all pairwise slopes (cents_j - cents_i) /
+    (day_j - day_i), i < j by day — the outlier-resistant slope
+    estimator.  Daily totals are a bounded combiner pass; the O(d^2)
+    slope multiset is calendar-bounded, so the median runs on the
+    driver.  Slopes are the IEEE quotient of exact int64 differences
+    — bit-identical across engines — and the lower median picks an
+    ELEMENT, so the result hash-matches SQL."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": batch.column("ts").to_numpy()
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US,
+            "cents": np.round(batch.column("value").to_numpy()
+                              * 100.0).astype(np.int64)})
+        g = df.groupby(["event_type", "day"], sort=False)["cents"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = driver_merged_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "day"], ["cents"])
+
+    rows = []
+    for t, sub in daily.groupby("event_type", sort=True):
+        sub = sub.sort_values("day", kind="mergesort")
+        d = sub["day"].to_numpy(np.int64)
+        x = sub["cents"].to_numpy(np.int64)
+        i, j = np.triu_indices(len(d), k=1)
+        if len(i) == 0:
+            continue
+        slopes = (x[j] - x[i]) / (d[j] - d[i]).astype(np.float64)
+        slopes.sort()
+        rows.append((t, len(slopes),
+                     float(slopes[(len(slopes) + 1) // 2 - 1])))
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                      "slope"])
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return rd.from_pandas(out)
+
+
+def sql_events_theilsen() -> str:
+    return (
+        "WITH d AS (SELECT event_type, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM events GROUP BY 1, 2), "
+        "p AS (SELECT a.event_type, (b.cents - a.cents) / "
+        "CAST(b.day - a.day AS DOUBLE) AS s FROM d a "
+        "JOIN d b ON a.event_type = b.event_type AND b.day > a.day), "
+        "r AS (SELECT event_type, s, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY s) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM p) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n_pairs, s AS slope "
+        "FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type")
+
+
+def q_grid_distance(sf_dir: str, size_deg: float = 10.0,
+                    max_hops: int = 6):
+    """Multi-source BFS hop distance over the occupied event grid:
+    seeds are hot cells (count >= the P90 of per-cell counts, the
+    LOWER order statistic of the count histogram — a scale-free
+    integer threshold that stays nonempty at every sf), adjacency is
+    4-neighbor between OCCUPIED cells, and every cell within
+    ``max_hops`` reports its hop distance — the coverage /
+    proximity-to-hotspot raster.
+    Distributed label-correcting min-plus: each of the max_hops
+    rounds exchanges only (cell, dist) pairs co-partitioned with the
+    occupied-cell table by cell hash (one narrow groupby per round,
+    cell-table-sized, never event-sized); rounds are bounded by the
+    hop parameter, not the data."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        glat = np.floor(lat / size_deg).astype(np.int64)
+        glng = np.floor(lng / size_deg).astype(np.int64)
+        df = pd.DataFrame({"glat": glat, "glng": glng})
+        g = df.groupby(["glat", "glng"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # occupied-cell table: bounded by the grid resolution (the
+    # intrinsic size of this operator's state), merged once
+    cells = driver_merged_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["glat", "glng"], ["n"])
+    counts = cells["n"].to_numpy(np.int64)
+    v, cnt = np.unique(counts, return_counts=True)
+    cum = np.cumsum(cnt)
+    thr = int(v[np.searchsorted(10 * cum, 9 * int(cum[-1]))])
+    seeds = cells[counts >= thr]
+
+    nb = 32
+    occ = pa.table({
+        "glat": pa.array(cells["glat"].to_numpy(np.int64), pa.int64()),
+        "glng": pa.array(cells["glng"].to_numpy(np.int64), pa.int64()),
+        "dist": pa.array(np.full(len(cells), np.int64(1 << 30)),
+                         pa.int64())})
+    occ_ds = rd.from_arrow(occ)
+
+    dist = rd.from_arrow(pa.table({
+        "glat": pa.array(seeds["glat"].to_numpy(np.int64), pa.int64()),
+        "glng": pa.array(seeds["glng"].to_numpy(np.int64), pa.int64()),
+        "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64())}))
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        la = batch.column("glat").to_numpy().astype(np.int64)
+        lo = batch.column("glng").to_numpy().astype(np.int64)
+        dd = batch.column("dist").to_numpy().astype(np.int64)
+        outs = [pa.table({"glat": pa.array(la, pa.int64()),
+                          "glng": pa.array(lo, pa.int64()),
+                          "dist": pa.array(dd, pa.int64())})]
+        for dla, dlo in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            outs.append(pa.table({
+                "glat": pa.array(la + dla, pa.int64()),
+                "glng": pa.array(lo + dlo, pa.int64()),
+                "dist": pa.array(dd + 1, pa.int64())}))
+        return pa.concat_tables(outs)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        la = batch.column("glat").to_numpy().astype(np.int64)
+        lo = batch.column("glng").to_numpy().astype(np.int64)
+        key = ((la + 32) * 131 + (lo + 64)).astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(key) % np.uint64(nb))
+                            .astype(np.int32), pa.int32()))
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # min dist per cell, kept only for OCCUPIED cells (the
+        # sentinel 1<<30 row marks occupancy without affecting min)
+        m = g.groupby(["glat", "glng"], sort=False).agg(
+            dist=("dist", "min"), mx=("dist", "max")).reset_index()
+        m = m[m["mx"] >= np.int64(1 << 30)]
+        m = m[m["dist"] < np.int64(1 << 30)]
+        return m[["glat", "glng", "dist"]]
+
+    for _ in range(max_hops):
+        cand = dist.map_batches(_expand, batch_format="pyarrow")
+        dist = (cand.union(occ_ds)
+                .map_batches(_bucket, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(lambda g: _resolve(g.drop(columns=["__b"])),
+                            batch_format="pandas")
+                .materialize())
+
+    def _cap(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy().astype(np.int64)
+        keep = batch.filter(pa.array(d <= max_hops))
+        return pa.table({"glat": keep.column("glat"),
+                         "glng": keep.column("glng"),
+                         "hops": keep.column("dist")})
+
+    return (dist.map_batches(_cap, batch_format="pyarrow")
+            .sort(["glat", "glng"]))
+
+
+def sql_grid_distance(size_deg: float = 10.0, max_hops: int = 6) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH RECURSIVE ev AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng "
+        "FROM events), "
+        "cells AS (SELECT glat, glng, COUNT(*) AS n FROM ev "
+        "GROUP BY 1, 2), "
+        "h AS (SELECT n AS v, COUNT(*) AS cnt FROM cells GROUP BY 1), "
+        "hr AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, "
+        "SUM(cnt) OVER () AS tot FROM h), "
+        "t AS (SELECT MIN(v) AS thr FROM hr WHERE 10 * cum >= 9 * tot), "
+        "seeds AS (SELECT glat, glng FROM cells, t WHERE n >= thr), "
+        "bfs(glat, glng, d) AS ("
+        "SELECT glat, glng, 0 FROM seeds UNION "
+        "SELECT c.glat, c.glng, b.d + 1 FROM bfs b JOIN cells c ON "
+        "ABS(c.glat - b.glat) + ABS(c.glng - b.glng) = 1 "
+        f"WHERE b.d < {max_hops}) "
+        "SELECT glat, glng, CAST(MIN(d) AS BIGINT) AS hops FROM bfs "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12459,6 +13104,14 @@ def _authored_queries() -> Dict:
         "embed_gram": q_embed_gram,
         "events_autocorr": q_events_autocorr,
         "orders_cohort": q_orders_cohort,
+        "events_streak": q_events_streak,
+        "events_cube": q_events_cube,
+        "events_mad": q_events_mad,
+        "type_affinity": q_type_affinity,
+        "orders_rfm": q_orders_rfm,
+        "events_pettitt": q_events_pettitt,
+        "events_theilsen": q_events_theilsen,
+        "grid_distance": q_grid_distance,
     }
 
 
@@ -12609,6 +13262,14 @@ def oracle_sql() -> Dict[str, str]:
         "embed_gram": sql_embed_gram(),
         "events_autocorr": sql_events_autocorr(),
         "orders_cohort": sql_orders_cohort(),
+        "events_streak": sql_events_streak(),
+        "events_cube": sql_events_cube(),
+        "events_mad": sql_events_mad(),
+        "type_affinity": sql_type_affinity(),
+        "orders_rfm": sql_orders_rfm(),
+        "events_pettitt": sql_events_pettitt(),
+        "events_theilsen": sql_events_theilsen(),
+        "grid_distance": sql_grid_distance(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -96,6 +96,8 @@ ORACLE_CHECKED = [
     "pack_shards", "events_benford", "doc_repetition",
     "term_freq_spectrum", "substring_dedup", "dsir_weights",
     "embed_gram", "events_autocorr", "orders_cohort",
+    "events_streak", "events_cube", "events_mad", "type_affinity",
+    "orders_rfm", "events_pettitt", "events_theilsen", "grid_distance",
 ]
 
 
