@@ -191,7 +191,10 @@ def run_suite(headline_only: bool = False) -> dict:
                  "pack_shards", "events_benford", "doc_repetition",
                  "events_streak", "events_cube", "events_mad",
                  "type_affinity", "orders_rfm", "events_pettitt",
-                 "events_theilsen", "grid_distance"]
+                 "events_theilsen", "grid_distance", "grid_change",
+                 "grid_voronoi", "vocab_growth", "term_burstiness",
+                 "attribution_last_touch", "embed_label_centroid",
+                 "events_decay"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

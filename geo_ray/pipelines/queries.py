@@ -12855,6 +12855,550 @@ def sql_grid_distance(size_deg: float = 10.0, max_hops: int = 6) -> str:
         "GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_grid_change(sf_dir: str, size_deg: float = 10.0,
+                  min_abs: int = 1):
+    """Day-over-day raster change detection: per 10-degree grid cell
+    and calendar day, the count delta vs the previous day (zero-
+    filled on either side), keeping cells with a nonzero delta (|delta| >= min_abs, default
+    1 so the result is nonempty at every sf) —
+    the new-construction / activity-shift detector.  (cell, day)
+    counts are one bounded combiner pass (cells x calendar days);
+    the shifted self-join runs on that bounded table, so nothing
+    event-sized ever moves twice."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "glat": np.floor(lat / size_deg).astype(np.int64),
+            "glng": np.floor(lng / size_deg).astype(np.int64),
+            "day": batch.column("ts").to_numpy()
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US})
+        g = df.groupby(["glat", "glng", "day"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    c = driver_merged_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["glat", "glng", "day"], ["n"])
+    lo, hi = int(c["day"].min()), int(c["day"].max())
+    prev = c.copy()
+    prev["day"] = prev["day"] + 1
+    j = c.merge(prev, on=["glat", "glng", "day"], how="outer",
+                suffixes=("", "_prev")).fillna(0)
+    j["delta"] = (j["n"] - j["n_prev"]).astype(np.int64)
+    j = j[(j["day"] >= lo + 1) & (j["day"] <= hi)
+          & (j["delta"].abs() >= min_abs)]
+    out = j[["glat", "glng", "day", "delta"]].copy()
+    for col in out.columns:
+        out[col] = out[col].astype(np.int64)
+    return rd.from_pandas(out.sort_values(["glat", "glng", "day"])
+                          .reset_index(drop=True))
+
+
+def sql_grid_change(size_deg: float = 10.0, min_abs: int = 1) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH c AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2, 3), "
+        "j AS (SELECT COALESCE(t.glat, y.glat) AS glat, "
+        "COALESCE(t.glng, y.glng) AS glng, "
+        "COALESCE(t.day, y.day + 1) AS day, "
+        "COALESCE(t.n, 0) - COALESCE(y.n, 0) AS delta "
+        "FROM c t FULL JOIN c y ON t.glat = y.glat "
+        "AND t.glng = y.glng AND t.day = y.day + 1) "
+        "SELECT glat, glng, CAST(day AS BIGINT) AS day, "
+        "CAST(delta AS BIGINT) AS delta FROM j "
+        "WHERE day BETWEEN (SELECT MIN(day) + 1 FROM c) "
+        "AND (SELECT MAX(day) FROM c) "
+        f"AND ABS(delta) >= {min_abs} ORDER BY 1, 2, 3")
+
+
+def q_grid_voronoi(sf_dir: str, size_deg: float = 10.0,
+                   max_hops: int = 6):
+    """Nearest-hotspot allocation (grid Voronoi by hop distance):
+    every occupied cell within ``max_hops`` of a P90-count seed cell
+    reports its hop distance AND the winning seed (ties broken by
+    smallest packed seed id) — the catchment-area / service-
+    allocation raster.  Same label-correcting min-plus rounds as
+    grid_distance, but each exchanged row carries (dist, seed_id)
+    and the per-cell resolve takes the LEXICOGRAPHIC min, which
+    stays associative/mergeable across rounds."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "glat": np.floor(lat / size_deg).astype(np.int64),
+            "glng": np.floor(lng / size_deg).astype(np.int64)})
+        g = df.groupby(["glat", "glng"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = driver_merged_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["glat", "glng"], ["n"])
+    counts = cells["n"].to_numpy(np.int64)
+    v, cnt = np.unique(counts, return_counts=True)
+    cum = np.cumsum(cnt)
+    thr = int(v[np.searchsorted(10 * cum, 9 * int(cum[-1]))])
+    seeds = cells[counts >= thr]
+    s_sid = ((seeds["glat"].to_numpy(np.int64) + 90) * 1000
+             + (seeds["glng"].to_numpy(np.int64) + 180))
+
+    nb = 32
+    occ_ds = rd.from_arrow(pa.table({
+        "glat": pa.array(cells["glat"].to_numpy(np.int64), pa.int64()),
+        "glng": pa.array(cells["glng"].to_numpy(np.int64), pa.int64()),
+        "dist": pa.array(np.full(len(cells), np.int64(1 << 30)),
+                         pa.int64()),
+        "sid": pa.array(np.zeros(len(cells), np.int64), pa.int64())}))
+    dist = rd.from_arrow(pa.table({
+        "glat": pa.array(seeds["glat"].to_numpy(np.int64), pa.int64()),
+        "glng": pa.array(seeds["glng"].to_numpy(np.int64), pa.int64()),
+        "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+        "sid": pa.array(s_sid, pa.int64())}))
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        la = batch.column("glat").to_numpy().astype(np.int64)
+        lo = batch.column("glng").to_numpy().astype(np.int64)
+        dd = batch.column("dist").to_numpy().astype(np.int64)
+        sid = batch.column("sid").to_numpy().astype(np.int64)
+        outs = [batch]
+        for dla, dlo in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            outs.append(pa.table({
+                "glat": pa.array(la + dla, pa.int64()),
+                "glng": pa.array(lo + dlo, pa.int64()),
+                "dist": pa.array(dd + 1, pa.int64()),
+                "sid": pa.array(sid, pa.int64())}))
+        return pa.concat_tables(outs)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        la = batch.column("glat").to_numpy().astype(np.int64)
+        lo = batch.column("glng").to_numpy().astype(np.int64)
+        key = ((la + 32) * 131 + (lo + 64)).astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(key) % np.uint64(nb))
+                            .astype(np.int32), pa.int32()))
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        occ = g.groupby(["glat", "glng"], sort=False)["dist"].max()
+        s = g.sort_values(["glat", "glng", "dist", "sid"],
+                          kind="mergesort")
+        m = s.drop_duplicates(["glat", "glng"], keep="first")
+        m = m.merge(occ.rename("mx").reset_index(),
+                    on=["glat", "glng"])
+        m = m[(m["mx"] >= np.int64(1 << 30))
+              & (m["dist"] < np.int64(1 << 30))]
+        return m[["glat", "glng", "dist", "sid"]]
+
+    for _ in range(max_hops):
+        cand = dist.map_batches(_expand, batch_format="pyarrow")
+        dist = (cand.union(occ_ds)
+                .map_batches(_bucket, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(lambda g: _resolve(g.drop(columns=["__b"])),
+                            batch_format="pandas")
+                .materialize())
+
+    def _out(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy().astype(np.int64)
+        keep = batch.filter(pa.array(d <= max_hops))
+        sid = keep.column("sid").to_numpy().astype(np.int64)
+        return pa.table({
+            "glat": keep.column("glat"),
+            "glng": keep.column("glng"),
+            "hops": keep.column("dist"),
+            "seed_glat": pa.array(sid // 1000 - 90, pa.int64()),
+            "seed_glng": pa.array(sid % 1000 - 180, pa.int64())})
+
+    return (dist.map_batches(_out, batch_format="pyarrow")
+            .sort(["glat", "glng"]))
+
+
+def sql_grid_voronoi(size_deg: float = 10.0, max_hops: int = 6) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH RECURSIVE ev AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng "
+        "FROM events), "
+        "cells AS (SELECT glat, glng, COUNT(*) AS n FROM ev "
+        "GROUP BY 1, 2), "
+        "h AS (SELECT n AS v, COUNT(*) AS cnt FROM cells GROUP BY 1), "
+        "hr AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, "
+        "SUM(cnt) OVER () AS tot FROM h), "
+        "t AS (SELECT MIN(v) AS thr FROM hr WHERE 10 * cum >= 9 * tot), "
+        "seeds AS (SELECT glat, glng, "
+        "(glat + 90) * 1000 + (glng + 180) AS sid "
+        "FROM cells, t WHERE n >= thr), "
+        "bfs(glat, glng, d, sid) AS ("
+        "SELECT glat, glng, 0, sid FROM seeds UNION "
+        "SELECT c.glat, c.glng, b.d + 1, b.sid FROM bfs b "
+        "JOIN cells c ON "
+        "ABS(c.glat - b.glat) + ABS(c.glng - b.glng) = 1 "
+        f"WHERE b.d < {max_hops}) "
+        "SELECT glat, glng, CAST(d AS BIGINT) AS hops, "
+        "CAST(sid // 1000 - 90 AS BIGINT) AS seed_glat, "
+        "CAST(sid % 1000 - 180 AS BIGINT) AS seed_glng FROM bfs "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY glat, glng "
+        "ORDER BY d, sid) = 1 ORDER BY glat, glng")
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve: new distinct terms per
+    doc-id decile (terms attributed to the decile of their FIRST
+    occurrence) plus the cumulative vocabulary size.  Term -> min
+    doc_id is a mergeable min-combiner inside term-hash buckets (the
+    exchange is vocabulary-sized partials, never token-sized); the
+    10-row decile rollup merges on the driver."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ..stages.text import tokens_of
+    from ..stages.sample import _splitmix
+    from ..stages.agg import driver_merged_sum
+
+    # max doc id from parquet row-group stats (no data read)
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    idx = md.schema_arrow.names.index("doc_id")
+    max_id = max(md.metadata.row_group(i).column(idx).statistics.max
+                 for i in range(md.metadata.num_row_groups)) + 1
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = 64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        first: dict = {}
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            for w in tokens_of(t):
+                if not w:
+                    continue
+                w = w.lower()
+                p = first.get(w)
+                if p is None or i < p:
+                    first[w] = i
+        terms = list(first.keys())
+        h = pd.util.hash_array(np.asarray(terms, dtype=object)) \
+            .astype(np.uint64)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "d0": pa.array([int(first[t]) for t in terms], pa.int64()),
+            "__b": pa.array((_splitmix(h) % np.uint64(nb))
+                            .astype(np.int32), pa.int32())})
+
+    def _decile(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("term", sort=False)["d0"].min()
+        dec = (f.to_numpy(np.int64) * 10) // max_id
+        u, c = np.unique(dec, return_counts=True)
+        return pd.DataFrame({"decile": u.astype(np.int64),
+                             "new_terms": c.astype(np.int64)})
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: _decile(g.drop(columns=["__b"])),
+                         batch_format="pandas"))
+    out = driver_merged_sum(parts, ["decile"], ["new_terms"])
+    out = out.sort_values("decile").reset_index(drop=True)
+    out["cum_terms"] = out["new_terms"].cumsum().astype(np.int64)
+    return rd.from_pandas(out)
+
+
+def sql_vocab_growth() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, lower(unnest(string_split_regex("
+        "trim(text), '\\s+'))) AS term FROM documents), "
+        "f AS (SELECT term, MIN(doc_id) AS d0 FROM t "
+        "WHERE term <> '' GROUP BY 1), "
+        "m AS (SELECT MAX(doc_id) + 1 AS md FROM documents), "
+        "b AS (SELECT CAST(d0 * 10 // md AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS new_terms FROM f, m GROUP BY 1) "
+        "SELECT decile, new_terms, CAST(SUM(new_terms) OVER "
+        "(ORDER BY decile) AS BIGINT) AS cum_terms FROM b "
+        "ORDER BY decile")
+
+
+def q_term_burstiness(sf_dir: str):
+    """Cross-source term dispersion (burstiness screen): per term the
+    number of sources it appears in, its total count, and the exact
+    sum of squared per-source counts — the divisionless sufficient
+    statistics for index-of-dispersion / chi-square uniformity tests
+    over a sharded corpus.  Two string-key bucketed-sum passes: the
+    (term, source) count table first (per-batch combiners), then the
+    per-term fold; both exchanges are vocabulary x source sized."""
+    import pandas as pd
+    from ..stages.text import tokens_of
+    from ..stages.agg import bucketed_sum_str
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    SEP = "\x1f"
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        counts: "Counter[str]" = Counter()
+        srcs = batch.column("source").to_pylist()
+        for s, t in zip(srcs, batch.column("text").to_pylist()):
+            for w in tokens_of(t):
+                if w:
+                    counts[w.lower() + SEP + s] += 1
+        return pa.table({
+            "key": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array([int(v) for v in counts.values()],
+                          pa.int64())})
+
+    per_src = bucketed_sum_str(
+        ds.map_batches(_pairs, batch_format="pyarrow"), "key", ["n"])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = batch.column("key").to_pylist()
+        n = batch.column("n").to_numpy().astype(np.int64)
+        terms = [k.split(SEP, 1)[0] for k in keys]
+        df = pd.DataFrame({"term": terms, "one": np.ones(len(n),
+                                                         np.int64),
+                           "tot": n, "sumsq": n * n})
+        g = df.groupby("term", sort=False, as_index=False).sum()
+        return pa.table({
+            "term": pa.array(g["term"], pa.string()),
+            "n_src": pa.array(g["one"].to_numpy(np.int64), pa.int64()),
+            "tot": pa.array(g["tot"].to_numpy(np.int64), pa.int64()),
+            "sumsq": pa.array(g["sumsq"].to_numpy(np.int64),
+                              pa.int64())})
+
+    return bucketed_sum_str(
+        per_src.map_batches(_fold, batch_format="pyarrow"),
+        "term", ["n_src", "tot", "sumsq"]).sort("term")
+
+
+def sql_term_burstiness() -> str:
+    return (
+        "WITH t AS (SELECT source, lower(unnest(string_split_regex("
+        "trim(text), '\\s+'))) AS term FROM documents), "
+        "c AS (SELECT term, source, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM t WHERE term <> '' GROUP BY 1, 2) "
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS n_src, "
+        "CAST(SUM(n) AS BIGINT) AS tot, "
+        "CAST(SUM(n * n) AS BIGINT) AS sumsq FROM c "
+        "GROUP BY term ORDER BY term")
+
+
+def q_attribution_last_touch(sf_dir: str, window_days: int = 7):
+    """Last-touch attribution: every purchase event attributes to the
+    user's most recent NON-purchase event within the lookback window
+    (strictly earlier in (ts, event_id) order; -1 when none) — the
+    marketing-attribution / conversion-path kernel.  One user-hash
+    exchange; each bucket sorts its users once and the last-touch
+    index falls out of a single vectorized running-maximum over
+    non-purchase positions (no per-user loop)."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    nb = 64
+    win_us = window_days * _DAY_US
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "tsu": pa.array(batch.column("ts").to_numpy()
+                            .astype("datetime64[us]").astype(np.int64),
+                            pa.int64()),
+            "is_p": pa.array(pc.equal(batch.column("event_type"),
+                                      "purchase")),
+            "__b": pa.array((_splitmix(u.astype(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    def _attr(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "tsu", "event_id"],
+                           kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["tsu"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        isp = df["is_p"].to_numpy(bool)
+        n = len(u)
+        idx = np.arange(n)
+        # running index of the latest non-purchase row so far
+        carry = np.maximum.accumulate(np.where(~isp, idx, -1))
+        ok = (carry >= 0)
+        # same user (bucket holds whole users, but a carry may cross
+        # a user boundary inside the sorted frame — mask it off)
+        ok &= np.where(carry >= 0, u[np.maximum(carry, 0)] == u, False)
+        ok &= np.where(carry >= 0,
+                       t - t[np.maximum(carry, 0)] <= win_us, False)
+        touch = np.where(ok, eid[np.maximum(carry, 0)], -1)
+        m = isp
+        return pd.DataFrame({
+            "purchase_id": eid[m],
+            "user_id": u[m],
+            "touch_event_id": touch[m].astype(np.int64)})
+
+    return (ev.map_batches(_rows, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _attr(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("purchase_id"))
+
+
+def sql_attribution_last_touch(window_days: int = 7) -> str:
+    win = window_days * 86_400_000_000
+    return (
+        "WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+        "event_type FROM events), "
+        "w AS (SELECT user_id, event_id, t, event_type, "
+        "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id "
+        "END IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING) AS touch_id, "
+        "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN t "
+        "END IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING) AS touch_t FROM s) "
+        "SELECT event_id AS purchase_id, user_id, "
+        "CAST(COALESCE(CASE WHEN t - touch_t <= "
+        f"{win} THEN touch_id END, -1) AS BIGINT) AS touch_event_id "
+        "FROM w WHERE event_type = 'purchase' ORDER BY purchase_id")
+
+
+def q_embed_label_centroid(sf_dir: str, units: int = 1000):
+    """Per-label embedding centroid as EXACT integer sufficient
+    statistics: vector count plus the per-dimension sum of
+    floor(x * units) — the class-prototype / nearest-centroid-
+    classifier statistic, divisionless so it hash-matches SQL
+    (callers divide qsum by n).  Each batch contributes one
+    (label x dim) int64 partial via a segment-sum, so the exchange
+    is labels x dims regardless of row count."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // max(1, batch.num_rows)
+        q = np.floor(flat.astype(np.float64).reshape(
+            batch.num_rows, d) * units).astype(np.int64)
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        li = np.repeat(np.arange(len(ul)), d)
+        return pa.table({
+            "label": pa.array(ul[li], pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(ul)), pa.int64()),
+            "qsum": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(cnt[li], pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    out = driver_merged_sum(parts, ["label", "dim"], ["qsum", "n"])
+    return rd.from_pandas(out.sort_values(["label", "dim"])
+                          .reset_index(drop=True))
+
+
+def sql_embed_label_centroid(units: int = 1000, dim: int = 64) -> str:
+    return (
+        f"SELECT CAST(label AS BIGINT) AS label, "
+        f"CAST(k.k AS BIGINT) AS dim, "
+        f"CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(k.k AS INT) + 1] "
+        f"AS DOUBLE) * {units}) AS BIGINT)) AS BIGINT) AS qsum, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM embeddings CROSS JOIN range(0, {dim}) k(k) "
+        f"GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_events_decay(sf_dir: str, horizon_days: int = 35):
+    """Exponentially decayed per-user engagement with EXACT dyadic
+    arithmetic: score = sum of cents_i * 2^(H - age_days_i) over the
+    user's events (age measured from the corpus max day), reported
+    as the integer numerator with denominator 2^H — the half-life-
+    one-day decayed counter, exact because the decay base is a power
+    of two and ages are calendar-bounded (< H).  One bucketed int64
+    sum; the numerator bound is cents_max * 2^H * events_per_user,
+    documented to need H <= ~40 at int64."""
+    from ..stages.agg import bucketed_sum
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    idx = md.schema_arrow.names.index("ts")
+    mx = max(md.metadata.row_group(i).column(idx).statistics.max
+             for i in range(md.metadata.num_row_groups))
+    max_day = int(np.datetime64(mx, "us").astype(np.int64) // _DAY_US)
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        day = batch.column("ts").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        age = (max_day - day).astype(np.int64)
+        w = cents * (np.int64(1) << (horizon_days - age))
+        df = pd.DataFrame({"user_id": u, "decay_num": w})
+        g = df.groupby("user_id", sort=False, as_index=False).sum()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "decay_num": pa.array(g["decay_num"].to_numpy(np.int64),
+                                  pa.int64())})
+
+    out = bucketed_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["user_id"], ["decay_num"])
+
+    def _den(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "decay_den_log2",
+            pa.array(np.full(batch.num_rows, horizon_days, np.int64),
+                     pa.int64()))
+
+    return out.map_batches(_den, batch_format="pyarrow") \
+        .sort("user_id")
+
+
+def sql_events_decay(horizon_days: int = 35) -> str:
+    return (
+        "WITH m AS (SELECT MAX(epoch_us(ts) // 86400000000) AS md "
+        "FROM events), "
+        "s AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) * "
+        f"(CAST(1 AS BIGINT) << ({horizon_days} - "
+        "CAST(md - epoch_us(ts) // 86400000000 AS INT))) AS w "
+        "FROM events, m) "
+        "SELECT user_id, CAST(SUM(w) AS BIGINT) AS decay_num, "
+        f"CAST({horizon_days} AS BIGINT) AS decay_den_log2 "
+        "FROM s GROUP BY user_id ORDER BY user_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13112,6 +13656,13 @@ def _authored_queries() -> Dict:
         "events_pettitt": q_events_pettitt,
         "events_theilsen": q_events_theilsen,
         "grid_distance": q_grid_distance,
+        "grid_change": q_grid_change,
+        "grid_voronoi": q_grid_voronoi,
+        "vocab_growth": q_vocab_growth,
+        "term_burstiness": q_term_burstiness,
+        "attribution_last_touch": q_attribution_last_touch,
+        "embed_label_centroid": q_embed_label_centroid,
+        "events_decay": q_events_decay,
     }
 
 
@@ -13270,6 +13821,13 @@ def oracle_sql() -> Dict[str, str]:
         "events_pettitt": sql_events_pettitt(),
         "events_theilsen": sql_events_theilsen(),
         "grid_distance": sql_grid_distance(),
+        "grid_change": sql_grid_change(),
+        "grid_voronoi": sql_grid_voronoi(),
+        "vocab_growth": sql_vocab_growth(),
+        "term_burstiness": sql_term_burstiness(),
+        "attribution_last_touch": sql_attribution_last_touch(),
+        "embed_label_centroid": sql_embed_label_centroid(),
+        "events_decay": sql_events_decay(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -98,6 +98,8 @@ ORACLE_CHECKED = [
     "embed_gram", "events_autocorr", "orders_cohort",
     "events_streak", "events_cube", "events_mad", "type_affinity",
     "orders_rfm", "events_pettitt", "events_theilsen", "grid_distance",
+    "grid_change", "grid_voronoi", "vocab_growth", "term_burstiness",
+    "attribution_last_touch", "embed_label_centroid", "events_decay",
 ]
 
 
