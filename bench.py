@@ -194,7 +194,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_theilsen", "grid_distance", "grid_change",
                  "grid_voronoi", "vocab_growth", "term_burstiness",
                  "attribution_last_touch", "embed_label_centroid",
-                 "events_decay"]
+                 "events_decay", "traj_stays", "phash_bit_bias"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

@@ -13399,6 +13399,142 @@ def sql_events_decay(horizon_days: int = 35) -> str:
         "FROM s GROUP BY user_id ORDER BY user_id")
 
 
+def q_traj_stays(sf_dir: str, eps_units: int = 400_000):
+    """Stay-point detection: per user, maximal runs of consecutive
+    events whose step distance stays within eps (integerized
+    floor(chord2 * 1e6) units, the events_travel convention) — the
+    GPS dwell/stop-detection kernel.  Emits per user the stay count,
+    total dwell microseconds and largest stay size.  One user-hash
+    exchange; each user's stays fall out of a vectorized
+    gaps-and-islands pass over the step flags (no inner loop)."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "tsu": pa.array(batch.column("ts").to_numpy()
+                            .astype("datetime64[us]").astype(np.int64),
+                            pa.int64()),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z)})
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_stays": pd.Series(dtype="int64"),
+                "dwell_us": pd.Series(dtype="int64"),
+                "max_pts": pd.Series(dtype="int64")})
+        x = g["x"].to_numpy(); y = g["y"].to_numpy()
+        z = g["z"].to_numpy()
+        t = g["tsu"].to_numpy(np.int64)
+        c2 = ((x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2
+              + (z[1:] - z[:-1]) ** 2)
+        small = np.floor(c2 * 1000000.0).astype(np.int64) <= eps_units
+        if not small.any():
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_stays": pd.Series(dtype="int64"),
+                "dwell_us": pd.Series(dtype="int64"),
+                "max_pts": pd.Series(dtype="int64")})
+        # islands over the step-flag vector: run starts where a small
+        # step follows a non-small (or the start)
+        starts = small & ~np.r_[False, small[:-1]]
+        run_id = np.cumsum(starts) - 1
+        n_runs = int(starts.sum())
+        n_steps = np.bincount(run_id[small], minlength=n_runs)
+        first = np.flatnonzero(starts)          # step index = point i
+        last = first + n_steps - 1              # inclusive step index
+        dwell = t[last + 1] - t[first]
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_stays": [n_runs],
+            "dwell_us": [int(dwell.sum())],
+            "max_pts": [int(n_steps.max()) + 1]})
+
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ev.map_batches(_pts, batch_format="pyarrow"), _per_user)
+
+
+def sql_traj_stays(eps_units: int = 400_000) -> str:
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        f"(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
+        f"(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
+        f"FROM events), "
+        f"xyz AS (SELECT event_id, user_id, t, {_XYZ_SQL} FROM pts), "
+        f"seg AS (SELECT user_id, t, LAG(t) OVER w AS tp, "
+        f"x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy, "
+        f"z - LAG(z) OVER w AS dz, ROW_NUMBER() OVER w AS rn FROM xyz "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        f"st AS (SELECT user_id, t, tp, rn FROM seg WHERE dx IS NOT "
+        f"NULL AND CAST(FLOOR((dx*dx + dy*dy + dz*dz) * 1000000.0) "
+        f"AS BIGINT) <= {eps_units}), "
+        f"isl AS (SELECT user_id, t, tp, rn - ROW_NUMBER() OVER "
+        f"(PARTITION BY user_id ORDER BY rn) AS grp FROM st), "
+        f"runs AS (SELECT user_id, COUNT(*) AS n_steps, "
+        f"MAX(t) - MIN(tp) AS dwell FROM isl GROUP BY user_id, grp) "
+        f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_stays, "
+        f"CAST(SUM(dwell) AS BIGINT) AS dwell_us, "
+        f"CAST(MAX(n_steps) + 1 AS BIGINT) AS max_pts "
+        f"FROM runs GROUP BY user_id ORDER BY user_id")
+
+
+def q_phash_bit_bias(sf_dir: str):
+    """Fingerprint quality audit: per bit position of the corpus
+    phash, the number of images with that bit set — the bit-bias /
+    avalanche check run before trusting a 64-bit fingerprint for
+    banded near-dup at corpus scale.  Synthesizes only the phash
+    column (no pixels); each batch folds to a 64-row partial via one
+    vectorized unpack, so the exchange is 64 x blocks regardless of
+    corpus size."""
+    import pandas as pd
+    import ray.data as rd
+    from ..sources.images import phash_for_index
+    from ..stages.agg import driver_merged_sum
+
+    n = _sf_num_images(sf_dir)
+    base = rd.range(n, override_num_blocks=max(8, n // 65536))
+
+    def _bits(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy().astype(np.int64)
+        ph = phash_for_index(idx).view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = (ph[:, None] >> shifts[None, :]) & np.uint64(1)
+        return pa.table({
+            "bit": pa.array(np.arange(64, dtype=np.int64), pa.int64()),
+            "n_set": pa.array(bits.sum(axis=0).astype(np.int64),
+                              pa.int64())})
+
+    out = driver_merged_sum(
+        base.map_batches(_bits, batch_format="pyarrow"),
+        ["bit"], ["n_set"])
+    return rd.from_pandas(out.sort_values("bit").reset_index(drop=True))
+
+
+def sql_phash_bit_bias(num_images: int = 10_000) -> str:
+    # pinned to the sf0.01 corpus size (the scale the driver's
+    # correctness gate runs at), like every image-table oracle here
+    n = num_images
+    sm = _splitmix_ctes("ph", "idx", "k",
+                        f"xor(CAST(k AS UBIGINT), "
+                        f"CAST({_GOLDEN} AS UBIGINT))")
+    return (
+        f"WITH idx AS (SELECT k FROM range(0, {n}) t(k)), "
+        f"{sm} "
+        f"SELECT CAST(b.b AS BIGINT) AS bit, "
+        f"CAST(SUM(CAST((v >> CAST(b.b AS INTEGER)) & 1 AS BIGINT)) "
+        f"AS BIGINT) AS n_set "
+        f"FROM ph CROSS JOIN range(0, 64) b(b) GROUP BY 1 ORDER BY 1")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13663,6 +13799,8 @@ def _authored_queries() -> Dict:
         "attribution_last_touch": q_attribution_last_touch,
         "embed_label_centroid": q_embed_label_centroid,
         "events_decay": q_events_decay,
+        "traj_stays": q_traj_stays,
+        "phash_bit_bias": q_phash_bit_bias,
     }
 
 
@@ -13828,6 +13966,8 @@ def oracle_sql() -> Dict[str, str]:
         "attribution_last_touch": sql_attribution_last_touch(),
         "embed_label_centroid": sql_embed_label_centroid(),
         "events_decay": sql_events_decay(),
+        "traj_stays": sql_traj_stays(),
+        "phash_bit_bias": sql_phash_bit_bias(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),
