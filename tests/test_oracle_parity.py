@@ -100,7 +100,7 @@ ORACLE_CHECKED = [
     "orders_rfm", "events_pettitt", "events_theilsen", "grid_distance",
     "grid_change", "grid_voronoi", "vocab_growth", "term_burstiness",
     "attribution_last_touch", "embed_label_centroid", "events_decay",
-    "traj_stays", "phash_bit_bias",
+    "traj_stays", "phash_bit_bias", "grid_percolation",
 ]
 
 
