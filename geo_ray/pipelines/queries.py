@@ -13647,6 +13647,372 @@ def sql_grid_percolation(size_deg: float = 10.0,
         ") WHERE n_active > 0 ORDER BY threshold")
 
 
+_KS_TYPE_A = "click"
+_KS_TYPE_B = "view"
+
+
+def q_events_ks(sf_dir: str, type_a: str = _KS_TYPE_A,
+                type_b: str = _KS_TYPE_B):
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event types, as the exact integer pair
+
+        ks_num = max over v of |F_a(v)*n_b - F_b(v)*n_a|
+        ks_den = n_a * n_b
+
+    plus ``ks_at``, the smallest cent value attaining the max (the
+    deterministic argmax) — the distribution-drift / AB-test kernel
+    kept divisionless so it hash-matches SQL.  One pass builds
+    per-batch (cents, c_a, c_b) histogram partials; the merge is
+    value-domain bounded (distinct cent values, never event rows), so
+    the driver fetch is the same bounded rollup events_percent_rank
+    and events_gini already rely on, and the cumulative scan is one
+    numpy cumsum."""
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        t = batch.column("event_type").to_numpy(zero_copy_only=False)
+        c = np.round(batch.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        ma = t == type_a
+        mb = t == type_b
+        keep = ma | mb
+        df = pd.DataFrame({
+            "v": c[keep],
+            "c_a": ma[keep].astype(np.int64),
+            "c_b": mb[keep].astype(np.int64)})
+        g = df.groupby("v", sort=False)[["c_a", "c_b"]].sum() \
+            .reset_index()
+        return pa.table({
+            "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+            "c_a": pa.array(g["c_a"].to_numpy(np.int64), pa.int64()),
+            "c_b": pa.array(g["c_b"].to_numpy(np.int64), pa.int64())})
+
+    hist = driver_merged_sum(
+        ev.map_batches(_hist, batch_format="pyarrow"),
+        ["v"], ["c_a", "c_b"]).sort_values("v")
+    f_a = np.cumsum(hist["c_a"].to_numpy(np.int64))
+    f_b = np.cumsum(hist["c_b"].to_numpy(np.int64))
+    n_a = int(f_a[-1]) if len(f_a) else 0
+    n_b = int(f_b[-1]) if len(f_b) else 0
+    d = np.abs(f_a * n_b - f_b * n_a)
+    ks_num = int(d.max()) if len(d) else 0
+    ks_at = int(hist["v"].to_numpy(np.int64)[int(np.argmax(d))]) \
+        if len(d) else 0
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "ks_num": pa.array([ks_num], pa.int64()),
+        "ks_den": pa.array([n_a * n_b], pa.int64()),
+        "ks_at": pa.array([ks_at], pa.int64())}))
+
+
+def sql_events_ks(type_a: str = _KS_TYPE_A,
+                  type_b: str = _KS_TYPE_B) -> str:
+    return (
+        "WITH h AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, "
+        f"SUM(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) "
+        "AS c_a, "
+        f"SUM(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) "
+        "AS c_b "
+        f"FROM events WHERE event_type IN ('{type_a}', '{type_b}') "
+        "GROUP BY 1), "
+        "c AS (SELECT v, SUM(c_a) OVER (ORDER BY v) AS f_a, "
+        "SUM(c_b) OVER (ORDER BY v) AS f_b FROM h), "
+        "n AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM h), "
+        "d AS (SELECT v, ABS(f_a * n.n_b - f_b * n.n_a) AS dd "
+        "FROM c CROSS JOIN n) "
+        "SELECT CAST(n.n_a AS BIGINT) AS n_a, "
+        "CAST(n.n_b AS BIGINT) AS n_b, "
+        "CAST((SELECT MAX(dd) FROM d) AS BIGINT) AS ks_num, "
+        "CAST(n.n_a * n.n_b AS BIGINT) AS ks_den, "
+        "CAST((SELECT MIN(v) FROM d "
+        "WHERE dd = (SELECT MAX(dd) FROM d)) AS BIGINT) AS ks_at "
+        "FROM n")
+
+
+_HISTEQ_LEVELS = 64
+
+
+def q_grid_histeq(sf_dir: str, size_deg: float = 4.0,
+                  levels: int = _HISTEQ_LEVELS):
+    """Histogram equalization of the activity raster — the classic
+    image-contrast kernel applied to the per-grid-cell event-count
+    surface: each active cell's count v is remapped to
+
+        eq = (cdf(v) - cdf_min) * (levels - 1) // (N - cdf_min)
+
+    (cdf over active cells, cdf_min = the smallest count's cdf,
+    N = active-cell count; eq = 0 when every cell shares one count).
+    Cell counts stay a distributed bucketed sum; only the COUNT
+    histogram (value-domain bounded: distinct count values, never
+    cells) reaches the driver, and the remap broadcasts that bounded
+    cdf into one vectorized searchsorted pass over the distributed
+    cell table."""
+    from ..stages.agg import bucketed_sum, driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "glat": np.floor(lat / size_deg).astype(np.int64),
+            "glng": np.floor(lng / size_deg).astype(np.int64)})
+        g = df.groupby(["glat", "glng"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = bucketed_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["glat", "glng"], ["n"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v, cnt = np.unique(batch.column("n").to_numpy()
+                           .astype(np.int64), return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
+
+    hist = driver_merged_sum(
+        cells.map_batches(_hist, batch_format="pyarrow"),
+        ["v"], ["cnt"]).sort_values("v")
+    vals = hist["v"].to_numpy(np.int64)
+    cdf = np.cumsum(hist["cnt"].to_numpy(np.int64))
+    total = int(cdf[-1]) if len(cdf) else 0
+    cdf_min = int(cdf[0]) if len(cdf) else 0
+    den = total - cdf_min
+
+    def _remap(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        f = cdf[np.searchsorted(vals, n)]
+        eq = ((f - cdf_min) * (levels - 1) // den) if den > 0 \
+            else np.zeros(len(n), np.int64)
+        return batch.append_column(
+            "eq", pa.array(eq.astype(np.int64), pa.int64()))
+
+    return cells.map_batches(_remap, batch_format="pyarrow") \
+        .sort(["glat", "glng"])
+
+
+def sql_grid_histeq(size_deg: float = 4.0,
+                    levels: int = _HISTEQ_LEVELS) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        "WITH base AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS glat, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS glng, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "h AS (SELECT n, COUNT(*) AS cnt FROM base GROUP BY 1), "
+        "c AS (SELECT n, SUM(cnt) OVER (ORDER BY n) AS f FROM h), "
+        "p AS (SELECT (SELECT MIN(f) FROM c) AS fmin, "
+        "(SELECT SUM(cnt) FROM h) AS tot) "
+        "SELECT b.glat, b.glng, b.n, "
+        "CAST(CASE WHEN p.tot > p.fmin THEN "
+        f"(c.f - p.fmin) * {levels - 1} // (p.tot - p.fmin) "
+        "ELSE 0 END AS BIGINT) AS eq "
+        "FROM base b JOIN c ON c.n = b.n CROSS JOIN p "
+        "ORDER BY 1, 2")
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree-assortativity components of the colocation contact
+    graph, as the exact integer sufficient statistics of Newman's
+    degree-correlation r over distinct edges (u, v):
+
+        m_edges, s_xy = sum(d_u * d_v), s_sum = sum(d_u + d_v),
+        s_sq = sum(d_u^2 + d_v^2)
+
+    (r = (s_xy/m - (s_sum/2m)^2) / (s_sq/2m - (s_sum/2m)^2); callers
+    divide — the report stays divisionless so it hash-matches SQL).
+    Scale shape: colocation pairs dedup to distinct edges in one
+    pair-hash bucket pass; degrees are one bucketed_sum over edge
+    endpoints; each endpoint's degree attaches through a node-hash
+    tagged-union co-partition (never a broadcast of the node table);
+    the final reduce is a 4-scalar driver merge."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.sample import _splitmix
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    nb = 64
+    pairs = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.int64)
+        ub = batch.column("user_b").to_numpy().astype(np.int64)
+        lo = np.minimum(ua, ub).astype(np.uint64)
+        hi = np.maximum(ua, ub).astype(np.uint64)
+        pk = np.unique((lo << np.uint64(32)) | hi).view(np.int64)
+        return pa.table({
+            "pk": pa.array(pk, pa.int64()),
+            "__b": pa.array((_splitmix(pk.view(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    # materialized on purpose: three downstream consumers (degree
+    # count + both attach passes) would otherwise re-execute the
+    # colocation join through lineage; the table is EDGE-bounded
+    # (distinct int64 pairs, never event-sized), the same
+    # iteration-state shape stages/cc pins
+    edges = (pairs.map_batches(_pack, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: pd.DataFrame(
+                 {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
+                 batch_format="pandas")).materialize()
+
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().view(np.uint64)
+        node = np.concatenate([(pk >> np.uint64(32)).view(np.int64),
+                               (pk & np.uint64(0xFFFFFFFF))
+                               .view(np.int64)])
+        u, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    degrees = bucketed_sum(
+        edges.map_batches(_endpoints, batch_format="pyarrow"),
+        ["node"], ["d"])
+
+    def _attach(edge_key_shift: int):
+        """One node-hash co-partition: edge rows keyed by one
+        endpoint meet degree rows; emits (pk, d_endpoint)."""
+        def _edge_rows(batch: pa.Table) -> pa.Table:
+            pk = batch.column("pk").to_numpy().view(np.uint64)
+            key = ((pk >> np.uint64(edge_key_shift))
+                   & np.uint64(0xFFFFFFFF)).view(np.int64)
+            return pa.table({
+                "key": pa.array(key, pa.int64()),
+                "pk": pa.array(pk.view(np.int64), pa.int64()),
+                "d": pa.array(np.zeros(len(key), np.int64),
+                              pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int8),
+                                 pa.int8()),
+                "__b": pa.array((_splitmix(key.view(np.uint64))
+                                 % np.uint64(nb)).astype(np.int32),
+                                pa.int32())})
+
+        def _deg_rows(batch: pa.Table) -> pa.Table:
+            key = batch.column("node").to_numpy().astype(np.int64)
+            return pa.table({
+                "key": pa.array(key, pa.int64()),
+                "pk": pa.array(np.zeros(len(key), np.int64),
+                               pa.int64()),
+                "d": batch.column("d").cast(pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int8),
+                                 pa.int8()),
+                "__b": pa.array((_splitmix(key.view(np.uint64))
+                                 % np.uint64(nb)).astype(np.int32),
+                                pa.int32())})
+        return _edge_rows, _deg_rows
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        dg = g[g["side"] == 1]
+        eg = g[g["side"] == 0]
+        nodes = dg["key"].to_numpy(np.int64)
+        order = np.argsort(nodes, kind="mergesort")
+        nodes = nodes[order]
+        dvals = dg["d"].to_numpy(np.int64)[order]
+        idx = np.searchsorted(nodes, eg["key"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "pk": eg["pk"].to_numpy(np.int64),
+            "d": dvals[idx]})
+
+    er_u, dr = _attach(32)
+    with_du = (edges.map_batches(er_u, batch_format="pyarrow")
+               .union(degrees.map_batches(dr,
+                                          batch_format="pyarrow"))
+               .groupby("__b")
+               .map_groups(lambda g: _resolve(
+                   g.drop(columns=["__b"])), batch_format="pandas"))
+
+    # second co-partition keyed by the v endpoint; emits per-group
+    # scalar partials directly (4 int64s per bucket)
+    def _edge_rows_v(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().view(np.uint64)
+        key = (pk & np.uint64(0xFFFFFFFF)).view(np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "pk": pa.array(pk.view(np.int64), pa.int64()),
+            "d": batch.column("d").cast(pa.int64()),
+            "side": pa.array(np.zeros(len(key), np.int8), pa.int8()),
+            "__b": pa.array((_splitmix(key.view(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    _, dr2 = _attach(0)
+
+    def _resolve_sums(g: pd.DataFrame) -> pd.DataFrame:
+        dg = g[g["side"] == 1]
+        eg = g[g["side"] == 0]
+        nodes = dg["key"].to_numpy(np.int64)
+        order = np.argsort(nodes, kind="mergesort")
+        nodes = nodes[order]
+        dvals = dg["d"].to_numpy(np.int64)[order]
+        dv = dvals[np.searchsorted(nodes,
+                                   eg["key"].to_numpy(np.int64))]
+        du = eg["d"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "m_edges": np.array([len(eg)], np.int64),
+            "s_xy": np.array([int((du * dv).sum())], np.int64),
+            "s_sum": np.array([int((du + dv).sum())], np.int64),
+            "s_sq": np.array([int((du * du + dv * dv).sum())],
+                             np.int64)})
+
+    parts = (with_du.map_batches(_edge_rows_v,
+                                 batch_format="pyarrow")
+             .union(degrees.map_batches(dr2, batch_format="pyarrow"))
+             .groupby("__b")
+             .map_groups(lambda g: _resolve_sums(
+                 g.drop(columns=["__b"])), batch_format="pandas")
+             .to_pandas())
+    cols = ("m_edges", "s_xy", "s_sum", "s_sq")
+    vals = {c: int(parts[c].sum()) if c in parts.columns else 0
+            for c in cols}
+    return rd.from_arrow(pa.table({
+        c: pa.array([vals[c]], pa.int64()) for c in cols}))
+
+
+def sql_degree_assortativity() -> str:
+    base = sql_colocation_support()
+    head = base[:base.index("sup AS")].rstrip().rstrip(",")
+    return (
+        f"{head} "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS m_edges, "
+        "CAST(COALESCE(SUM(da.d * db.d), 0) AS BIGINT) AS s_xy, "
+        "CAST(COALESCE(SUM(da.d + db.d), 0) AS BIGINT) AS s_sum, "
+        "CAST(COALESCE(SUM(da.d * da.d + db.d * db.d), 0) AS BIGINT) "
+        "AS s_sq "
+        "FROM ed e JOIN deg da ON da.n = e.u "
+        "JOIN deg db ON db.n = e.v")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13914,6 +14280,9 @@ def _authored_queries() -> Dict:
         "traj_stays": q_traj_stays,
         "phash_bit_bias": q_phash_bit_bias,
         "grid_percolation": q_grid_percolation,
+        "events_ks": q_events_ks,
+        "grid_histeq": q_grid_histeq,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 
@@ -14082,6 +14451,9 @@ def oracle_sql() -> Dict[str, str]:
         "traj_stays": sql_traj_stays(),
         "phash_bit_bias": sql_phash_bit_bias(),
         "grid_percolation": sql_grid_percolation(),
+        "events_ks": sql_events_ks(),
+        "grid_histeq": sql_grid_histeq(),
+        "degree_assortativity": sql_degree_assortativity(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

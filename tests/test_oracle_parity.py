@@ -101,6 +101,7 @@ ORACLE_CHECKED = [
     "grid_change", "grid_voronoi", "vocab_growth", "term_burstiness",
     "attribution_last_touch", "embed_label_centroid", "events_decay",
     "traj_stays", "phash_bit_bias", "grid_percolation",
+    "events_ks", "grid_histeq", "degree_assortativity",
 ]
 
 
