@@ -14013,6 +14013,367 @@ def sql_degree_assortativity() -> str:
         "JOIN deg db ON db.n = e.v")
 
 
+def q_user_communities(sf_dir: str):
+    """Two synchronous rounds of deterministic label propagation
+    (community detection) over the colocation contact graph:
+    round 1 assigns every linked user the MIN of its neighbor ids
+    (the mode of the all-distinct initial labels with the standard
+    min tie-break); round 2 assigns the MODE of the neighbors'
+    round-1 labels (ties again to the min label); isolated users
+    keep their own id.  Unlike connected components this is the
+    bounded-round community kernel — labels measure local density,
+    not reachability.  Scale shape: distinct edges from one
+    pair-hash dedup; each round is one node-hash co-partition
+    (attach labels) plus one bucketed mode — int64 (node, label)
+    rows only, never a broadcast of the node table."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    nb = 64
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    pairs = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.int64)
+        ub = batch.column("user_b").to_numpy().astype(np.int64)
+        lo = np.minimum(ua, ub).astype(np.uint64)
+        hi = np.maximum(ua, ub).astype(np.uint64)
+        pk = np.unique((lo << np.uint64(32)) | hi).view(np.int64)
+        return pa.table({
+            "pk": pa.array(pk, pa.int64()),
+            "__b": pa.array((_splitmix(pk.view(np.uint64))
+                             % np.uint64(nb)).astype(np.int32),
+                            pa.int32())})
+
+    # materialized: both LPA rounds re-consume the edge table (same
+    # edge-bounded iteration-state shape as stages/cc)
+    edges = (pairs.map_batches(_pack, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: pd.DataFrame(
+                 {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
+                 batch_format="pandas")).materialize()
+
+    def _bkt(key: np.ndarray) -> pa.Array:
+        return pa.array((_splitmix(key.astype(np.uint64))
+                         % np.uint64(nb)).astype(np.int32), pa.int32())
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().view(np.uint64)
+        u = (pk >> np.uint64(32)).view(np.int64)
+        v = (pk & np.uint64(0xFFFFFFFF)).view(np.int64)
+        n = np.concatenate([u, v])
+        m = np.concatenate([v, u])
+        return pa.table({"n": pa.array(n, pa.int64()),
+                         "m": pa.array(m, pa.int64()),
+                         "__b": _bkt(n)})
+
+    # round 1: label1(n) = min neighbor id
+    def _min_m(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("n", sort=False)["m"].min().reset_index()
+        return pd.DataFrame({"n": r["n"].to_numpy(np.int64),
+                             "l": r["m"].to_numpy(np.int64)})
+
+    l1 = (edges.map_batches(_sym, batch_format="pyarrow")
+          .groupby("__b")
+          .map_groups(lambda g: _min_m(g.drop(columns=["__b"])),
+                      batch_format="pandas")).materialize()
+
+    # round 2: attach l1[m] to each directed edge via an m-keyed
+    # co-partition, then a bucketed mode per n
+    def _edge_by_m(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().view(np.uint64)
+        u = (pk >> np.uint64(32)).view(np.int64)
+        v = (pk & np.uint64(0xFFFFFFFF)).view(np.int64)
+        n = np.concatenate([u, v])
+        m = np.concatenate([v, u])
+        return pa.table({"key": pa.array(m, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "l": pa.array(np.zeros(len(n), np.int64),
+                                       pa.int64()),
+                         "side": pa.array(np.zeros(len(n), np.int8),
+                                          pa.int8()),
+                         "__b": _bkt(m)})
+
+    def _l1_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("n").to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "n": pa.array(np.zeros(len(k), np.int64),
+                                       pa.int64()),
+                         "l": batch.column("l").cast(pa.int64()),
+                         "side": pa.array(np.ones(len(k), np.int8),
+                                          pa.int8()),
+                         "__b": _bkt(k)})
+
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == 1]
+        eg = g[g["side"] == 0]
+        keys = lab["key"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="mergesort")
+        keys = keys[order]
+        lv = lab["l"].to_numpy(np.int64)[order]
+        idx = np.searchsorted(keys, eg["key"].to_numpy(np.int64))
+        return pd.DataFrame({"n": eg["n"].to_numpy(np.int64),
+                             "lm": lv[idx]})
+
+    nbr_labels = (edges.map_batches(_edge_by_m,
+                                    batch_format="pyarrow")
+                  .union(l1.map_batches(_l1_rows,
+                                        batch_format="pyarrow"))
+                  .groupby("__b")
+                  .map_groups(lambda g: _attach(
+                      g.drop(columns=["__b"])),
+                      batch_format="pandas"))
+
+    def _rebucket(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        return batch.append_column("__b", _bkt(n))
+
+    def _mode(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["n", "lm"], sort=False).size() \
+            .reset_index(name="c")
+        c = c.sort_values(["n", "c", "lm"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = c.drop_duplicates("n", keep="first")
+        return pd.DataFrame({
+            "user_id": top["n"].to_numpy(np.int64),
+            "community": top["lm"].to_numpy(np.int64)})
+
+    l2 = (nbr_labels.map_batches(_rebucket, batch_format="pyarrow")
+          .groupby("__b")
+          .map_groups(lambda g: _mode(g.drop(columns=["__b"])),
+                      batch_format="pandas"))
+
+    # isolated users keep their own id: one node-hash co-partition
+    # of distinct users against l2
+    def _users(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy()
+                      .astype(np.int64))
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "community": pa.array(u, pa.int64()),
+                         "side": pa.array(np.zeros(len(u), np.int8),
+                                          pa.int8()),
+                         "__b": _bkt(u)})
+
+    def _l2_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "community":
+                             batch.column("community").cast(pa.int64()),
+                         "side": pa.array(np.ones(len(k), np.int8),
+                                          pa.int8()),
+                         "__b": _bkt(k)})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "side"], ascending=[True, False],
+                          kind="mergesort")
+        top = g.drop_duplicates("key", keep="first")
+        return pd.DataFrame({
+            "user_id": top["key"].to_numpy(np.int64),
+            "community": top["community"].to_numpy(np.int64)})
+
+    ev2 = _read(sf_dir, "events", ["user_id"])
+    return (ev2.map_batches(_users, batch_format="pyarrow")
+            .union(l2.map_batches(_l2_rows, batch_format="pyarrow"))
+            .groupby("__b")
+            .map_groups(lambda g: _final(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def sql_user_communities() -> str:
+    base = sql_colocation_support()
+    head = base[:base.index("nb AS")].rstrip().rstrip(",")
+    return (
+        f"{head}, "
+        "sym AS (SELECT u AS a, v AS b FROM ed "
+        "UNION SELECT v, u FROM ed), "
+        "nodes AS (SELECT DISTINCT user_id AS n FROM events), "
+        "l1 AS (SELECT a AS n, MIN(b) AS l FROM sym GROUP BY 1), "
+        "cnt AS (SELECT s.a AS n, l1.l AS lm, COUNT(*) AS c "
+        "FROM sym s JOIN l1 ON l1.n = s.b GROUP BY 1, 2), "
+        "pick AS (SELECT n, lm, ROW_NUMBER() OVER (PARTITION BY n "
+        "ORDER BY c DESC, lm) AS rn FROM cnt), "
+        "l2 AS (SELECT n, lm FROM pick WHERE rn = 1) "
+        "SELECT nodes.n AS user_id, "
+        "CAST(COALESCE(l2.lm, nodes.n) AS BIGINT) AS community "
+        "FROM nodes LEFT JOIN l2 ON l2.n = nodes.n ORDER BY 1")
+
+
+def q_grid_watershed(sf_dir: str, size_deg: float = 5.0):
+    """Drainage-basin labeling of the activity raster: every active
+    grid cell D8-flows to its strictly-lowest 8-connected active
+    neighbor (ties: lowest count, then lexicographic min cell); cells
+    with no lower neighbor are PITS; a cell's basin is the flow
+    forest's component, labeled by its min packed cell id — the
+    hydrology watershed operator re-expressed over the event-count
+    surface (catchment areas of activity minima).  Flow routing is
+    the ghost-halo stage grid_cc.d8_flow (tile groups + 1-cell halo,
+    8 vectorized probes per tile); basins come from stages/cc
+    pointer-jumping over the emitted (cell, target) forest — int64
+    pairs only, O(log diameter) rounds."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.cc import connected_components
+    from ..stages.grid_cc import d8_flow, pack_xy, unpack_xy
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "x": np.floor(lat / size_deg).astype(np.int64),
+            "y": np.floor(lng / size_deg).astype(np.int64)})
+        g = df.groupby(["x", "y"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = bucketed_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["x", "y"], ["n"]).materialize()
+
+    flow = d8_flow(cells, tile=8).materialize()
+
+    def _cc_edges(batch: pa.Table) -> pa.Table:
+        keep = ~batch.column("is_pit").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(batch.column("a").to_numpy()[keep],
+                          pa.int64()),
+            "b": pa.array(batch.column("b").to_numpy()[keep],
+                          pa.int64())})
+
+    def _cc_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("a").cast(pa.int64())})
+
+    labels, _info = connected_components(
+        flow.map_batches(_cc_edges, batch_format="pyarrow"),
+        nodes_ds=flow.map_batches(_cc_nodes, batch_format="pyarrow"))
+
+    # join basin labels + pit flags back onto the cell table: one
+    # cell-hash co-partition (labels and flow are both cell-bounded)
+    from ..stages.sample import _splitmix
+    nb = 64
+
+    def _bkt(k: np.ndarray) -> pa.Array:
+        return pa.array((_splitmix(k.astype(np.uint64))
+                         % np.uint64(nb)).astype(np.int32), pa.int32())
+
+    def _cell_rows(batch: pa.Table) -> pa.Table:
+        pk = pack_xy(batch.column("x").to_numpy().astype(np.int64),
+                     batch.column("y").to_numpy().astype(np.int64))
+        return pa.table({
+            "key": pa.array(pk, pa.int64()),
+            "val": batch.column("n").cast(pa.int64()),
+            "side": pa.array(np.zeros(len(pk), np.int8), pa.int8()),
+            "__b": _bkt(pk)})
+
+    def _label_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("node").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "val": batch.column("rep").cast(pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "__b": _bkt(k)})
+
+    def _pit_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("a").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "val": pa.array(batch.column("is_pit")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64), pa.int64()),
+            "side": pa.array(np.full(len(k), 2, np.int8), pa.int8()),
+            "__b": _bkt(k)})
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cg = g[g["side"] == 0]
+        lg = g[g["side"] == 1]
+        pg = g[g["side"] == 2]
+        keys = cg["key"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="mergesort")
+        keys = keys[order]
+        n = cg["val"].to_numpy(np.int64)[order]
+        rep = np.zeros(len(keys), np.int64)
+        rep[np.searchsorted(keys, lg["key"].to_numpy(np.int64))] = \
+            lg["val"].to_numpy(np.int64)
+        pit = np.zeros(len(keys), np.int64)
+        pit[np.searchsorted(keys, pg["key"].to_numpy(np.int64))] = \
+            pg["val"].to_numpy(np.int64)
+        x, y = unpack_xy(keys)
+        bx, by = unpack_xy(rep)
+        return pd.DataFrame({
+            "glat": x, "glng": y, "n": n,
+            "basin_lat": bx, "basin_lng": by, "is_pit": pit})
+
+    return (cells.map_batches(_cell_rows, batch_format="pyarrow")
+            .union(labels.map_batches(_label_rows,
+                                      batch_format="pyarrow"),
+                   flow.map_batches(_pit_rows,
+                                    batch_format="pyarrow"))
+            .groupby("__b")
+            .map_groups(lambda g: _resolve(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["glat", "glng"]))
+
+
+def sql_grid_watershed(size_deg: float = 5.0) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    off, span = 1 << 20, 1 << 21
+    return (
+        "WITH RECURSIVE base AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS x, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS y, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        f"ids AS (SELECT x, y, n, (x + {off}) * {span} + (y + {off}) "
+        "AS id FROM base), "
+        "nbr AS (SELECT a.id AS id, b.id AS nid, b.n AS nn "
+        "FROM ids a JOIN ids b ON abs(a.x - b.x) <= 1 "
+        "AND abs(a.y - b.y) <= 1 "
+        "AND NOT (a.x = b.x AND a.y = b.y) AND b.n < a.n), "
+        "flow AS (SELECT id, nid FROM (SELECT id, nid, "
+        "ROW_NUMBER() OVER (PARTITION BY id ORDER BY nn, nid) AS rn "
+        "FROM nbr) WHERE rn = 1), "
+        "comp(node, label) AS ("
+        " SELECT id, id FROM ids"
+        " UNION"
+        " SELECT e.b, c.label FROM comp c JOIN "
+        "(SELECT id AS a, nid AS b FROM flow "
+        "UNION ALL SELECT nid, id FROM flow) e ON e.a = c.node "
+        "WHERE c.label < e.b"
+        "), lab AS (SELECT node, MIN(label) AS lbl FROM comp "
+        "GROUP BY node) "
+        "SELECT i.x AS glat, i.y AS glng, i.n, "
+        f"CAST(lab.lbl // {span} - {off} AS BIGINT) AS basin_lat, "
+        f"CAST(lab.lbl % {span} - {off} AS BIGINT) AS basin_lng, "
+        "CAST(CASE WHEN f.id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_pit "
+        "FROM ids i JOIN lab ON lab.node = i.id "
+        "LEFT JOIN flow f ON f.id = i.id "
+        "ORDER BY 1, 2")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14283,6 +14644,8 @@ def _authored_queries() -> Dict:
         "events_ks": q_events_ks,
         "grid_histeq": q_grid_histeq,
         "degree_assortativity": q_degree_assortativity,
+        "user_communities": q_user_communities,
+        "grid_watershed": q_grid_watershed,
     }
 
 
@@ -14454,6 +14817,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_ks": sql_events_ks(),
         "grid_histeq": sql_grid_histeq(),
         "degree_assortativity": sql_degree_assortativity(),
+        "user_communities": sql_user_communities(),
+        "grid_watershed": sql_grid_watershed(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

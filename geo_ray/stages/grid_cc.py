@@ -118,3 +118,90 @@ def label_grid_components(cells_ds, *, x_col: str = "x",
         })
 
     return labeled.map_batches(_unpack, batch_format="pyarrow"), info
+
+
+def d8_flow(cells_ds, *, x_col: str = "x", y_col: str = "y",
+            value_col: str = "n", tile: int = 16):
+    """D8 flow routing over an active-cell value raster: every cell
+    flows to its strictly-lowest 8-connected ACTIVE neighbor (ties:
+    lowest value first, then lexicographic min (x, y) — matching
+    ``ORDER BY nn, nx, ny LIMIT 1``); a cell with no strictly-lower
+    active neighbor is a PIT and flows to itself.
+
+    Returns a Dataset of (a, b, is_pit) packed-id rows, one per input
+    cell — the flow forest whose undirected components are drainage
+    basins.  Same ghost-halo shape as label_grid_components, extended
+    to 8-connectivity: boundary cells also copy into edge- AND
+    corner-adjacent tile groups (<= 4 ghost copies), each tile group
+    resolves flow for its OWN cells only, vectorized (8 sorted probes,
+    running lexicographic best), so no tile ever sees more than its
+    cells + a 1-cell halo."""
+
+    def _halo(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy().astype(np.int64)
+        y = batch.column(y_col).to_numpy().astype(np.int64)
+        v = batch.column(value_col).to_numpy().astype(np.int64)
+        tx, ty = x // tile, y // tile
+        lo_x, hi_x = x % tile == 0, x % tile == tile - 1
+        lo_y, hi_y = y % tile == 0, y % tile == tile - 1
+        xs, ys, vs = [x], [y], [v]
+        gs = [pack_xy(tx, ty)]
+        own = [np.ones(len(x), bool)]
+        for m, dtx, dty in (
+                (lo_x, -1, 0), (hi_x, 1, 0),
+                (lo_y, 0, -1), (hi_y, 0, 1),
+                (lo_x & lo_y, -1, -1), (lo_x & hi_y, -1, 1),
+                (hi_x & lo_y, 1, -1), (hi_x & hi_y, 1, 1)):
+            if m.any():
+                xs.append(x[m])
+                ys.append(y[m])
+                vs.append(v[m])
+                gs.append(pack_xy(tx[m] + dtx, ty[m] + dty))
+                own.append(np.zeros(int(m.sum()), bool))
+        return pa.table({
+            "g": pa.array(np.concatenate(gs), pa.int64()),
+            "x": pa.array(np.concatenate(xs), pa.int64()),
+            "y": pa.array(np.concatenate(ys), pa.int64()),
+            "v": pa.array(np.concatenate(vs), pa.int64()),
+            "own": pa.array(np.concatenate(own)),
+        })
+
+    _SENT = np.int64(np.iinfo(np.int64).max)
+
+    def _flow(g: pd.DataFrame) -> pd.DataFrame:
+        pk_all = pack_xy(g["x"].to_numpy(np.int64),
+                         g["y"].to_numpy(np.int64))
+        v_all = g["v"].to_numpy(np.int64)
+        order = np.argsort(pk_all, kind="mergesort")
+        pk_s, v_s = pk_all[order], v_all[order]
+        own = g["own"].to_numpy(bool)
+        pk_o, v_o = pk_all[own], v_all[own]
+        best_v = np.full(len(pk_o), _SENT, np.int64)
+        best_pk = np.full(len(pk_o), _SENT, np.int64)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                probe = pk_o + np.int64(dx) * SPAN + np.int64(dy)
+                pos = np.searchsorted(pk_s, probe)
+                hit = (pos < len(pk_s)) & \
+                    (pk_s[np.minimum(pos, len(pk_s) - 1)] == probe)
+                nv = np.where(hit, v_s[np.minimum(pos,
+                                                  len(pk_s) - 1)],
+                              _SENT)
+                lower = hit & (nv < v_o)
+                better = lower & ((nv < best_v)
+                                  | ((nv == best_v)
+                                     & (probe < best_pk)))
+                best_v = np.where(better, nv, best_v)
+                best_pk = np.where(better, probe, best_pk)
+        is_pit = best_pk == _SENT
+        return pd.DataFrame({
+            "a": pk_o,
+            "b": np.where(is_pit, pk_o, best_pk),
+            "is_pit": is_pit})
+
+    return (cells_ds.map_batches(_halo, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(lambda g: _flow(g.drop(columns=["g"])),
+                        batch_format="pandas"))

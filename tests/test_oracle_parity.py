@@ -102,6 +102,7 @@ ORACLE_CHECKED = [
     "attribution_last_touch", "embed_label_centroid", "events_decay",
     "traj_stays", "phash_bit_bias", "grid_percolation",
     "events_ks", "grid_histeq", "degree_assortativity",
+    "user_communities", "grid_watershed",
 ]
 
 
