@@ -14374,6 +14374,299 @@ def sql_grid_watershed(size_deg: float = 5.0) -> str:
         "ORDER BY 1, 2")
 
 
+_BPE_ROUNDS = 3
+
+
+def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
+    """BPE vocabulary induction: the first ``rounds`` byte-pair-
+    encoding merges learned from the corpus word-frequency dict —
+    per round, the globally most frequent adjacent symbol pair
+    (ties: lexicographic min pair) and its count.  Merge application
+    uses str.replace semantics (one left-to-right non-overlapping
+    scan of the space-padded symbol string) — exactly SQL's
+    replace(), so the oracle is bit-exact.  Scale shape: the corpus
+    tokenizes once into a bucketed word-TYPE count table (vocab-
+    bounded, materialized as the iteration state); each round is one
+    vectorized pair-count pass over word types whose merge target is
+    the (symbol-pair)-bounded rollup — the merge table itself (<=
+    rounds entries) is the only driver state, exactly how a
+    distributed tokenizer trainer shards."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum_str, driver_merged_sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _word_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from ..stages.text import tokens_of
+        c: "Counter[str]" = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(w.lower() for w in tokens_of(t) if w)
+        return pa.table({
+            "w": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(np.array([int(v) for v in c.values()],
+                                   np.int64), pa.int64())})
+
+    words = bucketed_sum_str(
+        ds.map_batches(_word_counts, batch_format="pyarrow"),
+        "w", ["n"]).materialize()
+
+    merges: list = []
+    out_rows = []
+    for rnd in range(1, rounds + 1):
+        frozen = tuple(merges)
+
+        def _pairs(batch: pa.Table, frozen=frozen) -> pa.Table:
+            # loop over word TYPES (vocab-bounded partials, never
+            # corpus rows); pair extraction is one vectorized
+            # object-array pass
+            w = batch.column("w").to_pylist()
+            n = batch.column("n").to_numpy().astype(np.int64)
+            padded = [" " + " ".join(t) + " " for t in w]
+            for x, y in frozen:
+                pat, rep = f" {x} {y} ", f" {x}{y} "
+                padded = [s.replace(pat, rep) for s in padded]
+            syms = [s.split() for s in padded]
+            lens = np.fromiter((len(x) for x in syms), np.int64,
+                               len(syms))
+            if not len(syms) or int(lens.sum()) == 0:
+                return pa.table({"pair": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            flat = np.concatenate(
+                [np.asarray(x, object) for x in syms if x])
+            owner = np.repeat(np.arange(len(syms)), lens)
+            same = owner[:-1] == owner[1:]
+            pair = flat[:-1][same] + " " + flat[1:][same]
+            wts = n[owner[:-1][same]]
+            g = pd.DataFrame({"pair": pair, "cnt": wts}) \
+                .groupby("pair", sort=False)["cnt"].sum() \
+                .reset_index()
+            return pa.table({
+                "pair": pa.array(g["pair"].to_numpy(object),
+                                 pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64),
+                                pa.int64())})
+
+        tab = driver_merged_sum(
+            words.map_batches(_pairs, batch_format="pyarrow"),
+            ["pair"], ["cnt"])
+        if not len(tab):
+            break
+        tab = tab.sort_values(["cnt", "pair"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        best_pair = str(tab["pair"].iloc[0])
+        best_cnt = int(tab["cnt"].iloc[0])
+        x, y = best_pair.split(" ")
+        merges.append((x, y))
+        out_rows.append((rnd, best_pair, x + y, best_cnt))
+
+    return rd.from_arrow(pa.table({
+        "merge_round": pa.array([r[0] for r in out_rows], pa.int64()),
+        "pair": pa.array([r[1] for r in out_rows], pa.string()),
+        "merged": pa.array([r[2] for r in out_rows], pa.string()),
+        "cnt": pa.array([r[3] for r in out_rows], pa.int64())}))
+
+
+def sql_bpe_merges(rounds: int = _BPE_ROUNDS) -> str:
+    blocks = [
+        "tok AS (SELECT lower(unnest(string_split_regex(trim(text), "
+        "'\\s+'))) AS w FROM documents), "
+        "wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok "
+        "WHERE w <> '' GROUP BY 1), "
+        "w1 AS (SELECT w, n, ' ' || array_to_string("
+        "string_split(w, ''), ' ') || ' ' AS s FROM wc)"]
+    outs = []
+    for k in range(1, rounds + 1):
+        blocks.append(
+            f"t{k} AS (SELECT w, n, generate_subscripts("
+            f"string_split_regex(trim(s), ' '), 1) AS pos, "
+            f"unnest(string_split_regex(trim(s), ' ')) AS sym "
+            f"FROM w{k})")
+        blocks.append(
+            f"p{k} AS (SELECT a.sym || ' ' || b.sym AS pair, "
+            f"CAST(SUM(a.n) AS BIGINT) AS cnt FROM t{k} a "
+            f"JOIN t{k} b ON b.w = a.w AND b.pos = a.pos + 1 "
+            f"GROUP BY 1)")
+        blocks.append(
+            f"b{k} AS (SELECT pair, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)")
+        if k < rounds:
+            blocks.append(
+                f"w{k + 1} AS (SELECT w, n, replace(s, "
+                f"' ' || b{k}.pair || ' ', "
+                f"' ' || replace(b{k}.pair, ' ', '') || ' ') AS s "
+                f"FROM w{k} CROSS JOIN b{k})")
+        outs.append(
+            f"SELECT CAST({k} AS BIGINT) AS merge_round, pair, "
+            f"replace(pair, ' ', '') AS merged, cnt FROM b{k}")
+    return ("WITH " + ", ".join(blocks) + " "
+            + " UNION ALL ".join(outs))
+
+
+_VIEW_RADIUS = 12
+_VIEW_OBSERVERS = 5
+
+
+def q_grid_viewshed(sf_dir: str, size_deg: float = 4.0,
+                    radius: int = _VIEW_RADIUS,
+                    n_observers: int = _VIEW_OBSERVERS):
+    """Viewshed analysis over the activity raster: from each of the
+    top-``n_observers`` densest cells (the 'towers'; ties broken by
+    cell coordinates), how many active cells within Chebyshev radius
+    ``radius`` are VISIBLE — no active intermediate cell on the
+    integer sight line (absolute-delta DDA, floor(+n/2) rounding,
+    identical integer math in SQL) rises to or above the linearly
+    interpolated line `elev_i * n >= elev_o * (n - i) + elev_t * i`
+    (endpoints excluded).  The observers and their neighborhoods are
+    bounded by n_observers x (2 radius + 1)^2 regardless of data
+    scale, so after the distributed cell rollup this is a bounded
+    fetch + one vectorized line sweep — the GIS line-of-sight kernel
+    riding the same raster table as the zonal/percolation family."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.grid_cc import pack_xy
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "x": np.floor(lat / size_deg).astype(np.int64),
+            "y": np.floor(lng / size_deg).astype(np.int64)})
+        g = df.groupby(["x", "y"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = bucketed_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["x", "y"], ["n"]).materialize()
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "x", "y"], ascending=[False, True, True],
+            kind="mergesort").head(n_observers)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tops = cells.map_batches(_local_top, batch_format="pyarrow") \
+        .to_pandas()
+    obs = tops.sort_values(["n", "x", "y"],
+                           ascending=[False, True, True],
+                           kind="mergesort").head(n_observers)
+    ox = obs["x"].to_numpy(np.int64)
+    oy = obs["y"].to_numpy(np.int64)
+    oe = obs["n"].to_numpy(np.int64)
+
+    def _near(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy().astype(np.int64)
+        y = batch.column("y").to_numpy().astype(np.int64)
+        keep = np.zeros(len(x), bool)
+        for j in range(len(ox)):
+            keep |= (np.abs(x - ox[j]) <= radius) \
+                & (np.abs(y - oy[j]) <= radius)
+        return pa.table({
+            "x": pa.array(x[keep], pa.int64()),
+            "y": pa.array(y[keep], pa.int64()),
+            "n": pa.array(batch.column("n").to_numpy()
+                          .astype(np.int64)[keep], pa.int64())})
+
+    near = cells.map_batches(_near, batch_format="pyarrow") \
+        .to_pandas()                  # <= n_observers*(2R+1)^2 rows
+    nx = near["x"].to_numpy(np.int64)
+    ny = near["y"].to_numpy(np.int64)
+    nn_elev = near["n"].to_numpy(np.int64)
+    pk_sorted = np.sort(pack_xy(nx, ny))
+    elev_by_pk = nn_elev[np.argsort(pack_xy(nx, ny),
+                                    kind="mergesort")]
+
+    def _lookup(px: np.ndarray, py: np.ndarray):
+        pk = pack_xy(px, py)
+        pos = np.searchsorted(pk_sorted, pk)
+        hit = (pos < len(pk_sorted)) & \
+            (pk_sorted[np.minimum(pos, len(pk_sorted) - 1)] == pk)
+        e = np.where(hit,
+                     elev_by_pk[np.minimum(pos,
+                                           len(pk_sorted) - 1)], 0)
+        return e, hit
+
+    rows = []
+    for j in range(len(ox)):
+        m = (np.abs(nx - ox[j]) <= radius) \
+            & (np.abs(ny - oy[j]) <= radius) \
+            & ~((nx == ox[j]) & (ny == oy[j]))
+        tx, ty, te = nx[m], ny[m], nn_elev[m]
+        steps = np.maximum(np.abs(tx - ox[j]), np.abs(ty - oy[j]))
+        visible = np.ones(len(tx), bool)
+        # expand (target, i) pairs: bounded by n_targets * radius
+        rep = np.maximum(steps - 1, 0)
+        t_idx = np.repeat(np.arange(len(tx)), rep)
+        i = np.concatenate([np.arange(1, s) for s in steps]) \
+            if len(steps) else np.zeros(0, np.int64)
+        if len(i):
+            nstep = steps[t_idx]
+            sx = np.where(tx[t_idx] >= ox[j], 1, -1)
+            sy = np.where(ty[t_idx] >= oy[j], 1, -1)
+            cx = ox[j] + sx * ((i * np.abs(tx[t_idx] - ox[j])
+                                + nstep // 2) // nstep)
+            cy = oy[j] + sy * ((i * np.abs(ty[t_idx] - oy[j])
+                                + nstep // 2) // nstep)
+            e_i, hit = _lookup(cx, cy)
+            not_endpoint = ~((cx == tx[t_idx]) & (cy == ty[t_idx])) \
+                & ~((cx == ox[j]) & (cy == oy[j]))
+            blocked = hit & not_endpoint & (
+                e_i * nstep >= oe[j] * (nstep - i) + te[t_idx] * i)
+            np.logical_and.at(visible, t_idx[blocked], False)
+        rows.append((int(ox[j]), int(oy[j]), int(oe[j]),
+                     int(len(tx)), int(visible.sum())))
+    out = pd.DataFrame(rows, columns=["olat", "olng", "elev",
+                                      "n_targets", "n_visible"]) \
+        .sort_values(["olat", "olng"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return rd.from_pandas(out)
+
+
+def sql_grid_viewshed(size_deg: float = 4.0,
+                      radius: int = _VIEW_RADIUS,
+                      n_observers: int = _VIEW_OBSERVERS) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        "WITH base AS (SELECT "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS x, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS y, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "obs AS (SELECT x AS olat, y AS olng, n AS eo FROM base "
+        f"ORDER BY n DESC, x, y LIMIT {n_observers}), "
+        "tgt AS (SELECT o.olat, o.olng, o.eo, b.x AS tlat, "
+        "b.y AS tlng, b.n AS et, "
+        "GREATEST(abs(b.x - o.olat), abs(b.y - o.olng)) AS nn "
+        f"FROM obs o JOIN base b ON abs(b.x - o.olat) <= {radius} "
+        f"AND abs(b.y - o.olng) <= {radius} "
+        "AND NOT (b.x = o.olat AND b.y = o.olng)), "
+        "steps AS (SELECT CAST(i AS BIGINT) AS i "
+        f"FROM range(1, {radius}) r(i)), "
+        "vis AS (SELECT t.*, CASE WHEN EXISTS ("
+        "SELECT 1 FROM steps s JOIN base m ON "
+        "m.x = t.olat + (CASE WHEN t.tlat >= t.olat THEN 1 ELSE -1 "
+        "END) * ((s.i * abs(t.tlat - t.olat) + t.nn // 2) // t.nn) "
+        "AND m.y = t.olng + (CASE WHEN t.tlng >= t.olng THEN 1 ELSE "
+        "-1 END) * ((s.i * abs(t.tlng - t.olng) + t.nn // 2) // t.nn) "
+        "WHERE s.i < t.nn "
+        "AND NOT (m.x = t.tlat AND m.y = t.tlng) "
+        "AND NOT (m.x = t.olat AND m.y = t.olng) "
+        "AND m.n * t.nn >= t.eo * (t.nn - s.i) + t.et * s.i"
+        ") THEN 0 ELSE 1 END AS v FROM tgt t) "
+        "SELECT olat, olng, eo AS elev, "
+        "CAST(COUNT(*) AS BIGINT) AS n_targets, "
+        "CAST(SUM(v) AS BIGINT) AS n_visible "
+        "FROM vis GROUP BY 1, 2, 3 ORDER BY 1, 2")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14646,6 +14939,8 @@ def _authored_queries() -> Dict:
         "degree_assortativity": q_degree_assortativity,
         "user_communities": q_user_communities,
         "grid_watershed": q_grid_watershed,
+        "bpe_merges": q_bpe_merges,
+        "grid_viewshed": q_grid_viewshed,
     }
 
 
@@ -14819,6 +15114,8 @@ def oracle_sql() -> Dict[str, str]:
         "degree_assortativity": sql_degree_assortativity(),
         "user_communities": sql_user_communities(),
         "grid_watershed": sql_grid_watershed(),
+        "bpe_merges": sql_bpe_merges(),
+        "grid_viewshed": sql_grid_viewshed(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

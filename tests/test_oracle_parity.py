@@ -103,6 +103,7 @@ ORACLE_CHECKED = [
     "traj_stays", "phash_bit_bias", "grid_percolation",
     "events_ks", "grid_histeq", "degree_assortativity",
     "user_communities", "grid_watershed",
+    "bpe_merges", "grid_viewshed",
 ]
 
 
