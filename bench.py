@@ -194,7 +194,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_theilsen", "grid_distance", "grid_change",
                  "grid_voronoi", "vocab_growth", "term_burstiness",
                  "attribution_last_touch", "embed_label_centroid",
-                 "events_decay", "traj_stays", "phash_bit_bias"]
+                 "events_decay", "traj_stays", "phash_bit_bias",
+                 "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
+                 "bpe_merges", "grid_viewshed"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

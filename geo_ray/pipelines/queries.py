@@ -14668,6 +14668,478 @@ def sql_grid_viewshed(size_deg: float = 4.0,
 
 
 # --------------------------------------------------------------------------
+# TPC-H-shaped wave 3: q2 / q11 / q16 / q20 analogues
+# (no partsupp table in the testdata, so the part-supplier relation
+# is derived from lineitem — the join SHAPES are the point)
+# --------------------------------------------------------------------------
+
+_Q2_TYPE = "ECONOMY"
+_Q2_SIZE_MAX = 5
+_Q2_REGION = "EUROPE"
+
+
+def q_tpch_q2(sf_dir: str, p_type: str = _Q2_TYPE,
+              size_max: int = _Q2_SIZE_MAX, region: str = _Q2_REGION):
+    """TPC-H Q2-shaped minimum-cost supplier: for every part of one
+    type/size slice, the supplier(s) in one region offering the
+    lowest observed unit price (MIN cents(l_extendedprice) over that
+    part-supplier's lineitems — the partsupp.supplycost stand-in),
+    with ties kept.  The correlated-MIN join shape of Q2: an inner
+    per-part aggregate that the outer row set must equal.
+
+    Scale shape: lineitem streams once; the region-supplier mask and
+    the filtered part slice are bounded dims (suppliers: SF x 10k
+    rows; the slice: ~1/60 of part) shipped via ray.put once.  The
+    per-(part,supp) MIN partials combine per batch, co-partition by
+    partkey (each part lives in exactly one bucket), and resolve with
+    one vectorized per-bucket argmin — no driver materialization of
+    any fact-scale table."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    from ..stages.agg import _pack_keys, _unpack_keys
+    from ..stages.bucket_join import (adaptive_buckets, parquet_rows,
+                                      tag_buckets, BUCKET_COL)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}[region]
+    region_nations = {r["n_nationkey"] for r in nat.to_pylist()
+                      if r["n_regionkey"] == rkey}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey",
+                                 "s_name", "s_acctbal"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(region_nations)]
+    sup_keys = ray.put(np.sort(sup["s_suppkey"].to_numpy(np.int64)))
+
+    parts = pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type", "p_size"])
+    pdf = parts.to_pandas()
+    slice_keys = np.sort(pdf.loc[
+        (pdf["p_type"] == p_type) & (pdf["p_size"] <= size_max),
+        "p_partkey"].to_numpy(np.int64))
+    part_ref = ray.put(slice_keys)
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"])
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        cents = np.round(batch.column("l_extendedprice").to_numpy()
+                         * 100.0).astype(np.int64)
+        pslice = ray.get(part_ref)
+        sok = ray.get(sup_keys)
+        keep = (np.searchsorted(pslice, pk) <
+                len(pslice)) if len(pslice) else np.zeros(len(pk), bool)
+        if len(pslice):
+            keep &= pslice[np.minimum(np.searchsorted(pslice, pk),
+                                      len(pslice) - 1)] == pk
+        if len(sok):
+            pos = np.searchsorted(sok, sk)
+            keep &= (pos < len(sok)) & \
+                (sok[np.minimum(pos, len(sok) - 1)] == sk)
+        else:
+            keep[:] = False
+        pk, sk, cents = pk[keep], sk[keep], cents[keep]
+        if not len(pk):
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "ps": pa.array([], pa.int64()),
+                "cost": pa.array([], pa.int64()),
+                BUCKET_COL: pa.array([], pa.int32())})
+        key = _pack_keys([pk, sk])
+        uniq, inv = np.unique(key, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, cents)
+        upk = _unpack_keys(uniq, 2)[0]
+        t = pa.table({"key": pa.array(upk.astype(np.int64)),
+                      "ps": pa.array(uniq),
+                      "cost": pa.array(mins)})
+        return tag_buckets(t, "key", nb)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g["ps"].to_numpy(np.int64)
+        cost = g["cost"].to_numpy(np.int64)
+        uniq, inv = np.unique(ps, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, cost)
+        pk, sk = _unpack_keys(uniq, 2)
+        pmin = {}
+        for p, c in zip(pk, mins):
+            if c < pmin.get(int(p), np.iinfo(np.int64).max):
+                pmin[int(p)] = int(c)
+        pm = np.array([pmin[int(p)] for p in pk], np.int64)
+        win = mins == pm
+        return pd.DataFrame({
+            "p_partkey": pk[win].astype(np.int64),
+            "s_suppkey": sk[win].astype(np.int64),
+            "cost_cents": mins[win]})
+
+    out = (items.map_batches(_partial, batch_format="pyarrow")
+           .groupby(BUCKET_COL)
+           .map_groups(lambda g: _resolve(g.drop(columns=[BUCKET_COL])),
+                       batch_format="pandas")
+           .to_pandas())
+    out = out.merge(sup[["s_suppkey", "s_name", "s_acctbal"]],
+                    on="s_suppkey")
+    out = out.sort_values(["p_partkey", "s_suppkey"]) \
+        .reset_index(drop=True)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(out["s_name"], pa.string()),
+        "s_acctbal": pa.array(out["s_acctbal"].to_numpy(np.float64)),
+        "cost_cents": pa.array(out["cost_cents"].to_numpy(np.int64)),
+    }))
+
+
+def sql_tpch_q2(p_type: str = _Q2_TYPE, size_max: int = _Q2_SIZE_MAX,
+                region: str = _Q2_REGION) -> str:
+    return (
+        "WITH rs AS (SELECT s_suppkey, s_name, s_acctbal "
+        "FROM supplier JOIN nation ON n_nationkey = s_nationkey "
+        "JOIN region ON r_regionkey = n_regionkey "
+        f"WHERE r_name = '{region}'), "
+        "slice AS (SELECT p_partkey FROM part "
+        f"WHERE p_type = '{p_type}' AND p_size <= {size_max}), "
+        "cost AS (SELECT l_partkey, l_suppkey, "
+        "MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c "
+        "FROM lineitem JOIN slice ON p_partkey = l_partkey "
+        "JOIN rs ON rs.s_suppkey = l_suppkey GROUP BY 1, 2), "
+        "best AS (SELECT l_partkey, MIN(c) AS mc FROM cost "
+        "GROUP BY 1) "
+        "SELECT cost.l_partkey AS p_partkey, "
+        "cost.l_suppkey AS s_suppkey, rs.s_name, rs.s_acctbal, "
+        "cost.c AS cost_cents "
+        "FROM cost JOIN best ON best.l_partkey = cost.l_partkey "
+        "AND cost.c = best.mc "
+        "JOIN rs ON rs.s_suppkey = cost.l_suppkey "
+        "ORDER BY 1, 2")
+
+
+_Q11_NATION = 7
+_Q11_FRACTION_DEN = 1000
+
+
+def q_tpch_q11(sf_dir: str, nationkey: int = _Q11_NATION,
+               fraction_den: int = _Q11_FRACTION_DEN):
+    """TPC-H Q11-shaped important-stock: total traded value per part
+    (SUM cents(l_extendedprice) x int(l_quantity)) restricted to
+    suppliers of one nation, keeping parts whose value exceeds
+    1/``fraction_den`` of the nation's grand total — the
+    global-threshold aggregate shape (an inner scalar aggregate that
+    parameterizes the outer HAVING).
+
+    Scale shape: one bucketed exact int64 rollup keyed by partkey
+    (part-bounded output), then the grand total merges from
+    per-batch partials of that rollup — the threshold is ONE int
+    broadcast back into a streaming filter.  No fact-scale driver
+    state; exactness bounded at 2^63 like every cents rollup here."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    keys = np.sort(sup.loc[sup["s_nationkey"] == nationkey,
+                           "s_suppkey"].to_numpy(np.int64))
+    sup_ref = ray.put(keys)
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice"])
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        sok = ray.get(sup_ref)
+        pos = np.searchsorted(sok, sk)
+        keep = (pos < len(sok)) & \
+            (sok[np.minimum(pos, len(sok) - 1)] == sk) \
+            if len(sok) else np.zeros(len(sk), bool)
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)[keep]
+        qty = np.round(batch.column("l_quantity").to_numpy()[keep]) \
+            .astype(np.int64)
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy()[keep] * 100.0).astype(np.int64)
+        return pa.table({"p_partkey": pa.array(pk),
+                         "value_units": pa.array(cents * qty)})
+
+    per_part = bucketed_sum(
+        items.map_batches(_rows, batch_format="pyarrow"),
+        ["p_partkey"], ["value_units"]).materialize()
+
+    total = int(per_part.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            [int(b.column("value_units").to_numpy().sum())],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["t"].sum())
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        v = batch.column("value_units").to_numpy().astype(np.int64)
+        return batch.filter(pa.array(v * fraction_den > total))
+
+    out = per_part.map_batches(_filter, batch_format="pyarrow") \
+        .to_pandas().sort_values(
+            ["value_units", "p_partkey"], ascending=[False, True])
+    return rd.from_arrow(pa.table({
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
+        "value_units": pa.array(out["value_units"].to_numpy(np.int64)),
+    }))
+
+
+def sql_tpch_q11(nationkey: int = _Q11_NATION,
+                 fraction_den: int = _Q11_FRACTION_DEN) -> str:
+    return (
+        "WITH v AS (SELECT l_partkey AS p_partkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+        "CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS value_units "
+        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+        f"WHERE s_nationkey = {nationkey} GROUP BY 1) "
+        "SELECT p_partkey, value_units FROM v "
+        f"WHERE value_units * {fraction_den} > "
+        "(SELECT SUM(value_units) FROM v) "
+        "ORDER BY value_units DESC, p_partkey")
+
+
+_Q16_BRAND_NOT = "Brand#4"
+_Q16_TYPE_NOT = "ECONOMY"
+_Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+_Q16_AUDIT_MOD = 7
+
+
+def q_tpch_q16(sf_dir: str, brand_not: str = _Q16_BRAND_NOT,
+               type_not: str = _Q16_TYPE_NOT,
+               sizes: tuple = _Q16_SIZES,
+               audit_mod: int = _Q16_AUDIT_MOD):
+    """TPC-H Q16-shaped supplier diversity: distinct supplier count
+    per (brand, type, size) over a negated part slice (brand <>,
+    type <>, size IN), excluding audit-flagged suppliers
+    (suppkey % ``audit_mod`` = 0 — the deterministic stand-in for
+    Q16's complaint-comment anti-join).  Count-distinct + anti-join
+    shape.
+
+    Scale shape: the qualifying slice of part is a bounded broadcast
+    (keys + an int group code); lineitem reduces per batch to unique
+    (group, suppkey) int64 pairs, deduplicates exactly in one
+    bucketed pass co-partitioned by the pair hash, and the distinct
+    count is a second bounded rollup keyed by the group code — the
+    classic two-stage exact COUNT(DISTINCT) at scale."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.sample import _splitmix
+
+    parts = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    sl = parts[(parts["p_brand"] != brand_not)
+               & (parts["p_type"] != type_not)
+               & parts["p_size"].isin(sizes)].reset_index(drop=True)
+    groups = sl[["p_brand", "p_type", "p_size"]].drop_duplicates() \
+        .sort_values(["p_brand", "p_type", "p_size"]) \
+        .reset_index(drop=True)
+    gcode = {(r.p_brand, r.p_type, int(r.p_size)): i
+             for i, r in enumerate(groups.itertuples())}
+    part_keys = np.sort(sl["p_partkey"].to_numpy(np.int64))
+    order = np.argsort(sl["p_partkey"].to_numpy(np.int64),
+                       kind="mergesort")
+    part_group = np.array(
+        [gcode[(b, t, int(s))] for b, t, s in
+         zip(sl["p_brand"].to_numpy()[order],
+             sl["p_type"].to_numpy()[order],
+             sl["p_size"].to_numpy()[order])], np.int64)
+    slice_ref = ray.put((part_keys, part_group))
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        keys, grp = ray.get(slice_ref)
+        pos = np.searchsorted(keys, pk)
+        keep = (pos < len(keys)) & \
+            (keys[np.minimum(pos, len(keys) - 1)] == pk) \
+            if len(keys) else np.zeros(len(pk), bool)
+        keep &= (sk % audit_mod) != 0
+        g = grp[np.minimum(pos, len(keys) - 1)][keep] \
+            if len(keys) else np.zeros(0, np.int64)
+        pair = (g.astype(np.uint64) << np.uint64(32)) | \
+            sk[keep].astype(np.uint64)
+        uniq = np.unique(pair)
+        return pa.table({
+            "pair": pa.array(uniq.view(np.int64), pa.int64()),
+            "b": pa.array((_splitmix(uniq) % np.uint64(256))
+                          .astype(np.int32), pa.int32())})
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        uniq = np.unique(g["pair"].to_numpy(np.int64))
+        grp = (uniq.view(np.uint64) >> np.uint64(32)).astype(np.int64)
+        code, inv = np.unique(grp, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(code)).astype(np.int64)
+        return pd.DataFrame({"g": code, "supplier_cnt": cnt})
+
+    counts = (items.map_batches(_pairs, batch_format="pyarrow")
+              .groupby("b")
+              .map_groups(lambda g: _dedup(g.drop(columns=["b"])),
+                          batch_format="pandas"))
+    merged = bucketed_sum(counts, ["g"], ["supplier_cnt"]).to_pandas()
+    merged = merged.merge(
+        pd.DataFrame({"g": np.arange(len(groups), dtype=np.int64),
+                      "p_brand": groups["p_brand"],
+                      "p_type": groups["p_type"],
+                      "p_size": groups["p_size"].astype(np.int64)}),
+        on="g").sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True])
+    return rd.from_arrow(pa.table({
+        "p_brand": pa.array(merged["p_brand"], pa.string()),
+        "p_type": pa.array(merged["p_type"], pa.string()),
+        "p_size": pa.array(merged["p_size"].to_numpy(np.int64)),
+        "supplier_cnt": pa.array(
+            merged["supplier_cnt"].to_numpy(np.int64)),
+    }))
+
+
+def sql_tpch_q16(brand_not: str = _Q16_BRAND_NOT,
+                 type_not: str = _Q16_TYPE_NOT,
+                 sizes: tuple = _Q16_SIZES,
+                 audit_mod: int = _Q16_AUDIT_MOD) -> str:
+    size_list = ", ".join(str(s) for s in sizes)
+    return (
+        "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        f"WHERE p_brand <> '{brand_not}' AND p_type <> '{type_not}' "
+        f"AND p_size IN ({size_list}) "
+        f"AND l_suppkey % {audit_mod} <> 0 "
+        "GROUP BY 1, 2, 3 "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size")
+
+
+_Q20_NAME_PREFIX = "red"
+_Q20_YEAR = 1997
+
+
+def q_tpch_q20(sf_dir: str, prefix: str = _Q20_NAME_PREFIX,
+               year: int = _Q20_YEAR):
+    """TPC-H Q20-shaped dominant-supplier semi-join: suppliers who in
+    one year shipped MORE THAN HALF of the total shipped quantity of
+    some part whose name starts with ``prefix`` (the availqty >
+    0.5 x qty stand-in, exact integers: 2 x q_ps > q_p).  Nested
+    per-part aggregate inside a supplier-level EXISTS.
+
+    Scale shape: the name-slice partkeys broadcast once (bounded);
+    the year rides the parquet scan as a row filter; per-batch
+    (part, supplier) int64 quantity partials co-partition by partkey
+    so each bucket resolves its parts' totals AND dominant suppliers
+    in one vectorized pass; the surviving supplier set is bounded by
+    the supplier table and joins names on the driver."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ..stages.agg import _pack_keys, _unpack_keys
+    from ..stages.bucket_join import (adaptive_buckets, parquet_rows,
+                                      tag_buckets, BUCKET_COL)
+
+    parts = pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"]).to_pandas()
+    keys = np.sort(parts.loc[
+        parts["p_name"].str.startswith(prefix),
+        "p_partkey"].to_numpy(np.int64))
+    slice_ref = ray.put(keys)
+
+    lo = np.datetime64(f"{year}-01-01").astype("datetime64[us]")
+    hi = np.datetime64(f"{year + 1}-01-01").astype("datetime64[us]")
+    items = _read_f(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_quantity"],
+                    (pds.field("l_shipdate") >= lo)
+                    & (pds.field("l_shipdate") < hi))
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sok = ray.get(slice_ref)
+        pos = np.searchsorted(sok, pk)
+        keep = (pos < len(sok)) & \
+            (sok[np.minimum(pos, len(sok) - 1)] == pk) \
+            if len(sok) else np.zeros(len(pk), bool)
+        pk = pk[keep]
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)[keep]
+        qty = np.round(batch.column("l_quantity").to_numpy()[keep]) \
+            .astype(np.int64)
+        if not len(pk):
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "ps": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64()),
+                BUCKET_COL: pa.array([], pa.int32())})
+        key = _pack_keys([pk, sk])
+        uniq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, qty)
+        upk = _unpack_keys(uniq, 2)[0]
+        t = pa.table({"key": pa.array(upk.astype(np.int64)),
+                      "ps": pa.array(uniq),
+                      "qty": pa.array(s)})
+        return tag_buckets(t, "key", nb)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g["ps"].to_numpy(np.int64)
+        qty = g["qty"].to_numpy(np.int64)
+        uniq, inv = np.unique(ps, return_inverse=True)
+        qsum = np.zeros(len(uniq), np.int64)
+        np.add.at(qsum, inv, qty)
+        pk, sk = _unpack_keys(uniq, 2)
+        pcode, pinv = np.unique(pk, return_inverse=True)
+        ptot = np.zeros(len(pcode), np.int64)
+        np.add.at(ptot, pinv, qsum)
+        win = 2 * qsum > ptot[pinv]
+        return pd.DataFrame(
+            {"s_suppkey": np.unique(sk[win].astype(np.int64))})
+
+    out = (items.map_batches(_partial, batch_format="pyarrow")
+           .groupby(BUCKET_COL)
+           .map_groups(lambda g: _resolve(g.drop(columns=[BUCKET_COL])),
+                       batch_format="pandas")
+           .to_pandas())
+    winners = np.unique(out["s_suppkey"].to_numpy(np.int64))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    sup = sup[sup["s_suppkey"].isin(winners)] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(sup["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(sup["s_name"], pa.string()),
+    }))
+
+
+def sql_tpch_q20(prefix: str = _Q20_NAME_PREFIX,
+                 year: int = _Q20_YEAR) -> str:
+    return (
+        "WITH q AS (SELECT l_partkey, l_suppkey, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        f"WHERE p_name LIKE '{prefix}%' "
+        f"AND l_shipdate >= DATE '{year}-01-01' "
+        f"AND l_shipdate < DATE '{year + 1}-01-01' GROUP BY 1, 2), "
+        "tot AS (SELECT l_partkey, SUM(s) AS t FROM q GROUP BY 1) "
+        "SELECT DISTINCT s_suppkey, s_name FROM q "
+        "JOIN tot ON tot.l_partkey = q.l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "WHERE 2 * q.s > tot.t "
+        "ORDER BY s_suppkey")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -14941,6 +15413,10 @@ def _authored_queries() -> Dict:
         "grid_watershed": q_grid_watershed,
         "bpe_merges": q_bpe_merges,
         "grid_viewshed": q_grid_viewshed,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
     }
 
 
@@ -15116,6 +15592,10 @@ def oracle_sql() -> Dict[str, str]:
         "grid_watershed": sql_grid_watershed(),
         "bpe_merges": sql_bpe_merges(),
         "grid_viewshed": sql_grid_viewshed(),
+        "tpch_q2": sql_tpch_q2(),
+        "tpch_q11": sql_tpch_q11(),
+        "tpch_q16": sql_tpch_q16(),
+        "tpch_q20": sql_tpch_q20(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -104,6 +104,7 @@ ORACLE_CHECKED = [
     "events_ks", "grid_histeq", "degree_assortativity",
     "user_communities", "grid_watershed",
     "bpe_merges", "grid_viewshed",
+    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
 ]
 
 
