@@ -196,7 +196,10 @@ def run_suite(headline_only: bool = False) -> dict:
                  "attribution_last_touch", "embed_label_centroid",
                  "events_decay", "traj_stays", "phash_bit_bias",
                  "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
-                 "bpe_merges", "grid_viewshed"]
+                 "bpe_merges", "grid_viewshed",
+                 "user_jaccard", "user_clustering", "user_hits",
+                 "grid_contours", "grid_morphology",
+                 "doc_readability", "farthest_pair"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

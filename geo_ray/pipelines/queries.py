@@ -15140,6 +15140,672 @@ def sql_tpch_q20(prefix: str = _Q20_NAME_PREFIX,
 
 
 # --------------------------------------------------------------------------
+# graph-analytics wave 3: neighborhood Jaccard, clustering coefficient,
+# HITS hubs/authorities — all over the colocation contact graph
+# --------------------------------------------------------------------------
+
+def _coloc_edge_pairs(sf_dir: str):
+    """Distinct undirected colocation edges (a < b) as a distributed
+    dataset: the shared graph substrate of the user_* analytics.
+    Dedup is per-batch unique then one bucketed drop_duplicates —
+    only (a, b) int64 pairs ever shuffle."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    pairs = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+
+    def _undirected(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.int64)
+        ub = batch.column("user_b").to_numpy().astype(np.int64)
+        a = np.minimum(ua, ub)
+        b = np.maximum(ua, ub)
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        aa = df["a"].to_numpy(np.uint64)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .append_column("__b", pa.array(
+                (_splitmix(aa) % np.uint64(64)).astype(np.int32),
+                pa.int32()))
+
+    return (pairs.map_batches(_undirected, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: g.drop(columns=["__b"])
+                        .drop_duplicates(["a", "b"]),
+                        batch_format="pandas"))
+
+
+_COLOC_SQL_EDGES = (
+    "pairs AS (SELECT LEAST(a.user_id, b.user_id) AS u, "
+    "GREATEST(a.user_id, b.user_id) AS v "
+    "FROM xyz a JOIN xyz b ON a.tsu BETWEEN b.tsu - {w} "
+    "AND b.tsu + {w} "
+    "WHERE a.event_id < b.event_id AND a.user_id <> b.user_id AND "
+    "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+    "(a.z-b.z)*(a.z-b.z) < {eps2!r}), "
+    "ed AS (SELECT DISTINCT u, v FROM pairs)")
+
+
+def _coloc_sql_head() -> str:
+    base = sql_events_colocation()
+    head = base[:base.index("SELECT a.event_id")].rstrip()
+    return (f"{head}, " + _COLOC_SQL_EDGES.format(
+        w=_COLOC_WINDOW_US, eps2=_COLOC_EPS * _COLOC_EPS))
+
+
+def q_user_jaccard(sf_dir: str):
+    """Link-prediction features per contact edge: for every distinct
+    colocation edge (a, b), the common-neighbor count
+    |N(a) ∩ N(b)| and the neighborhood-union size
+    |N(a) ∪ N(b)| = deg(a) + deg(b) - common — the exact integer
+    numerator/denominator of neighborhood Jaccard similarity (the
+    ratio is left to the consumer so the cross-engine contract stays
+    int64-exact).  Rides stages/triangles.edge_supports: k-truss
+    support IS the common-neighbor count, computed by degree-ordered
+    wedge generation with only narrow int64 exchanges."""
+    import ray.data as rd
+    from ..stages.triangles import edge_supports
+
+    sup = edge_supports(_coloc_edge_pairs(sf_dir)).to_pandas()
+    sup = sup.sort_values(["a", "b"]).reset_index(drop=True)
+    deg_a = sup["deg_a"].to_numpy(np.int64)
+    deg_b = sup["deg_b"].to_numpy(np.int64)
+    common = sup["support"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "user_a": pa.array(sup["a"].to_numpy(np.int64)),
+        "user_b": pa.array(sup["b"].to_numpy(np.int64)),
+        "common_neighbors": pa.array(common),
+        "union_size": pa.array(deg_a + deg_b - common),
+    }))
+
+
+def sql_user_jaccard() -> str:
+    return (
+        _coloc_sql_head() + ", "
+        "adj AS (SELECT u AS s, v AS t FROM ed UNION ALL "
+        "SELECT v, u FROM ed), "
+        "deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM adj GROUP BY 1), "
+        "com AS (SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM ed e JOIN adj x ON x.s = e.u "
+        "JOIN adj y ON y.s = e.v AND y.t = x.t GROUP BY 1, 2) "
+        "SELECT e.u AS user_a, e.v AS user_b, "
+        "COALESCE(com.c, 0) AS common_neighbors, "
+        "da.d + db.d - COALESCE(com.c, 0) AS union_size "
+        "FROM ed e LEFT JOIN com ON com.u = e.u AND com.v = e.v "
+        "JOIN deg da ON da.node = e.u "
+        "JOIN deg db ON db.node = e.v "
+        "ORDER BY 1, 2")
+
+
+def q_user_clustering(sf_dir: str):
+    """Local clustering coefficient per user over the contact graph,
+    as exact integers: n_triangles (closed triads through the user)
+    and n_wedges = deg x (deg - 1) / 2 (possible triads) — the
+    coefficient is the ratio, left unformed to keep the contract
+    int64.  Every user with at least one contact edge appears.
+    Triangles ride stages/triangles.triangle_counts (degree-ordered
+    wedges); degrees are one bucketed_sum over the directed
+    adjacency; the final attach merges two node-bounded tables —
+    the same size as the result this query must return anyway."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.triangles import triangle_counts
+
+    edges = _coloc_edge_pairs(sf_dir).materialize()
+
+    def _adj(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "one": pa.array(np.ones(2 * len(a), np.int64))})
+
+    degs = bucketed_sum(
+        edges.map_batches(_adj, batch_format="pyarrow"),
+        ["node"], ["one"]).to_pandas()
+    tri = triangle_counts(edges).to_pandas()
+    out = degs.rename(columns={"one": "deg"}).merge(
+        tri, on="node", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype(np.int64)
+    deg = out["deg"].to_numpy(np.int64)
+    out = out.sort_values("node").reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(out["node"].to_numpy(np.int64)),
+        "n_triangles": pa.array(
+            out["n_triangles"].to_numpy(np.int64)),
+        "n_wedges": pa.array(
+            (out["deg"].to_numpy(np.int64)
+             * (out["deg"].to_numpy(np.int64) - 1)) // 2),
+    }))
+
+
+def sql_user_clustering() -> str:
+    return (
+        _coloc_sql_head() + ", "
+        "adj AS (SELECT u AS s, v AS t FROM ed UNION ALL "
+        "SELECT v, u FROM ed), "
+        "deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM adj GROUP BY 1), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM ed e1 JOIN ed e2 ON e2.u = e1.v "
+        "JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v), "
+        "corners AS (SELECT a AS node FROM tri UNION ALL "
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+        "tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t "
+        "FROM corners GROUP BY 1) "
+        "SELECT deg.node AS user_id, "
+        "COALESCE(tcnt.t, 0) AS n_triangles, "
+        "deg.d * (deg.d - 1) // 2 AS n_wedges "
+        "FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node "
+        "ORDER BY 1")
+
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000
+
+
+def q_user_hits(sf_dir: str, iters: int = _HITS_ITERS):
+    """HITS hubs/authorities over the DIRECTED contact graph (edge
+    src -> dst when src's event precedes dst's in a colocation pair,
+    i.e. who arrives first 'introduces' the meeting), in pure integer
+    fixed-point: hub0 = 1e6; auth = inbound hub sum, renormalized to
+    max = 1e6 by floor division; hub = outbound auth sum, same
+    renormalization; ``iters`` rounds.  Bit-identical across engines
+    — the SQL oracle iterates the same CTE algebra.  Distributed
+    shape: stages/pagerank.hits_broadcast (pre-sorted node arrays per
+    half-iteration, exact reduceat partials, zero AllToAll)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.pagerank import hits_broadcast
+    from ..stages.sample import _splitmix
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    pairs = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+
+    def _directed(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "src": batch.column("user_a").to_numpy().astype(np.int64),
+            "dst": batch.column("user_b").to_numpy().astype(np.int64),
+        }).drop_duplicates()
+        s = df["src"].to_numpy(np.uint64)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .append_column("__b", pa.array(
+                (_splitmix(s) % np.uint64(64)).astype(np.int32),
+                pa.int32()))
+
+    edges = (pairs.map_batches(_directed, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: g.drop(columns=["__b"])
+                         .drop_duplicates(["src", "dst"]),
+                         batch_format="pandas")
+             .materialize())
+
+    users = _read(sf_dir, "events", ["user_id"])
+
+    def _uniq_users(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
+    all_users = np.unique(
+        users.map_batches(_uniq_users, batch_format="pyarrow")
+        .to_pandas()["user_id"].to_numpy().astype(np.int64))
+    return rd.from_arrow(hits_broadcast(edges, all_users, iters))
+
+
+def sql_user_hits(iters: int = _HITS_ITERS) -> str:
+    # every iterated CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    # and the h{i} -> a{i} -> h{i-1} chain with a max-reference per
+    # level would otherwise re-expand the colocation join
+    # exponentially (observed: sf0.001 ran > 100 s; materialized the
+    # whole chain is sub-second)
+    S = _HITS_SCALE
+    base = sql_events_colocation()
+    head = base[:base.index("SELECT a.event_id")].rstrip()
+    blocks = [
+        "dedges AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, "
+        "b.user_id AS dst "
+        f"FROM xyz a JOIN xyz b ON a.tsu BETWEEN b.tsu - "
+        f"{_COLOC_WINDOW_US} AND b.tsu + {_COLOC_WINDOW_US} "
+        "WHERE a.event_id < b.event_id AND a.user_id <> b.user_id AND "
+        "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+        f"(a.z-b.z)*(a.z-b.z) < {_COLOC_EPS * _COLOC_EPS!r})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT user_id FROM events)",
+        f"h0 AS MATERIALIZED (SELECT user_id, CAST({S} AS BIGINT) "
+        "AS s FROM nodes)"]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"a{i}r AS MATERIALIZED (SELECT n.user_id, "
+            f"CAST(COALESCE(x.s, 0) AS BIGINT) AS s FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst AS user_id, SUM(h.s) AS s "
+            f"FROM dedges e JOIN {prev_h} h ON h.user_id = e.src "
+            f"GROUP BY 1) x ON x.user_id = n.user_id)")
+        blocks.append(
+            f"a{i}m AS MATERIALIZED (SELECT MAX(s) AS m FROM a{i}r)")
+        blocks.append(
+            f"a{i} AS MATERIALIZED (SELECT user_id, CASE WHEN m > 0 "
+            f"THEN s * {S} // m ELSE 0 END AS s "
+            f"FROM a{i}r CROSS JOIN a{i}m)")
+        blocks.append(
+            f"h{i}r AS MATERIALIZED (SELECT n.user_id, "
+            f"CAST(COALESCE(x.s, 0) AS BIGINT) AS s FROM nodes n "
+            f"LEFT JOIN (SELECT e.src AS user_id, SUM(a.s) AS s "
+            f"FROM dedges e JOIN a{i} a ON a.user_id = e.dst "
+            f"GROUP BY 1) x ON x.user_id = n.user_id)")
+        blocks.append(
+            f"h{i}m AS MATERIALIZED (SELECT MAX(s) AS m FROM h{i}r)")
+        blocks.append(
+            f"h{i} AS MATERIALIZED (SELECT user_id, CASE WHEN m > 0 "
+            f"THEN s * {S} // m ELSE 0 END AS s "
+            f"FROM h{i}r CROSS JOIN h{i}m)")
+        prev_h = f"h{i}"
+    return (
+        f"{head}, " + ", ".join(blocks) +
+        f" SELECT n.user_id, CAST(h{iters}.s AS BIGINT) AS hub_units, "
+        f"CAST(a{iters}.s AS BIGINT) AS auth_units "
+        f"FROM nodes n JOIN h{iters} ON h{iters}.user_id = n.user_id "
+        f"JOIN a{iters} ON a{iters}.user_id = n.user_id "
+        "ORDER BY 1")
+
+
+# --------------------------------------------------------------------------
+# raster/text/geometry wave 3: marching-squares cases, morphology,
+# readability features, exact farthest pair
+# --------------------------------------------------------------------------
+
+_MS_SIZE_DEG = 4.0
+_MS_THRESHOLD = 3
+
+
+def _grid_cells_ds(sf_dir: str, size_deg: float):
+    """The shared activity-raster rollup: events -> exact (x, y, n)
+    cell counts via one vectorized per-batch combine + bucketed_sum
+    (the substrate of the zonal / viewshed / percolation family)."""
+    import pandas as pd
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        df = pd.DataFrame({
+            "x": np.floor(lat / size_deg).astype(np.int64),
+            "y": np.floor(lng / size_deg).astype(np.int64)})
+        g = df.groupby(["x", "y"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return bucketed_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["x", "y"], ["n"])
+
+
+_GRID_BASE_SQL = (
+    "base AS (SELECT "
+    "CAST(FLOOR((((event_id * 7919) % 17000) / 100.0 - 85.0) "
+    "/ {size!r}) AS BIGINT) AS x, "
+    "CAST(FLOOR((((event_id * 104729) % 36000) / 100.0 - 180.0) "
+    "/ {size!r}) AS BIGINT) AS y, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)")
+
+
+def q_grid_contours(sf_dir: str, size_deg: float = _MS_SIZE_DEG,
+                    threshold: int = _MS_THRESHOLD):
+    """Marching-squares case histogram: binarize the activity raster
+    at ``threshold``, slide the 2x2 window over every position
+    touched by at least one observed cell, and count windows per
+    marching-squares case (0-15; bit 1 = cell (wx,wy), 2 = right,
+    4 = up, 8 = diagonal) — the iso-contour extraction kernel's
+    complete work inventory (each case maps to a fixed segment set).
+    Scale shape: each cell contributes exactly 4 (window, bit) rows
+    — bits are distinct per window, so OR == SUM and the case
+    assembles in one exact bucketed_sum; the histogram is a second
+    16-ary rollup.  No step sees more than 4x the cell count."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    cells = _grid_cells_ds(sf_dir, size_deg)
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy().astype(np.int64)
+        y = batch.column("y").to_numpy().astype(np.int64)
+        n = batch.column("n").to_numpy().astype(np.int64)
+        inside = (n >= threshold).astype(np.int64)
+        wx, wy, bit = [], [], []
+        for ox, oy, b in ((0, 0, 1), (1, 0, 2), (0, 1, 4), (1, 1, 8)):
+            wx.append(x - ox)
+            wy.append(y - oy)
+            bit.append(inside * b)
+        return pa.table({
+            "wx": pa.array(np.concatenate(wx)),
+            "wy": pa.array(np.concatenate(wy)),
+            "bit": pa.array(np.concatenate(bit))})
+
+    cases = bucketed_sum(
+        cells.map_batches(_windows, batch_format="pyarrow"),
+        ["wx", "wy"], ["bit"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = batch.column("bit").to_numpy().astype(np.int64)
+        h = np.bincount(c, minlength=16).astype(np.int64)
+        nz = np.flatnonzero(h)
+        return pa.table({"ms_case": pa.array(nz.astype(np.int64)),
+                         "n_windows": pa.array(h[nz])})
+
+    out = bucketed_sum(
+        cases.map_batches(_hist, batch_format="pyarrow"),
+        ["ms_case"], ["n_windows"]).to_pandas().sort_values("ms_case")
+    return rd.from_arrow(pa.table({
+        "ms_case": pa.array(out["ms_case"].to_numpy(np.int64)),
+        "n_windows": pa.array(out["n_windows"].to_numpy(np.int64))}))
+
+
+def sql_grid_contours(size_deg: float = _MS_SIZE_DEG,
+                      threshold: int = _MS_THRESHOLD) -> str:
+    return (
+        "WITH " + _GRID_BASE_SQL.format(size=size_deg) + ", "
+        "offs(ox, oy, b) AS (VALUES (0, 0, 1), (1, 0, 2), "
+        "(0, 1, 4), (1, 1, 8)), "
+        "w AS (SELECT x - ox AS wx, y - oy AS wy, "
+        f"CAST(SUM(CASE WHEN n >= {threshold} THEN b ELSE 0 END) "
+        "AS BIGINT) AS cse "
+        "FROM base CROSS JOIN offs GROUP BY 1, 2) "
+        "SELECT cse AS ms_case, CAST(COUNT(*) AS BIGINT) AS n_windows "
+        "FROM w GROUP BY 1 ORDER BY 1")
+
+
+def q_grid_morphology(sf_dir: str, size_deg: float = _MS_SIZE_DEG,
+                      threshold: int = _MS_THRESHOLD):
+    """Binary morphology on the activity raster (3x3 box structuring
+    element): n_active cells at ``threshold``, n_eroded (active cells
+    whose full 3x3 neighborhood is active — erosion survivors) and
+    n_dilated (distinct cells within Chebyshev 1 of an active cell —
+    the dilation support).  Scale shape: active cells emit 9 shifted
+    (cell, 1) rows; one bucketed_sum gives the per-cell active-
+    neighbor count; erosion tests count == 9 on the active side,
+    dilation counts the distinct keys — three bounded rollups, no
+    all-to-all beyond the 9x fan-out."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    cells = _grid_cells_ds(sf_dir, size_deg)
+
+    def _active(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        return batch.filter(pa.array(n >= threshold))
+
+    act = cells.map_batches(_active, batch_format="pyarrow") \
+        .materialize()
+
+    def _shift9(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy().astype(np.int64)
+        y = batch.column("y").to_numpy().astype(np.int64)
+        xs, ys = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs.append(x + dx)
+                ys.append(y + dy)
+        return pa.table({
+            "x": pa.array(np.concatenate(xs)),
+            "y": pa.array(np.concatenate(ys)),
+            "c": pa.array(np.ones(9 * len(x), np.int64))})
+
+    neigh = bucketed_sum(
+        act.map_batches(_shift9, batch_format="pyarrow"),
+        ["x", "y"], ["c"]).materialize()
+
+    n_active = act.count()
+    n_dilated = neigh.count()
+
+    # erosion: active cells whose 3x3 count row says 9 — a
+    # co-partitioned semi-join by packed cell key: active rows carry
+    # flag 1, full-neighborhood rows flag 2, the bucketed_sum
+    # collapses each key to the flag sum, and flag == 3 marks an
+    # erosion survivor
+    from ..stages.agg import _pack_keys
+
+    def _k_act2(batch: pa.Table) -> pa.Table:
+        k = _pack_keys([batch.column("x").to_numpy(),
+                        batch.column("y").to_numpy()]) \
+            if batch.num_rows else np.zeros(0, np.int64)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "flag": pa.array(
+                             np.full(len(k), 1, np.int64))})
+
+    def _k_nine2(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy().astype(np.int64)
+        keep = c == 9
+        k = _pack_keys([batch.column("x").to_numpy()[keep],
+                        batch.column("y").to_numpy()[keep]]) \
+            if int(keep.sum()) else np.zeros(0, np.int64)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "flag": pa.array(
+                             np.full(len(k), 2, np.int64))})
+
+    flags = bucketed_sum(
+        act.map_batches(_k_act2, batch_format="pyarrow").union(
+            neigh.map_batches(_k_nine2, batch_format="pyarrow")),
+        ["k"], ["flag"])
+
+    def _n3(batch: pa.Table) -> pa.Table:
+        f = batch.column("flag").to_numpy().astype(np.int64)
+        return pa.table({"n": pa.array([int((f == 3).sum())],
+                                       pa.int64())})
+
+    n_eroded = int(flags.map_batches(_n3, batch_format="pyarrow")
+                   .to_pandas()["n"].sum())
+    return rd.from_arrow(pa.table({
+        "n_active": pa.array([int(n_active)], pa.int64()),
+        "n_eroded": pa.array([n_eroded], pa.int64()),
+        "n_dilated": pa.array([int(n_dilated)], pa.int64())}))
+
+
+def sql_grid_morphology(size_deg: float = _MS_SIZE_DEG,
+                        threshold: int = _MS_THRESHOLD) -> str:
+    return (
+        "WITH " + _GRID_BASE_SQL.format(size=size_deg) + ", "
+        f"act AS (SELECT x, y FROM base WHERE n >= {threshold}), "
+        "offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), "
+        "(0,0), (0,1), (1,-1), (1,0), (1,1)), "
+        "sh AS (SELECT x + dx AS x, y + dy AS y, "
+        "CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM act CROSS JOIN offs GROUP BY 1, 2), "
+        "er AS (SELECT a.x, a.y FROM act a JOIN sh "
+        "ON sh.x = a.x AND sh.y = a.y WHERE sh.c = 9) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM act) "
+        "AS n_active, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM er) AS n_eroded, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_dilated")
+
+
+def q_doc_readability(sf_dir: str):
+    """Per-document readability/quality feature vector as exact
+    integers: word count (non-space runs), distinct-word count (the
+    type-token-ratio numerator), vowel-group count on the lowercased
+    text (the syllable proxy of Flesch-style scores) and long-word
+    count (tokens of 7+ chars) — the composite readability indices
+    are ratios of these, left unformed to keep the cross-engine
+    contract int64-exact.  Counts are one vectorized pandas
+    str.count pass per batch (the distinct-word pass loops document
+    STRINGS, not corpus rows); regex classes are simple enough to
+    behave identically in re and RE2."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _feats(batch: pa.Table) -> pa.Table:
+        import re
+        import pandas as pd
+        texts = batch.column("text").to_pylist()
+        s = pd.Series(texts)
+        ws = re.compile(r"\S+")
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_words": pa.array(
+                s.str.count(r"\S+").to_numpy(np.int64)),
+            "n_distinct_words": pa.array(np.array(
+                [len(set(ws.findall(t))) for t in texts], np.int64)),
+            "n_vowel_groups": pa.array(
+                s.str.lower().str.count(r"[aeiou]+")
+                .to_numpy(np.int64)),
+            "n_long_words": pa.array(
+                s.str.count(r"\S{7,}").to_numpy(np.int64)),
+        })
+
+    return ds.map_batches(_feats, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def sql_doc_readability() -> str:
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+        "AS n_words, "
+        "CAST(length(list_distinct(regexp_extract_all(text, "
+        "'\\S+'))) AS BIGINT) AS n_distinct_words, "
+        "CAST(length(regexp_extract_all(lower(text), '[aeiou]+')) "
+        "AS BIGINT) AS n_vowel_groups, "
+        "CAST(length(regexp_extract_all(text, '\\S{7,}')) AS BIGINT) "
+        "AS n_long_words "
+        "FROM documents ORDER BY doc_id")
+
+
+def q_farthest_pair(sf_dir: str):
+    """Exact farthest customer pair in the planar lat/lng embedding:
+    the pair maximizing dx^2 + dy^2 (ties: smallest (key_a, key_b)).
+    Distributed shape: each batch reduces to its planar convex-hull
+    vertices (monotone chain over the batch — the only points that
+    can realize a global extreme distance), partial hulls merge into
+    one driver-side hull (size h << n), and the exact O(h^2) scan
+    runs on that bounded set.  The float math is pure IEEE products
+    and sums of exactly-derived doubles, so the SQL oracle's
+    brute-force over all pairs lands on the identical bits."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _hull2d(px: np.ndarray, py: np.ndarray, keys: np.ndarray):
+        """Monotone-chain hull over the batch (batch-bounded loop).
+        Dropping strictly-between collinear points is safe for the
+        farthest pair: squared distance is strictly convex along a
+        segment, so an interior point can never tie the endpoints;
+        coincident coordinates dedup to their MINIMUM key, matching
+        the SQL tie-break."""
+        order = np.lexsort((keys, py, px))
+        px, py, keys = px[order], py[order], keys[order]
+        dedup = pd.DataFrame({"x": px, "y": py, "k": keys})
+        dedup = dedup.groupby(["x", "y"], sort=True).first() \
+            .reset_index()
+        x = dedup["x"].to_numpy()
+        y = dedup["y"].to_numpy()
+        k = dedup["k"].to_numpy(np.int64)
+        n = len(x)
+        if n <= 2:
+            return x, y, k
+        def chain(idx):
+            out = []
+            for i in idx:
+                while len(out) >= 2:
+                    ax, ay = x[out[-2]], y[out[-2]]
+                    bx, by = x[out[-1]], y[out[-1]]
+                    if (bx - ax) * (y[i] - ay) \
+                            - (by - ay) * (x[i] - ax) > 0:
+                        break
+                    out.pop()
+                out.append(i)
+            return out
+        lower = chain(range(n))
+        upper = chain(range(n - 1, -1, -1))
+        sel = np.unique(np.array(lower + upper, np.int64))
+        return x[sel], y[sel], k[sel]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lat, lng = derive_latlng_np(keys)
+        hx, hy, hk = _hull2d(lat, lng, keys)
+        return pa.table({"lat": pa.array(hx), "lng": pa.array(hy),
+                         "k": pa.array(hk, pa.int64())})
+
+    cand = ds.map_batches(_partial, batch_format="pyarrow") \
+        .to_pandas()
+    hx, hy, hk = _hull2d(cand["lat"].to_numpy(),
+                         cand["lng"].to_numpy(),
+                         cand["k"].to_numpy(np.int64))
+    n = len(hx)
+    dx = hx[:, None] - hx[None, :]
+    dy = hy[:, None] - hy[None, :]
+    d2 = dx * dx + dy * dy
+    ka = np.minimum(hk[:, None], hk[None, :])
+    kb = np.maximum(hk[:, None], hk[None, :])
+    iu = np.triu_indices(n, 1)
+    d2f, kaf, kbf = d2[iu], ka[iu], kb[iu]
+    if not len(d2f):
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], pa.int64()),
+            "key_b": pa.array([], pa.int64()),
+            "dist2": pa.array([], pa.float64())}))
+    # max d2; ties -> smallest (ka, kb)
+    best = np.lexsort((kbf, kaf, -d2f))[0]
+    return rd.from_arrow(pa.table({
+        "key_a": pa.array([int(kaf[best])], pa.int64()),
+        "key_b": pa.array([int(kbf[best])], pa.int64()),
+        "dist2": pa.array([float(d2f[best])], pa.float64())}))
+
+
+def sql_farthest_pair() -> str:
+    lat = "(((c_custkey * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((c_custkey * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        f"WITH p AS (SELECT c_custkey AS k, {lat} AS x, {lng} AS y "
+        "FROM customer) "
+        "SELECT a.k AS key_a, b.k AS key_b, "
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+        "AS dist2 "
+        "FROM p a JOIN p b ON a.k < b.k "
+        "ORDER BY dist2 DESC, key_a, key_b LIMIT 1")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -15417,6 +16083,13 @@ def _authored_queries() -> Dict:
         "tpch_q11": q_tpch_q11,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
+        "user_jaccard": q_user_jaccard,
+        "user_clustering": q_user_clustering,
+        "user_hits": q_user_hits,
+        "grid_contours": q_grid_contours,
+        "grid_morphology": q_grid_morphology,
+        "doc_readability": q_doc_readability,
+        "farthest_pair": q_farthest_pair,
     }
 
 
@@ -15596,6 +16269,13 @@ def oracle_sql() -> Dict[str, str]:
         "tpch_q11": sql_tpch_q11(),
         "tpch_q16": sql_tpch_q16(),
         "tpch_q20": sql_tpch_q20(),
+        "user_jaccard": sql_user_jaccard(),
+        "user_clustering": sql_user_clustering(),
+        "user_hits": sql_user_hits(),
+        "grid_contours": sql_grid_contours(),
+        "grid_morphology": sql_grid_morphology(),
+        "doc_readability": sql_doc_readability(),
+        "farthest_pair": sql_farthest_pair(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

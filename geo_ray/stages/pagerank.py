@@ -244,3 +244,64 @@ def pagerank_bucketed(edges_ds, nodes_ds, iters: int,
         lambda b: pa.table({"user_id": b.column("k"),
                             "rank_units": b.column("rank")}),
         batch_format="pyarrow")
+
+
+def hits_broadcast(edges_ds, nodes: np.ndarray, iters: int,
+                   *, max_partial_rows: int = 16_000_000) -> pa.Table:
+    """Integer fixed-point HITS (hubs and authorities, Kleinberg) over
+    a DIRECTED distinct-edge dataset, broadcast-state shape with the
+    same arithmetic contract discipline as :func:`pagerank_broadcast`
+    so a SQL oracle reproduces it bit-for-bit:
+
+      hub0 = SCALE per node;
+      auth_i  = sum over edges j->i of hub_j,  then normalize
+                auth = auth * SCALE // max(auth)   (skip if max = 0);
+      hub_i   = sum over edges i->j of auth_j, then normalize the
+                same way;
+      repeat ``iters`` times.
+
+    All sums are exact int64 (sort + reduceat partials merged via
+    driver_merged_sum, zero AllToAll barriers per iteration); the
+    normalized scores stay in [0, SCALE] so the per-iteration raw
+    sums are bounded by SCALE x max-degree (document: exactness holds
+    while that product stays under 2^63, same contract as every
+    cents rollup).  Node-sized pre-sorted arrays ship once per
+    half-iteration via ray.put; per-batch work is searchsorted +
+    gather + one reduceat.  Returns (user_id, hub_units, auth_units).
+    """
+    import ray
+
+    nodes = np.sort(np.unique(nodes.astype(np.int64)))
+    hub = np.full(len(nodes), SCALE, np.int64)
+    auth = np.zeros(len(nodes), np.int64)
+
+    def _half(score_ref, from_col: str, to_col: str) -> np.ndarray:
+        def _partial(batch: pa.Table) -> pa.Table:
+            ks, sv = ray.get(score_ref)
+            f = batch.column(from_col).to_numpy().astype(np.int64)
+            t = batch.column(to_col).to_numpy().astype(np.int64)
+            u, sums = _group_sum_int64(t, sv[np.searchsorted(ks, f)])
+            return pa.table({"k": pa.array(u, pa.int64()),
+                             "s": pa.array(sums, pa.int64())})
+
+        merged = driver_merged_sum(
+            edges_ds.map_batches(_partial, batch_format="pyarrow"),
+            ["k"], ["s"], max_rows=max_partial_rows)
+        out = np.zeros(len(nodes), np.int64)
+        pos = np.searchsorted(nodes, merged["k"].to_numpy()
+                              .astype(np.int64))
+        out[pos] = merged["s"].to_numpy().astype(np.int64)
+        m = out.max() if len(out) else 0
+        if m > 0:
+            out = out * SCALE // m
+        return out
+
+    for _ in range(iters):
+        ref_h = ray.put((nodes, hub))
+        auth = _half(ref_h, "src", "dst")
+        ref_a = ray.put((nodes, auth))
+        hub = _half(ref_a, "dst", "src")
+
+    return pa.table({"user_id": pa.array(nodes, pa.int64()),
+                     "hub_units": pa.array(hub, pa.int64()),
+                     "auth_units": pa.array(auth, pa.int64())})

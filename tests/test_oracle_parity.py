@@ -105,6 +105,9 @@ ORACLE_CHECKED = [
     "user_communities", "grid_watershed",
     "bpe_merges", "grid_viewshed",
     "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
+    "user_jaccard", "user_clustering", "user_hits",
+    "grid_contours", "grid_morphology", "doc_readability",
+    "farthest_pair",
 ]
 
 
