@@ -199,7 +199,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "bpe_merges", "grid_viewshed",
                  "user_jaccard", "user_clustering", "user_hits",
                  "grid_contours", "grid_morphology",
-                 "doc_readability", "farthest_pair"]
+                 "doc_readability", "farthest_pair",
+                 "spatial_layout_scan"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

@@ -15805,6 +15805,50 @@ def sql_farthest_pair() -> str:
         "ORDER BY dist2 DESC, key_a, key_b LIMIT 1")
 
 
+def q_spatial_layout_scan(sf_dir: str):
+    """Covering-pruned scan over the Hilbert-range spatial layout
+    (sources/spatial_layout.py): customer points are bulk-loaded once
+    into range-partitioned parquet sorted by leaf cell ID (cached
+    under /tmp per sf_dir; the resumable writer skips partitions that
+    already landed), then the cap query reads ONLY the files whose
+    cell range intersects the cap's covering and applies the exact
+    chord-distance predicate to the survivors.  Output is identical
+    to q_cap_contains — the oracle proves the pruned path loses no
+    rows — while the manifest stats (asserted in
+    tests/test_spatial_layout.py) prove it skips most of the files:
+    the scan cost scales with the query region, not the corpus."""
+    import os
+    import ray.data as rd
+    from ..sources.spatial_layout import (read_pruned, write_spatial,
+                                          _load_manifest)
+    from ..state.cap import Cap
+    from ..state.coverer import RegionCoverer
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    layout_dir = f"/tmp/geo_ray_layout/{tag}-customer"
+    if not _load_manifest(layout_dir).get("files"):
+        write_spatial(_customer_points(sf_dir), layout_dir,
+                      rows_per_file=4096)
+
+    cap = Cap(_cap_center_xyz(), _cap_chord2())
+    covering = RegionCoverer(max_cells=64).covering(cap)
+    ds, _stats = read_pruned(layout_dir, covering,
+                             columns=["c_custkey", "x", "y", "z"])
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        mask = cap.contains_points_v(batch.column("x").to_numpy(),
+                                     batch.column("y").to_numpy(),
+                                     batch.column("z").to_numpy())
+        return batch.filter(pa.array(mask))
+
+    return (ds.map_batches(_exact, batch_format="pyarrow")
+            .select_columns(["c_custkey"]).sort("c_custkey"))
+
+
+def sql_spatial_layout_scan() -> str:
+    return sql_cap_contains()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16090,6 +16134,7 @@ def _authored_queries() -> Dict:
         "grid_morphology": q_grid_morphology,
         "doc_readability": q_doc_readability,
         "farthest_pair": q_farthest_pair,
+        "spatial_layout_scan": q_spatial_layout_scan,
     }
 
 
@@ -16276,6 +16321,7 @@ def oracle_sql() -> Dict[str, str]:
         "grid_morphology": sql_grid_morphology(),
         "doc_readability": sql_doc_readability(),
         "farthest_pair": sql_farthest_pair(),
+        "spatial_layout_scan": sql_spatial_layout_scan(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -1,0 +1,207 @@
+"""Spatially-clustered parquet layout: Hilbert-order range
+partitioning on write, covering-based file pruning on read.
+
+At 100 TB the decisive scan optimization is not reading at all:
+a spatial filter that touches 0.1% of the sphere should touch ~0.1%
+of the files.  Parquet gives row-group pruning only for columns the
+writer happened to cluster; this module makes that clustering
+explicit for spatial data, the way the reference's CellID ordering
+makes range scans cheap (golang/geo s2/cellid.go: cell IDs are a
+Hilbert-curve position, so spatial locality IS key locality):
+
+* ``write_spatial(ds, out_dir)`` — leaf cell IDs are computed per
+  batch, key-range bounds are sampled uniformly ACROSS blocks
+  (stages/scan.sample_order_bounds — never ``limit()``), every batch
+  tags its range partition with one searchsorted, and each partition
+  writes ONE parquet file sorted by cell ID (a contiguous Hilbert
+  range) plus a manifest row.  ``_layout.json`` records per-file
+  [cell_lo, cell_hi] and row counts.  The shuffle moves each row
+  once; partition count scales with the data (``rows_per_file``).
+  On a multi-node cluster ``out_dir`` must be shared storage — the
+  same contract as every distributed parquet writer.
+
+* ``read_pruned(out_dir, covering)`` — a covering (list of S2 cell
+  IDs from state/coverer) becomes [range_min, range_max] leaf
+  intervals; manifest files whose [cell_lo, cell_hi] intersect no
+  interval are never opened.  Returns a Ray Dataset over the
+  surviving files only, plus the pruning stats, and (optionally)
+  applies the exact per-row cell mask so candidates from partially-
+  covered files are filtered vectorized.
+
+Resumability: files are written under deterministic names
+(``part-{i:05d}.parquet``); a re-run with the same bounds skips
+partitions whose file already exists and matches the manifest row
+count, so a failed bulk load resumes where it stopped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import cellid as cid
+
+MANIFEST = "_layout.json"
+
+
+def _leaf_ids(batch: pa.Table, xyz_cols=("x", "y", "z")) -> np.ndarray:
+    x, y, z = (batch.column(c).to_numpy() for c in xyz_cols)
+    return cid.cell_id_from_point_v(x, y, z)
+
+
+def write_spatial(ds, out_dir: str, *, xyz_cols=("x", "y", "z"),
+                  rows_per_file: int = 1_000_000,
+                  num_files: int | None = None):
+    """Range-partition ``ds`` by leaf cell ID and write one sorted
+    parquet file per partition + the pruning manifest.  Returns the
+    manifest dict."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ..stages.scan import sample_order_bounds
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _with_cell(batch: pa.Table) -> pa.Table:
+        leaf = _leaf_ids(batch, xyz_cols)
+        # int64 view: uint64 groupby keys fall back to object-pickled
+        # extension arrays in the shuffle (repo-wide convention)
+        return batch.append_column(
+            "__cell", pa.array(leaf.view(np.int64), pa.int64()))
+
+    cells = ds.map_batches(_with_cell, batch_format="pyarrow") \
+        .materialize()
+    total_rows = cells.count()
+    nf = num_files if num_files is not None else \
+        max(1, -(-total_rows // rows_per_file))
+    # bounds in SIGNED leaf-key space: cell ids for faces 4-5 have the
+    # top bit set, so partitioning compares the int64 VIEW everywhere
+    # (write and prune use the same ordering — only consistency
+    # matters for pruning correctness)
+    bounds = sample_order_bounds(cells, "__cell", nf)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        c = batch.column("__cell").to_numpy()
+        pid = np.searchsorted(bounds, c, side="right") \
+            .astype(np.int32)
+        return batch.append_column("__pid", pa.array(pid, pa.int32()))
+
+    existing = _load_manifest(out_dir)
+    done = {f["pid"]: f for f in existing.get("files", [])
+            if os.path.exists(os.path.join(out_dir, f["path"]))}
+
+    def _write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["__pid"].iloc[0])
+        g = g.sort_values("__cell", kind="mergesort") \
+            .drop(columns=["__pid"])
+        path = f"part-{pid:05d}.parquet"
+        prior = done.get(pid)
+        if prior is not None and prior["rows"] == len(g):
+            # resume: partition already landed with the same row count
+            return pd.DataFrame({
+                "pid": [pid], "path": [path], "rows": [len(g)],
+                "cell_lo": [int(g["__cell"].iloc[0])],
+                "cell_hi": [int(g["__cell"].iloc[-1])],
+                "skipped": [True]})
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       os.path.join(out_dir, path))
+        return pd.DataFrame({
+            "pid": [pid], "path": [path], "rows": [len(g)],
+            "cell_lo": [int(g["__cell"].iloc[0])],
+            "cell_hi": [int(g["__cell"].iloc[-1])],
+            "skipped": [False]})
+
+    man_rows = (cells.map_batches(_tag, batch_format="pyarrow")
+                .groupby("__pid")
+                .map_groups(_write_part, batch_format="pandas")
+                .to_pandas())
+    man_rows = man_rows.sort_values("pid").reset_index(drop=True)
+    manifest = {
+        "total_rows": int(man_rows["rows"].sum()),
+        "files": [
+            {"pid": int(r.pid), "path": r.path, "rows": int(r.rows),
+             "cell_lo": int(r.cell_lo), "cell_hi": int(r.cell_hi)}
+            for r in man_rows.itertuples()],
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _load_manifest(out_dir: str) -> dict:
+    p = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def covering_intervals(covering: Sequence[int]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """[range_min, range_max] leaf intervals of a covering, as the
+    SIGNED int64 views used by the layout ordering, sorted by lo."""
+    ids = np.asarray(list(covering), np.uint64)
+    lo = cid.range_min_v(ids).view(np.int64)
+    hi = cid.range_max_v(ids).view(np.int64)
+    order = np.argsort(lo, kind="mergesort")
+    return lo[order], hi[order]
+
+
+def prune_files(out_dir: str, covering: Sequence[int]) -> dict:
+    """Manifest files whose cell range intersects the covering."""
+    manifest = _load_manifest(out_dir)
+    files = manifest.get("files", [])
+    lo, hi = covering_intervals(covering)
+    keep: List[dict] = []
+    for f in files:
+        i = np.searchsorted(lo, f["cell_hi"], side="right")
+        # interval j < i has lo <= cell_hi; intersects iff its hi >=
+        # cell_lo for some j — check the candidates overlapping the
+        # file span (vectorized over the covering)
+        if i > 0 and (hi[:i] >= f["cell_lo"]).any():
+            keep.append(f)
+    return {"files": keep, "n_total": len(files),
+            "n_read": len(keep),
+            "rows_total": manifest.get("total_rows", 0),
+            "rows_read": int(sum(f["rows"] for f in keep))}
+
+
+def read_pruned(out_dir: str, covering: Sequence[int], *,
+                columns: Sequence[str] | None = None,
+                exact: bool = True):
+    """Ray Dataset over only the files intersecting ``covering``;
+    with ``exact=True`` rows outside the covering are masked out
+    vectorized (CellUnion stab over the sorted interval arrays).
+    Returns (dataset, prune_stats)."""
+    import ray.data as rd
+
+    stats = prune_files(out_dir, covering)
+    cols = list(columns) + ["__cell"] if columns else None
+    if not stats["files"]:
+        schema_file = _load_manifest(out_dir)["files"][0]["path"] \
+            if _load_manifest(out_dir).get("files") else None
+        if schema_file is None:
+            raise FileNotFoundError(f"no layout at {out_dir}")
+        empty = rd.read_parquet(
+            os.path.join(out_dir, schema_file), columns=cols) \
+            .filter(lambda r: False)
+        return empty, stats
+    paths = [os.path.join(out_dir, f["path"]) for f in stats["files"]]
+    ds = rd.read_parquet(paths, columns=cols)
+    if exact:
+        lo, hi = covering_intervals(covering)
+
+        def _mask(batch: pa.Table) -> pa.Table:
+            c = batch.column("__cell").to_numpy()
+            pos = np.searchsorted(lo, c, side="right") - 1
+            ok = (pos >= 0) & (hi[np.maximum(pos, 0)] >= c)
+            return batch.filter(pa.array(ok))
+
+        ds = ds.map_batches(_mask, batch_format="pyarrow")
+    return ds, stats

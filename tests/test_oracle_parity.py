@@ -107,7 +107,7 @@ ORACLE_CHECKED = [
     "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
     "user_jaccard", "user_clustering", "user_hits",
     "grid_contours", "grid_morphology", "doc_readability",
-    "farthest_pair",
+    "farthest_pair", "spatial_layout_scan",
 ]
 
 

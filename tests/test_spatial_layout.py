@@ -1,0 +1,118 @@
+"""Spatial parquet layout: Hilbert-range partitioned write,
+covering-pruned read (sources/spatial_layout.py)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geo_ray.functions import cellid as cid
+from geo_ray.functions.latlng import latlng_deg_to_xyz
+from geo_ray.sources.spatial_layout import (covering_intervals,
+                                            prune_files, read_pruned,
+                                            write_spatial)
+from geo_ray.state.cap import Cap
+from geo_ray.state.coverer import RegionCoverer
+
+
+def _points_ds(n=6000, seed=7):
+    import ray.data as rd
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-80, 80, n)
+    lng = rng.uniform(-180, 180, n)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    t = pa.table({"pid": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(x), "y": pa.array(y),
+                  "z": pa.array(z)})
+    return rd.from_arrow(t), lat, lng, x, y, z
+
+
+@pytest.fixture(scope="module")
+def layout(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("slayout"))
+    ds, lat, lng, x, y, z = _points_ds()
+    man = write_spatial(ds, out, rows_per_file=500)
+    return out, man, (lat, lng, x, y, z)
+
+
+def test_roundtrip_preserves_rows(layout):
+    import ray.data as rd
+    out, man, _ = layout
+    assert man["total_rows"] == 6000
+    paths = [os.path.join(out, f["path"]) for f in man["files"]]
+    back = rd.read_parquet(paths).to_pandas()
+    assert len(back) == 6000
+    assert sorted(back["pid"]) == list(range(6000))
+
+
+def test_files_sorted_and_ranges_disjoint(layout):
+    import pyarrow.parquet as pq
+    out, man, _ = layout
+    prev_hi = None
+    for f in sorted(man["files"], key=lambda r: r["cell_lo"]):
+        t = pq.read_table(os.path.join(out, f["path"]),
+                          columns=["__cell"])
+        c = t.column("__cell").to_numpy()
+        assert (np.diff(c) >= 0).all()
+        assert c[0] == f["cell_lo"] and c[-1] == f["cell_hi"]
+        if prev_hi is not None:
+            assert f["cell_lo"] >= prev_hi  # ranges ordered
+        prev_hi = f["cell_hi"]
+
+
+def test_pruned_read_matches_brute_cap(layout):
+    out, man, (lat, lng, x, y, z) = layout
+    cx, cy, cz = latlng_deg_to_xyz(np.array([37.0]),
+                                   np.array([-122.0]))
+    center = (float(cx[0]), float(cy[0]), float(cz[0]))
+    chord2 = 0.02
+    cap = Cap(center, chord2)
+    covering = RegionCoverer(max_cells=32).covering(cap)
+
+    got, stats = read_pruned(out, covering, columns=["pid"])
+    got_ids = sorted(got.to_pandas()["pid"])
+
+    # brute oracle: covering membership of every point's leaf cell
+    leaf = cid.cell_id_from_point_v(x, y, z)
+    lo, hi = covering_intervals(covering)
+    sv = leaf.view(np.int64)
+    pos = np.searchsorted(lo, sv, side="right") - 1
+    ok = (pos >= 0) & (hi[np.maximum(pos, 0)] >= sv)
+    want = sorted(np.flatnonzero(ok).astype(int))
+    assert got_ids == want
+    # the covering must contain every cap point (sanity of the oracle)
+    inside = cap.contains_points_v(x, y, z)
+    assert set(np.flatnonzero(inside).astype(int)) <= set(want)
+
+
+def test_pruning_skips_files(layout):
+    out, man, _ = layout
+    cx, cy, cz = latlng_deg_to_xyz(np.array([37.0]),
+                                   np.array([-122.0]))
+    cap = Cap((float(cx[0]), float(cy[0]), float(cz[0])), 0.002)
+    covering = RegionCoverer(max_cells=16).covering(cap)
+    stats = prune_files(out, covering)
+    assert stats["n_total"] == len(man["files"]) > 4
+    assert 0 < stats["n_read"] < stats["n_total"]
+    assert stats["rows_read"] < stats["rows_total"]
+
+
+def test_resume_skips_existing(layout, ray_session):
+    out, man, _ = layout
+    ds, *_ = _points_ds()
+    man2 = write_spatial(ds, out, rows_per_file=500)
+    assert man2["total_rows"] == man["total_rows"]
+    assert [f["cell_lo"] for f in man2["files"]] == \
+        [f["cell_lo"] for f in man["files"]]
+
+
+def test_empty_covering_errors_gracefully(layout):
+    out, _, _ = layout
+    # a covering far from every point still returns a valid (empty)
+    # dataset
+    far = cid.cell_id_from_latlng(-89.9, 179.9)
+    parent = cid.parent(far, 10)
+    ds, stats = read_pruned(out, [parent], columns=["pid"])
+    assert ds.count() >= 0
