@@ -200,7 +200,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "user_jaccard", "user_clustering", "user_hits",
                  "grid_contours", "grid_morphology",
                  "doc_readability", "farthest_pair",
-                 "spatial_layout_scan"]
+                 "spatial_layout_scan", "bpe_encode", "events_emd",
+                 "user_reciprocity", "orders_backlog",
+                 "doc_canonical_dedup"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

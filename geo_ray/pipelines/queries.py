@@ -14377,23 +14377,10 @@ def sql_grid_watershed(size_deg: float = 5.0) -> str:
 _BPE_ROUNDS = 3
 
 
-def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
-    """BPE vocabulary induction: the first ``rounds`` byte-pair-
-    encoding merges learned from the corpus word-frequency dict —
-    per round, the globally most frequent adjacent symbol pair
-    (ties: lexicographic min pair) and its count.  Merge application
-    uses str.replace semantics (one left-to-right non-overlapping
-    scan of the space-padded symbol string) — exactly SQL's
-    replace(), so the oracle is bit-exact.  Scale shape: the corpus
-    tokenizes once into a bucketed word-TYPE count table (vocab-
-    bounded, materialized as the iteration state); each round is one
-    vectorized pair-count pass over word types whose merge target is
-    the (symbol-pair)-bounded rollup — the merge table itself (<=
-    rounds entries) is the only driver state, exactly how a
-    distributed tokenizer trainer shards."""
-    import pandas as pd
-    import ray.data as rd
-    from ..stages.agg import bucketed_sum_str, driver_merged_sum
+def _bpe_words(sf_dir: str):
+    """Corpus -> materialized word-TYPE count table (w, n): the
+    vocab-bounded iteration state every BPE pass shares."""
+    from ..stages.agg import bucketed_sum_str
 
     ds = _read(sf_dir, "documents", ["text"])
 
@@ -14408,9 +14395,28 @@ def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
             "n": pa.array(np.array([int(v) for v in c.values()],
                                    np.int64), pa.int64())})
 
-    words = bucketed_sum_str(
+    return bucketed_sum_str(
         ds.map_batches(_word_counts, batch_format="pyarrow"),
         "w", ["n"]).materialize()
+
+
+def _bpe_apply(words, merges) -> list:
+    """Apply the merge list to a batch of word types: returns the
+    list of symbol lists (str.replace left-to-right scan — exactly
+    SQL replace semantics)."""
+    padded = [" " + " ".join(t) + " " for t in words]
+    for x, y in merges:
+        pat, rep = f" {x} {y} ", f" {x}{y} "
+        padded = [s.replace(pat, rep) for s in padded]
+    return [s.split() for s in padded]
+
+
+def _bpe_learn(words_ds, rounds: int):
+    """The distributed merge-learning loop: per round one vectorized
+    pair-count pass over word types, globally most frequent pair
+    wins (ties: lexicographic min).  Returns (merges, out_rows)."""
+    import pandas as pd
+    from ..stages.agg import driver_merged_sum
 
     merges: list = []
     out_rows = []
@@ -14423,11 +14429,7 @@ def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
             # object-array pass
             w = batch.column("w").to_pylist()
             n = batch.column("n").to_numpy().astype(np.int64)
-            padded = [" " + " ".join(t) + " " for t in w]
-            for x, y in frozen:
-                pat, rep = f" {x} {y} ", f" {x}{y} "
-                padded = [s.replace(pat, rep) for s in padded]
-            syms = [s.split() for s in padded]
+            syms = _bpe_apply(w, frozen)
             lens = np.fromiter((len(x) for x in syms), np.int64,
                                len(syms))
             if not len(syms) or int(lens.sum()) == 0:
@@ -14449,7 +14451,7 @@ def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
                                 pa.int64())})
 
         tab = driver_merged_sum(
-            words.map_batches(_pairs, batch_format="pyarrow"),
+            words_ds.map_batches(_pairs, batch_format="pyarrow"),
             ["pair"], ["cnt"])
         if not len(tab):
             break
@@ -14461,7 +14463,27 @@ def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
         x, y = best_pair.split(" ")
         merges.append((x, y))
         out_rows.append((rnd, best_pair, x + y, best_cnt))
+    return merges, out_rows
 
+
+def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
+    """BPE vocabulary induction: the first ``rounds`` byte-pair-
+    encoding merges learned from the corpus word-frequency dict —
+    per round, the globally most frequent adjacent symbol pair
+    (ties: lexicographic min pair) and its count.  Merge application
+    uses str.replace semantics (one left-to-right non-overlapping
+    scan of the space-padded symbol string) — exactly SQL's
+    replace(), so the oracle is bit-exact.  Scale shape: the corpus
+    tokenizes once into a bucketed word-TYPE count table (vocab-
+    bounded, materialized as the iteration state); each round is one
+    vectorized pair-count pass over word types whose merge target is
+    the (symbol-pair)-bounded rollup — the merge table itself (<=
+    rounds entries) is the only driver state, exactly how a
+    distributed tokenizer trainer shards."""
+    import ray.data as rd
+
+    words = _bpe_words(sf_dir)
+    _merges, out_rows = _bpe_learn(words, rounds)
     return rd.from_arrow(pa.table({
         "merge_round": pa.array([r[0] for r in out_rows], pa.int64()),
         "pair": pa.array([r[1] for r in out_rows], pa.string()),
@@ -14782,6 +14804,10 @@ def q_tpch_q2(sf_dir: str, p_type: str = _Q2_TYPE,
            .map_groups(lambda g: _resolve(g.drop(columns=[BUCKET_COL])),
                        batch_format="pandas")
            .to_pandas())
+    if not len(out):
+        out = pd.DataFrame({"p_partkey": np.zeros(0, np.int64),
+                            "s_suppkey": np.zeros(0, np.int64),
+                            "cost_cents": np.zeros(0, np.int64)})
     out = out.merge(sup[["s_suppkey", "s_name", "s_acctbal"]],
                     on="s_suppkey")
     out = out.sort_values(["p_partkey", "s_suppkey"]) \
@@ -14821,7 +14847,11 @@ def sql_tpch_q2(p_type: str = _Q2_TYPE, size_max: int = _Q2_SIZE_MAX,
 
 
 _Q11_NATION = 7
-_Q11_FRACTION_DEN = 1000
+# TPC-H Q11 semantics: a FIXED fraction of the grand total, so the
+# qualifying set thins as the part count grows (empty is a legal
+# result — the pipeline guards the empty-schema path; 1/5000 keeps
+# the sf0.01 driver check and the sf0.1 bench non-trivial)
+_Q11_FRACTION_DEN = 5000
 
 
 def q_tpch_q11(sf_dir: str, nationkey: int = _Q11_NATION,
@@ -14883,8 +14913,14 @@ def q_tpch_q11(sf_dir: str, nationkey: int = _Q11_NATION,
         return batch.filter(pa.array(v * fraction_den > total))
 
     out = per_part.map_batches(_filter, batch_format="pyarrow") \
-        .to_pandas().sort_values(
-            ["value_units", "p_partkey"], ascending=[False, True])
+        .to_pandas()
+    if not len(out):
+        # an empty Ray to_pandas drops the schema entirely
+        return rd.from_arrow(pa.table({
+            "p_partkey": pa.array([], pa.int64()),
+            "value_units": pa.array([], pa.int64())}))
+    out = out.sort_values(["value_units", "p_partkey"],
+                          ascending=[False, True])
     return rd.from_arrow(pa.table({
         "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
         "value_units": pa.array(out["value_units"].to_numpy(np.int64)),
@@ -15111,7 +15147,8 @@ def q_tpch_q20(sf_dir: str, prefix: str = _Q20_NAME_PREFIX,
            .map_groups(lambda g: _resolve(g.drop(columns=[BUCKET_COL])),
                        batch_format="pandas")
            .to_pandas())
-    winners = np.unique(out["s_suppkey"].to_numpy(np.int64))
+    winners = np.unique(out["s_suppkey"].to_numpy(np.int64)) \
+        if len(out) else np.zeros(0, np.int64)
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_name"]).to_pandas()
     sup = sup[sup["s_suppkey"].isin(winners)] \
@@ -15224,6 +15261,12 @@ def q_user_jaccard(sf_dir: str):
     from ..stages.triangles import edge_supports
 
     sup = edge_supports(_coloc_edge_pairs(sf_dir)).to_pandas()
+    if not len(sup):
+        return rd.from_arrow(pa.table({
+            "user_a": pa.array([], pa.int64()),
+            "user_b": pa.array([], pa.int64()),
+            "common_neighbors": pa.array([], pa.int64()),
+            "union_size": pa.array([], pa.int64())}))
     sup = sup.sort_values(["a", "b"]).reset_index(drop=True)
     deg_a = sup["deg_a"].to_numpy(np.int64)
     deg_b = sup["deg_b"].to_numpy(np.int64)
@@ -15282,7 +15325,15 @@ def q_user_clustering(sf_dir: str):
     degs = bucketed_sum(
         edges.map_batches(_adj, batch_format="pyarrow"),
         ["node"], ["one"]).to_pandas()
+    if not len(degs):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "n_wedges": pa.array([], pa.int64())}))
     tri = triangle_counts(edges).to_pandas()
+    if not len(tri):
+        tri = pd.DataFrame({"node": np.zeros(0, np.int64),
+                            "n_triangles": np.zeros(0, np.int64)})
     out = degs.rename(columns={"one": "deg"}).merge(
         tri, on="node", how="left")
     out["n_triangles"] = out["n_triangles"].fillna(0).astype(np.int64)
@@ -15805,6 +15856,480 @@ def sql_farthest_pair() -> str:
         "ORDER BY dist2 DESC, key_a, key_b LIMIT 1")
 
 
+def q_bpe_encode(sf_dir: str, rounds: int = _BPE_ROUNDS):
+    """Tokenizer APPLICATION: learn ``rounds`` BPE merges from the
+    corpus (the q_bpe_merges loop), then encode every document —
+    per doc, the word count and the total symbol count after the
+    merges (the sequence length a trained tokenizer would emit).
+    Scale shape: the merge table (<= rounds entries) is the only
+    broadcast; per-word-TYPE symbol counts compute once over the
+    vocab-bounded word table; documents join word->symbol-count by
+    the deterministic string-hash bucket (both sides co-partitioned,
+    pandas merge per bucket), and per-doc totals finish in one
+    bucketed_sum — no vocab-sized driver state, no doc re-tokenize
+    per merge."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    words = _bpe_words(sf_dir)
+    merges, _rows = _bpe_learn(words, rounds)
+    frozen = tuple(merges)
+    NB = 128
+
+    def _hash_bucket(s: pd.Series) -> np.ndarray:
+        return (pd.util.hash_array(s.to_numpy(object))
+                % NB).astype(np.int32)
+
+    def _sym_counts(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_pylist()
+        syms = _bpe_apply(w, frozen)
+        m = np.fromiter((len(x) for x in syms), np.int64, len(syms))
+        df = pd.DataFrame({"w": np.asarray(w, object),
+                           "doc_id": np.int64(-1),
+                           "n": np.zeros(len(w), np.int64),
+                           "m": m})
+        df["__b"] = _hash_bucket(df["w"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _doc_words(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from ..stages.text import tokens_of
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        rows_w, rows_d, rows_n = [], [], []
+        for d, t in zip(ids, texts):
+            for w, n in Counter(
+                    x.lower() for x in tokens_of(t) if x).items():
+                rows_w.append(w)
+                rows_d.append(d)
+                rows_n.append(n)
+        df = pd.DataFrame({"w": np.asarray(rows_w, object),
+                           "doc_id": np.asarray(rows_d, np.int64),
+                           "n": np.asarray(rows_n, np.int64),
+                           "m": np.zeros(len(rows_w), np.int64)})
+        df["__b"] = _hash_bucket(df["w"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        vocab = g[g["doc_id"] < 0][["w", "m"]]
+        dd = g[g["doc_id"] >= 0][["w", "doc_id", "n"]]
+        j = dd.merge(vocab, on="w")
+        return pd.DataFrame({
+            "doc_id": j["doc_id"].to_numpy(np.int64),
+            "n_words": j["n"].to_numpy(np.int64),
+            "n_tokens": (j["n"].to_numpy(np.int64)
+                         * j["m"].to_numpy(np.int64))})
+
+    joined = (words.map_batches(_sym_counts, batch_format="pyarrow")
+              .union(docs.map_batches(_doc_words,
+                                      batch_format="pyarrow"))
+              .groupby("__b")
+              .map_groups(lambda g: _resolve(g.drop(columns=["__b"])),
+                          batch_format="pandas"))
+    out = bucketed_sum(joined, ["doc_id"],
+                       ["n_words", "n_tokens"]).to_pandas() \
+        .sort_values("doc_id")
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+        "n_words": pa.array(out["n_words"].to_numpy(np.int64)),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64))}))
+
+
+def sql_bpe_encode(rounds: int = _BPE_ROUNDS) -> str:
+    # MATERIALIZED throughout: the w{k+1} -> (b{k}, w{k}) recursion
+    # re-expands exponentially if DuckDB inlines the chain (the
+    # user_hits lesson)
+    blocks = [
+        "tok AS MATERIALIZED (SELECT doc_id, "
+        "lower(unnest(string_split_regex(trim(text), '\\s+'))) AS w "
+        "FROM documents), "
+        "tc AS MATERIALIZED (SELECT doc_id, w, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM tok WHERE w <> '' "
+        "GROUP BY 1, 2), "
+        "wc AS MATERIALIZED (SELECT w, CAST(SUM(n) AS BIGINT) AS n "
+        "FROM tc GROUP BY 1), "
+        "w1 AS MATERIALIZED (SELECT w, n, ' ' || array_to_string("
+        "string_split(w, ''), ' ') || ' ' AS s FROM wc)"]
+    for k in range(1, rounds + 1):
+        blocks.append(
+            f"t{k} AS MATERIALIZED (SELECT w, n, generate_subscripts("
+            f"string_split_regex(trim(s), ' '), 1) AS pos, "
+            f"unnest(string_split_regex(trim(s), ' ')) AS sym "
+            f"FROM w{k})")
+        blocks.append(
+            f"p{k} AS MATERIALIZED (SELECT a.sym || ' ' || b.sym "
+            f"AS pair, CAST(SUM(a.n) AS BIGINT) AS cnt FROM t{k} a "
+            f"JOIN t{k} b ON b.w = a.w AND b.pos = a.pos + 1 "
+            f"GROUP BY 1)")
+        blocks.append(
+            f"b{k} AS MATERIALIZED (SELECT pair, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)")
+        blocks.append(
+            f"w{k + 1} AS MATERIALIZED (SELECT w, n, replace(s, "
+            f"' ' || b{k}.pair || ' ', "
+            f"' ' || replace(b{k}.pair, ' ', '') || ' ') AS s "
+            f"FROM w{k} CROSS JOIN b{k})")
+    return (
+        "WITH " + ", ".join(blocks) + ", "
+        f"sc AS MATERIALIZED (SELECT w, CAST(length("
+        f"string_split_regex(trim(s), ' ')) AS BIGINT) AS m "
+        f"FROM w{rounds + 1}) "
+        "SELECT CAST(tc.doc_id AS BIGINT) AS doc_id, "
+        "CAST(SUM(tc.n) AS BIGINT) AS n_words, "
+        "CAST(SUM(tc.n * sc.m) AS BIGINT) AS n_tokens "
+        "FROM tc JOIN sc ON sc.w = tc.w "
+        "GROUP BY 1 ORDER BY 1")
+
+
+_EMD_BUCKET_CENTS = 500
+
+
+def q_events_emd(sf_dir: str,
+                 bucket_cents: int = _EMD_BUCKET_CENTS):
+    """Distribution-drift monitor: exact 1-D earth-mover's distance
+    between the event-value histograms of the first and second half
+    of the time range (split at (min_ts + max_ts) // 2 in integer
+    microseconds).  Values bucket at ``bucket_cents``; on the
+    integer bucket grid EMD = sum over consecutive PRESENT buckets of
+    |cumulative(hA - hB)| x (gap width) — exact int64 (the
+    train/serve drift gate of a data pipeline, without floats).
+    Scale shape: one per-batch (bucket, period) combine +
+    bucketed_sum; the histogram is value-domain-bounded, so the
+    cumsum runs on the driver over a bounded table."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum, driver_merged_sum
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def _minmax(batch: pa.Table) -> pa.Table:
+        tu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "mn": pa.array([int(tu.min())], pa.int64()),
+                         "mx": pa.array([int(tu.max())], pa.int64())})
+
+    mm = ev.map_batches(_minmax, batch_format="pyarrow").to_pandas()
+    piv = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        tu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        b = cents // bucket_cents
+        early = tu < piv
+        uniq, inv = np.unique(b, return_inverse=True)
+        na = np.zeros(len(uniq), np.int64)
+        nb = np.zeros(len(uniq), np.int64)
+        np.add.at(na, inv[early], 1)
+        np.add.at(nb, inv[~early], 1)
+        return pa.table({"b": pa.array(uniq),
+                         "na": pa.array(na), "nb": pa.array(nb)})
+
+    h = bucketed_sum(
+        ev.map_batches(_hist, batch_format="pyarrow"),
+        ["b"], ["na", "nb"]).to_pandas().sort_values("b")
+    bb = h["b"].to_numpy(np.int64)
+    cum = np.cumsum(h["na"].to_numpy(np.int64)
+                    - h["nb"].to_numpy(np.int64))
+    emd = int(np.abs(cum[:-1]).dot(np.diff(bb))) if len(bb) > 1 else 0
+    return rd.from_arrow(pa.table({
+        "emd_units": pa.array([emd], pa.int64()),
+        "n_buckets": pa.array([len(bb)], pa.int64())}))
+
+
+def sql_events_emd(bucket_cents: int = _EMD_BUCKET_CENTS) -> str:
+    return (
+        "WITH r AS MATERIALIZED (SELECT epoch_us(ts) AS tu, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "p AS MATERIALIZED (SELECT (MIN(tu) + MAX(tu)) // 2 AS piv "
+        "FROM r), "
+        f"h AS MATERIALIZED (SELECT cents // {bucket_cents} AS b, "
+        "CAST(SUM(CASE WHEN tu < piv THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS na, "
+        "CAST(SUM(CASE WHEN tu >= piv THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS nb FROM r CROSS JOIN p GROUP BY 1), "
+        "c AS MATERIALIZED (SELECT b, "
+        "SUM(na - nb) OVER (ORDER BY b) AS cum, "
+        "LEAD(b) OVER (ORDER BY b) AS b2 FROM h) "
+        "SELECT (SELECT CAST(COALESCE(SUM(ABS(cum) * (b2 - b)), 0) "
+        "AS BIGINT) FROM c WHERE b2 IS NOT NULL) AS emd_units, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_buckets")
+
+
+def q_user_reciprocity(sf_dir: str):
+    """Reciprocity of the directed contact graph (who-arrives-first
+    edges of q_user_hits): total distinct directed edges, mutual
+    (unordered pairs linked in BOTH directions) and one-way counts —
+    the standard social-graph symmetry statistic.  Scale shape:
+    distinct directed edges co-partition by the unordered pair key;
+    each orientation contributes a distinct flag bit (1 for a < b,
+    2 for a > b), one bucketed_sum collapses each pair to its flag
+    sum, and flag == 3 marks a mutual pair — the same presence-bit
+    trick as grid_morphology's erosion join, never an all-pairs
+    step."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import _pack_keys, bucketed_sum
+    from ..stages.sample import _splitmix
+    from ..stages.trajectory import colocation_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "tsu": pa.array(tsu),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    pairs = colocation_join(
+        ev.map_batches(_pts, batch_format="pyarrow"),
+        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
+        ts_base_us=_COLOC_BASE_US)
+
+    def _directed(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "src": batch.column("user_a").to_numpy().astype(np.int64),
+            "dst": batch.column("user_b").to_numpy().astype(np.int64),
+        }).drop_duplicates()
+        s = df["src"].to_numpy(np.uint64)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .append_column("__b", pa.array(
+                (_splitmix(s) % np.uint64(64)).astype(np.int32),
+                pa.int32()))
+
+    edges = (pairs.map_batches(_directed, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: g.drop(columns=["__b"])
+                         .drop_duplicates(["src", "dst"]),
+                         batch_format="pandas")
+             .materialize())
+    n_edges = edges.count()
+
+    def _pairkey(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        if not len(s):
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "flag": pa.array([], pa.int64())})
+        k = _pack_keys([np.minimum(s, d), np.maximum(s, d)])
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "flag": pa.array(np.where(s < d, 1, 2)
+                             .astype(np.int64))})
+
+    flags = bucketed_sum(
+        edges.map_batches(_pairkey, batch_format="pyarrow"),
+        ["k"], ["flag"])
+
+    def _mutual(batch: pa.Table) -> pa.Table:
+        f = batch.column("flag").to_numpy().astype(np.int64)
+        return pa.table({"n": pa.array([int((f == 3).sum())],
+                                       pa.int64())})
+
+    mdf = flags.map_batches(_mutual, batch_format="pyarrow") \
+        .to_pandas()
+    n_mutual = int(mdf["n"].sum()) if len(mdf) else 0
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([int(n_edges)], pa.int64()),
+        "n_mutual_pairs": pa.array([n_mutual], pa.int64()),
+        "n_oneway": pa.array([int(n_edges) - 2 * n_mutual],
+                             pa.int64())}))
+
+
+def sql_user_reciprocity() -> str:
+    base = sql_events_colocation()
+    head = base[:base.index("SELECT a.event_id")].rstrip()
+    return (
+        f"{head}, "
+        "dedges AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, "
+        "b.user_id AS dst "
+        f"FROM xyz a JOIN xyz b ON a.tsu BETWEEN b.tsu - "
+        f"{_COLOC_WINDOW_US} AND b.tsu + {_COLOC_WINDOW_US} "
+        "WHERE a.event_id < b.event_id AND a.user_id <> b.user_id AND "
+        "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + "
+        f"(a.z-b.z)*(a.z-b.z) < {_COLOC_EPS * _COLOC_EPS!r}), "
+        "mut AS MATERIALIZED (SELECT COUNT(*) AS m FROM dedges e1 "
+        "JOIN dedges e2 ON e2.src = e1.dst AND e2.dst = e1.src "
+        "WHERE e1.src < e1.dst) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dedges) "
+        "AS n_edges, "
+        "(SELECT CAST(m AS BIGINT) FROM mut) AS n_mutual_pairs, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dedges) - "
+        "2 * (SELECT CAST(m AS BIGINT) FROM mut) AS n_oneway")
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_orders_backlog(sf_dir: str):
+    """Open-order backlog time series: an order opens on its order
+    date and closes after its LAST lineitem ships; output, for every
+    day on which the count changes, the number of orders open at the
+    end of that day — the interval-stabbing / concurrency-counting
+    operator (builds on the distributed prefix-sum primitive).
+    Scale shape: per-batch max-shipdate partials co-partition by
+    orderkey with the order rows (tagged union), spans flatten to
+    +1/-1 day deltas, one bucketed_sum collapses the deltas per day,
+    and stages/scan.prefix_sum_scan turns them into the running
+    count with range-partitioned cumsums — no driver-side
+    order-sized state."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.bucket_join import (adaptive_buckets, parquet_rows,
+                                      tag_buckets, BUCKET_COL)
+    from ..stages.scan import prefix_sum_scan
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    def _o_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        s = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        t = pa.table({"key": pa.array(k),
+                      "s": pa.array(s.astype(np.int64)),
+                      "e": pa.array(np.full(len(k), -1, np.int64))})
+        return tag_buckets(t, "key", nb)
+
+    def _l_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        d = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        uniq, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, d)
+        t = pa.table({"key": pa.array(uniq),
+                      "s": pa.array(np.full(len(uniq), -1, np.int64)),
+                      "e": pa.array(mx)})
+        return tag_buckets(t, "key", nb)
+
+    def _spans(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        smax = np.full(len(uniq), -1, np.int64)
+        emax = np.full(len(uniq), -1, np.int64)
+        np.maximum.at(smax, inv, s)
+        np.maximum.at(emax, inv, e)
+        ok = (smax >= 0) & (emax >= 0)    # both sides present
+        return pd.DataFrame({
+            "day": np.concatenate([smax[ok], emax[ok] + 1]),
+            "d": np.concatenate([
+                np.ones(int(ok.sum()), np.int64),
+                np.full(int(ok.sum()), -1, np.int64)])})
+
+    deltas = (orders.map_batches(_o_rows, batch_format="pyarrow")
+              .union(items.map_batches(_l_rows,
+                                       batch_format="pyarrow"))
+              .groupby(BUCKET_COL)
+              .map_groups(
+                  lambda g: _spans(g.drop(columns=[BUCKET_COL])),
+                  batch_format="pandas"))
+    per_day = bucketed_sum(deltas, ["day"], ["d"])
+    running = prefix_sum_scan(per_day, ["day"], "d", "n_open",
+                              inclusive=True)
+    out = running.to_pandas().sort_values("day")
+    return rd.from_arrow(pa.table({
+        "day": pa.array(out["day"].to_numpy(np.int64)),
+        "n_open": pa.array(out["n_open"].to_numpy(np.int64))}))
+
+
+def sql_orders_backlog() -> str:
+    return (
+        "WITH ends AS (SELECT l_orderkey AS k, "
+        f"MAX(epoch_us(l_shipdate) // {_DAY_US}) AS e "
+        "FROM lineitem GROUP BY 1), "
+        "spans AS (SELECT "
+        f"epoch_us(o_orderdate) // {_DAY_US} AS s, e "
+        "FROM orders JOIN ends ON k = o_orderkey), "
+        "deltas AS (SELECT s AS day, 1 AS d FROM spans "
+        "UNION ALL SELECT e + 1, -1 FROM spans), "
+        "byday AS (SELECT day, CAST(SUM(d) AS BIGINT) AS d "
+        "FROM deltas GROUP BY 1) "
+        "SELECT CAST(day AS BIGINT) AS day, "
+        "CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS n_open "
+        "FROM byday ORDER BY day")
+
+
+def q_doc_canonical_dedup(sf_dir: str):
+    """Canonicalization dedup audit: normalize every document
+    (lowercase, whitespace runs collapsed to one space, trimmed) and
+    count documents, distinct canonical forms, documents in
+    duplicated forms and duplicated groups — the near-free first
+    dedup pass every corpus pipeline runs before the expensive
+    MinHash stages.  Scale shape: per-batch canonical-form counts
+    combine first (Counter over the batch), the string-keyed
+    bucketed_sum collapses them exactly, and only bounded group-size
+    summaries reach the driver."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum_str
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        import re
+        from collections import Counter
+        ws = re.compile(r"\s+")
+        c: "Counter[str]" = Counter(
+            ws.sub(" ", t.lower()).strip()
+            for t in batch.column("text").to_pylist())
+        return pa.table({
+            "canon": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(np.array(list(c.values()), np.int64),
+                          pa.int64())})
+
+    groups = bucketed_sum_str(
+        ds.map_batches(_canon, batch_format="pyarrow"),
+        "canon", ["n"])
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        return pa.table({
+            "n_docs": pa.array([int(n.sum())], pa.int64()),
+            "n_distinct": pa.array([len(n)], pa.int64()),
+            "n_dup_docs": pa.array([int(n[n > 1].sum())], pa.int64()),
+            "n_dup_groups": pa.array([int((n > 1).sum())],
+                                     pa.int64())})
+
+    agg = groups.map_batches(_stats, batch_format="pyarrow") \
+        .to_pandas().sum()
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
+        "n_distinct": pa.array([int(agg["n_distinct"])], pa.int64()),
+        "n_dup_docs": pa.array([int(agg["n_dup_docs"])], pa.int64()),
+        "n_dup_groups": pa.array([int(agg["n_dup_groups"])],
+                                 pa.int64())}))
+
+
+def sql_doc_canonical_dedup() -> str:
+    return (
+        "WITH g AS (SELECT trim(regexp_replace(lower(text), '\\s+', "
+        "' ', 'g')) AS canon, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+        "CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) "
+        "AS BIGINT) AS n_dup_docs, "
+        "CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) "
+        "AS BIGINT) AS n_dup_groups FROM g")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -16135,6 +16660,11 @@ def _authored_queries() -> Dict:
         "doc_readability": q_doc_readability,
         "farthest_pair": q_farthest_pair,
         "spatial_layout_scan": q_spatial_layout_scan,
+        "bpe_encode": q_bpe_encode,
+        "events_emd": q_events_emd,
+        "user_reciprocity": q_user_reciprocity,
+        "orders_backlog": q_orders_backlog,
+        "doc_canonical_dedup": q_doc_canonical_dedup,
     }
 
 
@@ -16322,6 +16852,11 @@ def oracle_sql() -> Dict[str, str]:
         "doc_readability": sql_doc_readability(),
         "farthest_pair": sql_farthest_pair(),
         "spatial_layout_scan": sql_spatial_layout_scan(),
+        "bpe_encode": sql_bpe_encode(),
+        "events_emd": sql_events_emd(),
+        "user_reciprocity": sql_user_reciprocity(),
+        "orders_backlog": sql_orders_backlog(),
+        "doc_canonical_dedup": sql_doc_canonical_dedup(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

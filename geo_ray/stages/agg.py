@@ -177,13 +177,19 @@ def driver_merged_sum(ds, key_cols: Sequence[str],
     import pandas as pd
 
     parts = ds.to_pandas()
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    if not len(parts):
+        # Ray's empty to_pandas drops the schema — rebuild it so
+        # callers' sorts/joins see the contracted columns
+        return pd.DataFrame(
+            {**{c: pd.Series(dtype=object) for c in key_cols},
+             **{c: pd.Series(dtype=np.int64) for c in value_cols}})
     if len(parts) > max_rows:
         raise ValueError(
             f"driver_merged_sum fetched {len(parts)} partial rows "
             f"(> max_rows={max_rows}); the upstream is not a bounded "
             "rollup — use bucketed_sum instead")
-    key_cols = list(key_cols)
-    value_cols = list(value_cols)
     out = parts.groupby(key_cols, sort=True)[value_cols].sum() \
         .reset_index()
     for c in value_cols:

@@ -108,6 +108,8 @@ ORACLE_CHECKED = [
     "user_jaccard", "user_clustering", "user_hits",
     "grid_contours", "grid_morphology", "doc_readability",
     "farthest_pair", "spatial_layout_scan",
+    "bpe_encode", "events_emd", "user_reciprocity",
+    "orders_backlog", "doc_canonical_dedup",
 ]
 
 
