@@ -15304,48 +15304,43 @@ def q_user_clustering(sf_dir: str):
     and n_wedges = deg x (deg - 1) / 2 (possible triads) — the
     coefficient is the ratio, left unformed to keep the contract
     int64.  Every user with at least one contact edge appears.
-    Triangles ride stages/triangles.triangle_counts (degree-ordered
-    wedges); degrees are one bucketed_sum over the directed
-    adjacency; the final attach merges two node-bounded tables —
-    the same size as the result this query must return anyway."""
-    import pandas as pd
+    One stages/triangles.edge_supports pass carries everything:
+    support(e) is the number of triangles through edge e, and every
+    triangle at node v contains exactly two of v's incident edges,
+    so tri(v) = (sum of incident supports) / 2 and deg(v) = incident
+    edge count — a single bucketed_sum over the exploded
+    (node, support, 1) rows finishes the query without a second
+    wedge pass."""
     import ray.data as rd
     from ..stages.agg import bucketed_sum
-    from ..stages.triangles import triangle_counts
+    from ..stages.triangles import edge_supports
 
-    edges = _coloc_edge_pairs(sf_dir).materialize()
+    sup = edge_supports(_coloc_edge_pairs(sf_dir))
 
-    def _adj(batch: pa.Table) -> pa.Table:
+    def _explode(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy().astype(np.int64)
         b = batch.column("b").to_numpy().astype(np.int64)
+        s = batch.column("support").to_numpy().astype(np.int64)
         return pa.table({
             "node": pa.array(np.concatenate([a, b])),
-            "one": pa.array(np.ones(2 * len(a), np.int64))})
+            "s2": pa.array(np.concatenate([s, s])),
+            "deg": pa.array(np.ones(2 * len(a), np.int64))})
 
-    degs = bucketed_sum(
-        edges.map_batches(_adj, batch_format="pyarrow"),
-        ["node"], ["one"]).to_pandas()
-    if not len(degs):
+    per_node = bucketed_sum(
+        sup.map_batches(_explode, batch_format="pyarrow"),
+        ["node"], ["s2", "deg"]).to_pandas()
+    if not len(per_node):
         return rd.from_arrow(pa.table({
             "user_id": pa.array([], pa.int64()),
             "n_triangles": pa.array([], pa.int64()),
             "n_wedges": pa.array([], pa.int64())}))
-    tri = triangle_counts(edges).to_pandas()
-    if not len(tri):
-        tri = pd.DataFrame({"node": np.zeros(0, np.int64),
-                            "n_triangles": np.zeros(0, np.int64)})
-    out = degs.rename(columns={"one": "deg"}).merge(
-        tri, on="node", how="left")
-    out["n_triangles"] = out["n_triangles"].fillna(0).astype(np.int64)
-    deg = out["deg"].to_numpy(np.int64)
-    out = out.sort_values("node").reset_index(drop=True)
+    per_node = per_node.sort_values("node").reset_index(drop=True)
+    deg = per_node["deg"].to_numpy(np.int64)
     return rd.from_arrow(pa.table({
-        "user_id": pa.array(out["node"].to_numpy(np.int64)),
+        "user_id": pa.array(per_node["node"].to_numpy(np.int64)),
         "n_triangles": pa.array(
-            out["n_triangles"].to_numpy(np.int64)),
-        "n_wedges": pa.array(
-            (out["deg"].to_numpy(np.int64)
-             * (out["deg"].to_numpy(np.int64) - 1)) // 2),
+            per_node["s2"].to_numpy(np.int64) // 2),
+        "n_wedges": pa.array(deg * (deg - 1) // 2),
     }))
 
 
@@ -16241,10 +16236,18 @@ def q_orders_backlog(sf_dir: str):
               .map_groups(
                   lambda g: _spans(g.drop(columns=[BUCKET_COL])),
                   batch_format="pandas"))
-    per_day = bucketed_sum(deltas, ["day"], ["d"])
-    running = prefix_sum_scan(per_day, ["day"], "d", "n_open",
-                              inclusive=True)
-    out = running.to_pandas().sort_values("day")
+    per_day = bucketed_sum(deltas, ["day"], ["d"]).materialize()
+    # the delta table is DAY-bounded (one row per changed day), so a
+    # driver cumsum usually wins; the distributed prefix-sum engages
+    # past the bound (decade-per-second streams, per-second days),
+    # producing the identical integers
+    if per_day.count() <= 100_000:
+        out = per_day.to_pandas().sort_values("day")
+        out["n_open"] = out["d"].to_numpy(np.int64).cumsum()
+    else:
+        running = prefix_sum_scan(per_day, ["day"], "d", "n_open",
+                                  inclusive=True)
+        out = running.to_pandas().sort_values("day")
     return rd.from_arrow(pa.table({
         "day": pa.array(out["day"].to_numpy(np.int64)),
         "n_open": pa.array(out["n_open"].to_numpy(np.int64))}))

@@ -305,3 +305,132 @@ def hits_broadcast(edges_ds, nodes: np.ndarray, iters: int,
     return pa.table({"user_id": pa.array(nodes, pa.int64()),
                      "hub_units": pa.array(hub, pa.int64()),
                      "auth_units": pa.array(auth, pa.int64())})
+
+
+def hits_bucketed(edges_ds, nodes_ds, iters: int,
+                  *, num_buckets: int = 64,
+                  node_col: str = "user_id"):
+    """Co-partitioned-state HITS, bit-identical to
+    :func:`hits_broadcast` (the pagerank_bucketed counterpart for the
+    10^9-node case): (user_id, hub, auth) lives as a dataset that
+    meets the edges in hash buckets; each half-iteration is one
+    bucketed gather-and-sum exchange plus a state update join.  The
+    only driver state per half-iteration is the ONE int64
+    normalization maximum (a bounded partial-max fetch) — never a
+    node- or edge-sized structure.  Contribution values pass through
+    pandas float64 before the int64 cast, so per-edge values must
+    stay below 2^53 (same documented bound as pagerank_bucketed).
+    Returns the (user_id, hub_units, auth_units) dataset."""
+    from .bucket_join import bucketed_join
+
+    def _edge_rows(from_col, to_col):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": b.column(from_col).cast(pa.int64()),
+                "to": b.column(to_col).cast(pa.int64()),
+                "s": pa.nulls(len(b), pa.int64()),
+            })
+        return _f
+
+    e_by_src = edges_ds.map_batches(_edge_rows("src", "dst"),
+                                    batch_format="pyarrow") \
+        .materialize()
+    e_by_dst = edges_ds.map_batches(_edge_rows("dst", "src"),
+                                    batch_format="pyarrow") \
+        .materialize()
+
+    state = nodes_ds.map_batches(
+        lambda b: pa.table({
+            "k": b.column(node_col).cast(pa.int64()),
+            "hub": pa.array(np.full(len(b), SCALE, np.int64)),
+            "auth": pa.array(np.zeros(len(b), np.int64)),
+        }), batch_format="pyarrow").materialize()
+
+    def _half(state, edges, score_col, out_col):
+        # state(score) |x| edges by k -> (to, c) partials, exact
+        # int64 per-bucket sums, then one more bucketed_sum keyed to
+        def _sr(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": b.column("k").cast(pa.int64()),
+                "to": pa.nulls(len(b), pa.int64()),
+                "s": b.column(score_col).cast(pa.int64()),
+            })
+
+        def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+            st = g[g["to"].isna()].set_index("k")["s"]
+            ed = g[g["to"].notna()]
+            sv = ed["k"].map(st).to_numpy(np.float64).astype(np.int64)
+            out = pd.DataFrame({
+                "to": ed["to"].to_numpy(np.float64).astype(np.int64),
+                "c": sv})
+            return out.groupby("to", sort=False, as_index=False).sum()
+
+        inbound = bucketed_sum(
+            bucketed_join([state.map_batches(_sr,
+                                             batch_format="pyarrow"),
+                           edges], "k", _resolve,
+                          num_buckets=num_buckets)
+            .map_batches(lambda b: pa.table({
+                "to": b.column("to").cast(pa.int64()),
+                "c": b.column("c").cast(pa.int64())}),
+                batch_format="pyarrow"),
+            ["to"], ["c"], n_buckets=num_buckets).materialize()
+
+        # the ONLY driver-visible value: one int64 (a Ray max reduce,
+        # never a node-sized fetch)
+        mv = inbound.max(on="c") if inbound.count() > 0 else None
+        m = int(mv) if mv is not None else 0
+
+        def _upd(g: pd.DataFrame) -> pd.DataFrame:
+            st = g[g["c"].isna()]
+            inc = g[g["c"].notna()]
+            if len(inc):
+                imap = pd.DataFrame({
+                    "k": inc["k"].to_numpy(np.int64),
+                    "c": inc["c"].to_numpy(np.float64)
+                    .astype(np.int64)}).groupby("k")["c"].sum()
+                cv = st["k"].map(imap)
+            else:
+                cv = pd.Series(np.nan, index=st.index)
+            raw = cv.fillna(0).to_numpy(np.float64).astype(np.int64)
+            score = raw * SCALE // m if m > 0 else \
+                np.zeros(len(raw), np.int64)
+            out = pd.DataFrame({
+                "k": st["k"].to_numpy(np.int64),
+                "hub": st["hub"].to_numpy(np.int64),
+                "auth": st["auth"].to_numpy(np.int64)})
+            out[out_col] = score
+            return out
+
+        def _full_state_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": b.column("k").cast(pa.int64()),
+                "c": pa.nulls(len(b), pa.int64()),
+                "hub": b.column("hub").cast(pa.int64()),
+                "auth": b.column("auth").cast(pa.int64()),
+            })
+
+        def _inb_rows(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table({
+                "k": b.column("to").cast(pa.int64()),
+                "c": b.column("c").cast(pa.int64()),
+                "hub": pa.nulls(n, pa.int64()),
+                "auth": pa.nulls(n, pa.int64()),
+            })
+
+        return bucketed_join(
+            [state.map_batches(_full_state_rows,
+                               batch_format="pyarrow"),
+             inbound.map_batches(_inb_rows, batch_format="pyarrow")],
+            "k", _upd, num_buckets=num_buckets).materialize()
+
+    for _ in range(iters):
+        state = _half(state, e_by_src, "hub", "auth")
+        state = _half(state, e_by_dst, "auth", "hub")
+
+    return state.map_batches(
+        lambda b: pa.table({"user_id": b.column("k"),
+                            "hub_units": b.column("hub"),
+                            "auth_units": b.column("auth")}),
+        batch_format="pyarrow")

@@ -116,3 +116,67 @@ def test_group_sum_int64_exact_and_edge_cases():
     exp = pd.Series(vals).groupby(keys).sum()
     assert np.array_equal(k, exp.index.to_numpy())
     assert np.array_equal(s, exp.to_numpy())
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _hits_brute(directed: np.ndarray, ids: np.ndarray, iters: int):
+    from geo_ray.stages.pagerank import SCALE
+    nodes = np.sort(np.unique(ids))
+    idx = {int(u): i for i, u in enumerate(nodes)}
+    src = np.array([idx[int(s)] for s in directed[:, 0]])
+    dst = np.array([idx[int(d)] for d in directed[:, 1]])
+    hub = np.full(len(nodes), SCALE, np.int64)
+    auth = np.zeros(len(nodes), np.int64)
+    for _ in range(iters):
+        a = np.zeros(len(nodes), np.int64)
+        np.add.at(a, dst, hub[src])
+        m = a.max()
+        auth = a * SCALE // m if m > 0 else a
+        h = np.zeros(len(nodes), np.int64)
+        np.add.at(h, src, auth[dst])
+        m = h.max()
+        hub = h * SCALE // m if m > 0 else h
+    return nodes, hub, auth
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_hits_broadcast_matches_brute(ray_session, iters):
+    from geo_ray.stages.pagerank import hits_broadcast
+    directed, ids = _graph(seed=5)
+    out = pd.DataFrame(
+        hits_broadcast(_edges_ds(directed), ids, iters).to_pandas()) \
+        .sort_values("user_id").reset_index(drop=True)
+    nodes, hub, auth = _hits_brute(directed, ids, iters)
+    assert (out["user_id"].to_numpy() == nodes).all()
+    assert (out["hub_units"].to_numpy() == hub).all()
+    assert (out["auth_units"].to_numpy() == auth).all()
+
+
+def test_hits_bucketed_bit_identical_to_broadcast(ray_session):
+    import ray.data as rd
+    from geo_ray.stages.pagerank import hits_broadcast, hits_bucketed
+    directed, ids = _graph(seed=11)
+    want = pd.DataFrame(
+        hits_broadcast(_edges_ds(directed), ids, 3).to_pandas()) \
+        .sort_values("user_id").reset_index(drop=True)
+    nodes_ds = rd.from_pandas(
+        pd.DataFrame({"user_id": ids})).repartition(4)
+    got = hits_bucketed(_edges_ds(directed), nodes_ds, 3,
+                        num_buckets=8) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hits_bucketed_holds_no_driver_state():
+    """Same contract as pagerank_bucketed: no node- or edge-sized
+    driver structures — the one allowed driver value is the scalar
+    normalization max (a Ray max reduce)."""
+    from geo_ray.stages.pagerank import hits_bucketed
+    src = inspect.getsource(hits_bucketed)
+    doc = hits_bucketed.__doc__ or ""
+    body = src.replace(doc, "")
+    for banned in ["to_pandas", "take_all", "iter_rows", "ray.put",
+                   "to_pylist"]:
+        assert banned not in body, banned
