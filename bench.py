@@ -202,7 +202,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "doc_readability", "farthest_pair",
                  "spatial_layout_scan", "bpe_encode", "events_emd",
                  "user_reciprocity", "orders_backlog",
-                 "doc_canonical_dedup"]
+                 "doc_canonical_dedup", "events_hourly_incremental",
+                 "events_seasonal_chi2", "orders_fill_rate",
+                 "doc_hapax"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

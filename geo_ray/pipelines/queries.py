@@ -16333,6 +16333,302 @@ def sql_doc_canonical_dedup() -> str:
         "AS BIGINT) AS n_dup_groups FROM g")
 
 
+def q_events_hourly_incremental(sf_dir: str):
+    """Incremental view maintenance of the hourly rollup: the event
+    log splits at its time midpoint into two micro-batches; each
+    batch's mergeable (type, hour, n) partial is computed
+    independently and CHECKPOINTED (pipelines/stage_checkpoint —
+    durable parquet + manifest, atomic rename), and the final view is
+    the merge of the two partials.  Must equal the one-shot
+    q_events_hourly / its SQL oracle exactly — the associativity
+    proof that a streaming ingest can maintain this view batch by
+    batch without rescanning history.  A rerun reuses the finished
+    batch checkpoints (resume-after-crash for the ingest loop)."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from .checkpoint import stage_checkpoint
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def _minmax(batch: pa.Table) -> pa.Table:
+        tu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"mn": pa.array([int(tu.min())], pa.int64()),
+                         "mx": pa.array([int(tu.max())], pa.int64())})
+
+    mm = ev.map_batches(_minmax, batch_format="pyarrow").to_pandas()
+    piv_us = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+    piv = np.int64(piv_us).astype("datetime64[us]")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        hour = (ts.astype("datetime64[s]").astype(np.int64)
+                // 3600) * 3600
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hour_epoch": hour})
+        g = df.groupby(["event_type", "hour_epoch"]).size() \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    import os
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/geo_ray_incr/{tag}-hourly"
+
+    def _batch_rollup(flt):
+        def _build():
+            ds = _read_f(sf_dir, "events", ["event_type", "ts"], flt)
+            return ds.map_batches(_partial, batch_format="pyarrow")
+        return _build
+
+    early, _i1 = stage_checkpoint(
+        root, "early", f"piv={piv_us}",
+        _batch_rollup(pds.field("ts") < piv))
+    late, _i2 = stage_checkpoint(
+        root, "late", f"piv={piv_us}",
+        _batch_rollup(pds.field("ts") >= piv))
+
+    return (early.union(late)
+            .groupby(["event_type", "hour_epoch"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_events_hourly_incremental() -> str:
+    return sql_events_hourly()
+
+
+_DAY_US_SEASON = 86_400_000_000
+
+
+def q_events_seasonal_chi2(sf_dir: str):
+    """Weekly seasonality profile with exact chi-square deviation
+    numerators: per OBSERVED (day-of-week, hour-of-day) slot the
+    count n and deviation_units = n x T - rowtot x coltot (positive
+    = hotter than the independence model; the chi-square statistic's
+    numerator on a common denominator, kept integer so the contract
+    is exact).  dow derives as ((epoch_day) + 4) % 7 — pure integer
+    math, identical in both engines, no calendar functions.  Scale
+    shape: per-batch combine + bucketed_sum into a <= 168-slot
+    table; the marginals multiply on the driver over that bounded
+    profile."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def _slots(batch: pa.Table) -> pa.Table:
+        tu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        dow = ((tu // _DAY_US_SEASON) + 4) % 7
+        hod = (tu // 3_600_000_000) % 24
+        key = dow * 24 + hod
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "slot": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    prof = bucketed_sum(
+        ev.map_batches(_slots, batch_format="pyarrow"),
+        ["slot"], ["n"]).to_pandas()
+    slot = prof["slot"].to_numpy(np.int64)
+    n = prof["n"].to_numpy(np.int64)
+    dow, hod = slot // 24, slot % 24
+    T = int(n.sum())
+    rowtot = np.zeros(7, np.int64)
+    np.add.at(rowtot, dow, n)
+    coltot = np.zeros(24, np.int64)
+    np.add.at(coltot, hod, n)
+    dev = n * T - rowtot[dow] * coltot[hod]
+    order = np.argsort(slot, kind="mergesort")
+    return rd.from_arrow(pa.table({
+        "dow": pa.array(dow[order]),
+        "hod": pa.array(hod[order]),
+        "n": pa.array(n[order]),
+        "deviation_units": pa.array(dev[order])}))
+
+
+def sql_events_seasonal_chi2() -> str:
+    return (
+        "WITH b AS MATERIALIZED (SELECT "
+        f"((epoch_us(ts) // {_DAY_US_SEASON}) + 4) % 7 AS dow, "
+        "(epoch_us(ts) // 3600000000) % 24 AS hod FROM events), "
+        "g AS MATERIALIZED (SELECT dow, hod, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), "
+        "rt AS (SELECT dow, SUM(n) AS r FROM g GROUP BY 1), "
+        "ct AS (SELECT hod, SUM(n) AS c FROM g GROUP BY 1), "
+        "tt AS (SELECT SUM(n) AS t FROM g) "
+        "SELECT CAST(g.dow AS BIGINT) AS dow, "
+        "CAST(g.hod AS BIGINT) AS hod, g.n, "
+        "CAST(g.n * tt.t - rt.r * ct.c AS BIGINT) "
+        "AS deviation_units "
+        "FROM g JOIN rt ON rt.dow = g.dow "
+        "JOIN ct ON ct.hod = g.hod CROSS JOIN tt "
+        "ORDER BY 1, 2")
+
+
+_FILL_DAYS = 30
+
+
+def q_orders_fill_rate(sf_dir: str, within_days: int = _FILL_DAYS):
+    """Order-fulfillment quality per priority: order counts, orders
+    fully shipped within ``within_days`` of the order date, item
+    counts and late-item counts — the two-level mergeable rollup
+    (per-order verdicts need per-item evidence from another table,
+    then a tiny per-priority reduce).  Scale shape: lineitem reduces
+    per batch to (order, ship-day, count) partials, co-partitions
+    with the order rows by orderkey, each bucket resolves its
+    orders' verdicts vectorized, and the per-priority rollup is a
+    bounded driver merge."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.bucket_join import (adaptive_buckets, parquet_rows,
+                                      tag_buckets, BUCKET_COL)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    # priorities are a tiny closed domain: code them as ints so the
+    # tagged union stays all-int64
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    prios = sorted(pc.unique(
+        pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderpriority"])
+        .column("o_orderpriority")).to_pylist())
+    pcode = {p: i for i, p in enumerate(prios)}
+
+    def _o_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        od = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        pr = np.array([pcode[p] for p in
+                       batch.column("o_orderpriority").to_pylist()],
+                      np.int64)
+        t = pa.table({"key": pa.array(k),
+                      "day": pa.array(od.astype(np.int64)),
+                      "cnt": pa.array(np.full(len(k), -1, np.int64)),
+                      "prio": pa.array(pr)})
+        return tag_buckets(t, "key", nb)
+
+    def _l_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        d = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        df = pd.DataFrame({"key": k, "day": d}) \
+            .groupby(["key", "day"], sort=False) \
+            .size().reset_index(name="cnt")
+        t = pa.table({"key": pa.array(df["key"].to_numpy(np.int64)),
+                      "day": pa.array(df["day"].to_numpy(np.int64)),
+                      "cnt": pa.array(df["cnt"].to_numpy(np.int64)),
+                      "prio": pa.array(np.full(len(df), -1,
+                                               np.int64))})
+        return tag_buckets(t, "key", nb)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["prio"] >= 0]
+        it = g[g["prio"] < 0]
+        j = it.merge(od[["key", "day", "prio"]], on="key",
+                     suffixes=("", "_o"))
+        late = j["day"].to_numpy(np.int64) > \
+            j["day_o"].to_numpy(np.int64) + within_days
+        cnt = j["cnt"].to_numpy(np.int64)
+        per = pd.DataFrame({
+            "key": j["key"], "prio": j["prio_o"],
+            "n_items": cnt,
+            "n_late": np.where(late, cnt, 0).astype(np.int64)})
+        po = per.groupby(["key", "prio"], sort=False) \
+            .sum().reset_index()
+        po["full"] = (po["n_late"] == 0).astype(np.int64)
+        out = po.groupby("prio", sort=False).agg(
+            n_orders=("key", "size"), n_full=("full", "sum"),
+            n_items=("n_items", "sum"),
+            n_late_items=("n_late", "sum")).reset_index()
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    rolled = (orders.map_batches(_o_rows, batch_format="pyarrow")
+              .union(items.map_batches(_l_rows,
+                                       batch_format="pyarrow"))
+              .groupby(BUCKET_COL)
+              .map_groups(
+                  lambda g: _resolve(g.drop(columns=[BUCKET_COL])),
+                  batch_format="pandas"))
+    fin = driver_merged_sum(
+        rolled, ["prio"],
+        ["n_orders", "n_full", "n_items", "n_late_items"])
+    fin = fin.sort_values("prio")
+    return rd.from_arrow(pa.table({
+        "o_orderpriority": pa.array(
+            [prios[int(p)] for p in fin["prio"]], pa.string()),
+        "n_orders": pa.array(fin["n_orders"].to_numpy(np.int64)),
+        "n_full": pa.array(fin["n_full"].to_numpy(np.int64)),
+        "n_items": pa.array(fin["n_items"].to_numpy(np.int64)),
+        "n_late_items": pa.array(
+            fin["n_late_items"].to_numpy(np.int64))}))
+
+
+def sql_orders_fill_rate(within_days: int = _FILL_DAYS) -> str:
+    return (
+        "WITH it AS (SELECT l_orderkey AS k, "
+        f"epoch_us(l_shipdate) // {_DAY_US} AS d FROM lineitem), "
+        "od AS (SELECT o_orderkey AS k, o_orderpriority AS p, "
+        f"epoch_us(o_orderdate) // {_DAY_US} AS od FROM orders), "
+        "pi AS (SELECT od.k, od.p, COUNT(*) AS n_items, "
+        f"SUM(CASE WHEN it.d > od.od + {within_days} THEN 1 "
+        "ELSE 0 END) AS n_late FROM od JOIN it ON it.k = od.k "
+        "GROUP BY 1, 2) "
+        "SELECT p AS o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CASE WHEN n_late = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_full, "
+        "CAST(SUM(n_items) AS BIGINT) AS n_items, "
+        "CAST(SUM(n_late) AS BIGINT) AS n_late_items "
+        "FROM pi GROUP BY 1 ORDER BY 1")
+
+
+def q_doc_hapax(sf_dir: str):
+    """Corpus lexical profile in one row: token count, vocabulary
+    size (word types) and hapax-legomena count (types seen exactly
+    once — the Zipf-tail health indicator every corpus QA pass
+    reports).  Rides the shared _bpe_words vocab-bounded rollup;
+    the stats partial is one vectorized pass per block."""
+    import ray.data as rd
+
+    words = _bpe_words(sf_dir)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        return pa.table({
+            "n_tokens": pa.array([int(n.sum())], pa.int64()),
+            "n_types": pa.array([len(n)], pa.int64()),
+            "n_hapax": pa.array([int((n == 1).sum())], pa.int64())})
+
+    agg = words.map_batches(_stats, batch_format="pyarrow") \
+        .to_pandas().sum()
+    return rd.from_arrow(pa.table({
+        "n_tokens": pa.array([int(agg["n_tokens"])], pa.int64()),
+        "n_types": pa.array([int(agg["n_types"])], pa.int64()),
+        "n_hapax": pa.array([int(agg["n_hapax"])], pa.int64())}))
+
+
+def sql_doc_hapax() -> str:
+    return (
+        "WITH tok AS (SELECT lower(unnest(string_split_regex("
+        "trim(text), '\\s+'))) AS w FROM documents), "
+        "wc AS (SELECT w, COUNT(*) AS n FROM tok WHERE w <> '' "
+        "GROUP BY 1) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_hapax FROM wc")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -16668,6 +16964,10 @@ def _authored_queries() -> Dict:
         "user_reciprocity": q_user_reciprocity,
         "orders_backlog": q_orders_backlog,
         "doc_canonical_dedup": q_doc_canonical_dedup,
+        "events_hourly_incremental": q_events_hourly_incremental,
+        "events_seasonal_chi2": q_events_seasonal_chi2,
+        "orders_fill_rate": q_orders_fill_rate,
+        "doc_hapax": q_doc_hapax,
     }
 
 
@@ -16860,6 +17160,10 @@ def oracle_sql() -> Dict[str, str]:
         "user_reciprocity": sql_user_reciprocity(),
         "orders_backlog": sql_orders_backlog(),
         "doc_canonical_dedup": sql_doc_canonical_dedup(),
+        "events_hourly_incremental": sql_events_hourly_incremental(),
+        "events_seasonal_chi2": sql_events_seasonal_chi2(),
+        "orders_fill_rate": sql_orders_fill_rate(),
+        "doc_hapax": sql_doc_hapax(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -110,6 +110,8 @@ ORACLE_CHECKED = [
     "farthest_pair", "spatial_layout_scan",
     "bpe_encode", "events_emd", "user_reciprocity",
     "orders_backlog", "doc_canonical_dedup",
+    "events_hourly_incremental", "events_seasonal_chi2",
+    "orders_fill_rate", "doc_hapax",
 ]
 
 
