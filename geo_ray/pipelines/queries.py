@@ -16617,6 +16617,77 @@ def sql_doc_hapax() -> str:
         "AS n_hapax FROM wc")
 
 
+_PAD_MULTIPLE = 32
+
+
+def q_image_aspect_buckets(sf_dir: str,
+                           pad: int = _PAD_MULTIPLE):
+    """Training-batch packing audit over the image corpus: images
+    group by their PADDED resolution (dims rounded up to the next
+    multiple of ``pad`` — the bucketing a trainer uses so one batch
+    shares one tensor shape), reporting per bucket the image count,
+    true pixel volume and padding waste.  Dimension metadata only —
+    no pixel decode touches this query, so the scan is a pure
+    integer pass (at corpus scale the bytes column never loads).
+    Exact-integer contract; the oracle reproduces the synthetic
+    corpus's dimension schedule."""
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    n = _sf_num_images(sf_dir)
+    base = rd.range(n, override_num_blocks=max(8, n // 65536))
+
+    def _dims(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy().astype(np.int64)
+        w = 16 + (idx % 4) * 16
+        h = 16 + ((idx // 4) % 4) * 16
+        pw = ((w + pad - 1) // pad) * pad
+        ph_ = ((h + pad - 1) // pad) * pad
+        key = pw * 1000 + ph_
+        uniq, inv = np.unique(key, return_inverse=True)
+        npix = np.zeros(len(uniq), np.int64)
+        np.add.at(npix, inv, w * h)
+        wpix = np.zeros(len(uniq), np.int64)
+        np.add.at(wpix, inv, pw * ph_ - w * h)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "padded_w": pa.array((uniq // 1000).astype(np.int64)),
+            "padded_h": pa.array((uniq % 1000).astype(np.int64)),
+            "n_images": pa.array(cnt),
+            "sum_pixels": pa.array(npix),
+            "waste_pixels": pa.array(wpix)})
+
+    out = driver_merged_sum(
+        base.map_batches(_dims, batch_format="pyarrow"),
+        ["padded_w", "padded_h"],
+        ["n_images", "sum_pixels", "waste_pixels"])
+    out = out.sort_values(["padded_w", "padded_h"])
+    return rd.from_arrow(pa.table({
+        "padded_w": pa.array(out["padded_w"].to_numpy(np.int64)),
+        "padded_h": pa.array(out["padded_h"].to_numpy(np.int64)),
+        "n_images": pa.array(out["n_images"].to_numpy(np.int64)),
+        "sum_pixels": pa.array(out["sum_pixels"].to_numpy(np.int64)),
+        "waste_pixels": pa.array(
+            out["waste_pixels"].to_numpy(np.int64))}))
+
+
+def sql_image_aspect_buckets(num_images: int = 10_000,
+                             pad: int = _PAD_MULTIPLE) -> str:
+    # pinned to the sf0.01 corpus size, like every image-table oracle
+    return (
+        f"WITH d AS (SELECT 16 + (k % 4) * 16 AS w, "
+        f"16 + ((k // 4) % 4) * 16 AS h "
+        f"FROM range(0, {num_images}) t(k)), "
+        f"p AS (SELECT w, h, ((w + {pad} - 1) // {pad}) * {pad} "
+        f"AS pw, ((h + {pad} - 1) // {pad}) * {pad} AS ph FROM d) "
+        "SELECT CAST(pw AS BIGINT) AS padded_w, "
+        "CAST(ph AS BIGINT) AS padded_h, "
+        "CAST(COUNT(*) AS BIGINT) AS n_images, "
+        "CAST(SUM(w * h) AS BIGINT) AS sum_pixels, "
+        "CAST(SUM(pw * ph - w * h) AS BIGINT) AS waste_pixels "
+        "FROM p GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -16956,6 +17027,7 @@ def _authored_queries() -> Dict:
         "events_seasonal_chi2": q_events_seasonal_chi2,
         "orders_fill_rate": q_orders_fill_rate,
         "doc_hapax": q_doc_hapax,
+        "image_aspect_buckets": q_image_aspect_buckets,
     }
 
 
@@ -17152,6 +17224,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_seasonal_chi2": sql_events_seasonal_chi2(),
         "orders_fill_rate": sql_orders_fill_rate(),
         "doc_hapax": sql_doc_hapax(),
+        "image_aspect_buckets": sql_image_aspect_buckets(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

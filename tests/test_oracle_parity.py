@@ -111,7 +111,7 @@ ORACLE_CHECKED = [
     "bpe_encode", "events_emd", "user_reciprocity",
     "orders_backlog", "doc_canonical_dedup",
     "events_hourly_incremental", "events_seasonal_chi2",
-    "orders_fill_rate", "doc_hapax",
+    "orders_fill_rate", "doc_hapax", "image_aspect_buckets",
 ]
 
 

@@ -108,6 +108,27 @@ def test_resume_skips_existing(layout, ray_session):
         [f["cell_lo"] for f in man["files"]]
 
 
+@pytest.mark.parametrize("center", [(37.0, -122.0), (-40.0, 170.0),
+                                    (80.0, 10.0), (-75.0, -60.0)])
+def test_pruned_matches_brute_across_faces(layout, center):
+    """Cell IDs on faces 4-5 have the int64 sign bit set; the layout
+    orders by the SIGNED view on both the write and prune sides, so
+    pruning must stay exact wherever the query cap lands."""
+    out, man, (lat, lng, x, y, z) = layout
+    cx, cy, cz = latlng_deg_to_xyz(np.array([center[0]]),
+                                   np.array([center[1]]))
+    cap = Cap((float(cx[0]), float(cy[0]), float(cz[0])), 0.01)
+    covering = RegionCoverer(max_cells=24).covering(cap)
+    got, stats = read_pruned(out, covering, columns=["pid"])
+    got_ids = sorted(got.to_pandas()["pid"])
+    leaf = cid.cell_id_from_point_v(x, y, z)
+    lo, hi = covering_intervals(covering)
+    sv = leaf.view(np.int64)
+    pos = np.searchsorted(lo, sv, side="right") - 1
+    ok = (pos >= 0) & (hi[np.maximum(pos, 0)] >= sv)
+    assert got_ids == sorted(np.flatnonzero(ok).astype(int))
+
+
 def test_empty_covering_errors_gracefully(layout):
     out, _, _ = layout
     # a covering far from every point still returns a valid (empty)
