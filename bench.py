@@ -204,7 +204,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "user_reciprocity", "orders_backlog",
                  "doc_canonical_dedup", "events_hourly_incremental",
                  "events_seasonal_chi2", "orders_fill_rate",
-                 "doc_hapax", "image_aspect_buckets"]
+                 "doc_hapax", "image_aspect_buckets",
+                 "polygon_rasterize"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

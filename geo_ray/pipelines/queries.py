@@ -16688,6 +16688,88 @@ def sql_image_aspect_buckets(num_images: int = 10_000,
         "FROM p GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+_RAST_LAT0, _RAST_LAT1 = 0, 50
+_RAST_LNG0, _RAST_LNG1 = 25, 90
+_RAST_SIZE = 1.0
+
+
+def q_polygon_rasterize(sf_dir: str, size_deg: float = _RAST_SIZE):
+    """Vector -> raster (the inverse of tile_vectorize): rasterize
+    the geofence quad onto a fixed lat/lng grid, classifying every
+    cell by its four CORNER containment tests — full (4 corners
+    inside), boundary (1-3: the cells a conservative rasterizer must
+    treat as mixed), outside.  Containment is the exact edge-normal
+    dot predicate of q_polygon_contains (driver-margin-safe at this
+    grid).  The grid is region-bounded, not data-bounded; cells
+    evaluate distributed via one vectorized map_batches over the
+    cell index range, 4 dot products per corner."""
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+
+    normals = np.array(_quad_edge_normals(GEOFENCE_QUAD), np.float64)
+    nlat = int(round((_RAST_LAT1 - _RAST_LAT0) / size_deg))
+    nlng = int(round((_RAST_LNG1 - _RAST_LNG0) / size_deg))
+
+    base = rd.range(nlat * nlng, override_num_blocks=16)
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy().astype(np.int64)
+        i = idx // nlng
+        j = idx % nlng
+        inside = np.zeros(len(idx), np.int64)
+        for di in (0, 1):
+            for dj in (0, 1):
+                lat = _RAST_LAT0 + (i + di) * size_deg
+                lng = _RAST_LNG0 + (j + dj) * size_deg
+                x, y, z = latlng_deg_to_xyz(lat, lng)
+                dots = (normals[:, 0][:, None] * x[None, :]
+                        + normals[:, 1][:, None] * y[None, :]
+                        + normals[:, 2][:, None] * z[None, :])
+                inside += (dots > 0).all(axis=0).astype(np.int64)
+        return pa.table({
+            "g": pa.array(np.zeros(len(idx), np.int64)),
+            "n_full": pa.array((inside == 4).astype(np.int64)),
+            "n_boundary": pa.array(
+                ((inside > 0) & (inside < 4)).astype(np.int64))})
+
+    out = driver_merged_sum(
+        base.map_batches(_cells, batch_format="pyarrow"),
+        ["g"], ["n_full", "n_boundary"])
+    return rd.from_arrow(pa.table({
+        "n_full": pa.array([int(out["n_full"].iloc[0])], pa.int64()),
+        "n_boundary": pa.array([int(out["n_boundary"].iloc[0])],
+                               pa.int64()),
+        "n_cells": pa.array([nlat * nlng], pa.int64())}))
+
+
+def sql_polygon_rasterize(size_deg: float = _RAST_SIZE) -> str:
+    nlat = int(round((_RAST_LAT1 - _RAST_LAT0) / size_deg))
+    nlng = int(round((_RAST_LNG1 - _RAST_LNG0) / size_deg))
+
+    def corner(di, dj):
+        lat = f"({_RAST_LAT0} + (i + {di}) * {size_deg!r})"
+        lng = f"({_RAST_LNG0} + (j + {dj}) * {size_deg!r})"
+        x = f"cos(radians({lat}))*cos(radians({lng}))"
+        y = f"cos(radians({lat}))*sin(radians({lng}))"
+        z = f"sin(radians({lat}))"
+        conds = " AND ".join(
+            f"(({nx!r})*({x}) + ({ny!r})*({y}) + ({nz!r})*({z})) > 0"
+            for nx, ny, nz in _quad_edge_normals(GEOFENCE_QUAD))
+        return f"(CASE WHEN {conds} THEN 1 ELSE 0 END)"
+
+    s = " + ".join(corner(di, dj)
+                   for di in (0, 1) for dj in (0, 1))
+    return (
+        f"WITH g AS (SELECT k // {nlng} AS i, k % {nlng} AS j "
+        f"FROM range(0, {nlat * nlng}) t(k)), "
+        f"c AS (SELECT {s} AS ins FROM g) "
+        "SELECT CAST(SUM(CASE WHEN ins = 4 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_full, "
+        "CAST(SUM(CASE WHEN ins > 0 AND ins < 4 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_boundary, "
+        f"CAST({nlat * nlng} AS BIGINT) AS n_cells FROM c")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -17028,6 +17110,7 @@ def _authored_queries() -> Dict:
         "orders_fill_rate": q_orders_fill_rate,
         "doc_hapax": q_doc_hapax,
         "image_aspect_buckets": q_image_aspect_buckets,
+        "polygon_rasterize": q_polygon_rasterize,
     }
 
 
@@ -17225,6 +17308,7 @@ def oracle_sql() -> Dict[str, str]:
         "orders_fill_rate": sql_orders_fill_rate(),
         "doc_hapax": sql_doc_hapax(),
         "image_aspect_buckets": sql_image_aspect_buckets(),
+        "polygon_rasterize": sql_polygon_rasterize(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -112,6 +112,8 @@ ORACLE_CHECKED = [
     "orders_backlog", "doc_canonical_dedup",
     "events_hourly_incremental", "events_seasonal_chi2",
     "orders_fill_rate", "doc_hapax", "image_aspect_buckets",
+    "spatial_join_shuffle", "tile_vectorize",
+    "polygon_rasterize",
 ]
 
 
