@@ -16770,6 +16770,87 @@ def sql_polygon_rasterize(size_deg: float = _RAST_SIZE) -> str:
         f"CAST({nlat * nlng} AS BIGINT) AS n_cells FROM c")
 
 
+_ST_T0 = "2024-01-10"
+_ST_T1 = "2024-01-15"
+
+
+def q_layout_st_scan(sf_dir: str, t0: str = _ST_T0, t1: str = _ST_T1):
+    """Space x time pruned scan over the Z-ORDER spatiotemporal
+    layout (sources/spatial_layout.write_spatiotemporal): events bulk-
+    load once into files clustered by the Morton interleave of
+    (Hilbert cell position, hour bucket), each file carrying
+    independent [cell] and [ts] min/max bounds; the query prunes on
+    BOTH axes (cap covering AND the [t0, t1) interval) and applies
+    the exact chord + timestamp predicates to the survivors.  Output
+    equals the brute filter — the oracle proves no pruning loss; the
+    clustering makes both per-file bounds tight, so scan cost
+    follows the query volume, not the corpus (the core layout
+    property for event tables at 10^12 rows)."""
+    import os
+    import ray.data as rd
+    from ..sources.spatial_layout import (read_pruned_st,
+                                          write_spatiotemporal,
+                                          _load_manifest)
+    from ..state.cap import Cap
+    from ..state.coverer import RegionCoverer
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    layout_dir = f"/tmp/geo_ray_layout/{tag}-events-st"
+    if not _load_manifest(layout_dir).get("files"):
+        ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+        def _pts(batch: pa.Table) -> pa.Table:
+            keys = batch.column("event_id").to_numpy()
+            lat, lng = derive_latlng_np(keys)
+            x, y, z = latlng_deg_to_xyz(lat, lng)
+            tsu = batch.column("ts").to_numpy() \
+                .astype("datetime64[us]").astype(np.int64)
+            return pa.table({
+                "event_id": batch.column("event_id"),
+                "tsu": pa.array(tsu),
+                "x": pa.array(x), "y": pa.array(y),
+                "z": pa.array(z)})
+
+        write_spatiotemporal(
+            ev.map_batches(_pts, batch_format="pyarrow"),
+            layout_dir, rows_per_file=4096)
+
+    lo_us = int(np.datetime64(t0).astype("datetime64[us]")
+                .astype(np.int64))
+    hi_us = int(np.datetime64(t1).astype("datetime64[us]")
+                .astype(np.int64)) - 1
+    cap = Cap(_cap_center_xyz(), _cap_chord2())
+    covering = RegionCoverer(max_cells=64).covering(cap)
+    ds, _stats = read_pruned_st(
+        layout_dir, covering, lo_us, hi_us,
+        columns=["event_id", "x", "y", "z"])
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        mask = cap.contains_points_v(batch.column("x").to_numpy(),
+                                     batch.column("y").to_numpy(),
+                                     batch.column("z").to_numpy())
+        return batch.filter(pa.array(mask))
+
+    return (ds.map_batches(_exact, batch_format="pyarrow")
+            .select_columns(["event_id"]).sort("event_id"))
+
+
+def sql_layout_st_scan(t0: str = _ST_T0, t1: str = _ST_T1) -> str:
+    cx, cy, cz = _cap_center_xyz()
+    return (
+        "WITH pts AS (SELECT event_id, ts, "
+        "(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
+        "(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
+        "FROM events), "
+        f"xyz AS (SELECT event_id, ts, {_XYZ_SQL} FROM pts) "
+        "SELECT event_id FROM xyz "
+        f"WHERE ts >= TIMESTAMP '{t0} 00:00:00' "
+        f"AND ts < TIMESTAMP '{t1} 00:00:00' "
+        f"AND (x-({cx!r}))*(x-({cx!r})) + (y-({cy!r}))*(y-({cy!r})) "
+        f"+ (z-({cz!r}))*(z-({cz!r})) <= {_cap_chord2()!r} "
+        "ORDER BY event_id")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -17111,6 +17192,7 @@ def _authored_queries() -> Dict:
         "doc_hapax": q_doc_hapax,
         "image_aspect_buckets": q_image_aspect_buckets,
         "polygon_rasterize": q_polygon_rasterize,
+        "layout_st_scan": q_layout_st_scan,
     }
 
 
@@ -17309,6 +17391,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_hapax": sql_doc_hapax(),
         "image_aspect_buckets": sql_image_aspect_buckets(),
         "polygon_rasterize": sql_polygon_rasterize(),
+        "layout_st_scan": sql_layout_st_scan(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

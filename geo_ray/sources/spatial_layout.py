@@ -205,3 +205,184 @@ def read_pruned(out_dir: str, covering: Sequence[int], *,
 
         ds = ds.map_batches(_mask, batch_format="pyarrow")
     return ds, stats
+
+
+# ---------------------------------------------------------------------------
+# spatiotemporal extension: Z-order (cell x time) clustering
+# ---------------------------------------------------------------------------
+
+def _morton2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Interleave the low 32 bits of two uint64 arrays (a even bits,
+    b odd bits) — the Z-order composite used to cluster event rows so
+    that BOTH the spatial and the temporal per-file bounds stay
+    tight."""
+    def _spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return _spread(a) | (_spread(b) << np.uint64(1))
+
+
+def write_spatiotemporal(ds, out_dir: str, *,
+                         xyz_cols=("x", "y", "z"),
+                         ts_col: str = "tsu",
+                         rows_per_file: int = 1_000_000,
+                         num_files: int | None = None):
+    """write_spatial for EVENT data: rows cluster by the Z-order
+    interleave of the TOP 16 Hilbert-position bits with the
+    timestamp quantized to 16 bits across the observed range — the
+    bit scales must be BALANCED or one dimension's bits dominate the
+    Morton code and the other dimension's per-file bounds never
+    tighten (observed with raw cell bits: time pruning cut zero
+    files).  A query bounded in space AND time then prunes on both
+    axes via the independent per-file [cell_lo, cell_hi] and
+    [ts_lo, ts_hi] stats (the standard min/max model — correct for
+    any clustering, tight under this one).  Same resumable manifest
+    contract as write_spatial."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ..stages.scan import sample_order_bounds
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _with_cell(batch: pa.Table) -> pa.Table:
+        leaf = _leaf_ids(batch, xyz_cols)
+        return batch.append_column(
+            "__cell", pa.array(leaf.view(np.int64), pa.int64()))
+
+    celled = ds.map_batches(_with_cell, batch_format="pyarrow") \
+        .materialize()
+
+    def _ts_minmax(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).to_numpy().astype(np.int64)
+        return pa.table({"mn": pa.array([int(t.min())], pa.int64()),
+                         "mx": pa.array([int(t.max())], pa.int64())})
+
+    mm = celled.map_batches(_ts_minmax, batch_format="pyarrow") \
+        .to_pandas()
+    tmin = int(mm["mn"].min())
+    span = max(int(mm["mx"].max()) - tmin, 1)
+
+    def _with_z(batch: pa.Table) -> pa.Table:
+        cell = batch.column("__cell").to_numpy().view(np.uint64)
+        t = batch.column(ts_col).to_numpy().astype(np.int64)
+        tq = ((t - tmin).astype(np.uint64) * np.uint64(65535)
+              // np.uint64(span))
+        z = _morton2(cell >> np.uint64(48), tq)
+        return batch.append_column(
+            "__z", pa.array(z.view(np.int64), pa.int64()))
+
+    keyed = celled.map_batches(_with_z, batch_format="pyarrow") \
+        .materialize()
+    total_rows = keyed.count()
+    nf = num_files if num_files is not None else \
+        max(1, -(-total_rows // rows_per_file))
+    bounds = sample_order_bounds(keyed, "__z", nf)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        z = batch.column("__z").to_numpy()
+        pid = np.searchsorted(bounds, z, side="right") \
+            .astype(np.int32)
+        return batch.append_column("__pid", pa.array(pid, pa.int32()))
+
+    existing = _load_manifest(out_dir)
+    done = {f["pid"]: f for f in existing.get("files", [])
+            if os.path.exists(os.path.join(out_dir, f["path"]))}
+
+    def _write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["__pid"].iloc[0])
+        g = g.sort_values("__z", kind="mergesort") \
+            .drop(columns=["__pid"])
+        path = f"part-{pid:05d}.parquet"
+        row = {
+            "pid": [pid], "path": [path], "rows": [len(g)],
+            "cell_lo": [int(g["__cell"].min())],
+            "cell_hi": [int(g["__cell"].max())],
+            "ts_lo": [int(g[ts_col].min())],
+            "ts_hi": [int(g[ts_col].max())]}
+        prior = done.get(pid)
+        if prior is not None and prior["rows"] == len(g):
+            return pd.DataFrame({**row, "skipped": [True]})
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       os.path.join(out_dir, path))
+        return pd.DataFrame({**row, "skipped": [False]})
+
+    man_rows = (keyed.map_batches(_tag, batch_format="pyarrow")
+                .groupby("__pid")
+                .map_groups(_write_part, batch_format="pandas")
+                .to_pandas()).sort_values("pid").reset_index(drop=True)
+    manifest = {
+        "total_rows": int(man_rows["rows"].sum()),
+        "ts_min": tmin,
+        "ts_span": span,
+        "files": [
+            {"pid": int(r.pid), "path": r.path, "rows": int(r.rows),
+             "cell_lo": int(r.cell_lo), "cell_hi": int(r.cell_hi),
+             "ts_lo": int(r.ts_lo), "ts_hi": int(r.ts_hi)}
+            for r in man_rows.itertuples()],
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def prune_files_st(out_dir: str, covering: Sequence[int],
+                   ts_lo: int, ts_hi: int) -> dict:
+    """Files surviving BOTH the covering intersection and the
+    [ts_lo, ts_hi] interval overlap (inclusive)."""
+    manifest = _load_manifest(out_dir)
+    files = manifest.get("files", [])
+    lo, hi = covering_intervals(covering)
+    keep: List[dict] = []
+    for f in files:
+        if f.get("ts_lo", ts_lo) > ts_hi or \
+                f.get("ts_hi", ts_hi) < ts_lo:
+            continue
+        i = np.searchsorted(lo, f["cell_hi"], side="right")
+        if i > 0 and (hi[:i] >= f["cell_lo"]).any():
+            keep.append(f)
+    return {"files": keep, "n_total": len(files),
+            "n_read": len(keep),
+            "rows_total": manifest.get("total_rows", 0),
+            "rows_read": int(sum(f["rows"] for f in keep))}
+
+
+def read_pruned_st(out_dir: str, covering: Sequence[int],
+                   ts_lo: int, ts_hi: int, *,
+                   columns: Sequence[str] | None = None,
+                   ts_col: str = "tsu", exact: bool = True):
+    """Dataset over the files surviving the space x time prune; with
+    ``exact`` the covering mask AND the time interval apply
+    per row."""
+    import ray.data as rd
+
+    stats = prune_files_st(out_dir, covering, ts_lo, ts_hi)
+    cols = list(columns) + ["__cell", ts_col] if columns else None
+    if not stats["files"]:
+        man = _load_manifest(out_dir)
+        if not man.get("files"):
+            raise FileNotFoundError(f"no layout at {out_dir}")
+        empty = rd.read_parquet(
+            os.path.join(out_dir, man["files"][0]["path"]),
+            columns=cols).filter(lambda r: False)
+        return empty, stats
+    paths = [os.path.join(out_dir, f["path"]) for f in stats["files"]]
+    ds = rd.read_parquet(paths, columns=cols)
+    if exact:
+        lo, hi = covering_intervals(covering)
+
+        def _mask(batch: pa.Table) -> pa.Table:
+            c = batch.column("__cell").to_numpy()
+            pos = np.searchsorted(lo, c, side="right") - 1
+            ok = (pos >= 0) & (hi[np.maximum(pos, 0)] >= c)
+            t = batch.column(ts_col).to_numpy().astype(np.int64)
+            ok &= (t >= ts_lo) & (t <= ts_hi)
+            return batch.filter(pa.array(ok))
+
+        ds = ds.map_batches(_mask, batch_format="pyarrow")
+    return ds, stats

@@ -113,7 +113,7 @@ ORACLE_CHECKED = [
     "events_hourly_incremental", "events_seasonal_chi2",
     "orders_fill_rate", "doc_hapax", "image_aspect_buckets",
     "spatial_join_shuffle", "tile_vectorize",
-    "polygon_rasterize",
+    "polygon_rasterize", "layout_st_scan",
 ]
 
 

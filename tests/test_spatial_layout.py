@@ -137,3 +137,74 @@ def test_empty_covering_errors_gracefully(layout):
     parent = cid.parent(far, 10)
     ds, stats = read_pruned(out, [parent], columns=["pid"])
     assert ds.count() >= 0
+
+
+# ------------------------------------------------- spatiotemporal
+
+
+def _events_ds(n=6000, seed=7):
+    import ray.data as rd
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-80, 80, n)
+    lng = rng.uniform(-180, 180, n)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    tsu = rng.integers(1_700_000_000_000_000, 1_703_000_000_000_000,
+                       n)
+    t = pa.table({"pid": pa.array(np.arange(n, dtype=np.int64)),
+                  "tsu": pa.array(tsu.astype(np.int64)),
+                  "x": pa.array(x), "y": pa.array(y),
+                  "z": pa.array(z)})
+    return rd.from_arrow(t), x, y, z, tsu
+
+
+@pytest.fixture(scope="module")
+def st_layout(ray_session, tmp_path_factory):
+    from geo_ray.sources.spatial_layout import write_spatiotemporal
+    out = str(tmp_path_factory.mktemp("st_layout"))
+    ds, x, y, z, tsu = _events_ds()
+    man = write_spatiotemporal(ds, out, rows_per_file=500)
+    return out, man, (x, y, z, tsu)
+
+
+def test_st_pruned_matches_brute(st_layout):
+    from geo_ray.sources.spatial_layout import read_pruned_st
+    out, man, (x, y, z, tsu) = st_layout
+    cx, cy, cz = latlng_deg_to_xyz(np.array([37.0]),
+                                   np.array([-122.0]))
+    cap = Cap((float(cx[0]), float(cy[0]), float(cz[0])), 0.05)
+    covering = RegionCoverer(max_cells=24).covering(cap)
+    t0 = 1_701_000_000_000_000
+    t1 = 1_702_000_000_000_000
+    got, stats = read_pruned_st(out, covering, t0, t1,
+                                columns=["pid"])
+    got_ids = sorted(got.to_pandas()["pid"])
+    from geo_ray.sources.spatial_layout import covering_intervals
+    leaf = cid.cell_id_from_point_v(x, y, z)
+    lo, hi = covering_intervals(covering)
+    sv = leaf.view(np.int64)
+    pos = np.searchsorted(lo, sv, side="right") - 1
+    ok = (pos >= 0) & (hi[np.maximum(pos, 0)] >= sv)
+    ok &= (tsu >= t0) & (tsu <= t1)
+    assert got_ids == sorted(np.flatnonzero(ok).astype(int))
+    assert stats["n_read"] < stats["n_total"]
+
+
+def test_st_time_prune_cuts_files(st_layout):
+    from geo_ray.sources.spatial_layout import prune_files_st
+    out, man, _ = st_layout
+    # whole sphere, narrow time slice: time bounds alone must prune
+    all_faces = [cid.parent(cid.cell_id_from_latlng(la, ln), 0)
+                 for la, ln in ((0, 0), (0, 90), (0, -90), (0, 180),
+                                (85, 0), (-85, 0))]
+    t0 = 1_700_100_000_000_000
+    t1 = 1_700_200_000_000_000
+    stats = prune_files_st(out, all_faces, t0, t1)
+    assert stats["n_read"] < stats["n_total"]
+
+
+def test_st_resume(st_layout, ray_session):
+    from geo_ray.sources.spatial_layout import write_spatiotemporal
+    out, man, _ = st_layout
+    ds, *_ = _events_ds()
+    man2 = write_spatiotemporal(ds, out, rows_per_file=500)
+    assert man2["total_rows"] == man["total_rows"]
