@@ -386,3 +386,92 @@ def read_pruned_st(out_dir: str, covering: Sequence[int],
 
         ds = ds.map_batches(_mask, batch_format="pyarrow")
     return ds, stats
+
+
+# ---------------------------------------------------------------------------
+# partition-local upsert: mutate the immutable-file layout by
+# rewriting ONLY the touched partitions
+# ---------------------------------------------------------------------------
+
+def upsert_spatial(out_dir: str, updates_ds, *, key_col: str,
+                   xyz_cols=("x", "y", "z")):
+    """Apply an updates dataset to an existing write_spatial layout,
+    rewriting only the partitions the updates land in (the
+    merge-on-write of table formats like Iceberg, specialized to the
+    cell-range layout).
+
+    Placement contract: a key's POSITION is immutable — rows are
+    routed by their cell, so an update must carry the same xyz as
+    the original (attribute corrections) or be a new key.  Moving a
+    key is delete+insert, which needs a key->partition index this
+    layout intentionally does not maintain.
+
+    Routing: each update row goes to the file whose [cell_lo,
+    cell_hi] span it falls nearest (the partition ranges partition
+    the whole key space by construction: searchsorted on the sorted
+    cell_lo list).  Every touched partition merges vectorized —
+    existing rows whose key appears in the updates are replaced,
+    new keys append — re-sorts by cell and rewrites atomically
+    (tmp + rename).  Untouched files are never opened.  Returns the
+    refreshed manifest plus {"touched": [...pids...]}."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    manifest = _load_manifest(out_dir)
+    files = sorted(manifest.get("files", []),
+                   key=lambda f: f["cell_lo"])
+    if not files:
+        raise FileNotFoundError(f"no layout at {out_dir}")
+    cell_lo = np.array([f["cell_lo"] for f in files], np.int64)
+    pid_of = np.array([f["pid"] for f in files], np.int64)
+    route_ref = ray.put((cell_lo, pid_of))
+
+    def _route(batch: pa.Table) -> pa.Table:
+        lo, pids = ray.get(route_ref)
+        leaf = _leaf_ids(batch, xyz_cols)
+        c = leaf.view(np.int64)
+        pos = np.maximum(
+            np.searchsorted(lo, c, side="right") - 1, 0)
+        out = batch.append_column(
+            "__cell", pa.array(c, pa.int64()))
+        return out.append_column(
+            "__pid", pa.array(pids[pos].astype(np.int32),
+                              pa.int32()))
+
+    by_file = {f["pid"]: f for f in files}
+
+    def _merge_one(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["__pid"].iloc[0])
+        f = by_file[pid]
+        path = os.path.join(out_dir, f["path"])
+        base = pq.read_table(path).to_pandas()
+        ups = g.drop(columns=["__pid"])
+        keep = ~base[key_col].isin(set(ups[key_col]))
+        merged = pd.concat([base[keep], ups], ignore_index=True) \
+            .sort_values("__cell", kind="mergesort")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({
+            "pid": [pid], "rows": [len(merged)],
+            "cell_lo": [int(merged["__cell"].iloc[0])],
+            "cell_hi": [int(merged["__cell"].iloc[-1])]})
+
+    touched = (updates_ds.map_batches(_route, batch_format="pyarrow")
+               .groupby("__pid")
+               .map_groups(_merge_one, batch_format="pandas")
+               .to_pandas())
+    tmap = {int(r.pid): r for r in touched.itertuples()}
+    for f in manifest["files"]:
+        t = tmap.get(f["pid"])
+        if t is not None:
+            f["rows"] = int(t.rows)
+            f["cell_lo"] = int(t.cell_lo)
+            f["cell_hi"] = int(t.cell_hi)
+    manifest["total_rows"] = int(sum(f["rows"]
+                                     for f in manifest["files"]))
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return {**manifest, "touched": sorted(tmap)}

@@ -208,3 +208,62 @@ def test_st_resume(st_layout, ray_session):
     ds, *_ = _events_ds()
     man2 = write_spatiotemporal(ds, out, rows_per_file=500)
     assert man2["total_rows"] == man["total_rows"]
+
+
+# ------------------------------------------------------ upsert
+
+
+def test_upsert_rewrites_only_touched_files(ray_session,
+                                            tmp_path_factory):
+    import time as _time
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from geo_ray.sources.spatial_layout import (upsert_spatial,
+                                                write_spatial,
+                                                _load_manifest)
+    out = str(tmp_path_factory.mktemp("upsert"))
+    ds, lat, lng, x, y, z = _points_ds(n=4000, seed=3)
+    man = write_spatial(ds, out, rows_per_file=400)
+    mtimes = {f["path"]: os.path.getmtime(os.path.join(out, f["path"]))
+              for f in man["files"]}
+
+    # attribute-correct 30 SPATIALLY CLUSTERED keys (consecutive in
+    # Hilbert order -> few partitions; same xyz -> same routing)
+    leaf = cid.cell_id_from_point_v(x, y, z).view(np.int64)
+    sel = np.argsort(leaf, kind="mergesort")[:30]
+    ups = pa.table({
+        "pid": pa.array(sel.astype(np.int64)),
+        "x": pa.array(x[sel]), "y": pa.array(y[sel]),
+        "z": pa.array(z[sel])})
+    _time.sleep(0.05)
+    res = upsert_spatial(out, rd.from_arrow(ups), key_col="pid")
+    assert res["total_rows"] == 4000          # replaced, not added
+    man2 = _load_manifest(out)
+    touched_paths = {f["path"] for f in man2["files"]
+                     if f["pid"] in set(res["touched"])}
+    for f in man2["files"]:
+        mt = os.path.getmtime(os.path.join(out, f["path"]))
+        if f["path"] in touched_paths:
+            assert mt > mtimes[f["path"]]
+        else:
+            assert mt == mtimes[f["path"]]
+    assert 0 < len(touched_paths) < len(man2["files"])
+
+    # new keys append
+    newp = pa.table({
+        "pid": pa.array(np.arange(100000, 100010, dtype=np.int64)),
+        "x": pa.array(x[:10]), "y": pa.array(y[:10]),
+        "z": pa.array(z[:10])})
+    res2 = upsert_spatial(out, rd.from_arrow(newp), key_col="pid")
+    assert res2["total_rows"] == 4010
+
+    # full table still complete and per-file sorted
+    paths = [os.path.join(out, f["path"])
+             for f in _load_manifest(out)["files"]]
+    back = rd.read_parquet(paths).to_pandas()
+    assert len(back) == 4010
+    assert set(np.arange(4000)) <= set(back["pid"])
+    for p in paths:
+        c = pq.read_table(p, columns=["__cell"]) \
+            .column("__cell").to_numpy()
+        assert (np.diff(c) >= 0).all()
