@@ -205,7 +205,9 @@ def run_suite(headline_only: bool = False) -> dict:
                  "doc_canonical_dedup", "events_hourly_incremental",
                  "events_seasonal_chi2", "orders_fill_rate",
                  "doc_hapax", "image_aspect_buckets",
-                 "polygon_rasterize", "layout_st_scan"]
+                 "polygon_rasterize", "layout_st_scan",
+                 "user_interarrival", "part_vendor_share",
+                 "doc_simpson"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

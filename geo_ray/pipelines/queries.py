@@ -16851,6 +16851,210 @@ def sql_layout_st_scan(t0: str = _ST_T0, t1: str = _ST_T1) -> str:
         "ORDER BY event_id")
 
 
+def q_user_interarrival(sf_dir: str):
+    """Per-user inter-event burstiness moments: event count, the sum
+    of the microsecond gaps between CONSECUTIVE events (ts order,
+    event_id tie-break) and the sum of squared gaps in SECONDS
+    (floor-divided before squaring — microsecond gaps square past
+    2^63 within hours, observed as a DuckDB overflow) — exact
+    integer numerators of mean/variance/CV interarrival analyses.
+    Scale shape: per-user-hash buckets sort each user's events once
+    and emit one moment row — only (user, 3 ints) leaves the
+    bucket."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "tsu": pa.array(tsu),
+            "__b": pa.array((_splitmix(u) % np.uint64(64))
+                            .astype(np.int32), pa.int32())})
+
+    def _moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["tsu"].to_numpy(np.int64)
+        same = np.zeros(len(u), bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = np.where(same, t - np.roll(t, 1), 0)
+        uniq, inv = np.unique(u, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s1 = np.zeros(len(uniq), np.int64)
+        np.add.at(s1, inv[same], gaps[same])
+        gsec = gaps[same] // 1_000_000
+        s2 = np.zeros(len(uniq), np.int64)
+        np.add.at(s2, inv[same], gsec * gsec)
+        return pd.DataFrame({
+            "user_id": uniq, "n_events": n,
+            "gap_sum_us": s1, "gap_sumsq_s": s2})
+
+    out = (ev.map_batches(_bucket, batch_format="pyarrow")
+           .groupby("__b")
+           .map_groups(lambda g: _moments(g.drop(columns=["__b"])),
+                       batch_format="pandas")
+           .to_pandas().sort_values("user_id"))
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+        "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+        "gap_sum_us": pa.array(out["gap_sum_us"].to_numpy(np.int64)),
+        "gap_sumsq_s": pa.array(
+            out["gap_sumsq_s"].to_numpy(np.int64))}))
+
+
+def sql_user_interarrival() -> str:
+    return (
+        "WITH o AS (SELECT user_id, epoch_us(ts) AS tu, event_id "
+        "FROM events), "
+        "l AS (SELECT user_id, tu - LAG(tu) OVER "
+        "(PARTITION BY user_id ORDER BY tu, event_id) AS gap "
+        "FROM o) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS gap_sum_us, "
+        "CAST(COALESCE(SUM((gap // 1000000) * (gap // 1000000)), 0) "
+        "AS BIGINT) AS gap_sumsq_s "
+        "FROM l GROUP BY 1 ORDER BY 1")
+
+
+def q_part_vendor_share(sf_dir: str):
+    """Supplier-concentration profile per part: total shipped
+    quantity, the DOMINANT supplier's quantity (ties by smallest
+    suppkey) and the distinct supplier count — the market-share
+    numerators behind the q20 dominance predicate, reported for
+    every part.  Same co-partitioned (part, supplier) rollup shape:
+    per-batch int64 partials, one bucketed resolve per partkey."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import _pack_keys, _unpack_keys
+    from ..stages.bucket_join import (adaptive_buckets, parquet_rows,
+                                      tag_buckets, BUCKET_COL)
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_quantity"])
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        qty = np.round(batch.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        key = _pack_keys([pk, sk])
+        uniq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, qty)
+        upk = _unpack_keys(uniq, 2)[0]
+        t = pa.table({"key": pa.array(upk.astype(np.int64)),
+                      "ps": pa.array(uniq),
+                      "qty": pa.array(s)})
+        return tag_buckets(t, "key", nb)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g["ps"].to_numpy(np.int64)
+        qty = g["qty"].to_numpy(np.int64)
+        uniq, inv = np.unique(ps, return_inverse=True)
+        qsum = np.zeros(len(uniq), np.int64)
+        np.add.at(qsum, inv, qty)
+        pk, sk = _unpack_keys(uniq, 2)
+        df = pd.DataFrame({"pk": pk.astype(np.int64),
+                           "sk": sk.astype(np.int64), "q": qsum})
+        # dominant supplier: max qty, ties -> smallest suppkey
+        df = df.sort_values(["pk", "q", "sk"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = df.groupby("pk", sort=False).first().reset_index()
+        tot = df.groupby("pk", sort=False).agg(
+            total_qty=("q", "sum"),
+            n_suppliers=("sk", "size")).reset_index()
+        out = tot.merge(top[["pk", "sk", "q"]], on="pk")
+        return pd.DataFrame({
+            "p_partkey": out["pk"].to_numpy(np.int64),
+            "total_qty": out["total_qty"].to_numpy(np.int64),
+            "top_suppkey": out["sk"].to_numpy(np.int64),
+            "top_qty": out["q"].to_numpy(np.int64),
+            "n_suppliers": out["n_suppliers"].to_numpy(np.int64)})
+
+    out = (items.map_batches(_partial, batch_format="pyarrow")
+           .groupby(BUCKET_COL)
+           .map_groups(lambda g: _resolve(g.drop(columns=[BUCKET_COL])),
+                       batch_format="pandas")
+           .to_pandas().sort_values("p_partkey"))
+    return rd.from_arrow(pa.table({
+        c: pa.array(out[c].to_numpy(np.int64))
+        for c in ["p_partkey", "total_qty", "top_suppkey",
+                  "top_qty", "n_suppliers"]}))
+
+
+def sql_part_vendor_share() -> str:
+    return (
+        "WITH q AS (SELECT l_partkey AS pk, l_suppkey AS sk, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s "
+        "FROM lineitem GROUP BY 1, 2), "
+        "top AS (SELECT pk, sk, s, ROW_NUMBER() OVER "
+        "(PARTITION BY pk ORDER BY s DESC, sk) AS rn FROM q) "
+        "SELECT CAST(q.pk AS BIGINT) AS p_partkey, "
+        "CAST(SUM(q.s) AS BIGINT) AS total_qty, "
+        "CAST(MAX(CASE WHEN t.rn = 1 THEN t.sk END) AS BIGINT) "
+        "AS top_suppkey, "
+        "CAST(MAX(CASE WHEN t.rn = 1 THEN t.s END) AS BIGINT) "
+        "AS top_qty, "
+        "CAST(COUNT(*) AS BIGINT) AS n_suppliers "
+        "FROM q JOIN top t ON t.pk = q.pk AND t.sk = q.sk "
+        "GROUP BY 1 ORDER BY 1")
+
+
+def q_doc_simpson(sf_dir: str):
+    """Per-document lexical concentration: token count and the
+    Simpson-index numerator sum n_w x (n_w - 1) over word counts —
+    the repeated-token collision count (0 = all distinct;
+    n x (n-1) = one word repeated).  Exact integers; one tokenize
+    pass, doc-bounded output."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _sim(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from ..stages.text import tokens_of
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        n_tok = np.zeros(len(ids), np.int64)
+        coll = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(texts):
+            c = Counter(w.lower() for w in tokens_of(t) if w)
+            vals = np.fromiter(c.values(), np.int64, len(c))
+            n_tok[i] = int(vals.sum())
+            coll[i] = int((vals * (vals - 1)).sum())
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "collisions": pa.array(coll)})
+
+    return ds.map_batches(_sim, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def sql_doc_simpson() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, lower(unnest("
+        "string_split_regex(trim(text), '\\s+'))) AS w "
+        "FROM documents), "
+        "wc AS (SELECT doc_id, w, COUNT(*) AS n FROM tok "
+        "WHERE w <> '' GROUP BY 1, 2) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(SUM(n) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(n * (n - 1)) AS BIGINT) AS collisions "
+        "FROM wc GROUP BY 1 ORDER BY 1")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -17193,6 +17397,9 @@ def _authored_queries() -> Dict:
         "image_aspect_buckets": q_image_aspect_buckets,
         "polygon_rasterize": q_polygon_rasterize,
         "layout_st_scan": q_layout_st_scan,
+        "user_interarrival": q_user_interarrival,
+        "part_vendor_share": q_part_vendor_share,
+        "doc_simpson": q_doc_simpson,
     }
 
 
@@ -17392,6 +17599,9 @@ def oracle_sql() -> Dict[str, str]:
         "image_aspect_buckets": sql_image_aspect_buckets(),
         "polygon_rasterize": sql_polygon_rasterize(),
         "layout_st_scan": sql_layout_st_scan(),
+        "user_interarrival": sql_user_interarrival(),
+        "part_vendor_share": sql_part_vendor_share(),
+        "doc_simpson": sql_doc_simpson(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

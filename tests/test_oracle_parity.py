@@ -114,6 +114,7 @@ ORACLE_CHECKED = [
     "orders_fill_rate", "doc_hapax", "image_aspect_buckets",
     "spatial_join_shuffle", "tile_vectorize",
     "polygon_rasterize", "layout_st_scan",
+    "user_interarrival", "part_vendor_share", "doc_simpson",
 ]
 
 
