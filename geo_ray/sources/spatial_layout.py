@@ -475,3 +475,133 @@ def upsert_spatial(out_dir: str, updates_ds, *, key_col: str,
     with open(os.path.join(out_dir, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return {**manifest, "touched": sorted(tmap)}
+
+
+def delete_spatial(out_dir: str, deletes_ds, *, key_col: str,
+                   xyz_cols=("x", "y", "z")):
+    """Remove rows by key from the layout, rewriting only touched
+    partitions.  Deletes carry the key AND its position (the same
+    position-immutable contract as upsert_spatial — position routes
+    the delete to the one file that can hold the key).  Returns the
+    refreshed manifest + touched pids."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    manifest = _load_manifest(out_dir)
+    files = sorted(manifest.get("files", []),
+                   key=lambda f: f["cell_lo"])
+    if not files:
+        raise FileNotFoundError(f"no layout at {out_dir}")
+    cell_lo = np.array([f["cell_lo"] for f in files], np.int64)
+    pid_of = np.array([f["pid"] for f in files], np.int64)
+    route_ref = ray.put((cell_lo, pid_of))
+
+    def _route(batch: pa.Table) -> pa.Table:
+        lo, pids = ray.get(route_ref)
+        leaf = _leaf_ids(batch, xyz_cols)
+        c = leaf.view(np.int64)
+        pos = np.maximum(
+            np.searchsorted(lo, c, side="right") - 1, 0)
+        return pa.table({
+            key_col: batch.column(key_col).cast(pa.int64()),
+            "__pid": pa.array(pids[pos].astype(np.int32),
+                              pa.int32())})
+
+    by_file = {f["pid"]: f for f in files}
+
+    def _delete_one(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["__pid"].iloc[0])
+        f = by_file[pid]
+        path = os.path.join(out_dir, f["path"])
+        base = pq.read_table(path).to_pandas()
+        keep = ~base[key_col].isin(set(g[key_col]))
+        merged = base[keep]
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        lo_v = int(merged["__cell"].iloc[0]) if len(merged) \
+            else f["cell_lo"]
+        hi_v = int(merged["__cell"].iloc[-1]) if len(merged) \
+            else f["cell_lo"]
+        return pd.DataFrame({
+            "pid": [pid], "rows": [len(merged)],
+            "cell_lo": [lo_v], "cell_hi": [hi_v]})
+
+    touched = (deletes_ds.map_batches(_route, batch_format="pyarrow")
+               .groupby("__pid")
+               .map_groups(_delete_one, batch_format="pandas")
+               .to_pandas())
+    tmap = {int(r.pid): r for r in touched.itertuples()}
+    for f in manifest["files"]:
+        t = tmap.get(f["pid"])
+        if t is not None:
+            f["rows"] = int(t.rows)
+            f["cell_lo"] = int(t.cell_lo)
+            f["cell_hi"] = int(t.cell_hi)
+    manifest["total_rows"] = int(sum(f["rows"]
+                                     for f in manifest["files"]))
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return {**manifest, "touched": sorted(tmap)}
+
+
+def compact_spatial(out_dir: str, *, target_rows: int):
+    """Merge runs of adjacent small files so each compacted file
+    approaches ``target_rows`` (the maintenance pass after many
+    upserts/deletes skew file sizes).  Files are processed in cell
+    order, so the layout's range property — and therefore every
+    pruning guarantee — is preserved; compaction rewrites only the
+    files it merges and refreshes the manifest atomically."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    manifest = _load_manifest(out_dir)
+    files = sorted(manifest.get("files", []),
+                   key=lambda f: f["cell_lo"])
+    if not files:
+        raise FileNotFoundError(f"no layout at {out_dir}")
+
+    groups: List[List[dict]] = [[]]
+    acc = 0
+    for f in files:
+        if acc >= target_rows and groups[-1]:
+            groups.append([])
+            acc = 0
+        groups[-1].append(f)
+        acc += f["rows"]
+
+    new_files = []
+    n_rewritten = 0
+    for gi, grp in enumerate(groups):
+        if len(grp) == 1:
+            f = dict(grp[0])
+            f["pid"] = gi
+            new_files.append(f)
+            continue
+        tabs = [pq.read_table(os.path.join(out_dir, f["path"]))
+                for f in grp]
+        merged = pa.concat_tables(tabs)
+        order = np.argsort(merged.column("__cell").to_numpy(),
+                           kind="mergesort")
+        merged = merged.take(order)
+        path = f"compact-{gi:05d}.parquet"
+        tmp = os.path.join(out_dir, path + ".tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(out_dir, path))
+        c = merged.column("__cell").to_numpy()
+        new_files.append({
+            "pid": gi, "path": path, "rows": len(merged),
+            "cell_lo": int(c[0]) if len(c) else grp[0]["cell_lo"],
+            "cell_hi": int(c[-1]) if len(c) else grp[0]["cell_lo"]})
+        n_rewritten += 1
+        for f in grp:
+            old = os.path.join(out_dir, f["path"])
+            if os.path.basename(old) != path:
+                os.remove(old)
+    manifest["files"] = new_files
+    manifest["total_rows"] = int(sum(f["rows"] for f in new_files))
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return {**manifest, "n_compacted_groups": n_rewritten}

@@ -267,3 +267,58 @@ def test_upsert_rewrites_only_touched_files(ray_session,
         c = pq.read_table(p, columns=["__cell"]) \
             .column("__cell").to_numpy()
         assert (np.diff(c) >= 0).all()
+
+
+def test_delete_then_compact(ray_session, tmp_path_factory):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from geo_ray.sources.spatial_layout import (compact_spatial,
+                                                delete_spatial,
+                                                prune_files,
+                                                write_spatial,
+                                                _load_manifest)
+    out = str(tmp_path_factory.mktemp("delcomp"))
+    ds, lat, lng, x, y, z = _points_ds(n=4000, seed=9)
+    man = write_spatial(ds, out, rows_per_file=400)
+
+    # delete 200 spatially clustered keys (position routes them)
+    leaf = cid.cell_id_from_point_v(x, y, z).view(np.int64)
+    sel = np.argsort(leaf, kind="mergesort")[:200]
+    dels = pa.table({
+        "pid": pa.array(sel.astype(np.int64)),
+        "x": pa.array(x[sel]), "y": pa.array(y[sel]),
+        "z": pa.array(z[sel])})
+    res = delete_spatial(out, rd.from_arrow(dels), key_col="pid")
+    assert res["total_rows"] == 3800
+    assert 0 < len(res["touched"]) < len(man["files"])
+
+    # compact back to ~800-row files; total preserved, order kept
+    res2 = compact_spatial(out, target_rows=800)
+    assert res2["total_rows"] == 3800
+    man2 = _load_manifest(out)
+    assert len(man2["files"]) < len(man["files"])
+    prev_hi = None
+    for f in sorted(man2["files"], key=lambda r: r["cell_lo"]):
+        c = pq.read_table(os.path.join(out, f["path"]),
+                          columns=["__cell"]) \
+            .column("__cell").to_numpy()
+        assert (np.diff(c) >= 0).all()
+        if prev_hi is not None:
+            assert f["cell_lo"] >= prev_hi
+        prev_hi = f["cell_hi"]
+    # pruning still exact after the full lifecycle
+    cx, cy, cz = latlng_deg_to_xyz(np.array([37.0]),
+                                   np.array([-122.0]))
+    cap = Cap((float(cx[0]), float(cy[0]), float(cz[0])), 0.02)
+    covering = RegionCoverer(max_cells=24).covering(cap)
+    from geo_ray.sources.spatial_layout import (covering_intervals,
+                                                read_pruned)
+    got, stats = read_pruned(out, covering, columns=["pid"])
+    got_ids = sorted(got.to_pandas()["pid"])
+    keep_mask = np.ones(len(x), bool)
+    keep_mask[sel] = False
+    lo, hi = covering_intervals(covering)
+    sv = leaf
+    pos = np.searchsorted(lo, sv, side="right") - 1
+    ok = (pos >= 0) & (hi[np.maximum(pos, 0)] >= sv) & keep_mask
+    assert got_ids == sorted(np.flatnonzero(ok).astype(int))
