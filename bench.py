@@ -207,7 +207,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "doc_hapax", "image_aspect_buckets",
                  "polygon_rasterize", "layout_st_scan",
                  "user_interarrival", "part_vendor_share",
-                 "doc_simpson"]
+                 "doc_simpson", "events_dau_wau",
+                 "supplier_lead_time"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

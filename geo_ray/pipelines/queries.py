@@ -17055,6 +17055,177 @@ def sql_doc_simpson() -> str:
         "FROM wc GROUP BY 1 ORDER BY 1")
 
 
+_WAU_WINDOW = 7
+
+
+def q_events_dau_wau(sf_dir: str, window: int = _WAU_WINDOW):
+    """Engagement curve: per day, the distinct active users (DAU)
+    and the distinct users active in the trailing ``window`` days
+    (WAU) — the exact numerators of the stickiness ratio every
+    product pipeline tracks.  WAU is NOT a sum of DAUs (users
+    dedupe across the window): each (user, active-day) presence row
+    fans out to its ``window`` covered report days, dedupes per
+    (user, report-day) in one bucketed pass, and a bucketed_sum
+    counts distincts — rows scale with users x active-days x window,
+    never with raw events.  Report days cover only days with at
+    least one active user in the trailing window."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import _pack_keys, _unpack_keys, bucketed_sum
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _presence(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        d = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // _DAY_US
+        key = _pack_keys([u, d])
+        uniq = np.unique(key)
+        return pa.table({
+            "k": pa.array(uniq, pa.int64()),
+            "b": pa.array((_splitmix(uniq.astype(np.uint64))
+                           % np.uint64(64)).astype(np.int32),
+                          pa.int32())})
+
+    presence = (ev.map_batches(_presence, batch_format="pyarrow")
+                .groupby("b")
+                .map_groups(lambda g: pd.DataFrame(
+                    {"k": np.unique(g["k"].to_numpy(np.int64))}),
+                    batch_format="pandas"))
+
+    def _fanout(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy().astype(np.int64)
+        u, d = _unpack_keys(k, 2)
+        reps = []
+        for off in range(window):
+            reps.append(_pack_keys([u.astype(np.int64),
+                                    (d + off).astype(np.int64)]))
+        allk = np.concatenate(reps)
+        uniq = np.unique(allk)
+        return pa.table({
+            "k": pa.array(uniq, pa.int64()),
+            "dau": pa.array(
+                np.isin(uniq, k).astype(np.int64)),
+            "b": pa.array((_splitmix(uniq.astype(np.uint64))
+                           % np.uint64(64)).astype(np.int32),
+                          pa.int32())})
+
+    def _dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("k", sort=False)["dau"].max().reset_index()
+        k = df["k"].to_numpy(np.int64)
+        _u, d = _unpack_keys(k, 2)
+        return pd.DataFrame({
+            "day": d.astype(np.int64),
+            "dau": df["dau"].to_numpy(np.int64),
+            "wau": np.ones(len(df), np.int64)})
+
+    per_day = bucketed_sum(
+        presence.map_batches(_fanout, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(lambda g: _dedupe(g.drop(columns=["b"])),
+                    batch_format="pandas"),
+        ["day"], ["dau", "wau"]).to_pandas().sort_values("day")
+    return rd.from_arrow(pa.table({
+        "day": pa.array(per_day["day"].to_numpy(np.int64)),
+        "dau": pa.array(per_day["dau"].to_numpy(np.int64)),
+        "wau": pa.array(per_day["wau"].to_numpy(np.int64))}))
+
+
+def sql_events_dau_wau(window: int = _WAU_WINDOW) -> str:
+    return (
+        "WITH p AS MATERIALIZED (SELECT DISTINCT user_id, "
+        f"epoch_us(ts) // {_DAY_US} AS d FROM events), "
+        f"offs AS (SELECT CAST(i AS BIGINT) AS o "
+        f"FROM range(0, {window}) t(i)), "
+        "w AS (SELECT DISTINCT user_id, d + o AS day, "
+        "CASE WHEN o = 0 THEN 1 ELSE 0 END AS is_today "
+        "FROM p CROSS JOIN offs), "
+        "m AS (SELECT user_id, day, MAX(is_today) AS dau "
+        "FROM w GROUP BY 1, 2) "
+        "SELECT CAST(day AS BIGINT) AS day, "
+        "CAST(SUM(dau) AS BIGINT) AS dau, "
+        "CAST(COUNT(*) AS BIGINT) AS wau "
+        "FROM m GROUP BY 1 ORDER BY 1")
+
+
+def q_supplier_lead_time(sf_dir: str):
+    """Fulfillment latency per supplier: shipped-item count and the
+    exact total lead time in days (l_shipdate minus the order's
+    o_orderdate) — the supplier scorecard numerators.  Scale shape:
+    the per-order order-date rides the bucketed tagged-union join by
+    orderkey (the q4/backlog pattern); per-supplier sums merge from
+    per-bucket partials via one bounded rollup (supplier domain)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.bucket_join import (adaptive_buckets, parquet_rows,
+                                      tag_buckets, BUCKET_COL)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate"])
+    nb = adaptive_buckets(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    def _o_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        od = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        t = pa.table({"key": pa.array(k),
+                      "sk": pa.array(np.full(len(k), -1, np.int64)),
+                      "day": pa.array(od.astype(np.int64))})
+        return tag_buckets(t, "key", nb)
+
+    def _l_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        d = batch.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        t = pa.table({"key": pa.array(k), "sk": pa.array(sk),
+                      "day": pa.array(d.astype(np.int64))})
+        return tag_buckets(t, "key", nb)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["sk"] < 0][["key", "day"]].rename(
+            columns={"day": "od"})
+        it = g[g["sk"] >= 0]
+        j = it.merge(od, on="key")
+        lead = j["day"].to_numpy(np.int64) - j["od"].to_numpy(np.int64)
+        out = pd.DataFrame({"s_suppkey": j["sk"].to_numpy(np.int64),
+                            "n_items": np.ones(len(j), np.int64),
+                            "lead_days_sum": lead})
+        return out.groupby("s_suppkey", sort=False) \
+            .sum().reset_index()
+
+    rolled = (orders.map_batches(_o_rows, batch_format="pyarrow")
+              .union(items.map_batches(_l_rows,
+                                       batch_format="pyarrow"))
+              .groupby(BUCKET_COL)
+              .map_groups(
+                  lambda g: _resolve(g.drop(columns=[BUCKET_COL])),
+                  batch_format="pandas"))
+    fin = driver_merged_sum(rolled, ["s_suppkey"],
+                            ["n_items", "lead_days_sum"])
+    fin = fin.sort_values("s_suppkey")
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(
+            fin["s_suppkey"].to_numpy().astype(np.int64)),
+        "n_items": pa.array(fin["n_items"].to_numpy(np.int64)),
+        "lead_days_sum": pa.array(
+            fin["lead_days_sum"].to_numpy(np.int64))}))
+
+
+def sql_supplier_lead_time() -> str:
+    return (
+        "SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items, "
+        f"CAST(SUM(epoch_us(l_shipdate) // {_DAY_US} "
+        f"- epoch_us(o_orderdate) // {_DAY_US}) AS BIGINT) "
+        "AS lead_days_sum "
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -17400,6 +17571,8 @@ def _authored_queries() -> Dict:
         "user_interarrival": q_user_interarrival,
         "part_vendor_share": q_part_vendor_share,
         "doc_simpson": q_doc_simpson,
+        "events_dau_wau": q_events_dau_wau,
+        "supplier_lead_time": q_supplier_lead_time,
     }
 
 
@@ -17602,6 +17775,8 @@ def oracle_sql() -> Dict[str, str]:
         "user_interarrival": sql_user_interarrival(),
         "part_vendor_share": sql_part_vendor_share(),
         "doc_simpson": sql_doc_simpson(),
+        "events_dau_wau": sql_events_dau_wau(),
+        "supplier_lead_time": sql_supplier_lead_time(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -115,6 +115,7 @@ ORACLE_CHECKED = [
     "spatial_join_shuffle", "tile_vectorize",
     "polygon_rasterize", "layout_st_scan",
     "user_interarrival", "part_vendor_share", "doc_simpson",
+    "events_dau_wau", "supplier_lead_time",
 ]
 
 
