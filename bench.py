@@ -376,12 +376,16 @@ if __name__ == "__main__":
     else:
         headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
         full = run_suite(headline_only=headline_only)
-        try:
-            with open(os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)),
-                    "BENCH_LOCAL_LAST.json"), "w") as f:
-                json.dump(full, f, indent=1)
-        except OSError:
-            pass
+        if not headline_only:
+            # only the full-roster run owns the durable record —
+            # the scaling harness spawns headline-only subprocesses
+            # that must not clobber it
+            try:
+                with open(os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)),
+                        "BENCH_LOCAL_LAST.json"), "w") as f:
+                    json.dump(full, f, indent=1)
+            except OSError:
+                pass
         print(json.dumps(full))
         print(json.dumps(_compact(full)))
