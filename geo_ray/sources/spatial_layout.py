@@ -55,10 +55,17 @@ def _leaf_ids(batch: pa.Table, xyz_cols=("x", "y", "z")) -> np.ndarray:
 
 def write_spatial(ds, out_dir: str, *, xyz_cols=("x", "y", "z"),
                   rows_per_file: int = 1_000_000,
-                  num_files: int | None = None):
+                  num_files: int | None = None,
+                  stats_cols: Sequence[str] = ()):
     """Range-partition ``ds`` by leaf cell ID and write one sorted
     parquet file per partition + the pruning manifest.  Returns the
-    manifest dict."""
+    manifest dict.
+
+    ``stats_cols``: additional int64 columns whose per-file min/max
+    land in the manifest (the generic zone-map: any equality or
+    range predicate on an indexed column prunes files via
+    :func:`prune_files_by` without opening them — file-level stats
+    the way parquet keeps row-group stats)."""
     import pandas as pd
     import pyarrow.parquet as pq
     from ..stages.scan import sample_order_bounds
@@ -98,33 +105,38 @@ def write_spatial(ds, out_dir: str, *, xyz_cols=("x", "y", "z"),
         g = g.sort_values("__cell", kind="mergesort") \
             .drop(columns=["__pid"])
         path = f"part-{pid:05d}.parquet"
+        row = {
+            "pid": [pid], "path": [path], "rows": [len(g)],
+            "cell_lo": [int(g["__cell"].iloc[0])],
+            "cell_hi": [int(g["__cell"].iloc[-1])]}
+        for c in stats_cols:
+            row[f"min_{c}"] = [int(g[c].min())]
+            row[f"max_{c}"] = [int(g[c].max())]
         prior = done.get(pid)
         if prior is not None and prior["rows"] == len(g):
             # resume: partition already landed with the same row count
-            return pd.DataFrame({
-                "pid": [pid], "path": [path], "rows": [len(g)],
-                "cell_lo": [int(g["__cell"].iloc[0])],
-                "cell_hi": [int(g["__cell"].iloc[-1])],
-                "skipped": [True]})
+            return pd.DataFrame({**row, "skipped": [True]})
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
                        os.path.join(out_dir, path))
-        return pd.DataFrame({
-            "pid": [pid], "path": [path], "rows": [len(g)],
-            "cell_lo": [int(g["__cell"].iloc[0])],
-            "cell_hi": [int(g["__cell"].iloc[-1])],
-            "skipped": [False]})
+        return pd.DataFrame({**row, "skipped": [False]})
 
     man_rows = (cells.map_batches(_tag, batch_format="pyarrow")
                 .groupby("__pid")
                 .map_groups(_write_part, batch_format="pandas")
                 .to_pandas())
     man_rows = man_rows.sort_values("pid").reset_index(drop=True)
+    file_rows = []
+    for r in man_rows.itertuples():
+        d = {"pid": int(r.pid), "path": r.path, "rows": int(r.rows),
+             "cell_lo": int(r.cell_lo), "cell_hi": int(r.cell_hi)}
+        for c in stats_cols:
+            d[f"min_{c}"] = int(getattr(r, f"min_{c}"))
+            d[f"max_{c}"] = int(getattr(r, f"max_{c}"))
+        file_rows.append(d)
     manifest = {
         "total_rows": int(man_rows["rows"].sum()),
-        "files": [
-            {"pid": int(r.pid), "path": r.path, "rows": int(r.rows),
-             "cell_lo": int(r.cell_lo), "cell_hi": int(r.cell_hi)}
-            for r in man_rows.itertuples()],
+        "stats_cols": list(stats_cols),
+        "files": file_rows,
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -605,3 +617,48 @@ def compact_spatial(out_dir: str, *, target_rows: int):
     with open(os.path.join(out_dir, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return {**manifest, "n_compacted_groups": n_rewritten}
+
+
+def prune_files_by(out_dir: str, col: str, lo: int, hi: int) -> dict:
+    """Generic zone-map prune: files whose manifest [min_col,
+    max_col] interval overlaps [lo, hi] (inclusive).  Requires the
+    layout to have been written with ``stats_cols`` including
+    ``col``."""
+    manifest = _load_manifest(out_dir)
+    if col not in manifest.get("stats_cols", []):
+        raise KeyError(
+            f"layout at {out_dir} has no stats for column {col!r} "
+            f"(written with stats_cols={manifest.get('stats_cols')})")
+    files = manifest.get("files", [])
+    keep = [f for f in files
+            if not (f[f"min_{col}"] > hi or f[f"max_{col}"] < lo)]
+    return {"files": keep, "n_total": len(files),
+            "n_read": len(keep),
+            "rows_total": manifest.get("total_rows", 0),
+            "rows_read": int(sum(f["rows"] for f in keep))}
+
+
+def read_pruned_by(out_dir: str, col: str, lo: int, hi: int, *,
+                   columns: Sequence[str] | None = None,
+                   exact: bool = True):
+    """Dataset over files surviving the zone-map prune on ``col``;
+    ``exact`` applies the [lo, hi] mask per row."""
+    import ray.data as rd
+
+    stats = prune_files_by(out_dir, col, lo, hi)
+    cols = list(set(list(columns) + [col])) if columns else None
+    if not stats["files"]:
+        man = _load_manifest(out_dir)
+        empty = rd.read_parquet(
+            os.path.join(out_dir, man["files"][0]["path"]),
+            columns=cols).filter(lambda r: False)
+        return empty, stats
+    paths = [os.path.join(out_dir, f["path"]) for f in stats["files"]]
+    ds = rd.read_parquet(paths, columns=cols)
+    if exact:
+        def _mask(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy().astype(np.int64)
+            return batch.filter(pa.array((v >= lo) & (v <= hi)))
+
+        ds = ds.map_batches(_mask, batch_format="pyarrow")
+    return ds, stats

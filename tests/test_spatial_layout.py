@@ -322,3 +322,41 @@ def test_delete_then_compact(ray_session, tmp_path_factory):
     pos = np.searchsorted(lo, sv, side="right") - 1
     ok = (pos >= 0) & (hi[np.maximum(pos, 0)] >= sv) & keep_mask
     assert got_ids == sorted(np.flatnonzero(ok).astype(int))
+
+
+def test_zone_map_stats_pruning(ray_session, tmp_path_factory):
+    """stats_cols zone maps: a range predicate on a non-spatial
+    indexed column prunes files without opening them, and the exact
+    result equals the brute filter.  The indexed column here
+    correlates with the cell order (ids assigned by Hilbert rank),
+    so pruning is tight; an uncorrelated column would degrade to a
+    full scan — correctness must hold either way."""
+    import ray.data as rd
+    from geo_ray.sources.spatial_layout import (prune_files_by,
+                                                read_pruned_by,
+                                                write_spatial)
+    out = str(tmp_path_factory.mktemp("zonemap"))
+    ds, lat, lng, x, y, z = _points_ds(n=4000, seed=5)
+    # assign the indexed attribute by Hilbert rank so files get
+    # disjoint attribute ranges (the clustered-index best case)
+    leaf = cid.cell_id_from_point_v(x, y, z).view(np.int64)
+    rank = np.empty(len(leaf), np.int64)
+    rank[np.argsort(leaf, kind="mergesort")] = np.arange(len(leaf))
+    t = pa.table({"pid": pa.array(np.arange(4000, dtype=np.int64)),
+                  "attr": pa.array(rank),
+                  "x": pa.array(x), "y": pa.array(y),
+                  "z": pa.array(z)})
+    man = write_spatial(rd.from_arrow(t), out, rows_per_file=400,
+                        stats_cols=["attr"])
+    assert all(f"min_attr" in f for f in man["files"])
+
+    stats = prune_files_by(out, "attr", 100, 500)
+    assert 0 < stats["n_read"] < stats["n_total"]
+    got, _ = read_pruned_by(out, "attr", 100, 500, columns=["pid"])
+    got_ids = sorted(got.to_pandas()["pid"])
+    want = sorted(np.flatnonzero((rank >= 100) & (rank <= 500))
+                  .astype(int))
+    assert got_ids == want
+
+    with pytest.raises(KeyError):
+        prune_files_by(out, "nope", 0, 1)
