@@ -17226,6 +17226,228 @@ def sql_supplier_lead_time() -> str:
         "GROUP BY 1 ORDER BY 1")
 
 
+def q_user_gyration(sf_dir: str):
+    """Radius-of-gyration numerators per user (the canonical human-
+    mobility statistic): in the exact CENTI-DEGREE integer plane the
+    key derivation lives in (lat/lng are integer centidegrees by
+    construction), emit n, the coordinate sums and
+    rog_num = n x sum(latc^2 + lngc^2) - (sum latc)^2 - (sum lngc)^2
+    — n^2 x the mean squared deviation from the centroid, exact
+    int64 (|centidegree| <= 18000, so the products stay far under
+    2^63 at any per-user count this sharding meets).  One bucketed
+    rollup keyed by user."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def _parts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy().astype(np.int64)
+        latc = (keys * 7919) % 17000 - 8500
+        lngc = (keys * 104729) % 36000 - 18000
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        uniq, inv = np.unique(u, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sl = np.zeros(len(uniq), np.int64)
+        np.add.at(sl, inv, latc)
+        sg = np.zeros(len(uniq), np.int64)
+        np.add.at(sg, inv, lngc)
+        sq = np.zeros(len(uniq), np.int64)
+        np.add.at(sq, inv, latc * latc + lngc * lngc)
+        return pa.table({
+            "user_id": pa.array(uniq), "n": pa.array(n),
+            "sum_latc": pa.array(sl), "sum_lngc": pa.array(sg),
+            "sum_sq": pa.array(sq)})
+
+    out = bucketed_sum(
+        ev.map_batches(_parts, batch_format="pyarrow"),
+        ["user_id"], ["n", "sum_latc", "sum_lngc", "sum_sq"]) \
+        .to_pandas().sort_values("user_id")
+    n = out["n"].to_numpy(np.int64)
+    sl = out["sum_latc"].to_numpy(np.int64)
+    sg = out["sum_lngc"].to_numpy(np.int64)
+    sq = out["sum_sq"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+        "n_events": pa.array(n),
+        "sum_latc": pa.array(sl),
+        "sum_lngc": pa.array(sg),
+        "rog_num": pa.array(n * sq - sl * sl - sg * sg)}))
+
+
+def sql_user_gyration() -> str:
+    return (
+        "WITH p AS (SELECT user_id, "
+        "(event_id * 7919) % 17000 - 8500 AS latc, "
+        "(event_id * 104729) % 36000 - 18000 AS lngc FROM events) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(latc) AS BIGINT) AS sum_latc, "
+        "CAST(SUM(lngc) AS BIGINT) AS sum_lngc, "
+        "CAST(COUNT(*) * SUM(latc * latc + lngc * lngc) "
+        "- SUM(latc) * SUM(latc) - SUM(lngc) * SUM(lngc) AS BIGINT) "
+        "AS rog_num "
+        "FROM p GROUP BY 1 ORDER BY 1")
+
+
+_HOME_SIZE_DEG = 5.0
+
+
+def q_user_home_cell(sf_dir: str, size_deg: float = _HOME_SIZE_DEG):
+    """Home-location detection: each user's MODAL grid cell (most
+    events; ties broken by smallest (x, y)) with its visit count and
+    the user's total — the anchor-point primitive of mobility
+    pipelines.  One bucketed (user, cell) rollup, then a vectorized
+    per-user argmax inside the user-hash bucket — no per-user Python
+    dispatch."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy().astype(np.int64)
+        lat, lng = derive_latlng_np(keys)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": u,
+            "x": np.floor(lat / size_deg).astype(np.int64),
+            "y": np.floor(lng / size_deg).astype(np.int64)})
+        g = df.groupby(["user_id", "x", "y"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = bucketed_sum(
+        ev.map_batches(_cells, batch_format="pyarrow"),
+        ["user_id", "x", "y"], ["n"])
+
+    def _bucket_u(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(u) % np.uint64(64))
+                            .astype(np.int32), pa.int32()))
+
+    def _argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "x", "y"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        tot = g.groupby("user_id", sort=False)["n"].sum()
+        top = g.groupby("user_id", sort=False).first().reset_index()
+        top["n_total"] = top["user_id"].map(tot).to_numpy(np.int64)
+        return top.rename(columns={
+            "x": "home_x", "y": "home_y", "n": "n_home"})
+
+    out = (counts.map_batches(_bucket_u, batch_format="pyarrow")
+           .groupby("__b")
+           .map_groups(lambda g: _argmax(g.drop(columns=["__b"])),
+                       batch_format="pandas")
+           .to_pandas().sort_values("user_id"))
+    return rd.from_arrow(pa.table({
+        c: pa.array(out[c].to_numpy(np.int64))
+        for c in ["user_id", "home_x", "home_y", "n_home",
+                  "n_total"]}))
+
+
+def sql_user_home_cell(size_deg: float = _HOME_SIZE_DEG) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        "WITH c AS (SELECT user_id, "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS x, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS y "
+        "FROM events), "
+        "g AS (SELECT user_id, x, y, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM c GROUP BY 1, 2, 3), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY n DESC, x, y) AS rn, "
+        "SUM(n) OVER (PARTITION BY user_id) AS tot FROM g) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "x AS home_x, y AS home_y, n AS n_home, "
+        "CAST(tot AS BIGINT) AS n_total "
+        "FROM r WHERE rn = 1 ORDER BY user_id")
+
+
+def q_user_return_trips(sf_dir: str,
+                        size_deg: float = _HOME_SIZE_DEG):
+    """A -> B -> A return-trip counts per user: in each user's
+    time-ordered cell sequence (ties by event_id), count positions
+    where the cell two steps ahead equals the current cell and the
+    middle cell differs — the round-trip regularity signal of
+    mobility analysis.  Per-user-hash buckets, one vectorized
+    double-shift compare per bucket."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy().astype(np.int64)
+        lat, lng = derive_latlng_np(keys)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_id": pa.array(keys),
+            "tsu": pa.array(tsu),
+            "x": pa.array(np.floor(lat / size_deg).astype(np.int64)),
+            "y": pa.array(np.floor(lng / size_deg).astype(np.int64)),
+            "__b": pa.array((_splitmix(u.astype(np.uint64))
+                             % np.uint64(64)).astype(np.int32),
+                            pa.int32())})
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        cell = (g["x"].to_numpy(np.int64) << np.int64(21)) \
+            | (g["y"].to_numpy(np.int64) & ((1 << 21) - 1))
+        same2 = np.zeros(len(u), bool)
+        if len(u) > 2:
+            same2[:-2] = (u[:-2] == u[2:]) & (cell[:-2] == cell[2:]) \
+                & (cell[:-2] != cell[1:-1])
+        uniq, inv = np.unique(u, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv[same2], 1)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"user_id": uniq, "n_events": n,
+                             "n_return_trips": cnt})
+
+    out = (ev.map_batches(_prep, batch_format="pyarrow")
+           .groupby("__b")
+           .map_groups(lambda g: _count(g.drop(columns=["__b"])),
+                       batch_format="pandas")
+           .to_pandas().sort_values("user_id"))
+    return rd.from_arrow(pa.table({
+        c: pa.array(out[c].to_numpy(np.int64))
+        for c in ["user_id", "n_events", "n_return_trips"]}))
+
+
+def sql_user_return_trips(size_deg: float = _HOME_SIZE_DEG) -> str:
+    lat = "(((event_id * 7919) % 17000) / 100.0 - 85.0)"
+    lng = "(((event_id * 104729) % 36000) / 100.0 - 180.0)"
+    return (
+        "WITH c AS (SELECT user_id, event_id, ts, "
+        f"CAST(FLOOR({lat} / {size_deg!r}) AS BIGINT) AS x, "
+        f"CAST(FLOOR({lng} / {size_deg!r}) AS BIGINT) AS y "
+        "FROM events), "
+        "s AS (SELECT user_id, x, y, "
+        "LEAD(x, 1) OVER w AS x1, LEAD(y, 1) OVER w AS y1, "
+        "LEAD(x, 2) OVER w AS x2, LEAD(y, 2) OVER w AS y2 "
+        "FROM c WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id)) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CASE WHEN x2 = x AND y2 = y "
+        "AND NOT (x1 = x AND y1 = y) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_return_trips "
+        "FROM s GROUP BY 1 ORDER BY 1")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -17573,6 +17795,9 @@ def _authored_queries() -> Dict:
         "doc_simpson": q_doc_simpson,
         "events_dau_wau": q_events_dau_wau,
         "supplier_lead_time": q_supplier_lead_time,
+        "user_gyration": q_user_gyration,
+        "user_home_cell": q_user_home_cell,
+        "user_return_trips": q_user_return_trips,
     }
 
 
@@ -17777,6 +18002,9 @@ def oracle_sql() -> Dict[str, str]:
         "doc_simpson": sql_doc_simpson(),
         "events_dau_wau": sql_events_dau_wau(),
         "supplier_lead_time": sql_supplier_lead_time(),
+        "user_gyration": sql_user_gyration(),
+        "user_home_cell": sql_user_home_cell(),
+        "user_return_trips": sql_user_return_trips(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

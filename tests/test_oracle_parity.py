@@ -116,6 +116,7 @@ ORACLE_CHECKED = [
     "polygon_rasterize", "layout_st_scan",
     "user_interarrival", "part_vendor_share", "doc_simpson",
     "events_dau_wau", "supplier_lead_time",
+    "user_gyration", "user_home_cell", "user_return_trips",
 ]
 
 
