@@ -209,7 +209,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "user_interarrival", "part_vendor_share",
                  "doc_simpson", "events_dau_wau",
                  "supplier_lead_time", "user_gyration",
-                 "user_home_cell", "user_return_trips"]
+                 "user_home_cell", "user_return_trips",
+                 "type_cooccurrence"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

@@ -17448,6 +17448,82 @@ def sql_user_return_trips(size_deg: float = _HOME_SIZE_DEG) -> str:
         "FROM s GROUP BY 1 ORDER BY 1")
 
 
+def q_type_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence matrix: for every unordered type
+    pair, the number of (user, hour) contexts where BOTH types
+    occur — the market-basket signal over the type vocabulary
+    (bounded domain, so the pair space is tiny even at corpus
+    scale).  Per batch: distinct (context, type) pairs; one bucketed
+    dedup by context hash; per context a vectorized pair expansion
+    (type sets are vocabulary-bounded); final pair rollup is a
+    bounded driver merge."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.sample import _splitmix
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def _ctx(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        h = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // 3_600_000_000
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"ctx": u * 1_000_000 + (h % 1_000_000),
+                           "t": et}).drop_duplicates()
+        c = df["ctx"].to_numpy(np.uint64)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .append_column("__b", pa.array(
+                (_splitmix(c) % np.uint64(64)).astype(np.int32),
+                pa.int32()))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ctx", "t"]) \
+            .sort_values(["ctx", "t"], kind="mergesort")
+        ctx = g["ctx"].to_numpy(np.int64)
+        t = g["t"].to_numpy(object)
+        uniq, start = np.unique(ctx, return_index=True)
+        sizes = np.diff(np.append(start, len(ctx)))
+        from ..stages.dedup import segment_all_pairs
+        ii, jj = segment_all_pairs(sizes)
+        if not len(ii):
+            return pd.DataFrame({"type_a": np.array([], object),
+                                 "type_b": np.array([], object),
+                                 "n_contexts": np.zeros(0, np.int64)})
+        a, b = t[ii], t[jj]
+        out = pd.DataFrame({"type_a": np.minimum(a, b),
+                            "type_b": np.maximum(a, b)})
+        out = out.groupby(["type_a", "type_b"], sort=False) \
+            .size().reset_index(name="n_contexts")
+        out["n_contexts"] = out["n_contexts"].astype(np.int64)
+        return out
+
+    parts = (ev.map_batches(_ctx, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: _pairs(g.drop(columns=["__b"])),
+                         batch_format="pandas"))
+    fin = parts.to_pandas().groupby(["type_a", "type_b"])[
+        "n_contexts"].sum().reset_index() \
+        .sort_values(["type_a", "type_b"])
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array(fin["type_a"], pa.string()),
+        "type_b": pa.array(fin["type_b"], pa.string()),
+        "n_contexts": pa.array(
+            fin["n_contexts"].to_numpy(np.int64))}))
+
+
+def sql_type_cooccurrence() -> str:
+    return (
+        "WITH c AS (SELECT DISTINCT user_id * 1000000 + "
+        "((epoch_us(ts) // 3600000000) % 1000000) AS ctx, "
+        "event_type AS t FROM events) "
+        "SELECT LEAST(a.t, b.t) AS type_a, "
+        "GREATEST(a.t, b.t) AS type_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_contexts "
+        "FROM c a JOIN c b ON a.ctx = b.ctx AND a.t < b.t "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -17798,6 +17874,7 @@ def _authored_queries() -> Dict:
         "user_gyration": q_user_gyration,
         "user_home_cell": q_user_home_cell,
         "user_return_trips": q_user_return_trips,
+        "type_cooccurrence": q_type_cooccurrence,
     }
 
 
@@ -18005,6 +18082,7 @@ def oracle_sql() -> Dict[str, str]:
         "user_gyration": sql_user_gyration(),
         "user_home_cell": sql_user_home_cell(),
         "user_return_trips": sql_user_return_trips(),
+        "type_cooccurrence": sql_type_cooccurrence(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

@@ -117,6 +117,7 @@ ORACLE_CHECKED = [
     "user_interarrival", "part_vendor_share", "doc_simpson",
     "events_dau_wau", "supplier_lead_time",
     "user_gyration", "user_home_cell", "user_return_trips",
+    "type_cooccurrence",
 ]
 
 
