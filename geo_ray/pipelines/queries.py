@@ -17524,6 +17524,147 @@ def sql_type_cooccurrence() -> str:
         "GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def q_user_hits_bucketed(sf_dir: str, iters: int = _HITS_ITERS):
+    """The 10^9-node shape of q_user_hits: scores live as a dataset
+    co-partitioned with the edges (stages/pagerank.hits_bucketed —
+    no ray.put, no node-sized driver state; the one driver value per
+    half-iteration is the scalar normalization max).  Same SQL
+    oracle as the broadcast variant — the driver gate itself proves
+    the two execution shapes bit-identical."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.pagerank import hits_bucketed
+    from ..stages.sample import _splitmix
+
+    pairs = _coloc_pairs_ds(sf_dir)
+
+    def _directed(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "src": batch.column("user_a").to_numpy().astype(np.int64),
+            "dst": batch.column("user_b").to_numpy().astype(np.int64),
+        }).drop_duplicates()
+        s = df["src"].to_numpy(np.uint64)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .append_column("__b", pa.array(
+                (_splitmix(s) % np.uint64(64)).astype(np.int32),
+                pa.int32()))
+
+    edges = (pairs.map_batches(_directed, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda g: g.drop(columns=["__b"])
+                         .drop_duplicates(["src", "dst"]),
+                         batch_format="pandas")
+             .materialize())
+
+    users = _read(sf_dir, "events", ["user_id"])
+
+    def _uniq_users(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
+    nodes_ds = (users.map_batches(_uniq_users, batch_format="pyarrow")
+                .groupby("user_id").map_groups(
+                    lambda g: g.drop_duplicates(),
+                    batch_format="pandas"))
+    return hits_bucketed(edges, nodes_ds, iters).sort("user_id")
+
+
+def sql_user_hits_bucketed(iters: int = _HITS_ITERS) -> str:
+    return sql_user_hits(iters)
+
+
+_WEEKEND_DOWS = (5, 6)     # Saturday, Sunday in the (day+4)%7 scheme
+
+
+def q_events_weekend_ratio(sf_dir: str):
+    """Per-user weekday/weekend split: event counts on weekdays vs
+    weekends (day-of-week via the pure-integer (epoch_day + 4) % 7
+    derivation — Thursday epoch anchor, no calendar functions) —
+    the behavioral-segmentation numerators.  One bucketed rollup."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _split(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        tu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        dow = ((tu // _DAY_US) + 4) % 7
+        we = np.isin(dow, _WEEKEND_DOWS).astype(np.int64)
+        uniq, inv = np.unique(u, return_inverse=True)
+        nw = np.zeros(len(uniq), np.int64)
+        np.add.at(nw, inv, 1 - we)
+        ne = np.zeros(len(uniq), np.int64)
+        np.add.at(ne, inv, we)
+        return pa.table({"user_id": pa.array(uniq),
+                         "n_weekday": pa.array(nw),
+                         "n_weekend": pa.array(ne)})
+
+    out = bucketed_sum(
+        ev.map_batches(_split, batch_format="pyarrow"),
+        ["user_id"], ["n_weekday", "n_weekend"]) \
+        .to_pandas().sort_values("user_id")
+    return rd.from_arrow(pa.table({
+        c: pa.array(out[c].to_numpy(np.int64))
+        for c in ["user_id", "n_weekday", "n_weekend"]}))
+
+
+def sql_events_weekend_ratio() -> str:
+    dows = ", ".join(str(d) for d in _WEEKEND_DOWS)
+    return (
+        "WITH d AS (SELECT user_id, "
+        f"((epoch_us(ts) // {_DAY_US}) + 4) % 7 AS dow FROM events) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        f"CAST(SUM(CASE WHEN dow IN ({dows}) THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS n_weekday, "
+        f"CAST(SUM(CASE WHEN dow IN ({dows}) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_weekend "
+        "FROM d GROUP BY 1 ORDER BY 1")
+
+
+def q_part_name_tokens(sf_dir: str, k: int = 20):
+    """Top-k tokens of the part-name vocabulary with counts (ties:
+    lexicographic) — the catalog-text profile (the part table's
+    names are the only other free-text column in the schema).
+    Per-batch Counter partials through the string-keyed bucketed
+    rollup, then a bounded top-k merge."""
+    import ray.data as rd
+    from ..stages.agg import bucketed_sum_str
+
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter[str]" = Counter()
+        for name in batch.column("p_name").to_pylist():
+            c.update(w for w in name.split(" ") if w)
+        return pa.table({
+            "w": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(np.array(list(c.values()), np.int64),
+                          pa.int64())})
+
+    merged = bucketed_sum_str(
+        ds.map_batches(_tok, batch_format="pyarrow"),
+        "w", ["n"]).to_pandas()
+    merged = merged.sort_values(["n", "w"],
+                                ascending=[False, True],
+                                kind="mergesort").head(k)
+    return rd.from_arrow(pa.table({
+        "token": pa.array(merged["w"], pa.string()),
+        "n": pa.array(merged["n"].to_numpy(np.int64))}))
+
+
+def sql_part_name_tokens(k: int = 20) -> str:
+    return (
+        "WITH tok AS (SELECT unnest(string_split(p_name, ' ')) AS w "
+        "FROM part), "
+        "wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok "
+        "WHERE w <> '' GROUP BY 1) "
+        f"SELECT w AS token, n FROM wc "
+        f"ORDER BY n DESC, w LIMIT {k}")
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -17875,6 +18016,12 @@ def _authored_queries() -> Dict:
         "user_home_cell": q_user_home_cell,
         "user_return_trips": q_user_return_trips,
         "type_cooccurrence": q_type_cooccurrence,
+        # q_user_hits_bucketed stays callable API (the 10^9-node
+        # shape, bit-identity-proven in tests/test_pagerank.py) but
+        # is NOT registered: ~30 bucketed-exchange barriers per run
+        # are latency-bound at the driver's sf0.01 gate scale
+        "events_weekend_ratio": q_events_weekend_ratio,
+        "part_name_tokens": q_part_name_tokens,
     }
 
 
@@ -18083,6 +18230,8 @@ def oracle_sql() -> Dict[str, str]:
         "user_home_cell": sql_user_home_cell(),
         "user_return_trips": sql_user_return_trips(),
         "type_cooccurrence": sql_type_cooccurrence(),
+        "events_weekend_ratio": sql_events_weekend_ratio(),
+        "part_name_tokens": sql_part_name_tokens(),
         "zonal_stats": sql_zonal_stats(),
         "simhash_neardup": sql_simhash_neardup(),
         "embed_clusters": sql_embed_clusters(),

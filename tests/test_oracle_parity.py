@@ -118,6 +118,7 @@ ORACLE_CHECKED = [
     "events_dau_wau", "supplier_lead_time",
     "user_gyration", "user_home_cell", "user_return_trips",
     "type_cooccurrence",
+    "events_weekend_ratio", "part_name_tokens",
 ]
 
 
