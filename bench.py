@@ -211,7 +211,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "supplier_lead_time", "user_gyration",
                  "user_home_cell", "user_return_trips",
                  "type_cooccurrence", "events_weekend_ratio",
-                 "part_name_tokens"]
+                 "part_name_tokens", "traj_frechet"]
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a

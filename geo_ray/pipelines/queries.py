@@ -17665,6 +17665,155 @@ def sql_part_name_tokens(k: int = 20) -> str:
         f"ORDER BY n DESC, w LIMIT {k}")
 
 
+def q_traj_frechet(sf_dir: str):
+    """Discrete Fréchet distance (the coupled-walk track similarity
+    — the 'dog leash' metric; completes the DTW / Hausdorff /
+    Fréchet trajectory-similarity triple) between every CO-LOCATED
+    user pair's time-ordered tracks, in the exact centi-degree L1
+    integer metric: F(i,j) = max(d(i,j), min(F(i-1,j), F(i,j-1),
+    F(i-1,j-1))) over int64 distances, so the result is
+    deterministic to the bit (brute-oracle-verified in
+    tests/test_trajectory_frechet.py; the DP recursion is not
+    SQL-expressible, so this entry carries no SQL oracle by
+    design).  Scale shape mirrors traj_hausdorff: candidate pairs
+    come from the exactly-once colocation join, ordered tracks
+    replicate only per candidate pair, and each pair's O(n x m) DP
+    runs inside its pair-hash bucket (n, m bounded by per-user
+    track length)."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.bucket_join import bucketed_join
+    from ..stages.sample import _splitmix
+
+    coloc = _coloc_pairs_ds(sf_dir)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    nb = 64
+
+    def _pk_rows(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.uint64)
+        ub = batch.column("user_b").to_numpy().astype(np.uint64)
+        lo = np.minimum(ua, ub)
+        hi = np.maximum(ua, ub)
+        pk = np.unique((lo << np.uint64(32)) | hi)
+        return pa.table({
+            "pk": pa.array(pk.view(np.int64), pa.int64()),
+            "__b": pa.array((_splitmix(pk) % np.uint64(nb))
+                            .astype(np.int32), pa.int32())})
+
+    pairs = coloc.map_batches(_pk_rows, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: pd.DataFrame(
+            {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
+            batch_format="pandas")
+
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().astype(np.uint64)
+        u = (pk >> np.uint64(32)).astype(np.int64)
+        v = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        n = len(pk)
+        return pa.table({
+            "key": pa.array(np.concatenate([u, v]), pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]).view(np.int64),
+                           pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                pa.int8()),
+            "tsu": pa.nulls(2 * n, pa.int64()),
+            "eid": pa.nulls(2 * n, pa.int64()),
+            "clat": pa.nulls(2 * n, pa.int64()),
+            "clng": pa.nulls(2 * n, pa.int64()),
+        })
+
+    def _point_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        clat = (k * 7919) % 17000 - 8500
+        clng = (k * 104729) % 36000 - 18000
+        m = len(k)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "pk": pa.nulls(m, pa.int64()),
+            "side": pa.nulls(m, pa.int8()),
+            "tsu": pa.array(tsu, pa.int64()),
+            "eid": pa.array(k, pa.int64()),
+            "clat": pa.array(clat, pa.int64()),
+            "clng": pa.array(clng, pa.int64()),
+        })
+
+    def _replicate(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["pk"].isna()]
+        prs = g[g["pk"].notna()]
+        out = prs[["key", "pk", "side"]].merge(
+            pts[["key", "tsu", "eid", "clat", "clng"]], on="key")
+        return pd.DataFrame({
+            "pk": out["pk"].to_numpy(np.float64).astype(np.int64),
+            "side": out["side"].to_numpy(np.float64).astype(np.int8),
+            "tsu": out["tsu"].to_numpy(np.int64),
+            "eid": out["eid"].to_numpy(np.int64),
+            "clat": out["clat"].to_numpy(np.int64),
+            "clng": out["clng"].to_numpy(np.int64)})
+
+    rep = bucketed_join(
+        [pairs.map_batches(_pair_rows, batch_format="pyarrow"),
+         ev.map_batches(_point_rows, batch_format="pyarrow")],
+        "key", _replicate, num_buckets=nb)
+
+    def _tag_pk(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().astype(np.uint64)
+        return batch.append_column("__b", pa.array(
+            (_splitmix(pk) % np.uint64(nb)).astype(np.int32),
+            pa.int32()))
+
+    def _frechet(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "side", "tsu", "eid"],
+                          kind="mergesort")
+        pk = g["pk"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        clat = g["clat"].to_numpy(np.int64)
+        clng = g["clng"].to_numpy(np.int64)
+        out_pk, out_d = [], []
+        starts = np.flatnonzero(np.concatenate(
+            ([True], pk[1:] != pk[:-1])))
+        ends = np.append(starts[1:], len(pk))
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            cut = s + int(np.searchsorted(sd, 1))
+            la0, lo0 = clat[s:cut], clng[s:cut]
+            la1, lo1 = clat[cut:e], clng[cut:e]
+            if not len(la0) or not len(la1):
+                continue
+            d = np.abs(la0[:, None] - la1[None, :]) \
+                + np.abs(lo0[:, None] - lo1[None, :])
+            F = np.empty_like(d)
+            F[0] = np.maximum.accumulate(d[0])
+            for i in range(1, len(la0)):
+                F[i, 0] = max(int(d[i, 0]), int(F[i - 1, 0]))
+                prev = np.minimum(F[i - 1, 1:], F[i - 1, :-1])
+                row = F[i]
+                for j in range(1, d.shape[1]):
+                    row[j] = max(int(d[i, j]),
+                                 min(int(prev[j - 1]),
+                                     int(row[j - 1])))
+            out_pk.append(int(pk[s]))
+            out_d.append(int(F[-1, -1]))
+        upk = np.array(out_pk, np.int64).view(np.uint64)
+        return pd.DataFrame({
+            "user_a": (upk >> np.uint64(32)).astype(np.int64),
+            "user_b": (upk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "frechet_l1": np.array(out_d, np.int64)})
+
+    out = (rep.map_batches(_tag_pk, batch_format="pyarrow")
+           .groupby("__b")
+           .map_groups(lambda g: _frechet(g.drop(columns=["__b"])),
+                       batch_format="pandas")
+           .to_pandas().sort_values(["user_a", "user_b"]))
+    return rd.from_arrow(pa.table({
+        c: pa.array(out[c].to_numpy(np.int64))
+        for c in ["user_a", "user_b", "frechet_l1"]}))
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -18022,6 +18171,7 @@ def _authored_queries() -> Dict:
         # are latency-bound at the driver's sf0.01 gate scale
         "events_weekend_ratio": q_events_weekend_ratio,
         "part_name_tokens": q_part_name_tokens,
+        "traj_frechet": q_traj_frechet,
     }
 
 
