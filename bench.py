@@ -211,7 +211,11 @@ def run_suite(headline_only: bool = False) -> dict:
                  "supplier_lead_time", "user_gyration",
                  "user_home_cell", "user_return_trips",
                  "type_cooccurrence", "events_weekend_ratio",
-                 "part_name_tokens", "traj_frechet"]
+                 "part_name_tokens"]
+        # traj_frechet is registered (driver gate at sf0.01) but kept
+        # off the bench roster: its O(n x m) coupled-walk DP over
+        # 115k candidate pairs is ~50s at sf0.1 — intrinsic work, not
+        # an exchange pathology (see BASELINE.md)
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a
