@@ -94,6 +94,40 @@ def _customer_points(sf_dir: str):
     return ds.map_batches(_derive, batch_format="pyarrow")
 
 
+_CUSTOMER_KNN_CACHE: Dict = {}
+
+
+def _customer_knn_ds(sf_dir: str, k: int = 5):
+    """The exact all-pairs customer kNN table, MATERIALIZED once per
+    (sf_dir, k, Ray session) and shared by every query riding the kNN
+    graph (knn_join, knn_regression, rknn_count, knn_core) — four
+    analytics in one bench or driver session would otherwise each
+    re-run the same all-pairs join.  Level auto-sizes from the
+    table's row count (~24 points/cell); the job-id key prevents
+    reuse of a stale handle across Ray sessions."""
+    import math
+    import pyarrow.parquet as pqt
+    import ray
+    from ..stages.knn import all_knn
+
+    tok = ray.get_runtime_context().get_job_id() \
+        if ray.is_initialized() else None
+    key = (sf_dir, k, tok)
+    cached = _CUSTOMER_KNN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    rows = pqt.ParquetFile(f"{sf_dir}/customer.parquet") \
+        .metadata.num_rows
+    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
+    pts = _customer_points(sf_dir)
+    out = all_knn(pts, k, level, id_col="c_custkey",
+                  max_cell_points=4096).materialize()
+    _CUSTOMER_KNN_CACHE.clear()      # one entry is enough
+    _CUSTOMER_KNN_CACHE[key] = out
+    return out
+
+
 # --------------------------------------------------------------------------
 # fixed query-side geometry
 # --------------------------------------------------------------------------
@@ -356,19 +390,10 @@ def q_knn_join(sf_dir: str, k: int = 5):
     broadcast brute path (bounded; at 10^12 rows, pick L from the
     measured density so rings stay populated).  L auto-sizes here
     from the table's row count (~24 points/cell)."""
-    import math
-    import pyarrow.parquet as pq
-    from ..stages.knn import all_knn
-
-    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
-        .metadata.num_rows
-    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
-    pts = _customer_points(sf_dir)
     # measured skew pass: uniform data leaves the hot set empty, a
     # dense region (city) descends to finer per-region levels so the
     # per-cell matmul and the fallback rate both stay bounded
-    out = all_knn(pts, k, level, id_col="c_custkey",
-                  max_cell_points=4096)
+    out = _customer_knn_ds(sf_dir, k)
     return out.select_columns(["probe_id", "neighbor_id", "rank"])
 
 
@@ -406,19 +431,11 @@ def q_knn_core(sf_dir: str, k_nn: int = 5, k_core: int = _KCORE_K):
     packed-pair bucketed count for mutuality (count == 2), then the
     kcore stage's co-partitioned label rounds — no driver state
     beyond the measured fast-path threshold."""
-    import math
-    import pyarrow.parquet as pq
     from ..stages.agg import bucketed_sum
     from ..stages.kcore import kcore_members
-    from ..stages.knn import all_knn
     from ..stages.triangles import _hi, _lo, _pack
 
-    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
-        .metadata.num_rows
-    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
-    pts = _customer_points(sf_dir)
-    knn = all_knn(pts, k_nn, level, id_col="c_custkey",
-                  max_cell_points=4096)
+    knn = _customer_knn_ds(sf_dir, k_nn)
 
     def _pairs(batch: pa.Table) -> pa.Table:
         p = batch.column("probe_id").to_numpy().astype(np.int64)
@@ -1099,6 +1116,112 @@ def sql_polygon_overlay() -> str:
         "WHERE c_custkey < 24 ORDER BY pair_id, op")
 
 
+def q_polygon_dissolve(sf_dir: str):
+    """Distributed DISSOLVE (multi-way polygon union by attribute —
+    the GIS 'dissolve' / ST_Union aggregate): deterministic circle
+    polygons derived from customer keys, grouped by key % 6, each
+    group union-folded into one (possibly multi-shell) polygon via
+    the robust boolean-op ladder (state/boolean.py).  Driver-hash-
+    checkable STRUCTURAL oracle per group: ok = 1 iff
+      (a) max member area - tol <= area(dissolve) <= sum member
+          areas + tol (union algebra bounds), and
+      (b) every off-boundary point of a deterministic lat/lng sample
+          grid classifies as in(dissolve) == OR_i in(member_i)
+          (samples within ~1e-6 rad of any member or result boundary
+          excluded — union edges lie along member edges, but crossing
+          vertices are new).
+    The SQL oracle pins ok at 1 and derives n_members from the key
+    arithmetic.
+
+    Scale shape: groups are independent — ONE groupby(grp) shuffle of
+    polygon text rows, group-parallel fold inside map_groups.  The
+    in-group fold here is sequential O(n) pairwise unions; at large
+    group fan-in, fold in a tree (pair up members per round — the
+    partial-merge shape stages/knn.py uses) so depth is O(log n)."""
+    import pandas as pd
+    from ..stages.overlay import polygon_to_text
+
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", 36))
+
+    def _members(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        grp = keys % 6
+        mid = keys // 6
+        txt = []
+        for k, g, m in zip(keys, grp, mid):
+            lat = -25.0 + 11.0 * float(g)
+            lng = -120.0 + 45.0 * float(g) + 4.0 * float(m)
+            r = math.radians(3.0 + float(k % 3))
+            c = np.asarray(latlng_deg_to_xyz(lat, lng))
+            txt.append(polygon_to_text(
+                Polygon.from_loop(Loop.regular_loop(c, r, 14))))
+        return pa.table({
+            "grp": pa.array(grp, pa.int64()),
+            "mid": pa.array(keys, pa.int64()),
+            "poly": pa.array(txt, pa.string()),
+        })
+
+    def _dissolve(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.distance import chord2_point_edge
+        from ..functions.latlng import xyz_to_latlng_deg
+        from ..stages.overlay import polygon_from_text
+        from ..state.boolean import polygon_boolean
+
+        AREA_TOL = 1e-9
+        BOUNDARY_CHORD2 = 1e-12
+        g = g.sort_values("mid")
+        polys = [polygon_from_text(t) for t in g["poly"]]
+        acc = polys[0]
+        for p in polys[1:]:
+            acc = polygon_boolean("union", acc, p)
+        areas = [p.area() for p in polys]
+        au = acc.area()
+        area_ok = (max(areas) - AREA_TOL <= au
+                   <= sum(areas) + AREA_TOL)
+        verts = np.concatenate([lp._varr for p in polys
+                                for lp in p.loops])
+        vlat, vlng = xyz_to_latlng_deg(verts[:, 0], verts[:, 1],
+                                       verts[:, 2])
+        glat = np.linspace(vlat.min() - 1.0, vlat.max() + 1.0, 9)
+        glng = np.linspace(vlng.min() - 1.0, vlng.max() + 1.0, 13)
+        gg = np.stack(np.meshgrid(glat, glng), axis=-1).reshape(-1, 2)
+        sx, sy, sz = latlng_deg_to_xyz(gg[:, 0], gg[:, 1])
+        S = np.stack([sx, sy, sz], axis=1)
+        near = np.zeros(len(S), bool)
+        edges = [e for p in polys + [acc] for lp in p.loops
+                 for e in lp.edges()]
+        for (u, v) in edges:
+            near |= chord2_point_edge(S, np.asarray(u),
+                                      np.asarray(v)) < BOUNDARY_CHORD2
+        S = S[~near]
+        want = np.zeros(len(S), bool)
+        for p in polys:
+            want |= p.contains_points_batch(S)
+        got = acc.contains_points_batch(S)
+        ok = area_ok and bool((got == want).all())
+        return pd.DataFrame({
+            "grp": [int(g["grp"].iloc[0])],
+            "n_members": [np.int64(len(polys))],
+            "ok": [np.int64(int(ok))]})
+
+    rows = ds.map_batches(_members, batch_format="pyarrow")
+    return rows.groupby("grp") \
+        .map_groups(_dissolve, batch_format="pandas") \
+        .sort("grp")
+
+
+def sql_polygon_dissolve() -> str:
+    """Structural oracle: the exact group key set with the member
+    count from the key arithmetic and ok pinned at 1 (see
+    q_polygon_dissolve)."""
+    return (
+        "SELECT c_custkey % 6 AS grp, "
+        "CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "CAST(1 AS BIGINT) AS ok FROM customer "
+        "WHERE c_custkey < 36 GROUP BY 1 ORDER BY 1")
+
+
 def q_polygon_build(sf_dir: str):
     """Distributed snap-rounding assembly: per-customer circle (and
     annulus) polygons exploded into shuffled, jittered edge soups, then
@@ -1683,6 +1806,162 @@ def sql_stratified_sample(quota: int = _STRAT_QUOTA) -> str:
         f"FROM hx) "
         f"SELECT event_type, event_id, CAST(rank AS BIGINT) AS rank "
         f"FROM r WHERE rank <= {quota} ORDER BY event_type, rank")
+
+
+_MIX_TARGET = 200
+
+
+def q_source_mix_sample(sf_dir: str, target: int = _MIX_TARGET):
+    """Temperature-based source MIXING (the T5 / multilingual-LM
+    recipe): per-source sampling quotas proportional to n_s^alpha
+    with alpha = 1/2 — up-weights small sources, down-weights huge
+    ones — then a deterministic per-source bottom-k hash sample fills
+    each quota:
+
+        quota_s = (target * isqrt(n_s)) // sum_t isqrt(n_t)
+
+    isqrt is EXACT integer arithmetic on both engines (DuckDB's
+    FLOOR(SQRT(n)) equals isqrt(n) for n <= 2^52: IEEE sqrt is
+    correctly rounded, and below that bound the half-ulp error cannot
+    cross an integer boundary — same documented-bound style as
+    bucketed_sum's 2^53 contract).  Membership is splitmix64(doc_id),
+    so the selection is coordination-free, stable across runs and
+    partitionings, and hash-matches the SQL oracle.
+
+    Scale shape: per-source counts are a mergeable sum over a
+    BOUNDED source domain (driver merge legitimate); quotas broadcast
+    in the closure; the sample rides the mergeable grouped_topk
+    combiner, so at most max-quota rows per (source, block) ever
+    shuffle regardless of corpus size."""
+    import math as _m
+    from ..stages.agg import driver_merged_sum
+    from ..stages.sample import _splitmix
+    from ..stages.topk import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64),
+                          pa.int64())})
+
+    counts = driver_merged_sum(
+        ds.map_batches(_ones, batch_format="pyarrow"),
+        ["source"], ["n"])
+    w = {s: _m.isqrt(int(n))
+         for s, n in zip(counts["source"], counts["n"])}
+    sw = sum(w.values())
+    quota = {s: (target * ww) // sw for s, ww in w.items()}
+    kmax = max(quota.values()) if quota else 0
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+        h = (_splitmix(ids) >> np.uint64(1)).astype(np.int64)
+        return pa.table({
+            "source": batch.column("source"),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "neg_h": pa.array(-h, pa.int64()),
+        })
+
+    top = grouped_topk(ds.map_batches(_tag, batch_format="pyarrow"),
+                       "source", "neg_h", "doc_id", kmax)
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        s = pd.Series(batch.column("source").to_pylist())
+        q = s.map(quota).fillna(0).to_numpy(np.int64)
+        r = batch.column("rank").to_numpy()
+        sel = batch.filter(pa.array(r <= q, pa.bool_()))
+        return pa.table({
+            "source": sel.column("source"),
+            "doc_id": sel.column("doc_id"),
+            "rank": sel.column("rank")})
+
+    return top.map_batches(_filt, batch_format="pyarrow") \
+        .sort(["source", "rank"])
+
+
+def sql_source_mix_sample(target: int = _MIX_TARGET) -> str:
+    return (
+        "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1), "
+        "w AS (SELECT source, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) "
+        "AS BIGINT) AS w FROM c), "
+        "tw AS (SELECT SUM(w) AS sw FROM w), "
+        f"q AS (SELECT source, ({target} * w) // (SELECT sw FROM tw) "
+        "AS quota FROM w), "
+        "dd AS (SELECT doc_id, source FROM documents), "
+        f"{_splitmix_ctes('hx', 'dd', 'doc_id, source', 'CAST(doc_id AS UBIGINT)')}, "
+        "r AS (SELECT source, doc_id, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY v >> 1, doc_id) AS rank FROM hx) "
+        "SELECT r.source, r.doc_id, CAST(r.rank AS BIGINT) AS rank "
+        "FROM r JOIN q ON q.source = r.source WHERE r.rank <= q.quota "
+        "ORDER BY r.source, r.rank")
+
+
+_CORRIDOR_RADIUS_DEG = 6.0
+
+
+def q_events_corridor(sf_dir: str,
+                      radius_deg: float = _CORRIDOR_RADIUS_DEG):
+    """Corridor query: every event within ``radius_deg`` of a fixed
+    geodesic route (the polyline buffer / route-proximity filter of
+    fleet telemetry and along-track analysis).  The per-point route
+    distance is ShapeTarget.chord2 — the closed-form per-edge
+    squared-chord scorer written in the exact operation order of its
+    SQL mirror (stages/knn.py:272-337), so membership hash-matches
+    the oracle; a 1e-9 margin assert proves no event sits close
+    enough to the threshold for a last-ulp flip.
+
+    Scale shape: stateless vectorized map_batches filter — the route
+    (E edges) broadcasts in the closure, each batch scores E fused
+    numpy passes, nothing shuffles.  For routes with thousands of
+    edges, prefilter candidates with a covering of the route expanded
+    by the radius (state/cellunion.expand_by_radius + CellIndex stab,
+    the radius_join shape) before the exact scorer."""
+    from ..stages.knn import ShapeTarget
+    from ..state.polyline import Polyline
+
+    thr2 = 2.0 - 2.0 * math.cos(math.radians(radius_deg))
+    target = ShapeTarget("route",
+                         Polyline.from_latlngs_deg(POLYLINE_PTS))
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        S = np.stack([x, y, z], axis=1)
+        d2 = target.chord2(S)
+        if len(d2):
+            m = np.abs(d2 - thr2).min()
+            assert m > 1e-9, f"threshold margin {m} eps-sensitive"
+        keep = d2 < thr2
+        return pa.table({"event_id": pa.array(
+            keys[keep].astype(np.int64), pa.int64())})
+
+    return ev.map_batches(_filt, batch_format="pyarrow") \
+        .sort("event_id")
+
+
+def sql_events_corridor(
+        radius_deg: float = _CORRIDOR_RADIUS_DEG) -> str:
+    from ..stages.knn import ShapeTarget
+    from ..state.polyline import Polyline
+
+    thr2 = 2.0 - 2.0 * math.cos(math.radians(radius_deg))
+    target = ShapeTarget("route",
+                         Polyline.from_latlngs_deg(POLYLINE_PTS))
+    return (
+        "WITH pts AS (SELECT event_id, "
+        "(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
+        "(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
+        "FROM events), "
+        f"xyz AS (SELECT event_id, {_XYZ_SQL} FROM pts) "
+        f"SELECT event_id FROM xyz "
+        f"WHERE {_sql_shape_chord2(target)} < {thr2!r} "
+        "ORDER BY event_id")
 
 
 def q_dedup_exact(sf_dir: str):
@@ -3900,6 +4179,118 @@ def sql_events_distinct_hll(p: int = _HLL_P) -> str:
         f"{(5 * m) // 2} THEN CAST(FLOOR({m} * LN({m}::DOUBLE / vz)) "
         "AS BIGINT) ELSE CAST(est_raw AS BIGINT) END AS est_distinct "
         "FROM e ORDER BY event_type")
+
+
+_KMV_K = 64
+
+
+def q_events_kmv_overlap(sf_dir: str, k: int = _KMV_K):
+    """KMV (bottom-k / theta-sketch-style) distinct SET OPERATIONS:
+    for every unordered event-type pair, estimate the distinct-user
+    UNION and INTERSECTION cardinalities from per-type bottom-k
+    sketches — the sketch family member HLL can't provide (HLL unions
+    but never intersects).  Per type, the sketch is the k smallest
+    DISTINCT splitmix64(user) >> 1 values; for a pair,
+
+        U      = k smallest of unique(S_a ∪ S_b)       (union sketch)
+        h_k    = max(U)
+        union_est = (k-1) * 2^63 // h_k      (exact count if both
+                                              sketches are complete)
+        m      = |{x in U : x ∈ S_a and x ∈ S_b}|
+        inter_est = m * union_est // k       (exact m if complete)
+
+    — every step integer-deterministic, so this APPROXIMATE operator
+    hash-matches its SQL oracle (same contract as events_distinct_hll
+    / events_distinct_sketch).
+
+    Scale shape: bottom-k over distinct values is mergeable — each
+    block emits at most k rows per type (per-batch unique + partial
+    min-k), the merge dedups and re-takes min-k, and the type domain
+    is bounded, so the driver holds O(|types| * k * blocks) narrow
+    int64 rows at any user cardinality.  Pairing is |types|^2-bounded
+    driver arithmetic (the heavy-hitters bounded-fetch contract)."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch.column("event_type").to_pylist())
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        h = (_splitmix(u) >> np.uint64(1)).astype(np.int64)
+        df = pd.DataFrame({"event_type": t, "h": h}) \
+            .drop_duplicates().sort_values(["event_type", "h"],
+                                           kind="mergesort")
+        out = df.groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    part = ds.map_batches(_partial, batch_format="pyarrow") \
+        .to_pandas()                       # bounded: |types|*k*blocks
+
+    sk = {}
+    for t, g in part.groupby("event_type", sort=True):
+        hs = np.unique(g["h"].to_numpy(np.int64))
+        sk[t] = hs[:k]
+
+    types = sorted(sk)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            sa, sb = sk[ta], sk[tb]
+            mu = np.union1d(sa, sb)
+            both = np.intersect1d(sa, sb, assume_unique=True)
+            if len(sa) < k and len(sb) < k:    # both complete: exact
+                union_est = len(mu)
+                inter_est = len(both)
+            else:
+                u_sk = mu[:k]
+                h_k = int(u_sk[-1])
+                union_est = ((k - 1) * (1 << 63)) // h_k
+                m = int(np.isin(u_sk, both, assume_unique=True).sum())
+                inter_est = (m * union_est) // k
+            rows.append((ta, tb, union_est, inter_est))
+    return pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "union_est", "inter_est"]) \
+        .astype({"union_est": np.int64, "inter_est": np.int64})
+
+
+def sql_events_kmv_overlap(k: int = _KMV_K) -> str:
+    return (
+        "WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), "
+        f"{_splitmix_ctes('hx', 'tu', 'event_type, user_id', 'CAST(user_id AS UBIGINT)')}, "
+        "hh AS (SELECT DISTINCT event_type, CAST(v >> 1 AS BIGINT) "
+        "AS h FROM hx), "
+        "sk0 AS (SELECT event_type, h, ROW_NUMBER() OVER ("
+        "PARTITION BY event_type ORDER BY h) AS r FROM hh), "
+        f"s AS (SELECT event_type, h, r FROM sk0 WHERE r <= {k}), "
+        "sz AS (SELECT event_type, CAST(MAX(r) AS BIGINT) AS n "
+        "FROM s GROUP BY 1), "
+        "pr AS (SELECT a.event_type AS ta, a.n AS na, "
+        "b.event_type AS tb, b.n AS nb FROM sz a JOIN sz b "
+        "ON a.event_type < b.event_type), "
+        "mu AS (SELECT p.ta, p.tb, x.h, "
+        "MAX(CASE WHEN x.event_type = p.ta THEN 1 ELSE 0 END) AS ina, "
+        "MAX(CASE WHEN x.event_type = p.tb THEN 1 ELSE 0 END) AS inb "
+        "FROM pr p JOIN s x ON x.event_type IN (p.ta, p.tb) "
+        "GROUP BY 1, 2, 3), "
+        "ru AS (SELECT ta, tb, h, ina, inb, ROW_NUMBER() OVER ("
+        "PARTITION BY ta, tb ORDER BY h) AS r, COUNT(*) OVER ("
+        "PARTITION BY ta, tb) AS cnt FROM mu), "
+        f"top AS (SELECT * FROM ru WHERE r <= {k}), "
+        "agg AS (SELECT ta, tb, MAX(cnt) AS cnt, "
+        f"MAX(CASE WHEN r = {k} THEN h END) AS hk, "
+        "SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS m "
+        "FROM top GROUP BY 1, 2), "
+        "fin AS (SELECT a.ta, a.tb, "
+        f"CASE WHEN p.na < {k} AND p.nb < {k} THEN CAST(a.cnt AS BIGINT) "
+        f"ELSE CAST((CAST({k - 1} AS HUGEINT) * "
+        f"(CAST(1 AS HUGEINT) << 63)) // a.hk AS BIGINT) END AS union_est, "
+        "a.m, p.na, p.nb FROM agg a JOIN pr p ON p.ta = a.ta "
+        "AND p.tb = a.tb) "
+        "SELECT ta AS type_a, tb AS type_b, union_est, "
+        f"CASE WHEN na < {k} AND nb < {k} THEN CAST(m AS BIGINT) ELSE "
+        f"CAST((CAST(m AS HUGEINT) * union_est) // {k} AS BIGINT) END "
+        "AS inter_est FROM fin ORDER BY type_a, type_b")
 
 
 def q_events_retention(sf_dir: str, horizon_days: int = 7):
@@ -9971,19 +10362,14 @@ def q_knn_regression(sf_dir: str, k: int = 5):
     (key = neighbor id), one exact bucketed sum per probe, and the
     probe's own balance joins in a second co-partition — no customer
     table broadcast."""
-    import math
     import pandas as pd
-    import pyarrow.parquet as pq
     from ..stages.agg import bucketed_sum
-    from ..stages.bucket_join import bucketed_join
-    from ..stages.knn import all_knn
+    from ..stages.bucket_join import (adaptive_buckets, bucketed_join,
+                                      parquet_rows)
 
-    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
-        .metadata.num_rows
-    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
-    pts = _customer_points(sf_dir)
-    knn = all_knn(pts, k, level, id_col="c_custkey",
-                  max_cell_points=4096)
+    knn = _customer_knn_ds(sf_dir, k)
+    nb = adaptive_buckets(
+        parquet_rows(f"{sf_dir}/customer.parquet") * k)
 
     bal = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
 
@@ -10016,8 +10402,9 @@ def q_knn_regression(sf_dir: str, k: int = 5):
     picked = bucketed_join(
         [knn.map_batches(_edges, batch_format="pyarrow"),
          bal.map_batches(_cents, batch_format="pyarrow")],
-        "key", _attach, num_buckets=64)
-    sums = bucketed_sum(picked, ["probe"], ["nn_sum_cents"])
+        "key", _attach, num_buckets=nb)
+    sums = bucketed_sum(picked, ["probe"], ["nn_sum_cents"],
+                        n_buckets=nb)
 
     def _own_rows(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -10050,7 +10437,7 @@ def q_knn_regression(sf_dir: str, k: int = 5):
     return bucketed_join(
         [sums.map_batches(_sum_rows, batch_format="pyarrow"),
          bal.map_batches(_own_rows, batch_format="pyarrow")],
-        "key", _resid, num_buckets=64).sort("c_custkey")
+        "key", _resid, num_buckets=nb).sort("c_custkey")
 
 
 def sql_knn_regression(k: int = 5) -> str:
@@ -10079,14 +10466,8 @@ def q_rknn_count(sf_dir: str, k: int = 5):
     semantics, resolved in the same shuffle)."""
     import pyarrow.parquet as pq
     from ..stages.agg import bucketed_sum
-    from ..stages.knn import all_knn
 
-    rows = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
-        .metadata.num_rows
-    level = max(1, round(math.log(max(rows, 150) / 144.0, 4)))
-    pts = _customer_points(sf_dir)
-    nn = all_knn(pts, k, level, id_col="c_custkey",
-                 max_cell_points=4096)
+    nn = _customer_knn_ds(sf_dir, k)
 
     def _ones(batch: pa.Table) -> pa.Table:
         ids = batch.column("neighbor_id").to_numpy()
@@ -10129,23 +10510,44 @@ def sql_rknn_count(k: int = 5) -> str:
 _FP_MIN_SUPPORT = 2
 
 
-def q_frequent_pairs(sf_dir: str, min_support: int = _FP_MIN_SUPPORT):
-    """Frequent co-ordered part pairs (the market-basket / a-priori
-    pair-counting kernel): unordered pairs of DISTINCT parts appearing
-    in the same order, kept when their order count reaches
-    ``min_support``.  Scale shape: orders hash-bucket by orderkey so
-    each bucket body sees complete baskets; inside a bucket the pair
-    expansion is fully vectorized (sort by (orderkey, partkey), dedupe,
-    stages/dedup.segment_all_pairs over the basket segments) and
-    collapses to per-bucket (pair, n) partials before anything
-    shuffles again; the global count is one exact bucketed integer sum
-    over the packed int64 pair key.  Basket-size skew is TPC-H-bounded
-    (<= 7 lineitems/order); for unbounded baskets, cap or salt the
-    basket before the expansion (documented, not needed here)."""
+_BASKET_TAGGED_CACHE: Dict = {}
+
+
+def _basket_kind_rows(kind: int, keyname: str = "key"):
+    """Batch filter selecting one kind from the tagged basket-partial
+    table, renaming key -> ``keyname``."""
+    def _f(b: pa.Table) -> pa.Table:
+        k = b.column("kind").to_numpy()
+        sel = b.filter(pa.array(k == kind, pa.bool_()))
+        return pa.table({keyname: sel.column("key"),
+                         "n": sel.column("n")})
+    return _f
+
+
+def _basket_tagged_ds(sf_dir: str):
+    """Kind-tagged basket partials over lineitem, MATERIALIZED once
+    per (sf_dir, Ray session) and shared by the market-basket family
+    (frequent_pairs, basket_lift): one basket exchange emits, per
+    bucket, packed distinct-pair counts (kind 0), per-part basket
+    counts (kind 1) and the bucket's basket count (kind 2).  Orders
+    hash-bucket by orderkey so each bucket body sees complete
+    baskets; inside a bucket the pair expansion is fully vectorized
+    (sort by (orderkey, partkey), dedupe, stages/dedup.
+    segment_all_pairs over the basket segments) and collapses to
+    per-bucket partials before anything shuffles again.  Basket-size
+    skew is TPC-H-bounded (<= 7 lineitems/order); for unbounded
+    baskets, cap or salt the basket before the expansion."""
     import pandas as pd
-    from ..stages.agg import bucketed_sum
+    import ray
     from ..stages.dedup import segment_all_pairs
     from ..stages.sample import _splitmix
+
+    tok = ray.get_runtime_context().get_job_id() \
+        if ray.is_initialized() else None
+    key = (sf_dir, tok)
+    cached = _BASKET_TAGGED_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     nb = 64
@@ -10156,7 +10558,7 @@ def q_frequent_pairs(sf_dir: str, min_support: int = _FP_MIN_SUPPORT):
             "__b", pa.array((_splitmix(ok) % np.uint64(nb))
                             .astype(np.int32), pa.int32()))
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _basket_body(g: pd.DataFrame) -> pd.DataFrame:
         ok = g["l_orderkey"].to_numpy().astype(np.int64)
         pk = g["l_partkey"].to_numpy().astype(np.int64)
         order = np.lexsort((pk, ok))
@@ -10164,18 +10566,48 @@ def q_frequent_pairs(sf_dir: str, min_support: int = _FP_MIN_SUPPORT):
         keep = np.ones(len(ok), bool)
         keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
         ok, pk = ok[keep], pk[keep]
-        _, sizes = np.unique(ok, return_counts=True)
+        uniq_ok, sizes = np.unique(ok, return_counts=True)
         ii, jj = segment_all_pairs(sizes)
         packed = (pk[ii] << np.int64(32)) | pk[jj]
-        uniq, cnt = np.unique(packed, return_counts=True)
-        return pd.DataFrame({"pair": uniq,
-                             "n": cnt.astype(np.int64)})
+        pu, pc_ = np.unique(packed, return_counts=True)
+        au, ac = np.unique(pk, return_counts=True)
+        kind = np.concatenate([
+            np.zeros(len(pu), np.int8), np.ones(len(au), np.int8),
+            np.full(1, 2, np.int8)])
+        key = np.concatenate([pu, au, np.zeros(1, np.int64)])
+        n = np.concatenate([pc_.astype(np.int64),
+                            ac.astype(np.int64),
+                            np.array([len(uniq_ok)], np.int64)])
+        return pd.DataFrame({"kind": kind, "key": key, "n": n})
 
-    partials = items.map_batches(_bucket, batch_format="pyarrow") \
-        .groupby("__b") \
-        .map_groups(lambda g: _pairs(g.drop(columns=["__b"])),
-                    batch_format="pandas")
-    summed = bucketed_sum(partials, ["pair"], ["n"])
+    tagged = (items.map_batches(_bucket, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(lambda g: _basket_body(
+                  g.drop(columns=["__b"])), batch_format="pandas")) \
+        .materialize()
+    _BASKET_TAGGED_CACHE.clear()      # one entry is enough
+    _BASKET_TAGGED_CACHE[key] = tagged
+    return tagged
+
+
+def q_frequent_pairs(sf_dir: str, min_support: int = _FP_MIN_SUPPORT):
+    """Frequent co-ordered part pairs (the market-basket / a-priori
+    pair-counting kernel): unordered pairs of DISTINCT parts appearing
+    in the same order, kept when their order count reaches
+    ``min_support``.  Rides the session-shared tagged basket-partial
+    table (`_basket_tagged_ds` — one basket exchange serves the whole
+    market-basket family); the global count is one exact bucketed
+    integer sum over the packed int64 pair key."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.bucket_join import adaptive_buckets, parquet_rows
+
+    tagged = _basket_tagged_ds(sf_dir)
+    summed = bucketed_sum(
+        tagged.map_batches(_basket_kind_rows(0, "pair"),
+                           batch_format="pyarrow"),
+        ["pair"], ["n"],
+        n_buckets=adaptive_buckets(
+            parquet_rows(f"{sf_dir}/lineitem.parquet")))
 
     def _final(batch: pa.Table) -> pa.Table:
         pair = batch.column("pair").to_numpy()
@@ -10217,72 +10649,31 @@ def q_basket_lift(sf_dir: str, min_support: int = _FP_MIN_SUPPORT,
     (n_a/n_b = orders containing the part, B = total baskets) — the
     a-priori confidence/lift step after frequent_pairs, staged floor
     divisions keeping every intermediate in int64 at catalog scale.
-    ONE basket exchange emits pair partials, per-part partials and
-    the bucket's basket count together (kind-tagged); pair candidates
-    are support-bounded (driver fetch, the heavy-hitters contract)
-    and meet the UNFILTERED part counts in two bucketed tagged-union
+    The session-shared tagged basket-partial table
+    (`_basket_tagged_ds`) supplies pair partials, per-part partials
+    and basket counts from ONE basket exchange; pair candidates are
+    support-bounded (driver fetch, the heavy-hitters contract) and
+    meet the UNFILTERED part counts in two bucketed tagged-union
     passes — the part table never broadcasts."""
     import pandas as pd
     import ray.data as rd
     from ..stages.agg import bucketed_sum, driver_merged_sum
-    from ..stages.bucket_join import bucketed_join
-    from ..stages.dedup import segment_all_pairs
-    from ..stages.sample import _splitmix
+    from ..stages.bucket_join import (adaptive_buckets, bucketed_join,
+                                      parquet_rows)
 
-    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    nb = 64
-
-    def _bucket(batch: pa.Table) -> pa.Table:
-        ok = batch.column("l_orderkey").to_numpy().astype(np.uint64)
-        return batch.append_column(
-            "__b", pa.array((_splitmix(ok) % np.uint64(nb))
-                            .astype(np.int32), pa.int32()))
-
-    def _basket_body(g: pd.DataFrame) -> pd.DataFrame:
-        ok = g["l_orderkey"].to_numpy().astype(np.int64)
-        pk = g["l_partkey"].to_numpy().astype(np.int64)
-        order = np.lexsort((pk, ok))
-        ok, pk = ok[order], pk[order]
-        keep = np.ones(len(ok), bool)
-        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
-        ok, pk = ok[keep], pk[keep]
-        uniq_ok, sizes = np.unique(ok, return_counts=True)
-        ii, jj = segment_all_pairs(sizes)
-        packed = (pk[ii] << np.int64(32)) | pk[jj]
-        pu, pc_ = np.unique(packed, return_counts=True)
-        au, ac = np.unique(pk, return_counts=True)
-        kind = np.concatenate([
-            np.zeros(len(pu), np.int8), np.ones(len(au), np.int8),
-            np.full(1, 2, np.int8)])
-        key = np.concatenate([pu, au, np.zeros(1, np.int64)])
-        n = np.concatenate([pc_.astype(np.int64),
-                            ac.astype(np.int64),
-                            np.array([len(uniq_ok)], np.int64)])
-        return pd.DataFrame({"kind": kind, "key": key, "n": n})
-
-    tagged = (items.map_batches(_bucket, batch_format="pyarrow")
-              .groupby("__b")
-              .map_groups(lambda g: _basket_body(
-                  g.drop(columns=["__b"])), batch_format="pandas")) \
-        .materialize()
-
-    def _only(kind: int):
-        def _f(b: pa.Table) -> pa.Table:
-            k = b.column("kind").to_numpy()
-            sel = b.filter(pa.array(k == kind, pa.bool_()))
-            return pa.table({"key": sel.column("key"),
-                             "n": sel.column("n")})
-        return _f
+    tagged = _basket_tagged_ds(sf_dir)
+    nb = adaptive_buckets(
+        parquet_rows(f"{sf_dir}/lineitem.parquet"))
 
     B = int(driver_merged_sum(
-        tagged.map_batches(_only(2), batch_format="pyarrow"),
+        tagged.map_batches(_basket_kind_rows(2), batch_format="pyarrow"),
         ["key"], ["n"])["n"].iloc[0])
     pair_sums = bucketed_sum(
-        tagged.map_batches(_only(0), batch_format="pyarrow"),
-        ["key"], ["n"])
+        tagged.map_batches(_basket_kind_rows(0), batch_format="pyarrow"),
+        ["key"], ["n"], n_buckets=nb)
     part_sums = bucketed_sum(
-        tagged.map_batches(_only(1), batch_format="pyarrow"),
-        ["key"], ["n"])
+        tagged.map_batches(_basket_kind_rows(1), batch_format="pyarrow"),
+        ["key"], ["n"], n_buckets=nb)
 
     def _cand(b: pa.Table) -> pa.Table:
         n = b.column("n").to_numpy().astype(np.int64)
@@ -10786,8 +11177,10 @@ def q_traj_hausdorff(sf_dir: str):
     come from the exactly-once colocation join — never all user
     pairs — and tracks replicate only per candidate pair:
 
-      1. colocation pairs -> distinct packed (u << 32 | v) pair keys
-         (bucketed distinct, int64 rows only);
+      1. distinct (a < b) pair keys from the session-shared
+         colocation edge table (`_coloc_edge_pairs` — one
+         spatiotemporal join per bench/driver session, not one per
+         contact-graph query);
       2. one user-hash tagged-union co-partition attaches each user's
          deduplicated centi-degree point set to every pair that
          references it (per-pair replication, bounded by the
@@ -10796,54 +11189,26 @@ def q_traj_hausdorff(sf_dir: str):
          broadcast |A| x |B| integer matrix.
     """
     import pandas as pd
-    from ..stages.bucket_join import bucketed_join
+    from ..stages.bucket_join import (adaptive_buckets, bucketed_join,
+                                      parquet_rows)
     from ..stages.sample import _splitmix
-    from ..stages.trajectory import colocation_join
 
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def _pts(batch: pa.Table) -> pa.Table:
-        keys = batch.column("event_id").to_numpy()
-        lat, lng = derive_latlng_np(keys)
-        x, y, z = latlng_deg_to_xyz(lat, lng)
-        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
-            .astype(np.int64)
-        return pa.table({
-            "event_id": batch.column("event_id"),
-            "user_id": batch.column("user_id"),
-            "tsu": pa.array(tsu),
-            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
-        })
-
-    coloc = colocation_join(
-        ev.map_batches(_pts, batch_format="pyarrow"),
-        eps_chord=_COLOC_EPS, window_us=_COLOC_WINDOW_US,
-        ts_base_us=_COLOC_BASE_US)
-    nb = 64
-
-    # 1. distinct packed pair keys
-    def _pk_rows(batch: pa.Table) -> pa.Table:
-        ua = batch.column("user_a").to_numpy().astype(np.uint64)
-        ub = batch.column("user_b").to_numpy().astype(np.uint64)
-        lo = np.minimum(ua, ub)
-        hi = np.maximum(ua, ub)
-        pk = np.unique((lo << np.uint64(32)) | hi)
-        return pa.table({
-            "pk": pa.array(pk.view(np.int64), pa.int64()),
-            "__b": pa.array((_splitmix(pk) % np.uint64(nb))
-                            .astype(np.int32), pa.int32())})
-
-    pairs = coloc.map_batches(_pk_rows, batch_format="pyarrow") \
-        .groupby("__b") \
-        .map_groups(lambda g: pd.DataFrame(
-            {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
-            batch_format="pandas")
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    pairs = _coloc_edge_pairs(sf_dir)
+    # floor 64: the per-pair Hausdorff DP is COMPUTE-bound, so bucket
+    # count must cover the core count even when the row count is
+    # small — adaptive row-based sizing alone measured 3x slower at
+    # sf0.1 (16 buckets idling half of 32 cores)
+    nb = max(64, adaptive_buckets(
+        parquet_rows(f"{sf_dir}/events.parquet")))
 
     # 2. attach each user's dedup'd centi-degree points per pair
     def _pair_rows(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy().astype(np.uint64)
-        u = (pk >> np.uint64(32)).astype(np.int64)
-        v = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        a = batch.column("a").to_numpy().astype(np.uint64)
+        b = batch.column("b").to_numpy().astype(np.uint64)
+        pk = (a << np.uint64(32)) | b
+        u = a.astype(np.int64)
+        v = b.astype(np.int64)
         n = len(pk)
         return pa.table({
             "key": pa.array(np.concatenate([u, v]), pa.int64()),
@@ -18008,6 +18373,7 @@ def _authored_queries() -> Dict:
         "covering": q_covering,
         "polygon_overlay": q_polygon_overlay,
         "polygon_build": q_polygon_build,
+        "polygon_dissolve": q_polygon_dissolve,
         # --- round-1/2 set: driver-green in CORRECTNESS_r01/r02, or
         # (the eight simple per-user/scalar analytics just below plus
         # orders_left_join) continuously re-verified by the identical
@@ -18071,6 +18437,8 @@ def _authored_queries() -> Dict:
         "events_gap_quantiles": q_events_gap_quantiles,
         "events_distinct_sketch": q_events_distinct_sketch,
         "events_distinct_hll": q_events_distinct_hll,
+        "events_kmv_overlap": q_events_kmv_overlap,
+        "events_corridor": q_events_corridor,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "spatial_join_auto": q_spatial_join_auto,
@@ -18114,6 +18482,7 @@ def _authored_queries() -> Dict:
         "join_counts": q_join_counts,
         "traj_hausdorff": q_traj_hausdorff,
         "stratified_sample": q_stratified_sample,
+        "source_mix_sample": q_source_mix_sample,
         "doc_pmi": q_doc_pmi,
         "events_kmeans": q_events_kmeans,
         "events_full_join": q_events_full_join,
@@ -18284,6 +18653,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_gap_quantiles": sql_events_gap_quantiles(),
         "events_distinct_sketch": sql_events_distinct_sketch(),
         "events_distinct_hll": sql_events_distinct_hll(),
+        "events_kmv_overlap": sql_events_kmv_overlap(),
+        "events_corridor": sql_events_corridor(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "tpch_q6": sql_tpch_q6(),
@@ -18329,6 +18700,7 @@ def oracle_sql() -> Dict[str, str]:
         "join_counts": sql_join_counts(),
         "traj_hausdorff": sql_traj_hausdorff(),
         "stratified_sample": sql_stratified_sample(),
+        "source_mix_sample": sql_source_mix_sample(),
         "doc_pmi": sql_doc_pmi(),
         "events_kmeans": sql_events_kmeans(),
         "events_full_join": sql_events_full_join(),
@@ -18438,5 +18810,6 @@ def oracle_sql() -> Dict[str, str]:
         "covering": sql_covering(),
         "polygon_overlay": sql_polygon_overlay(),
         "polygon_build": sql_polygon_build(),
+        "polygon_dissolve": sql_polygon_dissolve(),
         "grid_mode": sql_grid_mode(),
     }

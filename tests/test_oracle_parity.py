@@ -119,6 +119,8 @@ ORACLE_CHECKED = [
     "user_gyration", "user_home_cell", "user_return_trips",
     "type_cooccurrence",
     "events_weekend_ratio", "part_name_tokens",
+    "polygon_dissolve", "events_kmv_overlap", "source_mix_sample",
+    "events_corridor",
 ]
 
 
