@@ -1808,6 +1808,199 @@ def sql_stratified_sample(quota: int = _STRAT_QUOTA) -> str:
         f"FROM r WHERE rank <= {quota} ORDER BY event_type, rank")
 
 
+def q_user_reach(sf_dir: str):
+    """2-hop reach per user: |{w != u : dist(u, w) <= 2}| over the
+    co-location contact graph — the friends-of-friends audience /
+    exposure-set size of epidemiology and social-reach analytics
+    (the h-hop generalization runs this kernel h-1 times).
+
+    Scale shape: ONE center-vertex co-partition generates each
+    wedge u—v—w inside v's group (vectorized repeat/tile over the
+    neighbor array, self-pairs masked), unioned with the direct
+    edges; distinct (u, w) resolves in a packed-key bucketed dedup
+    whose bodies emit per-user partial counts, finished by the exact
+    bucketed sum.  Wedge volume is sum_v deg(v)^2 — for power-law
+    graphs cap or sample hot centers before the expansion (the
+    documented user_triangles discipline); the co-location graph's
+    TPC-H-derived degrees need no cap at bench scales."""
+    import pandas as pd
+    from ..stages.agg import bucketed_sum
+    from ..stages.sample import _splitmix
+
+    edges = _coloc_edge_pairs(sf_dir)
+    nb = 64
+
+    def _adj_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        v = np.concatenate([a, b])
+        n = np.concatenate([b, a])
+        vu = v.astype(np.uint64)
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "__b": pa.array((_splitmix(vu) % np.uint64(nb))
+                            .astype(np.int32), pa.int32())})
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import segment_all_pairs
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        _, sizes = np.unique(v, return_counts=True)
+        # all ordered pairs (n_i, n_j), i != j, within each v-run
+        # (one vectorized segment sweep, both orders emitted), plus
+        # the direct (v, n) rows themselves
+        ii, jj = segment_all_pairs(sizes)
+        a1, b1 = n[ii], n[jj]
+        m = a1 != b1
+        u = np.concatenate([a1[m], b1[m]])
+        w = np.concatenate([b1[m], a1[m]])
+        direct = ((v.astype(np.uint64) << np.uint64(32))
+                  | n.astype(np.uint64)).view(np.int64)
+        hop2 = ((u.astype(np.uint64) << np.uint64(32))
+                | w.astype(np.uint64)).view(np.int64)
+        pk = np.unique(np.concatenate([direct, hop2]))
+        pku = pk.view(np.uint64)
+        return pd.DataFrame({
+            "pk": pk,
+            "__b2": (_splitmix(pku) % np.uint64(nb)).astype(np.int32)})
+
+    wedge = edges.map_batches(_adj_rows, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: _wedges(g.drop(columns=["__b"])),
+                    batch_format="pandas")
+
+    def _dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pk"].to_numpy(np.int64)).view(np.uint64)
+        u = (pk >> np.uint64(32)).astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pd.DataFrame({"user_id": uu,
+                             "n": cnt.astype(np.int64)})
+
+    counted = wedge.groupby("__b2") \
+        .map_groups(lambda g: _dedup_count(g.drop(columns=["__b2"])),
+                    batch_format="pandas")
+    out = bucketed_sum(counted, ["user_id"], ["n"], n_buckets=nb)
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "reach2"]),
+        batch_format="pyarrow").sort("user_id")
+
+
+def sql_user_reach() -> str:
+    return (
+        f"{_coloc_sql_head()}, "
+        "dr AS (SELECT u AS a, v AS b FROM ed "
+        "UNION ALL SELECT v, u FROM ed), "
+        "two AS (SELECT d1.a AS u, d2.b AS w FROM dr d1 "
+        "JOIN dr d2 ON d1.b = d2.a AND d1.a <> d2.b), "
+        "reach AS (SELECT DISTINCT u, w FROM ("
+        "SELECT a AS u, b AS w FROM dr UNION ALL "
+        "SELECT u, w FROM two)) "
+        "SELECT u AS user_id, CAST(COUNT(*) AS BIGINT) AS reach2 "
+        "FROM reach GROUP BY 1 ORDER BY 1")
+
+
+def q_source_overlap(sf_dir: str):
+    """Inter-source contamination matrix: for every pair of corpus
+    sources, the number of SHARED distinct 3-word shingles (plus each
+    side's distinct-shingle count, so the consumer derives overlap /
+    containment ratios exactly) — the cross-source audit run before
+    mixing corpora into one training set (is source B a re-crawl /
+    subset of source A?).  Shingle hashing is the minhash pipeline's
+    exact kernel (stages/dedup._shingle_hashes), so the matrix is
+    hash-exact against the SQL mirror of that kernel.
+
+    Scale shape: ONE shingle-hash co-partition — all (source, sh)
+    rows of a shingle land in the same bucket, so shared counts and
+    per-source distinct counts both compute bucket-locally
+    (kind-tagged partials) with zero cross-bucket state; the source
+    domain is bounded, so the partial merge is a driver fold over
+    O(buckets * |sources|^2) narrow rows.  Per-shingle pair expansion
+    is |sources|-bounded (<= |sources| rows per shingle), never
+    doc-pair-sized."""
+    import pandas as pd
+    from ..stages.dedup import _shingle_hashes, segment_all_pairs
+    from ..stages.sample import _splitmix
+
+    nb = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ss, hh = [], []
+        for s, t in zip(srcs, texts):
+            hs = np.unique(_shingle_hashes(t))
+            if len(hs):
+                ss.append(np.full(len(hs), s, dtype=object))
+                hh.append(hs.view(np.int64))
+        if not hh:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        df = pd.DataFrame({"source": np.concatenate(ss),
+                           "h": np.concatenate(hh)}).drop_duplicates()
+        hu = df["h"].to_numpy(np.int64).view(np.uint64)
+        return pa.table({
+            "source": pa.array(df["source"].to_numpy(object),
+                               pa.string()),
+            "h": pa.array(df["h"].to_numpy(np.int64), pa.int64()),
+            "__b": pa.array((_splitmix(hu) % np.uint64(nb))
+                            .astype(np.int32), pa.int32())})
+
+    def _body(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["h", "source"]) \
+            .sort_values(["h", "source"], kind="mergesort")
+        s = df["source"].to_numpy(object)
+        h = df["h"].to_numpy(np.int64)
+        per_src = df.groupby("source", sort=False).size()
+        _, sizes = np.unique(h, return_counts=True)
+        ii, jj = segment_all_pairs(sizes)
+        out = []
+        if len(ii):
+            pc = pd.DataFrame({"a": s[ii], "b": s[jj]}) \
+                .groupby(["a", "b"], sort=False).size()
+            for (a, b), n in pc.items():
+                out.append((0, a, b, int(n)))
+        for src, n in per_src.items():
+            out.append((1, src, "", int(n)))
+        return pd.DataFrame(out, columns=["kind", "a", "b", "n"])
+
+    part = (ds.map_batches(_rows, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _body(g.drop(columns=["__b"])),
+                        batch_format="pandas")) \
+        .to_pandas()               # bounded: buckets * |sources|^2
+
+    import pandas as pd
+    pairs = part[part["kind"] == 0].groupby(["a", "b"])["n"].sum()
+    sizes = part[part["kind"] == 1].groupby("a")["n"].sum()
+    rows = [(a, b, int(n), int(sizes[a]), int(sizes[b]))
+            for (a, b), n in sorted(pairs.items())]
+    return pd.DataFrame(rows, columns=[
+        "source_a", "source_b", "shared", "n_a", "n_b"]) \
+        .astype({"shared": np.int64, "n_a": np.int64, "n_b": np.int64})
+
+
+def sql_source_overlap() -> str:
+    return (
+        f"WITH {_shingle_ctes()}, "
+        "ss AS (SELECT DISTINCT d.source, s.sh FROM shingle s "
+        "JOIN documents d ON d.doc_id = s.doc_id "
+        "WHERE s.sh IS NOT NULL), "
+        "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM ss GROUP BY 1), "
+        "pr AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "CAST(COUNT(*) AS BIGINT) AS shared FROM ss a "
+        "JOIN ss b ON a.sh = b.sh AND a.source < b.source "
+        "GROUP BY 1, 2) "
+        "SELECT p.source_a, p.source_b, p.shared, x.n AS n_a, "
+        "y.n AS n_b FROM pr p JOIN sz x ON x.source = p.source_a "
+        "JOIN sz y ON y.source = p.source_b "
+        "ORDER BY p.source_a, p.source_b")
+
+
 _MIX_TARGET = 200
 
 
@@ -18483,6 +18676,8 @@ def _authored_queries() -> Dict:
         "traj_hausdorff": q_traj_hausdorff,
         "stratified_sample": q_stratified_sample,
         "source_mix_sample": q_source_mix_sample,
+        "source_overlap": q_source_overlap,
+        "user_reach": q_user_reach,
         "doc_pmi": q_doc_pmi,
         "events_kmeans": q_events_kmeans,
         "events_full_join": q_events_full_join,
@@ -18701,6 +18896,8 @@ def oracle_sql() -> Dict[str, str]:
         "traj_hausdorff": sql_traj_hausdorff(),
         "stratified_sample": sql_stratified_sample(),
         "source_mix_sample": sql_source_mix_sample(),
+        "source_overlap": sql_source_overlap(),
+        "user_reach": sql_user_reach(),
         "doc_pmi": sql_doc_pmi(),
         "events_kmeans": sql_events_kmeans(),
         "events_full_join": sql_events_full_join(),

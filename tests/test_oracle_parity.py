@@ -120,7 +120,7 @@ ORACLE_CHECKED = [
     "type_cooccurrence",
     "events_weekend_ratio", "part_name_tokens",
     "polygon_dissolve", "events_kmv_overlap", "source_mix_sample",
-    "events_corridor",
+    "events_corridor", "source_overlap", "user_reach",
 ]
 
 
