@@ -1808,6 +1808,46 @@ def sql_stratified_sample(quota: int = _STRAT_QUOTA) -> str:
         f"FROM r WHERE rank <= {quota} ORDER BY event_type, rank")
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-classifier audit: the confusion matrix of the corpus's
+    DECLARED lang label vs the stopword-vote langid prediction — the
+    per-cell counts every large-scale lang-filter deployment reviews
+    before trusting the classifier's keep/drop decisions.
+
+    Scale shape: one streaming text pass emits per-batch (lang,
+    lang_pred, n) partials over a BOUNDED label-pair domain; the
+    global sum is the barrier-free driver merge (bounded by
+    |langs|^2 x blocks, never by corpus size)."""
+    import pandas as pd
+    from ..stages.agg import driver_merged_sum
+    from ..stages.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        pred = lang_id(batch).column("lang_pred").to_pylist()
+        lang = batch.column("lang").to_pylist()
+        g = pd.DataFrame({"lang": lang, "lang_pred": pred}) \
+            .groupby(["lang", "lang_pred"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = driver_merged_sum(
+        ds.map_batches(_cells, batch_format="pyarrow"),
+        ["lang", "lang_pred"], ["n"])
+    return out.sort_values(["lang", "lang_pred"]) \
+        .reset_index(drop=True)
+
+
+def sql_langid_confusion() -> str:
+    return (
+        f"WITH {_langid_ctes()} "
+        "SELECT d.lang, l.lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lang l JOIN documents d ON d.doc_id = l.doc_id "
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_user_reach(sf_dir: str):
     """2-hop reach per user: |{w != u : dist(u, w) <= 2}| over the
     co-location contact graph — the friends-of-friends audience /
@@ -18678,6 +18718,7 @@ def _authored_queries() -> Dict:
         "source_mix_sample": q_source_mix_sample,
         "source_overlap": q_source_overlap,
         "user_reach": q_user_reach,
+        "langid_confusion": q_langid_confusion,
         "doc_pmi": q_doc_pmi,
         "events_kmeans": q_events_kmeans,
         "events_full_join": q_events_full_join,
@@ -18898,6 +18939,7 @@ def oracle_sql() -> Dict[str, str]:
         "source_mix_sample": sql_source_mix_sample(),
         "source_overlap": sql_source_overlap(),
         "user_reach": sql_user_reach(),
+        "langid_confusion": sql_langid_confusion(),
         "doc_pmi": sql_doc_pmi(),
         "events_kmeans": sql_events_kmeans(),
         "events_full_join": sql_events_full_join(),

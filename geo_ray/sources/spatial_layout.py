@@ -662,3 +662,259 @@ def read_pruned_by(out_dir: str, col: str, lo: int, hi: int, *,
 
         ds = ds.map_batches(_mask, batch_format="pyarrow")
     return ds, stats
+
+
+# ---------------------------------------------------------------------------
+# key -> partition index: the sidecar that makes keys MOVABLE
+# (delete+insert across files) — the piece upsert/delete's
+# position-immutable contract explicitly deferred
+# ---------------------------------------------------------------------------
+
+KEY_INDEX_DIR = "_key_index"
+KEY_INDEX_MANIFEST = "_key_index.json"
+
+
+def _key_buckets(keys: np.ndarray, nb: int) -> np.ndarray:
+    from ..stages.sample import _splitmix
+    return (_splitmix(keys.astype(np.uint64)) % np.uint64(nb)) \
+        .astype(np.int32)
+
+
+def _index_paths(out_dir: str):
+    idx_dir = os.path.join(out_dir, KEY_INDEX_DIR)
+    mpath = os.path.join(idx_dir, KEY_INDEX_MANIFEST)
+    return idx_dir, mpath
+
+
+def build_key_index(out_dir: str, *, key_col: str,
+                    n_buckets: int | None = None) -> dict:
+    """Build (or rebuild) the sidecar key -> pid index: a distributed
+    scan of the layout files (one task batch per file, key column
+    only) hash-bucketed into ``n_buckets`` sorted parquet files under
+    ``_key_index/``.  The index is derived state — rebuildable at any
+    time from the layout itself — sized so a key lookup opens exactly
+    ONE bucket file regardless of layout size."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    manifest = _load_manifest(out_dir)
+    files = manifest.get("files", [])
+    if not files:
+        raise FileNotFoundError(f"no layout at {out_dir}")
+    nb = int(n_buckets) if n_buckets else \
+        int(np.clip(len(files), 8, 1024))
+    idx_dir, mpath = _index_paths(out_dir)
+    os.makedirs(idx_dir, exist_ok=True)
+
+    src = rd.from_items([
+        {"pid": f["pid"], "path": os.path.join(out_dir, f["path"])}
+        for f in files])
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        ks, ps = [], []
+        for pid, path in zip(batch.column("pid").to_pylist(),
+                             batch.column("path").to_pylist()):
+            t = pq.read_table(path, columns=[key_col])
+            k = t.column(key_col).to_numpy().astype(np.int64)
+            ks.append(k)
+            ps.append(np.full(len(k), pid, np.int32))
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        p = np.concatenate(ps) if ps else np.empty(0, np.int32)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "pid": pa.array(p, pa.int32()),
+            "__b": pa.array(_key_buckets(k, nb), pa.int32())})
+
+    def _write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__b"].iloc[0])
+        g = g.drop(columns=["__b"]).sort_values("key",
+                                                kind="mergesort")
+        path = os.path.join(idx_dir, f"bucket-{b:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+
+    written = (src.map_batches(_scan, batch_format="pyarrow")
+               .groupby("__b")
+               .map_groups(_write_bucket, batch_format="pandas")
+               .to_pandas())
+    idx_man = {"n_buckets": nb, "key_col": key_col,
+               "rows": int(written["rows"].sum())}
+    with open(mpath, "w") as fh:
+        json.dump(idx_man, fh, indent=1)
+    return idx_man
+
+
+def index_lookup(out_dir: str, keys: Sequence[int]) -> dict:
+    """Driver-side lookup for a BOUNDED key list: opens only the
+    bucket files the keys hash to.  Returns {key: pid} (absent keys
+    omitted)."""
+    import pyarrow.parquet as pq
+
+    idx_dir, mpath = _index_paths(out_dir)
+    with open(mpath) as fh:
+        idx_man = json.load(fh)
+    nb = idx_man["n_buckets"]
+    k = np.asarray(list(keys), np.int64)
+    out = {}
+    for b in np.unique(_key_buckets(k, nb)):
+        path = os.path.join(idx_dir, f"bucket-{int(b):05d}.parquet")
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path).to_pandas()
+        ik = t["key"].to_numpy(np.int64)
+        ip = t["pid"].to_numpy()
+        want = k[_key_buckets(k, nb) == b]
+        pos = np.searchsorted(ik, want)
+        ok = (pos < len(ik)) & (ik[np.minimum(pos, len(ik) - 1)]
+                                == want)
+        for kk, pp in zip(want[ok], ip[pos[ok]]):
+            out[int(kk)] = int(pp)
+    return out
+
+
+def move_spatial(out_dir: str, moves_ds, *, key_col: str,
+                 xyz_cols=("x", "y", "z")) -> dict:
+    """Relocate keys whose position CHANGED — the movable-key
+    completion of upsert_spatial's position-immutable contract
+    (requires :func:`build_key_index` once; the index is maintained
+    incrementally here).  Each move row carries the key, its NEW xyz
+    and the full payload (same schema as the layout rows minus
+    ``__cell``).  Keys absent from the index insert (upsert
+    semantics).
+
+    Scale shape — three bounded exchanges, nothing driver-sized:
+      1. moves hash-co-partition with their index bucket (each body
+         reads ONE bucket file) to resolve old pids, rewriting the
+         touched index buckets in place;
+      2. work rows explode to (old pid: drop) + (new pid: insert)
+         and co-partition by pid — each touched partition file
+         rewrites exactly once (tmp + rename, same atomicity as
+         upsert/delete);
+      3. manifest refresh from the per-partition results.
+    The index is derived state: a crash between 1 and 2 is repaired
+    by re-running build_key_index."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    manifest = _load_manifest(out_dir)
+    files = sorted(manifest.get("files", []),
+                   key=lambda f: f["cell_lo"])
+    if not files:
+        raise FileNotFoundError(f"no layout at {out_dir}")
+    idx_dir, mpath = _index_paths(out_dir)
+    with open(mpath) as fh:
+        nb = json.load(fh)["n_buckets"]
+    cell_lo = np.array([f["cell_lo"] for f in files], np.int64)
+    pid_of = np.array([f["pid"] for f in files], np.int64)
+    route_ref = ray.put((cell_lo, pid_of))
+
+    def _route(batch: pa.Table) -> pa.Table:
+        lo, pids = ray.get(route_ref)
+        leaf = _leaf_ids(batch, xyz_cols)
+        c = leaf.view(np.int64)
+        pos = np.maximum(np.searchsorted(lo, c, side="right") - 1, 0)
+        k = batch.column(key_col).to_numpy().astype(np.int64)
+        out = batch.append_column("__cell",
+                                  pa.array(c, pa.int64()))
+        out = out.append_column(
+            "__newpid", pa.array(pids[pos].astype(np.int32),
+                                 pa.int32()))
+        return out.append_column(
+            "__b", pa.array(_key_buckets(k, nb), pa.int32()))
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # one index bucket: map keys -> old pid, rewrite the bucket
+        b = int(g["__b"].iloc[0])
+        g = g.drop(columns=["__b"])
+        path = os.path.join(idx_dir, f"bucket-{b:05d}.parquet")
+        if os.path.exists(path):
+            idx = pq.read_table(path).to_pandas()
+        else:
+            idx = pd.DataFrame({"key": np.empty(0, np.int64),
+                                "pid": np.empty(0, np.int32)})
+        ik = idx["key"].to_numpy(np.int64)
+        k = g[key_col].to_numpy(np.int64)
+        pos = np.searchsorted(ik, k)
+        ok = (pos < len(ik)) & (ik[np.minimum(pos, len(ik) - 1)] == k)
+        old = np.where(ok, idx["pid"].to_numpy()[
+            np.minimum(pos, len(ik) - 1)], -1).astype(np.int64)
+        # incremental index maintenance: moved keys take their new pid
+        keep = ~np.isin(ik, k)
+        nidx = pd.DataFrame({
+            "key": np.concatenate([ik[keep], k]),
+            "pid": np.concatenate([
+                idx["pid"].to_numpy()[keep].astype(np.int32),
+                g["__newpid"].to_numpy(np.int32)])}) \
+            .sort_values("key", kind="mergesort")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(nidx,
+                                            preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return g.assign(__oldpid=old)
+
+    resolved = (moves_ds.map_batches(_route, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(_resolve, batch_format="pandas"))
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        # insert action at the new pid (full row); drop action at the
+        # old pid (key only) when the key moves between files
+        df = batch.to_pandas()
+        ins = df.drop(columns=["__oldpid"]) \
+            .rename(columns={"__newpid": "__pid"})
+        ins["__drop"] = np.zeros(len(ins), np.int8)
+        mv = df[(df["__oldpid"] >= 0)
+                & (df["__oldpid"] != df["__newpid"])]
+        drop = mv.drop(columns=["__newpid"]) \
+            .rename(columns={"__oldpid": "__pid"})
+        drop["__pid"] = drop["__pid"].astype(np.int32)
+        drop["__drop"] = np.ones(len(drop), np.int8)
+        out = pd.concat([ins, drop], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    by_file = {f["pid"]: f for f in files}
+
+    def _apply_one(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["__pid"].iloc[0])
+        f = by_file[pid]
+        path = os.path.join(out_dir, f["path"])
+        base = pq.read_table(path).to_pandas()
+        gone = set(g[key_col])          # drops AND replaced inserts
+        keep = ~base[key_col].isin(gone)
+        ins = g[g["__drop"] == 0].drop(columns=["__pid", "__drop"])
+        merged = pd.concat([base[keep], ins[base.columns]],
+                           ignore_index=True) \
+            .sort_values("__cell", kind="mergesort")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(merged,
+                                            preserve_index=False), tmp)
+        os.replace(tmp, path)
+        lo_v = int(merged["__cell"].iloc[0]) if len(merged) \
+            else f["cell_lo"]
+        hi_v = int(merged["__cell"].iloc[-1]) if len(merged) \
+            else f["cell_lo"]
+        return pd.DataFrame({
+            "pid": [pid], "rows": [len(merged)],
+            "cell_lo": [lo_v], "cell_hi": [hi_v]})
+
+    touched = (resolved.map_batches(_explode, batch_format="pyarrow")
+               .groupby("__pid")
+               .map_groups(_apply_one, batch_format="pandas")
+               .to_pandas())
+    tmap = {int(r.pid): r for r in touched.itertuples()}
+    for f in manifest["files"]:
+        t = tmap.get(f["pid"])
+        if t is not None:
+            f["rows"] = int(t.rows)
+            f["cell_lo"] = int(t.cell_lo)
+            f["cell_hi"] = int(t.cell_hi)
+    manifest["total_rows"] = int(sum(f["rows"]
+                                     for f in manifest["files"]))
+    with open(os.path.join(out_dir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return {**manifest, "touched": sorted(tmap)}
