@@ -486,6 +486,7 @@ def upsert_spatial(out_dir: str, updates_ds, *, key_col: str,
                                      for f in manifest["files"]))
     with open(os.path.join(out_dir, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    _refresh_key_index_if_present(out_dir)
     return {**manifest, "touched": sorted(tmap)}
 
 
@@ -556,6 +557,7 @@ def delete_spatial(out_dir: str, deletes_ds, *, key_col: str,
                                      for f in manifest["files"]))
     with open(os.path.join(out_dir, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    _refresh_key_index_if_present(out_dir)
     return {**manifest, "touched": sorted(tmap)}
 
 
@@ -616,6 +618,7 @@ def compact_spatial(out_dir: str, *, target_rows: int):
     manifest["total_rows"] = int(sum(f["rows"] for f in new_files))
     with open(os.path.join(out_dir, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    _refresh_key_index_if_present(out_dir)
     return {**manifest, "n_compacted_groups": n_rewritten}
 
 
@@ -774,6 +777,22 @@ def index_lookup(out_dir: str, keys: Sequence[int]) -> dict:
         for kk, pp in zip(want[ok], ip[pos[ok]]):
             out[int(kk)] = int(pp)
     return out
+
+
+def _refresh_key_index_if_present(out_dir: str) -> None:
+    """Mutations that change the key -> pid mapping outside
+    move_spatial (upsert inserts keys, delete removes them, compact
+    renumbers pids) refresh the sidecar index by REBUILD: it is
+    derived state, and the rebuild is a distributed key-column scan
+    — the same order of work as the mutation's own rewrite.  No-op
+    when no index has been built."""
+    idx_dir, mpath = _index_paths(out_dir)
+    if not os.path.exists(mpath):
+        return
+    with open(mpath) as fh:
+        m = json.load(fh)
+    build_key_index(out_dir, key_col=m["key_col"],
+                    n_buckets=m["n_buckets"])
 
 
 def move_spatial(out_dir: str, moves_ds, *, key_col: str,

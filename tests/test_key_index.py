@@ -140,3 +140,35 @@ def test_moved_rows_found_by_pruned_read(layout, ray_session):
     ids = set(got.to_pandas()["k"])
     assert set(keys.tolist()) <= ids
     assert stats["n_read"] < stats["n_total"]  # pruning still real
+
+
+def test_index_survives_upsert_delete_compact(layout, ray_session):
+    import ray.data as rd
+    from geo_ray.sources.spatial_layout import (compact_spatial,
+                                                delete_spatial,
+                                                upsert_spatial)
+
+    out, man = layout
+    # upsert a NEW key: index must learn it
+    x, y, z = latlng_deg_to_xyz(np.array([12.0]), np.array([34.0]))
+    ups = rd.from_arrow(pa.table({
+        "k": pa.array(np.array([888888], np.int64)),
+        "x": pa.array(x), "y": pa.array(y), "z": pa.array(z)}))
+    upsert_spatial(out, ups, key_col="k")
+    truth = _scan_key_pids(out)
+    assert index_lookup(out, [888888])[888888] == truth[888888]
+
+    # delete a key: index must forget it
+    dels = rd.from_arrow(pa.table({
+        "k": pa.array(np.array([888888], np.int64)),
+        "x": pa.array(x), "y": pa.array(y), "z": pa.array(z)}))
+    delete_spatial(out, dels, key_col="k")
+    assert 888888 not in index_lookup(out, [888888])
+
+    # compact renumbers pids: index must follow
+    compact_spatial(out, target_rows=1500)
+    truth = _scan_key_pids(out)
+    probe = list(range(0, 4000, 113))
+    got = index_lookup(out, probe)
+    for k in probe:
+        assert got[k] == truth[k], k
