@@ -140,3 +140,34 @@ def test_corridor_route_distance_geometry():
     far = np.asarray([latlng_deg_to_xyz(-60.0, 60.0)])
     assert t.chord2(on)[0] < 1e-12
     assert t.chord2(far)[0] > thr2
+
+
+def test_shared_substrate_cache_path_equivalence(ray_session):
+    """The session-cache fast path (materialized colocation edges /
+    kNN table) must be output-identical to a fresh computation."""
+    import pandas as pd
+    from geo_ray.pipelines import queries as Q
+
+    d = "/root/testdata/sf0.01"
+
+    def norm(r):
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort") \
+            .reset_index(drop=True)
+
+    # fresh: drop every session cache, compute
+    Q._COLOC_PAIRS_CACHE.clear()
+    Q._COLOC_EDGES_CACHE.clear()
+    Q._CUSTOMER_KNN_CACHE.clear()
+    fresh_reach = norm(Q.q_user_reach(d))
+    fresh_rknn = norm(Q.q_rknn_count(d))
+
+    # warm: caches populated by the fresh run
+    warm_reach = norm(Q.q_user_reach(d))
+    warm_rknn = norm(Q.q_rknn_count(d))
+
+    pd.testing.assert_frame_equal(fresh_reach, warm_reach,
+                                  check_exact=True)
+    pd.testing.assert_frame_equal(fresh_rknn, warm_rknn,
+                                  check_exact=True)
