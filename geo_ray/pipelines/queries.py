@@ -2017,7 +2017,6 @@ def q_source_overlap(sf_dir: str):
                         batch_format="pandas")) \
         .to_pandas()               # bounded: buckets * |sources|^2
 
-    import pandas as pd
     pairs = part[part["kind"] == 0].groupby(["a", "b"])["n"].sum()
     sizes = part[part["kind"] == 1].groupby("a")["n"].sum()
     rows = [(a, b, int(n), int(sizes[a]), int(sizes[b]))
