@@ -7250,6 +7250,90 @@ def sql_events_travel() -> str:
         f"FROM units GROUP BY user_id ORDER BY user_id")
 
 
+_IMPOSSIBLE_NUM = 1000      # flag: units * 1000 > dt_us
+
+
+def q_events_impossible_travel(sf_dir: str):
+    """Impossible-travel detection (the account-takeover / GPS-glitch
+    heuristic every telemetry pipeline runs): per user, count
+    consecutive hops whose speed proxy exceeds the threshold —
+    flagged iff
+
+        units * 1000 > dt_us
+
+    with units = floor(chord2 * 1e6) (events_travel's exact
+    integerization) and dt_us the microsecond gap — a pure int64
+    cross-multiplication, so membership is exact on both engines with
+    NO float-boundary margin caveat (units <= 4e6 and dt_us <= ~1e14
+    keep the products far inside int64).
+
+    Scale shape: identical to events_travel — narrow (user, ts, xyz)
+    rows shuffle once into per-user groups; everything else is
+    per-group vectorized numpy."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_id").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_hops": pd.Series(dtype="int64"),
+                "n_impossible": pd.Series(dtype="int64")})
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        z = g["z"].to_numpy()
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        dz = z[1:] - z[:-1]
+        units = np.floor((dx * dx + dy * dy + dz * dz)
+                         * 1000000.0).astype(np.int64)
+        tsu = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        dt = tsu[1:] - tsu[:-1]
+        bad = units * np.int64(_IMPOSSIBLE_NUM) > dt
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_hops": [len(units)],
+            "n_impossible": [int(bad.sum())]})
+
+    from ..stages.agg import bucketed_user_groups
+    return bucketed_user_groups(
+        ev.map_batches(_pts, batch_format="pyarrow"), _per_user)
+
+
+def sql_events_impossible_travel() -> str:
+    return (
+        f"WITH pts AS (SELECT event_id, user_id, ts, "
+        f"(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
+        f"(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
+        f"FROM events), "
+        f"xyz AS (SELECT event_id, user_id, ts, {_XYZ_SQL} FROM pts), "
+        f"seg AS (SELECT user_id, x - LAG(x) OVER w AS dx, "
+        f"y - LAG(y) OVER w AS dy, z - LAG(z) OVER w AS dz, "
+        f"epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us FROM xyz "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"units AS (SELECT user_id, "
+        f"CAST(FLOOR((dx*dx + dy*dy + dz*dz) * 1000000.0) AS BIGINT) "
+        f"AS u2, dt_us FROM seg WHERE dx IS NOT NULL) "
+        f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hops, "
+        f"CAST(SUM(CASE WHEN u2 * {_IMPOSSIBLE_NUM} > dt_us "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_impossible "
+        f"FROM units GROUP BY user_id ORDER BY user_id")
+
+
 def q_image_neardup(sf_dir: str, eps: float = 1.0, every: int = 10):
     """Image near-dup over decoded pixels: synthesize the image table
     with one lossy re-encoded variant planted per ``every`` rows, then
@@ -18592,6 +18676,7 @@ def _authored_queries() -> Dict:
         "image_phash_neardup": q_image_phash_neardup,
         "events_geofence": q_events_geofence,
         "events_travel": q_events_travel,
+        "events_impossible_travel": q_events_impossible_travel,
         "events_resample": q_events_resample,
         "events_pivot": q_events_pivot,
         "events_funnel": q_events_funnel,
@@ -18836,6 +18921,7 @@ def oracle_sql() -> Dict[str, str]:
         "knn_geo_limited": sql_knn_geo_limited(),
         "events_geofence": sql_events_geofence(),
         "events_travel": sql_events_travel(),
+        "events_impossible_travel": sql_events_impossible_travel(),
         "events_resample": sql_events_resample(),
         "events_pivot": sql_events_pivot(),
         "events_funnel": sql_events_funnel(),

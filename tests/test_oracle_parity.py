@@ -121,7 +121,7 @@ ORACLE_CHECKED = [
     "events_weekend_ratio", "part_name_tokens",
     "polygon_dissolve", "events_kmv_overlap", "source_mix_sample",
     "events_corridor", "source_overlap", "user_reach",
-    "langid_confusion",
+    "langid_confusion", "events_impossible_travel",
 ]
 
 
