@@ -2549,6 +2549,43 @@ def sql_ngram_jaccard(threshold: float = 0.5) -> str:
         f">= {threshold!r} ORDER BY doc_a, doc_b")
 
 
+_CONTAIN_T = 0.6
+
+
+def q_doc_containment(sf_dir: str, threshold: float = _CONTAIN_T):
+    """EXACT n-gram CONTAINMENT similarity self-join — the asymmetric
+    near-dup test (|A ∩ B| / min(|A|, |B|)) that catches
+    extract/quote relationships symmetric Jaccard misses when one
+    document is much longer than the other (Broder's containment, the
+    standard quote-detection pass in corpus curation).  Same complete
+    shingle-equi-join plan as ngram_jaccard (stages/dedup
+    .ngram_jaccard_join with metric='containment'); the SQL oracle is
+    candidate-path-independent: every intersecting pair's exact
+    containment from the shared shingle CTEs."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_join(ds, threshold=threshold,
+                              metric="containment") \
+        .sort(["doc_a", "doc_b"])
+
+
+def sql_doc_containment(threshold: float = _CONTAIN_T) -> str:
+    return (
+        f"WITH {_shingle_ctes()}, "
+        f"inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, "
+        f"COUNT(*) AS ni FROM shingle sa "
+        f"JOIN shingle sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id "
+        f"GROUP BY 1, 2) "
+        f"SELECT i.doc_a, i.doc_b, "
+        f"CAST(i.ni AS DOUBLE) / LEAST(za.n, zb.n) AS containment "
+        f"FROM inter i "
+        f"JOIN sizes za ON za.doc_id = i.doc_a "
+        f"JOIN sizes zb ON zb.doc_id = i.doc_b "
+        f"WHERE CAST(i.ni AS DOUBLE) / LEAST(za.n, zb.n) "
+        f">= {threshold!r} ORDER BY doc_a, doc_b")
+
+
 _DECON_MOD = 97     # benchmark membership: doc_id % _DECON_MOD == 0
 
 
@@ -18660,6 +18697,7 @@ def _authored_queries() -> Dict:
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
+        "doc_containment": q_doc_containment,
         "embed_clusters": q_embed_clusters,
         "doc_chunks": q_doc_chunks,
         "chunk_knn": q_chunk_knn,
@@ -19138,6 +19176,7 @@ def oracle_sql() -> Dict[str, str]:
         # SQL; valid at the driver's sf0.01 scale (10k images)
         "minhash_dedup": sql_minhash_dedup(),
         "ngram_jaccard": sql_ngram_jaccard(),
+        "doc_containment": sql_doc_containment(),
         "spatial_join_images": sql_spatial_join_images(),
         "spatial_join_shuffle": sql_spatial_join_images(),
         "spatial_join_auto": sql_spatial_join_images(),

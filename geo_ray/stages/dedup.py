@@ -520,7 +520,7 @@ def exact_dedup(ds, key_cols: List[str], id_col: str,
 
 
 def ngram_jaccard_join(docs_ds, threshold: float = 0.5,
-                       n_buckets=None):
+                       n_buckets=None, metric: str = "jaccard"):
     """EXACT n-gram (3-word rolling shingle) Jaccard similarity
     self-join — complete, no probabilistic recall, no per-pair Python
     work: intersection counts come from a narrow shingle EQUI-JOIN
@@ -539,7 +539,13 @@ def ngram_jaccard_join(docs_ds, threshold: float = 0.5,
     minhash path).  doc_ids must fit int32 for the packed pair key
     (document at 10^9+ docs: widen to a two-column key).
 
-    Returns (doc_a, doc_b, jaccard) with J >= threshold."""
+    ``metric``: "jaccard" (|A ∩ B| / |A ∪ B|) or "containment"
+    (|A ∩ B| / min(|A|, |B|)) — containment is the ASYMMETRIC
+    near-dup test that catches extracts/quotes Jaccard misses when
+    one document is much longer; same candidate completeness
+    argument (a pair with containment >= t > 0 shares a shingle).
+
+    Returns (doc_a, doc_b, <metric>) with score >= threshold."""
 
     def _sketch_rows(batch: pa.Table) -> pa.Table:
         return doc_sketches(batch, 1)
@@ -611,14 +617,17 @@ def ngram_jaccard_join(docs_ds, threshold: float = 0.5,
         ni = np.zeros(len(uniq), np.int64)
         np.add.at(ni, inv, niv)
         la, lb = la[first], lb[first]
-        jac = ni / (la + lb - ni)
-        keep = jac >= threshold
+        if metric == "containment":
+            score = ni / np.minimum(la, lb)
+        else:
+            score = ni / (la + lb - ni)
+        keep = score >= threshold
         return pd.DataFrame({
             "doc_a": pd.Series(uniq[keep] >> np.int64(32),
                                dtype="int64"),
             "doc_b": pd.Series(uniq[keep] & np.int64(0xFFFFFFFF),
                                dtype="int64"),
-            "jaccard": pd.Series(jac[keep], dtype="float64")})
+            metric: pd.Series(score[keep], dtype="float64")})
 
     return (sketches.map_batches(_shingle_rows, batch_format="pyarrow")
             .groupby("bucket")
