@@ -4454,6 +4454,158 @@ def sql_events_distinct_hll(p: int = _HLL_P) -> str:
         "FROM e ORDER BY event_type")
 
 
+_PROFILE_P = 6
+_PROFILE_OFF = 10 ** 12      # cents offset keeping the hash basis >= 0
+
+
+def q_events_profile(sf_dir: str, p: int = _PROFILE_P):
+    """Table profiling — the first pass every pipeline runs on a new
+    dataset: per column, (min_units, max_units, n_nulls,
+    est_distinct).  Canonical integerizations (documented contract):
+    event_id / user_id are themselves; ts is epoch microseconds;
+    value is exact cents (the repo-wide ROUND(value*100) parity
+    pair); event_type orders by LENGTH and counts distinct by the
+    md5 word hash (strings have no natural int64 order — the length
+    is the packing-relevant stat, the hash the identity-relevant
+    one).  est_distinct is the HLL sketch (stages/sample.py) keyed by
+    column name — approximate with the EXACT cross-engine register
+    contract, so the whole profile hash-matches its SQL oracle.
+
+    Scale shape: one streaming pass emits 5x narrow (col, v, units)
+    rows; min/max/null partials merge driver-side over the
+    5-column-bounded domain, registers merge by max in a
+    (col, bucket)-keyed groupby of <= 5 * 2^p rows per batch."""
+    import pandas as pd
+    from ..stages.sample import hll_sketch_by_key
+    from ..stages.text import word_hashes64
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        et = batch.column("event_type").to_pylist()
+        eth = (word_hashes64(et) >> np.uint64(1)).astype(np.int64)
+        etl = np.fromiter((len(s) for s in et), np.int64,
+                          count=len(et))
+        n = len(eid)
+        col = np.concatenate([
+            np.repeat(np.array([c], object), n)
+            for c in ("event_id", "event_type", "ts", "user_id",
+                      "value")])
+        v = np.concatenate([eid, eth, tsu, uid,
+                            cents + _PROFILE_OFF])
+        units = np.concatenate([eid, etl, tsu, uid, cents])
+        return pa.table({
+            "col": pa.array(col, pa.string()),
+            "v": pa.array(v, pa.int64()),
+            "units": pa.array(units, pa.int64()),
+        })
+
+    rows = ds.map_batches(_rows, batch_format="pyarrow")
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("col")["units"].agg(["min", "max", "count"]) \
+            .reset_index()
+        return pa.table({
+            "col": pa.array(g["col"].to_numpy(object), pa.string()),
+            "mn": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
+            "mx": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g["count"].to_numpy(np.int64),
+                            pa.int64())})
+
+    part = rows.map_batches(_stats, batch_format="pyarrow") \
+        .to_pandas()                   # bounded: 5 cols x blocks
+    stats = part.groupby("col").agg(
+        min_units=("mn", "min"), max_units=("mx", "max"),
+        n_rows=("cnt", "sum")).reset_index()
+
+    # null counts from Arrow column metadata (no value scan)
+    def _nulls(batch: pa.Table) -> pa.Table:
+        cols = ["event_id", "event_type", "ts", "user_id", "value"]
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "nn": pa.array([batch.column(c).null_count for c in cols],
+                           pa.int64())})
+
+    np_part = ds.map_batches(_nulls, batch_format="pyarrow") \
+        .to_pandas()
+    nn = np_part.groupby("col")["nn"].sum()
+
+    est = hll_sketch_by_key(rows, "col", "v", p=p).to_pandas() \
+        .rename(columns={"key": "col"})
+
+    out = stats.merge(est, on="col")
+    out["n_nulls"] = out["col"].map(nn).astype(np.int64)
+    out = out[["col", "min_units", "max_units", "n_nulls",
+               "est_distinct"]].sort_values("col") \
+        .reset_index(drop=True)
+    for c in ("min_units", "max_units", "est_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_profile_est(vexpr: str, p: int = _PROFILE_P) -> str:
+    """Single-column HLL estimate subquery (scalar) — the exact SQL
+    chain of sql_events_distinct_hll for one value expression."""
+    from ..stages.sample import hll_alpha_ppb
+    m = 1 << p
+    cap = 53
+    mask = (1 << 52) - 1
+    apb = hll_alpha_ppb(m)
+    return (
+        "(WITH u AS (SELECT DISTINCT " + vexpr + " AS pv FROM events), "
+        + _splitmix_ctes("hx", "u", "pv", "CAST(pv AS UBIGINT)") + ", "
+        + f"br AS (SELECT CAST(v >> {64 - p} AS BIGINT) AS bucket, "
+        + f"CAST((v >> {64 - p - 52}) & CAST({mask} AS UBIGINT) "
+        + "AS BIGINT) AS rest FROM hx), "
+        + f"rr AS (SELECT bucket, CASE WHEN rest > 0 THEN "
+        + f"{cap} - length(format('{{:b}}', rest)) ELSE {cap} END "
+        + "AS rho FROM br), "
+        + "regs AS (SELECT bucket, MAX(rho) AS rho FROM rr "
+        + "GROUP BY 1), "
+        + "agg AS (SELECT COUNT(*) AS cnt, "
+        + f"SUM(CAST(1 AS BIGINT) << ({cap} - rho)) AS ps FROM regs), "
+        + f"e AS (SELECT (CAST({apb} AS HUGEINT) * {m * m} * "
+        + f"(CAST(1 AS HUGEINT) << {cap})) // ((CAST(({m} - cnt) "
+        + f"AS HUGEINT) * (CAST(1 AS HUGEINT) << {cap}) + ps) * "
+        + "1000000000) AS est_raw, "
+        + f"{m} - cnt AS vz FROM agg) "
+        + "SELECT CASE WHEN vz > 0 AND est_raw <= "
+        + f"{(5 * m) // 2} THEN CAST(FLOOR({m} * LN({m}::DOUBLE / vz)) "
+        + "AS BIGINT) ELSE CAST(est_raw AS BIGINT) END FROM e)")
+
+
+def sql_events_profile(p: int = _PROFILE_P) -> str:
+    specs = [
+        ("event_id", "event_id", "event_id"),
+        ("event_type",
+         "CAST(md5_number_lower(event_type)::UBIGINT >> 1 AS BIGINT)",
+         "length(event_type)"),
+        ("ts", "epoch_us(ts)", "epoch_us(ts)"),
+        ("user_id", "user_id", "user_id"),
+        ("value",
+         f"CAST(ROUND(value * 100) AS BIGINT) + {_PROFILE_OFF}",
+         "CAST(ROUND(value * 100) AS BIGINT)"),
+    ]
+    blocks = []
+    for name, vexpr, uexpr in specs:
+        blocks.append(
+            f"SELECT '{name}' AS col, "
+            f"CAST(MIN({uexpr}) AS BIGINT) AS min_units, "
+            f"CAST(MAX({uexpr}) AS BIGINT) AS max_units, "
+            f"CAST(COUNT(*) - COUNT({uexpr}) AS BIGINT) AS n_nulls, "
+            f"{_sql_profile_est(vexpr, p)} AS est_distinct "
+            f"FROM events")
+    return " UNION ALL ".join(blocks) + " ORDER BY col"
+
+
 _KMV_K = 64
 
 
@@ -18812,6 +18964,7 @@ def _authored_queries() -> Dict:
         "events_distinct_sketch": q_events_distinct_sketch,
         "events_distinct_hll": q_events_distinct_hll,
         "events_kmv_overlap": q_events_kmv_overlap,
+        "events_profile": q_events_profile,
         "events_corridor": q_events_corridor,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -19032,6 +19185,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_distinct_sketch": sql_events_distinct_sketch(),
         "events_distinct_hll": sql_events_distinct_hll(),
         "events_kmv_overlap": sql_events_kmv_overlap(),
+        "events_profile": sql_events_profile(),
         "events_corridor": sql_events_corridor(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
