@@ -215,7 +215,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_kmv_overlap", "source_mix_sample",
                  "events_corridor", "source_overlap", "user_reach",
                  "langid_confusion", "events_impossible_travel",
-                 "doc_containment", "events_profile"]
+                 "doc_containment", "events_profile",
+                 "video_frame_stats"]
         # traj_frechet is registered (driver gate at sf0.01) but kept
         # off the bench roster: its O(n x m) coupled-walk DP over
         # 115k candidate pairs is ~50s at sf0.1 — intrinsic work, not

@@ -4454,6 +4454,96 @@ def sql_events_distinct_hll(p: int = _HLL_P) -> str:
         "FROM e ORDER BY event_type")
 
 
+_VID_N = 120
+
+
+def q_video_frame_stats(sf_dir: str):
+    """Video-column pipeline end-to-end as a DRIVER query: synthesize
+    deterministic VID1 containers (length-indexed frame blobs),
+    sample every 2nd frame through the ACTOR-POOL FrameSampler stage
+    (stages/media.py — state in __init__, only sampled blobs ever
+    decompressed), and QA each video structurally: ok = 1 iff the
+    sampled frame-id set is exactly {0, 2, ...} and every sampled
+    frame's decoded mean RGB lands within the lossy codec's ±3
+    tolerance of the synthesis value.  The SQL oracle pins
+    (n_frames, n_sampled, ok) from the construction arithmetic —
+    the multimodal plumbing (container, seek index, actor pool,
+    schema) is what's under test, the way image_neardup pins its
+    planted pairs.
+
+    Scale shape: stateless synthesis + actor-pool map_batches; the
+    per-video QA fold is a bounded fetch (120 videos here; at scale
+    it's one groupby(video) with the same vectorized body)."""
+    import pandas as pd
+    from ..stages.media import FrameSampler, encode_video
+
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", _VID_N))
+
+    def _make(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        vids, blobs = [], []
+        for k in keys:
+            n = 4 + int(k) % 5
+            vals = ((k * 37 + np.arange(n) * 53) % 200 + 20) \
+                .astype(np.uint8)
+            frames = np.ascontiguousarray(np.broadcast_to(
+                vals[:, None, None, None], (n, 16, 16, 3)))
+            blobs.append(encode_video(frames))
+            vids.append(f"v{int(k):06d}")
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "video": pa.array(blobs, pa.binary())})
+
+    # actor pool sized to a FRACTION of the cluster: a pool equal to
+    # the CPU count starves the upstream read tasks and the executor
+    # livelocks (the verify-doc gotcha, observed at num_cpus=4)
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    frames = ds.map_batches(_make, batch_format="pyarrow") \
+        .map_batches(FrameSampler,
+                     fn_constructor_kwargs={"stride": 2},
+                     concurrency=max(1, ncpu // 4), batch_size=32,
+                     batch_format="pyarrow")
+    df = frames.to_pandas()            # bounded: <=5 rows per video
+
+    ks = df["video_id"].str.slice(1).astype(np.int64)
+    fid = df["frame_id"].to_numpy(np.int64)
+    expect = ((ks.to_numpy() * 37 + fid * 53) % 200 + 20) \
+        .astype(np.float64)
+    tol = 3.0
+    row_ok = ((df["mean_r"].to_numpy() - expect) ** 2 <= tol * tol) \
+        & ((df["mean_g"].to_numpy() - expect) ** 2 <= tol * tol) \
+        & ((df["mean_b"].to_numpy() - expect) ** 2 <= tol * tol)
+    agg = pd.DataFrame({
+        "video_key": ks, "frame_id": fid, "row_ok": row_ok}) \
+        .groupby("video_key") \
+        .agg(n_sampled=("frame_id", "size"),
+             max_fid=("frame_id", "max"),
+             all_ok=("row_ok", "all")).reset_index()
+    n_frames = 4 + agg["video_key"].to_numpy() % 5
+    want_sampled = (n_frames + 1) // 2
+    ok = (agg["n_sampled"].to_numpy() == want_sampled) \
+        & (agg["max_fid"].to_numpy() == (want_sampled - 1) * 2) \
+        & agg["all_ok"].to_numpy()
+    return pd.DataFrame({
+        "video_key": agg["video_key"].astype(np.int64),
+        "n_frames": n_frames.astype(np.int64),
+        "n_sampled": agg["n_sampled"].astype(np.int64),
+        "ok": ok.astype(np.int64),
+    }).sort_values("video_key").reset_index(drop=True)
+
+
+def sql_video_frame_stats() -> str:
+    return (
+        "SELECT c_custkey AS video_key, "
+        "CAST(4 + c_custkey % 5 AS BIGINT) AS n_frames, "
+        "CAST((4 + c_custkey % 5 + 1) // 2 AS BIGINT) AS n_sampled, "
+        "CAST(1 AS BIGINT) AS ok FROM customer "
+        f"WHERE c_custkey < {_VID_N} ORDER BY video_key")
+
+
 _PROFILE_P = 6
 _PROFILE_OFF = 10 ** 12      # cents offset keeping the hash basis >= 0
 
@@ -18965,6 +19055,7 @@ def _authored_queries() -> Dict:
         "events_distinct_hll": q_events_distinct_hll,
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_profile": q_events_profile,
+        "video_frame_stats": q_video_frame_stats,
         "events_corridor": q_events_corridor,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -19186,6 +19277,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_distinct_hll": sql_events_distinct_hll(),
         "events_kmv_overlap": sql_events_kmv_overlap(),
         "events_profile": sql_events_profile(),
+        "video_frame_stats": sql_video_frame_stats(),
         "events_corridor": sql_events_corridor(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),

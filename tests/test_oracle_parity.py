@@ -122,7 +122,7 @@ ORACLE_CHECKED = [
     "polygon_dissolve", "events_kmv_overlap", "source_mix_sample",
     "events_corridor", "source_overlap", "user_reach",
     "langid_confusion", "events_impossible_travel",
-    "doc_containment", "events_profile",
+    "doc_containment", "events_profile", "video_frame_stats",
 ]
 
 
