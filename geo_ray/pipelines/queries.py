@@ -4544,6 +4544,87 @@ def sql_video_frame_stats() -> str:
         f"WHERE c_custkey < {_VID_N} ORDER BY video_key")
 
 
+_AUD_N = 120
+
+
+def q_audio_feature_stats(sf_dir: str):
+    """Audio-column pipeline end-to-end as a DRIVER query: synthesize
+    deterministic AUD1 PCM (pure sine per key: f_k = 200 + (k % 10) *
+    300 Hz, amplitude 0.5, 2048 samples at 16 kHz), extract
+    frame-level features through the ACTOR-POOL AudioFeatures stage
+    (stages/media.py — Hann window built once per actor, PCM never
+    leaves the stage), and QA each clip against the signal's physics:
+    ok = 1 iff 4 frames came back and every frame's RMS is within
+    0.02 of A/sqrt(2), ZCR within 0.02 of 2 f / rate, and the
+    windowed spectral centroid within 40 Hz of f_k.  The SQL oracle
+    pins (n_frames, ok) from the construction arithmetic — the audio
+    plumbing (container, decode, actor pool, schema) is under test.
+
+    Scale shape: stateless synthesis + actor-pool map_batches (pool
+    cpus//4 — the full-CPU-pool livelock gotcha); bounded QA fold."""
+    import pandas as pd
+    from ..stages.media import AudioFeatures, encode_audio
+
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", _AUD_N))
+    RATE = 16000
+    NSAMP = 2048
+    AMP = 0.5
+
+    def _make(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        ids, blobs = [], []
+        t = np.arange(NSAMP, dtype=np.float64) / RATE
+        for k in keys:
+            f = 200.0 + float(int(k) % 10) * 300.0
+            pcm = np.round(AMP * 32767.0 *
+                           np.sin(2.0 * np.pi * f * t)) \
+                .astype(np.int16)
+            blobs.append(encode_audio(pcm, RATE))
+            ids.append(f"a{int(k):06d}")
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "audio": pa.array(blobs, pa.binary())})
+
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    frames = ds.map_batches(_make, batch_format="pyarrow") \
+        .map_batches(AudioFeatures,
+                     fn_constructor_kwargs={"frame_len": 512},
+                     concurrency=max(1, ncpu // 4), batch_size=32,
+                     batch_format="pyarrow")
+    df = frames.to_pandas()            # bounded: 4 rows per clip
+
+    ks = df["audio_id"].str.slice(1).astype(np.int64).to_numpy()
+    f = 200.0 + (ks % 10) * 300.0
+    rms_ok = np.abs(df["rms"].to_numpy()
+                    - AMP / np.sqrt(2.0)) <= 0.02
+    zcr_ok = np.abs(df["zcr"].to_numpy() - 2.0 * f / RATE) <= 0.02
+    cen_ok = np.abs(df["centroid_hz"].to_numpy() - f) <= 40.0
+    agg = pd.DataFrame({
+        "audio_key": ks,
+        "row_ok": rms_ok & zcr_ok & cen_ok}) \
+        .groupby("audio_key") \
+        .agg(n_frames=("row_ok", "size"),
+             all_ok=("row_ok", "all")).reset_index()
+    ok = (agg["n_frames"].to_numpy() == NSAMP // 512) \
+        & agg["all_ok"].to_numpy()
+    return pd.DataFrame({
+        "audio_key": agg["audio_key"].astype(np.int64),
+        "n_frames": agg["n_frames"].astype(np.int64),
+        "ok": ok.astype(np.int64),
+    }).sort_values("audio_key").reset_index(drop=True)
+
+
+def sql_audio_feature_stats() -> str:
+    return (
+        "SELECT c_custkey AS audio_key, "
+        "CAST(4 AS BIGINT) AS n_frames, "
+        "CAST(1 AS BIGINT) AS ok FROM customer "
+        f"WHERE c_custkey < {_AUD_N} ORDER BY audio_key")
+
+
 _PROFILE_P = 6
 _PROFILE_OFF = 10 ** 12      # cents offset keeping the hash basis >= 0
 
@@ -19056,6 +19137,7 @@ def _authored_queries() -> Dict:
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_profile": q_events_profile,
         "video_frame_stats": q_video_frame_stats,
+        "audio_feature_stats": q_audio_feature_stats,
         "events_corridor": q_events_corridor,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -19278,6 +19360,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_kmv_overlap": sql_events_kmv_overlap(),
         "events_profile": sql_events_profile(),
         "video_frame_stats": sql_video_frame_stats(),
+        "audio_feature_stats": sql_audio_feature_stats(),
         "events_corridor": sql_events_corridor(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
