@@ -216,7 +216,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "events_corridor", "source_overlap", "user_reach",
                  "langid_confusion", "events_impossible_travel",
                  "doc_containment", "events_profile",
-                 "video_frame_stats", "audio_feature_stats"]
+                 "video_frame_stats", "audio_feature_stats",
+                 "image_resize_stats"]
         # traj_frechet is registered (driver gate at sf0.01) but kept
         # off the bench roster: its O(n x m) coupled-walk DP over
         # 115k candidate pairs is ~50s at sf0.1 — intrinsic work, not

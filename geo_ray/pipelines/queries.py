@@ -4544,6 +4544,88 @@ def sql_video_frame_stats() -> str:
         f"WHERE c_custkey < {_VID_N} ORDER BY video_key")
 
 
+_RSZ_N = 120
+
+
+def q_image_resize_stats(sf_dir: str):
+    """Image RESIZE registered as a DRIVER query (the remaining media
+    actor-pool stage): synthesize 32x32 PNG ramps (pixel value
+    a + 4i with a = key % 97 — linear in the row index, no clipping),
+    resize to 16x16 through the ACTOR-POOL ImageResize stage
+    (stages/media.py — per-(shape, fmt) resample plans cached per
+    actor), and QA each output EXACTLY: bilinear interpolation
+    reproduces linear functions, so the expected pixel is the
+    independent closed form a + 8i + 2 (align_corners=False center
+    arithmetic), integer-exact after rint, and PNG is lossless —
+    ok = 1 iff every output pixel equals it and dims are 16x16.
+    The SQL oracle pins (ok, out_w, out_h) per key.
+
+    Scale shape: stateless synthesis + actor-pool map_batches (pool
+    cpus//4 — the full-CPU-pool livelock gotcha); bounded QA fold."""
+    import pandas as pd
+    from ..sources import codecs as _codecs
+    from ..stages.media import ImageResize
+
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", _RSZ_N))
+
+    def _make(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        ids, blobs = [], []
+        i = np.arange(32, dtype=np.int64)
+        for k in keys:
+            a = int(k) % 97
+            col = (a + 4 * i).astype(np.uint8)
+            img = np.ascontiguousarray(np.broadcast_to(
+                col[:, None, None], (32, 32, 3)))
+            blobs.append(_codecs.png_encode_many(img[None])[0])
+            ids.append(f"i{int(k):06d}")
+        n = len(keys)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "w": pa.array(np.full(n, 32, np.int32), pa.int32()),
+            "h": pa.array(np.full(n, 32, np.int32), pa.int32()),
+        })
+
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    out = ds.map_batches(_make, batch_format="pyarrow") \
+        .map_batches(ImageResize,
+                     fn_constructor_args=(16, 16),
+                     concurrency=max(1, ncpu // 4), batch_size=32,
+                     batch_format="pyarrow")
+    df = out.to_pandas()               # bounded: 120 rows
+
+    ks = df["image_id"].str.slice(1).astype(np.int64).to_numpy()
+    i16 = np.arange(16, dtype=np.int64)
+    oks = []
+    for key, blob, w, h in zip(ks, df["bytes"], df["w"], df["h"]):
+        a = int(key) % 97
+        want = (a + 8 * i16 + 2).astype(np.uint8)
+        img = _codecs.png_decode_many([bytes(blob)])[0]
+        ok = (int(w) == 16 and int(h) == 16
+              and img.shape == (16, 16, 3)
+              and bool((img == want[:, None, None]).all()))
+        oks.append(int(ok))
+    return pd.DataFrame({
+        "image_key": ks,
+        "out_w": df["w"].astype(np.int64),
+        "out_h": df["h"].astype(np.int64),
+        "ok": np.asarray(oks, np.int64),
+    }).sort_values("image_key").reset_index(drop=True)
+
+
+def sql_image_resize_stats() -> str:
+    return (
+        "SELECT c_custkey AS image_key, "
+        "CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h, "
+        "CAST(1 AS BIGINT) AS ok FROM customer "
+        f"WHERE c_custkey < {_RSZ_N} ORDER BY image_key")
+
+
 _AUD_N = 120
 
 
@@ -19138,6 +19220,7 @@ def _authored_queries() -> Dict:
         "events_profile": q_events_profile,
         "video_frame_stats": q_video_frame_stats,
         "audio_feature_stats": q_audio_feature_stats,
+        "image_resize_stats": q_image_resize_stats,
         "events_corridor": q_events_corridor,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -19361,6 +19444,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_profile": sql_events_profile(),
         "video_frame_stats": sql_video_frame_stats(),
         "audio_feature_stats": sql_audio_feature_stats(),
+        "image_resize_stats": sql_image_resize_stats(),
         "events_corridor": sql_events_corridor(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
