@@ -2172,7 +2172,12 @@ def q_events_corridor(sf_dir: str,
         d2 = target.chord2(S)
         if len(d2):
             m = np.abs(d2 - thr2).min()
-            assert m > 1e-9, f"threshold margin {m} eps-sensitive"
+            if m <= 1e-9:       # survives -O, unlike a bare assert
+                raise ValueError(
+                    f"events_corridor: an event sits {m} from the "
+                    f"corridor threshold — membership would depend "
+                    f"on last-ulp trig agreement between engines; "
+                    f"widen radius_deg or use a lattice-exact metric")
         keep = d2 < thr2
         return pa.table({"event_id": pa.array(
             keys[keep].astype(np.int64), pa.int64())})
@@ -7688,7 +7693,8 @@ def sql_events_travel() -> str:
         f"CAST(FLOOR((dx*dx + dy*dy + dz*dz) * 1000000.0) AS BIGINT) AS u2 "
         f"FROM seg WHERE dx IS NOT NULL) "
         f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments, "
-        f"SUM(u2) AS travel_units, MAX(u2) AS max_seg_units "
+        f"CAST(SUM(u2) AS BIGINT) AS travel_units, "
+        f"CAST(MAX(u2) AS BIGINT) AS max_seg_units "
         f"FROM units GROUP BY user_id ORDER BY user_id")
 
 

@@ -305,6 +305,16 @@ def encode(rgb: np.ndarray, quality: int = 90) -> bytes:
                 bw.write(code, length)
     bw.flush()
 
+    out = bytearray(_header_bytes(h, w, qt))
+    out += bytes(bw.buf)
+    out += b"\xFF\xD9"                                       # EOI
+    return bytes(out)
+
+
+def _header_bytes(h: int, w: int,
+                  qt: Tuple[np.ndarray, np.ndarray]) -> bytes:
+    """SOI..SOS marker segment shared by encode / encode_many —
+    everything before the entropy-coded body."""
     out = bytearray()
     out += b"\xFF\xD8"                                       # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
@@ -325,9 +335,162 @@ def encode(rgb: np.ndarray, quality: int = 90) -> bytes:
     for cid in (1, 2, 3):
         out += bytes([cid, 0x00 if cid == 1 else 0x11])
     out += bytes([0, 63, 0])
-    out += bytes(bw.buf)
-    out += b"\xFF\xD9"                                       # EOI
     return bytes(out)
+
+
+def _huff_lut(table: Dict[int, Tuple[int, int]],
+              size: int) -> Tuple[np.ndarray, np.ndarray]:
+    code = np.zeros(size, np.uint64)
+    ln = np.zeros(size, np.uint64)
+    for v, (c, l) in table.items():
+        code[v] = c
+        ln[v] = l
+    return code, ln
+
+
+_DC_LUT = tuple(_huff_lut(t, 12) for t in _ENC_DC)
+_AC_LUT = tuple(_huff_lut(t, 256) for t in _ENC_AC)
+_SYMBOL_SPAN = 520        # > 63*8 + 7 (AC) and > 512 (EOB slot)
+
+
+def _bit_length_u(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length of non-negative int64 (exact below 2^52:
+    frexp exponent of the float64 value IS the bit length)."""
+    return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+
+
+def encode_many(imgs: np.ndarray, quality: int = 90) -> List[bytes]:
+    """(n, h, w, 3) uint8 RGB -> n baseline JFIF blobs, byte-identical
+    to ``[encode(im, quality) for im in imgs]`` but with every stage —
+    DCT, quantization, DC differencing, run-length symbolization,
+    Huffman code lookup and bit packing — vectorized across the whole
+    same-shape batch.  Only the final per-image packbits + byte
+    stuffing runs in a Python loop (O(images), not O(blocks))."""
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    n, h, w = imgs.shape[:3]
+    if n == 0:
+        return []
+    qt = (_quality_scale(QUANT_LUMA, quality),
+          _quality_scale(QUANT_CHROMA, quality))
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        imgs = np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                      mode="edge")
+    H, W = imgs.shape[1:3]
+    nbh, nbw = H // 8, W // 8
+    nb = nbh * nbw
+    ycc = rgb_to_ycbcr(imgs) - 128.0
+
+    keys_parts, vals_parts, lens_parts = [], [], []
+    ar63 = np.arange(1, 64, dtype=np.int64)
+    for ci in range(3):
+        tsel = 0 if ci == 0 else 1
+        dc_code, dc_len = _DC_LUT[tsel]
+        ac_code, ac_len = _AC_LUT[tsel]
+        plane = ycc[:, :, :, ci]
+        blocks = plane.reshape(n, nbh, 8, nbw, 8) \
+            .transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8)
+        coefs = _dct2_fixed(blocks)
+        q = qt[0] if ci == 0 else qt[1]
+        zz = np.rint(coefs / q).astype(np.int64) \
+            .reshape(-1, 64)[:, ZIGZAG]            # (n*nb, 64)
+
+        # DC: differential within each image's block sequence
+        dc = zz[:, 0].reshape(n, nb)
+        diff = dc - np.concatenate(
+            [np.zeros((n, 1), np.int64), dc[:, :-1]], axis=1)
+        diff = diff.reshape(-1)
+        dsize = _bit_length_u(np.abs(diff))
+        dbits = np.where(diff >= 0, diff,
+                         diff + (np.int64(1) << dsize) - 1) \
+            & ((np.int64(1) << dsize) - 1)
+        dval = (dc_code[dsize].astype(np.int64) << dsize) | dbits
+        dlen = dc_len[dsize].astype(np.int64) + dsize
+        base = np.arange(n * nb, dtype=np.int64) * 3 + ci
+        keys_parts.append(base * _SYMBOL_SPAN)
+        vals_parts.append(dval)
+        lens_parts.append(dlen)
+
+        # AC: run-length symbols over the zigzag tail
+        A = zz[:, 1:]                               # (n*nb, 63)
+        rows, kpos = np.nonzero(A)                  # row-major: k asc
+        if len(rows):
+            v = A[rows, kpos]
+            prev = np.full(len(rows), -1, np.int64)
+            same = rows[1:] == rows[:-1]
+            prev[1:] = np.where(same, kpos[:-1], -1)
+            run = kpos - prev - 1
+            zrl_n = run >> 4
+            rem = run & 15
+            size = _bit_length_u(np.abs(v))
+            bits = np.where(v >= 0, v,
+                            v + (np.int64(1) << size) - 1) \
+                & ((np.int64(1) << size) - 1)
+            sym = (rem << 4) | size
+            aval = (ac_code[sym].astype(np.int64) << size) | bits
+            alen = ac_len[sym].astype(np.int64) + size
+            akey = (rows * 3 + ci) * _SYMBOL_SPAN \
+                + (kpos + 1) * 8 + zrl_n
+            keys_parts.append(akey)
+            vals_parts.append(aval)
+            lens_parts.append(alen)
+            # ZRL fills: zrl_n copies BEFORE each symbol
+            tot = int(zrl_n.sum())
+            if tot:
+                rep = np.repeat(np.arange(len(rows)), zrl_n)
+                j = np.arange(tot) - np.repeat(
+                    np.cumsum(zrl_n) - zrl_n, zrl_n)
+                zc, zl = int(ac_code[0xF0]), int(ac_len[0xF0])
+                keys_parts.append((rows[rep] * 3 + ci) * _SYMBOL_SPAN
+                                  + (kpos[rep] + 1) * 8 + j)
+                vals_parts.append(np.full(tot, zc, np.int64))
+                lens_parts.append(np.full(tot, zl, np.int64))
+        # EOB where the block's last nonzero AC sits before pos 63
+        lastk = np.full(n * nb, -1, np.int64)
+        if len(rows):
+            lastk[rows] = kpos                      # ascending: last wins
+        need = np.nonzero(lastk < 62)[0]
+        ec, el = int(ac_code[0x00]), int(ac_len[0x00])
+        keys_parts.append((need * 3 + ci) * _SYMBOL_SPAN + 512)
+        vals_parts.append(np.full(len(need), ec, np.int64))
+        lens_parts.append(np.full(len(need), el, np.int64))
+
+    keys = np.concatenate(keys_parts)
+    vals = np.concatenate(vals_parts)
+    lens = np.concatenate(lens_parts)
+    order = np.argsort(keys, kind="stable")
+    keys, vals, lens = keys[order], vals[order], lens[order]
+
+    # one global MSB-first bit expansion (max symbol length 27 bits)
+    LMAX = 27
+    ar = np.arange(LMAX, dtype=np.int64)
+    shift = np.maximum(lens[:, None] - 1 - ar[None, :], 0)
+    bitmat = ((vals[:, None] >> shift) & 1).astype(np.uint8)
+    valid = ar[None, :] < lens[:, None]
+    bitstream = bitmat[valid]                       # row-major order
+    bit_off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=bit_off[1:])
+
+    # split per image (each image's body pads + stuffs independently)
+    img_bounds = np.searchsorted(
+        keys, np.arange(1, n + 1, dtype=np.int64) * (nb * 3 * _SYMBOL_SPAN))
+    header = _header_bytes(h, w, qt)
+    out: List[bytes] = []
+    a = 0
+    for i in range(n):
+        b = int(img_bounds[i])
+        bits_i = bitstream[bit_off[a]:bit_off[b]]
+        pad = -len(bits_i) % 8
+        if pad:
+            bits_i = np.concatenate(
+                [bits_i, np.ones(pad, np.uint8)])   # pad with 1s
+        body = np.packbits(bits_i)
+        ff = np.nonzero(body == 0xFF)[0]
+        if len(ff):
+            body = np.insert(body, ff + 1, 0)       # byte stuffing
+        out.append(header + body.tobytes() + b"\xFF\xD9")
+        a = b
+    return out
 
 
 # ---------------------------------------------------------------------------

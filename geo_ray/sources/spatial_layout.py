@@ -744,6 +744,16 @@ def build_key_index(out_dir: str, *, key_col: str,
                .groupby("__b")
                .map_groups(_write_bucket, batch_format="pandas")
                .to_pandas())
+    # A rebuild only rewrites buckets that still hold keys; any
+    # bucket file left over from a previous build (emptied by
+    # delete_spatial, or from a different n_buckets) would otherwise
+    # survive and serve stale pids.  Remove everything this build did
+    # not write before publishing the manifest.
+    live = {f"bucket-{int(b):05d}.parquet" for b in written["bucket"]}
+    for fn in os.listdir(idx_dir):
+        if fn.startswith("bucket-") and fn.endswith(".parquet") \
+                and fn not in live:
+            os.remove(os.path.join(idx_dir, fn))
     idx_man = {"n_buckets": nb, "key_col": key_col,
                "rows": int(written["rows"].sum())}
     with open(mpath, "w") as fh:
@@ -769,6 +779,8 @@ def index_lookup(out_dir: str, keys: Sequence[int]) -> dict:
             continue
         t = pq.read_table(path).to_pandas()
         ik = t["key"].to_numpy(np.int64)
+        if len(ik) == 0:
+            continue
         ip = t["pid"].to_numpy()
         want = k[_key_buckets(k, nb) == b]
         pos = np.searchsorted(ik, want)
@@ -807,14 +819,18 @@ def move_spatial(out_dir: str, moves_ds, *, key_col: str,
 
     Scale shape — three bounded exchanges, nothing driver-sized:
       1. moves hash-co-partition with their index bucket (each body
-         reads ONE bucket file) to resolve old pids, rewriting the
-         touched index buckets in place;
+         reads ONE bucket file) to resolve old pids — READ-ONLY, so
+         a Ray retry of a resolve task re-reads the same index state
+         and reproduces the same answer;
       2. work rows explode to (old pid: drop) + (new pid: insert)
          and co-partition by pid — each touched partition file
          rewrites exactly once (tmp + rename, same atomicity as
          upsert/delete);
-      3. manifest refresh from the per-partition results.
-    The index is derived state: a crash between 1 and 2 is repaired
+      3. AFTER the data rewrite: touched index buckets upsert
+         key -> new pid (an idempotent pure overwrite — a retried
+         task rewrites the identical bucket), then the manifest
+         refreshes from the per-partition results.
+    The index is derived state: a crash between stages is repaired
     by re-running build_key_index."""
     import pandas as pd
     import pyarrow.parquet as pq
@@ -847,7 +863,10 @@ def move_spatial(out_dir: str, moves_ds, *, key_col: str,
             "__b", pa.array(_key_buckets(k, nb), pa.int32()))
 
     def _resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # one index bucket: map keys -> old pid, rewrite the bucket
+        # one index bucket: map keys -> old pid.  READ-ONLY — the
+        # bucket rewrite happens after the data rewrite (below), so a
+        # Ray re-execution of this body cannot observe its own
+        # update and mis-resolve old pid == new pid.
         b = int(g["__b"].iloc[0])
         g = g.drop(columns=["__b"])
         path = os.path.join(idx_dir, f"bucket-{b:05d}.parquet")
@@ -858,22 +877,13 @@ def move_spatial(out_dir: str, moves_ds, *, key_col: str,
                                 "pid": np.empty(0, np.int32)})
         ik = idx["key"].to_numpy(np.int64)
         k = g[key_col].to_numpy(np.int64)
+        if len(ik) == 0:
+            # fresh/empty bucket: every key is an insert
+            return g.assign(__oldpid=np.full(len(g), -1, np.int64))
         pos = np.searchsorted(ik, k)
         ok = (pos < len(ik)) & (ik[np.minimum(pos, len(ik) - 1)] == k)
         old = np.where(ok, idx["pid"].to_numpy()[
             np.minimum(pos, len(ik) - 1)], -1).astype(np.int64)
-        # incremental index maintenance: moved keys take their new pid
-        keep = ~np.isin(ik, k)
-        nidx = pd.DataFrame({
-            "key": np.concatenate([ik[keep], k]),
-            "pid": np.concatenate([
-                idx["pid"].to_numpy()[keep].astype(np.int32),
-                g["__newpid"].to_numpy(np.int32)])}) \
-            .sort_values("key", kind="mergesort")
-        tmp = path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(nidx,
-                                            preserve_index=False), tmp)
-        os.replace(tmp, path)
         return g.assign(__oldpid=old)
 
     resolved = (moves_ds.map_batches(_route, batch_format="pyarrow")
@@ -925,6 +935,41 @@ def move_spatial(out_dir: str, moves_ds, *, key_col: str,
                .groupby("__pid")
                .map_groups(_apply_one, batch_format="pandas")
                .to_pandas())
+
+    def _update_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # idempotent upsert key -> NEW pid into one index bucket:
+        # a retried task rewrites the identical file (pure overwrite
+        # of the moved keys' rows), so re-execution is safe.
+        b = int(g["__b"].iloc[0])
+        path = os.path.join(idx_dir, f"bucket-{b:05d}.parquet")
+        if os.path.exists(path):
+            idx = pq.read_table(path).to_pandas()
+        else:
+            idx = pd.DataFrame({"key": np.empty(0, np.int64),
+                                "pid": np.empty(0, np.int32)})
+        ik = idx["key"].to_numpy(np.int64)
+        k = g[key_col].to_numpy(np.int64)
+        keep = ~np.isin(ik, k)
+        nidx = pd.DataFrame({
+            "key": np.concatenate([ik[keep], k]),
+            "pid": np.concatenate([
+                idx["pid"].to_numpy()[keep].astype(np.int32),
+                g["__newpid"].to_numpy(np.int32)])}) \
+            .sort_values("key", kind="mergesort")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(nidx,
+                                            preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b]})
+
+    # index maintenance runs AFTER the data rewrite committed; the
+    # narrow (key, bucket, new pid) projection re-derives from the
+    # moves (deterministic read-only lineage recompute)
+    (moves_ds.map_batches(_route, batch_format="pyarrow")
+     .select_columns([key_col, "__b", "__newpid"])
+     .groupby("__b")
+     .map_groups(_update_bucket, batch_format="pandas")
+     .materialize())
     tmap = {int(r.pid): r for r in touched.itertuples()}
     for f in manifest["files"]:
         t = tmap.get(f["pid"])

@@ -117,10 +117,22 @@ def bands_from_sketches(batch: pa.Table, lsh_buckets: int = 512) -> pa.Table:
     seeds = _splitmix(np.arange(NUM_HASHES, dtype=np.uint64))
     n_bands = NUM_HASHES // BAND_SIZE
     sig = np.zeros((len(ids), NUM_HASHES), dtype=np.uint64)
-    for i in range(len(ids)):
-        base = values[offsets[i]:offsets[i + 1]]
-        if len(base):
-            sig[i] = _splitmix(base[None, :] ^ seeds[:, None]).min(axis=1)
+    if len(values):
+        # segmented min over the flattened sketch values — one
+        # reduceat per seed (fixed NUM_HASHES passes, no per-doc
+        # Python loop).  The mixed array is padded with a MAX
+        # sentinel so trailing-empty segments have a valid index and
+        # the final segment's open end never includes garbage;
+        # empty-sketch rows are zeroed afterwards (reduceat yields
+        # arr[start] for an empty segment).
+        lens = np.diff(offsets)
+        starts = offsets[:-1].astype(np.int64)
+        mixed = np.empty(len(values) + 1, np.uint64)
+        mixed[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for h in range(NUM_HASHES):
+            mixed[:-1] = _splitmix(values ^ seeds[h])
+            sig[:, h] = np.minimum.reduceat(mixed, starts)
+        sig[lens == 0] = 0
     chunks = sig.reshape(len(ids), n_bands, BAND_SIZE)
     mixed = np.zeros((len(ids), n_bands), dtype=np.uint64)
     for j in range(BAND_SIZE):

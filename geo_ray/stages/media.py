@@ -116,11 +116,35 @@ class JpegTranscoder:
         from ..sources import jpeg
 
         blobs = batch.column("bytes").to_pylist()
-        fmts = batch.column("fmt").to_pylist()
-        out_blobs = [
-            jpeg.encode(codecs.decode(b, f), self.quality)
-            for b, f in zip(blobs, fmts)
-        ]
+        fmts = np.array(batch.column("fmt").to_pylist())
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        out_blobs: list = [None] * len(blobs)
+        # shape-keyed groups (the ImageResize pattern): decode AND the
+        # whole DCT/entropy encode stage run batched per (w, h, fmt)
+        # group — no per-row Python codec loop.
+        shape_key = (w.astype(np.int64) << 16) | (h.astype(np.int64) << 2) \
+            | np.where(fmts == "png", 0, 1)
+        for key in np.unique(shape_key):
+            sel = np.nonzero(shape_key == key)[0]
+            group = [blobs[i] for i in sel]
+            if key & 1:
+                # "jpeg" fmt: LJ92 stand-in (batch path) or real
+                # baseline bytes (rare interop input, per-blob decode)
+                lj = np.array([bytes(g[:4]) == codecs._LJ_MAGIC
+                               for g in group])
+                imgs = np.empty((len(group), int(h[sel[0]]),
+                                 int(w[sel[0]]), 3), np.uint8)
+                if lj.any():
+                    imgs[lj] = codecs.lossy_decode_many(
+                        [group[j] for j in np.nonzero(lj)[0]])
+                for j in np.nonzero(~lj)[0]:
+                    imgs[j] = jpeg.decode(bytes(group[j]))
+            else:
+                imgs = codecs.png_decode_many(group)
+            enc = jpeg.encode_many(imgs, self.quality)
+            for pos, blob in zip(sel, enc):
+                out_blobs[pos] = blob
         keep = [c for c in batch.column_names if c not in ("bytes", "fmt")]
         out = batch.select(keep)
         out = out.append_column("bytes", pa.array(out_blobs, pa.binary()))

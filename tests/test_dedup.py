@@ -165,3 +165,44 @@ def test_minhash_dedup_below_threshold_skips_checkpoint(ray_session,
                         ckpt_threshold_rows=10**9).to_pandas()
     assert not os.path.exists(os.path.join(root, "minhash_sketches"))
     assert len(out) >= len(PLANTED)
+
+
+def test_bands_from_sketches_matches_per_doc_signature():
+    """The segmented-min (reduceat) band builder must agree row-for-row
+    with the straightforward per-doc signature definition, including
+    empty sketches at every position and Arrow slice offsets."""
+    from geo_ray.stages.dedup import (BAND_SIZE, NUM_HASHES, _BAND_SEEDS,
+                                      _splitmix, bands_from_sketches)
+
+    rng = np.random.default_rng(7)
+    n_docs = 120
+    sketches = []
+    for i in range(n_docs):
+        n = int(rng.integers(0, 30))
+        if i in (0, 1, 57, n_docs - 2, n_docs - 1):
+            n = 0
+        sketches.append(rng.integers(0, 2 ** 63, size=n, dtype=np.int64))
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "sketch": pa.array([s.tolist() for s in sketches],
+                           pa.list_(pa.int64()))})
+
+    seeds = _splitmix(np.arange(NUM_HASHES, dtype=np.uint64))
+    sig = np.zeros((n_docs, NUM_HASHES), dtype=np.uint64)
+    for i, s in enumerate(sketches):
+        base = s.view(np.uint64)
+        if len(base):
+            sig[i] = _splitmix(base[None, :] ^ seeds[:, None]).min(axis=1)
+    n_bands = NUM_HASHES // BAND_SIZE
+    chunks = sig.reshape(n_docs, n_bands, BAND_SIZE)
+    mixed = np.zeros((n_docs, n_bands), dtype=np.uint64)
+    for j in range(BAND_SIZE):
+        mixed ^= chunks[:, :, j] * _BAND_SEEDS[j::BAND_SIZE][:n_bands]
+    mixed = _splitmix(mixed ^ np.arange(n_bands, dtype=np.uint64)[None, :])
+    want = (mixed >> np.uint64(1)).astype(np.int64)
+
+    got = bands_from_sketches(tbl)
+    assert np.array_equal(got.column("band_hash").to_numpy(), want.ravel())
+    sl = bands_from_sketches(tbl.slice(13, 90))
+    assert np.array_equal(sl.column("band_hash").to_numpy(),
+                          want[13:103].ravel())

@@ -224,3 +224,23 @@ def test_fused_i16_encode_bit_identical():
     extreme[1] = 255
     assert codecs.lossy_encode_many(extreme.astype(np.uint8)) == \
         codecs.lossy_encode_many_i16(extreme)
+
+
+def test_encode_many_byte_identical_to_encode():
+    """The batched encoder must reproduce encode() byte-for-byte:
+    same DCT, DC differencing, run-lengths, ZRL/EOB placement, bit
+    padding and byte stuffing — across shapes (incl. non-multiples of
+    8), qualities, flat/sparse content, and a 1-image batch."""
+    rng = np.random.default_rng(11)
+    for shape, q in [((5, 8, 8, 3), 90), ((6, 10, 13, 3), 90),
+                     ((3, 33, 47, 3), 50), ((1, 24, 24, 3), 75)]:
+        imgs = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        imgs[0] = 128                       # flat: all-EOB blocks
+        if shape[0] > 2:
+            imgs[1] = 0
+            imgs[1, shape[1] // 2, shape[2] // 2] = 255   # ZRL-heavy
+        ref = [jpeg.encode(im, q) for im in imgs]
+        got = jpeg.encode_many(imgs, q)
+        assert len(ref) == len(got)
+        for r, g in zip(ref, got):
+            assert r == g

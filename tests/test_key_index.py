@@ -172,3 +172,52 @@ def test_index_survives_upsert_delete_compact(layout, ray_session):
     got = index_lookup(out, probe)
     for k in probe:
         assert got[k] == truth[k], k
+
+
+def test_insert_into_missing_bucket(layout, ray_session):
+    """A new key that hashes to a bucket with NO index file must
+    insert cleanly (the empty-index guard in _resolve) and be
+    resolvable afterwards."""
+    import ray.data as rd
+    from geo_ray.sources.spatial_layout import _key_buckets
+
+    out, man = layout
+    idx_dir = os.path.join(out, "_key_index")
+    import json
+    with open(os.path.join(idx_dir, "_key_index.json")) as fh:
+        nb = json.load(fh)["n_buckets"]
+    k = 500000
+    b = int(_key_buckets(np.array([k], np.int64), nb)[0])
+    # simulate the new key's bucket having no index file
+    bpath = os.path.join(idx_dir, f"bucket-{b:05d}.parquet")
+    if os.path.exists(bpath):
+        os.remove(bpath)
+    x, y, z = latlng_deg_to_xyz(np.array([12.0]), np.array([34.0]))
+    moves = rd.from_arrow(pa.table({
+        "k": pa.array(np.array([k], np.int64)),
+        "x": pa.array(x), "y": pa.array(y), "z": pa.array(z)}))
+    res = move_spatial(out, moves, key_col="k")
+    assert res["total_rows"] == 4001
+    got = index_lookup(out, [k])
+    assert got[k] == _scan_key_pids(out)[k]
+
+
+def test_rebuild_clears_stale_buckets(layout, ray_session):
+    """After a rebuild with a different bucket count, no bucket file
+    from the previous build may survive — a stale file would serve
+    deleted/renumbered keys."""
+    out, man = layout
+    idx_dir = os.path.join(out, "_key_index")
+    before = sorted(f for f in os.listdir(idx_dir)
+                    if f.startswith("bucket-"))
+    assert before
+    build_key_index(out, key_col="k", n_buckets=3)
+    after = sorted(f for f in os.listdir(idx_dir)
+                   if f.startswith("bucket-"))
+    assert all(int(f.split("-")[1].split(".")[0]) < 3 for f in after), \
+        after
+    # lookups still exact on the rebuilt index
+    truth = _scan_key_pids(out)
+    got = index_lookup(out, list(range(0, 4000, 97)))
+    for k in range(0, 4000, 97):
+        assert got[k] == truth[k]

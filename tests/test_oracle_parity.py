@@ -127,6 +127,18 @@ ORACLE_CHECKED = [
 ]
 
 
+def _dtype_kind(dt) -> str:
+    """Collapse a dtype to the equivalence class the driver's value
+    hash is sensitive to: int-vs-float-vs-bool-vs-text-vs-time.  An
+    oracle emitting HUGEINT (fetched as float64) where the engine
+    emits int64 hash-mismatches at the driver even though the values
+    compare equal — the round-3 `events_travel` red row."""
+    k = np.dtype(dt).kind if dt != object else "O"
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "O": "text", "S": "text", "U": "text", "M": "time",
+            "m": "time"}.get(k, k)
+
+
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as entrymod
@@ -137,6 +149,10 @@ def test_query_matches_oracle(ray_session, name):
     duck_df = _normalize(_duck(sql))
     assert list(ray_df.columns) == list(duck_df.columns), \
         (name, list(ray_df.columns), list(duck_df.columns))
+    kinds_ray = [_dtype_kind(ray_df[c].dtype) for c in ray_df.columns]
+    kinds_duck = [_dtype_kind(duck_df[c].dtype) for c in duck_df.columns]
+    assert kinds_ray == kinds_duck, \
+        (name, list(zip(ray_df.columns, kinds_ray, kinds_duck)))
     assert len(ray_df) == len(duck_df), (name, len(ray_df), len(duck_df))
     pd.testing.assert_frame_equal(ray_df, duck_df, check_dtype=False,
                                   check_exact=True, obj=name)
