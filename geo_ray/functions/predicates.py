@@ -200,13 +200,25 @@ def compare_distances(x, a, b) -> int:
 
 
 def compare_distance(x, y, r2) -> int:
-    """Exact comparison of d(x,y)^2 (chord) vs the rational r2:
-    -1/0/+1 (CompareDistance, s2/predicates.go:680-731)."""
+    """Exact comparison of the chord distance XY vs the limit r2:
+    -1/0/+1, AS IF both points were reprojected to lie exactly on the
+    unit sphere (CompareDistance / exactCompareDistance,
+    s2/predicates.go:680-731) — scale-invariant via
+    cos(XY) = x.y / (|x||y|) against cos(r) = 1 - r2/2, all in exact
+    rational arithmetic (Fraction replaces the reference's
+    big.Float)."""
     from fractions import Fraction
     fx, fy = _fr(x), _fr(y)
-    d2 = sum((fx[i] - fy[i]) ** 2 for i in range(3))
-    rr = Fraction(float(r2))
-    return (d2 > rr) - (d2 < rr)
+    dot = sum(fx[i] * fy[i] for i in range(3))
+    cos_r = 1 - Fraction(float(r2)) / 2
+    xy_sign = (dot > 0) - (dot < 0)
+    r_sign = (cos_r > 0) - (cos_r < 0)
+    if xy_sign != r_sign:
+        # cos(XY) > cos(r)  <=>  XY < r
+        return -1 if xy_sign > r_sign else 1
+    n2 = sum(v * v for v in fx) * sum(v * v for v in fy)
+    cmp = cos_r * cos_r * n2 - dot * dot
+    return xy_sign * ((cmp > 0) - (cmp < 0))
 
 
 def triage_sign_batch(a: np.ndarray, b: np.ndarray, c: np.ndarray):

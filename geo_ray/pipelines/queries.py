@@ -380,6 +380,53 @@ def sql_knn_geo_limited(k: int = 5, n_probes: int = 32) -> str:
         f"ORDER BY probe_id, rank")
 
 
+def q_knn_geo_limited_incl(sf_dir: str, k: int = 64,
+                           probe_key: int = 0):
+    """ClosestInclusiveDistanceLimit semantics
+    (s2/query_options.go:152-156 via s1/chordangle.go:203 Successor):
+    the limit is the probe's measured 10th-nearest chord2 and the
+    query must return EVERY point at distance <= that limit — the
+    boundary point itself INCLUDED, which the plain (exclusive)
+    DistanceLimit would drop.  Cross-engine exact because both
+    engines compute the identical difference-form |p-t|^2 from
+    bit-identical xyz, and `d2 < Successor(limit)` is exactly
+    `d2 <= limit` in float64.
+
+    Scale shape: two bounded knn passes (per-batch partial top-k +
+    per-probe merge); pass 1 driver-collects <=10 rows to
+    parameterize pass 2's broadcast limit."""
+    from ..functions.chordangle import closest_inclusive_limit
+    from ..stages.knn import knn
+
+    pk = np.array([probe_key], dtype=np.int64)
+    plat, plng = derive_latlng_np(pk)
+    px, py, pz = latlng_deg_to_xyz(plat, plng)
+    Q = np.stack([px, py, pz], axis=1)
+    pass1 = knn(_customer_points(sf_dir), ([int(probe_key)], Q), 10,
+                id_col="c_custkey").to_pandas()
+    d10 = float(pass1["chord2"].max())
+    out = knn(_customer_points(sf_dir), ([int(probe_key)], Q), k,
+              id_col="c_custkey",
+              distance_limit=closest_inclusive_limit(d10))
+    return out.select_columns(["probe_id", "neighbor_id", "rank"])
+
+
+def sql_knn_geo_limited_incl(k: int = 64, probe_key: int = 0) -> str:
+    return (
+        f"{_PTS_CTE}, probe AS (SELECT * FROM xyz "
+        f"WHERE c_custkey = {probe_key}), "
+        f"dists AS (SELECT t.c_custkey AS neighbor_id, "
+        f"(p.x-t.x)*(p.x-t.x)+(p.y-t.y)*(p.y-t.y)+(p.z-t.z)*(p.z-t.z) "
+        f"AS chord2 FROM probe p CROSS JOIN xyz t), "
+        f"lim AS (SELECT chord2 AS d10 FROM dists "
+        f"ORDER BY chord2, neighbor_id LIMIT 1 OFFSET 9), "
+        f"ranked AS (SELECT neighbor_id, ROW_NUMBER() OVER "
+        f"(ORDER BY chord2, neighbor_id) AS rank FROM dists "
+        f"WHERE chord2 <= (SELECT d10 FROM lim)) "
+        f"SELECT CAST({probe_key} AS BIGINT) AS probe_id, neighbor_id, "
+        f"rank FROM ranked WHERE rank <= {k} ORDER BY rank")
+
+
 def q_knn_join(sf_dir: str, k: int = 5):
     """All-pairs kNN join: for EVERY customer, the k nearest OTHER
     customers (stages/knn.py all_knn) — both sides sharded, no
@@ -19180,6 +19227,7 @@ def _authored_queries() -> Dict:
         "polygon_contains": q_polygon_contains,
         "knn_geo": q_knn_geo,
         "knn_geo_limited": q_knn_geo_limited,
+        "knn_geo_limited_incl": q_knn_geo_limited_incl,
         "grid_density": q_grid_density,
         "cell_assign": q_cell_assign,
         "s2_density": q_s2_density,
@@ -19372,6 +19420,7 @@ def oracle_sql() -> Dict[str, str]:
         "polygon_contains": sql_polygon_contains(),
         "knn_geo": sql_knn_geo(),
         "knn_geo_limited": sql_knn_geo_limited(),
+        "knn_geo_limited_incl": sql_knn_geo_limited_incl(),
         "events_geofence": sql_events_geofence(),
         "events_travel": sql_events_travel(),
         "events_impossible_travel": sql_events_impossible_travel(),

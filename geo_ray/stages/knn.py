@@ -72,13 +72,24 @@ class KnnPartial:
             ids = ids.take(pa.array(sel, pa.int64()))
         chord2 = np.clip(2.0 - 2.0 * (X @ self.Q.T), 0.0, 4.0)  # (n, P)
         rows, probes = tie_complete_smallest(chord2, self.k)
+        # Reference-exact distances for the survivors: the DIFFERENCE
+        # form |x-y|^2 (ChordAngleBetweenPoints, s1/chordangle.go:107)
+        # rather than the matmul's 2-2*dot, so DistanceLimit
+        # open/closed boundaries (incl. Successor-based inclusive
+        # limits) and the emitted chord2 are bit-identical to the
+        # reference and the difference-form SQL oracles.  The matmul
+        # stays as the O(n*P) ranking pass; this recompute touches
+        # only the candidate-sized survivor set.
+        d = X[rows] - self.Q[probes]
+        d2 = np.minimum(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+                        + d[:, 2] * d[:, 2], 4.0)
         if self.distance_limit is not None:
-            ok = chord2[rows, probes] < self.distance_limit
-            rows, probes = rows[ok], probes[ok]
+            ok = d2 < self.distance_limit
+            rows, probes, d2 = rows[ok], probes[ok], d2[ok]
         return pa.table({
             "probe_id": self._probe_arr.take(pa.array(probes, pa.int64())),
             "neighbor_id": ids.take(pa.array(rows, pa.int64())),
-            "chord2": pa.array(chord2[rows, probes], pa.float64()),
+            "chord2": pa.array(d2, pa.float64()),
         })
 
 
@@ -139,11 +150,14 @@ def furthest(points_ds, probes: Tuple[Sequence, np.ndarray], k: int,
                       batch.column("z").to_numpy()], axis=1)
         chord2 = np.clip(2.0 - 2.0 * (X @ kp.Q.T), 0.0, 4.0)
         rows, probes = tie_complete_smallest(chord2, k, largest=True)
+        d = X[rows] - kp.Q[probes]     # reference-exact difference form
+        d2 = np.minimum(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+                        + d[:, 2] * d[:, 2], 4.0)
         return pa.table({
             "probe_id": kp._probe_arr.take(pa.array(probes, pa.int64())),
             "neighbor_id": batch.column(id_col)
                                 .take(pa.array(rows, pa.int64())),
-            "chord2": pa.array(chord2[rows, probes], pa.float64())})
+            "chord2": pa.array(d2, pa.float64())})
 
     partials = points_ds.map_batches(_partial, batch_format="pyarrow",
                                      batch_size=16384)

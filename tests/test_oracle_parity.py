@@ -50,7 +50,7 @@ def _to_df(result) -> pd.DataFrame:
 
 ORACLE_CHECKED = [
     "geotag", "cap_contains", "rect_contains", "polygon_contains",
-    "knn_geo", "knn_geo_limited", "knn_geo_ring", "knn_shape", "knn_join",
+    "knn_geo", "knn_geo_limited", "knn_geo_limited_incl", "knn_geo_ring", "knn_shape", "knn_join",
     "grid_density", "radius_join",
     "cell_assign", "s2_density", "s2_pyramid", "geohash_assign",
     "langid", "fingerprint", "simhash", "simhash_neardup",
