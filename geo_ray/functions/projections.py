@@ -40,6 +40,9 @@ class PlateCarreeProjection:
     def wrap_distance(self) -> Tuple[float, float]:
         return (2 * self.x_scale, 0.0)
 
+    def wrap_destination(self, a, b):
+        return _wrap_destination(a, b, self.wrap_distance())
+
     def interpolate(self, f, a, b):
         a = np.asarray(a, dtype=np.float64)
         b = np.asarray(b, dtype=np.float64)
@@ -66,6 +69,9 @@ class MercatorProjection:
     def wrap_distance(self) -> Tuple[float, float]:
         return (2 * math.pi * self.x_scale, 0.0)
 
+    def wrap_destination(self, a, b):
+        return _wrap_destination(a, b, self.wrap_distance())
+
     def interpolate(self, f, a, b):
         a = np.asarray(a, dtype=np.float64)
         b = np.asarray(b, dtype=np.float64)
@@ -74,6 +80,21 @@ class MercatorProjection:
 
 def _wrap_lng(lng):
     return np.mod(np.asarray(lng) + math.pi, 2 * math.pi) - math.pi
+
+
+def _wrap_destination(a, b, wrap) -> Tuple[float, float]:
+    """Wrap B's coordinates so edge AB takes the shortest path along
+    any wrapping axis (s2/projections.go:229-241): B is unmodified
+    unless its distance from A along a wrapping axis exceeds half the
+    wrap period."""
+    x, y = float(b[0]), float(b[1])
+    ax, ay = float(a[0]), float(a[1])
+    wx, wy = wrap
+    if wx > 0 and abs(x - ax) > 0.5 * wx:
+        x = ax + math.remainder(x - ax, wx)
+    if wy > 0 and abs(y - ay) > 0.5 * wy:
+        y = ay + math.remainder(y - ay, wy)
+    return (x, y)
 
 
 class EdgeTessellator:
@@ -88,16 +109,24 @@ class EdgeTessellator:
 
     def append_projected(self, a_xyz, b_xyz, out: List[Tuple[float, float]]):
         """Geodesic AB -> projected vertex chain (appends to out; the
-        first vertex is included only when out is empty)."""
+        first vertex is included only when out is empty).  Every
+        vertex is wrapped as close as possible to the PREVIOUS vertex
+        (WrapDestination, s2/edge_tessellator.go:203-238), so chains
+        crossing the antimeridian stay continuous in projected space
+        — coordinates may leave the canonical range (0:170 -> 0:190
+        rather than a 340-unit jump to 0:-170)."""
         pa = tuple(float(v) for v in self.proj.project(*a_xyz))
         if not out:
             out.append(pa)
+        else:
+            pa = self.proj.wrap_destination(out[-1], pa)
         self._split_projected(np.asarray(a_xyz, dtype=np.float64), pa,
                               np.asarray(b_xyz, dtype=np.float64),
                               tuple(float(v) for v in self.proj.project(*b_xyz)),
                               out, 0)
 
     def _split_projected(self, a, pa, b, pb, out, depth):
+        pb = self.proj.wrap_destination(pa, pb)
         mid_geo = a + b
         mid_geo = mid_geo / np.linalg.norm(mid_geo)
         mid_proj = self.proj.interpolate(0.5, pa, pb)
@@ -107,7 +136,8 @@ class EdgeTessellator:
         if err <= self.tol_chord2 or depth >= 31:
             out.append(pb)
             return
-        pm = tuple(float(v) for v in self.proj.project(*mid_geo))
+        pm = self.proj.wrap_destination(
+            pa, tuple(float(v) for v in self.proj.project(*mid_geo)))
         self._split_projected(a, pa, mid_geo, pm, out, depth + 1)
         self._split_projected(mid_geo, pm, b, pb, out, depth + 1)
 
@@ -121,6 +151,7 @@ class EdgeTessellator:
                                          dtype=np.float64), out, 0)
 
     def _split_unprojected(self, pa, a, pb, b, out, depth):
+        pb = self.proj.wrap_destination(pa, pb)
         mid_proj = self.proj.interpolate(0.5, pa, pb)
         mid_unproj = np.array(self.proj.unproject(mid_proj[0], mid_proj[1]),
                               dtype=np.float64)

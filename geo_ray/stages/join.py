@@ -194,6 +194,7 @@ class _PolyEdgeIndex:
             edge_ids.extend(eids)
             offsets.append(len(edge_ids))
         leaf_ids = np.array([ci for ci, _, _ in leaves], dtype=np.uint64)
+        self.leaf_ids = leaf_ids          # sorted (disjoint subdivision)
         cx, cy, cz = cid.cell_id_to_point_v(leaf_ids)
         self.centers = np.stack([cx, cy, cz], axis=1)
         # conservative bounding-cap radius per leaf: half the max cell

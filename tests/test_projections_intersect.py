@@ -110,3 +110,70 @@ def test_s2intersect_empty():
     a = [_cell_of(10, 10, 8)]
     b = [_cell_of(-40, 100, 8)]
     assert find([a, b]) == {}
+
+
+def _lng_deg(xyz):
+    import math as _m
+    return _m.degrees(_m.atan2(xyz[1], xyz[0]))
+
+
+def test_tessellator_projected_wrapping():
+    """s2/edge_tessellator_test.go:64-79: projecting a geodesic that
+    crosses the 180-degree meridian yields vertices with no sudden
+    jumps (possibly non-canonical longitudes)."""
+    proj = PlateCarreeProjection(180)
+    tess = EdgeTessellator(proj, math.radians(0.01))
+    out = []
+    a = latlng_deg_to_xyz(0.0, -170.0)
+    b = latlng_deg_to_xyz(0.0, 170.0)
+    tess.append_projected(tuple(float(v) for v in a),
+                          tuple(float(v) for v in b), out)
+    for v in out:
+        assert v[0] <= -170.0, out
+
+
+def test_tessellator_unprojected_wrapping():
+    """s2/edge_tessellator_test.go:49-62: a projected edge crossing
+    the meridian unprojects the short way around the sphere."""
+    proj = PlateCarreeProjection(180)
+    tess = EdgeTessellator(proj, math.radians(0.01))
+    out = []
+    tess.append_unprojected((-170.0, 0.0), (170.0, 80.0), out)
+    for v in out:
+        assert abs(_lng_deg(v)) >= 170.0, [_lng_deg(x) for x in out]
+
+
+def test_tessellator_projected_wrapping_multiple_crossings():
+    """s2/edge_tessellator_test.go:103-130: a loop crossing the
+    meridian four times stays continuous; first == last vertex and
+    the longitude range is exactly [160, 640]."""
+    pts = [(0.0, 160.0), (0.0, -40.0), (0.0, 120.0), (0.0, -80.0),
+           (10.0, 120.0), (10.0, -40.0), (0.0, 160.0)]
+    proj = PlateCarreeProjection(180)
+    tess = EdgeTessellator(proj, math.radians(1e-7))
+    out = []
+    for (lat0, lng0), (lat1, lng1) in zip(pts, pts[1:]):
+        a = tuple(float(v) for v in latlng_deg_to_xyz(lat0, lng0))
+        b = tuple(float(v) for v in latlng_deg_to_xyz(lat1, lng1))
+        tess.append_projected(a, b, out)
+    assert out[0] == out[-1]
+    lngs = [v[0] for v in out]
+    assert min(lngs) == 160.0
+    assert max(lngs) == 640.0
+
+
+def test_tessellator_unprojected_wrapping_multiple_crossings():
+    """s2/edge_tessellator_test.go:81-101: an edge chain zig-zagging
+    across the meridian unprojects with every vertex near it."""
+    proj = PlateCarreeProjection(180)
+    tess = EdgeTessellator(proj, math.radians(0.01))
+    out = []
+    lat = 1.0
+    while lat <= 60.0:
+        tess.append_unprojected((180 - 0.03 * lat, lat),
+                                (-180 + 0.07 * lat, lat), out)
+        tess.append_unprojected((-180 + 0.07 * lat, lat),
+                                (180 - 0.03 * (lat + 1), lat + 1), out)
+        lat += 1.0
+    for v in out:
+        assert abs(_lng_deg(v)) >= 175.0
