@@ -7678,25 +7678,32 @@ def sql_events_dwell() -> str:
 
 def q_events_travel(sf_dir: str):
     """Per-user trajectory travel metrics: order each user's events by
-    time, measure every consecutive-pair squared-chord hop, and emit
-    (n_segments, total, max) with segment values integerized to 1e-6
-    chord2 units BEFORE the sum so the distributed aggregate is
-    order-independent and hash-comparable (same integerization rule as
-    zonal_stats).  Scale: only narrow (user, ts, xyz) rows shuffle;
-    per-user groups are the standard sessionization partitioning."""
+    time, measure every consecutive-pair hop, and emit (n_segments,
+    total, max) in the EXACT integer centi-degree lattice metric
+
+        u2 = dlat_c^2 + wrap(dlng_c)^2
+
+    where (dlat_c, dlng_c) are the integer centi-degree deltas of the
+    synthetic lattice and wrap() takes the short way around the
+    antimeridian — hash-exact BY CONSTRUCTION on both engines (pure
+    int64 arithmetic, no trig), the same lattice-exact discipline as
+    traj_hausdorff.  This replaced the round-3 floor(chord2 * 1e6)
+    formulation whose exactness rested on numpy/DuckDB trig
+    bit-agreement.  Scale: only narrow (user, ts, lat/lng-unit) rows
+    shuffle; per-user groups are the standard sessionization
+    partitioning."""
     import pandas as pd
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def _pts(batch: pa.Table) -> pa.Table:
-        keys = batch.column("event_id").to_numpy()
-        lat, lng = derive_latlng_np(keys)
-        x, y, z = latlng_deg_to_xyz(lat, lng)
+        keys = batch.column("event_id").to_numpy().astype(np.int64)
         return pa.table({
             "user_id": batch.column("user_id"),
             "event_id": batch.column("event_id"),
             "ts": batch.column("ts"),
-            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+            "ilat": pa.array((keys * 7919) % 17000, pa.int64()),
+            "ilng": pa.array((keys * 104729) % 36000, pa.int64()),
         })
 
     def _per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -7706,14 +7713,11 @@ def q_events_travel(sf_dir: str):
                                  "n_segments": pd.Series(dtype="int64"),
                                  "travel_units": pd.Series(dtype="int64"),
                                  "max_seg_units": pd.Series(dtype="int64")})
-        x = g["x"].to_numpy()
-        y = g["y"].to_numpy()
-        z = g["z"].to_numpy()
-        dx = x[1:] - x[:-1]
-        dy = y[1:] - y[:-1]
-        dz = z[1:] - z[:-1]
-        c2 = dx * dx + dy * dy + dz * dz
-        units = np.floor(c2 * 1000000.0).astype(np.int64)
+        la = g["ilat"].to_numpy()
+        lo = g["ilng"].to_numpy()
+        du = la[1:] - la[:-1]
+        dv = (lo[1:] - lo[:-1] + 54000) % 36000 - 18000
+        units = du * du + dv * dv
         return pd.DataFrame({
             "user_id": [int(g["user_id"].iloc[0])],
             "n_segments": [len(units)],
@@ -7729,23 +7733,21 @@ def q_events_travel(sf_dir: str):
 def sql_events_travel() -> str:
     return (
         f"WITH pts AS (SELECT event_id, user_id, ts, "
-        f"(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
-        f"(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
-        f"FROM events), "
-        f"xyz AS (SELECT event_id, user_id, ts, {_XYZ_SQL} FROM pts), "
-        f"seg AS (SELECT user_id, x - LAG(x) OVER w AS dx, "
-        f"y - LAG(y) OVER w AS dy, z - LAG(z) OVER w AS dz FROM xyz "
+        f"(event_id * 7919) % 17000 AS ilat, "
+        f"(event_id * 104729) % 36000 AS ilng FROM events), "
+        f"seg AS (SELECT user_id, ilat - LAG(ilat) OVER w AS du, "
+        f"(ilng - LAG(ilng) OVER w + 54000) % 36000 - 18000 AS dv "
+        f"FROM pts "
         f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-        f"units AS (SELECT user_id, "
-        f"CAST(FLOOR((dx*dx + dy*dy + dz*dz) * 1000000.0) AS BIGINT) AS u2 "
-        f"FROM seg WHERE dx IS NOT NULL) "
+        f"units AS (SELECT user_id, du*du + dv*dv AS u2 "
+        f"FROM seg WHERE du IS NOT NULL) "
         f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments, "
         f"CAST(SUM(u2) AS BIGINT) AS travel_units, "
         f"CAST(MAX(u2) AS BIGINT) AS max_seg_units "
         f"FROM units GROUP BY user_id ORDER BY user_id")
 
 
-_IMPOSSIBLE_NUM = 1000      # flag: units * 1000 > dt_us
+_IMPOSSIBLE_NUM = 30        # flag: units * 30 > dt_us (lattice u2)
 
 
 def q_events_impossible_travel(sf_dir: str):
@@ -7754,30 +7756,29 @@ def q_events_impossible_travel(sf_dir: str):
     consecutive hops whose speed proxy exceeds the threshold —
     flagged iff
 
-        units * 1000 > dt_us
+        units * 30 > dt_us
 
-    with units = floor(chord2 * 1e6) (events_travel's exact
-    integerization) and dt_us the microsecond gap — a pure int64
-    cross-multiplication, so membership is exact on both engines with
-    NO float-boundary margin caveat (units <= 4e6 and dt_us <= ~1e14
+    with units = events_travel's exact integer centi-degree lattice
+    u2 (dlat_c^2 + wrap(dlng_c)^2) and dt_us the microsecond gap — a
+    pure int64 cross-multiplication, exact on both engines with NO
+    float-boundary caveat at all (units <= ~6.1e8 and dt_us <= ~1e14
     keep the products far inside int64).
 
-    Scale shape: identical to events_travel — narrow (user, ts, xyz)
-    rows shuffle once into per-user groups; everything else is
-    per-group vectorized numpy."""
+    Scale shape: identical to events_travel — narrow (user, ts,
+    lattice-unit) rows shuffle once into per-user groups; everything
+    else is per-group vectorized numpy."""
     import pandas as pd
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def _pts(batch: pa.Table) -> pa.Table:
-        keys = batch.column("event_id").to_numpy()
-        lat, lng = derive_latlng_np(keys)
-        x, y, z = latlng_deg_to_xyz(lat, lng)
+        keys = batch.column("event_id").to_numpy().astype(np.int64)
         return pa.table({
             "user_id": batch.column("user_id"),
             "event_id": batch.column("event_id"),
             "ts": batch.column("ts"),
-            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+            "ilat": pa.array((keys * 7919) % 17000, pa.int64()),
+            "ilng": pa.array((keys * 104729) % 36000, pa.int64()),
         })
 
     def _per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -7787,14 +7788,11 @@ def q_events_impossible_travel(sf_dir: str):
                 "user_id": pd.Series(dtype="int64"),
                 "n_hops": pd.Series(dtype="int64"),
                 "n_impossible": pd.Series(dtype="int64")})
-        x = g["x"].to_numpy()
-        y = g["y"].to_numpy()
-        z = g["z"].to_numpy()
-        dx = x[1:] - x[:-1]
-        dy = y[1:] - y[:-1]
-        dz = z[1:] - z[:-1]
-        units = np.floor((dx * dx + dy * dy + dz * dz)
-                         * 1000000.0).astype(np.int64)
+        la = g["ilat"].to_numpy()
+        lo = g["ilng"].to_numpy()
+        du = la[1:] - la[:-1]
+        dv = (lo[1:] - lo[:-1] + 54000) % 36000 - 18000
+        units = du * du + dv * dv
         tsu = g["ts"].to_numpy().astype("datetime64[us]") \
             .astype(np.int64)
         dt = tsu[1:] - tsu[:-1]
@@ -7812,17 +7810,14 @@ def q_events_impossible_travel(sf_dir: str):
 def sql_events_impossible_travel() -> str:
     return (
         f"WITH pts AS (SELECT event_id, user_id, ts, "
-        f"(((event_id * 7919) % 17000) / 100.0 - 85.0) AS lat, "
-        f"(((event_id * 104729) % 36000) / 100.0 - 180.0) AS lng "
-        f"FROM events), "
-        f"xyz AS (SELECT event_id, user_id, ts, {_XYZ_SQL} FROM pts), "
-        f"seg AS (SELECT user_id, x - LAG(x) OVER w AS dx, "
-        f"y - LAG(y) OVER w AS dy, z - LAG(z) OVER w AS dz, "
-        f"epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us FROM xyz "
+        f"(event_id * 7919) % 17000 AS ilat, "
+        f"(event_id * 104729) % 36000 AS ilng FROM events), "
+        f"seg AS (SELECT user_id, ilat - LAG(ilat) OVER w AS du, "
+        f"(ilng - LAG(ilng) OVER w + 54000) % 36000 - 18000 AS dv, "
+        f"epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us FROM pts "
         f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-        f"units AS (SELECT user_id, "
-        f"CAST(FLOOR((dx*dx + dy*dy + dz*dz) * 1000000.0) AS BIGINT) "
-        f"AS u2, dt_us FROM seg WHERE dx IS NOT NULL) "
+        f"units AS (SELECT user_id, du*du + dv*dv AS u2, dt_us "
+        f"FROM seg WHERE du IS NOT NULL) "
         f"SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hops, "
         f"CAST(SUM(CASE WHEN u2 * {_IMPOSSIBLE_NUM} > dt_us "
         f"THEN 1 ELSE 0 END) AS BIGINT) AS n_impossible "

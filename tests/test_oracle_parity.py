@@ -231,19 +231,11 @@ def test_predicate_margins():
         ex, ey, ez = latlng_deg_to_xyz(elat, elng)
         for nx, ny, nz in _quad_edge_normals(GEOFENCE_QUAD):
             assert np.abs(nx * ex + ny * ey + nz * ez).min() > 1e-9, sf
-        # events_travel integerization: floor(chord2 * 1e6) must not
-        # sit within cross-engine ulp of an integer for any segment
-        edf = pq.read_table(f"{sf}/events.parquet",
-                            columns=["event_id", "user_id", "ts"]) \
-            .to_pandas().sort_values(["user_id", "ts", "event_id"])
-        sk = edf["event_id"].to_numpy()
-        slat, slng = derive_latlng_np(sk)
-        sx, sy, sz = latlng_deg_to_xyz(slat, slng)
-        su = edf["user_id"].to_numpy()
-        same = su[1:] == su[:-1]
-        c2 = ((sx[1:] - sx[:-1]) ** 2 + (sy[1:] - sy[:-1]) ** 2
-              + (sz[1:] - sz[:-1]) ** 2)[same] * 1000000.0
-        assert np.abs(c2 - np.round(c2)).min() > 1e-8, sf
+        # events_travel / events_impossible_travel now use the exact
+        # integer centi-degree lattice metric (round-3 verdict item):
+        # pure int64 arithmetic on both engines, so the old
+        # floor(chord2 * 1e6) margin assertion is redundant by
+        # construction — no float decision boundary exists.
 
 
 def test_sql_xyz_bit_identical():
