@@ -2582,6 +2582,23 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
         .sort(["doc_a", "doc_b"])
 
 
+def q_ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.5):
+    """The SAME exact n-gram Jaccard join computed through the PPJoin
+    prefix-filter plan (stages/dedup.ngram_prefix_join, Bayardo et
+    al. WWW'07) — the stop-shingle-skew scale path: candidates come
+    from collisions among each document's RAREST shingles (global
+    document-frequency order, prefix length l - ceil(t*l) + 1), then
+    the co-partitioned exact hash-set verify.  Output-identical to
+    q_ngram_jaccard by the prefix-filter completeness theorem, so it
+    shares that query's candidate-path-independent SQL oracle —
+    a pair missed by the filter would fail the driver's hash check."""
+    from ..stages.dedup import ngram_prefix_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_prefix_join(ds, threshold=threshold) \
+        .sort(["doc_a", "doc_b"])
+
+
 def sql_ngram_jaccard(threshold: float = 0.5) -> str:
     """Independent all-intersecting-pairs oracle: exact hash-set
     Jaccard from the shared shingle CTEs, identical int64 counts and
@@ -19150,6 +19167,7 @@ def _authored_queries() -> Dict:
         "zonal_stats": q_zonal_stats,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "doc_containment": q_doc_containment,
         "embed_clusters": q_embed_clusters,
         "doc_chunks": q_doc_chunks,
@@ -19639,6 +19657,7 @@ def oracle_sql() -> Dict[str, str]:
         # SQL; valid at the driver's sf0.01 scale (10k images)
         "minhash_dedup": sql_minhash_dedup(),
         "ngram_jaccard": sql_ngram_jaccard(),
+        "ngram_jaccard_prefix": sql_ngram_jaccard(),
         "doc_containment": sql_doc_containment(),
         "spatial_join_images": sql_spatial_join_images(),
         "spatial_join_shuffle": sql_spatial_join_images(),

@@ -151,30 +151,37 @@ def bands_from_sketches(batch: pa.Table, lsh_buckets: int = 512) -> pa.Table:
     })
 
 
-def candidate_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
+def candidate_pairs_group(group):
     """One hash-BUCKET of band rows -> unordered candidate pairs (a<b).
 
     The group key is a coarse bucket of (band_id, band_hash) (see
     ``minhash_dedup``): per-call overhead of map_groups amortizes over
-    many LSH buckets, and the inner exact grouping is vectorized
-    pandas.  Only rows sharing the exact (band_id, band_hash) pair up.
-    """
-    g = group[group.duplicated(["band_id", "band_hash"],
-                               keep=False)]  # vectorized singleton drop
-    if not len(g):
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    band = g["band_id"].to_numpy().astype(np.int64)
-    bh = g["band_hash"].to_numpy().astype(np.int64)
-    ids = g["doc_id"].to_numpy().astype(np.int64)
+    many LSH buckets, and the inner exact grouping is one lexsort +
+    segmented pair generation.  Only rows sharing the exact
+    (band_id, band_hash) pair up (singleton segments yield no pairs).
+    Accepts a pa.Table (Arrow-native map_groups body — no pandas
+    round-trip) or a DataFrame, emitting the matching container."""
+    is_arrow = isinstance(group, pa.Table)
+    if is_arrow:
+        band = group.column("band_id").to_numpy().astype(np.int64)
+        bh = group.column("band_hash").to_numpy().astype(np.int64)
+        ids = group.column("doc_id").to_numpy().astype(np.int64)
+    else:
+        band = group["band_id"].to_numpy().astype(np.int64)
+        bh = group["band_hash"].to_numpy().astype(np.int64)
+        ids = group["doc_id"].to_numpy().astype(np.int64)
     order = np.lexsort((ids, bh, band))
     band, bh, ids = band[order], bh[order], ids[order]
     # per-segment doc dedup (one row per (doc, band), so duplicates
     # within a segment cannot occur; keep = all)
     new_seg = np.ones(len(band), bool)
-    new_seg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    if len(band) > 1:
+        new_seg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
     seg_sizes = np.diff(np.append(np.flatnonzero(new_seg), len(band)))
     ii, jj = segment_all_pairs(seg_sizes)
+    if is_arrow:
+        return pa.table({"doc_a": pa.array(ids[ii], pa.int64()),
+                         "doc_b": pa.array(ids[jj], pa.int64())})
     return pd.DataFrame({"doc_a": pd.Series(ids[ii], dtype="int64"),
                          "doc_b": pd.Series(ids[jj], dtype="int64")})
 
@@ -206,6 +213,20 @@ def doc_sketches(batch: pa.Table, n_buckets: int) -> pa.Table:
         "other": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
         "sketch": sketch_arr,
     })
+
+
+def _hash_containment(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Broder containment |A ∩ B| / min(|A|, |B|) of the two unique
+    shingle-hash sets — same IEEE division as the equi-join plan's
+    ni / min(la, lb)."""
+    sa = np.asarray(sa, dtype=np.uint64)
+    sb = np.asarray(sb, dtype=np.uint64)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    if len(sa) == 0 or len(sb) == 0:
+        return 0.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / min(len(sa), len(sb))
 
 
 def _hash_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
@@ -286,20 +307,21 @@ def minhash_dedup(docs_ds, threshold: float = 0.6, n_buckets=None,
     pairs = (sketches.map_batches(
                  lambda b: bands_from_sketches(b), batch_format="pyarrow")
              .groupby("bucket")
-             .map_groups(lambda g: candidate_pairs_group(
-                 g.drop(columns=["bucket"])), batch_format="pandas"))
+             .map_groups(candidate_pairs_group, batch_format="pyarrow"))
 
     return verify_jaccard_pairs(sketches, pairs, threshold, n_buckets)
 
 
 def verify_jaccard_pairs(sketches, pairs, threshold: float,
-                         n_buckets: int):
-    """Exact hash-set Jaccard verification of candidate (doc_a, doc_b)
-    pairs against the co-partitioned sketch table: two tagged-union
-    shuffles (attach sketch_a by doc_a bucket, then verify by doc_b
-    bucket), duplicate candidates dropped at attach time.  Only the
-    sketches of candidate-pair members move.  Returns
-    (doc_a, doc_b, jaccard) rows with jaccard >= threshold."""
+                         n_buckets: int, metric: str = "jaccard"):
+    """Exact hash-set similarity verification of candidate
+    (doc_a, doc_b) pairs against the co-partitioned sketch table: two
+    tagged-union shuffles (attach sketch_a by doc_a bucket, then
+    verify by doc_b bucket), duplicate candidates dropped at attach
+    time.  Only the sketches of candidate-pair members move.
+    ``metric``: "jaccard" or "containment" (|A ∩ B| / min sizes).
+    Returns (doc_a, doc_b, <metric>) rows with score >= threshold."""
+    score_of = _hash_jaccard if metric == "jaccard" else _hash_containment
 
     def _pair_rows_a(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -351,14 +373,14 @@ def verify_jaccard_pairs(sketches, pairs, threshold: float,
         out_a, out_b, out_j = [], [], []
         for doc_b, doc_a, sa in zip(pr["doc_id"].to_numpy(),
                                     pr["other"].to_numpy(), pr["sketch"]):
-            jac = _hash_jaccard(sa, lookup[int(doc_b)])
+            jac = score_of(sa, lookup[int(doc_b)])
             if jac >= threshold:
                 out_a.append(int(doc_a))
                 out_b.append(int(doc_b))
                 out_j.append(jac)
         return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
                              "doc_b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j, dtype="float64")})
+                             metric: pd.Series(out_j, dtype="float64")})
 
     pair_rows = pairs.map_batches(_pair_rows_a, batch_format="pyarrow")
     with_a = (sketches.union(pair_rows)
@@ -648,3 +670,192 @@ def ngram_jaccard_join(docs_ds, threshold: float = 0.5,
             .groupby("bucket")
             .map_groups(lambda g: _merge(g.drop(columns=["bucket"])),
                         batch_format="pandas"))
+
+
+def segment_prefix_cross_pairs(seg_sizes: np.ndarray,
+                               prefix_sizes: np.ndarray):
+    """(ii, jj) global row indices pairing each of the FIRST
+    ``prefix_sizes[s]`` rows of segment s with EVERY row of segment s
+    (self pairs excluded) — the candidate kernel of the asymmetric
+    prefix filter.  Volume sum(p_s * n_s), never df^2."""
+    seg_sizes = np.asarray(seg_sizes, dtype=np.int64)
+    prefix_sizes = np.asarray(prefix_sizes, dtype=np.int64)
+    seg_start = np.concatenate([[0], np.cumsum(seg_sizes)[:-1]])
+    p_total = int(prefix_sizes.sum())
+    if p_total == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    p_start = np.concatenate([[0], np.cumsum(prefix_sizes)[:-1]])
+    p_rows = np.repeat(seg_start, prefix_sizes) \
+        + (np.arange(p_total) - np.repeat(p_start, prefix_sizes))
+    reps = np.repeat(seg_sizes, prefix_sizes)
+    ii = np.repeat(p_rows, reps)
+    block_starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    offs = np.arange(int(reps.sum())) - np.repeat(block_starts, reps)
+    jj = np.repeat(np.repeat(seg_start, prefix_sizes), reps) + offs
+    keep = ii != jj
+    return ii[keep], jj[keep]
+
+
+def ngram_prefix_candidates(sketches, threshold: float, nb: int,
+                            metric: str = "jaccard"):
+    """PPJoin-style prefix-filtered candidate pairs (Bayardo et al.,
+    WWW'07 "Scaling Up All Pairs Similarity Search") — the
+    stop-shingle-skew-proof candidate path: each document's shingles
+    sort by GLOBAL document frequency ascending (rare first), and a
+    qualifying pair must collide on a shingle inside the prefix
+
+        p(l) = l - ceil(t * l) + 1
+
+    of (jaccard) BOTH documents / (containment) the SMALLER document.
+    Hot stop-shingles sort last and drop out of prefixes, so their
+    df^2 pair blow-up never materializes; candidate volume is
+    sum over shingles of p_df * df (p_df << df for hot shingles).
+
+    Three exchanges, all narrow int rows:
+      1. groupby(shingle bucket): df counts attach to instances
+         (every instance of a shingle shares its bucket);
+      2. groupby(doc bucket): per-doc (df, sh) sort -> prefix flags;
+      3. groupby(shingle bucket): per-shingle pair generation
+         (prefix x prefix for jaccard, prefix x all with the
+         smaller-side rule for containment), locally uniqued.
+    Returns a Dataset of (doc_a, doc_b), a SUPERSET of all qualifying
+    pairs, for :func:`verify_jaccard_pairs`."""
+
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        arr = batch.column("sketch").combine_chunks()
+        offsets = np.asarray(arr.offsets)
+        values = np.asarray(arr.values).view(np.uint64) \
+            if len(arr.values) else np.array([], dtype=np.uint64)
+        lens = np.diff(offsets).astype(np.int64)
+        doc = np.repeat(ids, lens)
+        ln = np.repeat(lens, lens)
+        return pa.table({
+            "sb": pa.array((_splitmix(values)
+                            % np.uint64(nb)).astype(np.int32),
+                           pa.int32()),
+            "sh": pa.array(values.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
+        })
+
+    def _df_attach(g: pa.Table) -> pa.Table:
+        sh = g.column("sh").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        ln = g.column("ln").to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh, doc, ln = sh[order], doc[order], ln[order]
+        new_seg = np.ones(len(sh), bool)
+        if len(sh) > 1:
+            new_seg[1:] = sh[1:] != sh[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_seg), len(sh)))
+        df = np.repeat(sizes, sizes)
+        return pa.table({
+            "db": pa.array((doc % nb).astype(np.int32), pa.int32()),
+            "sh": pa.array(sh, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+        })
+
+    def _prefix_rows(g: pa.Table) -> pa.Table:
+        sh = g.column("sh").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        ln = g.column("ln").to_numpy()
+        df = g.column("df").to_numpy()
+        order = np.lexsort((sh, df, doc))
+        sh, doc, ln, df = sh[order], doc[order], ln[order], df[order]
+        new_doc = np.ones(len(doc), bool)
+        if len(doc) > 1:
+            new_doc[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new_doc)
+        rank = np.arange(len(doc)) \
+            - np.repeat(starts, np.diff(np.append(starts, len(doc))))
+        p = ln - np.ceil(threshold * ln).astype(np.int64) + 1
+        pref = rank < p
+        if metric == "jaccard":
+            sh, doc, ln = sh[pref], doc[pref], ln[pref]
+            pref = pref[pref]
+        return pa.table({
+            "sb": pa.array((_splitmix(sh.view(np.uint64))
+                            % np.uint64(nb)).astype(np.int32),
+                           pa.int32()),
+            "sh": pa.array(sh, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
+            "pref": pa.array(pref.astype(np.int8), pa.int8()),
+        })
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        sh = g.column("sh").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        ln = g.column("ln").to_numpy()
+        pref = g.column("pref").to_numpy().astype(bool)
+        # prefix rows first within each shingle segment
+        order = np.lexsort((doc, ~pref, sh))
+        sh, doc, ln, pref = sh[order], doc[order], ln[order], pref[order]
+        new_seg = np.ones(len(sh), bool)
+        if len(sh) > 1:
+            new_seg[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, len(sh)))
+        if metric == "jaccard":
+            # every retained row is a prefix row: in-segment pairs
+            ii, jj = segment_all_pairs(sizes)
+        else:
+            psizes = np.add.reduceat(pref.astype(np.int64), starts) \
+                if len(starts) else np.array([], np.int64)
+            ii, jj = segment_prefix_cross_pairs(sizes, psizes)
+            if len(ii):
+                # the prefix row must be the smaller-or-equal side
+                keep = ln[ii] <= ln[jj]
+                ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a = np.minimum(doc[ii], doc[jj])
+        b = np.maximum(doc[ii], doc[jj])
+        packed = np.unique((a << np.int64(32)) | b)
+        return pa.table({
+            "doc_a": pa.array(packed >> np.int64(32), pa.int64()),
+            "doc_b": pa.array(packed & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    return (sketches.map_batches(_shingle_rows, batch_format="pyarrow")
+            .groupby("sb")
+            .map_groups(_df_attach, batch_format="pyarrow")
+            .groupby("db")
+            .map_groups(_prefix_rows, batch_format="pyarrow")
+            .groupby("sb")
+            .map_groups(_pairs, batch_format="pyarrow"))
+
+
+def ngram_prefix_join(docs_ds, threshold: float = 0.5,
+                      n_buckets=None, metric: str = "jaccard"):
+    """Exact n-gram similarity self-join via prefix-filtered
+    candidates + co-partitioned exact verification — the scale path
+    for stop-shingle-skewed corpora where :func:`ngram_jaccard_join`'s
+    shingle equi-join would generate df^2 partials on hot shingles.
+    Output-identical to the equi-join plan (same unique shingle-hash
+    sets, same IEEE score arithmetic), candidate volume bounded by
+    sum(prefix_df * df) instead of sum(df^2)."""
+    def _sketch_rows(batch: pa.Table) -> pa.Table:
+        return doc_sketches(batch, 1)
+
+    sketches = docs_ds.map_batches(_sketch_rows,
+                                   batch_format="pyarrow").materialize()
+    cnt = sketches.count()
+    nb = int(n_buckets) if n_buckets is not None else \
+        max(16, min(1 << 16, cnt // 4096))
+
+    def _rebucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.set_column(
+            batch.schema.get_field_index("bucket"), "bucket",
+            pa.array((ids % nb).astype(np.int32), pa.int32()))
+
+    sketches = sketches.map_batches(_rebucket, batch_format="pyarrow")
+    cands = ngram_prefix_candidates(sketches, threshold, nb, metric)
+    return verify_jaccard_pairs(sketches, cands, threshold, nb,
+                                metric=metric)

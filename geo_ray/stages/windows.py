@@ -72,49 +72,66 @@ def session_windows(events_ds, gap_sec: int):
         lambda g: session_group(g, gap_sec), batch_format="pandas")
 
 
-def session_partials_part(group: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
+def _group_cols(group, names):
+    """Numpy columns from a pa.Table OR pandas group body, plus a flag
+    for which container to emit.  Lets the phase functions run
+    Arrow-native inside map_groups (no pandas round-trip per
+    partition) while staying callable with DataFrames from the
+    property-test suite."""
+    if isinstance(group, pa.Table):
+        return [group.column(n).to_numpy() for n in names], True
+    return [group[n].to_numpy() for n in names], False
+
+
+def _emit(is_arrow: bool, cols: dict):
+    if is_arrow:
+        return pa.table({k: pa.array(np.asarray(v, dtype=np.int64),
+                                     pa.int64())
+                         for k, v in cols.items()})
+    return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                         for k, v in cols.items()})
+
+
+def session_partials_part(group, gap_sec: int):
     """Partial sessions for EVERY (user, time-bucket) pair hashed into
-    this partition, in one vectorized pass: sort, mark segment starts
-    where the (user, bucket) key changes or the gap exceeds gap_sec,
-    and aggregate by run boundaries.  One map_groups call covers
-    thousands of (user, bucket) groups — per-group Python calls were
-    the 100x slowdown the first cut of this stage had."""
-    g = group.sort_values(["user_id", "bucket", "ts_epoch", "event_id"],
-                          kind="mergesort")
-    u = g["user_id"].to_numpy()
-    b = g["bucket"].to_numpy()
-    ts = g["ts_epoch"].to_numpy()
-    new = np.ones(len(g), dtype=bool)
-    if len(g) > 1:
+    this partition, in one vectorized pass: sort (lexsort — no pandas
+    in the hot path), mark segment starts where the (user, bucket)
+    key changes or the gap exceeds gap_sec, and aggregate by run
+    boundaries.  One map_groups call covers thousands of
+    (user, bucket) groups — per-group Python calls were the 100x
+    slowdown the first cut of this stage had."""
+    (u, b, ts, eid), is_arrow = _group_cols(
+        group, ["user_id", "bucket", "ts_epoch", "event_id"])
+    order = np.lexsort((eid, ts, b, u))
+    u, b, ts = u[order], b[order], ts[order]
+    new = np.ones(len(u), dtype=bool)
+    if len(u) > 1:
         same = (u[1:] == u[:-1]) & (b[1:] == b[:-1])
         new[1:] = ~same | (ts[1:] - ts[:-1] > gap_sec)
     starts = np.nonzero(new)[0]
-    ends = np.append(starts[1:], len(g)) - 1
-    return pd.DataFrame({
+    ends = np.append(starts[1:], len(u)) - 1
+    return _emit(is_arrow, {
         "user_id": u[starts],
-        "n": pd.Series(ends - starts + 1, dtype="int64"),
-        "first_ts": pd.Series(ts[starts], dtype="int64"),
-        "last_ts": pd.Series(ts[ends], dtype="int64"),
+        "n": ends - starts + 1,
+        "first_ts": ts[starts],
+        "last_ts": ts[ends],
     })
 
 
-def merge_session_partials_part(group: pd.DataFrame,
-                                gap_sec: int) -> pd.DataFrame:
+def merge_session_partials_part(group, gap_sec: int):
     """Phase 2, vectorized over every user in the partition: fragments
     of one user are disjoint time intervals, so sorted by first_ts
     their last_ts is increasing and the merge test is simply
     first[i] - last[i-1] > gap_sec (transitive chain merge)."""
-    g = group.sort_values(["user_id", "first_ts", "last_ts"],
-                          kind="mergesort")
-    u = g["user_id"].to_numpy()
-    f = g["first_ts"].to_numpy()
-    last = g["last_ts"].to_numpy()
-    n = g["n"].to_numpy()
-    new = np.ones(len(g), dtype=bool)
-    if len(g) > 1:
+    (u, f, last, n), is_arrow = _group_cols(
+        group, ["user_id", "first_ts", "last_ts", "n"])
+    order = np.lexsort((last, f, u))
+    u, f, last, n = u[order], f[order], last[order], n[order]
+    new = np.ones(len(u), dtype=bool)
+    if len(u) > 1:
         new[1:] = (u[1:] != u[:-1]) | (f[1:] - last[:-1] > gap_sec)
     starts = np.nonzero(new)[0]
-    ends = np.append(starts[1:], len(g)) - 1
+    ends = np.append(starts[1:], len(u)) - 1
     n_sum = np.add.reduceat(n, starts).astype(np.int64)
     su = u[starts]
     # session_no = 1-based rank of the merged session within its user
@@ -123,12 +140,12 @@ def merge_session_partials_part(group: pd.DataFrame,
         user_new[1:] = su[1:] != su[:-1]
     idx = np.arange(len(starts), dtype=np.int64)
     base = np.maximum.accumulate(np.where(user_new, idx, 0))
-    return pd.DataFrame({
+    return _emit(is_arrow, {
         "user_id": su,
-        "session_no": pd.Series(idx - base + 1, dtype="int64"),
-        "n": pd.Series(n_sum, dtype="int64"),
-        "first_ts": pd.Series(f[starts], dtype="int64"),
-        "last_ts": pd.Series(last[ends], dtype="int64"),
+        "session_no": idx - base + 1,
+        "n": n_sum,
+        "first_ts": f[starts],
+        "last_ts": last[ends],
     })
 
 
@@ -265,9 +282,8 @@ def session_windows_bucketed(events_ds, gap_sec: int,
 
     partials = (events_ds.map_batches(_key, batch_format="pyarrow")
                 .groupby("part")
-                .map_groups(lambda g: session_partials_part(
-                    g.drop(columns=["part"]), gap_sec),
-                    batch_format="pandas"))
+                .map_groups(lambda g: session_partials_part(g, gap_sec),
+                            batch_format="pyarrow"))
 
     def _key2(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy().astype(np.uint64)
@@ -277,6 +293,5 @@ def session_windows_bucketed(events_ds, gap_sec: int,
 
     return (partials.map_batches(_key2, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(lambda g: merge_session_partials_part(
-                g.drop(columns=["part"]), gap_sec),
-                batch_format="pandas"))
+            .map_groups(lambda g: merge_session_partials_part(g, gap_sec),
+                        batch_format="pyarrow"))

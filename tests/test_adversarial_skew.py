@@ -310,3 +310,57 @@ def test_prefix_sum_scan_exclusive_ordered_input(ray_session):
     v = df["v"].to_numpy()
     want = np.r_[np.int64(0), np.cumsum(v)[:-1]]
     assert np.array_equal(out["off"].to_numpy(), want)
+
+
+def test_ngram_prefix_join_matches_equi_on_skewed_corpus(ray_session):
+    """PPJoin prefix-filter path (stages/dedup.ngram_prefix_join):
+    on a corpus where EVERY document shares a stop phrase (the
+    equi-join plan's df^2 worst case), the prefix plan must (a)
+    produce exactly the equi-join's result pairs for both metrics and
+    (b) generate a candidate set orders of magnitude below the
+    n^2/2 blow-up the hot shingle would naively cause."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.dedup import (ngram_jaccard_join,
+                                      ngram_prefix_candidates,
+                                      ngram_prefix_join, doc_sketches)
+
+    rng = np.random.default_rng(31)
+    stop = "the quick brown fox jumps over the lazy dog today"
+    vocab = [f"w{i}" for i in range(500)]
+    n = 240
+    texts = []
+    for i in range(n):
+        body = " ".join(rng.choice(vocab, size=30))
+        texts.append(stop + " " + body)
+    # planted near-dups: copy with one word changed
+    for i in range(0, 40, 2):
+        words = texts[i].split()
+        words[-1] = "zz" + words[-1]
+        texts[i + 1] = " ".join(words)
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "text": pa.array(texts)})
+
+    for metric, thr in (("jaccard", 0.5), ("containment", 0.6)):
+        equi = ngram_jaccard_join(rd.from_arrow(tbl), threshold=thr,
+                                  metric=metric).to_pandas()
+        pref = ngram_prefix_join(rd.from_arrow(tbl), threshold=thr,
+                                 metric=metric).to_pandas()
+        key = ["doc_a", "doc_b"]
+        equi = equi.sort_values(key).reset_index(drop=True)
+        pref = pref.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            equi[key + [metric]], pref[key + [metric]],
+            check_exact=True, obj=metric)
+        assert len(equi) >= 20, (metric, len(equi))
+
+    # candidate volume: the stop shingles alone would contribute
+    # ~n^2/2 pairs per stop shingle to a naive equi plan; the prefix
+    # candidates must stay far below that
+    sk = rd.from_arrow(tbl).map_batches(
+        lambda b: doc_sketches(b, 1), batch_format="pyarrow") \
+        .materialize()
+    n_cand = ngram_prefix_candidates(sk, 0.5, 16, "jaccard").count()
+    assert n_cand < n * n // 8, n_cand
