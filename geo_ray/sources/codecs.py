@@ -11,7 +11,9 @@ The container has no PIL/libjpeg, so:
   invariant), deterministic bit-for-bit, and exercises the same
   Ray-side plumbing (binary column in, decode in an actor pool,
   numpy pixels out).  The synthesis hot path writes this format
-  (magic ``LJ92``, ~10x cheaper than real Huffman coding); REAL
+  (magic ``LJ93`` sparse coefficient container for the usual ~96%-zero
+  planes, zlib ``LJ92`` for dense content — both ~10x cheaper than
+  real Huffman coding, decode dispatches per blob); REAL
   baseline JFIF/JPEG bytes (0xFFD8) are routed to the pure-numpy
   spec-conformant codec in ``sources/jpeg.py`` — no PIL required
   (the import-try below only gates an optional cross-check test).
@@ -35,6 +37,7 @@ except Exception:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _LJ_MAGIC = b"LJ92"
+_LJS_MAGIC = b"LJ93"   # sparse (index, value) coefficient container
 
 
 # ---------------------------------------------------------------------------
@@ -228,13 +231,42 @@ def _lossy_finish(blocks: np.ndarray, n, h, w, c, H, W) -> list:
     np.rint(coefs, out=coefs)
     q = coefs.astype(np.int16)
     per = np.ascontiguousarray(q.reshape(n, -1))
-    header = _LJ_MAGIC + struct.pack(">HHHHB", h, w, H, W, c)
-    return [header + zlib.compress(per[i], _ZLEVEL) for i in range(n)]
+    P = per.shape[1]
+    nz_mask = per != 0
+    counts = nz_mask.sum(axis=1).astype(np.int64)
+    # Sparse container where it wins: the q90-quantized planes of
+    # natural/synthetic content are ~96% zeros, so (uint16 index,
+    # int16 value) pairs beat deflate on BOTH size and speed — encode
+    # is one batched np.nonzero + two tobytes slices per image (~5x
+    # cheaper than zlib level 1, which was the single hottest line of
+    # the synthesis stage), decode is a zeros + scatter.  Dense
+    # planes (noise) and planes too large for uint16 indices keep the
+    # zlib container; decode dispatches on the magic.  Bit-identical
+    # decoded pixels either way: the int16 coefficient planes are
+    # unchanged, only the container differs.
+    if P > 0xFFFF or int(counts.sum()) * 4 > n * P:
+        header = _LJ_MAGIC + struct.pack(">HHHHB", h, w, H, W, c)
+        return [header + zlib.compress(per[i], _ZLEVEL)
+                for i in range(n)]
+    rows, cols = np.nonzero(nz_mask)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    idx = cols.astype("<u2")
+    vals = per[rows, cols].astype("<i2")
+    header = _LJS_MAGIC + struct.pack(">HHHHB", h, w, H, W, c)
+    return [header + struct.pack("<I", int(counts[i]))
+            + idx[offs[i]:offs[i + 1]].tobytes()
+            + vals[offs[i]:offs[i + 1]].tobytes()
+            for i in range(n)]
 
 
-def png_encode_many(imgs: np.ndarray) -> list:
+def png_encode_many(imgs: np.ndarray, level: int = _ZLEVEL) -> list:
     """Batch PNG encode of same-shaped images (zlib per image; the
-    scanline/filter assembly is one vectorized pass)."""
+    scanline/filter assembly is one vectorized pass).  ``level`` is
+    the deflate level — every level yields a spec-valid PNG; the
+    synthesis hot path passes 0 (stored blocks: ~2.5x cheaper to
+    write, inflate becomes a memcpy) while interop outputs keep the
+    compressing default."""
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     n, h, w, c = imgs.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
@@ -242,20 +274,35 @@ def png_encode_many(imgs: np.ndarray) -> list:
     raw[:, :, 1:] = imgs.reshape(n, h, w * 3)
     head = _PNG_SIG + _chunk(b"IHDR", ihdr)
     tail = _chunk(b"IEND", b"")
-    return [head + _chunk(b"IDAT", zlib.compress(raw[i], _ZLEVEL)) + tail
+    return [head + _chunk(b"IDAT", zlib.compress(raw[i], level)) + tail
             for i in range(n)]
 
 
 def lossy_decode_many(datas: list) -> np.ndarray:
-    """Batch decode of same-shaped LJ92 payloads -> (n,h,w,3)."""
+    """Batch decode of same-shaped LJ92 (zlib) and/or LJ93 (sparse)
+    payloads -> (n,h,w,3); the two containers may be mixed within one
+    batch (the encoder picks per source batch by density)."""
     first = bytes(datas[0][:13])
-    assert first[:4] == _LJ_MAGIC
+    assert first[:4] in (_LJ_MAGIC, _LJS_MAGIC)
     h, w, H, W, c = struct.unpack(">HHHHB", first[4:13])
     per_img = (H // 8) * (W // 8) * c * 64
-    qi = np.empty((len(datas), per_img), dtype=np.int16)
+    qi = np.zeros((len(datas), per_img), dtype=np.int16)
     for i, d in enumerate(datas):
-        qi[i] = np.frombuffer(zlib.decompress(memoryview(d)[13:]),
-                              dtype=np.int16)
+        d = bytes(d)
+        if d[:4] == _LJS_MAGIC:
+            nnz = struct.unpack_from("<I", d, 13)[0]
+            idx = np.frombuffer(d, dtype="<u2", count=nnz, offset=17)
+            qi[i, idx] = np.frombuffer(d, dtype="<i2", count=nnz,
+                                       offset=17 + 2 * nnz)
+        else:
+            qi[i] = np.frombuffer(zlib.decompress(memoryview(d)[13:]),
+                                  dtype=np.int16)
+    return _lossy_pixels(qi, len(datas), h, w, H, W, c)
+
+
+def _lossy_pixels(qi: np.ndarray, n, h, w, H, W, c) -> np.ndarray:
+    """Shared decode tail: (n, P) int16 coefficient planes ->
+    (n, h, w, c) uint8 pixels."""
     q = qi.reshape(-1, 8, 8).astype(np.float32)
     q *= _Q90F
     # inverse of the encoder's DC fold: +1024 at [0,0] IDCTs to +128
@@ -270,11 +317,52 @@ def lossy_decode_many(datas: list) -> np.ndarray:
     # pass instead of a float32 ascontiguousarray + three more passes.
     np.rint(blocks, out=blocks)
     np.clip(blocks, 0, 255, out=blocks)
-    n = len(datas)
     nbh, nbw = H // 8, W // 8
     img = blocks.reshape(n, nbh, nbw, c, 8, 8).transpose(0, 1, 4, 2, 5, 3)
     img = img.astype(np.uint8).reshape(n, H, W, c)
     return img[:, :h, :w]
+
+
+def lossy_decode_buffer(buf: np.ndarray, starts: np.ndarray,
+                        ends: np.ndarray) -> np.ndarray:
+    """Zero-copy batch decode straight from an Arrow binary column's
+    value buffer: ``buf`` is the uint8 data buffer, ``starts``/``ends``
+    the per-blob offsets.  LJ93 blobs decode with NO per-row Python —
+    one ragged gather builds all (index, value) pairs and one scatter
+    fills the coefficient planes; LJ92 (zlib) blobs fall back to the
+    per-row inflate.  All blobs must share one image shape."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n = len(starts)
+    head = buf[starts[0]:starts[0] + 13].tobytes()
+    assert head[:4] in (_LJ_MAGIC, _LJS_MAGIC)
+    h, w, H, W, c = struct.unpack(">HHHHB", head[4:13])
+    P = (H // 8) * (W // 8) * c * 64
+    qi = np.zeros((n, P), dtype=np.int16)
+    is93 = buf[starts + 3] == ord("3")
+    s93 = starts[is93]
+    if len(s93):
+        nnz = (buf[s93[:, None] + (13 + np.arange(4))[None, :]]
+               .copy().view("<u4")[:, 0]).astype(np.int64)
+        tot = int(nnz.sum())
+        if tot:
+            nnz_off = np.zeros(len(s93) + 1, np.int64)
+            np.cumsum(nnz, out=nnz_off[1:])
+            within = np.arange(tot) - np.repeat(nnz_off[:-1], nnz)
+            bidx = np.repeat(s93 + 17, nnz) + 2 * within
+            idx = buf[bidx].astype(np.int64) \
+                | (buf[bidx + 1].astype(np.int64) << 8)
+            bval = np.repeat(s93 + 17 + 2 * nnz, nnz) + 2 * within
+            val = (buf[bval].astype(np.uint16)
+                   | (buf[bval + 1].astype(np.uint16) << 8)) \
+                .view(np.int16)
+            rowrep = np.repeat(np.flatnonzero(is93), nnz)
+            qi[rowrep, idx] = val
+    for r in np.flatnonzero(~is93):
+        qi[r] = np.frombuffer(
+            zlib.decompress(buf[starts[r] + 13:ends[r]].tobytes()),
+            dtype=np.int16)
+    return _lossy_pixels(qi, n, h, w, H, W, c)
 
 
 def png_decode_many(datas: list) -> np.ndarray:
@@ -331,7 +419,7 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return png_decode(bytes(data))
     if fmt == "jpeg":
         b = bytes(data)
-        if b[:4] == _LJ_MAGIC:
+        if b[:4] in (_LJ_MAGIC, _LJS_MAGIC):
             return lossy_decode(b)
         if b[:2] == b"\xFF\xD8":  # real JPEG bytes
             from . import jpeg

@@ -176,12 +176,14 @@ def images_dataset(num_rows: int, *, parallelism: int = -1,
     import ray.data as rd
 
     if parallelism <= 0:
-        # ~2048 rows per block: enough tasks to balance (blocks >> CPUs)
-        # and small enough that a batch's pixel working set (~10 MB)
-        # stays cache-friendly under full-width concurrency — repeated
-        # A/B at 400k rows measured 2048/2048 ~10-25% faster than
-        # 4096/4096 and 8192/4096 (straggler tail also halves).
-        parallelism = max(16, num_rows // 2048)
+        # ~6k rows per block (~2 blocks per core at the 400k bench):
+        # after the LJ93 sparse container + Arrow-buffer decode cut
+        # per-row CPU ~2x, per-TASK fixed overhead dominates at fine
+        # granularity — re-measured A/B at 400k rows: 2048-row blocks
+        # 5.6s, 4096 5.0s, 6144 4.0s (tight attempts), 16384 4.2s
+        # (under-utilizes at 24 tasks).  map_batches below still
+        # bounds the per-call pixel working set via batch_size.
+        parallelism = max(16, num_rows // 6144)
     ds = rd.range(num_rows, override_num_blocks=parallelism)
     off = int(start)
 

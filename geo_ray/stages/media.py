@@ -131,7 +131,8 @@ class JpegTranscoder:
             if key & 1:
                 # "jpeg" fmt: LJ92 stand-in (batch path) or real
                 # baseline bytes (rare interop input, per-blob decode)
-                lj = np.array([bytes(g[:4]) == codecs._LJ_MAGIC
+                lj = np.array([bytes(g[:4]) in (codecs._LJ_MAGIC,
+                                                codecs._LJS_MAGIC)
                                for g in group])
                 imgs = np.empty((len(group), int(h[sel[0]]),
                                  int(w[sel[0]]), 3), np.uint8)

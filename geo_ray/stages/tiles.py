@@ -40,7 +40,10 @@ def image_stats(batch: pa.Table) -> pa.Table:
     task-based stages cannot starve their upstream producer (an actor
     pool sized to the whole CPU count deadlocks the streaming executor
     against its own ReadRange — observed, not hypothetical)."""
-    blobs = batch.column("bytes").to_pylist()
+    arr = batch.column("bytes").combine_chunks()
+    vo = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
     fmts = np.array(batch.column("fmt").to_pylist())
     w = batch.column("w").to_numpy()
     h = batch.column("h").to_numpy()
@@ -48,16 +51,19 @@ def image_stats(batch: pa.Table) -> pa.Table:
     means = np.empty((n, 3), dtype=np.float64)
     ok = np.ones(n, dtype=bool)
     # Group same-shape/format rows and decode each group in one batched
-    # numpy pass (amortizes the DCT einsum / reshape overhead).
+    # numpy pass (amortizes the DCT einsum / reshape overhead).  Lossy
+    # rows decode straight from the Arrow value buffer — no per-row
+    # bytes objects at all (lossy_decode_buffer's ragged gather).
     shape_key = (w.astype(np.int64) << 16) | (h.astype(np.int64) << 2) | \
         np.where(fmts == "png", 0, 1)
     for key in np.unique(shape_key):
         sel = np.nonzero(shape_key == key)[0]
-        group = [blobs[i] for i in sel]
         try:
             if key & 1:
-                imgs = codecs.lossy_decode_many(group)
+                imgs = codecs.lossy_decode_buffer(data, vo[sel],
+                                                  vo[sel + 1])
             else:
+                group = [data[vo[i]:vo[i + 1]].tobytes() for i in sel]
                 imgs = codecs.png_decode_many(group)
             # Channel sums via one BLAS sgemm (ones-vector x pixels):
             # a strided axis-1 reduce can't SIMD over the 3-byte channel
@@ -72,7 +78,8 @@ def image_stats(batch: pa.Table) -> pa.Table:
         except Exception:
             for i in sel:
                 try:
-                    img = codecs.decode(blobs[i], str(fmts[i]))
+                    img = codecs.decode(
+                        data[vo[i]:vo[i + 1]].tobytes(), str(fmts[i]))
                     means[i] = img.reshape(-1, 3).mean(axis=0)
                 except Exception:
                     ok[i] = False
