@@ -19310,6 +19310,11 @@ def _authored_queries() -> Dict:
         "user_bbox": q_user_bbox,
         "grid_median": q_grid_median,
         "knn_regression": q_knn_regression,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q9": q_tpch_q9,
+        "traj_hausdorff": q_traj_hausdorff,
+        "user_reach": q_user_reach,
+        "basket_lift": q_basket_lift,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
@@ -19321,8 +19326,6 @@ def _authored_queries() -> Dict:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q9": q_tpch_q9,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "image_caption_mismatch": q_image_caption_mismatch,
@@ -19330,11 +19333,9 @@ def _authored_queries() -> Dict:
         "multimodal_clusters": q_multimodal_clusters,
         "events_winsorize": q_events_winsorize,
         "join_counts": q_join_counts,
-        "traj_hausdorff": q_traj_hausdorff,
         "stratified_sample": q_stratified_sample,
         "source_mix_sample": q_source_mix_sample,
         "source_overlap": q_source_overlap,
-        "user_reach": q_user_reach,
         "langid_confusion": q_langid_confusion,
         "doc_pmi": q_doc_pmi,
         "events_kmeans": q_events_kmeans,
@@ -19345,7 +19346,6 @@ def _authored_queries() -> Dict:
         "events_twap": q_events_twap,
         "events_ohlc": q_events_ohlc,
         "events_gini": q_events_gini,
-        "basket_lift": q_basket_lift,
         "events_peaks": q_events_peaks,
         "lineitem_pareto": q_lineitem_pareto,
         "pack_shards": q_pack_shards,
