@@ -4698,6 +4698,153 @@ def sql_image_resize_stats() -> str:
 _AUD_N = 120
 
 
+def q_video_scene_cuts(sf_dir: str):
+    """Shot-boundary detection end-to-end as a DRIVER query: videos
+    synthesize with ONE planted hard cut each (scene A at value
+    a_k = 40 + (k*13) % 100 for the first c_k = 2 + k % 3 frames,
+    scene B at a_k + 60 for the rest of n_k = 6 + k % 4 frames), run
+    through the ACTOR-POOL SceneCutDetector stage (stages/media.py,
+    threshold 20: within-scene frame-mean drift from the lossy codec
+    is <= ~6, the planted jump is 60 +- 6 — a >= 34 margin on both
+    sides), and fold to (video_key, n_frames, n_cuts, first_cut).
+    The SQL oracle pins all three from the construction arithmetic,
+    so a missed or spurious cut fails the driver's hash.
+
+    Scale shape: row-local container decode inside a bounded actor
+    pool (cpus//4 — full-CPU pools starve the producer), narrow cut
+    rows out, bounded QA fold."""
+    import pandas as pd
+    from ..stages.media import SceneCutDetector, encode_video
+
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", _VID_N))
+
+    def _make(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        vids, blobs = [], []
+        for k in keys:
+            n = 6 + int(k) % 4
+            c = 2 + int(k) % 3
+            a = 40 + (int(k) * 13) % 100
+            vals = np.full(n, a, np.uint8)
+            vals[c:] = a + 60
+            frames = np.ascontiguousarray(np.broadcast_to(
+                vals[:, None, None, None], (n, 16, 16, 3)))
+            blobs.append(encode_video(frames))
+            vids.append(f"v{int(k):06d}")
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "video": pa.array(blobs, pa.binary())})
+
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    cuts = ds.map_batches(_make, batch_format="pyarrow") \
+        .map_batches(SceneCutDetector,
+                     fn_constructor_kwargs={"threshold": 20.0},
+                     concurrency=max(1, ncpu // 4), batch_size=32,
+                     batch_format="pyarrow")
+    df = cuts.to_pandas()              # bounded: ~1 row per video
+    ks = df["video_id"].str.slice(1).astype(np.int64)
+    agg = pd.DataFrame({"video_key": ks,
+                        "cut_frame": df["cut_frame"].to_numpy()}) \
+        .groupby("video_key") \
+        .agg(n_cuts=("cut_frame", "size"),
+             first_cut=("cut_frame", "min")).reset_index()
+    all_keys = np.arange(_VID_N, dtype=np.int64)
+    out = pd.DataFrame({"video_key": all_keys}) \
+        .merge(agg, on="video_key", how="left")
+    return pd.DataFrame({
+        "video_key": all_keys,
+        "n_frames": (6 + all_keys % 4).astype(np.int64),
+        "n_cuts": out["n_cuts"].fillna(0).astype(np.int64),
+        "first_cut": out["first_cut"].fillna(-1).astype(np.int64),
+    })
+
+
+def sql_video_scene_cuts() -> str:
+    return (
+        f"SELECT c_custkey AS video_key, "
+        f"CAST(6 + c_custkey % 4 AS BIGINT) AS n_frames, "
+        f"CAST(1 AS BIGINT) AS n_cuts, "
+        f"CAST(2 + c_custkey % 3 AS BIGINT) AS first_cut "
+        f"FROM customer WHERE c_custkey < {_VID_N} ORDER BY video_key")
+
+
+def q_audio_vad(sf_dir: str):
+    """Voice-activity segmentation end-to-end as a DRIVER query:
+    clips synthesize with ONE planted active region (|PCM| = 2000
+    square wave over windows [s_k, s_k + l_k) of 256 samples with
+    s_k = 2 + k % 5, l_k = 3 + k % 4, silence elsewhere in 16
+    windows), run through the ACTOR-POOL AudioVad stage
+    (stages/media.py, threshold 500: window energies are exactly
+    2000 or 0 — zlib PCM is lossless), and fold to
+    (audio_key, n_segments, seg_start, seg_end).  The SQL oracle
+    pins all three from the construction arithmetic.
+
+    Scale shape: identical to q_video_scene_cuts."""
+    import pandas as pd
+    from ..stages.media import AudioVad, encode_audio
+
+    ds = _read_f(sf_dir, "customer", ["c_custkey"],
+                 _pds_field_lt("c_custkey", _AUD_N))
+    WIN = 256
+    NW = 16
+
+    def _make(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        ids, blobs = [], []
+        for k in keys:
+            s0 = 2 + int(k) % 5
+            ln = 3 + int(k) % 4
+            pcm = np.zeros(NW * WIN, np.int16)
+            seg = np.tile(np.array([2000, -2000], np.int16),
+                          ln * WIN // 2)
+            pcm[s0 * WIN:(s0 + ln) * WIN] = seg
+            blobs.append(encode_audio(pcm, 16000))
+            ids.append(f"a{int(k):06d}")
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "audio": pa.array(blobs, pa.binary())})
+
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    segs = ds.map_batches(_make, batch_format="pyarrow") \
+        .map_batches(AudioVad,
+                     fn_constructor_kwargs={"win": WIN,
+                                            "threshold": 500.0},
+                     concurrency=max(1, ncpu // 4), batch_size=32,
+                     batch_format="pyarrow")
+    df = segs.to_pandas()              # bounded: ~1 row per clip
+    ks = df["audio_id"].str.slice(1).astype(np.int64)
+    agg = pd.DataFrame({
+        "audio_key": ks,
+        "s": df["seg_start_win"].to_numpy(),
+        "e": df["seg_end_win"].to_numpy()}) \
+        .groupby("audio_key") \
+        .agg(n_segments=("s", "size"), seg_start=("s", "min"),
+             seg_end=("e", "max")).reset_index()
+    all_keys = np.arange(_AUD_N, dtype=np.int64)
+    out = pd.DataFrame({"audio_key": all_keys}) \
+        .merge(agg, on="audio_key", how="left")
+    return pd.DataFrame({
+        "audio_key": all_keys,
+        "n_segments": out["n_segments"].fillna(0).astype(np.int64),
+        "seg_start": out["seg_start"].fillna(-1).astype(np.int64),
+        "seg_end": out["seg_end"].fillna(-1).astype(np.int64),
+    })
+
+
+def sql_audio_vad() -> str:
+    return (
+        f"SELECT c_custkey AS audio_key, CAST(1 AS BIGINT) AS n_segments, "
+        f"CAST(2 + c_custkey % 5 AS BIGINT) AS seg_start, "
+        f"CAST(2 + c_custkey % 5 + 3 + c_custkey % 4 AS BIGINT) "
+        f"AS seg_end "
+        f"FROM customer WHERE c_custkey < {_AUD_N} ORDER BY audio_key")
+
+
 def q_audio_feature_stats(sf_dir: str):
     """Audio-column pipeline end-to-end as a DRIVER query: synthesize
     deterministic AUD1 PCM (pure sine per key: f_k = 200 + (k % 10) *
@@ -19286,6 +19433,8 @@ def _authored_queries() -> Dict:
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_profile": q_events_profile,
         "video_frame_stats": q_video_frame_stats,
+        "video_scene_cuts": q_video_scene_cuts,
+        "audio_vad": q_audio_vad,
         "audio_feature_stats": q_audio_feature_stats,
         "image_resize_stats": q_image_resize_stats,
         "events_corridor": q_events_corridor,
@@ -19511,6 +19660,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_kmv_overlap": sql_events_kmv_overlap(),
         "events_profile": sql_events_profile(),
         "video_frame_stats": sql_video_frame_stats(),
+        "video_scene_cuts": sql_video_scene_cuts(),
+        "audio_vad": sql_audio_vad(),
         "audio_feature_stats": sql_audio_feature_stats(),
         "image_resize_stats": sql_image_resize_stats(),
         "events_corridor": sql_events_corridor(),

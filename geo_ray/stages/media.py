@@ -222,6 +222,84 @@ class FrameSampler:
         })
 
 
+class SceneCutDetector:
+    """Actor-pool stage: detect hard scene cuts in a VID1 ``video``
+    column — consecutive-frame mean-intensity jumps above
+    ``threshold`` — emitting one (video_id, cut_frame, jump) row per
+    cut.  The shot-boundary pass every video curation pipeline runs
+    before per-scene sampling/captioning.
+
+    Scale shape: the container is row-local, so the batch axis is the
+    actor-pool concurrency; per video the frame means come from one
+    batched decode + one BLAS reduction, and only narrow cut rows
+    leave the stage (pixels never shuffle)."""
+
+    def __init__(self, threshold: float = 20.0):
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        out_v, out_f, out_j = [], [], []
+        for vid, data in zip(vids, batch.column("video").to_pylist()):
+            frames = decode_video_frames(data)
+            npx = frames.shape[1] * frames.shape[2] * 3
+            f32 = frames.reshape(len(frames), npx).astype(np.float32)
+            m = (f32 @ np.ones((npx, 1), np.float32))[:, 0] / npx
+            d = np.abs(np.diff(m.astype(np.float64)))
+            cuts = np.flatnonzero(d > self.threshold) + 1
+            out_v.extend([vid] * len(cuts))
+            out_f.extend(int(c) for c in cuts)
+            out_j.extend(float(d[c - 1]) for c in cuts)
+        return pa.table({
+            "video_id": pa.array(out_v, pa.string()),
+            "cut_frame": pa.array(out_f, pa.int64()),
+            "jump": pa.array(out_j, pa.float64()),
+        })
+
+
+class AudioVad:
+    """Actor-pool stage: energy-threshold voice-activity detection
+    over an AUD1 ``audio`` column — mean |PCM| per ``win``-sample
+    window, threshold, run-length encode into (audio_id,
+    seg_start_win, seg_end_win) activity segments (end exclusive).
+    The segmentation pass that gates transcription / feature
+    extraction in audio curation pipelines.
+
+    Scale shape: same as SceneCutDetector — row-local decode, one
+    vectorized reshape-reduce per clip, narrow segment rows out."""
+
+    def __init__(self, win: int = 256, threshold: float = 500.0):
+        self.win = int(win)
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        aids = batch.column("audio_id").to_pylist()
+        out_a, out_s, out_e = [], [], []
+        for aid, data in zip(aids, batch.column("audio").to_pylist()):
+            _, pcm = decode_audio(bytes(data))
+            nw = len(pcm) // self.win
+            if nw == 0:
+                continue
+            e = np.abs(pcm[:nw * self.win].astype(np.float64)) \
+                .reshape(nw, self.win).mean(axis=1)
+            act = e > self.threshold
+            edges = np.diff(act.astype(np.int8))
+            starts = np.flatnonzero(edges == 1) + 1
+            ends = np.flatnonzero(edges == -1) + 1
+            if act[0]:
+                starts = np.concatenate([[0], starts])
+            if act[-1]:
+                ends = np.concatenate([ends, [nw]])
+            out_a.extend([aid] * len(starts))
+            out_s.extend(int(s) for s in starts)
+            out_e.extend(int(x) for x in ends)
+        return pa.table({
+            "audio_id": pa.array(out_a, pa.string()),
+            "seg_start_win": pa.array(out_s, pa.int64()),
+            "seg_end_win": pa.array(out_e, pa.int64()),
+        })
+
+
 # ---------------------------------------------------------------------------
 # audio: PCM container + features
 # ---------------------------------------------------------------------------

@@ -128,3 +128,62 @@ def test_audio_container_and_features(ray_session):
 def test_audio_real_format_raises_cleanly():
     with pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfbnot-a-real-container" + b"\x00" * 64)
+
+
+def test_scene_cut_detector_cases(ray_session):
+    """No-cut, one-cut and two-cut videos; cut indices exact."""
+    import ray.data as rd
+
+    from geo_ray.stages.media import SceneCutDetector, encode_video
+
+    def vid(vals):
+        v = np.asarray(vals, np.uint8)
+        return encode_video(np.ascontiguousarray(np.broadcast_to(
+            v[:, None, None, None], (len(v), 16, 16, 3))))
+
+    tbl = pa.table({
+        "video_id": pa.array(["flat", "one", "two"]),
+        "video": pa.array([
+            vid([100] * 5),
+            vid([50, 50, 150, 150]),
+            vid([40, 40, 120, 120, 40, 40]),
+        ], pa.binary())})
+    out = rd.from_arrow(tbl).map_batches(
+        SceneCutDetector(threshold=20.0), batch_format="pyarrow",
+        concurrency=1, batch_size=4).to_pandas()
+    got = {vid_: sorted(g["cut_frame"].tolist())
+           for vid_, g in out.groupby("video_id")}
+    assert "flat" not in got
+    assert got["one"] == [2]
+    assert got["two"] == [2, 4]
+
+
+def test_audio_vad_boundary_cases(ray_session):
+    """Segments touching the clip start/end and multiple segments."""
+    import ray.data as rd
+
+    from geo_ray.stages.media import AudioVad, encode_audio
+
+    WIN = 64
+
+    def clip(active_windows, nw=10):
+        pcm = np.zeros(nw * WIN, np.int16)
+        for wdx in active_windows:
+            pcm[wdx * WIN:(wdx + 1) * WIN] = 2000
+        return encode_audio(pcm, 16000)
+
+    tbl = pa.table({
+        "audio_id": pa.array(["startend", "multi", "silent"]),
+        "audio": pa.array([
+            clip([0, 1, 8, 9]),
+            clip([2, 3, 6]),
+            clip([]),
+        ], pa.binary())})
+    out = rd.from_arrow(tbl).map_batches(
+        AudioVad(win=WIN, threshold=500.0), batch_format="pyarrow",
+        concurrency=1, batch_size=4).to_pandas()
+    segs = {aid: sorted(zip(g["seg_start_win"], g["seg_end_win"]))
+            for aid, g in out.groupby("audio_id")}
+    assert segs["startend"] == [(0, 2), (8, 10)]
+    assert segs["multi"] == [(2, 4), (6, 7)]
+    assert "silent" not in segs

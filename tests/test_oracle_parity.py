@@ -124,6 +124,7 @@ ORACLE_CHECKED = [
     "events_corridor", "source_overlap", "user_reach",
     "langid_confusion", "events_impossible_travel",
     "doc_containment", "events_profile", "video_frame_stats",
+    "video_scene_cuts", "audio_vad",
     "audio_feature_stats", "image_resize_stats",
 ]
 
