@@ -19196,6 +19196,171 @@ def q_traj_frechet(sf_dir: str):
         for c in ["user_a", "user_b", "frechet_l1"]}))
 
 
+def q_traj_dtw(sf_dir: str):
+    """Dynamic-timewarp alignment cost (state/alignment.py semantics,
+    s2/polyline_alignment.go) between every CO-LOCATED user pair's
+    time-ordered tracks, in the exact centi-degree L1 integer metric:
+
+        T(i,j) = d(i,j) + min(T(i-1,j-1), T(i-1,j), T(i,j-1))
+
+    over int64 lattice distances, so the cost is deterministic to the
+    bit (brute-oracle-verified in tests/test_alignment_dtw.py's
+    distributed case; the DP recursion is not SQL-expressible, so
+    this entry carries no SQL oracle by design — same class as
+    traj_frechet).  Unlike Fréchet, DTW SUMS matched distances, so
+    repeated track points are NOT collapsed (each repeat genuinely
+    adds its matching cost).
+
+    Scale shape mirrors traj_hausdorff / traj_frechet: candidate
+    pairs from the exactly-once colocation join, ordered tracks
+    replicated only per candidate pair, per-pair DP batched across
+    every pair of the same (n, m) track shape inside its pair-hash
+    bucket."""
+    import pandas as pd
+    import ray.data as rd
+    from ..stages.bucket_join import bucketed_join
+    from ..stages.sample import _splitmix
+
+    coloc = _coloc_pairs_ds(sf_dir)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    nb = 64
+
+    def _pk_rows(batch: pa.Table) -> pa.Table:
+        ua = batch.column("user_a").to_numpy().astype(np.uint64)
+        ub = batch.column("user_b").to_numpy().astype(np.uint64)
+        lo = np.minimum(ua, ub)
+        hi = np.maximum(ua, ub)
+        pk = np.unique((lo << np.uint64(32)) | hi)
+        return pa.table({
+            "pk": pa.array(pk.view(np.int64), pa.int64()),
+            "__b": pa.array((_splitmix(pk) % np.uint64(nb))
+                            .astype(np.int32), pa.int32())})
+
+    pairs = coloc.map_batches(_pk_rows, batch_format="pyarrow") \
+        .groupby("__b") \
+        .map_groups(lambda g: pd.DataFrame(
+            {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
+            batch_format="pandas")
+
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().astype(np.uint64)
+        u = (pk >> np.uint64(32)).astype(np.int64)
+        v = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        n = len(pk)
+        return pa.table({
+            "key": pa.array(np.concatenate([u, v]), pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]).view(np.int64),
+                           pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                pa.int8()),
+            "tsu": pa.nulls(2 * n, pa.int64()),
+            "eid": pa.nulls(2 * n, pa.int64()),
+            "clat": pa.nulls(2 * n, pa.int64()),
+            "clng": pa.nulls(2 * n, pa.int64()),
+        })
+
+    def _point_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        clat = (k * 7919) % 17000 - 8500
+        clng = (k * 104729) % 36000 - 18000
+        m = len(k)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "pk": pa.nulls(m, pa.int64()),
+            "side": pa.nulls(m, pa.int8()),
+            "tsu": pa.array(tsu, pa.int64()),
+            "eid": pa.array(k, pa.int64()),
+            "clat": pa.array(clat, pa.int64()),
+            "clng": pa.array(clng, pa.int64()),
+        })
+
+    def _replicate(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["pk"].isna()]
+        prs = g[g["pk"].notna()]
+        out = prs[["key", "pk", "side"]].merge(
+            pts[["key", "tsu", "eid", "clat", "clng"]], on="key")
+        return pd.DataFrame({
+            "pk": out["pk"].to_numpy(np.float64).astype(np.int64),
+            "side": out["side"].to_numpy(np.float64).astype(np.int8),
+            "tsu": out["tsu"].to_numpy(np.int64),
+            "eid": out["eid"].to_numpy(np.int64),
+            "clat": out["clat"].to_numpy(np.int64),
+            "clng": out["clng"].to_numpy(np.int64)})
+
+    rep = bucketed_join(
+        [pairs.map_batches(_pair_rows, batch_format="pyarrow"),
+         ev.map_batches(_point_rows, batch_format="pyarrow")],
+        "key", _replicate, num_buckets=nb)
+
+    def _tag_pk(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().astype(np.uint64)
+        return batch.append_column("__b", pa.array(
+            (_splitmix(pk) % np.uint64(nb)).astype(np.int32),
+            pa.int32()))
+
+    def _dtw(g: pd.DataFrame) -> pd.DataFrame:
+        # batch the DP across every pair with the same (n, m) track
+        # shape (the traj_frechet pattern): the row/column
+        # recurrences stay sequential but run as numpy vector ops
+        # over ALL such pairs at once
+        g = g.sort_values(["pk", "side", "tsu", "eid"],
+                          kind="mergesort")
+        pk = g["pk"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        clat = g["clat"].to_numpy(np.int64)
+        clng = g["clng"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], pk[1:] != pk[:-1])))
+        ends = np.append(starts[1:], len(pk))
+        shapes: dict = {}
+        for s, e in zip(starts, ends):
+            cut = s + int(np.searchsorted(side[s:e], 1))
+            n0, n1 = cut - s, e - cut
+            if n0 == 0 or n1 == 0:
+                continue
+            shapes.setdefault((n0, n1), []).append((s, cut, e))
+        out_pk, out_d = [], []
+        for (n0, n1), spans in shapes.items():
+            P = len(spans)
+            A = np.empty((P, n0, 2), np.int64)
+            B = np.empty((P, n1, 2), np.int64)
+            for p, (s, cut, e) in enumerate(spans):
+                A[p, :, 0] = clat[s:cut]
+                A[p, :, 1] = clng[s:cut]
+                B[p, :, 0] = clat[cut:e]
+                B[p, :, 1] = clng[cut:e]
+            d = np.abs(A[:, :, None, 0] - B[:, None, :, 0]) \
+                + np.abs(A[:, :, None, 1] - B[:, None, :, 1])
+            T = np.empty_like(d)
+            T[:, 0, :] = np.cumsum(d[:, 0, :], axis=1)
+            for i in range(1, n0):
+                T[:, i, 0] = d[:, i, 0] + T[:, i - 1, 0]
+                for j in range(1, n1):
+                    T[:, i, j] = d[:, i, j] + np.minimum(
+                        np.minimum(T[:, i - 1, j], T[:, i - 1, j - 1]),
+                        T[:, i, j - 1])
+            out_pk.extend(int(pk[s]) for s, _c, _e in spans)
+            out_d.extend(int(v) for v in T[:, -1, -1])
+        upk = np.array(out_pk, np.int64).view(np.uint64)
+        return pd.DataFrame({
+            "user_a": (upk >> np.uint64(32)).astype(np.int64),
+            "user_b": (upk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "dtw_l1": np.array(out_d, np.int64)})
+
+    out = (rep.map_batches(_tag_pk, batch_format="pyarrow")
+           .groupby("__b")
+           .map_groups(lambda g: _dtw(g.drop(columns=["__b"])),
+                       batch_format="pandas")
+           .to_pandas().sort_values(["user_a", "user_b"]))
+    return rd.from_arrow(pa.table({
+        c: pa.array(out[c].to_numpy(np.int64))
+        for c in ["user_a", "user_b", "dtw_l1"]}))
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -19571,6 +19736,7 @@ def _authored_queries() -> Dict:
         "events_weekend_ratio": q_events_weekend_ratio,
         "part_name_tokens": q_part_name_tokens,
         "traj_frechet": q_traj_frechet,
+        "traj_dtw": q_traj_dtw,
     }
 
 
