@@ -94,6 +94,35 @@ def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
     return not (ordered_ccw(a0, b2, b0, ab1) and ordered_ccw(b0, a2, a0, ab1))
 
 
+WEDGE_EQUALS = 0
+WEDGE_PROPERLY_CONTAINS = 1
+WEDGE_IS_PROPERLY_CONTAINED = 2
+WEDGE_PROPERLY_OVERLAPS = 3
+WEDGE_IS_DISJOINT = 4
+
+
+def wedge_relation(a0, ab1, a2, b0, b2) -> int:
+    """Five-way relation between non-empty wedges A=(a0, ab1, a2) and
+    B=(b0, ab1, b2): equals / properly contains / is properly
+    contained / properly overlaps / disjoint
+    (WedgeRelation, s2/wedge_relations.go:33-78 — overlapping-edge
+    cases take the most specific ordering)."""
+    if a0 == b0 and a2 == b2:
+        return WEDGE_EQUALS
+    if ordered_ccw(a0, a2, b2, ab1):
+        # cases 1, 5, 6 (or 2 when a2 == b2)
+        if ordered_ccw(b2, b0, a0, ab1):
+            return WEDGE_PROPERLY_CONTAINS
+        if a2 == b2:
+            return WEDGE_IS_PROPERLY_CONTAINED
+        return WEDGE_PROPERLY_OVERLAPS
+    if ordered_ccw(a0, b0, b2, ab1):
+        return WEDGE_IS_PROPERLY_CONTAINED
+    if ordered_ccw(a0, b0, a2, ab1):
+        return WEDGE_IS_DISJOINT
+    return WEDGE_PROPERLY_OVERLAPS
+
+
 def wedge_contains_semiwedge(a0, ab1, a2, b2, reverse: bool) -> bool:
     """Whether wedge (a0, ab1, a2) contains the "semiwedge": any
     non-empty open set of rays immediately CCW from edge (ab1, b2);

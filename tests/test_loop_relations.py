@@ -231,3 +231,53 @@ def test_covers_relation():
     assert s.contains_loop(n.invert())      # north+south cover the sphere
     a80 = make_loop("arctic80")
     assert not a80.contains_loop(n.invert())
+
+
+def test_wedge_relation_reference_table():
+    """The full 11-case table from s2/wedge_relations_test.go:23-200:
+    contains, intersects and the five-way WedgeRelation."""
+    from geo_ray.functions.edges import (WEDGE_EQUALS, WEDGE_IS_DISJOINT,
+                                         WEDGE_IS_PROPERLY_CONTAINED,
+                                         WEDGE_PROPERLY_CONTAINS,
+                                         WEDGE_PROPERLY_OVERLAPS,
+                                         wedge_contains, wedge_intersects,
+                                         wedge_relation)
+
+    import numpy as np
+
+    def pt(x, y, z):
+        v = np.array([x, y, z], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        return (float(v[0]), float(v[1]), float(v[2]))
+
+    ab1 = pt(0, 0, 1)
+    cases = [
+        # a0, a1, b0, b1, contains, intersects, relation
+        ((-1, 0, 10), (1, 2, 10), (0, 1, 10), (1, -2, 10),
+         False, True, WEDGE_PROPERLY_OVERLAPS),
+        ((-1, -1, 10), (1, -1, 10), (1, 0, 10), (-1, 1, 10),
+         False, True, WEDGE_PROPERLY_OVERLAPS),
+        ((-1, -1, 10), (1, -1, 10), (-1, 0, 10), (1, 0, 10),
+         True, True, WEDGE_PROPERLY_CONTAINS),
+        ((2, 1, 10), (-1, -1, 10), (2, 1, 10), (1, -5, 10),
+         True, True, WEDGE_PROPERLY_CONTAINS),
+        ((2, 1, 10), (-1, -1, 10), (1, -2, 10), (-1, -1, 10),
+         True, True, WEDGE_PROPERLY_CONTAINS),
+        ((-2, 3, 10), (4, -5, 10), (-2, 3, 10), (4, -5, 10),
+         True, True, WEDGE_EQUALS),
+        ((-2, 3, 10), (4, -5, 10), (4, -5, 10), (-2, -3, 10),
+         False, False, WEDGE_IS_DISJOINT),
+        ((-2, 3, 10), (0, 5, 10), (4, -5, 10), (-2, 3, 10),
+         False, False, WEDGE_IS_DISJOINT),
+        ((-2, 3, 10), (4, -5, 10), (4, -5, 10), (-2, 3, 10),
+         False, False, WEDGE_IS_DISJOINT),
+        ((2, 1, 10), (1, -5, 10), (2, 1, 10), (-1, -1, 10),
+         False, True, WEDGE_IS_PROPERLY_CONTAINED),
+        ((2, 1, 10), (1, -5, 10), (-2, 1, 10), (1, -5, 10),
+         False, True, WEDGE_IS_PROPERLY_CONTAINED),
+    ]
+    for a0, a1, b0, b1, want_c, want_i, want_r in cases:
+        a0, a1, b0, b1 = pt(*a0), pt(*a1), pt(*b0), pt(*b1)
+        assert wedge_contains(a0, ab1, a1, b0, b1) == want_c, (a0, b0)
+        assert wedge_intersects(a0, ab1, a1, b0, b1) == want_i, (a0, b0)
+        assert wedge_relation(a0, ab1, a1, b0, b1) == want_r, (a0, b0)
