@@ -217,11 +217,17 @@ def run_suite(headline_only: bool = False) -> dict:
                  "langid_confusion", "events_impossible_travel",
                  "doc_containment", "events_profile",
                  "video_frame_stats", "audio_feature_stats",
-                 "image_resize_stats"]
-        # traj_frechet is registered (driver gate at sf0.01) but kept
-        # off the bench roster: its O(n x m) coupled-walk DP over
-        # 115k candidate pairs is ~50s at sf0.1 — intrinsic work, not
-        # an exchange pathology (see BASELINE.md)
+                 "image_resize_stats", "video_scene_cuts",
+                 "audio_vad", "knn_geo_limited_incl"]
+        # Registered but kept off the bench roster (driver gate at
+        # sf0.01 still covers them):
+        #  - traj_frechet / traj_dtw: O(n x m) per-pair DPs over 115k
+        #    candidate pairs (~50s / ~33s at sf0.1) — intrinsic work,
+        #    not an exchange pathology (see BASELINE.md);
+        #  - ngram_jaccard_prefix: the PPJoin SKEW path (4 exchanges,
+        #    7.8s at sf0.1) — on this non-skewed corpus the equi plan
+        #    (ngram_jaccard, on the roster) is the right plan and the
+        #    prefix variant exists for stop-shingle-skewed corpora.
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a
