@@ -2599,6 +2599,31 @@ def q_ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.5):
         .sort(["doc_a", "doc_b"])
 
 
+def q_ngram_jaccard_auto(sf_dir: str, threshold: float = 0.5):
+    """Cost-based plan selection for the n-gram similarity join (the
+    spatial_join_auto pattern): a hash-sampled df probe
+    (stages/dedup.estimate_max_shingle_df — every instance of a
+    sampled shingle is kept, so sampled dfs are exact) measures the
+    shingle document-frequency tail, and the query runs the equi plan
+    unless a stop-shingle would blow its sum(df^2) pair volume past
+    the corpus size, in which case the PPJoin prefix plan engages.
+    Oracle-checked against the same candidate-path-independent SQL as
+    both fixed plans — whichever plan is chosen must produce the
+    identical pair set."""
+    import ray.data as rd
+    from ..stages.dedup import (choose_ngram_plan, doc_sketches,
+                                ngram_jaccard_join, ngram_prefix_join)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sketches = ds.map_batches(lambda b: doc_sketches(b, 1),
+                              batch_format="pyarrow").materialize()
+    n_docs = sketches.count()
+    plan = choose_ngram_plan(sketches, n_docs)
+    ds2 = _read(sf_dir, "documents", ["doc_id", "text"])
+    join = ngram_prefix_join if plan == "prefix" else ngram_jaccard_join
+    return join(ds2, threshold=threshold).sort(["doc_a", "doc_b"])
+
+
 def sql_ngram_jaccard(threshold: float = 0.5) -> str:
     """Independent all-intersecting-pairs oracle: exact hash-set
     Jaccard from the shared shingle CTEs, identical int64 counts and
@@ -19480,6 +19505,7 @@ def _authored_queries() -> Dict:
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "ngram_jaccard_auto": q_ngram_jaccard_auto,
         "doc_containment": q_doc_containment,
         "embed_clusters": q_embed_clusters,
         "doc_chunks": q_doc_chunks,
@@ -19975,6 +20001,7 @@ def oracle_sql() -> Dict[str, str]:
         "minhash_dedup": sql_minhash_dedup(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "ngram_jaccard_prefix": sql_ngram_jaccard(),
+        "ngram_jaccard_auto": sql_ngram_jaccard(),
         "doc_containment": sql_doc_containment(),
         "spatial_join_images": sql_spatial_join_images(),
         "spatial_join_shuffle": sql_spatial_join_images(),

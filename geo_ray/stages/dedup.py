@@ -831,6 +831,48 @@ def ngram_prefix_candidates(sketches, threshold: float, nb: int,
             .map_groups(_pairs, batch_format="pyarrow"))
 
 
+def estimate_max_shingle_df(sketches, sample_mod: int = 64) -> int:
+    """Estimated maximum shingle document frequency from a HASH
+    SAMPLE of shingles: keep a shingle iff splitmix(sh) % sample_mod
+    == 0 — every instance of a sampled shingle is kept, so each
+    sampled shingle's df is EXACT and the max over the sample is an
+    unbiased probe of the df tail (the same footer-style measured
+    probe spatial_join_auto and salt.sampled_hot_keys use).  Cost:
+    one narrow pass + a tiny driver-side bincount of ~1/sample_mod of
+    the shingle instances."""
+    def _sampled(batch: pa.Table) -> pa.Table:
+        arr = batch.column("sketch").combine_chunks()
+        values = np.asarray(arr.values).view(np.uint64) \
+            if len(arr.values) else np.array([], dtype=np.uint64)
+        keep = (_splitmix(values) % np.uint64(sample_mod)) == 0
+        v = values[keep]
+        # per-batch partial df counts: (sh, count)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({
+            "sh": pa.array(uniq.view(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parts = sketches.map_batches(_sampled,
+                                 batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return 0
+    return int(parts.groupby("sh")["n"].sum().max())
+
+
+def choose_ngram_plan(sketches, n_docs: int,
+                      sample_mod: int = 64) -> str:
+    """"equi" or "prefix" from the measured df tail: the equi plan's
+    pair volume has a sum(df^2) term, so a single shingle with
+    df ~ sqrt(total pairs budget) dominates it.  The threshold is the
+    corpus-scaled df at which one hot shingle alone would generate
+    more candidate pairs than the whole corpus has documents —
+    conservative in the same direction as choose_join_strategy (the
+    skew path engages before the blow-up, never after)."""
+    max_df = estimate_max_shingle_df(sketches, sample_mod)
+    threshold = max(64, int(np.sqrt(2.0 * max(n_docs, 1))) * 4)
+    return "prefix" if max_df > threshold else "equi"
+
+
 def ngram_prefix_join(docs_ds, threshold: float = 0.5,
                       n_buckets=None, metric: str = "jaccard"):
     """Exact n-gram similarity self-join via prefix-filtered

@@ -364,3 +364,32 @@ def test_ngram_prefix_join_matches_equi_on_skewed_corpus(ray_session):
         .materialize()
     n_cand = ngram_prefix_candidates(sk, 0.5, 16, "jaccard").count()
     assert n_cand < n * n // 8, n_cand
+
+
+def test_choose_ngram_plan_probe(ray_session):
+    """The df-probe plan chooser: a uniform corpus keeps the equi
+    plan; a corpus where every document shares a stop phrase flips to
+    the prefix plan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.dedup import choose_ngram_plan, doc_sketches
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(4000)]
+    n = 400
+    uniform = [" ".join(rng.choice(vocab, size=30)) for _ in range(n)]
+    stop = "alpha beta gamma delta epsilon zeta eta theta"
+    skewed = [stop + " " + t for t in uniform]
+
+    def sk(texts):
+        tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                           pa.int64()),
+                        "text": pa.array(texts)})
+        return rd.from_arrow(tbl).map_batches(
+            lambda b: doc_sketches(b, 1),
+            batch_format="pyarrow").materialize()
+
+    # sample_mod=1 keeps the probe exact on these tiny corpora
+    assert choose_ngram_plan(sk(uniform), n, sample_mod=1) == "equi"
+    assert choose_ngram_plan(sk(skewed), n, sample_mod=1) == "prefix"

@@ -77,7 +77,7 @@ ORACLE_CHECKED = [
     "convex_hull",
     "covering", "polygon_overlay", "polygon_build", "image_neardup",
     "knn_collection", "knn_furthest", "image_phash_neardup", "ngram_jaccard",
-    "ngram_jaccard_prefix",
+    "ngram_jaccard_prefix", "ngram_jaccard_auto",
     "hex_density", "hex_smooth", "tpch_q7", "tpch_q8",
     "spatial_join_auto", "dedup_clusters", "corpus_curation",
     "tpch_q6", "tpch_q14", "tpch_q18", "tpch_q19", "doc_redact",
