@@ -235,3 +235,14 @@ def test_traj_dtw_matches_brute(ray_session):
     for a, b in pairs:
         assert int(got.loc[(a, b), "dtw_l1"]) == \
             brute(tracks[a], tracks[b]), (a, b)
+
+
+def test_dtw_cost_symmetry():
+    """DTW is symmetric (the cost matrix transposes and the
+    recurrence is symmetric in its arguments)."""
+    for _ in range(10):
+        A = _rand_line(int(RNG.integers(2, 20)))
+        B = _rand_line(int(RNG.integers(2, 20)))
+        assert math.isclose(exact_vertex_alignment_cost(A, B),
+                            exact_vertex_alignment_cost(B, A),
+                            rel_tol=1e-12)
