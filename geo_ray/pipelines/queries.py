@@ -2187,7 +2187,8 @@ _CORRIDOR_RADIUS_DEG = 6.0
 
 
 def q_events_corridor(sf_dir: str,
-                      radius_deg: float = _CORRIDOR_RADIUS_DEG):
+                      radius_deg: float = _CORRIDOR_RADIUS_DEG,
+                      prefilter=None):
     """Corridor query: every event within ``radius_deg`` of a fixed
     geodesic route (the polyline buffer / route-proximity filter of
     fleet telemetry and along-track analysis).  The per-point route
@@ -2199,22 +2200,56 @@ def q_events_corridor(sf_dir: str,
 
     Scale shape: stateless vectorized map_batches filter — the route
     (E edges) broadcasts in the closure, each batch scores E fused
-    numpy passes, nothing shuffles.  For routes with thousands of
-    edges, prefilter candidates with a covering of the route expanded
-    by the radius (state/cellunion.expand_by_radius + CellIndex stab,
-    the radius_join shape) before the exact scorer."""
+    numpy passes, nothing shuffles.  For routes with many edges the
+    COVERING PREFILTER engages (``prefilter`` auto at >= 64 edges, or
+    force with True): each edge's bounding cap, expanded by the
+    corridor radius (a guaranteed superset by the triangle
+    inequality), is covered once in the closure, and each batch stabs
+    leaf cells against the normalized union (cellunion.contains_leaf_v
+    searchsorted) so only candidate rows pay the E-pass exact scorer
+    — the radius_join shape.  Output is IDENTICAL with the filter on
+    or off (superset guarantee + unchanged exact refine);
+    tests/test_new_wave_adversarial.py pins it."""
+    from ..functions import cellid as cid
     from ..stages.knn import ShapeTarget
+    from ..state import cellunion as cu
+    from ..state.cap import Cap
+    from ..state.coverer import RegionCoverer
     from ..state.polyline import Polyline
 
     thr2 = 2.0 - 2.0 * math.cos(math.radians(radius_deg))
-    target = ShapeTarget("route",
-                         Polyline.from_latlngs_deg(POLYLINE_PTS))
+    route = Polyline.from_latlngs_deg(POLYLINE_PTS)
+    target = ShapeTarget("route", route)
+    n_edges = len(route.vertices) - 1
+    if prefilter is None:
+        prefilter = n_edges >= 64
+    ranges = None
+    if prefilter:
+        # superset covering: per-edge midpoint cap of radius
+        # (half edge angle + corridor radius + slack)
+        cov = RegionCoverer(max_cells=8)
+        cells: list = []
+        for i in range(n_edges):
+            a = np.asarray(route.vertices[i], dtype=np.float64)
+            b = np.asarray(route.vertices[i + 1], dtype=np.float64)
+            mid = a + b
+            mid = mid / np.linalg.norm(mid)
+            half = 0.5 * float(np.arccos(np.clip(np.dot(a, b), -1, 1)))
+            r = half + math.radians(radius_deg) + 1e-6
+            c2 = (2.0 * math.sin(min(r, math.pi) / 2.0)) ** 2
+            cells.extend(cov.covering(Cap(tuple(mid), c2)))
+        ranges = cu.to_ranges(cu.normalize(cells))
+
     ev = _read(sf_dir, "events", ["event_id"])
 
     def _filt(batch: pa.Table) -> pa.Table:
         keys = batch.column("event_id").to_numpy()
         lat, lng = derive_latlng_np(keys)
         x, y, z = latlng_deg_to_xyz(lat, lng)
+        if ranges is not None:
+            leaf = cid.cell_id_from_point_v(x, y, z)
+            cand = cu.contains_leaf_v(ranges[0], ranges[1], leaf)
+            keys, x, y, z = keys[cand], x[cand], y[cand], z[cand]
         S = np.stack([x, y, z], axis=1)
         d2 = target.chord2(S)
         if len(d2):

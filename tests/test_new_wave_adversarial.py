@@ -155,3 +155,16 @@ def test_grid_median_small_counts(ray_session, tmp_path, n):
     # lower median of 1..n is ceil(n/2)
     assert int(res["median_cents"].iloc[0]) == (n + 1) // 2
     _check(res, sf, sql_grid_median(), "grid_median")
+
+
+def test_events_corridor_prefilter_identical(ray_session):
+    """The covering prefilter (superset of the corridor by the
+    per-edge cap triangle-inequality argument) must not change the
+    result set."""
+    from geo_ray.pipelines.queries import q_events_corridor
+
+    sf = "/root/testdata/sf0.01"
+    off = q_events_corridor(sf, prefilter=False).to_pandas()
+    on = q_events_corridor(sf, prefilter=True).to_pandas()
+    assert off["event_id"].tolist() == on["event_id"].tolist()
+    assert len(off) > 0
