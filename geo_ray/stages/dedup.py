@@ -4,9 +4,12 @@ verification.
 
 Scale shape: exact dedup shuffles only (key, id) pairs; MinHash-LSH
 shuffles (band_id, band_hash, doc_id) triples — both independent of
-document size.  Jaccard verification joins candidate pairs back to
-shingle sets (here: recomputed per pair, fine for the verified tail;
-a production variant would broadcast a shingle-sketch table).
+document size.  Jaccard/containment verification co-partitions
+candidate pairs with the sketch table (two tagged-union shuffles;
+only candidate members' sketches move).  Candidate generation has
+two complete plans — the shingle equi-join (sum(df^2) pair volume)
+and the PPJoin prefix filter for stop-shingle-skewed corpora — with
+a measured df-probe chooser (choose_ngram_plan).
 """
 
 from __future__ import annotations
@@ -567,10 +570,11 @@ def ngram_jaccard_join(docs_ds, threshold: float = 0.5,
     instance, then sum(df_s choose 2) packed-pair partials.  The df^2
     term is the scale knob: it is bounded by the corpus's shingle
     document frequencies (max df 25 / 1.3M pairs over 260k instances
-    at sf0.1); a stop-shingle-skewed corpus would switch candidate
-    generation to prefix filtering (Bayardo et al. WWW'07) with the
-    co-partitioned per-pair verify (:func:`verify_jaccard_pairs`, the
-    minhash path).  doc_ids must fit int32 for the packed pair key
+    at sf0.1); a stop-shingle-skewed corpus switches candidate
+    generation to the IMPLEMENTED prefix filter
+    (:func:`ngram_prefix_join`, Bayardo et al. WWW'07) — pick
+    automatically with :func:`choose_ngram_plan`'s measured df
+    probe.  doc_ids must fit int32 for the packed pair key
     (document at 10^9+ docs: widen to a two-column key).
 
     ``metric``: "jaccard" (|A ∩ B| / |A ∪ B|) or "containment"
