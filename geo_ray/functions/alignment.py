@@ -2,24 +2,37 @@
 
 Port of s2/polyline_alignment.go:24-503: an alignment ("warp") matches
 each vertex of polyline A with at least one vertex of polyline B; its
-cost is the summed chordal distance over matched pairs, and dynamic
-timewarp finds the minimum-cost alignment.  The windowed machinery
-(column strides, upsample, dilate, half-resolution) enables the
-multi-resolution approximate alignment the reference documents (the Go
-port leaves ApproxVertexAlignment/Medoid as TODOs against the C++
-implementation; both are completed here from the same published
-algorithm — FastDTW-style pyramid with square dilation).
+cost is the summed CHORDAL distance (|a - b|, the plain Norm — the
+reference deliberately uses distance, not squared distance) over
+matched pairs, and dynamic timewarp finds the minimum-cost alignment
+with the recurrence
+
+    T[i][j] = dist(i, j) + min(T[i-1][j-1], T[i-1][j], T[i][j-1])
+
+The DP is vectorized over ANTI-DIAGONALS (every cell of diagonal d
+depends only on diagonals d-1 and d-2), so cost tables fill with
+O(R + C) numpy calls instead of O(R * C) Python steps; the walk-back
+reproduces the reference's exact tie rule (diagonal wins ties, then
+up).  The windowed machinery (column strides, upsample, dilate,
+half-resolution — pinned to the reference's golden grids) enables the
+multi-resolution approximate alignment; the Go port leaves
+ApproxVertexAlignment / Medoid / Consensus as TODOs against the C++
+implementation — all three are completed here from the same published
+algorithms (FastDTW-style pyramid with square dilation; DBA consensus
+of Petitjean, Ketterlin & Gancarski).
 
 Distributed use (SURVEY.md §2.11 extension surface): trajectory
 similarity / dedup groups polylines by key and runs these kernels
 inside ``groupby().map_groups`` — see ``medoid_polyline`` and
-tests/test_alignment.py for the grouped medoid pattern.
+tests/test_alignment.py for the grouped medoid pattern, and
+``q_traj_dtw`` (pipelines/queries.py) for the distributed per-pair
+integer-lattice DTW query.
 """
 
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -29,7 +42,7 @@ INF = math.inf
 class Window:
     """Sparse DTW search window: one contiguous column stride per row
     with monotone non-decreasing starts/ends
-    (s2/polyline_alignment.go:111-239)."""
+    (s2/polyline_alignment.go:111-285)."""
 
     def __init__(self, strides: Sequence[Tuple[int, int]]):
         self.strides = [(int(s), int(e)) for s, e in strides]
@@ -58,7 +71,7 @@ class Window:
         return self.strides[row]
 
     def upsample(self, new_rows: int, new_cols: int) -> "Window":
-        """s2/polyline_alignment.go:241-257."""
+        """s2/polyline_alignment.go:241-257 (golden-grid pinned)."""
         row_scale = new_rows / self.rows
         col_scale = new_cols / self.cols
         out = []
@@ -76,6 +89,27 @@ class Window:
             out.append((max(0, self.strides[prev_row][0] - radius),
                         min(self.strides[next_row][1] + radius, self.cols)))
         return Window(out)
+
+    @classmethod
+    def from_warp_path(cls, path: Sequence[Tuple[int, int]],
+                       rows: int, cols: int) -> "Window":
+        """Tightest valid window containing the warp path (the C++
+        WindowFromWarpPath the approximate aligner uses)."""
+        starts = [cols] * rows
+        ends = [0] * rows
+        for r, c in path:
+            starts[r] = min(starts[r], c)
+            ends[r] = max(ends[r], c + 1)
+        for r in range(1, rows):
+            starts[r] = max(starts[r], starts[r - 1])
+            ends[r] = max(ends[r], ends[r - 1])
+        return cls(list(zip(starts, ends)))
+
+    def mask(self) -> np.ndarray:
+        m = np.zeros((self.rows, self.cols), dtype=bool)
+        for i, (s, e) in enumerate(self.strides):
+            m[i, s:e] = True
+        return m
 
     def debug_string(self) -> str:
         lines = []
@@ -97,76 +131,122 @@ def half_resolution(p) -> np.ndarray:
     return _pts(p)[::2]
 
 
+def _pick(prev: Optional[np.ndarray], prev_i0: int,
+          ii: np.ndarray) -> np.ndarray:
+    """Values of a stored anti-diagonal at rows ``ii`` (inf outside)."""
+    out = np.full(len(ii), INF)
+    if prev is not None:
+        k = ii - prev_i0
+        ok = (k >= 0) & (k < len(prev))
+        if ok.any():
+            out[ok] = prev[k[ok]]
+    return out
+
+
+def _diag_range(d: int, R: int, C: int):
+    i0 = max(0, d - C + 1)
+    i1 = min(d, R - 1)
+    i = np.arange(i0, i1 + 1)
+    return i, d - i, i0
+
+
 def exact_vertex_alignment_cost(a, b) -> float:
-    """Cost-only DTW in O(B) space (s2/polyline_alignment.go:385-403);
-    the inner column recurrence is sequential, so rows vectorize only
-    the distance computation."""
+    """Optimal alignment cost only, O(min(R, C)) extra space
+    (ExactVertexAlignmentCost, s2/polyline_alignment.go:385-405):
+    two rolling anti-diagonals instead of the full table."""
     A, B = _pts(a), _pts(b)
-    cost = np.full(len(B), INF)
-    for row in range(len(A)):
-        d = np.linalg.norm(A[row] - B, axis=1)
-        left_diag_min = 0.0 if row == 0 else INF
-        for col in range(len(B)):
-            up = cost[col]
-            cost[col] = min(left_diag_min, up) + d[col]
-            left_diag_min = min(cost[col], up)
-    return float(cost[-1])
+    R, C = len(A), len(B)
+    prev2 = prev1 = None
+    p2_i0 = p1_i0 = 0
+    for d in range(R + C - 1):
+        i, j, i0 = _diag_range(d, R, C)
+        dist = np.linalg.norm(A[i] - B[j], axis=1)
+        if d == 0:
+            cur = dist
+        else:
+            up = _pick(prev1, p1_i0, i - 1)
+            left = _pick(prev1, p1_i0, i)
+            diag = _pick(prev2, p2_i0, i - 1)
+            cur = np.minimum(np.minimum(diag, up), left) + dist
+        prev2, p2_i0 = prev1, p1_i0
+        prev1, p1_i0 = cur, i0
+    return float(prev1[-1])
+
+
+def _dtw_table(A: np.ndarray, B: np.ndarray,
+               w: Optional[Window]) -> np.ndarray:
+    """Anti-diagonal table fill; out-of-window cells stay INF (the
+    boundsCheckedTableCost convention)."""
+    R, C = len(A), len(B)
+    T = np.full((R, C), INF)
+    W = w.mask() if w is not None else None
+    for d in range(R + C - 1):
+        i, j, _ = _diag_range(d, R, C)
+        if W is not None:
+            keep = W[i, j]
+            i, j = i[keep], j[keep]
+            if not len(i):
+                continue
+        dist = np.linalg.norm(A[i] - B[j], axis=1)
+        diag = np.where((i > 0) & (j > 0), T[np.maximum(i - 1, 0),
+                                             np.maximum(j - 1, 0)],
+                        np.where((i == 0) & (j == 0), 0.0, INF))
+        up = np.where(i > 0, T[np.maximum(i - 1, 0), j], INF)
+        left = np.where(j > 0, T[i, np.maximum(j - 1, 0)], INF)
+        T[i, j] = np.minimum(np.minimum(diag, up), left) + dist
+    return T
+
+
+def _walk_back(T: np.ndarray) -> List[Tuple[int, int]]:
+    """Reference walk-back and tie rule (diag <= up <= left wins,
+    s2/polyline_alignment.go:471-497), returned in FORWARD order."""
+    R, C = T.shape
+
+    def cell(i, j):
+        if i < 0 and j < 0:
+            return 0.0
+        if i < 0 or j < 0:
+            return INF
+        return T[i, j]
+
+    path = []
+    row, col = R - 1, C - 1
+    while row >= 0 and col >= 0:
+        path.append((row, col))
+        d = cell(row - 1, col - 1)
+        u = cell(row - 1, col)
+        left = cell(row, col - 1)
+        if d <= u and d <= left:
+            row -= 1
+            col -= 1
+        elif u <= left:
+            row -= 1
+        else:
+            col -= 1
+    path.reverse()
+    return path
+
+
+def dynamic_timewarp(A, B, w: Window):
+    """Windowed DTW (s2/polyline_alignment.go:442-503).  Returns
+    (cost, warp_path) with the forward-ordered path:
+    path[0] == (0, 0), path[-1] == (R-1, C-1)."""
+    A, B = _pts(A), _pts(B)
+    T = _dtw_table(A, B, w)
+    return float(T[-1, -1]), _walk_back(T)
+
+
+# alias kept for callers that name the operation rather than the
+# algorithm
+windowed_vertex_alignment = dynamic_timewarp
 
 
 def exact_vertex_alignment(a, b):
     """Full DTW with warp-path recovery
-    (s2/polyline_alignment.go:408-503).  Returns (cost, warp_path)
-    with the path in (a_index, b_index) order."""
+    (s2/polyline_alignment.go:408-503)."""
     A, B = _pts(a), _pts(b)
-    w = Window([(0, len(B))] * len(A))
-    return dynamic_timewarp(A, B, w)
-
-
-def dynamic_timewarp(A: np.ndarray, B: np.ndarray, w: Window):
-    """Windowed DTW (s2/polyline_alignment.go:442-503): fills only the
-    window's cells; ties prefer the diagonal, then up, as the
-    reference's walk-back does."""
-    rows, cols = len(A), len(B)
-    costs = np.full((rows, cols), INF)
-
-    def cell(r, c, stride):
-        if r < 0 or c < 0 or not (stride[0] <= c < stride[1]):
-            return 0.0 if (r == -1 and c == -1) else INF
-        return costs[r, c]
-
-    prev = (-1, 1 << 62)
-    for row in range(rows):
-        curr = w.column_stride(row)
-        d = np.linalg.norm(A[row] - B[curr[0]:curr[1]], axis=1)
-        for col in range(curr[0], curr[1]):
-            dc = cell(row - 1, col - 1, prev)
-            uc = cell(row - 1, col, prev)
-            lc = cell(row, col - 1, curr)
-            costs[row, col] = min(dc, uc, lc) + d[col - curr[0]]
-        prev = curr
-
-    warp: List[Tuple[int, int]] = []
-    row, col = rows - 1, cols - 1
-    curr = w.checked_column_stride(row)
-    prev = w.checked_column_stride(row - 1)
-    while row >= 0 and col >= 0:
-        warp.append((row, col))
-        dc = cell(row - 1, col - 1, prev)
-        uc = cell(row - 1, col, prev)
-        lc = cell(row, col - 1, curr)
-        if dc <= uc and dc <= lc:
-            row -= 1
-            col -= 1
-            curr = w.checked_column_stride(row)
-            prev = w.checked_column_stride(row - 1)
-        elif uc <= lc:
-            row -= 1
-            curr = w.checked_column_stride(row)
-            prev = w.checked_column_stride(row - 1)
-        else:
-            col -= 1
-    warp.reverse()
-    return float(costs[rows - 1, cols - 1]), warp
+    T = _dtw_table(A, B, None)
+    return float(T[-1, -1]), _walk_back(T)
 
 
 def approx_vertex_alignment(a, b, radius: int = 1):
@@ -174,37 +254,25 @@ def approx_vertex_alignment(a, b, radius: int = 1):
     reference's window machinery exists for; C++ parity — the Go port
     leaves this as a TODO).  Recursively aligns half-resolution
     polylines, upsamples the found path's window, dilates by
-    ``radius`` and refines.  Returns (cost, warp_path)."""
+    ``radius`` and refines.  Returns (cost, warp_path); the cost
+    upper-bounds (and with a generous radius equals) the exact
+    optimum in O((R + C) * radius) table cells."""
     A, B = _pts(a), _pts(b)
     min_size = max(2 * (radius + 1), 16)
     if len(A) <= min_size or len(B) <= min_size:
         return dynamic_timewarp(A, B, Window([(0, len(B))] * len(A)))
     _, path = approx_vertex_alignment(half_resolution(A),
                                       half_resolution(B), radius)
-    strides = _window_from_warp_path(path,
-                                     (len(A) + 1) // 2, (len(B) + 1) // 2)
+    strides = Window.from_warp_path(path, (len(A) + 1) // 2,
+                                    (len(B) + 1) // 2)
     w = strides.upsample(len(A), len(B)).dilate(radius)
     return dynamic_timewarp(A, B, w)
 
 
-def _window_from_warp_path(path, rows: int, cols: int) -> Window:
-    """Tightest window containing a warp path."""
-    starts = [cols] * rows
-    ends = [0] * rows
-    for r, c in path:
-        starts[r] = min(starts[r], c)
-        ends[r] = max(ends[r], c + 1)
-    # enforce monotone structure
-    for r in range(1, rows):
-        starts[r] = max(starts[r], starts[r - 1])
-        ends[r] = max(ends[r], ends[r - 1])
-    return Window(list(zip(starts, ends)))
-
-
 def medoid_polyline(polylines: Sequence, approx: bool = False) -> int:
     """Index of the polyline minimizing the summed alignment cost to
-    every other (s2/polyline_alignment.go:103-106 docs; C++ parity).
-    The O(n^2) pairwise costs are the per-group work of the grouped
+    every other (GetMedoidPolyline; C++ parity).  The O(n^2) pairwise
+    costs are the per-group work of the grouped
     trajectory-representative pattern."""
     n = len(polylines)
     if n == 0:
@@ -217,3 +285,28 @@ def medoid_polyline(polylines: Sequence, approx: bool = False) -> int:
                  else exact_vertex_alignment_cost(pts[i], pts[j]))
             costs[i, j] = costs[j, i] = c
     return int(np.argmin(costs.sum(axis=1)))
+
+
+def consensus_polyline(lines: Sequence, n_iters: int = 5) -> np.ndarray:
+    """DBA consensus (GetConsensusPolyline; Petitjean, Ketterlin &
+    Gancarski's Dynamic Timewarp Barycenter Averaging): start from the
+    medoid, then repeatedly align every line to the current consensus
+    and move each consensus vertex to the normalized mean of all
+    vertices warped onto it."""
+    arrs = [_pts(p) for p in lines]
+    consensus = arrs[medoid_polyline(arrs)].copy()
+    for _ in range(n_iters):
+        sums = np.zeros_like(consensus)
+        counts = np.zeros(len(consensus))
+        for arr in arrs:
+            _, path = exact_vertex_alignment(consensus, arr)
+            for i, j in path:
+                sums[i] += arr[j]
+                counts[i] += 1
+        nxt = sums / counts[:, None]
+        norms = np.linalg.norm(nxt, axis=1)
+        nxt = nxt / np.where(norms > 0, norms, 1.0)[:, None]
+        if np.allclose(nxt, consensus, atol=1e-15):
+            break
+        consensus = nxt
+    return consensus

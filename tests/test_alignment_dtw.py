@@ -1,4 +1,4 @@
-"""Polyline vertex alignment (DTW) — ports the reference cases from
+"""Polyline vertex alignment (DTW), consolidated module — ports the reference cases from
 s2/polyline_alignment_test.go (window strides, upsample, dilate,
 half resolution, exact alignment paths incl. the
 distance-vs-squared-distance discriminator) plus brute-force
@@ -12,12 +12,12 @@ import numpy as np
 import pytest
 
 from geo_ray.functions.latlng import latlng_deg_to_xyz
-from geo_ray.state.alignment import (Window, approx_vertex_alignment,
-                                     consensus_polyline,
-                                     exact_vertex_alignment,
-                                     exact_vertex_alignment_cost,
-                                     medoid_polyline,
-                                     windowed_vertex_alignment)
+from geo_ray.functions.alignment import (Window, approx_vertex_alignment,
+                                         consensus_polyline,
+                                         exact_vertex_alignment,
+                                         exact_vertex_alignment_cost,
+                                         medoid_polyline,
+                                         windowed_vertex_alignment)
 
 RNG = np.random.default_rng(41)
 
