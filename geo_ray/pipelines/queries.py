@@ -19257,7 +19257,7 @@ def q_traj_frechet(sf_dir: str):
 
 
 def q_traj_dtw(sf_dir: str):
-    """Dynamic-timewarp alignment cost (state/alignment.py semantics,
+    """Dynamic-timewarp alignment cost (functions/alignment.py semantics,
     s2/polyline_alignment.go) between every CO-LOCATED user pair's
     time-ordered tracks, in the exact centi-degree L1 integer metric:
 
