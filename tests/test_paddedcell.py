@@ -152,3 +152,41 @@ def test_edge_inside_single_index_cell(big_loop_index):
             assert len(index_cells_for_edge(
                 np.asarray(a), np.asarray(b), eidx)) <= 4
     assert found_nonempty
+
+
+def test_fractal_loop_descent_exact(big_loop_index):
+    """Koch-fractal geometry (highly non-uniform edge lengths and a
+    deep subdivision tree): the padded descent must still equal the
+    brute scan for both short and face-spanning query edges."""
+    from geo_ray.stages.join import JoinState
+    from geo_ray.state.crossing_query import crossings, crossings_indexed
+    from geo_ray.state.polygon import Polygon
+
+    from tests.fractal import koch_loop
+
+    cx = tuple(float(v) for v in latlng_deg_to_xyz(-15.0, 100.0))
+    loop = koch_loop(cx, math.radians(8.0), 4)
+    poly = Polygon.from_loop(loop)
+    eidx = JoinState([("koch", poly)]).edge_indexes[0]
+    cvs = np.array([v for v in loop.vertices])
+    dvs = np.roll(cvs, -1, axis=0)
+    hits = 0
+    for t in range(120):
+        if t % 2 == 0:      # short edges near the fractal boundary
+            lat = -15.0 + RNG.uniform(-9, 9)
+            lng = 100.0 + RNG.uniform(-9, 9)
+            a = tuple(float(v) for v in latlng_deg_to_xyz(lat, lng))
+            b = tuple(float(v) for v in latlng_deg_to_xyz(
+                lat + RNG.uniform(-0.5, 0.5), lng + RNG.uniform(-0.5, 0.5)))
+        else:               # long cross-face edges
+            a = tuple(float(v) for v in latlng_deg_to_xyz(
+                RNG.uniform(-80, 80), RNG.uniform(-180, 180)))
+            b = tuple(float(v) for v in latlng_deg_to_xyz(
+                RNG.uniform(-80, 80), RNG.uniform(-180, 180)))
+        if a == b:
+            continue
+        want = crossings(a, b, cvs, dvs, True)
+        got = crossings_indexed(a, b, eidx, True)
+        assert got == want
+        hits += len(want)
+    assert hits > 0
