@@ -221,3 +221,38 @@ def test_rebuild_clears_stale_buckets(layout, ray_session):
     got = index_lookup(out, list(range(0, 4000, 97)))
     for k in range(0, 4000, 97):
         assert got[k] == truth[k]
+
+
+def test_move_index_update_is_idempotent(layout, ray_session):
+    """The ADVICE retry-safety contract: re-running a move produces
+    the identical index and layout state (resolution is read-only;
+    the bucket upsert is a pure overwrite)."""
+    import hashlib
+    import ray.data as rd
+
+    out, man = layout
+    keys = np.arange(0, 4000, 131, dtype=np.int64)[:20]
+    x, y, z = latlng_deg_to_xyz(np.full(len(keys), -30.0),
+                                np.full(len(keys), 150.0))
+    moves = pa.table({"k": pa.array(keys), "x": pa.array(x),
+                      "y": pa.array(y), "z": pa.array(z)})
+
+    def state_digest():
+        h = hashlib.blake2b(digest_size=16)
+        idx_dir = os.path.join(out, "_key_index")
+        for d in (out, idx_dir):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(d, fn), "rb") as fh:
+                        h.update(fn.encode())
+                        h.update(hashlib.blake2b(
+                            fh.read(), digest_size=16).digest())
+        return h.hexdigest()
+
+    move_spatial(out, rd.from_arrow(moves), key_col="k")
+    d1 = state_digest()
+    truth1 = _scan_key_pids(out)
+    # simulated retry: the SAME move applied again
+    move_spatial(out, rd.from_arrow(moves), key_col="k")
+    assert state_digest() == d1
+    assert _scan_key_pids(out) == truth1
