@@ -2349,6 +2349,72 @@ def q_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+_IVFX_SEED_IDS = list(range(100, 180, 10))   # 8 fixed coarse cells
+_IVFX_NPROBE = 2
+
+
+def q_embed_knn_ivf_exact(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """IVF ANN with a fully SQL-REPRODUCIBLE construction — the
+    hash-checked representative of the approximate-ANN family (the
+    events_kmeans trick applied to vector search): the coarse
+    quantizer is the 8 FIXED seed vectors _IVFX_SEED_IDS themselves
+    (seeded IVF — no Lloyd refinement), so cell assignment (argmax
+    cosine, ties by seed id), the nprobe=2 probe list, the candidate
+    union and the exact in-candidate top-k are all deterministic and
+    expressible in SQL.  Runs through the SAME distributed
+    embedding_knn_ivf stage as the trained variant (per-batch bucket
+    sort, one matmul per (bucket, probing queries) group, partial
+    top-k merge), so the driver's hash check covers the real IVF
+    execution path end-to-end; only the quantizer training differs
+    from embed_knn_ivf (which stays measured-recall / rows-only).
+    Margin tests pin every argmax/rank boundary away from
+    cross-engine float disagreement."""
+    import pyarrow.parquet as pq
+    from ..stages.embed import _matrix, embedding_knn_ivf
+
+    st = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", _IVFX_SEED_IDS)])
+    st = st.sort_by("vec_id")
+    C = _matrix(st, "embedding")
+    C = C / np.linalg.norm(C, axis=1)[:, None]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, Q = _embed_queries(sf_dir, n_queries)
+    out = embedding_knn_ivf(ds, (qids, Q), k, C, nprobe=_IVFX_NPROBE)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def sql_embed_knn_ivf_exact(k: int = 5, n_queries: int = 8) -> str:
+    seeds = ", ".join(str(v) for v in _IVFX_SEED_IDS)
+    return (
+        f"WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        f"FROM embeddings), "
+        f"s AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS e "
+        f"FROM embeddings WHERE vec_id IN ({seeds})), "
+        f"q AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        f"FROM embeddings WHERE vec_id < {n_queries}), "
+        f"cell AS (SELECT vec_id, sid FROM ("
+        f"SELECT t.vec_id, s.sid, ROW_NUMBER() OVER ("
+        f"PARTITION BY t.vec_id ORDER BY "
+        f"list_cosine_similarity(t.e, s.e) DESC, s.sid) AS rn "
+        f"FROM t CROSS JOIN s) WHERE rn = 1), "
+        f"probe AS (SELECT vec_id AS query_id, sid FROM ("
+        f"SELECT q.vec_id, s.sid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY "
+        f"list_cosine_similarity(q.e, s.e) DESC, s.sid) AS rn "
+        f"FROM q CROSS JOIN s) WHERE rn <= {_IVFX_NPROBE}), "
+        f"cand AS (SELECT p.query_id, c.vec_id AS neighbor_id "
+        f"FROM probe p JOIN cell c ON c.sid = p.sid), "
+        f"ranked AS (SELECT cand.query_id, cand.neighbor_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY "
+        f"list_cosine_similarity(tq.e, tn.e) DESC, cand.neighbor_id) "
+        f"AS rank FROM cand "
+        f"JOIN q tq ON tq.vec_id = cand.query_id "
+        f"JOIN t tn ON tn.vec_id = cand.neighbor_id) "
+        f"SELECT query_id, neighbor_id, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY query_id, rank")
+
+
 def _embed_queries(sf_dir: str, n_queries: int):
     """Query-side vectors (vec_id < n_queries): a row-group-pruned
     predicate read — only matching row groups reach the driver."""
@@ -19629,6 +19695,7 @@ def _authored_queries() -> Dict:
         "dedup_clusters": q_dedup_clusters,
         "corpus_curation": q_corpus_curation,
         "embed_knn": q_embed_knn,
+        "embed_knn_ivf_exact": q_embed_knn_ivf_exact,
         "embed_neardup": q_embed_neardup,
         "embed_knn_ivf": q_embed_knn_ivf,
         "embed_knn_pq": q_embed_knn_pq,
@@ -19865,6 +19932,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_clusters": sql_dedup_clusters(),
         "corpus_curation": sql_corpus_curation(),
         "embed_knn": sql_embed_knn(),
+        "embed_knn_ivf_exact": sql_embed_knn_ivf_exact(),
         "embed_neardup": sql_embed_neardup(),
         "events_hourly": sql_events_hourly(),
         "events_sliding": sql_events_sliding(),

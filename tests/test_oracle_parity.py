@@ -55,7 +55,8 @@ ORACLE_CHECKED = [
     "cell_assign", "s2_density", "s2_pyramid", "geohash_assign",
     "langid", "fingerprint", "simhash", "simhash_neardup",
     "token_count", "top_terms", "doc_quality",
-    "dedup_exact", "minhash_dedup", "embed_knn", "embed_neardup",
+    "dedup_exact", "minhash_dedup", "embed_knn", "embed_knn_ivf_exact",
+    "embed_neardup",
     "embed_clusters", "doc_chunks", "chunk_knn", "neardup_agreement",
     "events_hourly", "events_recent",
     "events_sliding", "events_sessions", "events_asof",
@@ -496,3 +497,39 @@ def test_window_order_without_history(tmp_path, monkeypatch):
     ordered = list(qmod._window_order(authored, {"geotag"}))
     assert set(ordered) == set(authored)
     assert ordered[0] == "geotag"
+
+
+def test_embed_knn_ivf_exact_margins():
+    """Every cross-engine float boundary of the seeded-IVF query must
+    clear a margin: per-vector top-2 cell gap (assignment argmax),
+    per-query nprobe boundary gap (probe list), and the per-query
+    rank-k boundary within the candidate union."""
+    import pyarrow.parquet as pq
+
+    from geo_ray.pipelines.queries import (_IVFX_NPROBE, _IVFX_SEED_IDS)
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        Xn = X / np.linalg.norm(X, axis=1)[:, None]
+        seed_rows = np.searchsorted(ids, np.array(_IVFX_SEED_IDS))
+        assert (ids[seed_rows] == np.array(_IVFX_SEED_IDS)).all()
+        C = Xn[seed_rows]
+        sims = Xn @ C.T                      # (n, 8)
+        top2 = np.partition(sims, sims.shape[1] - 2, axis=1)[:, -2:]
+        assert (top2[:, 1] - top2[:, 0] > 1e-9).all(), sf
+        # probe boundary for the 8 query vectors
+        qs = sims[:8]
+        order = np.sort(qs, axis=1)[:, ::-1]
+        assert (order[:, _IVFX_NPROBE - 1]
+                - order[:, _IVFX_NPROBE] > 1e-9).all(), sf
+        # rank-k boundary inside each query's candidate union
+        cell = np.argmax(sims, axis=1)
+        for qi in range(8):
+            probe = np.argsort(-qs[qi])[:_IVFX_NPROBE]
+            cand = np.isin(cell, probe)
+            cs = np.sort(Xn[cand] @ Xn[qi])[::-1]
+            assert cs[4] - cs[5] > 1e-9, (sf, qi)
