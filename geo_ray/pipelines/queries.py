@@ -19672,7 +19672,6 @@ def _authored_queries() -> Dict:
         "events_percent_rank": q_events_percent_rank,
         "events_smooth_track": q_events_smooth_track,
         "events_late": q_events_late,
-        "orders_left_join": q_orders_left_join,
         "geotag": q_geotag,
         "cap_contains": q_cap_contains,
         "rect_contains": q_rect_contains,
@@ -19757,6 +19756,7 @@ def _authored_queries() -> Dict:
         "traj_hausdorff": q_traj_hausdorff,
         "user_reach": q_user_reach,
         "basket_lift": q_basket_lift,
+        "orders_left_join": q_orders_left_join,
         "rknn_count": q_rknn_count,
         "frequent_pairs": q_frequent_pairs,
         "user_triangles": q_user_triangles,
