@@ -218,7 +218,8 @@ def run_suite(headline_only: bool = False) -> dict:
                  "doc_containment", "events_profile",
                  "video_frame_stats", "audio_feature_stats",
                  "image_resize_stats", "video_scene_cuts",
-                 "audio_vad", "knn_geo_limited_incl"]
+                 "audio_vad", "knn_geo_limited_incl",
+                 "embed_knn_ivf_exact"]
         # Registered but kept off the bench roster (driver gate at
         # sf0.01 still covers them):
         #  - traj_frechet / traj_dtw: O(n x m) per-pair DPs over 115k
