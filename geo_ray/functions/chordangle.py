@@ -54,6 +54,24 @@ def predecessor(c2):
     return out if out.ndim else float(out)
 
 
+def add(a2, b2):
+    """Squared-chord of angle(a)+angle(b), clamped to 180 degrees —
+    one sqrt, no trig (s1/chordangle.go:251-276).  Scalar form (the
+    cap folds are scalar); both operands are valid non-special
+    ChordAngles."""
+    a2 = float(a2)
+    b2 = float(b2)
+    if b2 == 0.0:
+        return a2
+    if a2 + b2 >= MAX_LENGTH2:
+        return STRAIGHT
+    # a = 2 sin(A), b = 2 sin(B); c = 2 sin(A+B) expands to the
+    # sqrt-of-products form below (derivation in the reference).
+    x = a2 * (1.0 - 0.25 * b2)
+    y = b2 * (1.0 - 0.25 * a2)
+    return min(MAX_LENGTH2, x + y + 2.0 * float(np.sqrt(x * y)))
+
+
 def expanded(c2, e):
     """``c2`` widened by error ``e``, clamped to the valid range;
     special values (negative / infinity) pass through unchanged

@@ -9123,6 +9123,79 @@ def sql_user_bbox() -> str:
         "FROM ev GROUP BY 1 ORDER BY 1")
 
 
+def q_user_cap(sf_dir: str):
+    """Per-user bounding cap of event positions on the integer
+    centi-degree lattice — the lattice-exact mirror of the
+    Cap.AddPoint fold (s2/cap.go:278-294): the fold's center is
+    pinned by the FIRST point (here the minimum event_id, a
+    deterministic total order) and never moves, so the radius is just
+    the running max of distances to it.  Radius^2 counts lat delta
+    squared plus antimeridian-wrapped lng delta squared, pure int64
+    on both engines (the events_travel lattice convention).  The
+    float-sphere form of the same fold — AddPoint/AddCap as a
+    streaming Ray AggregateFn — lives in stages/capfold.py with the
+    ported s2/cap_test.go cases; this query is its hash-exact driver
+    surface.  One (user_id, event_id) key-only shuffle into user-hash
+    buckets; each group body finds centers and radii vectorized
+    (lexsort + reduceat), so the exchange never carries positions."""
+    import pandas as pd
+    from ..stages.sample import _splitmix
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__b", pa.array((_splitmix(u) % np.uint64(64)).astype(np.int32)))
+
+    def _group(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["event_id"].to_numpy().astype(np.int64)
+        u = g["user_id"].to_numpy().astype(np.int64)
+        y = (k * 7919) % 17000
+        x = (k * 104729) % 36000
+        order = np.lexsort((k, u))
+        u, y, x, k = u[order], y[order], x[order], k[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        eid0 = k[starts]                       # min event_id per user
+        cy = (eid0 * 7919) % 17000
+        cx = (eid0 * 104729) % 36000
+        rep = np.diff(np.r_[starts, len(u)])
+        dy = y - np.repeat(cy, rep)
+        dxa = np.abs(x - np.repeat(cx, rep))
+        dx = np.minimum(dxa, 36000 - dxa)      # lng wraps
+        d2 = dy * dy + dx * dx
+        return pd.DataFrame({
+            "user_id": u[starts], "n": rep.astype(np.int64),
+            "cy": cy, "cx": cx,
+            "r2": np.maximum.reduceat(d2, starts).astype(np.int64)})
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda g: _group(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def sql_user_cap() -> str:
+    return (
+        "WITH ev AS (SELECT user_id, event_id, "
+        "CAST((event_id * 7919) % 17000 AS BIGINT) AS y, "
+        "CAST((event_id * 104729) % 36000 AS BIGINT) AS x "
+        "FROM events), "
+        "ctr AS (SELECT user_id, MIN(event_id) AS eid0 "
+        "FROM ev GROUP BY 1), "
+        "c AS (SELECT user_id, "
+        "CAST((eid0 * 7919) % 17000 AS BIGINT) AS cy, "
+        "CAST((eid0 * 104729) % 36000 AS BIGINT) AS cx FROM ctr) "
+        "SELECT ev.user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(c.cy) AS cy, MIN(c.cx) AS cx, "
+        "MAX((ev.y - c.cy) * (ev.y - c.cy) + "
+        "LEAST(ABS(ev.x - c.cx), 36000 - ABS(ev.x - c.cx)) * "
+        "LEAST(ABS(ev.x - c.cx), 36000 - ABS(ev.x - c.cx))) AS r2 "
+        "FROM ev JOIN c ON ev.user_id = c.user_id "
+        "GROUP BY 1 ORDER BY 1")
+
+
 def q_events_turns(sf_dir: str):
     """Trajectory turn-direction histogram: per user, the counts of
     left / right / straight heading changes along the event-position
@@ -19598,6 +19671,8 @@ def queries() -> Dict:
 
 def _authored_queries() -> Dict:
     return {
+        # --- round-5 additions (front: these must make the window) ---
+        "user_cap": q_user_cap,
         # --- round-2 additions: never driver-checked before r3 ---
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -19870,6 +19945,7 @@ def _authored_queries() -> Dict:
 
 def oracle_sql() -> Dict[str, str]:
     return {
+        "user_cap": sql_user_cap(),
         "geotag": sql_geotag(),
         "cap_contains": sql_cap_contains(),
         "rect_contains": sql_rect_contains(),

@@ -14,10 +14,14 @@ from typing import List
 import numpy as np
 
 from ..functions import cellid as cid
+from ..functions import chordangle as ca
 from ..functions import metric
 from ..functions.latlng import (angle_to_chord2, chord2, chord2_to_angle,
                                 latlng_deg_to_xyz)
 from .cell import Cell
+
+
+_MACHINE_EPS = float(np.finfo(np.float64).eps) / 2.0  # 2^-53
 
 
 class Cap:
@@ -38,6 +42,11 @@ class Cap:
                         angle_rad: float) -> "Cap":
         x, y, z = latlng_deg_to_xyz(np.float64(lat_deg), np.float64(lng_deg))
         return cls.from_center_angle((float(x), float(y), float(z)), angle_rad)
+
+    @classmethod
+    def from_point(cls, p) -> "Cap":
+        """Zero-height cap containing exactly ``p`` (s2/cap.go:106)."""
+        return cls(p, 0.0)
 
     @classmethod
     def empty(cls) -> "Cap":
@@ -66,6 +75,45 @@ class Cap:
             return Cap.from_center_angle(self.center, distance_rad)
         return Cap.from_center_angle(self.center,
                                      self.radius_rad() + distance_rad)
+
+    # -- incremental bounding folds ------------------------------------------
+    def add_point(self, p) -> "Cap":
+        """Smallest enlargement containing ``p`` (s2/cap.go:278-294):
+        an empty cap centers on the point with zero height; otherwise
+        the center is FIXED and only the radius grows, which is what
+        makes a fold over a point stream cheap (no re-centering)."""
+        if self.is_empty():
+            return Cap(p, 0.0)
+        r2 = float(chord2(p[0], p[1], p[2], *self.center))
+        r2 = min(r2, 4.0)
+        if r2 > self.radius_chord2:
+            return Cap(self.center, r2)
+        return self
+
+    def add_cap(self, other: "Cap") -> "Cap":
+        """Enlarge to contain ``other`` (s2/cap.go:296-312): radius
+        becomes at least angle(centers) + other.radius, rounded up by
+        one machine epsilon so containment survives the rounding."""
+        if self.is_empty():
+            return other
+        if other.is_empty():
+            return self
+        center_c2 = min(4.0, float(chord2(*other.center, *self.center)))
+        dist = ca.add(center_c2, other.radius_chord2)
+        new_rad = ca.expanded(dist, _MACHINE_EPS * dist)
+        if new_rad > self.radius_chord2:
+            return Cap(self.center, new_rad)
+        return self
+
+    def approx_equal(self, other: "Cap", epsilon: float = 1e-14) -> bool:
+        """s2/cap.go:262-276."""
+        r2, o2 = self.radius_chord2, other.radius_chord2
+        same_center = chord2(*self.center, *other.center) <= epsilon ** 2
+        return ((same_center and abs(r2 - o2) <= epsilon)
+                or (self.is_empty() and o2 <= epsilon)
+                or (other.is_empty() and r2 <= epsilon)
+                or (self.is_full() and o2 >= 2 - epsilon)
+                or (other.is_full() and r2 >= 2 - epsilon))
 
     def complement_contains_any_of(self, points) -> bool:
         return any(not self.contains_point(p) for p in points)

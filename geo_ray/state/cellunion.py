@@ -7,6 +7,7 @@ broadcast into vectorized join kernels.
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, List
 
 import numpy as np
@@ -226,3 +227,33 @@ def contains_leaf_v(union_rmin: np.ndarray, union_rmax: np.ndarray,
     ok = idx >= 0
     idx = np.maximum(idx, 0)
     return ok & (leaf_ids <= union_rmax[idx])
+
+
+def cap_bound(union: List[int]) -> "Cap":
+    """Bounding cap of a cell union (s2/cellunion.go:343-374): the
+    axis is the area-weighted centroid of the cell centers (close to
+    the minimal-cap axis but cheap), then the cap is grown with
+    ``Cap.add_cap`` over each cell's own bounding cap — vertex bounds
+    alone are insufficient because the union's cap may be concave
+    (cover more than a hemisphere)."""
+    from ..functions import metric
+    from .cap import Cap
+    from .cell import Cell
+
+    if not union:
+        return Cap.empty()
+    ids = np.asarray(sorted(union), dtype=np.uint64)
+    x, y, z = cid.cell_id_to_point_v(ids)
+    lv = cid.level_v(ids).astype(np.int64)
+    # AvgArea is deriv * 4^-level (dim 2): vectorized ldexp.
+    w = np.ldexp(metric.AVG_AREA.deriv, (-2 * lv).astype(np.int32))
+    cx, cy, cz = float((x * w).sum()), float((y * w).sum()), float((z * w).sum())
+    n = math.sqrt(cx * cx + cy * cy + cz * cz)
+    if n == 0.0:
+        centroid = (1.0, 0.0, 0.0)
+    else:
+        centroid = (cx / n, cy / n, cz / n)
+    c = Cap.from_point(centroid)
+    for ci in ids:
+        c = c.add_cap(Cell(int(ci)).cap_bound())
+    return c

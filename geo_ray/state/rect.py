@@ -86,6 +86,64 @@ class Rect:
     def is_empty(self) -> bool:
         return self.lat_lo > self.lat_hi
 
+    # -- rect algebra (s2/rect.go:197-225) ----------------------------------
+    @classmethod
+    def empty(cls) -> "Rect":
+        """r1.EmptyInterval x s1.EmptyInterval (s2/rect.go:40)."""
+        return cls(1.0, 0.0, 180.0, -180.0)
+
+    @classmethod
+    def full(cls) -> "Rect":
+        return cls(-90.0, 90.0, -180.0, 180.0)
+
+    def union(self, other: "Rect") -> "Rect":
+        """Smallest Rect containing both (s2/rect.go:197-204): the
+        lat intervals union as plain r1 intervals, the lng intervals
+        as wrap-aware s1 intervals (closest-endpoints rule when
+        disjoint)."""
+        if self.is_empty():
+            lat = (other.lat_lo, other.lat_hi)
+        elif other.is_empty():
+            lat = (self.lat_lo, self.lat_hi)
+        else:
+            lat = (min(self.lat_lo, other.lat_lo),
+                   max(self.lat_hi, other.lat_hi))
+        lng = _s1_union((self.lng_lo, self.lng_hi),
+                        (other.lng_lo, other.lng_hi))
+        return Rect(lat[0], lat[1], lng[0], lng[1])
+
+    def intersection(self, other: "Rect") -> "Rect":
+        """Smallest Rect containing the intersection
+        (s2/rect.go:206-218); a two-piece lng intersection returns
+        one interval spanning both pieces, and an empty axis on
+        either side empties the whole rect."""
+        lat = (max(self.lat_lo, other.lat_lo),
+               min(self.lat_hi, other.lat_hi))
+        lng = _s1_intersection((self.lng_lo, self.lng_hi),
+                               (other.lng_lo, other.lng_hi))
+        if lat[0] > lat[1] or _s1_is_empty(lng):
+            return Rect.empty()
+        return Rect(lat[0], lat[1], lng[0], lng[1])
+
+    def contains_rect(self, other: "Rect") -> bool:
+        """s2/rect.go Contains(other Rect) via the radian helper."""
+        if other.is_empty():
+            return True
+        if self.is_empty():
+            return False
+        return self.contains_rect_rad(math.radians(other.lat_lo),
+                                      math.radians(other.lat_hi),
+                                      math.radians(other.lng_lo),
+                                      math.radians(other.lng_hi))
+
+    def intersects_rect(self, other: "Rect") -> bool:
+        if self.is_empty() or other.is_empty():
+            return False
+        return self.intersects_rect_rad(math.radians(other.lat_lo),
+                                        math.radians(other.lat_hi),
+                                        math.radians(other.lng_lo),
+                                        math.radians(other.lng_hi))
+
     def contains_cell_exact(self, cell: Cell) -> bool:
         """r.Contains(cell.RectBound()) — exact because a lat/lng rect
         contains a cell iff it contains the cell's bounding rect
@@ -236,6 +294,110 @@ class Rect:
         """H(A, B) = max{h(A, B), h(B, A)} (s2/rect.go:501-509)."""
         return max(self.directed_hausdorff_distance(other),
                    other.directed_hausdorff_distance(self))
+
+
+# -- s1.Interval algebra in DEGREES (s1/interval.go, 180 == pi) ------------
+# Exact ports used by Rect.union / Rect.intersection; an interval is a
+# (lo, hi) degree pair, lo > hi == inverted (wraps the antimeridian),
+# empty == (180, -180), full == (-180, 180).
+
+def s1_interval_from_endpoints(lo: float, hi: float):
+    """s1/interval.go:60-70: -180 endpoints normalize to +180 unless
+    the interval is full."""
+    lo0, hi0 = lo, hi
+    if lo0 == -180.0 and hi0 != 180.0:
+        lo = 180.0
+    if hi0 == -180.0 and lo0 != 180.0:
+        hi = 180.0
+    return (lo, hi)
+
+
+def _s1_is_empty(iv) -> bool:
+    return iv[0] == 180.0 and iv[1] == -180.0
+
+
+def _s1_is_full(iv) -> bool:
+    return iv[0] == -180.0 and iv[1] == 180.0
+
+
+def _s1_is_inverted(iv) -> bool:
+    return iv[0] > iv[1]
+
+
+def _s1_fast_contains(iv, p: float) -> bool:
+    """s1/interval.go:131-136 (assumes p already in [-180, 180])."""
+    if _s1_is_inverted(iv):
+        return (p >= iv[0] or p <= iv[1]) and not _s1_is_empty(iv)
+    return iv[0] <= p <= iv[1]
+
+
+def _s1_contains_interval(a, b) -> bool:
+    """s1/interval.go:148-159."""
+    if _s1_is_inverted(a):
+        if _s1_is_inverted(b):
+            return b[0] >= a[0] and b[1] <= a[1]
+        return (b[0] >= a[0] or b[1] <= a[1]) and not _s1_is_empty(a)
+    if _s1_is_inverted(b):
+        return _s1_is_full(a) or _s1_is_empty(b)
+    return b[0] >= a[0] and b[1] <= a[1]
+
+
+def _s1_length(iv) -> float:
+    """s1/interval.go:118-127 (negative == empty)."""
+    l = iv[1] - iv[0]
+    if l >= 0:
+        return l
+    l += 360.0
+    return l if l > 0 else -1.0
+
+
+def _s1_positive_distance(a: float, b: float) -> float:
+    """Distance a -> b counterclockwise in [0, 360)
+    (s1/interval.go:216-222)."""
+    d = b - a
+    if d >= 0:
+        return d
+    return (b + 180.0) - (a - 180.0)
+
+
+def _s1_union(i, oi):
+    """s1/interval.go:225-253."""
+    if _s1_is_empty(oi):
+        return i
+    if _s1_fast_contains(i, oi[0]):
+        if _s1_fast_contains(i, oi[1]):
+            # either oi inside i, or the union is full
+            if _s1_contains_interval(i, oi):
+                return i
+            return (-180.0, 180.0)
+        return (i[0], oi[1])
+    if _s1_fast_contains(i, oi[1]):
+        return (oi[0], i[1])
+    # neither endpoint of oi is inside i: i inside oi, or disjoint
+    if _s1_is_empty(i) or _s1_fast_contains(oi, i[0]):
+        return oi
+    # disjoint: bridge the closer pair of endpoints
+    if _s1_positive_distance(oi[1], i[0]) < _s1_positive_distance(i[1], oi[0]):
+        return (oi[0], i[1])
+    return (i[0], oi[1])
+
+
+def _s1_intersection(i, oi):
+    """s1/interval.go:256-283."""
+    if _s1_is_empty(oi):
+        return (180.0, -180.0)
+    if _s1_fast_contains(i, oi[0]):
+        if _s1_fast_contains(i, oi[1]):
+            # oi inside i, or they intersect twice: return the shorter
+            if _s1_length(oi) < _s1_length(i):
+                return oi
+            return i
+        return (oi[0], i[1])
+    if _s1_fast_contains(i, oi[1]):
+        return (i[0], oi[1])
+    if _s1_fast_contains(oi, i[0]):
+        return i
+    return (180.0, -180.0)
 
 
 # -- wrap-aware longitude interval helpers (s1.Interval semantics) ---------
