@@ -2415,6 +2415,115 @@ def sql_embed_knn_ivf_exact(k: int = 5, n_queries: int = 8) -> str:
         f"WHERE rank <= {k} ORDER BY query_id, rank")
 
 
+_PQX_SEED_IDS = _IVFX_SEED_IDS   # 8 fixed vectors double as PQ codebooks
+_PQX_NSUB = 4                    # 64-dim -> 4 subspaces of 16
+_PQX_RERANK = 20                 # global ADC top-R before exact re-rank
+
+
+def q_embed_knn_pq_exact(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """PQ-ADC ANN with a fully SQL-REPRODUCIBLE construction — the
+    seeded-IVF trick applied to product quantization: the per-subspace
+    codebooks are the unit-normalized _PQX_SEED_IDS vectors' own
+    subvectors (no k-means), so code assignment (argmin subspace
+    distance, ties by seed id), the ADC approximate score (an explicit
+    4-term sum in fixed order, so it is deterministic per engine and a
+    pure function of (query, code tuple)), the global approx
+    top-``_PQX_RERANK`` cut, and the exact-cosine re-rank are all
+    deterministic and expressible in SQL.  Runs through the SAME
+    distributed embedding_knn_pq stage as the trained variant
+    (pq_encode per batch, ADC table gathers, tie-complete per-batch
+    cut, partial merge) with ``exact_mode=True`` making the finalize
+    batch-independent — so the driver's hash check covers the real
+    PQ execution path end-to-end; only codebook training differs from
+    embed_knn_pq (which stays measured-recall / rows-only).  Margin
+    tests (tests/test_oracle_parity.py) pin every argmin/cut/rank
+    boundary away from cross-engine float disagreement; ADC ties from
+    identical code tuples are safe because both engines break them by
+    neighbor_id."""
+    import pyarrow.parquet as pq
+    from ..stages.embed import _matrix, embedding_knn_pq
+
+    st = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", _PQX_SEED_IDS)])
+    st = st.sort_by("vec_id")
+    C = _matrix(st, "embedding")
+    C = C / np.linalg.norm(C, axis=1)[:, None]
+    d = C.shape[1] // _PQX_NSUB
+    books = np.stack([C[:, s * d:(s + 1) * d]
+                      for s in range(_PQX_NSUB)])   # (n_sub, 8, d)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, Q = _embed_queries(sf_dir, n_queries)
+    out = embedding_knn_pq(ds, (qids, Q), k, books,
+                           rerank=_PQX_RERANK, exact_mode=True)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def sql_embed_knn_pq_exact(k: int = 5, n_queries: int = 8) -> str:
+    seeds = ", ".join(str(v) for v in _PQX_SEED_IDS)
+    d = 16  # 64 // _PQX_NSUB
+
+    def sl(col, s):  # list_slice is 1-based inclusive
+        return f"list_slice({col}, {s * d + 1}, {(s + 1) * d})"
+
+    def ip(a, b):
+        return f"list_inner_product({a}, {b})"
+
+    # encode distance of unit subvectors:
+    # |x_s/|x| - c_s/|c||^2 = ip(xs,xs)/nx^2 - 2 ip(xs,cs)/(nx*nc)
+    #                        + ip(cs,cs)/nc^2
+    enc_terms = " , ".join(
+        f"({ip(sl('n.e', s), sl('n.e', s))} / (n.nm * n.nm) "
+        f"- 2 * {ip(sl('n.e', s), sl('s.e', s))} / (n.nm * s.nm) "
+        f"+ {ip(sl('s.e', s), sl('s.e', s))} / (s.nm * s.nm)) AS d{s}"
+        for s in range(4))
+    # ADC approx score: explicit left-to-right 4-term sum (matches the
+    # numpy accumulation order bit-for-bit within each engine)
+    adc = " + ".join(
+        f"{ip(sl('q.e', s), sl(f'e{s}.e', s))} / (q.nm * e{s}.nm)"
+        for s in range(4))
+    code_joins = " ".join(
+        f"JOIN s e{s} ON e{s}.sid = cp.s{s}" for s in range(4))
+    pivots = ", ".join(
+        f"MAX(CASE WHEN sub = {s} THEN sid END) AS s{s}" for s in range(4))
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, sid, {s} AS sub, d{s} AS d2 FROM dist"
+        for s in range(4))
+    return (
+        f"WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        f"FROM embeddings), "
+        f"n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nm "
+        f"FROM t), "
+        f"s AS (SELECT vec_id AS sid, e, "
+        f"sqrt(list_inner_product(e, e)) AS nm FROM t "
+        f"WHERE vec_id IN ({seeds})), "
+        f"q AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nm "
+        f"FROM t WHERE vec_id < {n_queries}), "
+        f"dist AS (SELECT n.vec_id, s.sid, {enc_terms} "
+        f"FROM n CROSS JOIN s), "
+        f"longd AS ({unions}), "
+        f"codes AS (SELECT vec_id, sub, sid FROM ("
+        f"SELECT vec_id, sub, sid, ROW_NUMBER() OVER ("
+        f"PARTITION BY vec_id, sub ORDER BY d2, sid) AS rn FROM longd) "
+        f"WHERE rn = 1), "
+        f"cp AS (SELECT vec_id, {pivots} FROM codes GROUP BY 1), "
+        f"approx AS (SELECT q.vec_id AS query_id, "
+        f"cp.vec_id AS neighbor_id, {adc} AS a "
+        f"FROM cp {code_joins} CROSS JOIN q), "
+        f"cand AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY query_id ORDER BY a DESC, neighbor_id) AS rn "
+        f"FROM approx) WHERE rn <= {_PQX_RERANK}), "
+        f"ranked AS (SELECT cand.query_id, cand.neighbor_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY "
+        f"list_cosine_similarity(tq.e, tn.e) DESC, cand.neighbor_id) "
+        f"AS rank FROM cand "
+        f"JOIN q tq ON tq.vec_id = cand.query_id "
+        f"JOIN t tn ON tn.vec_id = cand.neighbor_id) "
+        f"SELECT query_id, neighbor_id, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY query_id, rank")
+
+
 def _embed_queries(sf_dir: str, n_queries: int):
     """Query-side vectors (vec_id < n_queries): a row-group-pruned
     predicate read — only matching row groups reach the driver."""
@@ -19673,6 +19782,7 @@ def _authored_queries() -> Dict:
     return {
         # --- round-5 additions (front: these must make the window) ---
         "user_cap": q_user_cap,
+        "embed_knn_pq_exact": q_embed_knn_pq_exact,
         # --- round-2 additions: never driver-checked before r3 ---
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -19946,6 +20056,7 @@ def _authored_queries() -> Dict:
 def oracle_sql() -> Dict[str, str]:
     return {
         "user_cap": sql_user_cap(),
+        "embed_knn_pq_exact": sql_embed_knn_pq_exact(),
         "geotag": sql_geotag(),
         "cap_contains": sql_cap_contains(),
         "rect_contains": sql_rect_contains(),

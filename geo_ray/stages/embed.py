@@ -363,7 +363,8 @@ def pq_encode(batch: pa.Table, codebooks_ref,
 
 def embedding_knn_pq(ds, queries, k: int, codebooks: np.ndarray,
                      rerank: int = 32, id_col: str = "vec_id",
-                     embed_col: str = "embedding"):
+                     embed_col: str = "embedding",
+                     exact_mode: bool = False):
     """PQ-ADC cosine top-k: each batch scores all rows against every
     query with 8 table gathers instead of a (n, dim) matmul, keeps the
     approx top-``rerank`` per query (tie-complete), then re-ranks just
@@ -372,7 +373,16 @@ def embedding_knn_pq(ds, queries, k: int, codebooks: np.ndarray,
     partials carry exact cosines, so the global merge is the same
     deterministic (cosine desc, neighbor_id) order as the brute path;
     approximation only affects which candidates survive the per-batch
-    cut (recall measured in tests)."""
+    cut (recall measured in tests).
+
+    ``exact_mode`` makes the result BATCH-INDEPENDENT (the seeded-PQ
+    driver representative): partials also carry the ADC approx score
+    — a pure function of (row, query), so identical under any batch
+    layout — and the finalize takes the GLOBAL approx top-``rerank``
+    first, then the exact top-k within it.  Every per-batch top-R is
+    a superset of its batch's members of the global top-R, so the cut
+    loses nothing; the whole query becomes a deterministic function
+    of the table and is SQL-expressible."""
     import ray
 
     qids, Q = queries
@@ -397,25 +407,43 @@ def embedding_knn_pq(ds, queries, k: int, codebooks: np.ndarray,
             approx += T_l[:, s, codes[:, s]].T
         rows, qcols = tie_complete_smallest(approx, cand, largest=True)
         if not len(rows):
-            return pa.table({
+            out = {
                 "query_id": qarr.take(pa.array([], pa.int64())),
                 "neighbor_id": batch.column(id_col)
                                     .take(pa.array([], pa.int64())),
                 "cosine": pa.array([], pa.float64()),
-            })
+            }
+            if exact_mode:
+                out["approx"] = pa.array([], pa.float64())
+            return pa.table(out)
         Xn = _unit_rows(_matrix(batch, embed_col))
         exact = np.einsum("ij,ij->i", Xn[rows], Qn_l[qcols])
-        return pa.table({
+        out = {
             "query_id": qarr.take(pa.array(qcols, pa.int64())),
             "neighbor_id": batch.column(id_col).take(
                 pa.array(rows, pa.int64())),
             "cosine": pa.array(exact, pa.float64()),
-        })
+        }
+        if exact_mode:
+            out["approx"] = pa.array(approx[rows, qcols], pa.float64())
+        return pa.table(out)
+
+    def _finalize_exact(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["approx", "neighbor_id"],
+                          ascending=[False, True],
+                          kind="mergesort").head(cand)
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns=["approx"])
 
     partials = ds.map_batches(_partial, batch_format="pyarrow",
                               batch_size=4096)
+    fin = _finalize_exact if exact_mode \
+        else (lambda g: finalize_cosine_topk(g, k))
     return partials.groupby("query_id").map_groups(
-        lambda g: finalize_cosine_topk(g, k), batch_format="pandas")
+        fin, batch_format="pandas")
 
 
 def embedding_knn_ivfpq(ds, queries, k: int, centroids: np.ndarray,

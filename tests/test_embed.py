@@ -4,6 +4,7 @@ IVF scale path recall."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -236,3 +237,52 @@ def test_lsh_is_deterministic(ray_session):
             ["query_id", "neighbor_id", "rank"]],
         b.sort_values(key).reset_index(drop=True)[
             ["query_id", "neighbor_id", "rank"]])
+
+
+def test_pq_exact_mode_batch_independent(ray_session):
+    """exact_mode makes embedding_knn_pq a pure function of the table:
+    the (global approx top-R, exact top-k) result must be identical
+    under any partitioning, and equal to the numpy reference."""
+    import ray
+
+    from geo_ray.stages.embed import _unit_rows, embedding_knn_pq
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(400, 64))
+    ids = np.arange(400, dtype=np.int64)
+    Xn = _unit_rows(X)
+    C = Xn[:8]
+    books = np.stack([C[:, s * 16:(s + 1) * 16] for s in range(4)])
+    qids = [0, 1, 2]
+    Q = X[:3]
+    tbl = pa.table({"vec_id": ids,
+                    "embedding": [list(map(float, r)) for r in X]})
+
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = embedding_knn_pq(ds, (qids, Q), 5, books, rerank=20,
+                               exact_mode=True).to_pandas()
+        out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        outs.append(out[["query_id", "neighbor_id", "rank"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    # numpy reference: codes -> ADC -> global top-20 -> exact top-5
+    codes = np.empty((400, 4), dtype=np.int64)
+    for s in range(4):
+        S = Xn[:, s * 16:(s + 1) * 16]
+        Cs = books[s]
+        d2 = ((S * S).sum(1)[:, None] - 2 * (S @ Cs.T)
+              + (Cs * Cs).sum(1)[None, :])
+        codes[:, s] = np.argmin(d2, axis=1)
+    Qn = _unit_rows(Q)
+    for qi, qid in enumerate(qids):
+        a = np.zeros(400)
+        for s in range(4):
+            Ts = Qn[qi, s * 16:(s + 1) * 16] @ books[s].T
+            a += Ts[codes[:, s]]
+        cand = np.lexsort((ids, -a))[:20]
+        exact = Xn[cand] @ Qn[qi]
+        top = cand[np.lexsort((ids[cand], -exact))[:5]]
+        got = outs[0][outs[0].query_id == qid].neighbor_id.to_numpy()
+        assert (got == top).all(), qid

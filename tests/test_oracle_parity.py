@@ -89,7 +89,7 @@ ORACLE_CHECKED = [
     "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
     "inverted_index", "knn_core", "heavy_hitters", "user_bbox",
     "grid_median", "knn_regression",
-    "user_cap",
+    "user_cap", "embed_knn_pq_exact",
     "tpch_q9", "decontaminate", "lm_score", "image_caption_mismatch",
     "events_overlap", "multimodal_clusters", "events_winsorize",
     "join_counts", "traj_hausdorff", "stratified_sample", "doc_pmi",
@@ -533,4 +533,52 @@ def test_embed_knn_ivf_exact_margins():
             probe = np.argsort(-qs[qi])[:_IVFX_NPROBE]
             cand = np.isin(cell, probe)
             cs = np.sort(Xn[cand] @ Xn[qi])[::-1]
+            assert cs[4] - cs[5] > 1e-9, (sf, qi)
+
+
+def test_embed_knn_pq_exact_margins():
+    """Every cross-engine float boundary of the seeded-PQ query must
+    clear a margin: per-(vector, subspace) encode argmin gap, the
+    global ADC top-R cut (any two rows within 1e-9 of each other must
+    carry IDENTICAL code tuples — identical tuples give bit-equal ADC
+    scores per engine, so the neighbor_id tie-break agrees), and the
+    exact-cosine rank-k boundary within each query's candidate set."""
+    import pyarrow.parquet as pq
+
+    from geo_ray.pipelines.queries import (_PQX_NSUB, _PQX_RERANK,
+                                           _PQX_SEED_IDS)
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        Xn = X / np.linalg.norm(X, axis=1)[:, None]
+        seed_rows = np.searchsorted(ids, np.array(_PQX_SEED_IDS))
+        assert (ids[seed_rows] == np.array(_PQX_SEED_IDS)).all()
+        C = Xn[seed_rows]
+        d = Xn.shape[1] // _PQX_NSUB
+        codes = np.empty((len(Xn), _PQX_NSUB), dtype=np.int64)
+        for s in range(_PQX_NSUB):
+            S = Xn[:, s * d:(s + 1) * d]
+            Cs = C[:, s * d:(s + 1) * d]
+            d2 = ((S * S).sum(1)[:, None] - 2 * (S @ Cs.T)
+                  + (Cs * Cs).sum(1)[None, :])
+            codes[:, s] = np.argmin(d2, axis=1)
+            sd = np.sort(d2, axis=1)
+            assert (sd[:, 1] - sd[:, 0] > 1e-9).all(), (sf, s)
+        Q = Xn[:8]
+        approx = np.zeros((8, len(Xn)))
+        for s in range(_PQX_NSUB):
+            Ts = Q[:, s * d:(s + 1) * d] @ C[:, s * d:(s + 1) * d].T
+            approx += Ts[:, codes[:, s]]
+        for qi in range(8):
+            order = np.lexsort((ids, -approx[qi]))
+            a = approx[qi][order]
+            ct = codes[order]
+            near = np.flatnonzero(np.abs(np.diff(a)) <= 1e-9)
+            assert (ct[near] == ct[near + 1]).all(), (sf, qi)
+            cand = order[:_PQX_RERANK]
+            cs = np.sort(Xn[cand] @ Q[qi])[::-1]
             assert cs[4] - cs[5] > 1e-9, (sf, qi)
