@@ -12457,90 +12457,15 @@ def q_traj_hausdorff(sf_dir: str):
     mining shape (contact tracing, convoy detection, track
     clustering) with the scale discipline explicit: candidate pairs
     come from the exactly-once colocation join — never all user
-    pairs — and tracks replicate only per candidate pair:
-
-      1. distinct (a < b) pair keys from the session-shared
-         colocation edge table (`_coloc_edge_pairs` — one
-         spatiotemporal join per bench/driver session, not one per
-         contact-graph query);
-      2. one user-hash tagged-union co-partition attaches each user's
-         deduplicated centi-degree point set to every pair that
-         references it (per-pair replication, bounded by the
-         colocation degree);
-      3. per-pair buckets compute max-min both directions in one
-         broadcast |A| x |B| integer matrix.
-    """
+    pairs — and tracks replicate only per candidate pair, through the
+    SESSION-SHARED pair-track table (`_pair_tracks_rep`: one
+    replication exchange serves the whole Hausdorff/DTW/Fréchet
+    family); per-pair buckets dedup each side's point set (Hausdorff
+    is a set statistic) and compute max-min both directions in one
+    broadcast |A| x |B| integer matrix."""
     import pandas as pd
-    from ..stages.bucket_join import (adaptive_buckets, bucketed_join,
-                                      parquet_rows)
-    from ..stages.sample import _splitmix
 
-    ev = _read(sf_dir, "events", ["event_id", "user_id"])
-    pairs = _coloc_edge_pairs(sf_dir)
-    # floor 64: the per-pair Hausdorff DP is COMPUTE-bound, so bucket
-    # count must cover the core count even when the row count is
-    # small — adaptive row-based sizing alone measured 3x slower at
-    # sf0.1 (16 buckets idling half of 32 cores)
-    nb = max(64, adaptive_buckets(
-        parquet_rows(f"{sf_dir}/events.parquet")))
-
-    # 2. attach each user's dedup'd centi-degree points per pair
-    def _pair_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy().astype(np.uint64)
-        b = batch.column("b").to_numpy().astype(np.uint64)
-        pk = (a << np.uint64(32)) | b
-        u = a.astype(np.int64)
-        v = b.astype(np.int64)
-        n = len(pk)
-        return pa.table({
-            "key": pa.array(np.concatenate([u, v]), pa.int64()),
-            "pk": pa.array(np.concatenate([pk, pk]).view(np.int64),
-                           pa.int64()),
-            "side": pa.array(np.concatenate(
-                [np.zeros(n, np.int8), np.ones(n, np.int8)]),
-                pa.int8()),
-            "clat": pa.nulls(2 * n, pa.int64()),
-            "clng": pa.nulls(2 * n, pa.int64()),
-        })
-
-    def _point_rows(batch: pa.Table) -> pa.Table:
-        k = batch.column("event_id").to_numpy().astype(np.int64)
-        u = batch.column("user_id").to_numpy().astype(np.int64)
-        clat = (k * 7919) % 17000 - 8500
-        clng = (k * 104729) % 36000 - 18000
-        df = pd.DataFrame({"key": u, "clat": clat, "clng": clng}) \
-            .drop_duplicates()
-        m = len(df)
-        return pa.table({
-            "key": pa.array(df["key"].to_numpy(np.int64), pa.int64()),
-            "pk": pa.nulls(m, pa.int64()),
-            "side": pa.nulls(m, pa.int8()),
-            "clat": pa.array(df["clat"].to_numpy(np.int64), pa.int64()),
-            "clng": pa.array(df["clng"].to_numpy(np.int64), pa.int64()),
-        })
-
-    def _replicate(g: pd.DataFrame) -> pd.DataFrame:
-        pts = g[g["pk"].isna()]
-        prs = g[g["pk"].notna()]
-        out = prs[["key", "pk", "side"]].merge(
-            pts[["key", "clat", "clng"]], on="key")
-        return pd.DataFrame({
-            "pk": out["pk"].to_numpy(np.float64).astype(np.int64),
-            "side": out["side"].to_numpy(np.float64).astype(np.int8),
-            "clat": out["clat"].to_numpy(np.int64),
-            "clng": out["clng"].to_numpy(np.int64)})
-
-    rep = bucketed_join(
-        [pairs.map_batches(_pair_rows, batch_format="pyarrow"),
-         ev.map_batches(_point_rows, batch_format="pyarrow")],
-        "key", _replicate, num_buckets=nb)
-
-    # 3. per-pair symmetric Hausdorff inside pair-hash buckets
-    def _tag_pk(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy().astype(np.uint64)
-        return batch.append_column("__b", pa.array(
-            (_splitmix(pk) % np.uint64(nb)).astype(np.int32),
-            pa.int32()))
+    rep, _nb = _pair_tracks_rep(sf_dir)
 
     def _hausdorff(g: pd.DataFrame) -> pd.DataFrame:
         # per-pair max-min over raw presorted numpy slices: one
@@ -12556,9 +12481,17 @@ def q_traj_hausdorff(sf_dir: str):
         side = g["side"].to_numpy(np.int8)
         clat = g["clat"].to_numpy(np.int64)
         clng = g["clng"].to_numpy(np.int64)
-        order = np.lexsort((side, pk))
+        order = np.lexsort((clng, clat, side, pk))
         pk = pk[order]; side = side[order]
         clat = clat[order]; clng = clng[order]
+        # Hausdorff is a SET statistic: dedup each (pair, side)'s
+        # points (the shared track table keeps every visit for the
+        # DTW/Fréchet consumers)
+        keep = np.ones(len(pk), bool)
+        keep[1:] = ((pk[1:] != pk[:-1]) | (side[1:] != side[:-1])
+                    | (clat[1:] != clat[:-1]) | (clng[1:] != clng[:-1]))
+        pk = pk[keep]; side = side[keep]
+        clat = clat[keep]; clng = clng[keep]
         starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
         ends = np.r_[starts[1:], len(pk)]
         # first side-1 position inside each [s, e) run (side sorted)
@@ -12579,10 +12512,10 @@ def q_traj_hausdorff(sf_dir: str):
             "user_b": (up & np.uint64(0xFFFFFFFF)).astype(np.int64),
             "hausdorff_cd": np.asarray(out_h, np.int64)})
 
-    return (rep.map_batches(_tag_pk, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(lambda g: _hausdorff(g.drop(columns=["__b"])),
-                        batch_format="pandas")
+    return (rep.groupby("__b")
+            .map_groups(lambda g: _hausdorff(
+                g.drop(columns=["__b", "tsu", "eid"])),
+                batch_format="pandas")
             .sort(["user_a", "user_b"]))
 
 
@@ -16917,6 +16850,107 @@ def _coloc_edge_pairs(sf_dir: str):
     return edges
 
 
+_PAIR_TRACKS_CACHE: Dict = {}
+
+
+def _pair_tracks_rep(sf_dir: str):
+    """Pair-replicated track table shared by the trajectory-similarity
+    family (traj_hausdorff / traj_dtw / traj_dtw_exact / traj_frechet —
+    ROADMAP round-5 item 4, the colocation-cache pattern one level
+    deeper): every CO-LOCATED (a < b) pair's two time-stamped
+    centi-degree tracks, keyed by packed pair id + side, already
+    tagged with the pair-hash bucket, MATERIALIZED once per (sf_dir,
+    Ray session).  The DP queries differ only in their per-pair
+    kernel, so sharing this table removes the identical
+    pair-replication exchange from every query after the first in a
+    bench/driver session.  Returns (rep_dataset, n_buckets)."""
+    import pandas as pd
+    import ray
+    from ..stages.bucket_join import (adaptive_buckets, bucketed_join,
+                                      parquet_rows)
+    from ..stages.sample import _splitmix
+
+    tok = ray.get_runtime_context().get_job_id() \
+        if ray.is_initialized() else None
+    ckey = (sf_dir, tok)
+    cached = _PAIR_TRACKS_CACHE.get(ckey)
+    if cached is not None:
+        return cached
+
+    # floor 64: the per-pair DPs are COMPUTE-bound, so bucket count
+    # must cover the core count even when row counts are small
+    nb = max(64, adaptive_buckets(
+        parquet_rows(f"{sf_dir}/events.parquet")))
+    edges = _coloc_edge_pairs(sf_dir)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.uint64)
+        b = batch.column("b").to_numpy().astype(np.uint64)
+        pk = (a << np.uint64(32)) | b
+        n = len(pk)
+        return pa.table({
+            "key": pa.array(np.concatenate(
+                [a.astype(np.int64), b.astype(np.int64)]), pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]).view(np.int64),
+                           pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                pa.int8()),
+            "tsu": pa.nulls(2 * n, pa.int64()),
+            "eid": pa.nulls(2 * n, pa.int64()),
+            "clat": pa.nulls(2 * n, pa.int64()),
+            "clng": pa.nulls(2 * n, pa.int64()),
+        })
+
+    def _point_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        clat = (k * 7919) % 17000 - 8500
+        clng = (k * 104729) % 36000 - 18000
+        m = len(k)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "pk": pa.nulls(m, pa.int64()),
+            "side": pa.nulls(m, pa.int8()),
+            "tsu": pa.array(tsu, pa.int64()),
+            "eid": pa.array(k, pa.int64()),
+            "clat": pa.array(clat, pa.int64()),
+            "clng": pa.array(clng, pa.int64()),
+        })
+
+    def _replicate(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["pk"].isna()]
+        prs = g[g["pk"].notna()]
+        out = prs[["key", "pk", "side"]].merge(
+            pts[["key", "tsu", "eid", "clat", "clng"]], on="key")
+        return pd.DataFrame({
+            "pk": out["pk"].to_numpy(np.float64).astype(np.int64),
+            "side": out["side"].to_numpy(np.float64).astype(np.int8),
+            "tsu": out["tsu"].to_numpy(np.int64),
+            "eid": out["eid"].to_numpy(np.int64),
+            "clat": out["clat"].to_numpy(np.int64),
+            "clng": out["clng"].to_numpy(np.int64)})
+
+    rep = bucketed_join(
+        [edges.map_batches(_pair_rows, batch_format="pyarrow"),
+         ev.map_batches(_point_rows, batch_format="pyarrow")],
+        "key", _replicate, num_buckets=nb)
+
+    def _tag_pk(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy().astype(np.uint64)
+        return batch.append_column("__b", pa.array(
+            (_splitmix(pk) % np.uint64(nb)).astype(np.int32),
+            pa.int32()))
+
+    rep = rep.map_batches(_tag_pk, batch_format="pyarrow").materialize()
+    _PAIR_TRACKS_CACHE.clear()      # one entry is enough
+    _PAIR_TRACKS_CACHE[ckey] = (rep, nb)
+    return rep, nb
+
+
 _COLOC_SQL_EDGES = (
     "pairs AS (SELECT LEAST(a.user_id, b.user_id) AS u, "
     "GREATEST(a.user_id, b.user_id) AS v "
@@ -19344,89 +19378,8 @@ def q_traj_frechet(sf_dir: str):
     track length)."""
     import pandas as pd
     import ray.data as rd
-    from ..stages.bucket_join import bucketed_join
-    from ..stages.sample import _splitmix
 
-    coloc = _coloc_pairs_ds(sf_dir)
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    nb = 64
-
-    def _pk_rows(batch: pa.Table) -> pa.Table:
-        ua = batch.column("user_a").to_numpy().astype(np.uint64)
-        ub = batch.column("user_b").to_numpy().astype(np.uint64)
-        lo = np.minimum(ua, ub)
-        hi = np.maximum(ua, ub)
-        pk = np.unique((lo << np.uint64(32)) | hi)
-        return pa.table({
-            "pk": pa.array(pk.view(np.int64), pa.int64()),
-            "__b": pa.array((_splitmix(pk) % np.uint64(nb))
-                            .astype(np.int32), pa.int32())})
-
-    pairs = coloc.map_batches(_pk_rows, batch_format="pyarrow") \
-        .groupby("__b") \
-        .map_groups(lambda g: pd.DataFrame(
-            {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
-            batch_format="pandas")
-
-    def _pair_rows(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy().astype(np.uint64)
-        u = (pk >> np.uint64(32)).astype(np.int64)
-        v = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        n = len(pk)
-        return pa.table({
-            "key": pa.array(np.concatenate([u, v]), pa.int64()),
-            "pk": pa.array(np.concatenate([pk, pk]).view(np.int64),
-                           pa.int64()),
-            "side": pa.array(np.concatenate(
-                [np.zeros(n, np.int8), np.ones(n, np.int8)]),
-                pa.int8()),
-            "tsu": pa.nulls(2 * n, pa.int64()),
-            "eid": pa.nulls(2 * n, pa.int64()),
-            "clat": pa.nulls(2 * n, pa.int64()),
-            "clng": pa.nulls(2 * n, pa.int64()),
-        })
-
-    def _point_rows(batch: pa.Table) -> pa.Table:
-        k = batch.column("event_id").to_numpy().astype(np.int64)
-        u = batch.column("user_id").to_numpy().astype(np.int64)
-        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
-            .astype(np.int64)
-        clat = (k * 7919) % 17000 - 8500
-        clng = (k * 104729) % 36000 - 18000
-        m = len(k)
-        return pa.table({
-            "key": pa.array(u, pa.int64()),
-            "pk": pa.nulls(m, pa.int64()),
-            "side": pa.nulls(m, pa.int8()),
-            "tsu": pa.array(tsu, pa.int64()),
-            "eid": pa.array(k, pa.int64()),
-            "clat": pa.array(clat, pa.int64()),
-            "clng": pa.array(clng, pa.int64()),
-        })
-
-    def _replicate(g: pd.DataFrame) -> pd.DataFrame:
-        pts = g[g["pk"].isna()]
-        prs = g[g["pk"].notna()]
-        out = prs[["key", "pk", "side"]].merge(
-            pts[["key", "tsu", "eid", "clat", "clng"]], on="key")
-        return pd.DataFrame({
-            "pk": out["pk"].to_numpy(np.float64).astype(np.int64),
-            "side": out["side"].to_numpy(np.float64).astype(np.int8),
-            "tsu": out["tsu"].to_numpy(np.int64),
-            "eid": out["eid"].to_numpy(np.int64),
-            "clat": out["clat"].to_numpy(np.int64),
-            "clng": out["clng"].to_numpy(np.int64)})
-
-    rep = bucketed_join(
-        [pairs.map_batches(_pair_rows, batch_format="pyarrow"),
-         ev.map_batches(_point_rows, batch_format="pyarrow")],
-        "key", _replicate, num_buckets=nb)
-
-    def _tag_pk(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy().astype(np.uint64)
-        return batch.append_column("__b", pa.array(
-            (_splitmix(pk) % np.uint64(nb)).astype(np.int32),
-            pa.int32()))
+    rep, _nb = _pair_tracks_rep(sf_dir)
 
     def _frechet(g: pd.DataFrame) -> pd.DataFrame:
         # batch the DP across every pair with the same (n, m) track
@@ -19494,8 +19447,7 @@ def q_traj_frechet(sf_dir: str):
             "user_b": (upk & np.uint64(0xFFFFFFFF)).astype(np.int64),
             "frechet_l1": np.array(out_d, np.int64)})
 
-    out = (rep.map_batches(_tag_pk, batch_format="pyarrow")
-           .groupby("__b")
+    out = (rep.groupby("__b")
            .map_groups(lambda g: _frechet(g.drop(columns=["__b"])),
                        batch_format="pandas")
            .to_pandas().sort_values(["user_a", "user_b"]))
@@ -19526,89 +19478,8 @@ def q_traj_dtw(sf_dir: str):
     bucket."""
     import pandas as pd
     import ray.data as rd
-    from ..stages.bucket_join import bucketed_join
-    from ..stages.sample import _splitmix
 
-    coloc = _coloc_pairs_ds(sf_dir)
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    nb = 64
-
-    def _pk_rows(batch: pa.Table) -> pa.Table:
-        ua = batch.column("user_a").to_numpy().astype(np.uint64)
-        ub = batch.column("user_b").to_numpy().astype(np.uint64)
-        lo = np.minimum(ua, ub)
-        hi = np.maximum(ua, ub)
-        pk = np.unique((lo << np.uint64(32)) | hi)
-        return pa.table({
-            "pk": pa.array(pk.view(np.int64), pa.int64()),
-            "__b": pa.array((_splitmix(pk) % np.uint64(nb))
-                            .astype(np.int32), pa.int32())})
-
-    pairs = coloc.map_batches(_pk_rows, batch_format="pyarrow") \
-        .groupby("__b") \
-        .map_groups(lambda g: pd.DataFrame(
-            {"pk": np.unique(g["pk"].to_numpy(np.int64))}),
-            batch_format="pandas")
-
-    def _pair_rows(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy().astype(np.uint64)
-        u = (pk >> np.uint64(32)).astype(np.int64)
-        v = (pk & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        n = len(pk)
-        return pa.table({
-            "key": pa.array(np.concatenate([u, v]), pa.int64()),
-            "pk": pa.array(np.concatenate([pk, pk]).view(np.int64),
-                           pa.int64()),
-            "side": pa.array(np.concatenate(
-                [np.zeros(n, np.int8), np.ones(n, np.int8)]),
-                pa.int8()),
-            "tsu": pa.nulls(2 * n, pa.int64()),
-            "eid": pa.nulls(2 * n, pa.int64()),
-            "clat": pa.nulls(2 * n, pa.int64()),
-            "clng": pa.nulls(2 * n, pa.int64()),
-        })
-
-    def _point_rows(batch: pa.Table) -> pa.Table:
-        k = batch.column("event_id").to_numpy().astype(np.int64)
-        u = batch.column("user_id").to_numpy().astype(np.int64)
-        tsu = batch.column("ts").to_numpy().astype("datetime64[us]") \
-            .astype(np.int64)
-        clat = (k * 7919) % 17000 - 8500
-        clng = (k * 104729) % 36000 - 18000
-        m = len(k)
-        return pa.table({
-            "key": pa.array(u, pa.int64()),
-            "pk": pa.nulls(m, pa.int64()),
-            "side": pa.nulls(m, pa.int8()),
-            "tsu": pa.array(tsu, pa.int64()),
-            "eid": pa.array(k, pa.int64()),
-            "clat": pa.array(clat, pa.int64()),
-            "clng": pa.array(clng, pa.int64()),
-        })
-
-    def _replicate(g: pd.DataFrame) -> pd.DataFrame:
-        pts = g[g["pk"].isna()]
-        prs = g[g["pk"].notna()]
-        out = prs[["key", "pk", "side"]].merge(
-            pts[["key", "tsu", "eid", "clat", "clng"]], on="key")
-        return pd.DataFrame({
-            "pk": out["pk"].to_numpy(np.float64).astype(np.int64),
-            "side": out["side"].to_numpy(np.float64).astype(np.int8),
-            "tsu": out["tsu"].to_numpy(np.int64),
-            "eid": out["eid"].to_numpy(np.int64),
-            "clat": out["clat"].to_numpy(np.int64),
-            "clng": out["clng"].to_numpy(np.int64)})
-
-    rep = bucketed_join(
-        [pairs.map_batches(_pair_rows, batch_format="pyarrow"),
-         ev.map_batches(_point_rows, batch_format="pyarrow")],
-        "key", _replicate, num_buckets=nb)
-
-    def _tag_pk(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy().astype(np.uint64)
-        return batch.append_column("__b", pa.array(
-            (_splitmix(pk) % np.uint64(nb)).astype(np.int32),
-            pa.int32()))
+    rep, _nb = _pair_tracks_rep(sf_dir)
 
     def _dtw(g: pd.DataFrame) -> pd.DataFrame:
         # batch the DP across every pair with the same (n, m) track
@@ -19659,14 +19530,161 @@ def q_traj_dtw(sf_dir: str):
             "user_b": (upk & np.uint64(0xFFFFFFFF)).astype(np.int64),
             "dtw_l1": np.array(out_d, np.int64)})
 
-    out = (rep.map_batches(_tag_pk, batch_format="pyarrow")
-           .groupby("__b")
+    out = (rep.groupby("__b")
            .map_groups(lambda g: _dtw(g.drop(columns=["__b"])),
                        batch_format="pandas")
            .to_pandas().sort_values(["user_a", "user_b"]))
     return rd.from_arrow(pa.table({
         c: pa.array(out[c].to_numpy(np.int64))
         for c in ["user_a", "user_b", "dtw_l1"]}))
+
+
+_DTWX_L = 16      # per-side track truncation (first L by (ts, eid))
+_DTWX_W = 2       # Sakoe-Chiba band half-width |i - j| <= W
+_DTWX_SENT = 1 << 40
+
+
+def q_traj_dtw_exact(sf_dir: str):
+    """HASH-EXACT windowed DTW — the seeded-IVF trick applied to the
+    trajectory-DP family (its first driver-hash-checked row): pin the
+    band (Sakoe-Chiba |i-j| <= 2, the reference's Window machinery
+    with constant strides, functions/alignment.py:42-120 /
+    s2/polyline_alignment.go:111-285) and integerize the metric
+    (centi-degree L1 lattice), and banded DTW becomes a deterministic
+    function of the table that SQL can replay as a recursive CTE
+    (one DP row per recursion step, the 5-cell band row pivoted into
+    columns with the in-row chain written as lateral aliases).
+
+    Per co-located pair (the session-shared `_pair_tracks_rep`
+    replication), both tracks truncate to their first
+    min(n, m, 16) points in (ts, event_id) order — equal lengths
+    make the band corner always reachable and bound the per-pair DP
+    at 16 x 5 cells, which is also why this variant is the cheap
+    screening pass beside the full-DP q_traj_dtw.  The recurrence is
+    q_traj_dtw's T(i,j) = d(i,j) + min(T(i-1,j-1), T(i-1,j),
+    T(i,j-1)) restricted to the band (out-of-band = +inf sentinel);
+    all arithmetic is int64 on both engines."""
+    import pandas as pd
+
+    rep, _nb = _pair_tracks_rep(sf_dir)
+    L, W, SENT = _DTWX_L, _DTWX_W, _DTWX_SENT
+
+    def _body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "side", "tsu", "eid"],
+                          kind="mergesort")
+        pk = g["pk"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        clat = g["clat"].to_numpy(np.int64)
+        clng = g["clng"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], pk[1:] != pk[:-1])))
+        ends = np.append(starts[1:], len(pk))
+        shapes: dict = {}
+        for s, e in zip(starts, ends):
+            cut = s + int(np.searchsorted(side[s:e], 1))
+            n0, n1 = cut - s, e - cut
+            if n0 == 0 or n1 == 0:
+                continue
+            shapes.setdefault(min(n0, n1, L), []).append((s, cut))
+        out_pk, out_d = [], []
+        for lp, spans in shapes.items():
+            P = len(spans)
+            A = np.empty((P, lp, 2), np.int64)
+            B = np.empty((P, lp, 2), np.int64)
+            for p, (s, cut) in enumerate(spans):
+                A[p, :, 0] = clat[s:s + lp]
+                A[p, :, 1] = clng[s:s + lp]
+                B[p, :, 0] = clat[cut:cut + lp]
+                B[p, :, 1] = clng[cut:cut + lp]
+            d = np.abs(A[:, :, None, 0] - B[:, None, :, 0]) \
+                + np.abs(A[:, :, None, 1] - B[:, None, :, 1])
+            T = np.full((P, lp, lp), SENT, np.int64)
+            T[:, 0, 0] = d[:, 0, 0]
+            for j in range(1, min(W, lp - 1) + 1):
+                T[:, 0, j] = d[:, 0, j] + T[:, 0, j - 1]
+            for i in range(1, lp):
+                for j in range(max(0, i - W), min(lp - 1, i + W) + 1):
+                    prev = T[:, i - 1, j]
+                    if j > 0:
+                        prev = np.minimum(prev, np.minimum(
+                            T[:, i - 1, j - 1], T[:, i, j - 1]))
+                    T[:, i, j] = d[:, i, j] + prev
+            out_pk.extend(int(pk[s]) for s, _c in spans)
+            out_d.extend(int(v) for v in T[:, -1, -1])
+        upk = np.array(out_pk, np.int64).view(np.uint64)
+        return pd.DataFrame({
+            "user_a": (upk >> np.uint64(32)).astype(np.int64),
+            "user_b": (upk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "dtw_band_l1": np.array(out_d, np.int64)})
+
+    return (rep.groupby("__b")
+            .map_groups(lambda g: _body(g.drop(columns=["__b"])),
+                        batch_format="pandas")
+            .sort(["user_a", "user_b"]))
+
+
+def sql_traj_dtw_exact() -> str:
+    head = _coloc_sql_head()
+    head = "WITH RECURSIVE " + head[len("WITH "):]
+    S = _DTWX_SENT
+    return (
+        f"{head}, "
+        "tr AS (SELECT user_id, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i, "
+        "(event_id * 7919) % 17000 - 8500 AS clat, "
+        "(event_id * 104729) % 36000 - 18000 AS clng FROM events), "
+        "ln AS (SELECT user_id, COUNT(*) AS n FROM tr GROUP BY 1), "
+        f"pl AS (SELECT e.u, e.v, LEAST(la.n, lb.n, {_DTWX_L}) AS l "
+        "FROM ed e JOIN ln la ON la.user_id = e.u "
+        "JOIN ln lb ON lb.user_id = e.v), "
+        "ta AS (SELECT pl.u, pl.v, tr.i, tr.clat, tr.clng FROM pl "
+        "JOIN tr ON tr.user_id = pl.u AND tr.i < pl.l), "
+        "tb AS (SELECT pl.u, pl.v, tr.i, tr.clat, tr.clng FROM pl "
+        "JOIN tr ON tr.user_id = pl.v AND tr.i < pl.l), "
+        "dd AS (SELECT ta.u, ta.v, ta.i, tb.i AS j, "
+        "ABS(ta.clat - tb.clat) + ABS(ta.clng - tb.clng) AS d "
+        "FROM ta JOIN tb ON tb.u = ta.u AND tb.v = ta.v "
+        f"AND tb.i BETWEEN ta.i - {_DTWX_W} AND ta.i + {_DTWX_W}), "
+        "rec AS ("
+        f"SELECT pl.u, pl.v, pl.l, 0 AS i, "
+        f"CAST({S} AS BIGINT) AS tm2, CAST({S} AS BIGINT) AS tm1, "
+        "d0.d AS tz, "
+        f"CASE WHEN d1.d IS NULL THEN {S} ELSE d1.d + d0.d END AS tp1, "
+        f"CASE WHEN d2.d IS NULL OR d1.d IS NULL THEN {S} "
+        "ELSE d2.d + d1.d + d0.d END AS tp2 "
+        "FROM pl "
+        "JOIN dd d0 ON d0.u = pl.u AND d0.v = pl.v "
+        "AND d0.i = 0 AND d0.j = 0 "
+        "LEFT JOIN dd d1 ON d1.u = pl.u AND d1.v = pl.v "
+        "AND d1.i = 0 AND d1.j = 1 "
+        "LEFT JOIN dd d2 ON d2.u = pl.u AND d2.v = pl.v "
+        "AND d2.i = 0 AND d2.j = 2 "
+        "UNION ALL "
+        "SELECT r.u, r.v, r.l, r.i + 1 AS i, "
+        f"CASE WHEN dm2.d IS NULL THEN {S} "
+        "ELSE dm2.d + LEAST(r.tm2, r.tm1) END AS a2, "
+        f"CASE WHEN dm1.d IS NULL THEN {S} "
+        "ELSE dm1.d + LEAST(r.tm1, r.tz, a2) END AS a1, "
+        f"CASE WHEN dz.d IS NULL THEN {S} "
+        "ELSE dz.d + LEAST(r.tz, r.tp1, a1) END AS az, "
+        f"CASE WHEN dp1.d IS NULL THEN {S} "
+        "ELSE dp1.d + LEAST(r.tp1, r.tp2, az) END AS b1, "
+        f"CASE WHEN dp2.d IS NULL THEN {S} "
+        "ELSE dp2.d + LEAST(r.tp2, b1) END AS b2 "
+        "FROM rec r "
+        "LEFT JOIN dd dm2 ON dm2.u = r.u AND dm2.v = r.v "
+        "AND dm2.i = r.i + 1 AND dm2.j = r.i - 1 "
+        "LEFT JOIN dd dm1 ON dm1.u = r.u AND dm1.v = r.v "
+        "AND dm1.i = r.i + 1 AND dm1.j = r.i "
+        "LEFT JOIN dd dz ON dz.u = r.u AND dz.v = r.v "
+        "AND dz.i = r.i + 1 AND dz.j = r.i + 1 "
+        "LEFT JOIN dd dp1 ON dp1.u = r.u AND dp1.v = r.v "
+        "AND dp1.i = r.i + 1 AND dp1.j = r.i + 2 "
+        "LEFT JOIN dd dp2 ON dp2.u = r.u AND dp2.v = r.v "
+        "AND dp2.i = r.i + 1 AND dp2.j = r.i + 3 "
+        "WHERE r.i + 1 < r.l) "
+        "SELECT u AS user_a, v AS user_b, tz AS dtw_band_l1 "
+        "FROM rec WHERE i = l - 1 ORDER BY 1, 2")
 
 
 def q_spatial_layout_scan(sf_dir: str):
@@ -19783,6 +19801,7 @@ def _authored_queries() -> Dict:
         # --- round-5 additions (front: these must make the window) ---
         "user_cap": q_user_cap,
         "embed_knn_pq_exact": q_embed_knn_pq_exact,
+        "traj_dtw_exact": q_traj_dtw_exact,
         # --- round-2 additions: never driver-checked before r3 ---
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -20057,6 +20076,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "user_cap": sql_user_cap(),
         "embed_knn_pq_exact": sql_embed_knn_pq_exact(),
+        "traj_dtw_exact": sql_traj_dtw_exact(),
         "geotag": sql_geotag(),
         "cap_contains": sql_cap_contains(),
         "rect_contains": sql_rect_contains(),

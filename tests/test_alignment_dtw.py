@@ -246,3 +246,57 @@ def test_dtw_cost_symmetry():
         assert math.isclose(exact_vertex_alignment_cost(A, B),
                             exact_vertex_alignment_cost(B, A),
                             rel_tol=1e-12)
+
+
+def test_banded_dtw_exact_vs_brute(ray_session):
+    """q_traj_dtw_exact's vectorized banded DP must equal a scalar
+    brute recursion with the same truncation, band and sentinel
+    semantics, for every colocated pair at sf0.01."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geo_ray.pipelines.queries import (_DTWX_L, _DTWX_W,
+                                           q_traj_dtw_exact,
+                                           q_events_colocation)
+
+    sf = "/root/testdata/sf0.01"
+    got = q_traj_dtw_exact(sf).to_pandas()
+    assert len(got) > 0
+
+    # rebuild tracks + pairs in plain numpy/pandas
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_id", "user_id", "ts"]).to_pandas()
+    t["tsu"] = t["ts"].astype("datetime64[us]").astype(np.int64)
+    t["clat"] = (t["event_id"] * 7919) % 17000 - 8500
+    t["clng"] = (t["event_id"] * 104729) % 36000 - 18000
+    t = t.sort_values(["user_id", "tsu", "event_id"])
+    tracks = {u: g[["clat", "clng"]].to_numpy(np.int64)
+              for u, g in t.groupby("user_id")}
+
+    pr = q_events_colocation(sf).to_pandas()
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in zip(pr["user_a"], pr["user_b"])})
+
+    INF = float("inf")
+
+    def brute(A, B):
+        L = min(len(A), len(B), _DTWX_L)
+        A, B = A[:L], B[:L]
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def T(i, j):
+            if abs(i - j) > _DTWX_W or i < 0 or j < 0:
+                return INF
+            d = abs(int(A[i][0] - B[j][0])) + abs(int(A[i][1] - B[j][1]))
+            if i == 0 and j == 0:
+                return d
+            return d + min(T(i - 1, j - 1), T(i - 1, j), T(i, j - 1))
+
+        return int(T(L - 1, L - 1))
+
+    got_map = {(a, b): v for a, b, v in
+               zip(got["user_a"], got["user_b"], got["dtw_band_l1"])}
+    assert set(got_map) == set(pairs)
+    for a, b in pairs[:400]:
+        assert got_map[(a, b)] == brute(tracks[a], tracks[b]), (a, b)
