@@ -702,7 +702,8 @@ def segment_prefix_cross_pairs(seg_sizes: np.ndarray,
 
 
 def ngram_prefix_candidates(sketches, threshold: float, nb: int,
-                            metric: str = "jaccard"):
+                            metric: str = "jaccard",
+                            fused: bool = True):
     """PPJoin-style prefix-filtered candidate pairs (Bayardo et al.,
     WWW'07 "Scaling Up All Pairs Similarity Search") — the
     stop-shingle-skew-proof candidate path: each document's shingles
@@ -716,13 +717,22 @@ def ngram_prefix_candidates(sketches, threshold: float, nb: int,
     df^2 pair blow-up never materializes; candidate volume is
     sum over shingles of p_df * df (p_df << df for hot shingles).
 
-    Three exchanges, all narrow int rows:
-      1. groupby(shingle bucket): df counts attach to instances
-         (every instance of a shingle shares its bucket);
-      2. groupby(doc bucket): per-doc (df, sh) sort -> prefix flags;
+    Three exchanges, all narrow int rows.  ``fused=True`` (default,
+    ROADMAP round-5 item: the df-and-prefix fusion) co-partitions the
+    DF TABLE with the instance stream instead of routing instances
+    through the df pass — the instance rows shuffle ONCE (straight to
+    their doc bucket) instead of twice:
+      1. groupby(shingle bucket) over PER-BATCH (shingle, doc-bucket)
+         COUNT PARTIALS only -> one (db, sh, df) routing row per
+         distinct (shingle, doc bucket);
+      2. groupby(doc bucket) over instances UNION routing rows:
+         local df attach (one searchsorted), per-doc (df, sh) sort ->
+         prefix flags;
       3. groupby(shingle bucket): per-shingle pair generation
          (prefix x prefix for jaccard, prefix x all with the
          smaller-side rule for containment), locally uniqued.
+    ``fused=False`` keeps the original instance-routed df attach
+    (proven output-identical in tests/test_dedup.py).
     Returns a Dataset of (doc_a, doc_b), a SUPERSET of all qualifying
     pairs, for :func:`verify_jaccard_pairs`."""
 
@@ -826,11 +836,141 @@ def ngram_prefix_candidates(sketches, threshold: float, nb: int,
             "doc_b": pa.array(packed & np.int64(0xFFFFFFFF), pa.int64()),
         })
 
-    return (sketches.map_batches(_shingle_rows, batch_format="pyarrow")
-            .groupby("sb")
-            .map_groups(_df_attach, batch_format="pyarrow")
+    if not fused:
+        return (sketches
+                .map_batches(_shingle_rows, batch_format="pyarrow")
+                .groupby("sb")
+                .map_groups(_df_attach, batch_format="pyarrow")
+                .groupby("db")
+                .map_groups(_prefix_rows, batch_format="pyarrow")
+                .groupby("sb")
+                .map_groups(_pairs, batch_format="pyarrow"))
+
+    # -- fused df-and-prefix plan: instances shuffle once ------------------
+    def _df_partials(batch: pa.Table) -> pa.Table:
+        """Per-batch (shingle, doc-bucket) count partials — the only
+        thing the df pass shuffles (never the instance rows)."""
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        arr = batch.column("sketch").combine_chunks()
+        values = np.asarray(arr.values).view(np.uint64) \
+            if len(arr.values) else np.array([], dtype=np.uint64)
+        lens = np.diff(np.asarray(arr.offsets)).astype(np.int64)
+        dbv = (np.repeat(ids, lens) % nb).astype(np.int64)
+        sh = values.view(np.int64)
+        order = np.lexsort((dbv, sh))
+        sh, dbv = sh[order], dbv[order]
+        new = np.ones(len(sh), bool)
+        if len(sh) > 1:
+            new[1:] = (sh[1:] != sh[:-1]) | (dbv[1:] != dbv[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(sh))).astype(np.int64)
+        sh, dbv = sh[starts], dbv[starts]
+        return pa.table({
+            "sb": pa.array((_splitmix(sh.view(np.uint64))
+                            % np.uint64(nb)).astype(np.int32),
+                           pa.int32()),
+            "sh": pa.array(sh, pa.int64()),
+            "db": pa.array(dbv, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def _df_route(g: pa.Table) -> pa.Table:
+        """Per shingle: total df, emitted once per distinct
+        (shingle, doc bucket) as a routing row for the prefix pass."""
+        sh = g.column("sh").to_numpy()
+        db = g.column("db").to_numpy()
+        cnt = g.column("cnt").to_numpy()
+        order = np.lexsort((db, sh))
+        sh, db, cnt = sh[order], db[order], cnt[order]
+        new_sh = np.ones(len(sh), bool)
+        if len(sh) > 1:
+            new_sh[1:] = sh[1:] != sh[:-1]
+        sh_starts = np.flatnonzero(new_sh)
+        df_total = np.add.reduceat(cnt, sh_starts) if len(sh) else \
+            np.array([], np.int64)
+        new_pair = new_sh.copy()
+        if len(sh) > 1:
+            new_pair[1:] |= db[1:] != db[:-1]
+        pair_idx = np.flatnonzero(new_pair)
+        # pairs per shingle = how often df_total repeats
+        pairs_per_sh = np.diff(np.append(
+            np.searchsorted(pair_idx, sh_starts), len(pair_idx)))
+        m = len(pair_idx)
+        return pa.table({
+            "db": pa.array(db[pair_idx].astype(np.int32), pa.int32()),
+            "tag": pa.array(np.ones(m, np.int8), pa.int8()),
+            "sh": pa.array(sh[pair_idx], pa.int64()),
+            "doc_id": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "ln": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "df": pa.array(np.repeat(df_total, pairs_per_sh),
+                           pa.int64()),
+        })
+
+    def _instance_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        arr = batch.column("sketch").combine_chunks()
+        values = np.asarray(arr.values).view(np.uint64) \
+            if len(arr.values) else np.array([], dtype=np.uint64)
+        lens = np.diff(np.asarray(arr.offsets)).astype(np.int64)
+        doc = np.repeat(ids, lens)
+        ln = np.repeat(lens, lens)
+        m = len(doc)
+        return pa.table({
+            "db": pa.array((doc % nb).astype(np.int32), pa.int32()),
+            "tag": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "sh": pa.array(values.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
+            "df": pa.array(np.zeros(m, np.int64), pa.int64()),
+        })
+
+    def _prefix_rows_fused(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy()
+        sh = g.column("sh").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        ln = g.column("ln").to_numpy()
+        dfc = g.column("df").to_numpy()
+        route = tag == 1
+        rsh = sh[route]
+        rdf = dfc[route]
+        ro = np.argsort(rsh, kind="stable")
+        rsh, rdf = rsh[ro], rdf[ro]
+        sh, doc, ln = sh[~route], doc[~route], ln[~route]
+        # every instance's shingle has a routing row in this bucket
+        # by construction; attach df with one searchsorted
+        df = rdf[np.searchsorted(rsh, sh)]
+        order = np.lexsort((sh, df, doc))
+        sh, doc, ln, df = sh[order], doc[order], ln[order], df[order]
+        new_doc = np.ones(len(doc), bool)
+        if len(doc) > 1:
+            new_doc[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new_doc)
+        rank = np.arange(len(doc)) \
+            - np.repeat(starts, np.diff(np.append(starts, len(doc))))
+        p = ln - np.ceil(threshold * ln).astype(np.int64) + 1
+        pref = rank < p
+        if metric == "jaccard":
+            sh, doc, ln = sh[pref], doc[pref], ln[pref]
+            pref = pref[pref]
+        return pa.table({
+            "sb": pa.array((_splitmix(sh.view(np.uint64))
+                            % np.uint64(nb)).astype(np.int32),
+                           pa.int32()),
+            "sh": pa.array(sh, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
+            "pref": pa.array(pref.astype(np.int8), pa.int8()),
+        })
+
+    route_rows = (sketches
+                  .map_batches(_df_partials, batch_format="pyarrow")
+                  .groupby("sb")
+                  .map_groups(_df_route, batch_format="pyarrow"))
+    inst_rows = sketches.map_batches(_instance_rows,
+                                     batch_format="pyarrow")
+    return (inst_rows.union(route_rows)
             .groupby("db")
-            .map_groups(_prefix_rows, batch_format="pyarrow")
+            .map_groups(_prefix_rows_fused, batch_format="pyarrow")
             .groupby("sb")
             .map_groups(_pairs, batch_format="pyarrow"))
 

@@ -393,3 +393,40 @@ def test_choose_ngram_plan_probe(ray_session):
     # sample_mod=1 keeps the probe exact on these tiny corpora
     assert choose_ngram_plan(sk(uniform), n, sample_mod=1) == "equi"
     assert choose_ngram_plan(sk(skewed), n, sample_mod=1) == "prefix"
+
+
+def test_ngram_prefix_fused_matches_unfused(ray_session):
+    """The fused df-and-prefix plan (instances shuffle once) must
+    produce the IDENTICAL candidate set as the original
+    instance-routed plan, for both metrics, incl. on a skewed
+    corpus with multi-bucket doc and shingle spread."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.dedup import (doc_sketches,
+                                      ngram_prefix_candidates)
+
+    rng = np.random.default_rng(77)
+    stop = "alpha beta gamma delta epsilon zeta eta theta"
+    vocab = [f"w{i}" for i in range(300)]
+    n = 180
+    texts = [stop + " " + " ".join(rng.choice(vocab, size=24))
+             for _ in range(n)]
+    for i in range(0, 30, 2):
+        texts[i + 1] = texts[i] + " tail"
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "text": pa.array(texts)})
+    sk = rd.from_arrow(tbl).map_batches(
+        lambda b: doc_sketches(b, 1), batch_format="pyarrow") \
+        .repartition(9).materialize()
+    for metric in ("jaccard", "containment"):
+        fused = ngram_prefix_candidates(sk, 0.5, 16, metric,
+                                        fused=True).to_pandas()
+        plain = ngram_prefix_candidates(sk, 0.5, 16, metric,
+                                        fused=False).to_pandas()
+        key = ["doc_a", "doc_b"]
+        fused = fused.drop_duplicates(key).sort_values(key) \
+            .reset_index(drop=True)
+        plain = plain.drop_duplicates(key).sort_values(key) \
+            .reset_index(drop=True)
+        assert fused.equals(plain), metric
