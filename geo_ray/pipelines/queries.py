@@ -19687,6 +19687,70 @@ def sql_traj_dtw_exact() -> str:
         "FROM rec WHERE i = l - 1 ORDER BY 1, 2")
 
 
+def q_cell_intersections(sf_dir: str):
+    """N-way CellUnion intersection sweep over the per-region customer
+    footprints (stages/intersect_sweep.find_distributed — the
+    distributed form of s2/s2intersect's Find): one CellUnion per
+    region (normalized level-5 parents of its customers' leaf cells,
+    deduped in nation-bucketed groups), then the limit-event sweep
+    finds every 2+-region subset with overlapping footprint and its
+    exact covering cells.  Rows-only driver check by design (the
+    MaxTile region decomposition is not SQL-expressible); the sweep
+    is oracle-verified against the scalar reference in
+    tests/test_intersect_sweep.py, including on this query's own
+    inputs."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..state import cellunion as cu
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    n2r = np.zeros(int(nat.column("n_nationkey").to_numpy().max()) + 1,
+                   np.int64)
+    n2r[nat.column("n_nationkey").to_numpy()] = \
+        nat.column("n_regionkey").to_numpy()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy()
+        lat, lng = derive_latlng_np(keys)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        leaf = cid.cell_id_from_point_v(x, y, z)
+        p8 = cid.parent_v(leaf, 5)
+        reg = n2r[batch.column("c_nationkey").to_numpy()]
+        df = pd.DataFrame({"idx": reg,
+                           "cell": p8.view(np.int64)}).drop_duplicates()
+        return pa.table({
+            "idx": pa.array(df["idx"].to_numpy(np.int64), pa.int64()),
+            "cell": pa.array(df["cell"].to_numpy(np.int64), pa.int64()),
+            "__b": pa.array((df["idx"].to_numpy(np.int64) % 16)
+                            .astype(np.int32), pa.int32())})
+
+    def _dedup_norm(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for idx, grp in g.groupby("idx", sort=False):
+            cells = cu.normalize(
+                [int(c) & ((1 << 64) - 1) for c in grp["cell"]])
+            out.append(pd.DataFrame({
+                "idx": np.full(len(cells), idx, np.int64),
+                "cell": np.array(
+                    [c - (1 << 64) if c >= (1 << 63) else c
+                     for c in cells], np.int64)}))
+        return pd.concat(out) if out else \
+            pd.DataFrame({"idx": np.array([], np.int64),
+                          "cell": np.array([], np.int64)})
+
+    from ..stages.intersect_sweep import find_distributed
+
+    unions_ds = (cust.map_batches(_cells, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(lambda g: _dedup_norm(
+                     g.drop(columns=["__b"])), batch_format="pandas"))
+    return find_distributed(unions_ds).sort(["members", "cell"])
+
+
 def q_spatial_layout_scan(sf_dir: str):
     """Covering-pruned scan over the Hilbert-range spatial layout
     (sources/spatial_layout.py): customer points are bulk-loaded once
@@ -19802,6 +19866,7 @@ def _authored_queries() -> Dict:
         "user_cap": q_user_cap,
         "embed_knn_pq_exact": q_embed_knn_pq_exact,
         "traj_dtw_exact": q_traj_dtw_exact,
+        "cell_intersections": q_cell_intersections,
         # --- round-2 additions: never driver-checked before r3 ---
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,

@@ -100,3 +100,42 @@ def test_distributed_sweep_empty_and_disjoint(ray_session):
     assert set(out["members"]) == {"0,1"}
     assert sorted(_to_u64(int(c)) for c in out["cell"]) == \
         cu.normalize(a)
+
+
+def test_cell_intersections_query_matches_scalar(ray_session):
+    """The registered q_cell_intersections (per-region customer
+    footprints) must equal the scalar find() on the same unions."""
+    import pyarrow.parquet as pq
+
+    from geo_ray.pipelines.queries import (derive_latlng_np,
+                                           q_cell_intersections)
+    from geo_ray.functions.latlng import latlng_deg_to_xyz
+    from geo_ray.state.s2intersect import find as scalar_find
+
+    sf = "/root/testdata/sf0.01"
+    got_df = q_cell_intersections(sf).to_pandas()
+
+    cust = pq.read_table(f"{sf}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    n2r = dict(zip(nat.column("n_nationkey").to_numpy(),
+                   nat.column("n_regionkey").to_numpy()))
+    keys = cust.column("c_custkey").to_numpy()
+    lat, lng = derive_latlng_np(keys)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    leaf = cid.cell_id_from_point_v(x, y, z)
+    p8 = cid.parent_v(leaf, 5)
+    regs = np.array([n2r[n] for n in
+                     cust.column("c_nationkey").to_numpy()])
+    n_reg = int(regs.max()) + 1
+    unions = [cu.normalize([int(c) for c in np.unique(p8[regs == r])])
+              for r in range(n_reg)]
+    want = {",".join(map(str, sorted(k))): sorted(v)
+            for k, v in scalar_find(unions).items()}
+
+    got = {}
+    for m, g in got_df.groupby("members"):
+        got[m] = sorted(_to_u64(int(c)) for c in g["cell"])
+    assert got == want
+    assert len(want) > 0, "expected overlapping region footprints"
