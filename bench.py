@@ -219,16 +219,21 @@ def run_suite(headline_only: bool = False) -> dict:
                  "video_frame_stats", "audio_feature_stats",
                  "image_resize_stats", "video_scene_cuts",
                  "audio_vad", "knn_geo_limited_incl",
-                 "embed_knn_ivf_exact"]
+                 "embed_knn_ivf_exact",
+                 "user_cap", "embed_knn_pq_exact", "traj_dtw_exact",
+                 "cell_intersections"]
         # Registered but kept off the bench roster (driver gate at
         # sf0.01 still covers them):
         #  - traj_frechet / traj_dtw: O(n x m) per-pair DPs over 115k
         #    candidate pairs (~50s / ~33s at sf0.1) — intrinsic work,
-        #    not an exchange pathology (see BASELINE.md);
-        #  - ngram_jaccard_prefix: the PPJoin SKEW path (4 exchanges,
-        #    7.8s at sf0.1) — on this non-skewed corpus the equi plan
-        #    (ngram_jaccard, on the roster) is the right plan and the
-        #    prefix variant exists for stop-shingle-skewed corpora.
+        #    not an exchange pathology (see BASELINE.md; they now ride
+        #    the session-shared pair-track table, so their suite cost
+        #    when run together dropped, but the DP volume remains);
+        #  - ngram_jaccard_prefix: the PPJoin SKEW path (df-fused to
+        #    3 exchanges in round 5) — on this non-skewed corpus the
+        #    equi plan (ngram_jaccard, on the roster) is the right
+        #    plan and the prefix variant exists for
+        #    stop-shingle-skewed corpora.
         registry = qmod.queries()
         # min-of-N per query (default 2): the host's documented
         # bandwidth phases can degrade >10x for a minute mid-suite; a
