@@ -9260,6 +9260,10 @@ def q_user_cap(sf_dir: str):
     def _group(g: pd.DataFrame) -> pd.DataFrame:
         k = g["event_id"].to_numpy().astype(np.int64)
         u = g["user_id"].to_numpy().astype(np.int64)
+        if not len(k):
+            return pd.DataFrame({
+                c: np.array([], np.int64)
+                for c in ["user_id", "n", "cy", "cx", "r2"]})
         y = (k * 7919) % 17000
         x = (k * 104729) % 36000
         order = np.lexsort((k, u))
