@@ -221,7 +221,7 @@ def run_suite(headline_only: bool = False) -> dict:
                  "audio_vad", "knn_geo_limited_incl",
                  "embed_knn_ivf_exact",
                  "user_cap", "embed_knn_pq_exact", "traj_dtw_exact",
-                 "cell_intersections"]
+                 "cell_intersections", "tpch_q1"]
         # Registered but kept off the bench roster (driver gate at
         # sf0.01 still covers them):
         #  - traj_frechet / traj_dtw: O(n x m) per-pair DPs over 115k

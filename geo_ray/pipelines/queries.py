@@ -6493,6 +6493,84 @@ _Q6_DISC_LO, _Q6_DISC_HI = 2, 4   # discount percent, inclusive
 _Q6_QTY_MAX = 24                  # exclusive
 
 
+_Q1_SHIP_HI = "1999-09-02"   # pricing-summary cutoff (range is
+                             # 1995-01..2001-11 in the synthetic data)
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary: the canonical streaming
+    scan-aggregate — per-batch partial sums over the 6
+    (returnflag, linestatus) groups, then a bounded driver merge
+    (each batch contributes at most 6 rows, the driver_merged_sum
+    regime).  All money math in exact integer units: cents for the
+    base price, cent-percent for the discounted price, cent-percent^2
+    for the charge — ratios/averages are left to the consumer so the
+    cross-engine contract stays int64-exact (the events_travel /
+    tpch_q6 convention).  The date predicate rides into the parquet
+    scan as a row filter."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    hi = np.datetime64(_Q1_SHIP_HI).astype("datetime64[us]")
+    items = _read_f(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax"],
+        pds.field("l_shipdate") <= hi)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_pylist()
+        ls = batch.column("l_linestatus").to_pylist()
+        qty = np.round(batch.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        ep = np.round(batch.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        dp = np.round(batch.column("l_discount").to_numpy()
+                      * 100.0).astype(np.int64)
+        tp = np.round(batch.column("l_tax").to_numpy()
+                      * 100.0).astype(np.int64)
+        disc = ep * (100 - dp)
+        charge = disc * (100 + tp)
+        df = pd.DataFrame({
+            "l_returnflag": rf, "l_linestatus": ls, "sum_qty": qty,
+            "sum_base_cents": ep, "sum_disc_cp": disc,
+            "sum_charge_cp2": charge, "n": np.ones(len(qty), np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum().reset_index(), preserve_index=False)
+
+    parts = (items.map_batches(_partial, batch_format="pyarrow")
+             .to_pandas())
+    out = parts.groupby(["l_returnflag", "l_linestatus"]) \
+        .sum().reset_index() \
+        .sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    for c in ["sum_qty", "sum_base_cents", "sum_disc_cp",
+              "sum_charge_cp2", "n"]:
+        out[c] = out[c].astype(np.int64)
+    return rd.from_pandas(out)
+
+
+def sql_tpch_q1() -> str:
+    return (
+        f"SELECT l_returnflag, l_linestatus, "
+        f"CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
+        f"AS sum_qty, "
+        f"CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+        f"AS BIGINT) AS sum_base_cents, "
+        f"CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+        f"(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+        f"AS sum_disc_cp, "
+        f"CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+        f"(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * "
+        f"(100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) "
+        f"AS sum_charge_cp2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_Q1_SHIP_HI}' "
+        f"GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def q_tpch_q6(sf_dir: str):
     """TPC-H Q6-shaped forecast-revenue-change: one streaming filter
     + global integer sum over lineitem, the canonical
@@ -19870,6 +19948,7 @@ def _authored_queries() -> Dict:
         "user_cap": q_user_cap,
         "embed_knn_pq_exact": q_embed_knn_pq_exact,
         "traj_dtw_exact": q_traj_dtw_exact,
+        "tpch_q1": q_tpch_q1,
         "cell_intersections": q_cell_intersections,
         # --- round-2 additions: never driver-checked before r3 ---
         "tpch_q3": q_tpch_q3,
@@ -20146,6 +20225,7 @@ def oracle_sql() -> Dict[str, str]:
         "user_cap": sql_user_cap(),
         "embed_knn_pq_exact": sql_embed_knn_pq_exact(),
         "traj_dtw_exact": sql_traj_dtw_exact(),
+        "tpch_q1": sql_tpch_q1(),
         "geotag": sql_geotag(),
         "cap_contains": sql_cap_contains(),
         "rect_contains": sql_rect_contains(),

@@ -89,7 +89,7 @@ ORACLE_CHECKED = [
     "grid_mode", "getis_ord", "events_turns", "doc_tfidf",
     "inverted_index", "knn_core", "heavy_hitters", "user_bbox",
     "grid_median", "knn_regression",
-    "user_cap", "embed_knn_pq_exact", "traj_dtw_exact",
+    "user_cap", "embed_knn_pq_exact", "traj_dtw_exact", "tpch_q1",
     "tpch_q9", "decontaminate", "lm_score", "image_caption_mismatch",
     "events_overlap", "multimodal_clusters", "events_winsorize",
     "join_counts", "traj_hausdorff", "stratified_sample", "doc_pmi",
