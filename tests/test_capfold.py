@@ -157,3 +157,34 @@ def test_bounding_cap_empty_blocks(ray_session):
     cap = bounding_cap(ds)
     assert cap.contains_point((1.0, 0.0, 0.0))
     assert cap.radius_chord2 <= 1e-12
+
+
+def test_add_cap_containment_property():
+    """a.add_cap(b) must contain every point of both caps (the
+    reference's documented AddCap contract), over random cap pairs
+    incl. near-antipodal centers."""
+    rng = np.random.default_rng(23)
+    for _ in range(300):
+        def rand_cap():
+            v = rng.normal(size=3)
+            v /= np.linalg.norm(v)
+            return Cap(tuple(v), float(rng.uniform(0, 4)))
+
+        a, b = rand_cap(), rand_cap()
+        u = a.add_cap(b)
+        for cap in (a, b):
+            # sample points inside `cap`: rotate center towards
+            # random directions by angles <= cap radius
+            ang = cap.radius_rad()
+            for _ in range(8):
+                d = rng.normal(size=3)
+                c = np.asarray(cap.center)
+                d -= d.dot(c) * c
+                n = np.linalg.norm(d)
+                if n < 1e-12:
+                    continue
+                t = rng.uniform(0, ang)
+                p = np.cos(t) * c + np.sin(t) * (d / n)
+                p /= np.linalg.norm(p)
+                assert u.contains_point(tuple(p)), \
+                    (cap.center, cap.radius_chord2, u.radius_chord2)

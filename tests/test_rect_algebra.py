@@ -82,3 +82,41 @@ def test_s1_union_disjoint_picks_closer_bridge():
     # closer gap is 20 -> 170 (150 deg) vs -170 -> 10 (180 deg)
     assert got == (10.0, -170.0)
     assert _s1_intersection(a, b) == (180.0, -180.0)
+
+
+def test_rect_union_intersection_properties():
+    """Randomized containment properties of the ported algebra:
+    union contains both operands, intersection is contained in both,
+    and point membership respects both (the s1.Interval invariants,
+    sampled over lat/lng points incl. antimeridian wraps)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        def rand_rect():
+            lat = np.sort(rng.uniform(-90, 90, 2))
+            lo, hi = rng.uniform(-180, 180, 2)
+            if rng.random() < 0.3:
+                lo, hi = hi, lo  # force a wrap sometimes
+            return rfd(lat[0], lo, lat[1], hi)
+
+        a, b = rand_rect(), rand_rect()
+        u = a.union(b)
+        it = a.intersection(b)
+        assert u.contains_rect(a) and u.contains_rect(b), \
+            (_tup(a), _tup(b), _tup(u))
+        # NOTE: intersection is the smallest rect CONTAINING the
+        # intersection region — when the lng intersection has two
+        # disjoint pieces the result spans both and need not be
+        # contained in either operand (s2/rect.go:206-210), so only
+        # the point-membership direction is asserted:
+        # in-both => in-intersection; in-either => in-union
+        lats = rng.uniform(-90, 90, 24)
+        lngs = rng.uniform(-180, 180, 24)
+        for lat, lng in zip(lats, lngs):
+            ina = a.contains_latlng(lat, lng)
+            inb = b.contains_latlng(lat, lng)
+            if ina and inb:
+                assert it.contains_latlng(lat, lng)
+            if ina or inb:
+                assert u.contains_latlng(lat, lng)
