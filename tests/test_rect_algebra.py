@@ -120,3 +120,139 @@ def test_rect_union_intersection_properties():
                 assert it.contains_latlng(lat, lng)
             if ina or inb:
                 assert u.contains_latlng(lat, lng)
+
+
+def test_s1_interval_operations_reference_table():
+    """The Union/Intersection columns of the reference's
+    TestIntervalOperations table (s1/interval_test.go:231-395),
+    ported to the degree domain (pi == 180; the mid* intervals use
+    1- and 2-degree offsets, preserving the 'center slightly CCW of
+    the midpoint' structure the disjoint-union cases rely on)."""
+    from geo_ray.state.rect import (_s1_intersection, _s1_union,
+                                    s1_interval_from_endpoints as fe)
+
+    empty = (180.0, -180.0)
+    full = (-180.0, 180.0)
+    zero = fe(0, 0)
+    pi2 = fe(90, 90)
+    pi = fe(180, 180)
+    mipi = fe(-180, -180)           # normalizes to (180, 180)
+    mipi2 = fe(-90, -90)
+    quad1 = fe(0, 90)
+    quad2 = fe(90, -180)
+    quad3 = fe(180, -90)
+    quad4 = fe(-90, 0)
+    quad12 = fe(0, -180)
+    quad23 = fe(90, -90)
+    quad34 = fe(-180, 0)
+    quad123 = fe(0, -90)
+    quad234 = fe(90, 0)
+    mid12 = fe(90 - 1, 90 + 2)
+    mid23 = fe(180 - 1, -180 + 2)
+    mid34 = fe(-90 - 1, -90 + 2)
+    mid41 = fe(-1, 2)
+
+    quad12eps = fe(quad12[0], mid23[1])
+    quad2hi = fe(mid23[0], quad12[1])
+    quad412eps = fe(mid34[0], quad12[1])
+    quadeps12 = fe(mid41[0], quad12[1])
+    quad1lo = fe(quad12[0], mid41[1])
+    quad2lo = fe(quad23[0], mid12[1])
+    quad3hi = fe(mid34[0], quad23[1])
+    quadeps23 = fe(mid12[0], quad23[1])
+    quad23eps = fe(quad23[0], mid34[1])
+    quadeps123 = fe(mid41[0], quad23[1])
+
+    cases = [
+        (empty, empty, empty, empty),
+        (empty, full, full, empty),
+        (empty, zero, zero, empty),
+        (empty, pi, pi, empty),
+        (empty, mipi, mipi, empty),
+        (full, empty, full, empty),
+        (full, full, full, full),
+        (full, zero, full, zero),
+        (full, pi, full, pi),
+        (full, mipi, full, mipi),
+        (full, quad12, full, quad12),
+        (full, quad23, full, quad23),
+        (zero, empty, zero, empty),
+        (zero, full, full, zero),
+        (zero, zero, zero, zero),
+        (zero, pi, fe(0, 180), empty),
+        (zero, pi2, quad1, empty),
+        (zero, mipi, quad12, empty),
+        (zero, mipi2, quad4, empty),
+        (zero, quad12, quad12, zero),
+        (zero, quad23, quad123, empty),
+        (pi2, empty, pi2, empty),
+        (pi2, full, full, pi2),
+        (pi2, zero, quad1, empty),
+        (pi2, pi, fe(90, 180), empty),
+        (pi2, pi2, pi2, pi2),
+        (pi2, mipi, quad2, empty),
+        (pi2, mipi2, quad23, empty),
+        (pi2, quad12, quad12, pi2),
+        (pi2, quad23, quad23, pi2),
+        (pi, empty, pi, empty),
+        (pi, full, full, pi),
+        (pi, zero, fe(180, 0), empty),
+        (pi, pi, pi, pi),
+        (pi, pi2, fe(90, 180), empty),
+        (pi, mipi, pi, pi),
+        (pi, mipi2, quad3, empty),
+        (pi, quad12, fe(0, 180), pi),
+        (pi, quad23, quad23, pi),
+        (mipi, empty, mipi, empty),
+        (mipi, full, full, mipi),
+        (mipi, zero, quad34, empty),
+        (mipi, pi, mipi, mipi),
+        (mipi, pi2, quad2, empty),
+        (mipi, mipi, mipi, mipi),
+        (mipi, mipi2, fe(-180, -90), empty),
+        (mipi, quad12, quad12, mipi),
+        (mipi, quad23, quad23, mipi),
+        (quad12, empty, quad12, empty),
+        (quad12, full, full, quad12),
+        (quad12, zero, quad12, zero),
+        (quad12, pi, quad12, pi),
+        (quad12, mipi, quad12, mipi),
+        (quad12, quad12, quad12, quad12),
+        (quad12, quad23, quad123, quad2),
+        (quad12, quad34, full, quad12),
+        (quad23, empty, quad23, empty),
+        (quad23, full, full, quad23),
+        (quad23, zero, quad234, empty),
+        (quad23, pi, quad23, pi),
+        (quad23, mipi, quad23, mipi),
+        (quad23, quad12, quad123, quad2),
+        (quad23, quad23, quad23, quad23),
+        (quad23, quad34, quad234, fe(-180, -90)),
+        (quad1, quad23, quad123, fe(90, 90)),
+        (quad2, quad3, quad23, mipi),
+        (quad3, quad2, quad23, pi),
+        (quad2, pi, quad2, pi),
+        (quad2, mipi, quad2, mipi),
+        (quad3, pi, quad3, pi),
+        (quad3, mipi, quad3, mipi),
+        (quad12, mid12, quad12, mid12),
+        (mid12, quad12, quad12, mid12),
+        (quad12, mid23, quad12eps, quad2hi),
+        (mid23, quad12, quad12eps, quad2hi),
+        (quad12, mid34, quad412eps, empty),
+        (mid34, quad12, quad412eps, empty),
+        (quad12, mid41, quadeps12, quad1lo),
+        (mid41, quad12, quadeps12, quad1lo),
+        (quad23, mid12, quadeps23, quad2lo),
+        (mid12, quad23, quadeps23, quad2lo),
+        (quad23, mid23, quad23, mid23),
+        (mid23, quad23, quad23, mid23),
+        (quad23, mid34, quad23eps, quad3hi),
+        (mid34, quad23, quad23eps, quad3hi),
+        (quad23, mid41, quadeps123, empty),
+        (mid41, quad23, quadeps123, empty),
+    ]
+    for i, (x, y, want_u, want_i) in enumerate(cases):
+        assert _s1_union(x, y) == want_u, (i, x, y, _s1_union(x, y))
+        assert _s1_intersection(x, y) == want_i, \
+            (i, x, y, _s1_intersection(x, y))
